@@ -1,13 +1,360 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Windows
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql`.
+  *
+  * Determinism rules (driver hash-compares against DuckDB):
+  * - every query ends in a total ORDER BY, mirrored in the SQL;
+  * - every computed column is aliased identically on both sides;
+  * - SUMs over doubles go through DECIMAL casts (exact, order-independent)
+  *   — raw double *columns* are fine (bit-identical parquet values), only
+  *   reduction order is not;
+  * - `events.ts` is nanosecond-precision parquet: Spark truncates to µs,
+  *   DuckDB keeps ns, so no query emits raw `events.ts`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1-shaped pricing summary (SURVEY §2.6 A1-A4). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- aggregations (SURVEY §2.6) -------------------------------------
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_agg_minmax" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q_agg_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_agg_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // ---- joins (SURVEY §2.5) -------------------------------------------
+    "q_join_inner" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q_join_left" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_join_semi" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val big = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+        .select(col("l_orderkey"))
+      orders.join(big, orders("o_orderkey") === big("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_join_anti" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders").select(col("o_custkey"))
+      customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_join_outer" -> ((s, dir) => {
+      // Full outer reconciliation of two half-open views of orders — the
+      // idiom behind the reference's re-listing merge (SURVEY J1).
+      val lo = t(s, dir, "orders").where(col("o_totalprice") < 200000)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("lo_price"))
+      val hi = t(s, dir, "orders").where(col("o_totalprice") > 100000)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("hi_price"))
+      lo.join(hi, Seq("k"), "outer")
+        .select(col("k"), coalesce(col("lo_price"), lit(-1d)).as("lo_price"),
+          coalesce(col("hi_price"), lit(-1d)).as("hi_price"))
+        .orderBy(col("k"))
+    }),
+
+    // ---- windows (SURVEY §2.7) -----------------------------------------
+    "q_w1_chunk" -> ((s, dir) => {
+      Windows.chunkSlice(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber")),
+        0L, 200L, col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("rn"))
+    }),
+
+    "q_w2_latest" -> ((s, dir) => {
+      Windows.keepLatest(
+        t(s, dir, "events").select(col("user_id"), col("event_id"), col("ts")),
+        Seq(col("user_id")), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_id"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_w_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_total"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- projections / filters (SURVEY §2.3) ---------------------------
+    "q_filters" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_returnflag").isin("A", "R") &&
+          col("l_linestatus").like("F%") &&
+          col("l_shipdate").between(
+            to_timestamp(lit("1995-01-01")), to_timestamp(lit("1997-01-01"))) &&
+          col("l_quantity").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_discount") > 0.05, lit("HI")).otherwise(lit("LO")).as("disc_band"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q_strings" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          lower(col("p_name")).as("lname"),
+          upper(col("p_brand")).as("ubrand"),
+          substring_index(col("p_type"), " ", 1).as("type_head"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+          md5(col("p_name")).as("name_md5"),
+          length(col("p_name")).as("name_len"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q_dates" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_str"),
+          date_add(to_date(col("o_orderdate")), 30).as("d_plus30"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- set ops (SURVEY §2.9) -----------------------------------------
+    "q_union" -> ((s, dir) => {
+      val a = t(s, dir, "customer").where(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      val b = t(s, dir, "orders").where(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("k"))
+      a.union(b).orderBy(col("k"))
+    }),
+
+    "q_intersect" -> ((s, dir) => {
+      val a = t(s, dir, "customer").where(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      val b = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      a.intersect(b).orderBy(col("k"))
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val b = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      a.except(b).orderBy(col("k"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        | sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_minmax" ->
+      """SELECT o_orderstatus, min(o_totalprice) AS min_price,
+        | max(o_totalprice) AS max_price, min(o_orderdate) AS min_date,
+        | max(o_orderdate) AS max_date, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT COALESCE(lo.k, hi.k) AS k,
+        | COALESCE(lo.lo_price, -1) AS lo_price,
+        | COALESCE(hi.hi_price, -1) AS hi_price
+        |FROM (SELECT o_orderkey AS k, o_totalprice AS lo_price FROM orders
+        |      WHERE o_totalprice < 200000) lo
+        |FULL OUTER JOIN (SELECT o_orderkey AS k, o_totalprice AS hi_price FROM orders
+        |      WHERE o_totalprice > 100000) hi
+        |ON lo.k = hi.k
+        |ORDER BY k""".stripMargin,
+
+    "q_w1_chunk" ->
+      """SELECT l_orderkey, l_linenumber, rn FROM (
+        | SELECT l_orderkey, l_linenumber,
+        |  row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        | FROM lineitem) t
+        |WHERE rn > 0 AND rn <= 200 ORDER BY rn""".stripMargin,
+
+    "q_w2_latest" ->
+      """SELECT user_id, event_id FROM (
+        | SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_w_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+        | lag(o_orderkey, 1) OVER
+        |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+        | lead(o_orderkey, 1) OVER
+        |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_filters" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS disc_band
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R') AND l_linestatus LIKE 'F%'
+        | AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        |  AND TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_quantity IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_strings" ->
+      """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+        | split_part(p_type, ' ', 1) AS type_head,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+        | md5(p_name) AS name_md5,
+        | length(p_name) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_dates" ->
+      """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        | strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+        | CAST(o_orderdate AS DATE) + 30 AS d_plus30,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_union" ->
+      """SELECT k FROM (
+        | SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        | UNION ALL
+        | SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000) t
+        |ORDER BY k""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |INTERSECT SELECT o_custkey AS k FROM orders
+        |ORDER BY k""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT SELECT o_custkey AS k FROM orders
+        |ORDER BY k""".stripMargin
+  )
 }
