@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.Windows
+import graft.operators.{Flatten, Merge, NestedColumns, SchemaOps, Windows}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql`.
@@ -220,6 +220,106 @@ object SparkEntry {
       val a = t(s, dir, "customer").select(col("c_custkey").as("k"))
       val b = t(s, dir, "orders").select(col("o_custkey").as("k"))
       a.except(b).orderBy(col("k"))
+    }),
+
+    // ---- flatten / nested (SURVEY §2.4 F1-F3, §2.3 P6) ------------------
+    "q_f1_flatten" -> ((s, dir) => {
+      // nest lineitem into struct + array-of-struct, then fully flatten
+      // back — round-trips the reference's recursive flatten.
+      val nested = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
+          .as("items"))
+        .select(struct(col("l_orderkey").as("key")).as("ord"), col("items"))
+      Flatten.flatten(nested)
+        .orderBy(col("ord_key"), col("items_l_linenumber"))
+    }),
+
+    "q_f2_corr_explode" -> ((s, dir) => {
+      // two sibling arrays exploded in lock-step (no cross join): the
+      // reference's monotonically_increasing_id correlation, Spark-first.
+      // ONE sorted struct array projected twice — pairing is intrinsic,
+      // immune to duplicate sort keys (l_linenumber is not unique here).
+      val nested = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(struct(col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice")))).as("rows"))
+        .select(col("l_orderkey"),
+          transform(col("rows"), x => x.getField("l_quantity")).as("quantities"),
+          transform(col("rows"), x => x.getField("l_extendedprice")).as("prices"))
+      Flatten.explodeCorrelated(nested, Seq("quantities", "prices"))
+        .orderBy(col("l_orderkey"), col("quantities"), col("prices"))
+    }),
+
+    "q_nested_drop" -> ((s, dir) => {
+      val nested = t(s, dir, "part")
+        .select(col("p_partkey"),
+          struct(col("p_name"), col("p_brand"),
+            struct(col("p_type"), col("p_size")).as("detail")).as("info"))
+      val dropped = NestedColumns.dropAll(nested, Seq("info.detail.p_size", "info.p_brand"))
+      dropped.select(col("p_partkey"), col("info.p_name").as("p_name"),
+        col("info.detail.p_type").as("p_type"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- merge / incremental (SURVEY §2.2 K5, §2.12) --------------------
+    "q_upsert" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val existing = orders.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val incoming = orders.where(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"), col("o_totalprice"))
+      Merge.upsert(existing, incoming, Seq("o_orderkey"), broadcastIncoming = true)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_watermark" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val target = ev.where(col("user_id") < 50).select(col("ts"))
+      Merge.newerThanWatermark(ev.select(col("event_id"), col("user_id"), col("ts")),
+          target, "ts")
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- schema ops (SURVEY §2.3 P3/P7/P8) ------------------------------
+    "q_schemacast" -> ((s, dir) => {
+      SchemaOps.castBySpec(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag")),
+        Seq("l_quantity:int:qty_int", "l_orderkey:string:key_str"))
+        .orderBy(col("key_str"), col("l_linenumber"))
+    }),
+
+    "q_all_to_string" -> ((s, dir) => {
+      SchemaOps.allToString(
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // ---- sources (SURVEY §2.1 S2/S6) ------------------------------------
+    "q_json_roundtrip" -> ((s, dir) => {
+      // to_json → from_json round trip: S2's JSON-from-string scan with
+      // an explicit schema, no driver round-trip.
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("seg", StringType),
+        StructField("bal", DoubleType)))
+      t(s, dir, "customer")
+        .select(to_json(struct(col("c_custkey").as("id"),
+          col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))).as("js"))
+        .select(from_json(col("js"), schema).as("o"))
+        .select(col("o.id").as("id"), col("o.seg").as("seg"), col("o.bal").as("bal"))
+        .orderBy(col("id"))
+    }),
+
+    "q_values_inline" -> ((s, dir) => {
+      // S6: in-memory rows → DF (createDataFrame path)
+      import s.implicits._
+      Seq((1L, "SNP"), (2L, "APPEND"), (3L, "INC"))
+        .toDF("job_id", "load_type")
+        .orderBy(col("job_id"))
     })
   )
 
@@ -355,6 +455,54 @@ object SparkEntry {
     "q_except" ->
       """SELECT c_custkey AS k FROM customer
         |EXCEPT SELECT o_custkey AS k FROM orders
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+
+    "q_f1_flatten" ->
+      """SELECT l_orderkey AS ord_key, l_linenumber AS items_l_linenumber,
+        | l_quantity AS items_l_quantity
+        |FROM lineitem ORDER BY ord_key, items_l_linenumber""".stripMargin,
+
+    "q_f2_corr_explode" ->
+      """SELECT l_orderkey, l_quantity AS quantities, l_extendedprice AS prices
+        |FROM lineitem ORDER BY l_orderkey, quantities, prices""".stripMargin,
+
+    "q_nested_drop" ->
+      """SELECT p_partkey, p_name, p_type FROM part ORDER BY p_partkey""",
+
+    "q_upsert" ->
+      """SELECT COALESCE(nw.o_orderkey, ex.o_orderkey) AS o_orderkey,
+        | COALESCE(nw.o_orderstatus, ex.o_orderstatus) AS o_orderstatus,
+        | COALESCE(nw.o_totalprice, ex.o_totalprice) AS o_totalprice
+        |FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |      WHERE o_orderkey % 3 <> 0) ex
+        |FULL OUTER JOIN
+        |     (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice FROM orders
+        |      WHERE o_totalprice > 150000) nw
+        |ON ex.o_orderkey = nw.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_watermark" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE ts > (SELECT max(ts) FROM events WHERE user_id < 50)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_schemacast" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS key_str, l_linenumber,
+        | CAST(l_quantity AS INTEGER) AS qty_int, l_returnflag
+        |FROM lineitem ORDER BY key_str, l_linenumber""".stripMargin,
+
+    "q_all_to_string" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+        | CAST(n_name AS VARCHAR) AS n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT c_custkey AS id, c_mktsegment AS seg, c_acctbal AS bal
+        |FROM customer ORDER BY id""".stripMargin,
+
+    "q_values_inline" ->
+      """SELECT job_id, load_type
+        |FROM (VALUES (1, 'SNP'), (2, 'APPEND'), (3, 'INC')) t(job_id, load_type)
+        |ORDER BY job_id""".stripMargin
   )
 }

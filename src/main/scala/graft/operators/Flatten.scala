@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructType}
+
+/** Recursive flatten of nested (struct/array) schemas — the reference's
+  * signature transform (SURVEY §2.4 F1-F3; cf.
+  * `bp-scala-api-ingestions/dataSource bp/ModuleFunctions.scala:211-246`
+  * and its per-pipeline variants).
+  *
+  * One implementation with naming-strategy knobs instead of the
+  * reference's three divergent copies:
+  * - struct fields expand to `parent<sep>field` aliases in a single
+  *   `select` (pure projection — no shuffle, stays in whole-stage
+  *   codegen);
+  * - arrays explode with `explode_outer` (null/empty arrays keep the
+  *   parent row, matching the reference's explode_outer choice);
+  * - sibling arrays at the same level are zipped (`arrays_zip`) and
+  *   exploded ONCE — the cross-join-free correlated flatten the
+  *   reference approximates with monotonically_increasing_id self-joins
+  *   (`Rushmore Reviews/ModuleFunctions.scala:437-509`).
+  */
+object Flatten {
+
+  /** Names that need backtick-quoting when referenced by path. */
+  private def q(name: String): String = s"`${name.replace("`", "``")}`"
+
+  /** Fully flatten: no ArrayType/StructType columns remain. */
+  def flatten(df: DataFrame, sep: String = "_", stripPrefix: Boolean = false): DataFrame = {
+    var cur = df
+    var done = false
+    while (!done) {
+      val fields = cur.schema.fields
+      val structs = fields.filter(_.dataType.isInstanceOf[StructType])
+      val arrays = fields.filter(_.dataType.isInstanceOf[ArrayType])
+      if (structs.nonEmpty) {
+        val cols: Seq[Column] = fields.toSeq.flatMap { f =>
+          f.dataType match {
+            case st: StructType =>
+              st.fields.toSeq.map { sf =>
+                val alias = if (stripPrefix) sf.name else s"${f.name}$sep${sf.name}"
+                col(s"${q(f.name)}.${q(sf.name)}").as(alias)
+              }
+            case _ => Seq(col(q(f.name)))
+          }
+        }
+        cur = cur.select(cols: _*)
+      } else if (arrays.nonEmpty) {
+        cur = explodeCorrelated(cur, arrays.map(_.name).toSeq, sep)
+      } else done = true
+    }
+    cur
+  }
+
+  /** Explode one or more sibling array columns in lock-step (by
+    * position), keeping rows with null/empty arrays. A single
+    * generator, not N correlated self-joins. */
+  def explodeCorrelated(df: DataFrame, arrayCols: Seq[String], sep: String = "_"): DataFrame = {
+    require(arrayCols.nonEmpty, "need at least one array column")
+    val others = df.columns.filterNot(arrayCols.contains).map(c => col(q(c))).toSeq
+    if (arrayCols.sizeIs == 1) {
+      val a = arrayCols.head
+      df.select(others :+ explode_outer(col(q(a))).as(a): _*)
+    } else {
+      // arrays_zip pads shorter arrays with null — same row multiplicity
+      // as the reference's id-join correlation, minus the join.
+      val zipped = df.select(
+        others :+ explode_outer(arrays_zip(arrayCols.map(c => col(q(c))): _*)).as("__z"): _*)
+      zipped.select(others ++ arrayCols.map(a => col(s"__z.${q(a)}").as(a)): _*)
+    }
+  }
+
+  /** Positional explode — exposes the element index (F2's correlation
+    * key) explicitly instead of monotonically_increasing_id. */
+  def posExplode(df: DataFrame, arrayCol: String, posName: String = "pos"): DataFrame = {
+    val others = df.columns.filterNot(_ == arrayCol).map(c => col(q(c))).toSeq
+    df.select(others :+ posexplode_outer(col(q(arrayCol))): _*)
+      .withColumnRenamed("pos", posName)
+      .withColumnRenamed("col", arrayCol)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ex = Seq(
+    (1L, "old-a", 10.0), (2L, "old-b", 20.0), (3L, "old-c", 30.0)
+  ).toDF("k", "status", "price")
+
+  test("upsert: matched rows take incoming values, unmatched survive, new insert") {
+    val in = Seq((2L, "NEW", 99.0), (9L, "INS", 1.0)).toDF("k", "status", "price")
+    val out = Merge.upsert(ex, in, Seq("k")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "old-a", 10.0), (2L, "NEW", 99.0),
+      (3L, "old-c", 30.0), (9L, "INS", 1.0)))
+  }
+
+  test("upsert: incoming NULL keeps existing unless column is a refreshCol") {
+    val in = Seq((2L, null.asInstanceOf[String], 99.0)).toDF("k", "status", "price")
+    val keep = Merge.upsert(ex, in, Seq("k")).where($"k" === 2)
+      .collect().head.getString(1)
+    assert(keep == "old-b") // coalesce: old survives a NULL
+    val refreshed = Merge.upsert(ex, in, Seq("k"), refreshCols = Set("status"))
+      .where($"k" === 2).collect().head
+    assert(refreshed.isNullAt(1)) // null-refresh: incoming NULL wins
+  }
+
+  test("upsert broadcastIncoming plans a broadcast join") {
+    val in = Seq((2L, "NEW", 99.0)).toDF("k", "status", "price")
+    val plan = Merge.upsert(ex, in, Seq("k"), broadcastIncoming = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"))
+  }
+
+  test("newerThanWatermark filters strictly-newer, passes all when target empty") {
+    val src = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("id", "ts")
+    val tgt = Seq((0L, 200L)).toDF("id", "ts")
+    val got = Merge.newerThanWatermark(src, tgt, "ts")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(3L))
+    val empty = tgt.where(lit(false))
+    val all = Merge.newerThanWatermark(src, empty, "ts")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(all == Seq(1L, 2L, 3L))
+  }
+
+  test("promoteStaging replaces keyed rows and appends new") {
+    val tgt = Seq((1L, "t1"), (2L, "t2")).toDF("k", "v")
+    val stg = Seq((2L, "s2"), (3L, "s3")).toDF("k", "v")
+    val out = Merge.promoteStaging(tgt, stg, Seq("k")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "t1"), (2L, "s2"), (3L, "s3")))
+  }
+}
