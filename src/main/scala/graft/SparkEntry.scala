@@ -4,7 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
 import graft.operators.{Flatten, Merge, NestedColumns, SchemaOps, Windows}
+import graft.similarity.Similarity
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql`.
@@ -320,6 +323,81 @@ object SparkEntry {
       Seq((1L, "SNP"), (2L, "APPEND"), (3L, "INC"))
         .toDF("job_id", "load_type")
         .orderBy(col("job_id"))
+    }),
+
+    // ---- dedup suite (training-data ops) --------------------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = docs.unionByName(
+        docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      Dedup.exactGroups(doubled, "doc_id", "text").orderBy(col("text_hash"))
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 8, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        blockCol = "lang", k = 4, threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_dedup_embed" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search ----------------------------------------------
+    "q_knn_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceKnn(e, e.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_knn_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.partitionedKnn(e, e.where(col("vec_id") < 10), "vec_id",
+        "embedding", "label", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- text analysis --------------------------------------------------
+    "q_text_stats" -> ((s, dir) => {
+      import TextFunctions._
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("token_count"),
+          subwordCount(col("text")).as("subword_count"),
+          round(punctRatio(col("text")), 6).as("punct_ratio"),
+          round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_langid" -> ((s, dir) => {
+      import TextFunctions._
+      t(s, dir, "documents")
+        .select(col("doc_id"), langId(col("text")).as("pred_lang"),
+          langScore(col("text"), "en").as("score_en"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -503,6 +581,165 @@ object SparkEntry {
     "q_values_inline" ->
       """SELECT job_id, load_type
         |FROM (VALUES (1, 'SNP'), (2, 'APPEND'), (3, 'INC')) t(job_id, load_type)
-        |ORDER BY job_id""".stripMargin
+        |ORDER BY job_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "q_dedup_minhash" -> {
+      // oracle = exhaustive pairs at jaccard >= 0.8 (LSH at 16 hashes /
+      // 8 bands has ~certain recall at s >= 0.8; verified empirically)
+      s"""WITH s AS (SELECT doc_id, ${Duck.shingles3("text")} AS sh
+         |           FROM (SELECT doc_id, ${Duck.words("text")} AS w FROM documents)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |        len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_dedup_simhash" -> {
+      s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
+         |h AS (SELECT doc_id, list_transform(w, x -> ${Duck.hash64("x")}) AS h FROM w),
+         |s AS (SELECT doc_id, (${Duck.simhashSum}) AS sh FROM h)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sh, b.sh)) AS hamming_dist
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_dedup_ngram" -> {
+      s"""WITH g AS (SELECT doc_id, lang, ${Duck.charNgrams4} AS sh
+         |           FROM (SELECT doc_id, lang,
+         |                 regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+         |                 FROM documents))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |        len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |      len(list_distinct(a.sh || b.sh)), 6) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS nv FROM embeddings),
+        |scored AS (SELECT query_id, nbr_id,
+        |  round(list_cosine_similarity(qv, nv), 6) AS score
+        |  FROM q JOIN c ON query_id <> nbr_id)
+        |SELECT query_id, nbr_id, score, rank FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_knn_ivf" ->
+      """WITH q AS (SELECT label, vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT label, vec_id AS nbr_id, embedding::DOUBLE[] AS nv FROM embeddings),
+        |scored AS (SELECT query_id, nbr_id,
+        |  round(list_cosine_similarity(qv, nv), 6) AS score
+        |  FROM q JOIN c USING (label) WHERE query_id <> nbr_id)
+        |SELECT query_id, nbr_id, score, rank FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q_text_stats" -> {
+      val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT doc_id, text, ${Duck.words("text")} AS w FROM documents),
+         |m AS (SELECT doc_id, len(w) AS token_count,
+         |  len(list_filter(string_split_regex(
+         |    regexp_replace(text, '([^a-zA-Z0-9\\s])', ' \\1 ', 'g'), '\\s+'),
+         |    x -> len(x) > 0)) AS subword_count,
+         |  CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         |    (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+         |    / len(text) END AS praw,
+         |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+         |    len(list_filter(w, x -> list_contains($stopList, x)))::DOUBLE
+         |    / len(w) END AS sraw
+         |  FROM w)
+         |SELECT doc_id, token_count, subword_count,
+         |  round(praw, 6) AS punct_ratio, round(sraw, 6) AS stopword_ratio,
+         |  round(least(token_count::DOUBLE / 100.0, 1.0) * 0.5 +
+         |    (CASE WHEN praw < 0.2 THEN 1.0 ELSE 0.0 END) * 0.25 +
+         |    (CASE WHEN sraw > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25, 4) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q_langid" -> {
+      def hits(lang: String): String = {
+        val l = TextFunctions.langStopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(w, x -> list_contains($l, x)))"
+      }
+      s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
+         |sc AS (SELECT doc_id, ${hits("de")} AS s_de, ${hits("en")} AS s_en,
+         |  ${hits("es")} AS s_es, ${hits("fr")} AS s_fr, ${hits("zh")} AS s_zh
+         |  FROM w)
+         |SELECT doc_id,
+         |  CASE
+         |   WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |   WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |   WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |   WHEN s_fr >= s_zh THEN 'fr'
+         |   ELSE 'zh' END AS pred_lang,
+         |  s_en AS score_en
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_min(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+         |    i -> ${Duck.hash64("substr(t, i, 8)")})) AS fp
+         |FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
   )
+
+  /** DuckDB SQL fragments mirroring TextFunctions 1:1 (the oracle side
+    * of the md5-derived deterministic hashing contract). */
+  private object Duck {
+    def hash64(s: String): String =
+      s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
+
+    def words(t: String): String =
+      s"CASE WHEN len(trim(lower(regexp_replace($t, '[^a-zA-Z0-9 ]', ' ', 'g')))) = 0 " +
+        s"THEN []::VARCHAR[] ELSE string_split_regex(" +
+        s"trim(lower(regexp_replace($t, '[^a-zA-Z0-9 ]', ' ', 'g'))), '\\s+') END"
+
+    /** word 3-shingles over a words column named w */
+    def shingles3(t: String): String =
+      "CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
+        "ELSE list_distinct(list_transform(range(1, len(w) - 1), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END"
+
+    /** char 4-grams over a normalized text column named t */
+    val charNgrams4: String =
+      "CASE WHEN len(t) < 4 THEN [t] " +
+        "ELSE list_distinct(list_transform(range(1, len(t) - 2), " +
+        "i -> substr(t, i, 4))) END"
+
+    /** 60-bit simhash over a hash-array column named h */
+    val simhashSum: String = (0 until TextFunctions.SimhashBits).map { j =>
+      s"(CASE WHEN COALESCE(list_sum(list_transform(h, " +
+        s"x -> CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 " +
+        s"THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+  }
 }

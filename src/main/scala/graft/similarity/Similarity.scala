@@ -1,0 +1,105 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.hash64
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`array<float>`/`array<double>`).
+  *
+  * - `bruteForceKnn` is the exactness baseline: queries × corpus with
+  *   the small query side broadcast, ranked per query by a window.
+  * - `partitionedKnn` is the scale path (IVF-style): restrict the
+  *   search to a coarse cell (precomputed cluster label), so the join
+  *   shuffles by cell instead of producing a full cross product.
+  * - `lshBucketKnn` buckets by random-hyperplane SimHash signs with
+  *   deterministic md5-derived planes — no fitted model needed, same
+  *   buckets in any engine.
+  *
+  * All arithmetic is done in double after an explicit cast; the dot
+  * product is a sequential fold in element order (deterministic).
+  */
+object Similarity {
+
+  /** Cosine similarity of two numeric arrays (as doubles). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (s, x) => s + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (s, x) => s + x))
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (id, vec). Self-matches (same id) excluded. */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("nv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** IVF-style top-k: only corpus rows in the same coarse cell as the
+    * query are scored. `cellCol` is the precomputed cluster label. */
+  def partitionedKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, cellCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("nv"))
+    val q = queries.select(col(cellCol).as("cell"), col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic random-hyperplane weights: planes × dims, derived
+    * from md5 so buckets reproduce anywhere. Values in [-0.5, 0.5). */
+  private def planeWeight(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$plane:$dim".getBytes("UTF-8"))
+    val v = java.lang.Long.parseLong(
+      md.take(7).map("%02x".format(_)).mkString, 16)
+    (v % 100000L) / 100000.0 - 0.5
+  }
+
+  /** Sign-bucket id for a vector under `planes` hyperplanes. */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
+    val bits: Seq[Column] = (0 until planes).map { p =>
+      val ws = array((0 until dims).map(d => lit(planeWeight(p, d))): _*)
+      val dot = aggregate(zip_with(vec, ws, (x, w) => x * w), lit(0.0d), (s, x) => s + x)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k searching only the query's LSH bucket. Trades recall
+    * for a bucket-equi-join (shuffle by bucket, no cross product). */
+  def lshBucketKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, planes: Int, dims: Int): DataFrame = {
+    val c = corpus.select(
+      lshBucket(col(vecCol).cast("array<double>"), planes, dims).as("bucket"),
+      col(idCol).as("nbr_id"), col(vecCol).cast("array<double>").as("nv"))
+    val q = queries.select(
+      lshBucket(col(vecCol).cast("array<double>"), planes, dims).as("bucket"),
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}
