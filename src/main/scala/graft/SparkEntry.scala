@@ -398,6 +398,81 @@ object SparkEntry {
         .select(col("doc_id"),
           TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- streaming (SURVEY §2.12 / §7) ----------------------------------
+    "q_stream_window" -> ((s, dir) => {
+      graft.streaming.EventStream.hourlyCountsAvailableNow(s, dir)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    "q_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("user_id") < 20)
+      // output in µs: DuckDB 1.0 truncates parquet ns-timestamps to µs
+      // at scan, so the oracle can never see nanos
+      graft.streaming.EventStream
+        .sessionizeBatch(s, ev, gapNanos = 3600L * 1000000000L)
+        .select(col("user_id"),
+          expr("startNanos div 1000").as("startMicros"),
+          expr("endNanos div 1000").as("endMicros"), col("nEvents"))
+        .orderBy(col("user_id"), col("startMicros"))
+    }),
+
+    // ---- multimodal plumbing --------------------------------------------
+    "q_multimodal" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(
+        s, t(s, dir, "documents"), takeBytes = 64)
+      graft.multimodal.Multimodal.extractFeatures(media)
+        .toDF().orderBy(col("id"))
+    }),
+
+    // ---- validation / classification ------------------------------------
+    "q_reconcile" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+      val tgt = src.where(col("o_totalprice") < 250000)
+      graft.validate.Reconciler
+        .reconcile(src.select(col("o_custkey"), col("o_orderdate")),
+          tgt.select(col("o_custkey"), col("o_orderdate")),
+          "o_custkey", "o_orderdate")
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_classify" -> ((s, dir) => {
+      val files = t(s, dir, "part").select(
+        concat(lit("/mnt/"), col("p_brand"), lit("/"), col("p_name"),
+          lit(".dat")).as("path"),
+        concat(col("p_name"), lit(".dat")).as("name"),
+        when(col("p_partkey") % 3 === 0, "tmp").otherwise("dat").as("ext"),
+        col("p_partkey"))
+      graft.classify.Classifier.classify(files,
+        graft.classify.Classifier.Rules(
+          excludedExtensions = Seq("tmp"),
+          excludedFolderPrefixes = Seq("/mnt/Brand#13"),
+          excludedNameTerms = Seq("ROSY", "metallic")))
+        .select(col("p_partkey"), col("isExcluded"), col("exclusionReason"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- xml source (SURVEY §2.1 S11) -----------------------------------
+    "q_xml" -> ((s, dir) => {
+      import s.implicits._
+      val xmlDocs = t(s, dir, "nation")
+        .select(concat(lit("<root><row id=\""), col("n_nationkey"),
+          lit("\"><name>"), col("n_name"),
+          lit("</name></row></root>")).as("x"))
+        .as[String]
+      graft.sources.Sources.xmlStrings(s, xmlDocs, "row", Seq("id", "name"))
+        .select(col("id").cast("int").as("id"), col("name"))
+        .orderBy(col("id"))
+    }),
+
+    // ---- file listing (SURVEY §2.1 S9; no SQL oracle — rows-only) -------
+    "q_file_listing" -> ((s, dir) => {
+      graft.sources.Sources.listFiles(s, dir)
+        .toDF()
+        .where(col("ext") === "parquet")
+        .groupBy(col("ext")).agg(count(lit(1)).as("n_files"))
+        .orderBy(col("ext"))
     })
   )
 
@@ -709,7 +784,67 @@ object SparkEntry {
          |    i -> ${Duck.hash64("substr(t, i, 8)")})) AS fp
          |FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
          |      FROM documents)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        | event_type, count(*) AS n,
+        | sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        |FROM events GROUP BY 1, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events WHERE user_id < 20),
+        |m AS (SELECT user_id, t,
+        |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |       OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 3600000000000
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id, t, sum(brk) OVER
+        |  (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(t) // 1000 AS startMicros, max(t) // 1000 AS endMicros,
+        |  count(*)::INT AS nEvents
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, startMicros""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id AS id, 'image' AS modality,
+        | len(substr(text, 1, 64)) AS n_bytes,
+        | 1 + (ascii(substr(text, 1, 1)) % 64) AS width,
+        | 1 + (ascii(substr(text, 2, 1)) % 64) AS height,
+        | md5(substr(text, 1, 64)) AS checksum
+        |FROM documents ORDER BY id""".stripMargin,
+
+    "q_reconcile" ->
+      """WITH src AS (SELECT o_custkey, count(*) AS src_count,
+        |  min(o_orderdate) AS src_min_ts, max(o_orderdate) AS src_max_ts
+        |  FROM orders GROUP BY o_custkey),
+        |tgt AS (SELECT o_custkey, count(*) AS tgt_count,
+        |  min(o_orderdate) AS tgt_min_ts, max(o_orderdate) AS tgt_max_ts
+        |  FROM orders WHERE o_totalprice < 250000 GROUP BY o_custkey)
+        |SELECT COALESCE(src.o_custkey, tgt.o_custkey) AS o_custkey,
+        | src_count, src_min_ts, src_max_ts, tgt_count, tgt_min_ts, tgt_max_ts,
+        | (src_count IS NOT DISTINCT FROM tgt_count
+        |  AND src_min_ts IS NOT DISTINCT FROM tgt_min_ts
+        |  AND src_max_ts IS NOT DISTINCT FROM tgt_max_ts) AS matched
+        |FROM src FULL OUTER JOIN tgt ON src.o_custkey = tgt.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_classify" ->
+      """SELECT p_partkey,
+        | (reason IS NOT NULL) AS isExcluded, reason AS exclusionReason
+        |FROM (SELECT p_partkey,
+        |  CASE WHEN (CASE WHEN p_partkey % 3 = 0 THEN 'tmp' ELSE 'dat' END) = 'tmp'
+        |         THEN 'extension'
+        |       WHEN ('/mnt/' || p_brand || '/' || p_name || '.dat')
+        |         LIKE '/mnt/Brand#13%' THEN 'folder'
+        |       WHEN regexp_matches(p_name || '.dat', '(?i)(ROSY|metallic)')
+        |         THEN 'name'
+        |  END AS reason FROM part) t
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_xml" ->
+      """SELECT n_nationkey AS id, n_name AS name
+        |FROM nation ORDER BY id""".stripMargin
   )
 
   /** DuckDB SQL fragments mirroring TextFunctions 1:1 (the oracle side

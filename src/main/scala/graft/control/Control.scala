@@ -1,0 +1,90 @@
+package graft.control
+
+import java.sql.Timestamp
+import java.util.concurrent.Executors
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Control plane (SURVEY §2.13): job specs, run log, bounded parallel
+  * fan-out, and retry — the engine-native form of the reference's
+  * job-queue + notebook orchestration
+  * (`dataSource bp/Concurrent.scala`, `parallel-notebooks.scala`,
+  * run-log stored procs `dataSource bp/Tables.scala:52-99`).
+  *
+  * Jobs are plain functions, not notebooks; results are typed rows,
+  * not JSON exit strings.
+  */
+object Control {
+
+  /** ≈ audit.tblJobQueue + Extn essentials (SNP/APPEND/INC). */
+  case class JobSpec(jobId: Long, jobGroup: Int, jobOrder: Int,
+                     sourceKind: String, sourcePath: String,
+                     targetTable: String, loadType: String,
+                     watermarkCol: String = "", keyCols: String = "",
+                     isActive: Boolean = true)
+
+  /** ≈ runlog_unified (`bp-unstructured-netapp-ingestion/README.md:167-185`). */
+  case class RunLogEntry(runId: String, jobId: Long, status: String,
+                         recInSource: Long, recProcessed: Long, recFailed: Long,
+                         message: String, ts: Timestamp)
+
+  case class JobResult(jobId: Long, status: String, records: Long, message: String)
+
+  /** Append run-log entries to a parquet table (JDBC optional via
+    * Sinks.jdbcAppend). */
+  class RunLog(spark: SparkSession, path: String) {
+    import spark.implicits._
+    def append(e: RunLogEntry): Unit =
+      Seq(e).toDS.toDF.write.mode(SaveMode.Append).parquet(path)
+    def read(): DataFrame = spark.read.parquet(path)
+  }
+
+  /** C1/C2: bounded parallel fan-out (the reference's 7-notebook /
+    * 20-thread pools). Jobs run as Futures on a fixed pool; each
+    * failure is captured as a JobResult("F"), never thrown. */
+  def runParallel[A](specs: Seq[A], parallelism: Int, timeout: Duration = Duration.Inf)
+                    (run: A => JobResult): Seq[JobResult] = {
+    val pool = Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = specs.map(spec => Future(Try(run(spec))))
+      val done = Await.result(Future.sequence(futs), timeout)
+      done.zip(specs).map {
+        case (Success(r), _) => r
+        case (Failure(e), spec) =>
+          JobResult(-1L, "F", 0L, s"$spec failed: ${e.getMessage}")
+      }
+    } finally pool.shutdown()
+  }
+
+  /** C5: retry cascade — re-run failed jobs up to `maxRetries` times
+    * (the reference's 3-pass failures-table loop,
+    * `Well Logs .../Tables.scala:262-289`). `backoffMs` between passes. */
+  def runWithRetries[A](specs: Seq[A], parallelism: Int, maxRetries: Int = 3,
+                        backoffMs: Long = 0)
+                       (run: A => JobResult): Seq[JobResult] = {
+    var results = runParallel(specs, parallelism)(run)
+    var byIdx = specs.zip(results)
+    var attempt = 0
+    while (attempt < maxRetries && byIdx.exists(_._2.status == "F")) {
+      if (backoffMs > 0) Thread.sleep(backoffMs)
+      val (failed, ok) = byIdx.partition(_._2.status == "F")
+      val retried = runParallel(failed.map(_._1), parallelism)(run)
+      byIdx = ok ++ failed.map(_._1).zip(retried)
+      attempt += 1
+    }
+    byIdx.map(_._2)
+  }
+
+  /** Aggregate child statuses like the parent notebook does
+    * (`Concurrent.scala:173-228`): overall S only if no failures. */
+  def summarize(results: Seq[JobResult]): (String, Long, Long) = {
+    val s = results.count(_.status == "S")
+    val f = results.size - s
+    (if (f == 0) "S" else "F", s.toLong, f.toLong)
+  }
+}

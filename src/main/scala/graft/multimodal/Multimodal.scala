@@ -1,0 +1,69 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed batch-wise with
+  * `mapPartitions` (the Scala analogue of Python's mapInPandas).
+  *
+  * The decode step is a STUB — this container has no image/audio
+  * codecs — implemented as a deterministic fake so the Spark-side
+  * plumbing (schema, partitioning, batch shape, feature extraction) is
+  * real and oracle-testable. Swap `fakeDecode` for a real codec
+  * (JavaCV/ImageIO) in production.
+  */
+object Multimodal {
+
+  case class MediaRow(id: Long, modality: String, content: Array[Byte])
+  case class MediaFeatures(id: Long, modality: String, n_bytes: Int,
+                           width: Int, height: Int, checksum: String)
+
+  /** STUB decode: derives fake (width, height) deterministically from
+    * the first two bytes. A real implementation would hand `content`
+    * to a codec here. */
+  def fakeDecode(content: Array[Byte]): (Int, Int) = {
+    val b0 = if (content.length > 0) content(0) & 0x3f else 0
+    val b1 = if (content.length > 1) content(1) & 0x3f else 0
+    (1 + b0, 1 + b1)
+  }
+
+  /** Batch feature extraction over binary content. mapPartitions keeps
+    * per-partition setup (codec init in real life) amortized across
+    * the batch — the mapInPandas execution shape. */
+  def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition setup would initialize the codec once here
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val (w, h) = fakeDecode(r.content)
+        md.reset()
+        val checksum = md.digest(r.content).map("%02x".format(_)).mkString
+        MediaFeatures(r.id, r.modality, r.content.length, w, h, checksum)
+      }
+    }
+  }
+
+  /** Frame-sample stub: pick every `stride`-th byte as a "frame"
+    * token — exercises the explode-to-frames shape (one row per
+    * sampled frame) used for video. */
+  def sampleFrames(ds: Dataset[MediaRow], stride: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      r.content.grouped(stride).zipWithIndex.map { case (chunk, i) =>
+        (r.id, i, chunk.length, chunk.headOption.map(_ & 0xff).getOrElse(0))
+      }
+    }.toDF("id", "frame_idx", "frame_bytes", "frame_head")
+  }
+
+  /** Documents → fake media rows (text bytes as content) for testing
+    * the pipeline without real binaries. */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame,
+                         takeBytes: Int = 64): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("id"), lit("image").as("modality"),
+        substring(col("text"), 1, takeBytes).cast("binary").as("content"))
+      .as[MediaRow]
+  }
+}

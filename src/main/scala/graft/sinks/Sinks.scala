@@ -1,0 +1,65 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink operators (SURVEY §2.2). Parquet-native equivalents of the
+  * reference's Delta writes, plus the maintenance operations it runs
+  * as DDL.
+  */
+object Sinks {
+
+  /** K1/K2: snapshot-overwrite or append to a catalog table, with
+    * optional partition columns (`partitionBy('jobGroup','jobOrder')`
+    * at `bp-unstructured-netapp-ingestion/ModuleFunctions.py:538-539`). */
+  def saveTable(df: DataFrame, table: String, mode: SaveMode,
+                partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** K8: parquet export with file-count control + "ready" marker
+    * (`bp-bentley-idms/AGT_Chirag_Platform.py:41-42`,
+    * `Rushmore Reviews/ModuleFunctions.scala:811-836`). A coalesce(1)
+    * is only for hand-off exports — never for big data. */
+  def exportParquet(df: DataFrame, path: String, numFiles: Int = 1,
+                    readyMarker: Boolean = true): Unit = {
+    df.coalesce(numFiles).write.mode(SaveMode.Overwrite).parquet(path)
+    if (readyMarker) {
+      val p = new org.apache.hadoop.fs.Path(path, "_READY")
+      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.create(p, true).close()
+    }
+  }
+
+  /** K10 parquet fallback for DELETE FROM t WHERE p: rewrite keeping
+    * the complement. Safe two-phase: write to a temp dir, then swap. */
+  def deleteWhere(spark: SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column): Unit = {
+    val tmp = path.stripSuffix("/") + "__rewrite"
+    spark.read.parquet(path).where(!predicate || predicate.isNull)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** K11 analogue of OPTIMIZE: compact a parquet directory to
+    * `targetFiles` (read → repartition → overwrite-swap). */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val tmp = path.stripSuffix("/") + "__compact"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** K7: JDBC append (run-log rows to an audit database). */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+                 props: java.util.Properties = new java.util.Properties): Unit =
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+}

@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** External-source operators (SURVEY §2.1).
+  *
+  * Network endpoints from the reference (REST, SMB, SharePoint, SOAP)
+  * become local fixtures/strings here; what the engine owns is the
+  * string→rows and filesystem→rows machinery.
+  */
+object Sources {
+
+  /** S2: JSON document strings → DataFrame with inferred nested schema
+    * (`spark.read.json(Seq(json).toDS)` at
+    * `bp-scala-api-ingestions/dataSource bp/Tables.scala:268`). */
+  def jsonStrings(spark: SparkSession, docs: Dataset[String]): DataFrame =
+    spark.read.json(docs)
+
+  /** S2 column-level: parse a JSON string column with explicit schema
+    * (no inference job — the scale-safe variant). */
+  def parseJsonColumn(df: DataFrame, jsonCol: String, schema: StructType,
+                      as: String = "parsed"): DataFrame =
+    df.withColumn(as, from_json(col(jsonCol), schema))
+
+  /** S11: XML documents → rows by element path + attribute/child
+    * extraction, executor-side via scala-xml (the reference walks
+    * nodes with `\`/`\\` on the driver,
+    * `PSS WHI (XML)/ModuleFunctions.scala:483-526`). */
+  def xmlStrings(spark: SparkSession, docs: Dataset[String],
+                 recordTag: String, fields: Seq[String]): DataFrame = {
+    val schema = StructType(fields.map(f => StructField(f, StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.mapPartitions { it =>
+      it.flatMap { s =>
+        val root = scala.xml.XML.loadString(s)
+        (root \\ recordTag).map { node =>
+          Row.fromSeq(fields.map { f =>
+            val attr = node.attribute(f).map(_.text)
+            val child = (node \ f).headOption.map(_.text)
+            attr.orElse(child).orNull
+          })
+        }
+      }
+    }(enc)
+  }
+
+  /** File-listing row (S9): one row per file in a tree walk. */
+  case class FileMeta(path: String, name: String, ext: String,
+                      sizeBytes: Long, modifiedMs: Long, isDir: Boolean)
+
+  /** S9: recursive filesystem listing → Dataset[FileMeta]. Uses the
+    * Hadoop FS RemoteIterator (works on HDFS/ABFS/S3A/local); rows are
+    * batched into a DataFrame instead of the reference's driver-side
+    * 50k-row accumulation loops. */
+  def listFiles(spark: SparkSession, root: String): Dataset[FileMeta] = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer[FileMeta]()
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      val ext = name.lastIndexOf('.') match {
+        case -1 => ""
+        case i => name.substring(i + 1).toLowerCase
+      }
+      out += FileMeta(st.getPath.toUri.getPath, name, ext, st.getLen,
+        st.getModificationTime, st.isDirectory)
+    }
+    spark.createDataset(out.toSeq)
+  }
+
+  /** S1: JDBC scan with pushdown subquery — the `(query) AS tab` idiom
+    * keeps the predicate in the remote database. */
+  def jdbcQuery(spark: SparkSession, url: String, query: String,
+                props: java.util.Properties = new java.util.Properties,
+                fetchSize: Int = 10000): DataFrame = {
+    props.setProperty("fetchsize", fetchSize.toString)
+    spark.read.jdbc(url, s"($query) tab", props)
+  }
+
+  /** S8: empty frame with an explicit schema (union seed). */
+  def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming layer (SURVEY §2.12 + §7 stretch): the
+  * reference is batch-incremental only; here the same incremental
+  * semantics run as streams — file-source → watermark → windowed agg,
+  * `Trigger.AvailableNow` for catch-up-then-stop runs, and
+  * flatMapGroupsWithState for session-style custom state.
+  */
+object EventStream {
+
+  /** Hourly event counts as a stream over the events parquet, executed
+    * with AvailableNow into a memory sink, returning the final table.
+    * Deterministic: complete output mode, all input consumed. */
+  def hourlyCountsAvailableNow(spark: SparkSession, sfDir: String,
+                               queryName: String = "stream_hourly"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // file streams need a DIRECTORY source; stage the single events
+    // file into a temp dir (in production the source would already be
+    // a directory of arriving files)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+    // ts is epoch-nanos (LongType); convert to a real timestamp for
+    // event-time semantics. µs truncation is irrelevant at hour grain.
+    val agg = stream
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 hour")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val q = agg.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  case class Event(user_id: Long, tsNanos: Long)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class Session(user_id: Long, startNanos: Long, endNanos: Long, nEvents: Int)
+
+  /** Gap-based sessionization with explicit state — the
+    * mapGroupsWithState shape for custom incremental operators. Batch
+    * Dataset variant used in tests; the streaming form swaps the
+    * source for readStream and keeps the same function. */
+  def sessionizeBatch(spark: SparkSession, events: DataFrame,
+                      gapNanos: Long): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val sorted = it.map(_._2).toSeq.sorted
+        val sessions = scala.collection.mutable.ArrayBuffer[Session]()
+        var st: Option[SessionState] = None
+        sorted.foreach { t =>
+          st match {
+            case Some(s) if t - s.last <= gapNanos =>
+              st = Some(s.copy(last = t, n = s.n + 1))
+            case Some(s) =>
+              sessions += Session(uid, s.start, s.last, s.n)
+              st = Some(SessionState(t, t, 1))
+            case None => st = Some(SessionState(t, t, 1))
+          }
+        }
+        st.foreach(s => sessions += Session(uid, s.start, s.last, s.n))
+        sessions
+      }.toDF("user_id", "startNanos", "endNanos", "nEvents")
+  }
+
+  /** Streaming keep-latest per key via flatMapGroupsWithState —
+    * emits the current latest (event_id, ts) per user each trigger. */
+  def latestPerUserStream(spark: SparkSession, sfDir: String,
+                          queryName: String = "stream_latest"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
+    val latest = stream.select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long)]) =>
+          val cur = state.getOption
+          val best = (rows.map(r => (r._3, r._2)) ++ cur.iterator)
+            .maxOption(Ordering.by((p: (Long, Long)) => (p._1, p._2)))
+          best.foreach(state.update)
+          best.map(b => (uid, b._2, b._1)).iterator
+      }
+      .toDF("user_id", "event_id", "ts")
+    val q = latest.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.classify.Classifier
+import graft.control.Control
+import graft.control.Control.{JobResult, JobSpec, RunLog}
+import graft.multimodal.Multimodal
+import graft.run.Pipelines
+import graft.sinks.Sinks
+import graft.sources.Sources
+import graft.streaming.EventStream
+import graft.validate.Reconciler
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  test("apiIngest SNP then INC end-to-end with run log") {
+    val dir = tmpDir()
+    val runLog = new RunLog(spark, s"$dir/runlog")
+    val spec = JobSpec(1L, 1, 1, "api", "fixture", "t", "SNP", keyCols = "id")
+    val docs = Seq(
+      """{"id":1,"name":"a","meta":{"v":10}}""",
+      """{"id":2,"name":"b","meta":{"v":20}}""").toDS
+    val r1 = Pipelines.apiIngest(spark, spec, docs,
+      Seq("id:bigint"), s"$dir/target", runLog)
+    assert(r1.status == "S" && r1.records == 2)
+    // INC run updates id=2, inserts id=3
+    val docs2 = Seq(
+      """{"id":2,"name":"B2","meta":{"v":21}}""",
+      """{"id":3,"name":"c","meta":{"v":30}}""").toDS
+    val r2 = Pipelines.apiIngest(spark, spec.copy(loadType = "INC"), docs2,
+      Seq("id:bigint"), s"$dir/target", runLog)
+    assert(r2.status == "S")
+    val rows = spark.read.parquet(s"$dir/target")
+      .orderBy("id").select("id", "name", "meta_v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "B2", 21L), (3L, "c", 30L)))
+    assert(runLog.read().count() == 2)
+  }
+
+  test("runParallel + retry recovers flaky jobs; summarize aggregates") {
+    val attempts = new java.util.concurrent.ConcurrentHashMap[Long, Int]()
+    val results = Control.runWithRetries(Seq(1L, 2L, 3L), parallelism = 3) { id =>
+      val n = attempts.merge(id, 1, _ + _)
+      if (id == 2L && n < 3) JobResult(id, "F", 0, "flaky")
+      else JobResult(id, "S", 1, "ok")
+    }
+    assert(results.map(_.status).forall(_ == "S"))
+    assert(Control.summarize(results) == (("S", 3L, 0L)))
+  }
+
+  test("classifier excludes by extension/folder/name precedence") {
+    val files = Seq(
+      ("/mnt/a/report.tmp", "report.tmp", "tmp"),
+      ("/mnt/secret/x.dat", "x.dat", "dat"),
+      ("/mnt/a/backup_old.dat", "backup_old.dat", "dat"),
+      ("/mnt/a/keep.dat", "keep.dat", "dat")
+    ).toDF("path", "name", "ext")
+    val rules = Classifier.Rules(
+      excludedExtensions = Seq("TMP"),
+      excludedFolderPrefixes = Seq("/mnt/secret"),
+      excludedNameTerms = Seq("BACKUP"))
+    val out = Classifier.classify(files, rules)
+      .select("name", "exclusionReason").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(out("report.tmp").contains("extension"))
+    assert(out("x.dat").contains("folder"))
+    assert(out("backup_old.dat").contains("name")) // case-insensitive
+    assert(out("keep.dat").isEmpty)
+  }
+
+  test("file listing + export + compact + deleteWhere round-trip") {
+    val dir = tmpDir()
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    Sinks.exportParquet(df, s"$dir/out", numFiles = 4, readyMarker = true)
+    val listed = Sources.listFiles(spark, s"$dir/out")
+    assert(listed.filter(col("name") === "_READY").count() == 1)
+    assert(listed.filter(col("ext") === "parquet").count() == 4)
+    Sinks.compact(spark, s"$dir/out", targetFiles = 1)
+    assert(Sources.listFiles(spark, s"$dir/out")
+      .filter(col("ext") === "parquet").count() == 1)
+    assert(spark.read.parquet(s"$dir/out").count() == 100)
+    Sinks.deleteWhere(spark, s"$dir/out", col("id") <= 40)
+    assert(spark.read.parquet(s"$dir/out").count() == 60)
+  }
+
+  test("jdbc round-trip via embedded Derby (S1 pushdown idiom + K7 append)") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    Sinks.jdbcAppend(df, url, "jobs")
+    // Derby keeps Spark's quoted lowercase identifiers — quote them back
+    val back = Sources.jdbcQuery(spark, url,
+      "SELECT \"id\" AS id, \"v\" AS v FROM jobs WHERE \"id\" >= 2")
+    assert(back.orderBy("id").select("id").as[Long].collect().toSeq == Seq(2L, 3L))
+  }
+
+  test("xml source extracts attributes and child elements") {
+    val xml = Seq(
+      """<root><row id="1"><name>alpha</name></row><row id="2"><name>beta</name></row></root>""").toDS
+    val out = Sources.xmlStrings(spark, xml, "row", Seq("id", "name"))
+      .orderBy("id").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("1", "alpha"), ("2", "beta")))
+  }
+
+  test("multimodal feature extraction and frame sampling are deterministic") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "Hello world, this is binary".getBytes),
+      Multimodal.MediaRow(2L, "audio", "xy".getBytes)).toDS
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.id)
+    assert(f(0).n_bytes == 27 && f(0).width == 1 + ('H' & 0x3f))
+    assert(f(1).width == 1 + ('x' & 0x3f) && f(1).height == 1 + ('y' & 0x3f))
+    val frames = Multimodal.sampleFrames(media, stride = 10)
+    assert(frames.where($"id" === 1).count() == 3) // 27 bytes / 10
+  }
+
+  test("reconciler flags count/ts mismatches and finds missing keys") {
+    val src = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDF("k", "ts")
+    val tgt = Seq((1L, 100L), (1L, 200L)).toDF("k", "ts")
+    val rec = Reconciler.reconcile(src, tgt, "k", "ts")
+    val byKey = rec.collect().map(r => r.getLong(0) -> r.getBoolean(rec.columns.indexOf("matched"))).toMap
+    assert(byKey(1L) && !byKey(2L))
+    assert(Reconciler.missingInTarget(src, tgt, "k")
+      .as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("streaming sessionize matches gap semantics") {
+    val hour = 3600L * 1000000000L
+    val ev = Seq((1L, 0L), (1L, hour / 2), (1L, 3 * hour), (2L, 0L))
+      .toDF("user_id", "ts")
+    val out = EventStream.sessionizeBatch(spark, ev, hour)
+      .orderBy("user_id", "startNanos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(out == Seq((1L, 0L, hour / 2, 2), (1L, 3 * hour, 3 * hour, 1),
+      (2L, 0L, 0L, 1)))
+  }
+}
