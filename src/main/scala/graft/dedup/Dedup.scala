@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
+import graft.operators.Spread
 
 /** Document deduplication operators for training-data pipelines:
   * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
@@ -45,13 +46,28 @@ object Dedup {
     * with similarity s collides with probability 1-(1-s^r)^bands.
     * Returns (id_a, id_b, jaccard), id_a < id_b. */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleK: Int = 3, numHashes: Int = 16, bands: Int = 8,
+                   shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // bands=8 × r=4: recall at s=0.8 is 1-(1-0.8^4)^8 ≈ 0.985 and
+    // word-3-shingle background similarity is ~0 so band keys stay
+    // selective. (r=2 melts down on hot band keys — every doc sharing
+    // the globally-min shingle lands in one bucket → n² pairs in one
+    // shuffle partition.) The base-hash array is materialized as its
+    // own column: HOFs are interpreted with no subexpression
+    // elimination, so inlining it under the n minima would run every
+    // md5 n times.
     val r = numHashes / bands
-    val base = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleK).as("sh"))
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+    // spread BEFORE shingling: a small single-partition scan would pin
+    // the whole per-row hashing pass to one core. Words materialized
+    // before the shingle lambda (see TextFunctions lambda-cost rule).
+    val base = Spread.ensure(df.select(col(idCol).as("id"),
+        col(textCol).as("txt")))
+      .select(col("id"), words(col("txt")).as("w"))
+      .select(col("id"), shinglesFromWords(col("w"), shingleK).as("sh"))
+      .withColumn("bh", minHashBaseHashes(col("sh")))
+      .withColumn("sig", minHashSignatureFromHashes(col("bh"), numHashes))
+      .select(col("id"), col("sh"), col("sig"))
     val banded = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))
@@ -71,15 +87,44 @@ object Dedup {
     * threshold. Exact within block; the block join is the shuffle key. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, k: Int = 4,
-                        threshold: Double = 0.7): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      charNgrams(col(textCol), k).as("sh"))
-    val cand = base.alias("a")
-      .join(base.alias("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
-    cand.where(col("jaccard") >= threshold)
+                        threshold: Double = 0.7, salt: Int = 16): DataFrame = {
+    // Ngrams are hashed to 60-bit longs once per doc (Jaccard over the
+    // hashed sets equals Jaccard over the string sets up to a ~1e-13
+    // md5-collision risk; the candidate rows shrink from ~6 KB string
+    // arrays to nothing — pairs join on narrow (id, blk, sz) rows and
+    // arrays are fetched only for surviving candidates).
+    val grams = Spread.ensure(df.select(col(idCol).as("id"),
+        col(blockCol).as("blk"), col(textCol).as("txt")))
+      .select(col("id"), col("blk"), normalized(col("txt")).as("t"))
+      .select(col("id"), col("blk"),
+        charNgramsFromNormalized(col("t"), k).as("g"))
+    val sets = grams.select(col("id"), col("blk"), size(col("g")).as("sz"),
+      transform(col("g"), s => hash64(s)).as("sh"))
+    // salt the block join: with a handful of distinct blocks (e.g. 5
+    // languages) an unsalted equi-join runs ≤5 tasks no matter how many
+    // executors exist. Side a gets salt = id mod S; side b is
+    // replicated S times; join on (blk, salt) → S× parallelism.
+    val meta = grams.select(col("id"), col("blk"), size(col("g")).as("sz"))
+    val a = meta.withColumn("salt", pmod(hash(col("id")), lit(salt)))
+    val b = meta.withColumn("salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    // Lossless size prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
+    // pairs failing the ratio can't pass the threshold (1e-6 slack
+    // covers the round(j, 6) boundary). Evaluated in the join — the
+    // expensive set intersection never runs for pruned pairs.
+    val cand = a.alias("a")
+      .join(b.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.salt") === col("b.salt") &&
+          col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") /
+            greatest(col("a.sz"), col("b.sz")) >= lit(threshold - 1e-6))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** SimHash near-dup pairs: 60-bit simhash, banded into `bands`
@@ -90,11 +135,21 @@ object Dedup {
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     val bitsPerBand = SimhashBits / bands
     val mask = (1L << bitsPerBand) - 1
-    val base = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    // word-hash array materialized first — inlined under the 60 bit
+    // folds it would recompute every word's md5 60 times (HOFs are
+    // interpreted, no subexpression elimination)
+    val base = Spread.ensure(df.select(col(idCol).as("id"),
+        col(textCol).as("txt")))
+      .select(col("id"), wordHashes(col("txt")).as("h"))
+      .withColumn("sh", simhashFromHashes(col("h")))
+      .select(col("id"), col("sh"))
     val banded = base.select(col("id"), col("sh"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sh"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    // verify (cheap bit_count) BEFORE distinct: hot band keys can blow
+    // the join output up quadratically, and distinct() would shuffle
+    // the whole blowup; the hamming filter collapses it first.
     banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") &&
@@ -102,19 +157,26 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.sh"), col("b.sh")).as("hamming_dist"))
-      .distinct()
       .where(col("hamming_dist") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding cosine near-dup pairs within a blocking column (IVF
     * cell / cluster label): pairs with cosine ≥ threshold. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            blockCol: String, threshold: Double): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      col(vecCol).cast("array<double>").as("v"))
-    base.alias("a")
-      .join(base.alias("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+                            blockCol: String, threshold: Double,
+                            salt: Int = 8): DataFrame = {
+    val base = Spread.ensure(df.select(col(idCol).as("id"),
+      col(blockCol).as("blk"), col(vecCol).cast("array<double>").as("v")))
+    // salted block join (see ngramJaccardPairs): a handful of cluster
+    // labels would otherwise cap the pairwise-cosine stage at
+    // #labels tasks
+    val a = base.withColumn("salt", pmod(hash(col("id")), lit(salt)))
+    val b = base.withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+    a.alias("a")
+      .join(b.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.salt") === col("b.salt") &&
+          col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(graft.similarity.Similarity.cosine(col("a.v"), col("b.v")), 6)
           .as("cosine"))

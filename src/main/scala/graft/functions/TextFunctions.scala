@@ -38,32 +38,80 @@ object TextFunctions {
     size(filter(split(regexp_replace(text, "([^a-zA-Z0-9\\s])", " $1 "),
       "\\s+"), x => length(x) > 0))
 
-  /** Distinct word k-shingles; texts shorter than k words collapse to
-    * one whole-text shingle. */
-  def shingles(text: Column, k: Int): Column = {
-    val w = words(text)
+  /** CRITICAL lambda-cost rule: an expression referenced inside a
+    * higher-order-function lambda body is RE-EVALUATED once per array
+    * element — `transform(seq, i => f(words(text), i))` runs the whole
+    * words() regex per position per row. The `*From*` variants below
+    * therefore take a pre-materialized (attribute) column; the
+    * one-expression conveniences are only safe where the outer value
+    * is already an attribute or the array is tiny. */
+
+  /** Distinct word k-shingles from a materialized words array. */
+  def shinglesFromWords(w: Column, k: Int): Column =
     when(size(w) < k, array(concat_ws(" ", w)))
       .otherwise(array_distinct(transform(
         sequence(lit(0), size(w) - k),
         i => concat_ws(" ", slice(w, i + 1, lit(k))))))
-  }
 
-  /** Distinct character k-grams of whitespace-normalized lowercase text. */
-  def charNgrams(text: Column, k: Int): Column = {
-    val t = regexp_replace(lower(text), "\\s+", " ")
+  /** Convenience one-expression shingles (slow path: see lambda-cost
+    * rule — materialize `words` first in hot paths). */
+  def shingles(text: Column, k: Int): Column =
+    shinglesFromWords(words(text), k)
+
+  /** Whitespace-collapsed lowercase text (the normalization step for
+    * char n-grams and fingerprints). */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
+  /** Distinct character k-grams from a materialized normalized-text
+    * column. */
+  def charNgramsFromNormalized(t: Column, k: Int): Column =
     when(length(t) < k, array(t))
       .otherwise(array_distinct(transform(
         sequence(lit(1), length(t) - (k - 1)),
         i => t.substr(i, lit(k)))))
+
+  /** Convenience one-expression char k-grams (slow path in hot loops). */
+  def charNgrams(text: Column, k: Int): Column =
+    charNgramsFromNormalized(normalized(text), k)
+
+  /** Universal-hash family for MinHash: g_j(h) = (a_j*(h mod P) + b_j)
+    * mod P with P prime < 2^30, so products stay < 2^51 — no overflow
+    * in any engine (DuckDB BIGINT overflow is an error, Spark wraps;
+    * staying small sidesteps both). One md5 per shingle total, then n
+    * cheap arithmetic re-hashes — 32× less md5 than hashing
+    * (shingle, seed) pairs. */
+  val MinHashP = 1073741789L // largest prime below 2^30
+  /** Large mixing constants — small multipliers (2j+3 etc.) leave the
+    * permutations near-monotone and the per-j minima correlated, which
+    * wrecks both LSH recall and band selectivity. a*h stays < 2^60. */
+  def minHashCoeff(j: Int): (Long, Long) = {
+    val a = (2654435761L * (j + 1)) % MinHashP
+    val b = (1779033703L * (j + 13)) % MinHashP
+    (if (a == 0) 1L else a, b)
   }
 
-  /** MinHash signature: array of `n` minima over seeded hashes of the
-    * shingle set. Seed folded into the hashed string, so any engine
-    * with md5 reproduces the family. */
+  /** Base hashes for MinHash: one md5 per shingle. Materialize this as
+    * a real column (own projection) before calling
+    * `minHashSignatureFromHashes` — higher-order functions are
+    * interpreted (no codegen, no common-subexpression elimination), so
+    * inlining this under the n per-j minima recomputes every md5 n
+    * times. */
+  def minHashBaseHashes(shinglesCol: Column): Column =
+    transform(shinglesCol, s => hash64(s) % MinHashP)
+
+  /** MinHash signature from pre-materialized base hashes: array of `n`
+    * minima of g_j, each a cheap arithmetic pass. */
+  def minHashSignatureFromHashes(baseHashes: Column, n: Int): Column =
+    array((0 until n).map { j =>
+      val (a, b) = minHashCoeff(j)
+      array_min(transform(baseHashes, h => (h * a + b) % MinHashP))
+    }: _*)
+
+  /** One-expression MinHash signature (convenience; prefer the
+    * two-step materialized form in hot paths). */
   def minHashSignature(shinglesCol: Column, n: Int): Column =
-    transform(sequence(lit(0), lit(n - 1)),
-      j => array_min(transform(shinglesCol,
-        s => hash64(concat(s, lit("#"), j.cast("string"))))))
+    minHashSignatureFromHashes(minHashBaseHashes(shinglesCol), n)
 
   /** Jaccard similarity of two string arrays treated as sets. */
   def jaccard(a: Column, b: Column): Column = {
@@ -76,11 +124,16 @@ object TextFunctions {
     * positive BIGINT in every engine). */
   val SimhashBits = 60
 
-  /** SimHash over the word multiset: bit j is set iff the sum of ±1
-    * votes (sign of bit j of each word's hash64) is positive. One md5
-    * per word; the 60 bit-folds run over the cached hash array. */
-  def simhash(text: Column): Column = {
-    val h = transform(words(text), w => hash64(w))
+  /** Word-hash array feeding simhash: one md5 per word. Materialize as
+    * a real column before `simhashFromHashes` (same interpreted-HOF
+    * reasoning as `minHashBaseHashes` — inlined, the md5 pass would run
+    * once per bit fold). */
+  def wordHashes(text: Column): Column =
+    transform(words(text), w => hash64(w))
+
+  /** SimHash from pre-materialized word hashes: bit j is set iff the
+    * sum of ±1 votes (sign of bit j of each hash) is positive. */
+  def simhashFromHashes(h: Column): Column = {
     val bits: Seq[Column] = (0 until SimhashBits).map { j =>
       val vote = aggregate(h, lit(0L), (a, x) =>
         a + when(shiftright(x, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
@@ -89,6 +142,10 @@ object TextFunctions {
     }
     bits.reduce(_ + _)
   }
+
+  /** One-expression SimHash (convenience; prefer the two-step
+    * materialized form in hot paths). */
+  def simhash(text: Column): Column = simhashFromHashes(wordHashes(text))
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -103,13 +160,16 @@ object TextFunctions {
   val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
     "to", "in", "is", "on", "for", "with", "as", "by", "at", "it")
 
-  /** Ratio of tokens that are stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val w = words(text)
+  /** Ratio of tokens that are stopwords, from a materialized words
+    * array. */
+  def stopwordRatioFromWords(w: Column): Column =
     when(size(w) === 0, lit(0.0)).otherwise(
       size(filter(w, x => x.isin(stopwords.map(lit(_)): _*))).cast("double")
         / size(w))
-  }
+
+  /** Ratio of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioFromWords(words(text))
 
   /** Composite quality score in [0,1]: length, punctuation sanity,
     * stopword presence (heuristic in the C4/Gopher filter family). */
@@ -129,29 +189,40 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "zh" -> Seq("de", "shi", "zai", "he", "bu"))
 
-  /** Stopword-hit count for one language. */
-  def langScore(text: Column, lang: String): Column = {
-    val w = words(text)
+  /** Stopword-hit count for one language, from a materialized words
+    * array. */
+  def langScoreFromWords(w: Column, lang: String): Column =
     size(filter(w, x => x.isin(langStopwords(lang).map(lit(_)): _*)))
-  }
 
-  /** Predicted language: argmax stopword hits; ties → alphabetically
-    * first language code (deterministic). */
-  def langId(text: Column): Column = {
+  /** Stopword-hit count for one language. */
+  def langScore(text: Column, lang: String): Column =
+    langScoreFromWords(words(text), lang)
+
+  /** Predicted language from a materialized words array: argmax
+    * stopword hits; ties → alphabetically first language code
+    * (deterministic). */
+  def langIdFromWords(w: Column): Column = {
     val langs = langStopwords.keys.toSeq.sorted
     val arr = array(langs.map(l =>
-      struct(langScore(text, l).as("score"), lit(l).as("lang"))): _*)
+      struct(langScoreFromWords(w, l).as("score"), lit(l).as("lang"))): _*)
     val maxScore = array_max(transform(arr, _.getField("score")))
     array_min(transform(filter(arr, _.getField("score") === maxScore),
       _.getField("lang")))
   }
 
-  /** Rolling-hash document fingerprint: minimum hash64 over character
-    * 8-grams (winnowing-style min-sampling, deterministic). */
-  def fingerprint(text: Column, k: Int = 8): Column = {
-    val t = regexp_replace(lower(text), "\\s+", " ")
+  /** Predicted language (convenience; materialize `words` in hot
+    * paths). */
+  def langId(text: Column): Column = langIdFromWords(words(text))
+
+  /** Rolling-hash fingerprint from a materialized normalized-text
+    * column: minimum hash64 over character 8-grams (winnowing-style
+    * min-sampling, deterministic). */
+  def fingerprintFromNormalized(t: Column, k: Int = 8): Column =
     array_min(transform(
       sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
       i => hash64(t.substr(i, lit(k)))))
-  }
+
+  /** Rolling-hash document fingerprint (convenience). */
+  def fingerprint(text: Column, k: Int = 8): Column =
+    fingerprintFromNormalized(normalized(text), k)
 }

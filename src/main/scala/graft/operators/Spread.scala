@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Defensive parallelism for per-row-expensive operators (hashing,
+  * shingling, vector math).
+  *
+  * A small parquet input arrives as ONE scan partition, so an operator
+  * whose cost is per-row expression work (not I/O) runs on a single
+  * core no matter how many executors exist. `ensure` repartitions up to
+  * the session's shuffle parallelism — a cheap shuffle of the narrow
+  * input rows — only when the plan's partitioning is actually below it;
+  * at scale the scan already has more partitions than cores and this is
+  * a no-op.
+  */
+object Spread {
+
+  def ensure(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  /** Total order for a KNOWN-SMALL result (e.g. a filtered pair list).
+    * A global `orderBy` range-partitions, and its boundary-sampling job
+    * recomputes the whole upstream pipeline a second time — for an
+    * expensive pipeline with a tiny output that doubles the query.
+    * Shuffling everything to one partition and sorting there costs one
+    * tiny shuffle instead. Only for results that fit on one task. */
+  def smallSort(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+}

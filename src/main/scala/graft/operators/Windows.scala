@@ -27,11 +27,16 @@ object Windows {
   }
 
   /** Rows of the first `n` global row numbers — the reference's
-    * `WHERE rn > offset AND rn <= offset+chunk` slice query. */
-  def chunkSlice(df: DataFrame, from: Long, until: Long, orderKeys: Column*): DataFrame =
-    planChunks(df, Int.MaxValue, orderKeys: _*)
+    * `WHERE rn > offset AND rn <= offset+chunk` slice query.
+    * Scale path: orderBy+limit first (distributed TakeOrdered), THEN
+    * the global window over only `until` rows — never sorts the full
+    * table through one window partition. */
+  def chunkSlice(df: DataFrame, from: Long, until: Long, orderKeys: Column*): DataFrame = {
+    val top = df.orderBy(orderKeys: _*).limit(until.toInt)
+    val w = Window.orderBy(orderKeys: _*)
+    top.withColumn("rn", row_number().over(w))
       .where(col("rn") > from && col("rn") <= until)
-      .drop("chunk_id")
+  }
 
   /** Scale path: number rows *within* spark partitions after a
     * repartition on a bucket key — no single-partition window. Chunk ids

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.hash64
+import graft.operators.Spread
 
 /** Approximate-nearest-neighbor search over embedding columns
   * (`array<float>`/`array<double>`).
@@ -35,8 +36,8 @@ object Similarity {
     * `queries`/`corpus`: (id, vec). Self-matches (same id) excluded. */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"),
-      col(vecCol).cast("array<double>").as("nv"))
+    val c = Spread.ensure(corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("nv")))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
@@ -51,8 +52,8 @@ object Similarity {
     * query are scored. `cellCol` is the precomputed cluster label. */
   def partitionedKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, cellCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("nbr_id"),
-      col(vecCol).cast("array<double>").as("nv"))
+    val c = Spread.ensure(corpus.select(col(cellCol).as("cell"),
+      col(idCol).as("nbr_id"), col(vecCol).cast("array<double>").as("nv")))
     val q = queries.select(col(cellCol).as("cell"), col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val scored = c.join(broadcast(q), Seq("cell"))
@@ -88,9 +89,10 @@ object Similarity {
     * for a bucket-equi-join (shuffle by bucket, no cross product). */
   def lshBucketKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int, planes: Int, dims: Int): DataFrame = {
-    val c = corpus.select(
-      lshBucket(col(vecCol).cast("array<double>"), planes, dims).as("bucket"),
-      col(idCol).as("nbr_id"), col(vecCol).cast("array<double>").as("nv"))
+    val c = Spread.ensure(corpus.select(col(idCol).as("nbr_id"),
+        col(vecCol).cast("array<double>").as("nv")))
+      .select(lshBucket(col("nv"), planes, dims).as("bucket"),
+        col("nbr_id"), col("nv"))
     val q = queries.select(
       lshBucket(col(vecCol).cast("array<double>"), planes, dims).as("bucket"),
       col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
