@@ -372,6 +372,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_knn_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshBucketKnn(e, e.where(col("vec_id") < 10), "vec_id",
+        "embedding", k = 3, planes = 6, dims = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- text analysis --------------------------------------------------
     "q_text_stats" -> ((s, dir) => {
       import TextFunctions._
@@ -743,6 +750,11 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
+    // oracle mirrors the random-hyperplane bucketing with the same
+    // md5-derived plane weights inlined as literals, so both engines
+    // compute identical buckets
+    "q_knn_lsh" -> Duck.lshKnn(planes = 6, dims = 64, k = 3, queryMax = 10),
+
     "q_text_stats" -> {
       val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH w AS (SELECT doc_id, text, ${Duck.words("text")} AS w FROM documents),
@@ -908,6 +920,31 @@ object SparkEntry {
          |            JOIN s sb ON sb.doc_id = id_b)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
+    }
+
+    /** Random-hyperplane LSH-bucket KNN mirror of
+      * `Similarity.lshBucketKnn` — identical md5-derived plane weights
+      * inlined as literals. */
+    def lshKnn(planes: Int, dims: Int, k: Int, queryMax: Int): String = {
+      val bucketExpr = (0 until planes).map { p =>
+        val ws = (0 until dims)
+          .map(d => graft.similarity.Similarity.planeWeight(p, d))
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $ws) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n   + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ($bucketExpr) AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+         |      WHERE vec_id < $queryMax),
+         |c AS (SELECT vec_id AS nbr_id, v AS nv, bucket FROM b),
+         |scored AS (SELECT query_id, nbr_id,
+         |  round(list_cosine_similarity(qv, nv), 6) AS score
+         |  FROM q JOIN c USING (bucket) WHERE query_id <> nbr_id)
+         |SELECT query_id, nbr_id, score, rank FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
     }
 
     /** 60-bit simhash over a hash-array column named h */

@@ -93,13 +93,16 @@ object Dedup {
     // md5-collision risk; the candidate rows shrink from ~6 KB string
     // arrays to nothing — pairs join on narrow (id, blk, sz) rows and
     // arrays are fetched only for surviving candidates).
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val grams = Spread.ensure(df.select(col(idCol).as("id"),
         col(blockCol).as("blk"), col(textCol).as("txt")))
       .select(col("id"), col("blk"), normalized(col("txt")).as("t"))
       .select(col("id"), col("blk"),
         charNgramsFromNormalized(col("t"), k).as("g"))
+    // sorted once per doc so pair verification is a codegen'd
+    // two-pointer merge (SortedIntersectSize), not a per-pair hash set
     val sets = grams.select(col("id"), col("blk"), size(col("g")).as("sz"),
-      transform(col("g"), s => hash64(s)).as("sh"))
+      array_sort(transform(col("g"), s => hash64(s))).as("sh"))
     // salt the block join: with a handful of distinct blocks (e.g. 5
     // languages) an unsalted equi-join runs ≤5 tasks no matter how many
     // executors exist. Side a gets salt = id mod S; side b is
@@ -119,11 +122,16 @@ object Dedup {
           least(col("a.sz"), col("b.sz")).cast("double") /
             greatest(col("a.sz"), col("b.sz")) >= lit(threshold - 1e-6))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val inter = call_function(graft.expressions.GraftFunctions.IntersectSizeSorted,
+      col("sh_a"), col("sh_b"))
     cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(sets.select(col("id").as("id_a"), col("sz").as("sz_a"),
+        col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"),
+        col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        round(inter.cast("double") / (col("sz_a") + col("sz_b") - inter), 6)
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -166,6 +174,7 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             blockCol: String, threshold: Double,
                             salt: Int = 8): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val base = Spread.ensure(df.select(col(idCol).as("id"),
       col(blockCol).as("blk"), col(vecCol).cast("array<double>").as("v")))
     // salted block join (see ngramJaccardPairs): a handful of cluster
@@ -178,8 +187,8 @@ object Dedup {
         col("a.blk") === col("b.blk") && col("a.salt") === col("b.salt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(graft.similarity.Similarity.cosine(col("a.v"), col("b.v")), 6)
-          .as("cosine"))
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("a.v"), col("b.v")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

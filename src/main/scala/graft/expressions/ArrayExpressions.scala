@@ -1,0 +1,136 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+
+/** Custom codegen'd Catalyst expressions for the pairwise hot loops.
+  *
+  * The built-in formulations (`array_intersect`, `zip_with` +
+  * `aggregate`) are correct but pay per-pair set allocations or
+  * interpreted lambda dispatch — at millions of candidate pairs that
+  * dominates the dedup/similarity operators. These expressions stay
+  * inside whole-stage codegen: a two-pointer merge and a fused
+  * dot/norm loop, no allocation per row.
+  */
+
+/** Intersection size of two SORTED long arrays (two-pointer merge).
+  * Callers must sort (`array_sort`) when building the sets — done once
+  * per document, not per pair — and pass `array<long>` exactly (no
+  * implicit input casts: `AbstractDataType` is private[sql], so this
+  * expression skips `ExpectsInputTypes`). */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0, $j = 0, $c = 0;
+         |final int $nx = $a.numElements();
+         |final int $ny = $b.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  final long $xv = $a.getLong($i);
+         |  final long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cosine similarity of two double arrays in one fused pass
+  * (dot product and both norms, sequential element order — the same
+  * fold order as the `zip_with`/`aggregate` formulation, so results
+  * are bit-identical). Zero-norm inputs yield 0.0. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    var na = 0.0; i = 0
+    while (i < x.numElements()) { val v = x.getDouble(i); na += v * v; i += 1 }
+    var nb = 0.0; i = 0
+    while (i < y.numElements()) { val v = y.getDouble(i); nb += v * v; i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val v = ctx.freshName("v"); val denom = ctx.freshName("denom")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  final double $v = $a.getDouble($i); $na += $v * $v;
+         |}
+         |for (int $i = 0; $i < $b.numElements(); $i++) {
+         |  final double $v = $b.getDouble($i); $nb += $v * $v;
+         |}
+         |final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for the custom expressions, so operators can
+  * reach them via `call_function` on any session (idempotent; no
+  * dependence on how the session was built). */
+object GraftFunctions {
+  val IntersectSizeSorted = "graft_intersect_size_sorted"
+  val Cosine = "graft_cosine"
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(IntersectSizeSorted,
+      exprs => SortedIntersectSize(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(Cosine,
+      exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+  }
+}

@@ -36,13 +36,15 @@ object Similarity {
     * `queries`/`corpus`: (id, vec). Self-matches (same id) excluded. */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
     val c = Spread.ensure(corpus.select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("nv")))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        round(cosine(col("qv"), col("nv")), 6).as("score"))
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("qv"), col("nv")), 6).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -52,6 +54,7 @@ object Similarity {
     * query are scored. `cellCol` is the precomputed cluster label. */
   def partitionedKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, cellCol: String, k: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
     val c = Spread.ensure(corpus.select(col(cellCol).as("cell"),
       col(idCol).as("nbr_id"), col(vecCol).cast("array<double>").as("nv")))
     val q = queries.select(col(cellCol).as("cell"), col(idCol).as("query_id"),
@@ -59,15 +62,18 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        round(cosine(col("qv"), col("nv")), 6).as("score"))
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("qv"), col("nv")), 6).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Deterministic random-hyperplane weights: planes × dims, derived
-    * from md5 so buckets reproduce anywhere. Values in [-0.5, 0.5). */
-  private def planeWeight(plane: Int, dim: Int): Double = {
+    * from md5 so buckets reproduce anywhere. Values in [-0.5, 0.5).
+    * Exposed package-wide so the oracle SQL can inline the same
+    * literals. */
+  private[graft] def planeWeight(plane: Int, dim: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(s"plane:$plane:$dim".getBytes("UTF-8"))
     val v = java.lang.Long.parseLong(
@@ -89,6 +95,7 @@ object Similarity {
     * for a bucket-equi-join (shuffle by bucket, no cross product). */
   def lshBucketKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int, planes: Int, dims: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
     val c = Spread.ensure(corpus.select(col(idCol).as("nbr_id"),
         col(vecCol).cast("array<double>").as("nv")))
       .select(lshBucket(col("nv"), planes, dims).as("bucket"),
@@ -99,7 +106,8 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        round(cosine(col("qv"), col("nv")), 6).as("score"))
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("qv"), col("nv")), 6).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
