@@ -351,6 +351,14 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
     }),
 
+    "q_dedup_clusters" -> ((s, dir) => {
+      // near-dup pairs → duplicate clusters (connected components);
+      // labels are localCheckpointed so the final orderBy is cheap
+      val pairs = Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.8)
+      Dedup.duplicateClusters(pairs).orderBy(col("id"))
+    }),
+
     "q_dedup_embed" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", "label", threshold = 0.4)
@@ -691,6 +699,11 @@ object SparkEntry {
     "q_dedup_minhash" -> Duck.minhashLsh(numHashes = 32, bands = 8,
       threshold = 0.8),
 
+    // duplicate clusters over the same LSH pair graph; oracle resolves
+    // components with a recursive transitive-closure CTE
+    "q_dedup_clusters" -> Duck.minhashClusters(numHashes = 32, bands = 8,
+      threshold = 0.8),
+
     "q_dedup_simhash" -> {
       s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
          |h AS (SELECT doc_id, list_transform(w, x -> ${Duck.hash64("x")}) AS h FROM w),
@@ -892,7 +905,9 @@ object SparkEntry {
     /** MinHash + banded LSH mirror of `Dedup.minHashPairs` (word
       * 3-shingles, universal-hash family from
       * `TextFunctions.minHashCoeff`). */
-    def minhashLsh(numHashes: Int, bands: Int, threshold: Double): String = {
+    /** Shared CTE chain computing MinHash-LSH candidate pairs `j` with
+      * exact-jaccard verification columns. */
+    private def minhashCtes(numHashes: Int, bands: Int): String = {
       val r = numHashes / bands
       val p = TextFunctions.MinHashP
       val sigCols = (0 until numHashes).map { j =>
@@ -903,7 +918,7 @@ object SparkEntry {
         val ms = (bIdx * r until bIdx * r + r).map(j => s"m_$j").mkString(", ")
         s"SELECT doc_id, $bIdx AS band, concat_ws(',', $ms) AS band_key FROM sig"
       }.mkString("\n  UNION ALL ")
-      s"""WITH w AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+      s"""w AS (SELECT doc_id, ${words("text")} AS w FROM documents),
          |s AS (SELECT doc_id, ${shingles3("text")} AS sh FROM w),
          |h AS (SELECT doc_id, sh,
          |  list_transform(sh, x -> ${hash64("x")} % $p) AS bh FROM s),
@@ -917,10 +932,26 @@ object SparkEntry {
          |  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
          |        len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
          |  FROM cand JOIN s sa ON sa.doc_id = id_a
-         |            JOIN s sb ON sb.doc_id = id_b)
+         |            JOIN s sb ON sb.doc_id = id_b)""".stripMargin
+    }
+
+    def minhashLsh(numHashes: Int, bands: Int, threshold: Double): String =
+      s"""WITH ${minhashCtes(numHashes, bands)}
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
-    }
+
+    /** Duplicate clusters over the MinHash-LSH pair graph: transitive
+      * closure via recursive CTE, cluster id = min reachable id. */
+    def minhashClusters(numHashes: Int, bands: Int, threshold: Double): String =
+      s"""WITH RECURSIVE ${minhashCtes(numHashes, bands)},
+         |e AS (SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= $threshold
+         |      UNION ALL
+         |      SELECT id_b AS src, id_a AS dst FROM j WHERE jaccard >= $threshold),
+         |reach AS (SELECT src AS id, dst AS r FROM e
+         |          UNION
+         |          SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id)
+         |SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+         |ORDER BY id""".stripMargin
 
     /** Random-hyperplane LSH-bucket KNN mirror of
       * `Similarity.lshBucketKnn` — identical md5-derived plane weights

@@ -143,13 +143,14 @@ object Dedup {
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     val bitsPerBand = SimhashBits / bands
     val mask = (1L << bitsPerBand) - 1
-    // word-hash array materialized first — inlined under the 60 bit
-    // folds it would recompute every word's md5 60 times (HOFs are
-    // interpreted, no subexpression elimination)
+    // word-hash array materialized first (one md5 pass), then the 60
+    // bit folds run as one fused codegen'd expression
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val base = Spread.ensure(df.select(col(idCol).as("id"),
         col(textCol).as("txt")))
       .select(col("id"), wordHashes(col("txt")).as("h"))
-      .withColumn("sh", simhashFromHashes(col("h")))
+      .withColumn("sh", call_function(
+        graft.expressions.GraftFunctions.SimHash, col("h")))
       .select(col("id"), col("sh"))
     val banded = base.select(col("id"), col("sh"),
       posexplode(array((0 until bands).map(b =>
@@ -190,6 +191,42 @@ object Dedup {
         round(call_function(graft.expressions.GraftFunctions.Cosine,
           col("a.v"), col("b.v")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
+  }
+
+  /** Resolve near-dup pairs into duplicate clusters (connected
+    * components) by minimum-id label propagation: every node starts
+    * labeled with its own id; each round takes the min of its label
+    * and its neighbors' labels; converges in O(component diameter)
+    * rounds (near-dup clusters are shallow). Returns (id, cluster_id)
+    * for every id that appears in a pair.
+    *
+    * Scale notes: each round is one equi-join + partial-aggregated
+    * groupBy — shuffle keyed on node id. `localCheckpoint` truncates
+    * the growing lineage per round (on a cluster, swap for a reliable
+    * checkpoint dir); the driver only sees one converged-count per
+    * round, never row data. */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+                        idB: String = "id_b", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), col("cluster_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("new_label"))
+        .localCheckpoint()
+      changed = stepped.where(col("new_label") =!= col("cluster_id")).count()
+      labels = stepped.select(col("id"), col("new_label").as("cluster_id"))
+      it += 1
+    }
+    labels
   }
 
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,

@@ -119,12 +119,68 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 60-bit SimHash from a word-hash array in one fused pass: bit j of
+  * the result is set iff the sum of ±1 votes (sign of bit j of each
+  * hash) is positive — identical semantics to the 60
+  * `aggregate`-fold formulation it replaces (all-integer, exact). */
+case class SimHashFromHashes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val Bits = 60
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash_from_hashes"
+
+  override def nullSafeEval(h: Any): Any = {
+    val arr = h.asInstanceOf[ArrayData]
+    val votes = new Array[Int](Bits)
+    var i = 0
+    while (i < arr.numElements()) {
+      val v = arr.getLong(i)
+      var j = 0
+      while (j < Bits) {
+        votes(j) += (if (((v >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < Bits) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val v = ctx.freshName("v"); val out = ctx.freshName("out")
+      s"""
+         |final int[] $votes = new int[$Bits];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  final long $v = $a.getLong($i);
+         |  for (int $j = 0; $j < $Bits; $j++) {
+         |    $votes[$j] += ((($v >> $j) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < $Bits; $j++) {
+         |  if ($votes[$j] > 0) $out |= (1L << $j);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFromHashes =
+    copy(child = newChild)
+}
+
 /** Session registration for the custom expressions, so operators can
   * reach them via `call_function` on any session (idempotent; no
   * dependence on how the session was built). */
 object GraftFunctions {
   val IntersectSizeSorted = "graft_intersect_size_sorted"
   val Cosine = "graft_cosine"
+  val SimHash = "graft_simhash"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -132,5 +188,7 @@ object GraftFunctions {
       exprs => SortedIntersectSize(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(Cosine,
       exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(SimHash,
+      exprs => SimHashFromHashes(exprs.head), "scala_udf")
   }
 }

@@ -58,6 +58,18 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("graft_simhash matches the aggregate-fold formulation") {
+    GraftFunctions.register(spark)
+    val df = spark.range(100).select(
+      transform(sequence(lit(1), (col("id") % 30 + 1).cast("int")),
+        i => abs(hash(concat(col("id"), i)).cast("long"))).as("h"))
+    val mismatches = df.select(
+        call_function(GraftFunctions.SimHash, col("h")).as("fast"),
+        graft.functions.TextFunctions.simhashFromHashes(col("h")).as("slow"))
+      .where(col("fast") =!= col("slow")).count()
+    assert(mismatches === 0)
+  }
+
   test("graft_cosine zero vector yields 0.0") {
     GraftFunctions.register(spark)
     import spark.implicits._
