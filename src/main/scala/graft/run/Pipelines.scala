@@ -2,8 +2,10 @@ package graft.run
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.classify.Classifier
 import graft.control.Control.{JobResult, JobSpec, RunLog, RunLogEntry}
 import graft.operators.{Flatten, Merge, SchemaOps}
 import graft.sources.Sources
@@ -53,6 +55,108 @@ object Pipelines {
       val nOut = spark.read.parquet(targetPath).count()
       log("S", nIn, s"loaded $nOut")
       JobResult(spec.jobId, "S", nIn, s"loaded $nOut rows")
+    } catch {
+      case e: Throwable =>
+        log("F", 0, String.valueOf(e.getMessage))
+        JobResult(spec.jobId, "F", 0, String.valueOf(e.getMessage))
+    }
+  }
+
+  /** §3.2: the NetApp-style 3-step file ingestion as one pipeline —
+    * recursive listing → control-table upsert (outer-join+COALESCE,
+    * preserving copy status, deriving isAtSource) → rule
+    * classification → copy of pending files → status upsert → run log.
+    *
+    * Scale notes vs the reference: the listing upsert is the K5
+    * COALESCE merge (no Delta needed); classification is native
+    * Columns (not collect()+Python dicts); and the copy itself runs
+    * executor-side in mapPartitions — the reference copies on the
+    * driver across 20 notebooks, which caps throughput at one VM.
+    * INC semantics: re-copy when modifiedMs advanced past the recorded
+    * copy timestamp (`ModuleFunctions.py:633-636`). `nowMs` is
+    * injectable so runs are deterministic under test. */
+  def fileIngest(spark: SparkSession, spec: JobSpec, sourceRoot: String,
+                 targetRoot: String, controlPath: String,
+                 rules: Classifier.Rules, runLog: RunLog,
+                 nowMs: Long): JobResult = {
+    import spark.implicits._
+    val runId = java.util.UUID.randomUUID().toString
+    def log(status: String, n: Long, msg: String): Unit =
+      runLog.append(RunLogEntry(runId, spec.jobId, status, n, n, 0, msg,
+        new Timestamp(0L)))
+    try {
+      // 1. listing rows for this (jobGroup, jobOrder)
+      val listing = Sources.listFiles(spark, sourceRoot).toDF()
+        .where(!col("isDir"))
+        .select(col("path"), col("name"), col("ext"), col("sizeBytes"),
+          col("modifiedMs"),
+          lit(spec.jobGroup).as("jobGroup"), lit(spec.jobOrder).as("jobOrder"),
+          lit(null).cast("string").as("copyStatus"),
+          lit(null).cast("long").as("copyStatusMs"))
+      val nListed = listing.count()
+
+      // 2. upsert into the control table: listing metadata wins, copy
+      //    status survives from the previous run (COALESCE merge)
+      val existing =
+        try spark.read.parquet(controlPath) catch { case _: Throwable => null }
+      val keys = Seq("path", "jobGroup", "jobOrder")
+      val merged0 =
+        if (existing == null) listing
+        else {
+          // new metadata must win: upsert coalesces incoming first, but
+          // a NULL incoming copyStatus falls back to the stored one —
+          // exactly the reference's null-refresh trick (Step 1:184-186)
+          Merge.upsert(existing.drop("isAtSource", "isExcluded",
+            "exclusionReason"), listing, keys)
+        }
+      // 3. isAtSource = still present in this listing; then classify
+      val atSrc = listing.select(col("path").as("__p")).distinct()
+      val merged = merged0
+        .join(atSrc, merged0("path") === atSrc("__p"), "left")
+        .withColumn("isAtSource", when(col("__p").isNotNull, "Y").otherwise("N"))
+        .drop("__p")
+      val classified = Classifier.classify(merged, rules)
+
+      // 4. pending = at-source, not excluded, never copied or modified
+      //    since the last copy (INC)
+      val pending = classified.where(col("isAtSource") === "Y" &&
+        !col("isExcluded") &&
+        (col("copyStatus").isNull || col("modifiedMs") > col("copyStatusMs")))
+        .select(col("path"), col("name"))
+
+      // 5. executor-side copy (local/Hadoop FS); one task per partition
+      val copied = pending.as[(String, String)].mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { case (p, name) =>
+          val src = new org.apache.hadoop.fs.Path(p)
+          val dst = new org.apache.hadoop.fs.Path(targetRoot, name)
+          val fs = src.getFileSystem(conf)
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, dst.getFileSystem(conf),
+            dst, false, true, conf)
+          p
+        }
+      }.toDF("path")
+        .withColumn("copyStatus", lit("C"))
+        .withColumn("copyStatusMs", lit(nowMs))
+      val nCopied = copied.count()
+
+      // 6. status upsert + overwrite the control table (stage+rename)
+      val statusCols = classified
+        .join(copied.select(col("path").as("__p"), col("copyStatus").as("__s"),
+          col("copyStatusMs").as("__ts")), classified("path") === col("__p"), "left")
+        .withColumn("copyStatus", coalesce(col("__s"), col("copyStatus")))
+        .withColumn("copyStatusMs", coalesce(col("__ts"), col("copyStatusMs")))
+        .drop("__p", "__s", "__ts")
+      val stage = controlPath.stripSuffix("/") + "__stage"
+      statusCols.write.mode(SaveMode.Overwrite).parquet(stage)
+      val fs = new org.apache.hadoop.fs.Path(controlPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(controlPath), true)
+      fs.rename(new org.apache.hadoop.fs.Path(stage),
+        new org.apache.hadoop.fs.Path(controlPath))
+
+      log("S", nListed, s"copied $nCopied")
+      JobResult(spec.jobId, "S", nCopied, s"listed $nListed copied $nCopied")
     } catch {
       case e: Throwable =>
         log("F", 0, String.valueOf(e.getMessage))

@@ -44,6 +44,51 @@ class PipelineSpec extends SparkSpec {
     assert(runLog.read().count() == 2)
   }
 
+  test("fileIngest lists, classifies, copies, and INC-recopies modified files") {
+    val src = tmpDir(); val tgt = tmpDir(); val dir = tmpDir()
+    val sub = new java.io.File(s"$src/sub"); sub.mkdirs()
+    def put(p: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(p); w.write(body); w.close()
+    }
+    put(s"$src/a.dat", "alpha")
+    put(s"$src/b.dat", "bravo")
+    put(s"$src/skip.tmp", "nope")
+    put(s"$src/sub/c.dat", "charlie")
+    val runLog = new RunLog(spark, s"$dir/runlog")
+    val spec = JobSpec(7L, 2, 1, "file", src, "ctl", "INC")
+    val rules = Classifier.Rules(excludedExtensions = Seq("tmp"))
+
+    // copy timestamps must be comparable with real file mtimes (the
+    // INC predicate is modifiedMs > copyStatusMs)
+    val t1 = System.currentTimeMillis()
+    val r1 = Pipelines.fileIngest(spark, spec, src, tgt, s"$dir/control",
+      rules, runLog, nowMs = t1)
+    assert(r1.status == "S", r1.message)
+    assert(r1.records == 3) // 4 files minus the excluded .tmp
+    assert(new java.io.File(s"$tgt/a.dat").exists())
+    assert(new java.io.File(s"$tgt/c.dat").exists())
+    assert(!new java.io.File(s"$tgt/skip.tmp").exists())
+    val ctl = spark.read.parquet(s"$dir/control")
+    assert(ctl.count() == 4)
+    assert(ctl.where(col("isExcluded")).count() == 1)
+    assert(ctl.where(col("copyStatus") === "C").count() == 3)
+
+    // second run: nothing changed → nothing recopied
+    val r2 = Pipelines.fileIngest(spark, spec, src, tgt, s"$dir/control",
+      rules, runLog, nowMs = t1 + 1)
+    assert(r2.status == "S" && r2.records == 0, r2.message)
+
+    // touch one file past the copy stamp → exactly that file recopies
+    val t3 = t1 + 120000
+    new java.io.File(s"$src/b.dat").setLastModified(t1 + 60000)
+    val r3 = Pipelines.fileIngest(spark, spec, src, tgt, s"$dir/control",
+      rules, runLog, nowMs = t3)
+    assert(r3.status == "S" && r3.records == 1, r3.message)
+    val ctl3 = spark.read.parquet(s"$dir/control")
+    assert(ctl3.where(col("copyStatusMs") === t3).count() == 1)
+    assert(runLog.read().count() == 3)
+  }
+
   test("runParallel + retry recovers flaky jobs; summarize aggregates") {
     val attempts = new java.util.concurrent.ConcurrentHashMap[Long, Int]()
     val results = Control.runWithRetries(Seq(1L, 2L, 3L), parallelism = 3) { id =>
