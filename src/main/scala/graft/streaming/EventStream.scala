@@ -79,6 +79,29 @@ object EventStream {
       }.toDF("user_id", "startNanos", "endNanos", "nEvents")
   }
 
+  /** Streaming INC ingestion: files arriving under `srcDir` are
+    * transformed and appended to `tgtDir` EXACTLY ONCE across runs —
+    * the Structured Streaming form of the reference's high-watermark
+    * incremental loads. No watermark column or control-table
+    * bookkeeping needed: the file source records processed files in
+    * the checkpoint, and `Trigger.AvailableNow` drains what's new then
+    * stops (a catch-up batch job you can cron). At scale this is the
+    * landing-zone → bronze pattern: source lists only new files, sink
+    * commits atomically via the checkpoint log. */
+  def incrementalIngest(spark: SparkSession, srcDir: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        tgtDir: String, checkpointDir: String,
+                        transform: DataFrame => DataFrame = identity): Unit = {
+    val stream = transform(spark.readStream.schema(schema).parquet(srcDir))
+    val q = stream.writeStream.format("parquet")
+      .option("path", tgtDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming keep-latest per key via flatMapGroupsWithState —
     * emits the current latest (event_id, ts) per user each trigger. */
   def latestPerUserStream(spark: SparkSession, sfDir: String,

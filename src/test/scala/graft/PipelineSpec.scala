@@ -174,6 +174,24 @@ class PipelineSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("streaming incrementalIngest appends new files exactly once") {
+    val src = tmpDir(); val tgt = tmpDir(); val ckpt = tmpDir()
+    // file-source streams discover files recursively per glob; stage
+    // each batch as its own parquet subdir file set
+    Seq(1L, 2L, 3L).toDF("id").write.parquet(s"$src/b1")
+    val schema = spark.read.parquet(s"$src/b1").schema
+    val doubled = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("id2", col("id") * 2)
+    EventStream.incrementalIngest(spark, s"$src/*", schema, tgt, ckpt, doubled)
+    assert(spark.read.parquet(tgt).count() == 3)
+    // second batch arrives; re-run drains ONLY the new files
+    Seq(10L, 11L).toDF("id").write.parquet(s"$src/b2")
+    EventStream.incrementalIngest(spark, s"$src/*", schema, tgt, ckpt, doubled)
+    val rows = spark.read.parquet(tgt)
+    assert(rows.count() == 5) // no duplicates from b1
+    assert(rows.where(col("id2") === col("id") * 2).count() == 5)
+  }
+
   test("streaming sessionize matches gap semantics") {
     val hour = 3600L * 1000000000L
     val ev = Seq((1L, 0L), (1L, hour / 2), (1L, 3 * hour), (2L, 0L))
