@@ -107,6 +107,9 @@ object Dedup {
     // languages) an unsalted equi-join runs ≤5 tasks no matter how many
     // executors exist. Side a gets salt = id mod S; side b is
     // replicated S times; join on (blk, salt) → S× parallelism.
+    // (A log-size bucket as an extra equi-key was tried and measured
+    // 4× SLOWER here: real document sizes cluster into one bucket, so
+    // it pruned nothing and tripled the b-side replication.)
     val meta = grams.select(col("id"), col("blk"), size(col("g")).as("sz"))
     val a = meta.withColumn("salt", pmod(hash(col("id")), lit(salt)))
     val b = meta.withColumn("salt",
