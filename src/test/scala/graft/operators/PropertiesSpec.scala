@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import graft.operators.Merge
+
+/** ScalaCheck properties (SURVEY §5): the subtle operators are checked
+  * against naive driver-side reference implementations on random
+  * inputs, not just fixed cases. */
+class PropertiesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def holds(p: Prop, n: Int = 12): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(n).withInitialSeed(42L), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("upsert matches naive keyed merge with COALESCE nulls") {
+    val side = Gen.listOf(Gen.zip(Gen.choose(0L, 15L),
+        Gen.option(Gen.alphaNumStr.map(_.take(6)))))
+      .map(_.distinctBy(_._1)) // keyed tables: one row per key
+    holds(Prop.forAll(side, side) { (ex, nw) =>
+      val exDf = ex.toDF("k", "v")
+      val nwDf = nw.toDF("k", "v")
+      val got = Merge.upsert(exDf, nwDf, Seq("k"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      val exM = ex.toMap
+      val nwM = nw.toMap
+      // matched: COALESCE(new, old); one-sided: that side
+      val want = (exM.keySet ++ nwM.keySet).map { k =>
+        k -> ((nwM.get(k), exM.get(k)) match {
+          case (Some(n), Some(e)) => n.orElse(e)
+          case (Some(n), None) => n
+          case (None, e) => e.flatten
+        })
+      }
+      got == want
+    })
+  }
+
+  test("shingles expression matches a naive Scala implementation") {
+    val text = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('.', ',', '!', 'ü', '-'))).map(_.mkString)
+    holds(Prop.forAll(text) { s =>
+      val k = 3
+      val cleaned = s.replaceAll("[^a-zA-Z0-9 ]", " ").toLowerCase.trim
+      val w = if (cleaned.isEmpty) Seq.empty[String]
+        else cleaned.split("\\s+").toSeq
+      val want =
+        if (w.length < k) Seq(w.mkString(" "))
+        else w.sliding(k).map(_.mkString(" ")).toSeq.distinct
+      val got = Seq(s).toDF("t")
+        .select(TextFunctions.shingles(org.apache.spark.sql.functions.col("t"), k))
+        .collect().head.getSeq[String](0)
+      got == want
+    })
+  }
+}
