@@ -62,4 +62,39 @@ object Sinks {
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  props: java.util.Properties = new java.util.Properties): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /** K12: external-table DDL for a warehouse (Synapse-style) from a
+    * Spark schema. The reference string-replaces `SHOW CREATE TABLE`
+    * output (STRING→NVARCHAR etc.,
+    * `dataSource bp/ModuleFunctions.scala:67-103`) — fragile against
+    * column names containing type words; this translation is
+    * schema-driven, quotes identifiers, and maps nested types to
+    * NVARCHAR(MAX) (serialized as JSON on export). */
+  def externalTableDdl(schema: org.apache.spark.sql.types.StructType,
+                       extSchema: String, table: String, location: String,
+                       dataSource: String): String = {
+    import org.apache.spark.sql.types._
+    def sqlType(dt: DataType): String = dt match {
+      case StringType => "NVARCHAR(MAX)"
+      case IntegerType => "INT"
+      case LongType => "BIGINT"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "FLOAT"
+      case FloatType => "REAL"
+      case BooleanType => "BIT"
+      case TimestampType => "DATETIME2"
+      case DateType => "DATE"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case BinaryType => "VARBINARY(MAX)"
+      case _ => "NVARCHAR(MAX)"
+    }
+    val cols = schema.fields
+      .map(f => s"[${f.name.replace("]", "]]")}] ${sqlType(f.dataType)}")
+      .mkString(", ")
+    s"IF EXISTS (SELECT * FROM sys.external_tables WHERE object_id = " +
+      s"OBJECT_ID('$extSchema.$table')) DROP EXTERNAL TABLE $extSchema.$table; " +
+      s"CREATE EXTERNAL TABLE $extSchema.$table ($cols) WITH (" +
+      s"LOCATION='$location', DATA_SOURCE=$dataSource, FILE_FORMAT=Parquet);"
+  }
 }

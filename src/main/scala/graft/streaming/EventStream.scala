@@ -109,7 +109,12 @@ object EventStream {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
+    // file streams need a DIRECTORY source (see hourlyCountsAvailableNow)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
     val latest = stream.select(col("user_id"), col("event_id"), col("ts"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)

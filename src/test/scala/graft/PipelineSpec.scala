@@ -192,6 +192,52 @@ class PipelineSpec extends SparkSpec {
     assert(rows.where(col("id2") === col("id") * 2).count() == 5)
   }
 
+  test("streaming latestPerUserStream agrees with batch keepLatest") {
+    val stream = EventStream.latestPerUserStream(spark, sf, "t_latest")
+      .select(col("user_id"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Windows.keepLatest(
+        Tables(spark, sf, "events").select(col("user_id"), col("event_id"), col("ts")),
+        Seq(col("user_id")), col("ts"), col("event_id"))
+      .select(col("user_id"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batch)
+  }
+
+  test("external-table DDL translates schema-driven, not string-replace") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("price", DoubleType), StructField("ok", BooleanType),
+      StructField("ts", TimestampType), StructField("amt", DecimalType(18, 2)),
+      StructField("meta", StructType(Seq(StructField("x", IntegerType))))))
+    val ddl = Sinks.externalTableDdl(schema, "ext", "orders", "/data/orders", "ds1")
+    assert(ddl.contains("[id] BIGINT"))
+    assert(ddl.contains("[name] NVARCHAR(MAX)"))
+    assert(ddl.contains("[price] FLOAT"))
+    assert(ddl.contains("[ok] BIT"))
+    assert(ddl.contains("[ts] DATETIME2"))
+    assert(ddl.contains("[amt] DECIMAL(18,2)"))
+    assert(ddl.contains("[meta] NVARCHAR(MAX)"))
+    assert(ddl.startsWith("IF EXISTS"))
+    assert(ddl.contains("CREATE EXTERNAL TABLE ext.orders"))
+  }
+
+  test(".NET ticks round-trip is exact at microsecond grain") {
+    import graft.functions.TimeFunctions._
+    // 2020-01-01T00:00:00Z + 0.7µs of ticks — truncates to the µs
+    val ticks = (DotNetEpochOffsetSeconds + 1577836800L) * 10000000L + 7L
+    val got = Seq(ticks).toDF("t")
+      .select(dotNetTicksToTimestamp(col("t")).as("ts"))
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .collect().head.getString(0)
+    assert(got == "2020-01-01 00:00:00.000000")
+    val back = Seq(ticks).toDF("t")
+      .select(timestampToDotNetTicks(dotNetTicksToTimestamp(col("t"))))
+      .collect().head.getLong(0)
+    assert(back == ticks - 7L) // µs truncation drops the sub-µs ticks
+  }
+
   test("streaming sessionize matches gap semantics") {
     val hour = 3600L * 1000000000L
     val ev = Seq((1L, 0L), (1L, hour / 2), (1L, 3 * hour), (2L, 0L))
