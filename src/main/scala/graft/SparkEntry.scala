@@ -39,10 +39,14 @@ object SparkEntry {
         .where(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
+          // final cast to DECIMAL(38,s): Spark widens sum(DECIMAL(18,s)) to
+          // (28,s), DuckDB to (38,s) — pin one physical type on both sides
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast(DecimalType(18, 4))).as("sum_disc_price"),
+            .cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -71,7 +75,8 @@ object SparkEntry {
       t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     }),
@@ -85,7 +90,8 @@ object SparkEntry {
         .join(customer, orders("o_custkey") === customer("c_custkey"))
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"),
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("n_name"))
     }),
@@ -153,7 +159,7 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"),
           sum(col("o_totalprice").cast(DecimalType(18, 2)))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .as("running_total"),
+            .cast(DecimalType(38, 2)).as("running_total"),
           lag(col("o_orderkey"), 1).over(w).as("prev_order"),
           lead(col("o_orderkey"), 1).over(w).as("next_order"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
@@ -507,9 +513,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        | sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -529,12 +535,13 @@ object SparkEntry {
 
     "q_agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_join_inner" ->
-      """SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+      """SELECT n_name,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
         | count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -582,9 +589,9 @@ object SparkEntry {
 
     "q_w_running" ->
       """SELECT o_custkey, o_orderkey,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total,
         | lag(o_orderkey, 1) OVER
         |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
         | lead(o_orderkey, 1) OVER
@@ -821,7 +828,7 @@ object SparkEntry {
     "q_stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         | event_type, count(*) AS n,
-        | sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
         |FROM events GROUP BY 1, event_type
         |ORDER BY window_start, event_type""".stripMargin,
 
