@@ -240,7 +240,10 @@ object SparkEntry {
         .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
           .as("items"))
         .select(struct(col("l_orderkey").as("key")).as("ord"), col("items"))
-      Flatten.flatten(nested)
+      // persist before the global orderBy: the range partitioner's
+      // boundary-sampling job otherwise re-executes the whole
+      // groupBy+collect_list+explode upstream a second time
+      Flatten.flatten(nested).persist()
         .orderBy(col("ord_key"), col("items_l_linenumber"))
     }),
 
@@ -256,7 +259,8 @@ object SparkEntry {
         .select(col("l_orderkey"),
           transform(col("rows"), x => x.getField("l_quantity")).as("quantities"),
           transform(col("rows"), x => x.getField("l_extendedprice")).as("prices"))
-      Flatten.explodeCorrelated(nested, Seq("quantities", "prices"))
+      // persist before the orderBy (see q_f1_flatten)
+      Flatten.explodeCorrelated(nested, Seq("quantities", "prices")).persist()
         .orderBy(col("l_orderkey"), col("quantities"), col("prices"))
     }),
 

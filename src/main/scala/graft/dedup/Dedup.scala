@@ -61,6 +61,11 @@ object Dedup {
     // spread BEFORE shingling: a small single-partition scan would pin
     // the whole per-row hashing pass to one core. Words materialized
     // before the shingle lambda (see TextFunctions lambda-cost rule).
+    // persisted: this subtree (md5 per shingle + n interpreted minima)
+    // is the most expensive in the operator and is consumed 4× — both
+    // sides of the candidate self-join and both sides of the Jaccard
+    // verify. Unreferenced cache entries are reclaimed by the
+    // ContextCleaner once the result frame is dropped.
     val base = Spread.ensure(df.select(col(idCol).as("id"),
         col(textCol).as("txt")))
       .select(col("id"), words(col("txt")).as("w"))
@@ -68,6 +73,7 @@ object Dedup {
       .withColumn("bh", minHashBaseHashes(col("sh")))
       .withColumn("sig", minHashSignatureFromHashes(col("bh"), numHashes))
       .select(col("id"), col("sh"), col("sig"))
+      .persist()
     val banded = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))
@@ -100,9 +106,12 @@ object Dedup {
       .select(col("id"), col("blk"),
         charNgramsFromNormalized(col("t"), k).as("g"))
     // sorted once per doc so pair verification is a codegen'd
-    // two-pointer merge (SortedIntersectSize), not a per-pair hash set
+    // two-pointer merge (SortedIntersectSize), not a per-pair hash set.
+    // Persisted: the gram/md5 subtree feeds the two verification joins
+    // plus (via the meta projection) both sides of the candidate join.
     val sets = grams.select(col("id"), col("blk"), size(col("g")).as("sz"),
       array_sort(transform(col("g"), s => hash64(s))).as("sh"))
+      .persist()
     // salt the block join: with a handful of distinct blocks (e.g. 5
     // languages) an unsalted equi-join runs ≤5 tasks no matter how many
     // executors exist. Side a gets salt = id mod S; side b is
@@ -110,7 +119,7 @@ object Dedup {
     // (A log-size bucket as an extra equi-key was tried and measured
     // 4× SLOWER here: real document sizes cluster into one bucket, so
     // it pruned nothing and tripled the b-side replication.)
-    val meta = grams.select(col("id"), col("blk"), size(col("g")).as("sz"))
+    val meta = sets.select(col("id"), col("blk"), col("sz"))
     val a = meta.withColumn("salt", pmod(hash(col("id")), lit(salt)))
     val b = meta.withColumn("salt",
       explode(sequence(lit(0), lit(salt - 1))))
@@ -149,12 +158,15 @@ object Dedup {
     // word-hash array materialized first (one md5 pass), then the 60
     // bit folds run as one fused codegen'd expression
     graft.expressions.GraftFunctions.register(df.sparkSession)
+    // persisted: the md5 word-hash + simhash fold subtree feeds both
+    // sides of the banded self-join and would otherwise execute twice
     val base = Spread.ensure(df.select(col(idCol).as("id"),
         col(textCol).as("txt")))
       .select(col("id"), wordHashes(col("txt")).as("h"))
       .withColumn("sh", call_function(
         graft.expressions.GraftFunctions.SimHash, col("h")))
       .select(col("id"), col("sh"))
+      .persist()
     val banded = base.select(col("id"), col("sh"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sh"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)))
@@ -179,8 +191,10 @@ object Dedup {
                             blockCol: String, threshold: Double,
                             salt: Int = 8): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
+    // persisted: both sides of the salted self-join read this subtree
     val base = Spread.ensure(df.select(col(idCol).as("id"),
       col(blockCol).as("blk"), col(vecCol).cast("array<double>").as("v")))
+      .persist()
     // salted block join (see ngramJaccardPairs): a handful of cluster
     // labels would otherwise cap the pairwise-cosine stage at
     // #labels tasks
@@ -209,10 +223,18 @@ object Dedup {
     * checkpoint dir); the driver only sees one converged-count per
     * round, never row data. */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
-                        idB: String = "id_b", maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint()
+                        idB: String = "id_b", maxIters: Int = 20,
+                        convergeEvery: Int = 2,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    // `checkpointDir` set → reliable HDFS/object-store checkpoints that
+    // survive executor death (the cluster deployment); unset →
+    // executor-local checkpoints (fast, fine for single-JVM runs).
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = materialize(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst"))))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
     var changed = 1L
@@ -220,14 +242,20 @@ object Dedup {
     while (changed > 0 && it < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"), col("cluster_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("new_label"))
-        .localCheckpoint()
-      changed = stepped.where(col("new_label") =!= col("cluster_id")).count()
-      labels = stepped.select(col("id"), col("new_label").as("cluster_id"))
+      val stepped = materialize(
+        labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"), col("cluster_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("new_label")))
       it += 1
+      // converge-check only every `convergeEvery` rounds (and at the
+      // iteration cap): the check is an extra driver-visible action per
+      // round, and round overhead dominates at low data volumes. A
+      // wasted extra round on an already-converged graph is a no-op
+      // propagation — cheaper than a count() every round.
+      if (it % convergeEvery == 0 || it >= maxIters)
+        changed = stepped.where(col("new_label") =!= col("cluster_id")).count()
+      labels = stepped.select(col("id"), col("new_label").as("cluster_id"))
     }
     labels
   }
