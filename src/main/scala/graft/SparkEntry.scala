@@ -504,6 +504,30 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- paginated source (SURVEY §2.1 S10) -----------------------------
+    "q_paged_source" -> ((s, dir) => {
+      // fixture-fed pagination: nation served as 3 JSON pages of ≤10
+      // rows; accumulated result must equal a single read of the table
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      import graft.sources.PagedSource
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      def page(i: Int) = nation
+        .where(col("n_nationkey") >= i * 10 && col("n_nationkey") < (i + 1) * 10)
+        .select(to_json(struct(col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))))
+        .as[String]
+      val target = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      PagedSource.pagedSource(s, target,
+        (i, _) => if (i < 3) PagedSource.PageData(page(i))
+                  else PagedSource.PageEnd)
+        .data.orderBy(col("n_nationkey"))
+    }),
+
     // ---- file listing (SURVEY §2.1 S9; no SQL oracle — rows-only) -------
     "q_file_listing" -> ((s, dir) => {
       graft.sources.Sources.listFiles(s, dir)
@@ -887,7 +911,11 @@ object SparkEntry {
 
     "q_xml" ->
       """SELECT n_nationkey AS id, n_name AS name
-        |FROM nation ORDER BY id""".stripMargin
+        |FROM nation ORDER BY id""".stripMargin,
+
+    "q_paged_source" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin
   )
 
   /** DuckDB SQL fragments mirroring TextFunctions 1:1 (the oracle side

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.classify.Classifier
 import graft.control.Control.{JobResult, JobSpec, RunLog, RunLogEntry}
 import graft.operators.{Flatten, Merge, SchemaOps}
-import graft.sources.Sources
+import graft.sources.{PagedSource, Sources}
 
 /** End-to-end pipelines (SURVEY §3): the reference's flagship
   * metadata-driven API ingestion (§3.1), re-expressed as in-process
@@ -32,26 +32,7 @@ object Pipelines {
       val flat = Flatten.flatten(raw)
       val typed = SchemaOps.castBySpec(flat, castSpecs)
       val nIn = typed.count()
-      spec.loadType match {
-        case "SNP" =>
-          typed.write.mode(SaveMode.Overwrite).parquet(targetPath)
-        case "APPEND" =>
-          typed.write.mode(SaveMode.Append).parquet(targetPath)
-        case "INC" =>
-          val keys = spec.keyCols.split(";").toSeq.filter(_.nonEmpty)
-          val existing = try spark.read.parquet(targetPath)
-            catch { case _: Throwable => null }
-          val merged = if (existing == null) typed
-            else Merge.upsert(existing, typed, keys)
-          val tmp = targetPath.stripSuffix("/") + "__stage"
-          merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-          val fs = new org.apache.hadoop.fs.Path(targetPath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(targetPath), true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(targetPath))
-        case other => throw new IllegalArgumentException(s"loadType $other")
-      }
+      writeByLoadType(spark, spec, typed, targetPath)
       val nOut = spark.read.parquet(targetPath).count()
       log("S", nIn, s"loaded $nOut")
       JobResult(spec.jobId, "S", nIn, s"loaded $nOut rows")
@@ -61,6 +42,64 @@ object Pipelines {
         JobResult(spec.jobId, "F", 0, String.valueOf(e.getMessage))
     }
   }
+
+  /** Paginated variant of apiIngest (SURVEY §2.1 S10): drives
+    * `PagedSource.pagedSource` over a fetch callback, quarantines
+    * schema-drifted pages into a failures table (SNP overwrite per
+    * run, like the reference's FAILURES_TABLE), and loads the
+    * accumulated good pages by `spec.loadType`. */
+  def apiIngestPaged(spark: SparkSession, spec: JobSpec,
+                     target: org.apache.spark.sql.types.StructType,
+                     fetchPage: (Int, Option[String]) => PagedSource.PageResponse,
+                     refreshAuth: () => Unit,
+                     castSpecs: Seq[String], targetPath: String,
+                     failuresPath: String, runLog: RunLog): JobResult = {
+    val runId = java.util.UUID.randomUUID().toString
+    def log(status: String, n: Long, msg: String): Unit =
+      runLog.append(RunLogEntry(runId, spec.jobId, status, n, n, 0, msg,
+        new Timestamp(0L)))
+    try {
+      val res = PagedSource.pagedSource(spark, target, fetchPage, refreshAuth)
+      res.failures.toDF().write.mode(SaveMode.Overwrite).parquet(failuresPath)
+      val nQuarantined = res.failures.count()
+      val typed = SchemaOps.castBySpec(res.data, castSpecs)
+      val nIn = typed.count()
+      writeByLoadType(spark, spec, typed, targetPath)
+      val nOut = spark.read.parquet(targetPath).count()
+      log("S", nIn, s"loaded $nOut, quarantined $nQuarantined pages")
+      JobResult(spec.jobId, "S", nIn,
+        s"loaded $nOut rows, quarantined $nQuarantined pages")
+    } catch {
+      case e: Throwable =>
+        log("F", 0, String.valueOf(e.getMessage))
+        JobResult(spec.jobId, "F", 0, String.valueOf(e.getMessage))
+    }
+  }
+
+  /** SNP = overwrite, APPEND = append, INC = key-upsert into the
+    * existing target then atomic stage+rename swap. */
+  private def writeByLoadType(spark: SparkSession, spec: JobSpec,
+                              typed: DataFrame, targetPath: String): Unit =
+    spec.loadType match {
+      case "SNP" =>
+        typed.write.mode(SaveMode.Overwrite).parquet(targetPath)
+      case "APPEND" =>
+        typed.write.mode(SaveMode.Append).parquet(targetPath)
+      case "INC" =>
+        val keys = spec.keyCols.split(";").toSeq.filter(_.nonEmpty)
+        val tgt = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // existence probe, NOT a catch-all around the read: a transient
+        // FS/permission error must fail the run, or the swap below
+        // would silently replace the target with incoming-only data
+        val merged = if (!fs.exists(tgt)) typed
+          else Merge.upsert(spark.read.parquet(targetPath), typed, keys)
+        val tmp = targetPath.stripSuffix("/") + "__stage"
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+        fs.delete(tgt, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), tgt)
+      case other => throw new IllegalArgumentException(s"loadType $other")
+    }
 
   /** §3.2: the NetApp-style 3-step file ingestion as one pipeline —
     * recursive listing → control-table upsert (outer-join+COALESCE,
@@ -97,8 +136,12 @@ object Pipelines {
 
       // 2. upsert into the control table: listing metadata wins, copy
       //    status survives from the previous run (COALESCE merge)
+      // existence probe, not a catch-all: a transient read error must
+      // fail the run, not silently reset the control table
+      val ctlPath = new org.apache.hadoop.fs.Path(controlPath)
+      val ctlFs = ctlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val existing =
-        try spark.read.parquet(controlPath) catch { case _: Throwable => null }
+        if (ctlFs.exists(ctlPath)) spark.read.parquet(controlPath) else null
       val keys = Seq("path", "jobGroup", "jobOrder")
       val merged0 =
         if (existing == null) listing
@@ -138,6 +181,11 @@ object Pipelines {
       }.toDF("path")
         .withColumn("copyStatus", lit("C"))
         .withColumn("copyStatusMs", lit(nowMs))
+        // eager materialization: the copy is a side effect and must run
+        // exactly once — without this the status join below would
+        // re-execute every copy a second time (copies stay idempotent
+        // via overwrite=true for task retries/speculation)
+        .localCheckpoint()
       val nCopied = copied.count()
 
       // 6. status upsert + overwrite the control table (stage+rename)
