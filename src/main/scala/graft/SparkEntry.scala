@@ -528,13 +528,26 @@ object SparkEntry {
         .data.orderBy(col("n_nationkey"))
     }),
 
-    // ---- file listing (SURVEY §2.1 S9; no SQL oracle — rows-only) -------
+    // ---- file listing (SURVEY §2.1 S9) ----------------------------------
     "q_file_listing" -> ((s, dir) => {
-      graft.sources.Sources.listFiles(s, dir)
+      // deterministic fixture tree (names + sizes known up front), so
+      // the distributed walk has a real VALUES oracle; modifiedMs is
+      // wall-clock and deliberately not emitted
+      val root = java.nio.file.Files.createTempDirectory("graft-listing")
+      def put(rel: String, content: String): Unit = {
+        val p = root.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+      }
+      put("a.csv", "abc")
+      put("d.json", "0123456789")
+      put("sub/b.parquet", "hello")
+      put("sub/deep/c.txt", "seven77")
+      put("other/noext", "xy")
+      graft.sources.Sources.listFiles(s, root.toString)
         .toDF()
-        .where(col("ext") === "parquet")
-        .groupBy(col("ext")).agg(count(lit(1)).as("n_files"))
-        .orderBy(col("ext"))
+        .select(col("name"), col("ext"), col("sizeBytes"))
+        .orderBy(col("name"))
     })
   )
 
@@ -915,7 +928,14 @@ object SparkEntry {
 
     "q_paged_source" ->
       """SELECT n_nationkey, n_name, n_regionkey
-        |FROM nation ORDER BY n_nationkey""".stripMargin
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_file_listing" ->
+      """SELECT name, ext, CAST(sizeBytes AS BIGINT) AS sizeBytes FROM (
+        | VALUES ('a.csv', 'csv', 3), ('b.parquet', 'parquet', 5),
+        |        ('c.txt', 'txt', 7), ('d.json', 'json', 10),
+        |        ('noext', '', 2)) t(name, ext, sizeBytes)
+        |ORDER BY name""".stripMargin
   )
 
   /** DuckDB SQL fragments mirroring TextFunctions 1:1 (the oracle side

@@ -50,27 +50,57 @@ object Sources {
   case class FileMeta(path: String, name: String, ext: String,
                       sizeBytes: Long, modifiedMs: Long, isDir: Boolean)
 
-  /** S9: recursive filesystem listing → Dataset[FileMeta]. Uses the
-    * Hadoop FS RemoteIterator (works on HDFS/ABFS/S3A/local); rows are
-    * batched into a DataFrame instead of the reference's driver-side
-    * 50k-row accumulation loops. */
+  /** S9: recursive filesystem listing → Dataset[FileMeta].
+    *
+    * Distributed: the driver lists only the FIRST level of `root`;
+    * each top-level directory's recursive walk (Hadoop FS
+    * RemoteIterator — HDFS/ABFS/S3A/local) runs executor-side via
+    * mapPartitions, one task per directory. At 100M files the driver
+    * holds only the top-level entry list, never the tree — unlike the
+    * reference's driver-side 50k-row accumulation loops. */
   def listFiles(spark: SparkSession, root: String): Dataset[FileMeta] = {
     import spark.implicits._
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = scala.collection.mutable.ArrayBuffer[FileMeta]()
-    val it = fs.listFiles(path, true)
-    while (it.hasNext) {
-      val st = it.next()
+    def toMeta(st: org.apache.hadoop.fs.FileStatus): FileMeta = {
       val name = st.getPath.getName
       val ext = name.lastIndexOf('.') match {
         case -1 => ""
         case i => name.substring(i + 1).toLowerCase
       }
-      out += FileMeta(st.getPath.toUri.getPath, name, ext, st.getLen,
+      FileMeta(st.getPath.toUri.getPath, name, ext, st.getLen,
         st.getModificationTime, st.isDirectory)
     }
-    spark.createDataset(out.toSeq)
+    val top = fs.listStatus(path).toSeq
+    val (dirs, files) = top.partition(_.isDirectory)
+    val topFileRows = files.map(toMeta)
+    val dirPaths = dirs.map(_.getPath.toString)
+    val walked =
+      if (dirPaths.isEmpty) spark.emptyDataset[FileMeta]
+      else spark.createDataset(dirPaths)
+        .repartition(dirPaths.size) // one walk task per directory
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.flatMap { d =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            val dfs = p.getFileSystem(conf)
+            val remote = dfs.listFiles(p, true) // recursive, files only
+            new Iterator[FileMeta] {
+              def hasNext: Boolean = remote.hasNext
+              def next(): FileMeta = {
+                val st = remote.next()
+                val name = st.getPath.getName
+                val ext = name.lastIndexOf('.') match {
+                  case -1 => ""
+                  case i => name.substring(i + 1).toLowerCase
+                }
+                FileMeta(st.getPath.toUri.getPath, name, ext, st.getLen,
+                  st.getModificationTime, st.isDirectory)
+              }
+            }
+          }
+        }
+    spark.createDataset(topFileRows).unionByName(walked)
   }
 
   /** S1: JDBC scan with pushdown subquery — the `(query) AS tab` idiom
