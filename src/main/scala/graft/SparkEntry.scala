@@ -504,6 +504,22 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- tabular file scan (SURVEY §2.1 S5) -----------------------------
+    "q_csv_scan" -> ((s, dir) => {
+      // round-trip region through CSV-with-options; explicit schema =
+      // the scale-safe no-inference path
+      import org.apache.spark.sql.types._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      t(s, dir, "region").write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      graft.sources.Sources.csvScan(s, tmp,
+        Map("header" -> "true", "delimiter" -> ","), Some(schema))
+        .orderBy(col("r_regionkey"))
+    }),
+
     // ---- paginated source (SURVEY §2.1 S10) -----------------------------
     "q_paged_source" -> ((s, dir) => {
       // fixture-fed pagination: nation served as 3 JSON pages of ≤10
@@ -929,6 +945,10 @@ object SparkEntry {
     "q_paged_source" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_csv_scan" ->
+      """SELECT r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
 
     "q_file_listing" ->
       """SELECT name, ext, CAST(sizeBytes AS BIGINT) AS sizeBytes FROM (

@@ -19,6 +19,33 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** K3: position-based insert into an EXISTING catalog table — column
+    * order, not names, decides the mapping (the reference's
+    * `insertInto`, `PSS WHI (XML)/ModuleFunctions.scala:252`). */
+  def insertInto(df: DataFrame, table: String, overwrite: Boolean = false): Unit =
+    df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .insertInto(table)
+
+  /** K11: register an external parquet table over an existing location
+    * (`basic/Create DBX Table from ADL.py:46-52`). */
+  def createExternalParquetTable(spark: SparkSession, table: String,
+                                 location: String): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING parquet " +
+      s"LOCATION '$location'")
+
+  /** K11: repoint a catalog table at a new storage location
+    * (`basic/Changing ADLS Location in DBX Entities.py:36-66`). */
+  def setTableLocation(spark: SparkSession, table: String,
+                       location: String): Unit =
+    spark.sql(s"ALTER TABLE $table SET LOCATION '$location'")
+
+  /** K11: set table properties (ownership/layer tags in the reference). */
+  def setTableProperties(spark: SparkSession, table: String,
+                         props: Map[String, String]): Unit = {
+    val kv = props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
+  }
+
   /** K8: parquet export with file-count control + "ready" marker
     * (`bp-bentley-idms/AGT_Chirag_Platform.py:41-42`,
     * `Rushmore Reviews/ModuleFunctions.scala:811-836`). A coalesce(1)

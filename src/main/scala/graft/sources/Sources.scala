@@ -103,6 +103,19 @@ object Sources {
     spark.createDataset(topFileRows).unionByName(walked)
   }
 
+  /** S5: tabular file scan with options. The reference reads Excel
+    * workbooks option-driven (header/sheet,
+    * `dataSource bp/Tables.scala:366`); the spreadsheet codec isn't in
+    * public Spark, so CSV is the built-in tabular analogue with the
+    * same options-map shape. Pass an explicit `schema` for the
+    * scale-safe path (no inference pass over the files). */
+  def csvScan(spark: SparkSession, path: String,
+              options: Map[String, String] = Map("header" -> "true"),
+              schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.options(options)
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
   /** S1: JDBC scan with pushdown subquery — the `(query) AS tab` idiom
     * keeps the predicate in the remote database. */
   def jdbcQuery(spark: SparkSession, url: String, query: String,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.sinks.Sinks
+import graft.sources.Sources
+
+/** S5 CSV scan, K3 insertInto, K11 catalog DDL shims. */
+class CatalogOpsSpec extends SparkSpec {
+
+  test("csvScan honors options and explicit schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("csvspec").toString
+    Seq((1, "a|x"), (2, "b"), (3, "c")).toDF("k", "v")
+      .write.mode("overwrite").option("header", "true")
+      .option("delimiter", ";").csv(dir)
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType)))
+    val back = Sources.csvScan(spark, dir,
+      Map("header" -> "true", "delimiter" -> ";"), Some(schema))
+    assert(back.schema === schema)
+    assert(back.orderBy("k").collect().map(r => (r.getInt(0), r.getString(1)))
+      === Array((1, "a|x"), (2, "b"), (3, "c")))
+  }
+
+  test("insertInto appends by position, not by name") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_ins_tbl")
+    Seq((1L, "one")).toDF("id", "label").write.saveAsTable("graft_ins_tbl")
+    // source frame has DIFFERENT column names — position decides
+    Sinks.insertInto(Seq((2L, "two")).toDF("x", "y"), "graft_ins_tbl")
+    val rows = spark.table("graft_ins_tbl").orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1)))
+      === Array((1L, "one"), (2L, "two")))
+    // overwrite replaces the full table content
+    Sinks.insertInto(Seq((9L, "nine")).toDF("a", "b"), "graft_ins_tbl",
+      overwrite = true)
+    assert(spark.table("graft_ins_tbl").collect().map(_.getLong(0)) === Array(9L))
+  }
+
+  test("external parquet table DDL: create over location, repoint, properties") {
+    import spark.implicits._
+    val locA = java.nio.file.Files.createTempDirectory("extA").toString
+    val locB = java.nio.file.Files.createTempDirectory("extB").toString
+    Seq((1, "a"), (2, "b")).toDF("id", "tag")
+      .write.mode(SaveMode.Overwrite).parquet(locA)
+    Seq((3, "c")).toDF("id", "tag")
+      .write.mode(SaveMode.Overwrite).parquet(locB)
+
+    spark.sql("DROP TABLE IF EXISTS graft_ext_tbl")
+    Sinks.createExternalParquetTable(spark, "graft_ext_tbl", locA)
+    assert(spark.table("graft_ext_tbl").count() === 2)
+
+    Sinks.setTableLocation(spark, "graft_ext_tbl", locB)
+    spark.sql("REFRESH TABLE graft_ext_tbl")
+    assert(spark.table("graft_ext_tbl").collect().map(_.getInt(0)) === Array(3))
+
+    Sinks.setTableProperties(spark, "graft_ext_tbl",
+      Map("layer" -> "bronze", "owner_team" -> "ingest"))
+    val props = spark.sql("SHOW TBLPROPERTIES graft_ext_tbl")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("layer") === "bronze")
+    assert(props("owner_team") === "ingest")
+  }
+}
