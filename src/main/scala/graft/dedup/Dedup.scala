@@ -18,6 +18,8 @@ import graft.operators.Spread
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup: one surviving row (minimum id) per distinct text
     * hash. `normalized = true` dedups on the lowercased
     * whitespace-collapsed form. Returns (text_hash, keep_id, n_dups). */
@@ -89,11 +91,21 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup pairs inside a blocking column (e.g.
-    * language): all pairs within a block, char-k-gram Jaccard ≥
-    * threshold. Exact within block; the block join is the shuffle key. */
+    * language): char-k-gram Jaccard ≥ threshold, exact.
+    *
+    * Candidate generation is PREFIX FILTERING (SSJoin/ppjoin family),
+    * not all-pairs-within-block: grams get a canonical global order
+    * (ascending document frequency, rarest first); if J(A,B) ≥ t the
+    * pair must share a gram within each side's first
+    * |x| − ⌈t·|x|⌉ + 1 grams, so an equi-join on prefix grams is a
+    * LOSSLESS candidate filter. This kills the O(n² per block)
+    * objection: at 100 TB one language block is billions of docs, and
+    * the join key becomes the rare gram (selective by construction)
+    * instead of the language. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, k: Int = 4,
-                        threshold: Double = 0.7, salt: Int = 16): DataFrame = {
+                        threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // Ngrams are hashed to 60-bit longs once per doc (Jaccard over the
     // hashed sets equals Jaccard over the string sets up to a ~1e-13
     // md5-collision risk; the candidate rows shrink from ~6 KB string
@@ -107,33 +119,41 @@ object Dedup {
         charNgramsFromNormalized(col("t"), k).as("g"))
     // sorted once per doc so pair verification is a codegen'd
     // two-pointer merge (SortedIntersectSize), not a per-pair hash set.
-    // Persisted: the gram/md5 subtree feeds the two verification joins
-    // plus (via the meta projection) both sides of the candidate join.
+    // Persisted: the gram/md5 subtree feeds the prefix pipeline and
+    // the two verification joins.
     val sets = grams.select(col("id"), col("blk"), size(col("g")).as("sz"),
       array_sort(transform(col("g"), s => hash64(s))).as("sh"))
       .persist()
-    // salt the block join: with a handful of distinct blocks (e.g. 5
-    // languages) an unsalted equi-join runs ≤5 tasks no matter how many
-    // executors exist. Side a gets salt = id mod S; side b is
-    // replicated S times; join on (blk, salt) → S× parallelism.
-    // (A log-size bucket as an extra equi-key was tried and measured
-    // 4× SLOWER here: real document sizes cluster into one bucket, so
-    // it pruned nothing and tripled the b-side replication.)
-    val meta = sets.select(col("id"), col("blk"), col("sz"))
-    val a = meta.withColumn("salt", pmod(hash(col("id")), lit(salt)))
-    val b = meta.withColumn("salt",
-      explode(sequence(lit(0), lit(salt - 1))))
-    // Lossless size prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
-    // pairs failing the ratio can't pass the threshold (1e-6 slack
-    // covers the round(j, 6) boundary). Evaluated in the join — the
-    // expensive set intersection never runs for pruned pairs.
-    val cand = a.alias("a")
-      .join(b.alias("b"),
-        col("a.blk") === col("b.blk") && col("a.salt") === col("b.salt") &&
+    // canonical order = (document frequency asc, gram): one
+    // explode + groupBy-count over all grams, shuffle-keyed by gram
+    val tokens = sets.select(col("id"), col("blk"), col("sz"),
+      explode(col("sh")).as("g"))
+    val docFreq = tokens.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // per-doc prefix = the |x| − ⌈t'·|x|⌉ + 1 rarest grams (t' carries
+    // 1e-6 slack for the round(j,6) threshold boundary)
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("g"))
+    val prefix = tokens.join(docFreq, Seq("g"))
+      .withColumn("rn", row_number().over(byRarity))
+      .where(col("rn") <=
+        col("sz") - ceil(lit(threshold - 1e-6) * col("sz")) + 1)
+      .select(col("g"), col("blk"), col("id"), col("sz"))
+    // candidates: share ≥1 prefix gram in the same block, plus the
+    // lossless size-ratio filter J(A,B) ≤ min(sz)/max(sz)
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.g") === col("b.g") && col("a.blk") === col("b.blk") &&
           col("a.id") < col("b.id") &&
           least(col("a.sz"), col("b.sz")).cast("double") /
             greatest(col("a.sz"), col("b.sz")) >= lit(threshold - 1e-6))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .persist()
+    // observability for the 100-TB question "how much did the prefix
+    // filter prune": candidates are persisted (they feed the verify
+    // join anyway), so the count is one cheap cached scan
+    log.info(s"ngramJaccardPairs: ${cand.count()} candidate pairs " +
+      s"after prefix filtering")
     val inter = call_function(graft.expressions.GraftFunctions.IntersectSizeSorted,
       col("sh_a"), col("sh_b"))
     cand
