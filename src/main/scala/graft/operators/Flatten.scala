@@ -53,6 +53,51 @@ object Flatten {
     cur
   }
 
+  /** Post-flatten rename rules — the reference applies a DIFFERENT
+    * column-naming convention per target table after flattening
+    * (`Rushmore Reviews/ModuleFunctions.scala:223-236`: well_cpr/dpr
+    * strip the literal `Data_` prefix and coerce to string; time_depth
+    * strips every parent segment). Here they're composable functions
+    * over the flattened name instead of three divergent copies. */
+  object Rename {
+    /** Strip one literal prefix if present ("removes Data_ only"). */
+    def stripPrefix(prefix: String): String => String =
+      n => if (n.startsWith(prefix)) n.drop(prefix.length) else n
+
+    /** Keep only the leaf segment ("removes ALL parents"). */
+    def stripAllParents(sep: String = "_"): String => String =
+      n => n.lastIndexOf(sep) match {
+        case -1 => n
+        case i => n.substring(i + sep.length)
+      }
+
+    /** Strip up to and including the first separator (first parent). */
+    def stripFirstParent(sep: String = "_"): String => String =
+      n => n.indexOf(sep) match {
+        case -1 => n
+        case i => n.substring(i + sep.length)
+      }
+  }
+
+  /** Per-table flatten: fully flatten, then apply the table's rename
+    * rule (and optional all-to-string coercion, which the reference
+    * pairs with the rename for union-compatibility). Unknown tables
+    * keep the default `parent<sep>field` names. Renames must stay
+    * collision-free — a rule that merges two columns is a config
+    * error and fails fast rather than silently dropping data. */
+  def flattenFor(df: DataFrame, table: String,
+                 rules: Map[String, String => String],
+                 toStringTables: Set[String] = Set.empty,
+                 sep: String = "_"): DataFrame = {
+    val flat = flatten(df, sep)
+    val rule = rules.getOrElse(table, identity[String] _)
+    val renamed = flat.columns.map(rule).toIndexedSeq
+    require(renamed.distinct.length == renamed.length,
+      s"rename rule for table $table collides: ${renamed.mkString(",")}")
+    val out = flat.toDF(renamed: _*)
+    if (toStringTables.contains(table)) SchemaOps.allToString(out) else out
+  }
+
   /** Explode one or more sibling array columns in lock-step (by
     * position), keeping rows with null/empty arrays. A single
     * generator, not N correlated self-joins. */

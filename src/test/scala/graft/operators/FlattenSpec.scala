@@ -56,4 +56,48 @@ class FlattenSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
     assert(out == Seq((0, "a"), (1, "b"), (2, "c")))
   }
+
+  // per-table rename variants from the reference: well_cpr strips the
+  // literal "Data_" prefix and coerces to string; time_depth strips
+  // every parent segment
+  private def nestedFixture = {
+    val js = Seq("""{"rid":7,"Data":{"Depth":12.5,"Crew":{"Lead":"ann"}}}""")
+    spark.read.json(js.toDS)
+  }
+
+  test("flattenFor strips Data_ only and coerces to string (well_cpr variant)") {
+    val rules = Map[String, String => String](
+      "well_cpr" -> Flatten.Rename.stripPrefix("Data_"),
+      "time_depth" -> Flatten.Rename.stripAllParents())
+    val out = Flatten.flattenFor(nestedFixture, "well_cpr", rules,
+      toStringTables = Set("well_cpr"))
+    assert(out.columns.toSet === Set("rid", "Depth", "Crew_Lead"))
+    assert(out.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    val r = out.collect().head
+    assert(r.getAs[String]("Depth") === "12.5")
+    assert(r.getAs[String]("Crew_Lead") === "ann")
+  }
+
+  test("flattenFor strips all parents, keeps types (time_depth variant)") {
+    val rules = Map[String, String => String](
+      "time_depth" -> Flatten.Rename.stripAllParents())
+    val out = Flatten.flattenFor(nestedFixture, "time_depth", rules)
+    assert(out.columns.toSet === Set("rid", "Depth", "Lead"))
+    assert(out.schema("Depth").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("flattenFor leaves unknown tables on default names and rejects collisions") {
+    val rules = Map[String, String => String](
+      "bad" -> Flatten.Rename.stripAllParents())
+    val default = Flatten.flattenFor(nestedFixture, "other", rules)
+    assert(default.columns.toSet === Set("rid", "Data_Depth", "Data_Crew_Lead"))
+    // two leaves named the same after stripping parents → must fail fast
+    val collide = spark.read.json(
+      Seq("""{"a":{"x":1},"b":{"x":2}}""").toDS)
+    intercept[IllegalArgumentException] {
+      Flatten.flattenFor(collide, "bad", rules)
+    }
+  }
 }
