@@ -902,6 +902,12 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, startMicros""".stripMargin,
 
+    // FIXTURE CONTRACT: oracle parity holds for ASCII text only —
+    // Spark computes n_bytes/width over UTF-8 BYTES of the first 64
+    // chars while this SQL uses len()/ascii() (characters/codepoints).
+    // The generated documents fixture is ASCII in the first 64 chars
+    // at every SF (verified); non-ASCII corpora would need encode()
+    // on both sides.
     "q_multimodal" ->
       """SELECT doc_id AS id, 'image' AS modality,
         | len(substr(text, 1, 64)) AS n_bytes,

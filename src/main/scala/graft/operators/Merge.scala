@@ -59,11 +59,19 @@ object Merge {
     val matched = col("nw.__nw_present").isNotNull
     val updated = ex.join(nw, cond, "left_outer")
       .select(mergedCols(existing.columns.toSeq, keys, refreshCols, matched): _*)
+    // null-safe (<=>) like the update side above: a name-based equi-join
+    // here would treat NULL keys as unmatched and emit a NULL-keyed row
+    // as both an update and an insert
     val matchedKeys = broadcast(
-      existing.select(keys.map(k => col(s"`$k`")): _*)
-        .join(broadcast(incoming.select(keys.map(k => col(s"`$k`")): _*)), keys, "left_semi")
-        .distinct())
-    val inserts = incoming.join(matchedKeys, keys, "left_anti")
+      existing.alias("ek").select(keys.map(k => col(s"ek.`$k`")): _*)
+        .join(broadcast(incoming.alias("ik")),
+          keys.map(k => col(s"ek.`$k`") <=> col(s"ik.`$k`")).reduce(_ && _),
+          "left_semi")
+        .distinct()).alias("mk")
+    val inserts = incoming.alias("in")
+      .join(matchedKeys,
+        keys.map(k => col(s"in.`$k`") <=> col(s"mk.`$k`")).reduce(_ && _),
+        "left_anti")
       .select(existing.columns.toSeq.map(c => col(s"`$c`")): _*)
     updated.unionByName(inserts)
   }

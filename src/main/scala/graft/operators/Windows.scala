@@ -32,6 +32,10 @@ object Windows {
     * the global window over only `until` rows — never sorts the full
     * table through one window partition. */
   def chunkSlice(df: DataFrame, from: Long, until: Long, orderKeys: Column*): DataFrame = {
+    // limit() is Int-bounded; a silent toInt would wrap negative and
+    // return wrong rows — slices beyond 2^31 rows must be re-chunked
+    require(until <= Int.MaxValue,
+      s"chunkSlice until=$until exceeds Int.MaxValue; use smaller slices")
     val top = df.orderBy(orderKeys: _*).limit(until.toInt)
     val w = Window.orderBy(orderKeys: _*)
     top.withColumn("rn", row_number().over(w))

@@ -26,9 +26,19 @@ class CatalogOpsSpec extends SparkSpec {
       === Array((1, "a|x"), (2, "b"), (3, "c")))
   }
 
+  /** Drop the table AND its managed location: the in-memory catalog is
+    * fresh per JVM but the warehouse directory survives across test
+    * runs, and saveAsTable refuses a pre-existing location. */
+  private def dropManaged(table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+  }
+
   test("insertInto appends by position, not by name") {
     import spark.implicits._
-    spark.sql("DROP TABLE IF EXISTS graft_ins_tbl")
+    dropManaged("graft_ins_tbl")
     Seq((1L, "one")).toDF("id", "label").write.saveAsTable("graft_ins_tbl")
     // source frame has DIFFERENT column names — position decides
     Sinks.insertInto(Seq((2L, "two")).toDF("x", "y"), "graft_ins_tbl")

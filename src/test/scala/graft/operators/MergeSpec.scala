@@ -47,6 +47,18 @@ class MergeSpec extends SparkSpec {
     assert(all == Seq(1L, 2L, 3L))
   }
 
+  test("upsert treats NULL keys null-safely in both join strategies") {
+    val ex = Seq((Some(1L), "e1"), (None, "eN")).toDF("k", "v")
+    val nw = Seq((Some(1L), "n1"), (None, "nN")).toDF("k", "v")
+    for (bcast <- Seq(false, true)) {
+      val out = Merge.upsert(ex, nw, Seq("k"), broadcastIncoming = bcast)
+        .collect().map(r => (Option(r.get(0)), r.getString(1))).toSeq.sortBy(_._2)
+      // NULL key matches NULL key: updated once, never duplicated
+      assert(out === Seq((Some(1L), "n1"), (None, "nN")),
+        s"broadcastIncoming=$bcast")
+    }
+  }
+
   test("promoteStaging replaces keyed rows and appends new") {
     val tgt = Seq((1L, "t1"), (2L, "t2")).toDF("k", "v")
     val stg = Seq((2L, "s2"), (3L, "s3")).toDF("k", "v")
