@@ -35,11 +35,17 @@ object Control {
   case class JobResult(jobId: Long, status: String, records: Long, message: String)
 
   /** Append run-log entries to a parquet table (JDBC optional via
-    * Sinks.jdbcAppend). */
+    * Sinks.jdbcAppend).
+    *
+    * Granularity note: `append` writes one file per entry — fine at
+    * run level (a handful of entries per pipeline run), a small-files
+    * antipattern if called per row/item. Batch item-level logging
+    * through `appendAll`, or point the log at JDBC. */
   class RunLog(spark: SparkSession, path: String) {
     import spark.implicits._
-    def append(e: RunLogEntry): Unit =
-      Seq(e).toDS.toDF.write.mode(SaveMode.Append).parquet(path)
+    def append(e: RunLogEntry): Unit = appendAll(Seq(e))
+    def appendAll(es: Seq[RunLogEntry]): Unit =
+      es.toDS.toDF.coalesce(1).write.mode(SaveMode.Append).parquet(path)
     def read(): DataFrame = spark.read.parquet(path)
   }
 

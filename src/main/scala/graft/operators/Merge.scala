@@ -87,6 +87,42 @@ object Merge {
         coalesce(col(s"nw.`$c`"), col(s"ex.`$c`")).as(c)
     }
 
+  /** Partition-scoped INC upsert onto a partitioned parquet path: only
+    * the partitions containing incoming keys are read, merged, and
+    * rewritten via dynamic partition overwrite — a 1-row delta
+    * rewrites one partition, not the whole table. (The full-table
+    * stage+swap in `Pipelines.writeByLoadType` is the honest portable
+    * fallback for UNPARTITIONED targets; at 100 TB use this.)
+    *
+    * `target` must be written `partitionBy(partCol)`; incoming rows
+    * may introduce new partition values. The distinct partition-value
+    * collect is control-plane-sized (bounded by partitions touched
+    * per increment) and drives partition pruning on the target scan. */
+  def upsertPartitionScoped(spark: org.apache.spark.sql.SparkSession,
+                            targetPath: String, incoming: DataFrame,
+                            keys: Seq[String], partCol: String): Unit = {
+    val tgt = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(tgt)) incoming
+      else {
+        val touched = incoming.select(col(partCol)).distinct()
+          .collect().map(_.get(0)).toSeq
+        val existing = spark.read.parquet(targetPath)
+          .where(col(partCol).isin(touched: _*)) // partition pruning
+        upsert(existing, incoming, keys)
+      }
+    val mode = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(mode)
+    spark.conf.set(mode, "dynamic")
+    try merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(partCol).parquet(targetPath)
+    finally prev match {
+      case Some(v) => spark.conf.set(mode, v)
+      case None => spark.conf.unset(mode)
+    }
+  }
+
   /** High-watermark incremental filter (SURVEY §2.12): rows of `source`
     * strictly newer than the max watermark already in `target`.
     * Empty target ⇒ everything passes. The scalar max is computed by

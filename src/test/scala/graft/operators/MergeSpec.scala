@@ -59,6 +59,27 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("upsertPartitionScoped rewrites only touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("psc").toString + "/t"
+    Seq((1L, "2024-01", "a"), (2L, "2024-01", "b"), (3L, "2024-02", "c"))
+      .toDF("k", "dt", "v")
+      .write.partitionBy("dt").parquet(dir)
+    def filesOf(part: String) = {
+      val d = new java.io.File(s"$dir/dt=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val before01 = filesOf("2024-01")
+    // incoming touches 2024-02 (update) and 2024-03 (new partition)
+    val incoming = Seq((3L, "2024-02", "C2"), (9L, "2024-03", "z"))
+      .toDF("k", "dt", "v")
+    Merge.upsertPartitionScoped(spark, dir, incoming, Seq("k"), "dt")
+    // untouched partition keeps its exact files (no rewrite)
+    assert(filesOf("2024-01") === before01)
+    val out = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(out === Set((1L, "a"), (2L, "b"), (3L, "C2"), (9L, "z")))
+  }
+
   test("promoteStaging replaces keyed rows and appends new") {
     val tgt = Seq((1L, "t1"), (2L, "t2")).toDF("k", "v")
     val stg = Seq((2L, "s2"), (3L, "s3")).toDF("k", "v")
