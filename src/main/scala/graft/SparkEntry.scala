@@ -135,6 +135,23 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    // ---- as-of join (beyond ref: time-series point lookup) --------------
+    "q_asof_join" -> ((s, dir) => {
+      // for each click, the latest view value at-or-before it per user.
+      // ts stays internal (ns vs µs precision rule); the events fixture
+      // has no same-µs (user, ts) collisions at any SF (verified), so
+      // ns- and µs-grain matching agree.
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value").as("asof_value"))
+      graft.operators.AsofJoin
+        .asofJoin(clicks, views, Seq("user_id"), "ts", Seq("asof_value"))
+        .select(col("event_id"), col("user_id"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- windows (SURVEY §2.7) -----------------------------------------
     "q_w1_chunk" -> ((s, dir) => {
       Windows.chunkSlice(
@@ -629,6 +646,16 @@ object SparkEntry {
         |      WHERE o_totalprice > 100000) hi
         |ON lo.k = hi.k
         |ORDER BY k""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH a AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |b AS (SELECT user_id, ts, value AS asof_value FROM events
+        |      WHERE event_type = 'view')
+        |SELECT a.event_id, a.user_id, b.asof_value
+        |FROM a ASOF LEFT JOIN b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY event_id""".stripMargin,
 
     "q_w1_chunk" ->
       """SELECT l_orderkey, l_linenumber, rn FROM (
