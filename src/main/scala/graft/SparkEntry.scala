@@ -152,6 +152,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- range join (beyond ref: interval containment) ------------------
+    "q_range_join" -> ((s, dir) => {
+      // every order price matched to ±2% bands around sampled orders;
+      // bin-bucketed equi-join, never a nested loop over all pairs
+      val orders = t(s, dir, "orders")
+      val intervals = orders.where(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey").as("ikey"),
+          (col("o_totalprice") * 0.98).as("lo"),
+          (col("o_totalprice") * 1.02).as("hi"))
+      val points = orders.select(col("o_orderkey").as("pkey"),
+        col("o_totalprice").as("pt"))
+      graft.operators.RangeJoin
+        .rangeJoin(points, "pt", intervals, "lo", "hi", binSize = 5000.0)
+        .select(col("pkey"), col("ikey"), col("pt"))
+        .orderBy(col("pkey"), col("ikey"))
+    }),
+
     // ---- windows (SURVEY §2.7) -----------------------------------------
     "q_w1_chunk" -> ((s, dir) => {
       Windows.chunkSlice(
@@ -646,6 +663,14 @@ object SparkEntry {
         |      WHERE o_totalprice > 100000) hi
         |ON lo.k = hi.k
         |ORDER BY k""".stripMargin,
+
+    "q_range_join" ->
+      """WITH i AS (SELECT o_orderkey AS ikey, o_totalprice*0.98 AS lo,
+        |                  o_totalprice*1.02 AS hi
+        |           FROM orders WHERE o_orderkey % 500 = 0),
+        |p AS (SELECT o_orderkey AS pkey, o_totalprice AS pt FROM orders)
+        |SELECT pkey, ikey, pt FROM p JOIN i ON pt >= lo AND pt <= hi
+        |ORDER BY pkey, ikey""".stripMargin,
 
     "q_asof_join" ->
       """WITH a AS (SELECT event_id, user_id, ts FROM events
