@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,6 +29,10 @@ object Bench {
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      // queries persist() shared subtrees and never unpersist (the
+      // caller owns lifetime); drop them so storage from 50 earlier
+      // queries doesn't squeeze this one's execution memory
+      spark.catalog.clearCache()
       System.err.println(f"[bench] $name%-22s $sec%9.2f s")
       name -> sec
     }
