@@ -81,6 +81,13 @@ object SparkEntry {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // ---- sketches (beyond ref: reproducible cardinality estimate) -------
+    "q_kmv_distinct" -> ((s, dir) => {
+      graft.sketch.Sketches.kmvDistinctByKey(
+        t(s, dir, "lineitem"), "l_returnflag", "l_partkey", k = 64)
+        .orderBy(col("key"))
+    }),
+
     // ---- joins (SURVEY §2.5) -------------------------------------------
     "q_join_inner" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -629,6 +636,21 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // mirrors Sketches.kmvDistinctByKey exactly (same md5-derived
+    // 60-bit hash, same k, same division order) — the approximation
+    // itself is deterministic and hash-compared
+    "q_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT l_returnflag AS key,
+         |  ${Duck.hash64("CAST(l_partkey AS VARCHAR)")} AS h FROM lineitem),
+         |r AS (SELECT key, h,
+         |      row_number() OVER (PARTITION BY key ORDER BY h) AS rn FROM h),
+         |s AS (SELECT key, count(*) AS n,
+         |      max(CASE WHEN rn = 64 THEN h END) AS hk
+         |      FROM r WHERE rn <= 64 GROUP BY key)
+         |SELECT key, round(CASE WHEN n < 64 THEN n::DOUBLE
+         |  ELSE 63 / (hk / 1152921504606846976.0) END, 4) AS est_distinct
+         |FROM s ORDER BY key""".stripMargin,
 
     "q_join_inner" ->
       """SELECT n_name,

@@ -1,0 +1,50 @@
+package graft.sketch
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Cardinality sketches for profiling 100-TB inputs.
+  *
+  * KMV (k-minimum-values): keep the k smallest values of a uniform
+  * hash; with r_k = k-th smallest hash normalized to (0,1], the
+  * distinct count estimate is (k-1)/r_k (Bar-Yossef et al. 2002;
+  * standard error ≈ 1/√(k−2)). Spark's built-in
+  * `approx_count_distinct` (HLL++) is the go-to when reproducibility
+  * doesn't matter; KMV over the md5-derived `TextFunctions.hash64`
+  * is chosen here because the estimate is DETERMINISTIC and
+  * engine-independent — the DuckDB oracle computes the identical
+  * number, so even the approximation is correctness-gated.
+  *
+  * Distributed shape: project to (key, hash) → distinct (one shuffle,
+  * map-side partial) → per-key ascending row_number (shuffle by key)
+  * → first-k aggregate. The k-minima multiset is mergeable (union
+  * then re-take k minima), so partial sketches from separate scans
+  * can be combined without rescanning.
+  */
+object Sketches {
+
+  /** Per-key distinct-count estimate for `valueCol`. Keys with fewer
+    * than k distinct values get the EXACT count (the sketch holds all
+    * their hashes). Returns (key, est_distinct). */
+  def kmvDistinctByKey(df: DataFrame, keyCol: String, valueCol: String,
+                       k: Int = 64): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val twoPow60 = 1152921504606846976.0 // hash64 range is [0, 2^60)
+    val hashed = df.select(col(keyCol).as("key"),
+      TextFunctions.hash64(col(valueCol).cast("string")).as("h"))
+      .distinct()
+    val byHash = Window.partitionBy(col("key")).orderBy(col("h"))
+    hashed.withColumn("rn", row_number().over(byHash))
+      .where(col("rn") <= k) // sketch rows only; the rest never aggregate
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rn") === k, col("h"))).as("hk"))
+      .select(col("key"),
+        round(when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit(k - 1) / (col("hk") / lit(twoPow60))), 4)
+          .as("est_distinct"))
+  }
+}
