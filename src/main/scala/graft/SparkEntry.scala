@@ -485,6 +485,11 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "q_stream_join" -> ((s, dir) => {
+      graft.streaming.EventStream.clickViewJoinAvailableNow(s, dir)
+        .orderBy(col("cid"), col("vid"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("user_id") < 20)
       // output in µs: DuckDB 1.0 truncates parquet ns-timestamps to µs
@@ -962,6 +967,15 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
         |FROM events GROUP BY 1, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_join" ->
+      """WITH c AS (SELECT event_id AS cid, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS vid, user_id, ts FROM events
+        |      WHERE event_type = 'view')
+        |SELECT cid, vid FROM c JOIN v ON c.user_id = v.user_id
+        | AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
+        |ORDER BY cid, vid""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events WHERE user_id < 20),

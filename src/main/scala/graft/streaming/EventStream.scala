@@ -47,6 +47,42 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Watermarked stream-stream interval join: each click enriched with
+    * the views of the same user in the preceding hour. Both sides are
+    * event-time watermarked so join state is bounded — the watermark
+    * delay is the retention horizon, which is what makes a
+    * stream-stream join viable at 100 TB/day instead of unbounded
+    * state growth. AvailableNow + memory sink: deterministic final
+    * table (single batch ⇒ nothing dropped by the watermark). */
+  def clickViewJoinAvailableNow(spark: SparkSession, sfDir: String,
+                                queryName: String = "stream_join"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    def side(tpe: String, idAs: String, uidAs: String, tsAs: String) =
+      spark.readStream.schema(schema).parquet(stageDir.toString)
+        .where(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id").as(uidAs),
+          timestamp_micros(expr("ts div 1000")).as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val clicks = side("click", "cid", "c_uid", "c_ts")
+    val views = side("view", "vid", "v_uid", "v_ts")
+    val joined = clicks.join(views,
+      col("c_uid") === col("v_uid") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("c_ts"))
+      .select(col("cid"), col("vid"))
+    val q = joined.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   case class Event(user_id: Long, tsNanos: Long)
   case class SessionState(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, startNanos: Long, endNanos: Long, nEvents: Int)

@@ -204,6 +204,24 @@ class PipelineSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming interval join agrees with the batch inequality join") {
+    val stream = EventStream.clickViewJoinAvailableNow(spark, sf, "t_join")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables(spark, sf, "events")
+    def side(t: String, id: String, uid: String, ts: String) =
+      ev.where(col("event_type") === t)
+        .select(col("event_id").as(id), col("user_id").as(uid),
+          expr("ts div 1000").as(ts)) // µs, matching the stream's grain
+    val batch = side("click", "cid", "cu", "cts")
+      .join(side("view", "vid", "vu", "vts"),
+        col("cu") === col("vu") &&
+          col("vts") >= col("cts") - lit(3600L * 1000000L) &&
+          col("vts") <= col("cts"))
+      .select("cid", "vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("external-table DDL translates schema-driven, not string-replace") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
