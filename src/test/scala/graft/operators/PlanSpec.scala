@@ -34,6 +34,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan("q_dedup_ngram").contains("sorted_intersect_size"))
   }
 
+  test("q1_agg aggregates partially before the shuffle (map-side combine)") {
+    assert(plan("q1_agg").contains("partial_sum"))
+  }
+
+  test("q_asof_join is a windowed union, not an inequality join") {
+    val p = plan("q_asof_join")
+    assert(p.contains("Window"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_range_join equi-joins on the bin id, not a nested loop") {
+    assert(!plan("q_range_join").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("no query plans a cartesian product") {
     // brute-force knn intentionally scores query x corpus, but via a
     // broadcast nested-loop join of the tiny query side — never a
