@@ -101,7 +101,18 @@ object Dedup {
     * LOSSLESS candidate filter. This kills the O(n² per block)
     * objection: at 100 TB one language block is billions of docs, and
     * the join key becomes the rare gram (selective by construction)
-    * instead of the language. */
+    * instead of the language.
+    *
+    * Measured caveat (sf0.1, 5000 docs): the synthetic corpus has only
+    * ~1000 distinct 4-grams, so even df-rare prefix grams are shared
+    * by hundreds of docs and the filter passes 1.48M of 12.5M possible
+    * pairs — barely better than the size-ratio filter alone, and ~2×
+    * slower locally than the old within-block all-pairs join it
+    * replaced. The crossover favors prefix filtering as the gram
+    * space grows (natural text: millions of grams, df-1-in-millions
+    * prefixes); the all-pairs form is quadratic per block regardless
+    * of corpus. Exact-Jaccard verification dominates both designs at
+    * equal candidate counts. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, k: Int = 4,
                         threshold: Double = 0.7): DataFrame = {
