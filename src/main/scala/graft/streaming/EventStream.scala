@@ -55,8 +55,17 @@ object EventStream {
     * state growth. AvailableNow + memory sink: deterministic final
     * table (single batch ⇒ nothing dropped by the watermark). */
   def clickViewJoinAvailableNow(spark: SparkSession, sfDir: String,
-                                queryName: String = "stream_join"): DataFrame = {
+                                queryName: String = "stream_join",
+                                joinPartitions: Int = 8): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // a stream-stream join materializes FOUR state stores per shuffle
+    // partition; store init + checkpoint I/O, not data volume,
+    // dominates small runs. Size the stateful shuffle to the stream's
+    // throughput (8 here), independent of the session's batch setting.
+    // NOTE: this is baked into the state checkpoint — a restarted
+    // query must keep the same value.
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
@@ -75,11 +84,14 @@ object EventStream {
         col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
         col("v_ts") <= col("c_ts"))
       .select(col("cid"), col("vid"))
-    val q = joined.writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    spark.conf.set(partKey, joinPartitions.toString)
+    try {
+      val q = joined.writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(partKey, prevParts)
     spark.table(queryName)
   }
 
