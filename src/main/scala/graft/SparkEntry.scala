@@ -376,6 +376,21 @@ object SparkEntry {
         .orderBy(col("job_id"))
     }),
 
+    // ---- deterministic sampling (training-data ops) ---------------------
+    "q_sample_det" -> ((s, dir) => {
+      graft.sample.Sampling.deterministicSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", fraction = 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_sample_strat" -> ((s, dir) => {
+      graft.sample.Sampling.stratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", Map("en" -> 0.5, "de" -> 0.1), salt = "mix1")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup suite (training-data ops) --------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -828,6 +843,20 @@ object SparkEntry {
       """SELECT job_id, load_type
         |FROM (VALUES (1, 'SNP'), (2, 'APPEND'), (3, 'INC')) t(job_id, load_type)
         |ORDER BY job_id""".stripMargin,
+
+    // mirrors Sampling.bucket exactly: md5-derived 60-bit hash of
+    // (id-as-string || salt), mod 1e6, against fraction*1e6
+    "q_sample_det" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${Duck.hash64("CAST(doc_id AS VARCHAR)")} % 1000000 < 200000
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_strat" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${Duck.hash64("CAST(doc_id AS VARCHAR) || 'mix1'")} % 1000000 <
+         |  CASE WHEN lang = 'en' THEN 500000
+         |       WHEN lang = 'de' THEN 100000 ELSE -1 END
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups

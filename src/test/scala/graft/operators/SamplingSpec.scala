@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sample.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int) = (1 to n).map(_.toLong).toDF("id")
+
+  test("deterministicSample is partitioning-invariant and ~fraction-sized") {
+    val df = ids(10000)
+    val a = Sampling.deterministicSample(df, "id", 0.3)
+      .as[Long].collect().toSet
+    val b = Sampling.deterministicSample(df.repartition(17), "id", 0.3)
+      .as[Long].collect().toSet
+    assert(a === b)
+    assert(math.abs(a.size - 3000) < 300, s"got ${a.size}")
+  }
+
+  test("salts give independent samples; split is disjoint and complete") {
+    val df = ids(5000)
+    val s1 = Sampling.deterministicSample(df, "id", 0.5, salt = "a")
+      .as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(df, "id", 0.5, salt = "b")
+      .as[Long].collect().toSet
+    assert(s1 !== s2)
+    val overlap = (s1 & s2).size.toDouble / 5000
+    assert(overlap > 0.15 && overlap < 0.35, s"overlap $overlap") // ~0.25
+    val (train, holdout) = Sampling.split(df, "id", 0.1)
+    val t = train.as[Long].collect().toSet
+    val h = holdout.as[Long].collect().toSet
+    assert((t & h).isEmpty && (t | h).size === 5000)
+  }
+
+  test("stratifiedSample applies per-stratum fractions, drops unlisted strata") {
+    val df = (1 to 3000).map(i => (i.toLong, Seq("en", "de", "zh")(i % 3)))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, "lang", "id",
+      Map("en" -> 1.0, "de" -> 0.2))
+      .collect().map(r => r.getString(1))
+    val byLang = out.groupBy(identity).view.mapValues(_.length).toMap
+    assert(byLang("en") === 1000)
+    assert(math.abs(byLang("de") - 200) < 80)
+    assert(!byLang.contains("zh"))
+  }
+}
