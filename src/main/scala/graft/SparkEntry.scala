@@ -485,6 +485,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_redact_pii" -> ((s, dir) => {
+      // the synthetic corpus has no PII; synthesize one email/url/phone
+      // per doc from doc_id so the redaction is exercised meaningfully
+      val seeded = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 40),
+            lit(" mail user"), col("doc_id"), lit("@example.com"),
+            lit(" see https://ex.io/d/"), col("doc_id"),
+            lit(" call +1 (555) 010-"), col("doc_id"), lit("9")).as("text"))
+      seeded.select(col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       graft.operators.Spread.ensure(
           t(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -981,6 +995,20 @@ object SparkEntry {
          |  s_en AS score_en
          |FROM sc ORDER BY doc_id""".stripMargin
     },
+
+    // mirrors TextFunctions.redactPii: same patterns, same order
+    // (URL → EMAIL → PHONE), global replace on both engines
+    "q_redact_pii" ->
+      """WITH seeded AS (SELECT doc_id,
+        |  substr(text, 1, 40) || ' mail user' || doc_id || '@example.com' ||
+        |  ' see https://ex.io/d/' || doc_id ||
+        |  ' call +1 (555) 010-' || doc_id || '9' AS text
+        |  FROM documents)
+        |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+        |  'https?://[^\s]+', '<URL>', 'g'),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS clean
+        |FROM seeded ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       s"""SELECT doc_id,

@@ -225,4 +225,23 @@ object TextFunctions {
   /** Rolling-hash document fingerprint (convenience). */
   def fingerprint(text: Column, k: Int = 8): Column =
     fingerprintFromNormalized(normalized(text), k)
+
+  // --- PII redaction (training-data hygiene) -----------------------------
+  // Patterns restricted to constructs with identical semantics in
+  // java.util.regex (Spark codegen) and RE2 (DuckDB oracle): character
+  // classes, bounded repetition — no lookaround, no backrefs.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\+?[0-9][0-9()\\-. ]{6,}[0-9]"
+
+  /** Replace emails/URLs/phone-shaped spans with typed placeholder
+    * tokens — chained codegen'd regexp_replace, one projection, no
+    * UDF. Order matters: URLs first (they may contain '@' and digit
+    * runs that the other patterns would mangle). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
 }
