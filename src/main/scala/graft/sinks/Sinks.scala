@@ -19,6 +19,21 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Bucketed save: hash-bucket the table by join keys at WRITE time
+    * so repeated joins/aggregations on those keys skip their shuffle —
+    * the co-located-join answer for fact tables that are joined on the
+    * same key run after run (a 100-TB table shuffles once at ingest,
+    * not once per query). Bucket counts must match across tables that
+    * join with each other. */
+  def saveBucketedTable(df: DataFrame, table: String, buckets: Int,
+                        bucketCols: Seq[String], mode: SaveMode,
+                        sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** K3: position-based insert into an EXISTING catalog table — column
     * order, not names, decides the mapping (the reference's
     * `insertInto`, `PSS WHI (XML)/ModuleFunctions.scala:252`). */

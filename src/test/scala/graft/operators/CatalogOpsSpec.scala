@@ -51,6 +51,30 @@ class CatalogOpsSpec extends SparkSpec {
     assert(spark.table("graft_ins_tbl").collect().map(_.getLong(0)) === Array(9L))
   }
 
+  test("bucketed tables join and aggregate without a shuffle") {
+    import spark.implicits._
+    dropManaged("graft_bkt_a")
+    dropManaged("graft_bkt_b")
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    Sinks.saveBucketedTable(a, "graft_bkt_a", 4, Seq("k"), SaveMode.Overwrite)
+    Sinks.saveBucketedTable(b, "graft_bkt_b", 4, Seq("k"), SaveMode.Overwrite)
+    // force the sort-merge path (tiny fixtures would broadcast) so the
+    // co-location is visible: bucketed scans feed the join AND the
+    // groupBy with zero shuffle exchanges
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val joined = spark.table("graft_bkt_a")
+        .join(spark.table("graft_bkt_b"), "k")
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(joined.count() === 1000)
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
   test("external parquet table DDL: create over location, repoint, properties") {
     import spark.implicits._
     val locA = java.nio.file.Files.createTempDirectory("extA").toString
