@@ -88,6 +88,17 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    "q_percentile" -> ((s, dir) => {
+      // EXACT interpolated percentiles (not approx_percentile): both
+      // engines sort and linearly interpolate, so values hash-match
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr(
+          "transform(percentile(o_totalprice, array(0.25D, 0.5D, 0.9D))," +
+            " x -> round(x, 6))").as("pcts"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- joins (SURVEY §2.5) -------------------------------------------
     "q_join_inner" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -670,6 +681,13 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT o_orderstatus,
+        | list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.9]),
+        |   x -> round(x, 6)) AS pcts
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // mirrors Sketches.kmvDistinctByKey exactly (same md5-derived
     // 60-bit hash, same k, same division order) — the approximation
