@@ -530,6 +530,11 @@ object SparkEntry {
         .orderBy(col("cid"), col("vid"))
     }),
 
+    "q_stream_dedup" -> ((s, dir) => {
+      graft.streaming.EventStream.dedupStreamAvailableNow(s, dir)
+        .orderBy(col("event_id"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("user_id") < 20)
       // output in µs: DuckDB 1.0 truncates parquet ns-timestamps to µs
@@ -1051,6 +1056,12 @@ object SparkEntry {
         |SELECT cid, vid FROM c JOIN v ON c.user_id = v.user_id
         | AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
         |ORDER BY cid, vid""".stripMargin,
+
+    // the stream ingests every event twice (two staged copies);
+    // exactly-once output must equal the plain distinct
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events WHERE user_id < 20),

@@ -95,6 +95,35 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup: a file source that delivers every event
+    * TWICE (staged as two copies — the redelivery/replay shape) is
+    * collapsed to exactly-once output by keyed dropDuplicates state.
+    * `dropDuplicates` keeps a state row per key forever — correct for
+    * any arrival order, the demo choice here; production streams with
+    * a delivery-delay bound should use `dropDuplicatesWithinWatermark`
+    * so state is purged once a key's watermark horizon passes. */
+  def dedupStreamAvailableNow(spark: SparkSession, sfDir: String,
+                              queryName: String = "stream_dedup"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events_b.parquet"))
+    val deduped = spark.readStream.schema(schema).parquet(stageDir.toString)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   case class Event(user_id: Long, tsNanos: Long)
   case class SessionState(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, startNanos: Long, endNanos: Long, nEvents: Int)
