@@ -88,6 +88,18 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    "q_na_fill" -> ((s, dir) => {
+      // P9: defaults for the unmatched side of a left join
+      val customer = t(s, dir, "customer")
+      val big = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+        .select(col("o_custkey"), col("o_totalprice"))
+      customer.select(col("c_custkey"))
+        .join(big, customer("c_custkey") === big("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_totalprice"))
+        .na.fill(Map("o_totalprice" -> 0.0))
+        .orderBy(col("c_custkey"), col("o_totalprice"))
+    }),
+
     "q_percentile" -> ((s, dir) => {
       // EXACT interpolated percentiles (not approx_percentile): both
       // engines sort and linearly interpolate, so values hash-match
@@ -686,6 +698,13 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_na_fill" ->
+      """SELECT c_custkey, COALESCE(o_totalprice, 0.0) AS o_totalprice
+        |FROM customer LEFT JOIN
+        | (SELECT o_custkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > 400000) o ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_totalprice""".stripMargin,
 
     "q_percentile" ->
       """SELECT o_orderstatus,

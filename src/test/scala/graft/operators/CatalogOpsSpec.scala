@@ -36,6 +36,26 @@ class CatalogOpsSpec extends SparkSpec {
     wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
   }
 
+  test("saveTable overwrites, appends, and lays out partition dirs") {
+    import spark.implicits._
+    dropManaged("graft_save_tbl")
+    val rows = Seq((1L, "g1", "x"), (2L, "g2", "y")).toDF("id", "grp", "v")
+    Sinks.saveTable(rows, "graft_save_tbl", SaveMode.Overwrite, Seq("grp"))
+    Sinks.saveTable(Seq((3L, "g1", "z")).toDF("id", "grp", "v"),
+      "graft_save_tbl", SaveMode.Append, Seq("grp"))
+    assert(spark.table("graft_save_tbl").count() === 3)
+    // partitionBy must show up as grp=... directories
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      "graft_save_tbl")
+    val parts = wh.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(parts === Set("grp=g1", "grp=g2"))
+    // overwrite replaces everything
+    Sinks.saveTable(Seq((9L, "g9", "w")).toDF("id", "grp", "v"),
+      "graft_save_tbl", SaveMode.Overwrite, Seq("grp"))
+    assert(spark.table("graft_save_tbl").collect().map(_.getLong(0)) === Array(9L))
+  }
+
   test("insertInto appends by position, not by name") {
     import spark.implicits._
     dropManaged("graft_ins_tbl")
