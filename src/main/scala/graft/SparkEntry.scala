@@ -39,14 +39,18 @@ object SparkEntry {
         .where(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          // final cast to DECIMAL(38,s): Spark widens sum(DECIMAL(18,s)) to
-          // (28,s), DuckDB to (38,s) — pin one physical type on both sides
+          // sum in EXACT decimal (deterministic, order-independent), then
+          // cast the final value to DOUBLE: both engines convert the same
+          // exact decimal to the same IEEE double, and DOUBLE is the one
+          // numeric type whose pandas materialization (float64) agrees
+          // between a parquet dump and a DuckDB result — decimal outputs
+          // hash-mismatch in the driver no matter the precision
           sum(col("l_quantity").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("sum_qty"),
+            .cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("sum_base_price"),
+            .cast("double").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sum_disc_price"),
+            .cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -76,7 +80,7 @@ object SparkEntry {
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("total"))
+            .cast("double").as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     }),
@@ -102,12 +106,17 @@ object SparkEntry {
 
     "q_percentile" -> ((s, dir) => {
       // EXACT interpolated percentiles (not approx_percentile): both
-      // engines sort and linearly interpolate, so values hash-match
+      // engines sort and linearly interpolate, so values hash-match.
+      // One percentile buffer per group (array form), then unpacked to
+      // SCALAR columns — the driver's comparator sorts/hashes cells via
+      // pandas, and array cells (numpy.ndarray) are unhashable there
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(expr(
-          "transform(percentile(o_totalprice, array(0.25D, 0.5D, 0.9D))," +
-            " x -> round(x, 6))").as("pcts"))
+        .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.9D))").as("ps"))
+        .select(col("o_orderstatus"),
+          round(element_at(col("ps"), 1), 6).as("p25"),
+          round(element_at(col("ps"), 2), 6).as("p50"),
+          round(element_at(col("ps"), 3), 6).as("p90"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -121,7 +130,7 @@ object SparkEntry {
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
-          .cast(DecimalType(38, 2)).as("revenue"),
+          .cast("double").as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("n_name"))
     }),
@@ -223,7 +232,7 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"),
           sum(col("o_totalprice").cast(DecimalType(18, 2)))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast(DecimalType(38, 2)).as("running_total"),
+            .cast("double").as("running_total"),
           lag(col("o_orderkey"), 1).over(w).as("prev_order"),
           lead(col("o_orderkey"), 1).over(w).as("next_order"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
@@ -533,7 +542,15 @@ object SparkEntry {
 
     // ---- streaming (SURVEY §2.12 / §7) ----------------------------------
     "q_stream_window" -> ((s, dir) => {
+      // window() yields TimestampType, which Spark writes to parquet as
+      // legacy INT96 (→ nanosecond cells in the driver's pandas compare);
+      // source-table timestamps are TIMESTAMP_NTZ (µs). Cast to NTZ
+      // (session tz is UTC, value unchanged) and the decimal sum to
+      // DOUBLE so both sides materialize identically.
       graft.streaming.EventStream.hourlyCountsAvailableNow(s, dir)
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
         .orderBy(col("window_start"), col("event_type"))
     }),
 
@@ -673,9 +690,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -695,7 +712,7 @@ object SparkEntry {
 
     "q_agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
@@ -708,8 +725,9 @@ object SparkEntry {
 
     "q_percentile" ->
       """SELECT o_orderstatus,
-        | list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.9]),
-        |   x -> round(x, 6)) AS pcts
+        | round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+        | round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 6) AS p90
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
@@ -730,7 +748,7 @@ object SparkEntry {
 
     "q_join_inner" ->
       """SELECT n_name,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         | count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -798,7 +816,7 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total,
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
         | lag(o_orderkey, 1) OVER
         |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
         | lead(o_orderkey, 1) OVER
@@ -1063,7 +1081,7 @@ object SparkEntry {
     "q_stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         | event_type, count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, event_type
         |ORDER BY window_start, event_type""".stripMargin,
 

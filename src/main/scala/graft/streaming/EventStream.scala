@@ -34,9 +34,9 @@ object EventStream {
       .withWatermark("ts_utc", "1 hour")
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        // cast to (38,4) so the physical type matches the DuckDB oracle
+        // sum in exact decimal: deterministic across partition orders
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("sum_value"))
+          .as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
     val q = agg.writeStream.format("memory").queryName(queryName)
