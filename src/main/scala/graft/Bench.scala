@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   * measured query. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val only = args.toSet // optional query-name filter for iterating
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -21,7 +22,9 @@ object Bench {
     // warmup: touch every table + exercise codegen/shuffle machinery
     Tables.names.foreach(n => Tables(spark, sfDir, n).limit(1).count())
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() executes the FULL physical plan (projections,
       // sorts and all) — df.count() would let Catalyst prune every

@@ -105,14 +105,15 @@ object Dedup {
     *
     * Measured caveat (sf0.1, 5000 docs): the synthetic corpus has only
     * ~1000 distinct 4-grams, so even df-rare prefix grams are shared
-    * by hundreds of docs and the filter passes 1.48M of 12.5M possible
-    * pairs — barely better than the size-ratio filter alone, and ~2×
-    * slower locally than the old within-block all-pairs join it
-    * replaced. The crossover favors prefix filtering as the gram
-    * space grows (natural text: millions of grams, df-1-in-millions
-    * prefixes); the all-pairs form is quadratic per block regardless
-    * of corpus. Exact-Jaccard verification dominates both designs at
-    * equal candidate counts. */
+    * by hundreds of docs. Prefix-join alone passed 1.48M of 12.5M
+    * possible pairs; adding the df≥2 trim and the ppjoin positional
+    * bound (both lossless, see below) cuts that to 994k — still
+    * verification-dominated, and ~2× slower locally than the old
+    * within-block all-pairs join it replaced. The crossover favors
+    * prefix filtering as the gram space grows (natural text: millions
+    * of grams, df-1-in-millions prefixes); the all-pairs form is
+    * quadratic per block regardless of corpus. Exact-Jaccard
+    * verification dominates both designs at equal candidate counts. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, k: Int = 4,
                         threshold: Double = 0.7): DataFrame = {
@@ -148,15 +149,30 @@ object Dedup {
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <=
         col("sz") - ceil(lit(threshold - 1e-6) * col("sz")) + 1)
-      .select(col("g"), col("blk"), col("id"), col("sz"))
-    // candidates: share ≥1 prefix gram in the same block, plus the
-    // lossless size-ratio filter J(A,B) ≤ min(sz)/max(sz)
+      // df=1 grams can never match across docs — dropping them AFTER
+      // the prefix-length cut is lossless (a qualifying pair shares a
+      // gram inside both prefixes, and a shared gram has df ≥ 2) and
+      // removes the rarest-ranked rows, which are most of the prefix
+      .where(col("df") >= 2)
+      .select(col("g"), col("blk"), col("id"), col("sz"), col("rn"))
+    // candidates: share ≥1 prefix gram in the same block, plus two
+    // lossless per-row prunes — the size-ratio filter
+    // J(A,B) ≤ min(sz)/max(sz), and the ppjoin positional bound:
+    // grams rank in one global (df, g) order, so a match at 1-based
+    // rank rn leaves at most sz − rn later grams on that side;
+    // overlap ≤ 1 + min(sz_a−rn_a, sz_b−rn_b), and J ≥ t needs
+    // overlap ≥ ⌈t/(1+t)·(sz_a+sz_b)⌉. A qualifying pair always
+    // survives via its FIRST shared prefix gram (largest bound), so
+    // filtering each joined row independently loses nothing.
+    val tp = threshold - 1e-6
     val cand = prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.g") === col("b.g") && col("a.blk") === col("b.blk") &&
           col("a.id") < col("b.id") &&
           least(col("a.sz"), col("b.sz")).cast("double") /
-            greatest(col("a.sz"), col("b.sz")) >= lit(threshold - 1e-6))
+            greatest(col("a.sz"), col("b.sz")) >= lit(tp) &&
+          least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) + 1 >=
+            ceil(lit(tp / (1 + tp)) * (col("a.sz") + col("b.sz"))))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
       .persist()
