@@ -191,6 +191,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_asof_native" -> ((s, dir) => {
+      // same semantics and oracle as q_asof_join, but through the
+      // custom whole-operator Catalyst path (plans.NativeAsofJoin):
+      // AsofJoin logical node → strategy → merge exec over
+      // co-partitioned (key, ts)-sorted children
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("vts"),
+          col("value").as("asof_value"))
+      graft.plans.NativeAsofJoin
+        .asofJoin(clicks, views, Seq("user_id"), Seq("v_user"), "ts", "vts")
+        .select(col("event_id"), col("user_id"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- range join (beyond ref: interval containment) ------------------
     "q_range_join" -> ((s, dir) => {
       // every order price matched to ±2% bands around sampled orders;
@@ -789,6 +806,18 @@ object SparkEntry {
         |ORDER BY pkey, ikey""".stripMargin,
 
     "q_asof_join" ->
+      """WITH a AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |b AS (SELECT user_id, ts, value AS asof_value FROM events
+        |      WHERE event_type = 'view')
+        |SELECT a.event_id, a.user_id, b.asof_value
+        |FROM a ASOF LEFT JOIN b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY event_id""".stripMargin,
+
+    // identical oracle to q_asof_join: the native operator must agree
+    // with both DuckDB's ASOF JOIN and the union+window composition
+    "q_asof_native" ->
       """WITH a AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'click'),
         |b AS (SELECT user_id, ts, value AS asof_value FROM events
