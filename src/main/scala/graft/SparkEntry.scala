@@ -480,6 +480,18 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
     }),
 
+    "q_decontam" -> ((s, dir) => {
+      // benchmark decontamination: every 50th doc plays the eval set;
+      // member docs score 1.0 (full overlap with themselves), near-dups
+      // score partially — both are exactly what the guard must catch
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 50 === 0).select(col("text"))
+      graft.dedup.Decontaminate
+        .contaminationScores(docs, bench, "doc_id", "text", "text", k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
+    }),
+
     // ---- similarity search ----------------------------------------------
     "q_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1012,6 +1024,22 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // mirrors Decontaminate.contaminationScores: word 5-shingles,
+    // hash64 grams, benchmark = every 50th doc
+    "q_decontam" ->
+      s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
+         |s AS (SELECT doc_id, ${Duck.shinglesK(5)} AS sh FROM w),
+         |gr AS (SELECT doc_id, ${Duck.hash64("u")} AS g
+         |       FROM (SELECT doc_id, unnest(sh) AS u FROM s)),
+         |bg AS (SELECT DISTINCT g FROM gr WHERE doc_id % 50 = 0),
+         |c AS (SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hit
+         |  FROM gr GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_hit,
+         | round(n_hit::DOUBLE / n_grams, 6) AS contamination
+         |FROM c WHERE n_hit > 0 ORDER BY doc_id""".stripMargin,
+
     "q_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),
@@ -1216,10 +1244,16 @@ object SparkEntry {
         s"trim(lower(regexp_replace($t, '[^a-zA-Z0-9 ]', ' ', 'g'))), '\\s+') END"
 
     /** word 3-shingles over a words column named w */
-    def shingles3(t: String): String =
-      "CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
-        "ELSE list_distinct(list_transform(range(1, len(w) - 1), " +
-        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END"
+    def shingles3(t: String): String = shinglesK(3)
+
+    /** word k-shingles over a words column named w — same short-text
+      * fallback and distinct as TextFunctions.shinglesFromWords */
+    def shinglesK(k: Int): String = {
+      val terms = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"CASE WHEN len(w) < $k THEN [array_to_string(w, ' ')] " +
+        s"ELSE list_distinct(list_transform(range(1, len(w) - ${k - 2}), " +
+        s"i -> $terms)) END"
+    }
 
     /** char 4-grams over a normalized text column named t */
     val charNgrams4: String =

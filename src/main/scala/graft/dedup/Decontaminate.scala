@@ -1,0 +1,89 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.Spread
+
+/** Benchmark decontamination for training corpora: find (and drop)
+  * training documents that overlap an evaluation/benchmark set at the
+  * word-n-gram level — the standard guard against test-set leakage
+  * when assembling LLM training data.
+  *
+  * Scale shape: the corpus is the 100-TB side; the benchmark is small
+  * by construction (eval suites are thousands of documents). Benchmark
+  * grams are therefore distinct-collapsed and BROADCAST, so the
+  * corpus-side probe is a map-side hash lookup inside one scan — no
+  * shuffle of corpus text at all until the tiny per-doc count
+  * aggregation. Grams travel as 60-bit md5 hashes (8 bytes), never as
+  * strings.
+  */
+object Decontaminate {
+
+  /** (id, g) distinct word-k-shingle hashes, one row per gram. */
+  private def gramRows(df: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame =
+    Spread.ensure(df.select(col(idCol).as("id"), col(textCol).as("txt")))
+      .select(col("id"), words(col("txt")).as("w"))
+      .select(col("id"), shinglesFromWords(col("w"), k).as("sh"))
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), hash64(col("s")).as("g"))
+
+  /** Per-document contamination: of the doc's distinct k-shingles, how
+    * many appear in ANY benchmark document. Returns
+    * (id, n_grams, n_hit, contamination), docs with n_hit > 0.
+    * `broadcastBench=false` falls back to a shuffle join for the rare
+    * huge-benchmark case. */
+  def contaminationScores(docs: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          benchTextCol: String, k: Int = 5,
+                          broadcastBench: Boolean = true): DataFrame = {
+    val dg = gramRows(docs, idCol, textCol, k)
+    // benchmark id is irrelevant for the score; collapse to the gram set
+    val bg0 = gramRows(bench.select(monotonically_increasing_id().as("bid"),
+      col(benchTextCol)), "bid", benchTextCol, k)
+      .select(col("g")).distinct()
+      .withColumn("hit", lit(1))
+    val bg = if (broadcastBench) broadcast(bg0) else bg0
+    dg.join(bg, Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .where(col("n_hit") > 0)
+      .select(col("id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6)
+          .as("contamination"))
+  }
+
+  /** Pair-level attribution: which benchmark doc each training doc
+    * overlaps, and by how many distinct grams. Returns
+    * (id, bench_id, n_shared) with n_shared >= minShared. */
+  def contaminationPairs(docs: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         benchIdCol: String, benchTextCol: String,
+                         k: Int = 5, minShared: Long = 1,
+                         broadcastBench: Boolean = true): DataFrame = {
+    val dg = gramRows(docs, idCol, textCol, k)
+    val bg0 = gramRows(bench, benchIdCol, benchTextCol, k)
+      .select(col("id").as("bench_id"), col("g")).distinct()
+    val bg = if (broadcastBench) broadcast(bg0) else bg0
+    dg.join(bg, Seq("g"))
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** The corpus minus documents whose contamination exceeds
+    * `maxContamination` (fraction of distinct grams found in the
+    * benchmark set). */
+  def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, benchTextCol: String, k: Int = 5,
+                    maxContamination: Double = 0.1): DataFrame = {
+    val bad = contaminationScores(docs, bench, idCol, textCol,
+      benchTextCol, k)
+      .where(col("contamination") > maxContamination)
+      .select(col("id").as(idCol))
+    docs.join(bad, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.dedup.Decontaminate
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // benchmark: one eval question; docs: a verbatim leak, a partial
+  // overlap (shares a 5-word run), and a clean doc
+  private def bench = Seq(
+    (100L, "what is the capital of france paris is the capital")
+  ).toDF("bid", "btext")
+
+  private def docs = Seq(
+    (1L, "what is the capital of france paris is the capital"),
+    (2L, "question what is the capital of france asked the tutor"),
+    (3L, "completely unrelated text about spark shuffle partitions")
+  ).toDF("doc_id", "text")
+
+  test("contaminationScores flags the leak fully and the overlap partially") {
+    val out = Decontaminate
+      .contaminationScores(docs, bench, "doc_id", "text", "btext", k = 5)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) > 0 && out(2L) < 1.0)
+    assert(!out.contains(3L))
+  }
+
+  test("contaminationPairs attributes the overlap to the benchmark doc") {
+    val pairs = Decontaminate.contaminationPairs(docs, bench,
+      "doc_id", "text", "bid", "btext", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 100L), (2L, 100L)))
+  }
+
+  test("decontaminate drops docs above the threshold, keeps the rest") {
+    val kept = Decontaminate.decontaminate(docs, bench, "doc_id", "text",
+      "btext", k = 5, maxContamination = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("benchmark side is broadcast (no corpus shuffle before the probe)") {
+    val plan = Decontaminate
+      .contaminationScores(docs, bench, "doc_id", "text", "btext", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+}
