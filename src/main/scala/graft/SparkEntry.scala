@@ -480,6 +480,16 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
     }),
 
+    "q_repetition" -> ((s, dir) => {
+      // degenerate/boilerplate detector: word-repetition stats via
+      // explode + two-level partial agg (the shape that scales — see
+      // Repetition scaladoc)
+      graft.functions.Repetition
+        .wordRepetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
+    }),
+
     "q_decontam" -> ((s, dir) => {
       // benchmark decontamination: every 50th doc plays the eval set;
       // member docs score 1.0 (full overlap with themselves), near-dups
@@ -1023,6 +1033,19 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors Repetition.wordRepetitionStats
+    "q_repetition" ->
+      s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
+         |u AS (SELECT doc_id, unnest(w) AS wd FROM w),
+         |pc AS (SELECT doc_id, wd, count(*) AS c FROM u GROUP BY doc_id, wd),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |      count(*) AS n_distinct, max(c) AS max_c
+         |      FROM pc GROUP BY doc_id)
+         |SELECT doc_id, n_words, n_distinct,
+         | round(1.0 - n_distinct::DOUBLE / n_words, 6) AS dup_word_ratio,
+         | round(max_c::DOUBLE / n_words, 6) AS top_word_fraction
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     // mirrors Decontaminate.contaminationScores: word 5-shingles,
     // hash64 grams, benchmark = every 50th doc
