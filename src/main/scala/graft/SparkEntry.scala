@@ -603,6 +603,13 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_stream_dedup_wm" -> ((s, dir) => {
+      // bounded-state variant: dropDuplicatesWithinWatermark (state
+      // purged at the watermark horizon instead of kept forever)
+      graft.streaming.EventStream.dedupWithinWatermarkAvailableNow(s, dir)
+        .orderBy(col("event_id"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("user_id") < 20)
       // output in µs: DuckDB 1.0 truncates parquet ns-timestamps to µs
@@ -1177,6 +1184,10 @@ object SparkEntry {
     // the stream ingests every event twice (two staged copies);
     // exactly-once output must equal the plain distinct
     "q_stream_dedup" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q_stream_dedup_wm" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
 

@@ -124,6 +124,39 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming dedup with BOUNDED state: like
+    * [[dedupStreamAvailableNow]] but via
+    * `dropDuplicatesWithinWatermark`, which purges a key's state once
+    * the event-time watermark passes its horizon — the production
+    * shape when redelivery has a known delay bound (state size tracks
+    * the watermark window, not the full key history). The staged
+    * replay delivers every event twice inside the delay, so output is
+    * still exactly-once per event_id. */
+  def dedupWithinWatermarkAvailableNow(spark: SparkSession, sfDir: String,
+                                       queryName: String = "stream_dedup_wm",
+                                       delay: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events_b.parquet"))
+    val deduped = spark.readStream.schema(schema).parquet(stageDir.toString)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val q = deduped.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   case class Event(user_id: Long, tsNanos: Long)
   case class SessionState(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, startNanos: Long, endNanos: Long, nEvents: Int)
