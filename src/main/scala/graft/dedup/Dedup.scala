@@ -60,20 +60,25 @@ object Dedup {
     // elimination, so inlining it under the n minima would run every
     // md5 n times.
     val r = numHashes / bands
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     // spread BEFORE shingling: a small single-partition scan would pin
     // the whole per-row hashing pass to one core. Words materialized
     // before the shingle lambda (see TextFunctions lambda-cost rule).
-    // persisted: this subtree (md5 per shingle + n interpreted minima)
-    // is the most expensive in the operator and is consumed 4× — both
-    // sides of the candidate self-join and both sides of the Jaccard
-    // verify. Unreferenced cache entries are reclaimed by the
-    // ContextCleaner once the result frame is dropped.
+    // The n per-j minima run as ONE fused codegen pass
+    // (MinHashSignatureFused) instead of n interpreted array_min HOFs.
+    // persisted: this subtree (md5 per shingle + signature) is the most
+    // expensive in the operator and is consumed 4× — both sides of the
+    // candidate self-join and both sides of the Jaccard verify.
+    // Unreferenced cache entries are reclaimed by the ContextCleaner
+    // once the result frame is dropped.
     val base = Spread.ensure(df.select(col(idCol).as("id"),
         col(textCol).as("txt")))
       .select(col("id"), words(col("txt")).as("w"))
       .select(col("id"), shinglesFromWords(col("w"), shingleK).as("sh"))
       .withColumn("bh", minHashBaseHashes(col("sh")))
-      .withColumn("sig", minHashSignatureFromHashes(col("bh"), numHashes))
+      .withColumn("sig", call_function(
+        graft.expressions.GraftFunctions.MinHashSig,
+        col("bh"), lit(numHashes)))
       .select(col("id"), col("sh"), col("sig"))
       .persist()
     val banded = base.select(col("id"),
@@ -289,20 +294,26 @@ object Dedup {
     while (changed > 0 && it < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      val stepped = materialize(
-        labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-          .select(col("id"), col("cluster_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("new_label")))
+      val stepped0 = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), col("cluster_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("new_label"))
       it += 1
-      // converge-check only every `convergeEvery` rounds (and at the
-      // iteration cap): the check is an extra driver-visible action per
-      // round, and round overhead dominates at low data volumes. A
-      // wasted extra round on an already-converged graph is a no-op
-      // propagation — cheaper than a count() every round.
-      if (it % convergeEvery == 0 || it >= maxIters)
+      // materialize + converge-check only every `convergeEvery` rounds
+      // (and at the iteration cap): rounds in between stay LAZY — no
+      // Spark job runs at all, their lineage executes inside the next
+      // checkpoint's job — so per-round scheduler/checkpoint overhead
+      // is paid once per `convergeEvery` propagations, which dominates
+      // cost on shallow graphs. A wasted extra round on an
+      // already-converged graph is a no-op propagation — cheaper than
+      // a count() every round.
+      if (it % convergeEvery == 0 || it >= maxIters) {
+        val stepped = materialize(stepped0)
         changed = stepped.where(col("new_label") =!= col("cluster_id")).count()
-      labels = stepped.select(col("id"), col("new_label").as("cluster_id"))
+        labels = stepped.select(col("id"), col("new_label").as("cluster_id"))
+      } else {
+        labels = stepped0.select(col("id"), col("new_label").as("cluster_id"))
+      }
     }
     labels
   }

@@ -174,6 +174,76 @@ case class SimHashFromHashes(child: Expression)
     copy(child = newChild)
 }
 
+/** Full MinHash signature in ONE fused pass: for base hashes
+  * h ∈ child (already reduced mod P) and j ∈ [0, n), out[j] =
+  * min_h (h·a_j + b_j) mod P with the universal-hash coefficients of
+  * `TextFunctions.minHashCoeff` baked in. Replaces n interpreted
+  * `array_min(transform(...))` HOF passes (n array traversals, each
+  * with per-element lambda dispatch) with a single codegen'd loop —
+  * elements outer, the n running minima inner. Input must be
+  * non-empty (shingle arrays always are: short texts fall back to one
+  * whole-text shingle); a null/absent input yields null. */
+case class MinHashSignatureFused(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val P = 1073741789L // TextFunctions.MinHashP
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature_fused"
+
+  // coeff arrays precomputed once per expression instance (driver) and
+  // shipped in the closure / embedded in generated code
+  private lazy val coeffA: Array[Long] = Array.tabulate(n) { j =>
+    val a = (2654435761L * (j + 1)) % P
+    if (a == 0) 1L else a
+  }
+  private lazy val coeffB: Array[Long] =
+    Array.tabulate(n)(j => (1779033703L * (j + 13)) % P)
+
+  override def nullSafeEval(h: Any): Any = {
+    val arr = h.asInstanceOf[ArrayData]
+    val mins = Array.fill(n)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val v = arr.getLong(i)
+      var j = 0
+      while (j < n) {
+        val g = (v * coeffA(j) + coeffB(j)) % P
+        if (g < mins(j)) mins(j) = g
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val as = ctx.addReferenceObj("minhashA", coeffA, "long[]")
+      val bs = ctx.addReferenceObj("minhashB", coeffB, "long[]")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val v = ctx.freshName("v"); val g = ctx.freshName("g")
+      s"""
+         |final long[] $mins = new long[$n];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  final long $v = $a.getLong($i);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    final long $g = ($v * $as[$j] + $bs[$j]) % ${P}L;
+         |    if ($g < $mins[$j]) $mins[$j] = $g;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSignatureFused = copy(child = newChild)
+}
+
 /** Session registration for the custom expressions, so operators can
   * reach them via `call_function` on any session (idempotent; no
   * dependence on how the session was built). */
@@ -181,6 +251,7 @@ object GraftFunctions {
   val IntersectSizeSorted = "graft_intersect_size_sorted"
   val Cosine = "graft_cosine"
   val SimHash = "graft_simhash"
+  val MinHashSig = "graft_minhash_sig"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -190,5 +261,8 @@ object GraftFunctions {
       exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(SimHash,
       exprs => SimHashFromHashes(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(MinHashSig,
+      exprs => MinHashSignatureFused(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 }

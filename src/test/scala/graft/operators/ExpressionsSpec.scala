@@ -79,4 +79,21 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
       .as[Double].collect()
     assert(got === Array(0.0))
   }
+
+  test("minhash_signature_fused matches the n-pass HOF formulation") {
+    GraftFunctions.register(spark)
+    val docs = graft.Tables(spark, sf, "documents").limit(50)
+    val base = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shinglesFromWords(col("w"), 3).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.minHashBaseHashes(col("sh")).as("bh"))
+    val mismatches = base.select(
+        call_function(GraftFunctions.MinHashSig, col("bh"), lit(32)).as("fast"),
+        graft.functions.TextFunctions
+          .minHashSignatureFromHashes(col("bh"), 32).as("slow"))
+      .where(col("fast") =!= col("slow")).count()
+    assert(mismatches === 0)
+  }
 }
