@@ -21,13 +21,26 @@ import graft.operators.Spread
   */
 object Decontaminate {
 
-  /** (id, g) distinct word-k-shingle hashes, one row per gram. */
+  /** (id, g) distinct word-k-shingle hashes, one row per gram.
+    *
+    * explode_OUTER on purpose, and not for null-padding: a plain
+    * `explode` triggers the InferFiltersFromGenerate optimizer rule,
+    * which synthesizes `size(child) > 0 AND isnotnull(child)` and
+    * pushes it below the spread Exchange — with the whole
+    * words+shingles pipeline INLINED into the predicate (twice), the
+    * shingle lambda re-evaluating words() per position, all on the
+    * single scan partition. Measured at sf0.1: 19 s of filter vs 4.7 s
+    * for the whole stage with the rule sidestepped. The rule skips
+    * outer generators, and `sh` is never empty (short texts fall back
+    * to one whole-text shingle), so OUTER changes semantics only for
+    * null text, which yields a null gram that no benchmark gram ever
+    * equals. */
   private def gramRows(df: DataFrame, idCol: String, textCol: String,
                        k: Int): DataFrame =
     Spread.ensure(df.select(col(idCol).as("id"), col(textCol).as("txt")))
       .select(col("id"), words(col("txt")).as("w"))
       .select(col("id"), shinglesFromWords(col("w"), k).as("sh"))
-      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), explode_outer(col("sh")).as("s"))
       .select(col("id"), hash64(col("s")).as("g"))
 
   /** Per-document contamination: of the doc's distinct k-shingles, how
