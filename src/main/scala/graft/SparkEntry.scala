@@ -630,6 +630,19 @@ object SparkEntry {
         .toDF().orderBy(col("id"))
     }),
 
+    "q_media_knn" -> ((s, dir) => {
+      // the multimodal end-to-end story: media rows → batch-amortized
+      // (stub) encoder via mapPartitions → exact ANN over the
+      // embeddings. Swapping the stub for a real model changes nothing
+      // downstream.
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(
+        s, t(s, dir, "documents"), takeBytes = 64)
+      val emb = graft.multimodal.Multimodal.embedMedia(media, dim = 8)
+      Similarity.bruteForceKnn(emb, emb.where(col("id") < 5), "id",
+        "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- validation / classification ------------------------------------
     "q_reconcile" -> ((s, dir) => {
       val src = t(s, dir, "orders")
@@ -1217,6 +1230,25 @@ object SparkEntry {
         | 1 + (ascii(substr(text, 2, 1)) % 64) AS height,
         | md5(substr(text, 1, 64)) AS checksum
         |FROM documents ORDER BY id""".stripMargin,
+
+    // mirrors Multimodal.embedMedia (checksum-seeded stub embedding,
+    // ASCII-first-64 contract as q_multimodal) + bruteForceKnn
+    "q_media_knn" ->
+      s"""WITH m AS (SELECT doc_id AS id, md5(substr(text, 1, 64)) AS ck
+         |           FROM documents),
+         |e AS (SELECT id, list_transform(range(0, 8), j ->
+         |        (${Duck.hash64("ck || '_' || j")} % 1000) / 999.0) AS v
+         |      FROM m),
+         |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 5),
+         |c AS (SELECT id AS nbr_id, v AS nv FROM e),
+         |scored AS (SELECT query_id, nbr_id,
+         |  round(list_cosine_similarity(qv, nv), 6) AS score
+         |  FROM q JOIN c ON query_id <> nbr_id)
+         |SELECT query_id, nbr_id, score, rank FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_reconcile" ->
       """WITH src AS (SELECT o_custkey, count(*) AS src_count,

@@ -45,6 +45,34 @@ object Multimodal {
     }
   }
 
+  /** STUB media embedding: `dim` deterministic pseudo-features derived
+    * from the content checksum — emb[j] = (hash64(md5hex ∥ '_' ∥ j)
+    * mod 1000) / 999 with the same 60-bit md5-prefix hash the text
+    * operators use, so a DuckDB oracle reproduces it bit-for-bit. The
+    * mapPartitions shape is the point: a real implementation
+    * initializes the vision/audio encoder once per partition and runs
+    * content batches through it; downstream (ANN search, embedding
+    * dedup) is identical either way. */
+  def embedMedia(ds: Dataset[MediaRow], dim: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition setup: real life loads the encoder model here
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+      it.map { r =>
+        md.reset()
+        val ck = hex(md.digest(r.content))
+        val emb = Array.tabulate(dim) { j =>
+          md.reset()
+          val h = java.lang.Long.parseLong(
+            hex(md.digest(s"${ck}_$j".getBytes("UTF-8"))).take(15), 16)
+          (h % 1000L) / 999.0
+        }
+        (r.id, emb)
+      }
+    }.toDF("id", "embedding")
+  }
+
   /** Frame-sample stub: pick every `stride`-th byte as a "frame"
     * token — exercises the explode-to-frames shape (one row per
     * sampled frame) used for video. */
