@@ -16,6 +16,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // runtime (AQE) broadcast decisions use MEASURED stage sizes, so
+      // raising this threshold is scale-safe: a pair-verification side
+      // that is 24 MB at sf0.1 broadcasts (skipping a multi-GB array
+      // shuffle), while the same plan at 100 TB sees a huge measured
+      // size and keeps the shuffle join. The STATIC threshold stays at
+      // its 10 MB default — estimates lie, measurements don't.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -502,6 +502,69 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
     }),
 
+    // ---- corpus ops: spans / keywords / quality / packing / shards ------
+    "q_dup_spans" -> ((s, dir) => {
+      // passage-level dedup: 10-word rolling spans shared by ≥2 docs
+      graft.dedup.SpanDedup.duplicatedSpans(t(s, dir, "documents"),
+        "doc_id", "text", window = 10)
+        .transform(graft.operators.Spread.smallSort(_, col("span_hash")))
+    }),
+
+    "q_tfidf" -> ((s, dir) => {
+      graft.functions.Keywords.tfidfTopK(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .transform(graft.operators.Spread.smallSort(_, col("doc_id"), col("rank")))
+    }),
+
+    "q_quality_filter" -> ((s, dir) => {
+      graft.functions.QualityFilter.qualityFilter(
+        t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
+    }),
+
+    "q_seq_pack" -> ((s, dir) => {
+      val docs = graft.operators.Spread.ensure(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")))
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("tokens_raw"))
+      graft.sample.Packing.packByBudget(docs, "doc_id", "lang", "tokens_raw",
+        budget = 2048)
+        .withColumnRenamed("id", "doc_id").withColumnRenamed("grp", "lang")
+        .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
+    }),
+
+    "q_shard_stats" -> ((s, dir) => {
+      // manifest the sharded trainer export writes (shard → row count)
+      graft.sinks.Sinks.shardAssignment(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", shards = 16)
+        .groupBy(col("shard_id")).agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("shard_id"))
+    }),
+
+    // ---- k-means over embeddings ----------------------------------------
+    "q_kmeans_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = graft.similarity.KMeans
+        .initCentroids(e, "vec_id", "embedding", k = 8)
+      graft.similarity.KMeans.assign(e, centroids, "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
+    "q_kmeans_update" -> ((s, dir) => {
+      // one Lloyd round in the long form (cluster, dim, mean) — the
+      // fixed-point quantization makes the reduction order-independent
+      val e = t(s, dir, "embeddings")
+      val centroids = graft.similarity.KMeans
+        .initCentroids(e, "vec_id", "embedding", k = 8)
+      graft.similarity.KMeans
+        .lloydMeansLong(e, centroids, "vec_id", "embedding")
+        .orderBy(col("cluster_id"), col("dim"))
+    }),
+
     // ---- similarity search ----------------------------------------------
     "q_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1083,6 +1146,99 @@ object SparkEntry {
          | round(n_hit::DOUBLE / n_grams, 6) AS contamination
          |FROM c WHERE n_hit > 0 ORDER BY doc_id""".stripMargin,
 
+    // mirrors SpanDedup.duplicatedSpans: 10-word rolling spans,
+    // hash64 over the space-joined window
+    "q_dup_spans" ->
+      s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
+         |sp AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 10 THEN
+         |    list_transform(range(1, len(w) - 8),
+         |      i -> ${Duck.hash64("array_to_string(w[i:i+9], ' ')")})
+         |    ELSE []::BIGINT[] END) AS span_hash FROM w)
+         |SELECT span_hash, count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS n_occurrences, min(doc_id) AS first_doc
+         |FROM sp GROUP BY span_hash
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY span_hash""".stripMargin,
+
+    // mirrors Keywords.tfidfTopK: smoothed tf-idf, top 3 per doc
+    "q_tfidf" ->
+      s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+         |pd AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df_docs FROM pd GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, pd.term, tf, df_docs,
+         |  round(tf * (ln((n.n + 1.0) / (df_docs + 1.0)) + 1.0), 6) AS score
+         |  FROM pd JOIN dfq ON pd.term = dfq.term CROSS JOIN n)
+         |SELECT doc_id, term, tf, df_docs, score, rank FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+         |  FROM sc) t
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // mirrors QualityFilter.qualityFilter: same rule order, same
+    // metric fragments as q_text_stats
+    "q_quality_filter" -> {
+      val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT doc_id, text, ${Duck.words("text")} AS w FROM documents),
+         |m AS (SELECT doc_id, len(w) AS token_count,
+         |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+         |    len(array_to_string(w, ''))::DOUBLE / len(w) END AS mwl,
+         |  CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         |    (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+         |    / len(text) END AS praw,
+         |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+         |    len(list_filter(w, x -> list_contains($stopList, x)))::DOUBLE
+         |    / len(w) END AS sraw
+         |  FROM w),
+         |r AS (SELECT *, CASE
+         |    WHEN token_count < 10 THEN 'too_short'
+         |    WHEN mwl < 2.0 OR mwl > 10.0 THEN 'word_len'
+         |    WHEN praw > 0.2 THEN 'punct'
+         |    WHEN sraw < 0.01 THEN 'stopword'
+         |    ELSE NULL END AS fail_reason FROM m)
+         |SELECT doc_id, token_count, round(mwl, 6) AS mean_word_len,
+         |  round(praw, 6) AS punct_ratio, round(sraw, 6) AS stopword_ratio,
+         |  fail_reason IS NULL AS keep, fail_reason
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    // mirrors Packing.packByBudget: cumulative token prefix // budget
+    "q_seq_pack" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  CAST(len(${Duck.words("text")}) AS BIGINT) AS tokens FROM documents),
+         |c AS (SELECT doc_id, lang, tokens,
+         |  sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT doc_id, lang, tokens,
+         |  CAST(floor((cum - tokens)::DOUBLE / 2048) AS BIGINT) AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // mirrors Sinks.shardAssignment (same hash the samplers use)
+    "q_shard_stats" ->
+      s"""SELECT ${Duck.hash64("CAST(doc_id AS VARCHAR)")} % 16 AS shard_id,
+         |  count(*) AS n_rows
+         |FROM documents GROUP BY 1 ORDER BY shard_id""".stripMargin,
+
+    // mirrors KMeans.initCentroids (k lowest vec_ids) + assign
+    "q_kmeans_assign" ->
+      s"""WITH ${Duck.kmeansAssignCtes(k = 8)}
+         |SELECT vec_id, cluster_id, score FROM a ORDER BY vec_id""".stripMargin,
+
+    // mirrors KMeans.lloydMeansLong: fixed-point 2^-20 quantized means
+    "q_kmeans_update" ->
+      s"""WITH ${Duck.kmeansAssignCtes(k = 8)},
+         |comp AS (SELECT a.cluster_id, g.i - 1 AS dim,
+         |    CAST(floor(p.v[g.i] * 1048576) AS BIGINT) AS q
+         |  FROM a JOIN p USING (vec_id)
+         |  CROSS JOIN generate_series(1, 64) g(i))
+         |SELECT cluster_id, dim, count(*) AS n,
+         |  round(sum(q)::DOUBLE / (count(*) * 1048576), 6) AS mean
+         |FROM comp GROUP BY cluster_id, dim
+         |ORDER BY cluster_id, dim""".stripMargin,
+
     "q_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),
@@ -1377,6 +1533,23 @@ object SparkEntry {
          |          SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id)
          |SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
          |ORDER BY id""".stripMargin
+
+    /** Spherical k-means assignment mirror of `KMeans.assign` with
+      * `KMeans.initCentroids` seeds (the k lowest vec_ids): CTEs
+      * ending in `a` = (vec_id, cluster_id, score) and `p` =
+      * (vec_id, v). */
+    def kmeansAssignCtes(k: Int): String =
+      s"""c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+         |    embedding::DOUBLE[] AS centroid
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k)),
+         |p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT vec_id, cluster_id,
+         |  round(list_cosine_similarity(v, centroid), 6) AS score
+         |  FROM p CROSS JOIN c),
+         |a AS (SELECT vec_id, cluster_id, score FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY score DESC, cluster_id) AS rn
+         |  FROM sc) t WHERE rn = 1)""".stripMargin
 
     /** Random-hyperplane LSH-bucket KNN mirror of
       * `Similarity.lshBucketKnn` — identical md5-derived plane weights

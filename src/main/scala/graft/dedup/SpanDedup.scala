@@ -1,0 +1,82 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.Spread
+
+/** Duplicate-passage mining: find word spans (rolling windows of
+  * `window` consecutive word tokens) that occur in two or more
+  * documents — the substring-level complement of the document-level
+  * dedup family (cf. "Deduplicating Training Data Makes Language
+  * Models Better", Lee et al. 2022, which removes repeated ≥50-token
+  * substrings; suffix arrays don't distribute, rolling span hashes
+  * do).
+  *
+  * Scale design: one pass computes every span hash per document (the
+  * span count is |words| − window + 1, i.e. output is O(corpus
+  * tokens)), then a single groupBy on the 60-bit span hash — shuffle
+  * keyed on the hash, uniformly distributed by construction, with
+  * map-side partial aggregation. No joins, no quadratic candidate
+  * step: a span shared by d documents costs d rows in one reducer.
+  * At 100 TB the only knob that matters is the shuffle partition
+  * count on the span-hash exchange.
+  */
+object SpanDedup {
+
+  /** Per-document span hashes: (id, span_hash) rows, one per window
+    * position. Documents shorter than `window` words emit no spans.
+    * The hash is `TextFunctions.hash64` (md5-derived 60-bit) over the
+    * space-joined window, so a DuckDB oracle reproduces it exactly. */
+  def spanHashes(df: DataFrame, idCol: String, textCol: String,
+                 window: Int): DataFrame = {
+    // words materialized before the span lambda (lambda-cost rule:
+    // captured expressions re-evaluate per element); the per-element
+    // slice+concat+md5 is inherent work, not re-evaluation.
+    val base = Spread.ensure(df.select(col(idCol).as("id"),
+        col(textCol).as("txt")))
+      .select(col("id"), words(col("txt")).as("w"))
+    val spans = base.select(col("id"),
+      when(size(col("w")) >= window,
+        transform(sequence(lit(1), size(col("w")) - window + 1),
+          i => hash64(concat_ws(" ", slice(col("w"), i, lit(window))))))
+        .otherwise(array().cast("array<bigint>")).as("spans"))
+    // explode_outer, not explode: InferFiltersFromGenerate inlines the
+    // full generator expression into a synthesized filter for plain
+    // explode (measured blowup — see Decontaminate); outer generators
+    // are skipped by the rule, and the null rows from empty arrays are
+    // dropped right here.
+    spans.select(col("id"), explode_outer(col("spans")).as("span_hash"))
+      .where(col("span_hash").isNotNull)
+  }
+
+  /** Spans appearing in ≥ `minDocs` distinct documents:
+    * (span_hash, n_docs, n_occurrences, first_doc). `n_occurrences`
+    * counts every window position, so within-document repetition is
+    * visible too. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      window: Int, minDocs: Int = 2): DataFrame =
+    spanHashes(df, idCol, textCol, window)
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("id")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+
+  /** Documents containing any duplicated span (candidates for
+    * passage-level cleaning): left-semi join against the duplicated
+    * span set — distributes as two hash shuffles on span_hash/id. */
+  def docsWithDuplicatedSpans(df: DataFrame, idCol: String,
+                              textCol: String, window: Int): DataFrame = {
+    // persisted: the span-hash pass feeds both the dup aggregation and
+    // the semi join — without the barrier the tokenize+hash subtree
+    // executes twice
+    val spans = spanHashes(df, idCol, textCol, window).persist()
+    val dup = spans.groupBy(col("span_hash"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= 2).select(col("span_hash"))
+    spans.join(dup, Seq("span_hash"), "left_semi")
+      .select(col("id")).distinct()
+  }
+}

@@ -1,0 +1,108 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Spread
+
+/** Distributed spherical k-means over an embedding column (cosine
+  * assignment — the metric the rest of the similarity stack uses, and
+  * the one whose fused kernel is already a codegen'd expression).
+  *
+  * Scale design, per Lloyd round:
+  *  - ASSIGN: corpus × broadcast(centroids) — k rows broadcast, no
+  *    shuffle of the corpus; argmax per point via a window over k rows
+  *    (bounded by k, never by corpus size).
+  *  - UPDATE: posexplode each assigned vector to (cluster, dim,
+  *    component) and groupBy (cluster, dim) — shuffle key cardinality
+  *    k×dims, map-side partial aggregation does almost all the work;
+  *    the new centroids (k×dims rows) collapse back to arrays with a
+  *    bounded collect_list.
+  * Initialization is deterministic (the k lowest-id vectors), so runs
+  * reproduce across engines and retries — at 100 TB swap in k-means‖
+  * sampling, which is also a bounded broadcast.
+  */
+object KMeans {
+
+  /** Deterministic seed centroids: the k lowest-`idCol` vectors,
+    * cluster_id = 0..k-1 in that id order. */
+  def initCentroids(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val w = Window.orderBy(col("cid_src"))
+    // TakeOrdered-style: k tiny rows; the global window runs on ≤ k
+    // rows after the limit pushes down
+    df.select(col(idCol).as("cid_src"),
+        col(vecCol).cast("array<double>").as("centroid"))
+      .orderBy(col("cid_src")).limit(k)
+      .withColumn("cluster_id", row_number().over(w) - 1)
+      .select(col("cluster_id"), col("centroid"))
+  }
+
+  /** Assign every point to its max-cosine centroid:
+    * (id, cluster_id, score). Ties break to the lowest cluster_id. */
+  def assign(points: DataFrame, centroids: DataFrame, idCol: String,
+             vecCol: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(points.sparkSession)
+    val p = Spread.ensure(points.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")))
+    val scored = p.join(broadcast(centroids))
+      .select(col("id"), col("cluster_id"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("v"), col("centroid")), 6).as("score"))
+    val best = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("cluster_id"))
+    scored.withColumn("rn", row_number().over(best))
+      .where(col("rn") === 1).drop("rn")
+  }
+
+  /** One Lloyd update: mean vector of each cluster's members, as
+    * (cluster_id, dim, mean) rows — the distributed-friendly long
+    * form (shuffle key (cluster, dim), partial agg map-side).
+    *
+    * Components are quantized to 2^-20 fixed-point BEFORE summing:
+    * integer sums are exact and order-independent, so the result is
+    * bit-stable under any partial-aggregation schedule (a raw double
+    * sum is not) and reproducible in any oracle engine. */
+  def lloydMeansLong(points: DataFrame, centroids: DataFrame, idCol: String,
+                     vecCol: String, scaleBits: Int = 20): DataFrame = {
+    val scale = 1L << scaleBits
+    val assigned = assign(points, centroids, idCol, vecCol)
+    val p = points.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    assigned.join(p, Seq("id"))
+      .select(col("cluster_id"), posexplode(col("v")))
+      .select(col("cluster_id"), col("pos").as("dim"),
+        floor(col("col") * scale).cast("long").as("q"))
+      .groupBy(col("cluster_id"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"))
+      .select(col("cluster_id"), col("dim"), col("n"),
+        round(col("qsum").cast("double") / (col("n") * scale), 6)
+          .as("mean"))
+  }
+
+  /** Collapse lloydMeansLong back to centroid arrays for the next
+    * round. */
+  private def meansToCentroids(means: DataFrame): DataFrame =
+    means.groupBy(col("cluster_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
+        .as("dm"))
+      .select(col("cluster_id"),
+        expr("transform(dm, x -> x.mean)").as("centroid"))
+
+  /** Full fit: `iters` Lloyd rounds from the deterministic seed.
+    * Returns the final (cluster_id, centroid). Each round's centroid
+    * set is k×dims values — driver-bounded, safe to keep unpersisted
+    * because the next round's broadcast materializes it once. */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+          iters: Int): DataFrame = {
+    var centroids = initCentroids(df, idCol, vecCol, k)
+    for (_ <- 0 until iters) {
+      // localCheckpoint: k tiny rows, truncates the per-round lineage
+      // so plan depth doesn't grow with iterations
+      centroids = meansToCentroids(
+        lloydMeansLong(df, centroids, idCol, vecCol)).localCheckpoint()
+    }
+    centroids
+  }
+}

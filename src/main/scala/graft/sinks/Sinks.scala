@@ -100,6 +100,34 @@ object Sinks {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
   }
 
+  /** Training-data shard export: assign every row a deterministic
+    * shard via the md5-derived 60-bit hash of its id (same
+    * `TextFunctions.hash64` contract the samplers use, so shard
+    * membership reproduces in any engine), repartition BY that shard
+    * column so each shard's rows land in exactly one task, and write
+    * partitioned by shard. A trainer reads `shard_id=K/` directories
+    * independently; re-running the export moves no row between shards.
+    * Returns the per-shard row counts (the manifest a loader checks). */
+  /** Deterministic shard assignment (pure): md5-derived 60-bit hash of
+    * the id modulo `shards` — reproducible in any engine. */
+  def shardAssignment(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    import graft.functions.TextFunctions.hash64
+    df.withColumn("shard_id",
+      pmod(hash64(col(idCol).cast("string")), lit(shards)))
+  }
+
+  def shardedExport(df: DataFrame, idCol: String, path: String,
+                    shards: Int): DataFrame = {
+    val sharded = shardAssignment(df, idCol, shards)
+    sharded.repartition(shards, col("shard_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard_id").parquet(path)
+    val manifest = sharded.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(path.stripSuffix("/") + "__manifest")
+    manifest
+  }
+
   /** K7: JDBC append (run-log rows to an audit database). */
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  props: java.util.Properties = new java.util.Properties): Unit =

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.similarity.KMeans
+
+class KMeansSpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("initCentroids is the k lowest ids with dense 0-based labels") {
+    val c = KMeans.initCentroids(emb, "vec_id", "embedding", k = 4)
+      .orderBy(col("cluster_id")).collect()
+    assert(c.map(_.getAs[Int]("cluster_id")).toSeq == Seq(0, 1, 2, 3))
+    assert(c.forall(_.getAs[Seq[Double]]("centroid").nonEmpty))
+  }
+
+  test("assign gives every point exactly one cluster, seeds map to themselves") {
+    val c = KMeans.initCentroids(emb, "vec_id", "embedding", k = 4)
+    val a = KMeans.assign(emb, c, "vec_id", "embedding")
+    assert(a.count() === emb.count())
+    assert(a.groupBy(col("id")).count().where(col("count") > 1).count() === 0L)
+    // a seed vector has cosine 1.0 with its own centroid
+    val seedIds = emb.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val selfScores = a.where(col("id").isin(seedIds.toSeq: _*))
+      .select(col("score")).collect().map(_.getDouble(0))
+    assert(selfScores.forall(_ == 1.0))
+  }
+
+  test("fit runs Lloyd rounds and returns k centroids of input dim") {
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val c = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect()
+    assert(c.length === 4)
+    assert(c.forall(_.getAs[Seq[Double]]("centroid").length == dim))
+  }
+
+  test("lloyd update means stay within the data's component range") {
+    val c = KMeans.initCentroids(emb, "vec_id", "embedding", k = 4)
+    val m = KMeans.lloydMeansLong(emb, c, "vec_id", "embedding")
+    val bad = m.where(col("mean") < -1.5 || col("mean") > 1.5).count()
+    assert(bad === 0L)
+    // every (cluster, dim) cell appears at most once
+    assert(m.groupBy(col("cluster_id"), col("dim")).count()
+      .where(col("count") > 1).count() === 0L)
+  }
+}
