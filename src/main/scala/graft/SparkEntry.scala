@@ -92,6 +92,23 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    "q_cms_topk" -> ((s, dir) => {
+      // count-min heavy hitters over document words; candidates = the
+      // distinct words themselves (at corpus scale: a sampled/streamed
+      // candidate set). orderBy+limit plans as TakeOrderedAndProject —
+      // no range-sampler re-execution.
+      val items = graft.operators.Spread.ensure(
+          t(s, dir, "documents").select(col("text")))
+        .select(TextFunctions.words(col("text")).as("w"))
+        .select(explode_outer(col("w")).as("x"))
+        .where(col("x").isNotNull)
+        .persist() // consumed twice: sketch cells + candidate set
+      graft.sketch.Sketches.countMinEstimates(items, "x", items, "x",
+        depth = 4, width = 1024)
+        .orderBy(col("est_count").desc, col("item"))
+        .limit(20)
+    }),
+
     "q_na_fill" -> ((s, dir) => {
       // P9: defaults for the unmatched side of a left join
       val customer = t(s, dir, "customer")
@@ -867,6 +884,23 @@ object SparkEntry {
          |SELECT key, round(CASE WHEN n < 64 THEN n::DOUBLE
          |  ELSE 63 / (hk / 1152921504606846976.0) END, 4) AS est_distinct
          |FROM s ORDER BY key""".stripMargin,
+
+    // mirrors Sketches.countMinEstimates: depth=4 salted md5 rows ×
+    // width=1024 buckets, est = min over rows of bucket totals
+    "q_cms_topk" ->
+      s"""WITH w AS (SELECT unnest(${Duck.words("text")}) AS x FROM documents),
+         |ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+         |cells AS (SELECT d,
+         |    ${Duck.hash64("CAST(d AS VARCHAR) || '#' || x")} % 1024 AS b,
+         |    count(*) AS c
+         |  FROM w CROSS JOIN ds GROUP BY d, b),
+         |cand AS (SELECT DISTINCT x FROM w),
+         |cb AS (SELECT x AS item, d,
+         |    ${Duck.hash64("CAST(d AS VARCHAR) || '#' || x")} % 1024 AS b
+         |  FROM cand CROSS JOIN ds)
+         |SELECT item, min(c) AS est_count
+         |FROM cb JOIN cells USING (d, b)
+         |GROUP BY item ORDER BY est_count DESC, item LIMIT 20""".stripMargin,
 
     "q_join_inner" ->
       """SELECT n_name,

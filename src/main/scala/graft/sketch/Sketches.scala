@@ -47,4 +47,39 @@ object Sketches {
           .otherwise(lit(k - 1) / (col("hk") / lit(twoPow60))), 4)
           .as("est_distinct"))
   }
+
+  /** Count-min sketch heavy-hitter estimates: `depth` independent
+    * md5-derived hash rows × `width` buckets; est(x) = min over rows
+    * of its bucket total. Estimates only ever OVERCOUNT (collisions
+    * add), so ranking by estimate never drops a true heavy hitter
+    * whose frequency exceeds the collision noise.
+    *
+    * Distributed shape: the sketch is a (depth×width)-cell table
+    * built by ONE groupBy over (row, bucket) — fixed-size state, fully
+    * mergeable across scans/streams by cell-wise addition, the
+    * classic bounded-memory answer to "top terms over 100 TB". The
+    * candidate estimates then come from an equi-join of candidates ×
+    * cells on the bucket key. Hashing is `TextFunctions.hash64` with
+    * per-row salts, so any engine reproduces the exact same cells. */
+  def countMinEstimates(items: DataFrame, itemCol: String,
+                        candidates: DataFrame, candCol: String,
+                        depth: Int = 4, width: Int = 1024): DataFrame = {
+    // (row d, bucket) totals: one explode to depth rows per item —
+    // output cardinality depth × width regardless of input size
+    val rows = (0 until depth).map(lit(_))
+    val cells = items.select(col(itemCol).as("x"))
+      .select(explode(array(rows: _*)).as("d"), col("x"))
+      .select(col("d"),
+        pmod(TextFunctions.hash64(concat_ws("#", col("d"), col("x"))),
+          lit(width)).as("b"))
+      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+    val cand = candidates.select(col(candCol).as("item")).distinct()
+      .select(col("item"), explode(array(rows: _*)).as("d"))
+      .select(col("item"), col("d"),
+        pmod(TextFunctions.hash64(concat_ws("#", col("d"), col("item"))),
+          lit(width)).as("b"))
+    cand.join(cells, Seq("d", "b"))
+      .groupBy(col("item"))
+      .agg(min(col("c")).as("est_count"))
+  }
 }

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Guards the q_multimodal / q_media_knn oracle contract: those
+  * oracles compare Spark's UTF-8 BYTE semantics (substring → binary
+  * cast) against DuckDB's CHARACTER semantics (len/ascii), which
+  * agree only while the first 64 chars of every document are ASCII.
+  * If a fixture regeneration ever breaks that, this spec fails with a
+  * readable message instead of the driver reporting an opaque hash
+  * mismatch. */
+class MultimodalContractSpec extends SparkSpec {
+
+  test("documents fixture is ASCII in the first 64 chars (oracle byte/char parity)") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val nonAscii = docs
+      .where(length(substring(col("text"), 1, 64)) =!=
+        octet_length(substring(col("text"), 1, 64).cast("binary")))
+      .count()
+    assert(nonAscii === 0L,
+      "non-ASCII text in first 64 chars — q_multimodal/q_media_knn " +
+        "oracles need encode() on both sides before this fixture works")
+  }
+
+  test("extractFeatures byte length equals char length under the contract") {
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(
+      spark, graft.Tables(spark, sf, "documents"), takeBytes = 64)
+    val feats = graft.multimodal.Multimodal.extractFeatures(media).toDF()
+    val joined = feats.join(
+      graft.Tables(spark, sf, "documents")
+        .select(col("doc_id").as("id"),
+          length(substring(col("text"), 1, 64)).as("n_chars64")),
+      Seq("id"))
+    assert(joined.where(col("n_bytes") =!= col("n_chars64")).count() === 0L)
+  }
+}

@@ -20,6 +20,25 @@ class SketchesSpec extends SparkSpec {
       s"estimate ${out("big")} too far from 5000")
   }
 
+  test("count-min estimates only ever overcount, exactly at large width") {
+    // skewed stream: "hot" 500×, "warm" 50×, 200 singletons
+    val items = (Seq.fill(500)("hot") ++ Seq.fill(50)("warm") ++
+      (1 to 200).map(i => s"cold$i")).toDF("x")
+    val exact = Map("hot" -> 500L, "warm" -> 50L)
+    // tight width → collisions allowed, but never undercount
+    val small = Sketches.countMinEstimates(items, "x", items, "x",
+      depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) => assert(small(k) >= n, s"$k undercounted") }
+    assert(small.size === 202)
+    // wide sketch → no collisions among 202 items is overwhelmingly
+    // likely per-row, and min-over-4-rows needs ALL rows to collide
+    val wide = Sketches.countMinEstimates(items, "x", items, "x",
+      depth = 4, width = 1 << 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) => assert(wide(k) === n) }
+  }
+
   test("kmv is deterministic across runs and partitionings") {
     val df = (1 to 2000).map(i => ("k", s"v$i")).toDF("k", "v")
     val a = Sketches.kmvDistinctByKey(df, "k", "v", 32).collect().head.getDouble(1)
