@@ -109,6 +109,57 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q_scd2" -> ((s, dir) => {
+      // SCD Type-2 dimension history: fixture derives existing
+      // current+closed rows and a changed/unchanged/new delta from
+      // customer, so the oracle can rebuild the identical inputs
+      val c = t(s, dir, "customer")
+      val cur = c.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"),
+        lit("2020-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"))
+      val hist = c.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("_old")).as("segment"),
+          lit("2019-01-01").as("valid_from"),
+          lit("2020-01-01").as("valid_to"),
+          lit(false).as("is_current"))
+      val incoming = c
+        .where(col("c_custkey") % 3 === 0 || col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0,
+            concat(col("c_mktsegment"), lit("_v2")))
+            .otherwise(col("c_mktsegment")).as("segment"))
+        .unionByName(c.where(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            col("c_mktsegment").as("segment")))
+      graft.operators.Scd2.merge(cur.unionByName(hist), incoming,
+        Seq("c_custkey"), Seq("segment"), effective = "2021-06-01")
+        .transform(graft.operators.Spread.smallSort(_,
+          col("c_custkey"), col("valid_from")))
+    }),
+
+    "q_snapshot_diff" -> ((s, dir) => {
+      // CDC between two snapshots derived from orders: %17 deleted,
+      // %5 status-changed, %7 priority-changed, +10M keys inserted
+      val o = t(s, dir, "orders")
+      val before = o.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      val after = o.where(col("o_orderkey") % 17 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 7 === 0, lit("0-RUSH"))
+            .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+        .unionByName(o.where(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+            col("o_orderstatus"), col("o_orderpriority")))
+      graft.operators.SnapshotDiff.diff(before, after,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_orderpriority"))
+        .transform(graft.operators.Spread.smallSort(_, col("o_orderkey")))
+    }),
+
     "q_na_fill" -> ((s, dir) => {
       // P9: defaults for the unmatched side of a left join
       val customer = t(s, dir, "customer")
@@ -901,6 +952,65 @@ object SparkEntry {
          |SELECT item, min(c) AS est_count
          |FROM cb JOIN cells USING (d, b)
          |GROUP BY item ORDER BY est_count DESC, item LIMIT 20""".stripMargin,
+
+    // mirrors Scd2.merge over the customer-derived fixture: full-outer
+    // current × delta, changed keys close + reopen, history passthrough
+    "q_scd2" ->
+      """WITH cur AS (SELECT c_custkey, c_mktsegment AS segment,
+        |    '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+        |    true AS is_current FROM customer),
+        |hist AS (SELECT c_custkey, c_mktsegment || '_old' AS segment,
+        |    '2019-01-01' AS valid_from, '2020-01-01' AS valid_to,
+        |    false AS is_current FROM customer WHERE c_custkey % 10 = 0),
+        |inc AS (SELECT c_custkey, CASE WHEN c_custkey % 3 = 0
+        |      THEN c_mktsegment || '_v2' ELSE c_mktsegment END AS segment
+        |    FROM customer WHERE c_custkey % 3 = 0 OR c_custkey % 7 = 0
+        |  UNION ALL SELECT c_custkey + 1000000, c_mktsegment
+        |    FROM customer WHERE c_custkey % 13 = 0),
+        |j AS (SELECT cur.c_custkey AS ck, cur.segment AS cs,
+        |    cur.valid_from AS vf, inc.c_custkey AS ik, inc.segment AS inc_s
+        |  FROM cur FULL OUTER JOIN inc ON cur.c_custkey = inc.c_custkey),
+        |merged AS (
+        |  SELECT ck AS c_custkey, cs AS segment, vf AS valid_from,
+        |      CAST(NULL AS VARCHAR) AS valid_to, true AS is_current
+        |    FROM j WHERE ik IS NULL OR cs IS NOT DISTINCT FROM inc_s
+        |  UNION ALL
+        |  SELECT ck, cs, vf, '2021-06-01', false FROM j
+        |    WHERE ck IS NOT NULL AND ik IS NOT NULL
+        |      AND cs IS DISTINCT FROM inc_s
+        |  UNION ALL
+        |  SELECT ik, inc_s, '2021-06-01', CAST(NULL AS VARCHAR), true
+        |    FROM j WHERE ik IS NOT NULL
+        |      AND (ck IS NULL OR cs IS DISTINCT FROM inc_s))
+        |SELECT c_custkey, segment, valid_from, valid_to, is_current
+        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM merged)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // mirrors SnapshotDiff.diff over the orders-derived snapshots
+    "q_snapshot_diff" ->
+      """WITH b AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |    FROM orders),
+        |a AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN '0-RUSH'
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |    FROM orders WHERE o_orderkey % 17 <> 0
+        |  UNION ALL SELECT o_orderkey + 10000000, o_orderstatus,
+        |    o_orderpriority FROM orders WHERE o_orderkey % 11 = 0),
+        |j AS (SELECT b.o_orderkey AS bk, b.o_orderstatus AS bs,
+        |    b.o_orderpriority AS bp, a.o_orderkey AS ak,
+        |    a.o_orderstatus AS as_, a.o_orderpriority AS ap
+        |  FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+        |SELECT coalesce(bk, ak) AS o_orderkey,
+        |  CASE WHEN ak IS NULL THEN 'D' WHEN bk IS NULL THEN 'I'
+        |    ELSE 'U' END AS op,
+        |  bs AS old_o_orderstatus, as_ AS new_o_orderstatus,
+        |  bp AS old_o_orderpriority, ap AS new_o_orderpriority
+        |FROM j
+        |WHERE ak IS NULL OR bk IS NULL
+        |  OR bs IS DISTINCT FROM as_ OR bp IS DISTINCT FROM ap
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_join_inner" ->
       """SELECT n_name,
