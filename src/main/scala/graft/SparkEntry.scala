@@ -160,6 +160,32 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("o_orderkey")))
     }),
 
+    "q_pivot" -> ((s, dir) => {
+      // long → wide with an explicit value list (no driver-side
+      // distinct job); decimal-sum + final double per oracle contract
+      graft.operators.Reshape.pivotSum(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_linestatus", Seq("O", "F"),
+        col("l_quantity").cast("decimal(18,2)"), prefix = "qty")
+        .select(col("l_returnflag"),
+          col("qty_O").cast("double").as("qty_O"),
+          col("qty_F").cast("double").as("qty_F"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_unpivot" -> ((s, dir) => {
+      // wide → long roundtrip of q_pivot; absent (flag,status) combos
+      // surface as NULL sums exactly as the mirrored SQL emits them
+      val wide = graft.operators.Reshape.pivotSum(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_linestatus", Seq("O", "F"),
+        col("l_quantity").cast("decimal(18,2)"), prefix = "qty")
+      graft.operators.Reshape.unpivot(wide, Seq("l_returnflag"),
+        Seq("qty_O", "qty_F"), "l_linestatus", "sum_qty")
+        .select(col("l_returnflag"),
+          regexp_replace(col("l_linestatus"), "^qty_", "").as("l_linestatus"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     "q_na_fill" -> ((s, dir) => {
       // P9: defaults for the unmatched side of a left join
       val customer = t(s, dir, "customer")
@@ -1011,6 +1037,32 @@ object SparkEntry {
         |WHERE ak IS NULL OR bk IS NULL
         |  OR bs IS DISTINCT FROM as_ OR bp IS DISTINCT FROM ap
         |ORDER BY o_orderkey""".stripMargin,
+
+    // mirrors Reshape.pivotSum: conditional aggregation spread
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN l_linestatus = 'O'
+        |   THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+        | CAST(sum(CASE WHEN l_linestatus = 'F'
+        |   THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Reshape.unpivot over the pivoted frame (absent combos
+    // stay as NULL rows, matching Spark's Expand output)
+    "q_unpivot" ->
+      """WITH p AS (SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_o,
+        |  sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_f
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'O' AS l_linestatus,
+        |    CAST(qty_o AS DOUBLE) AS sum_qty FROM p
+        |UNION ALL
+        |SELECT l_returnflag, 'F' AS l_linestatus,
+        |    CAST(qty_f AS DOUBLE) AS sum_qty FROM p
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_join_inner" ->
       """SELECT n_name,
