@@ -596,6 +596,18 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
     }),
 
+    "q_bloom_decontam" -> ((s, dir) => {
+      // same fixture and exact result as q_decontam, through the
+      // bloom-prune + exact-verify path (large-benchmark scale shape)
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 50 === 0).select(col("text"))
+      graft.dedup.Decontaminate
+        .contaminationScoresBloom(docs, bench, "doc_id", "text", "text",
+          k = 5, fpp = 0.01)
+        .withColumnRenamed("id", "doc_id")
+        .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
+    }),
+
     // ---- corpus ops: spans / keywords / quality / packing / shards ------
     "q_dup_spans" -> ((s, dir) => {
       // passage-level dedup: 10-word rolling spans shared by ≥2 docs
@@ -1328,19 +1340,12 @@ object SparkEntry {
 
     // mirrors Decontaminate.contaminationScores: word 5-shingles,
     // hash64 grams, benchmark = every 50th doc
-    "q_decontam" ->
-      s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
-         |s AS (SELECT doc_id, ${Duck.shinglesK(5)} AS sh FROM w),
-         |gr AS (SELECT doc_id, ${Duck.hash64("u")} AS g
-         |       FROM (SELECT doc_id, unnest(sh) AS u FROM s)),
-         |bg AS (SELECT DISTINCT g FROM gr WHERE doc_id % 50 = 0),
-         |c AS (SELECT doc_id, count(*) AS n_grams,
-         |  CAST(sum(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END)
-         |       AS BIGINT) AS n_hit
-         |  FROM gr GROUP BY doc_id)
-         |SELECT doc_id, n_grams, n_hit,
-         | round(n_hit::DOUBLE / n_grams, 6) AS contamination
-         |FROM c WHERE n_hit > 0 ORDER BY doc_id""".stripMargin,
+    "q_decontam" -> decontamOracleSql,
+
+    // the bloom-prefiltered path is EXACT by construction (the bloom
+    // only prunes; the exact join rejects its false positives), so it
+    // shares q_decontam's oracle verbatim
+    "q_bloom_decontam" -> decontamOracleSql,
 
     // mirrors SpanDedup.duplicatedSpans: 10-word rolling spans,
     // hash64 over the space-joined window
@@ -1649,6 +1654,20 @@ object SparkEntry {
         |        ('noext', '', 2)) t(name, ext, sizeBytes)
         |ORDER BY name""".stripMargin
   )
+
+  private lazy val decontamOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
+       |s AS (SELECT doc_id, ${Duck.shinglesK(5)} AS sh FROM w),
+       |gr AS (SELECT doc_id, ${Duck.hash64("u")} AS g
+       |       FROM (SELECT doc_id, unnest(sh) AS u FROM s)),
+       |bg AS (SELECT DISTINCT g FROM gr WHERE doc_id % 50 = 0),
+       |c AS (SELECT doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_hit
+       |  FROM gr GROUP BY doc_id)
+       |SELECT doc_id, n_grams, n_hit,
+       | round(n_hit::DOUBLE / n_grams, 6) AS contamination
+       |FROM c WHERE n_hit > 0 ORDER BY doc_id""".stripMargin
 
   /** DuckDB SQL fragments mirroring TextFunctions 1:1 (the oracle side
     * of the md5-derived deterministic hashing contract). */

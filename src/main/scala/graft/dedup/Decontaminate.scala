@@ -69,6 +69,46 @@ object Decontaminate {
           .as("contamination"))
   }
 
+  /** `contaminationScores` for the case where the benchmark gram set
+    * is too LARGE to broadcast exactly (a full eval-suite union can
+    * reach hundreds of millions of grams). A Bloom filter of the
+    * benchmark grams is ~10 bits/gram at 1% fpp — broadcastable long
+    * after the exact set is not — and prunes corpus grams map-side, so
+    * only the candidates that might hit (true hits + fpp noise) enter
+    * the exact shuffle join. The corpus text itself still never
+    * shuffles. The RESULT IS EXACT for any fpp: the bloom only admits
+    * false positives, and the exact join then rejects them — fpp
+    * trades shuffle volume, not correctness (same oracle as
+    * `contaminationScores`).
+    *
+    * The probe is a Scala UDF over the broadcast sketch — Spark has
+    * no public might_contain expression — which breaks codegen for
+    * that one filter; the probe is a few xxhash evaluations per gram
+    * and buys the elimination of the corpus-side shuffle, which
+    * dominates at scale. */
+  def contaminationScoresBloom(docs: DataFrame, bench: DataFrame,
+                               idCol: String, textCol: String,
+                               benchTextCol: String, k: Int = 5,
+                               fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val bg = gramRows(bench.select(monotonically_increasing_id().as("bid"),
+      col(benchTextCol)), "bid", benchTextCol, k)
+      .select(col("g")).distinct().persist()
+    val nBench = math.max(bg.count(), 64L) // sizes the filter; one action
+    val filter = bg.stat.bloomFilter("g", nBench, fpp)
+    val bcast = spark.sparkContext.broadcast(filter)
+    val mightContain = udf((g: Long) => bcast.value.mightContainLong(g))
+    val dg = gramRows(docs, idCol, textCol, k).persist()
+    val hits = dg.where(mightContain(col("g")))
+      .join(bg, Seq("g"), "left_semi") // exact verify kills fpp noise
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
+    dg.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("id")) // inner: only contaminated docs survive
+      .select(col("id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6)
+          .as("contamination"))
+  }
+
   /** Pair-level attribution: which benchmark doc each training doc
     * overlaps, and by how many distinct grams. Returns
     * (id, bench_id, n_shared) with n_shared >= minShared. */

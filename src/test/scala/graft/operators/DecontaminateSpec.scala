@@ -18,6 +18,18 @@ class DecontaminateSpec extends SparkSpec {
     (3L, "completely unrelated text about spark shuffle partitions")
   ).toDF("doc_id", "text")
 
+  test("bloom-prefiltered scores equal the exact path at any fpp") {
+    val exact = Decontaminate
+      .contaminationScores(docs, bench, "doc_id", "text", "btext", k = 5)
+    // sloppy filter (high fpp) → more candidates shuffle, same answer
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloom = Decontaminate.contaminationScoresBloom(
+        docs, bench, "doc_id", "text", "btext", k = 5, fpp = fpp)
+      assert(bloom.exceptAll(exact).count() === 0, s"fpp=$fpp extra rows")
+      assert(exact.exceptAll(bloom).count() === 0, s"fpp=$fpp missing rows")
+    }
+  }
+
   test("contaminationScores flags the leak fully and the overlap partially") {
     val out = Decontaminate
       .contaminationScores(docs, bench, "doc_id", "text", "btext", k = 5)
