@@ -596,6 +596,18 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
     }),
 
+    "q_mixture" -> ((s, dir) => {
+      // downsample-only resampling to a target language mixture;
+      // 'zh' is deliberately absent from the spec → dropped
+      graft.sample.Sampling.mixtureResample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        targets = Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2),
+        salt = "mix")
+        .select(col("doc_id"), col("lang"))
+        .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
+    }),
+
     "q_bloom_decontam" -> ((s, dir) => {
       // same fixture and exact result as q_decontam, through the
       // bloom-prune + exact-verify path (large-benchmark scale shape)
@@ -1346,6 +1358,25 @@ object SparkEntry {
     // only prunes; the exact join rejects its false positives), so it
     // shares q_decontam's oracle verbatim
     "q_bloom_decontam" -> decontamOracleSql,
+
+    // mirrors Sampling.mixtureResample: N_out = min(n_g/p_g),
+    // threshold = floor(n_out*p_g/n_g*1e6), hash-bucket keep predicate
+    "q_mixture" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_g FROM documents
+         |    GROUP BY lang),
+         |r AS (SELECT lang, n_g, CASE lang WHEN 'en' THEN 0.4
+         |    WHEN 'de' THEN 0.2 WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.2
+         |    END AS p_g FROM c),
+         |r2 AS (SELECT lang, n_g, p_g FROM r WHERE p_g IS NOT NULL),
+         |m AS (SELECT min(n_g / p_g) AS n_out FROM r2),
+         |th AS (SELECT lang,
+         |    CAST(floor(n_out * p_g / n_g * 1000000) AS BIGINT)
+         |      AS keep_below FROM r2 CROSS JOIN m)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN th ON d.lang = th.lang
+         |WHERE ${Duck.hash64("CAST(doc_id AS VARCHAR) || 'mix'")} % 1000000
+         |  < keep_below
+         |ORDER BY doc_id""".stripMargin,
 
     // mirrors SpanDedup.duplicatedSpans: 10-word rolling spans,
     // hash64 over the space-joined window

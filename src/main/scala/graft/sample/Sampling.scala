@@ -48,6 +48,44 @@ object Sampling {
     df.where(bucket(col(idCol), salt) < thresh)
   }
 
+  /** Resample to TARGET OUTPUT PROPORTIONS by downsampling only:
+    * given desired mixture weights (e.g. en 0.4, de 0.2, …), compute
+    * the largest output size reachable without upsampling —
+    * N_out = min over groups of n_g / p_g — and keep each group at
+    * rate N_out·p_g / n_g. The binding (scarcest-relative-to-target)
+    * group is kept in full; overrepresented groups thin to match.
+    * Groups absent from `targets` are dropped (the mixture spec is
+    * the contract, as in `stratifiedSample`).
+    *
+    * Distributed shape: one tiny groupBy count (#groups rows), a
+    * 1-row global min, and a broadcast join of per-group thresholds
+    * back onto the scan — the data side stays a narrow filtered scan
+    * with no shuffle. Membership is the same deterministic
+    * hash-bucket predicate as `deterministicSample`, so the kept set
+    * is stable across partitionings, reruns, and engines. */
+  def mixtureResample(df: DataFrame, groupCol: String, idCol: String,
+                      targets: Map[String, Double],
+                      salt: String = ""): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(p => p > 0 && p <= 1),
+      "target proportions must be in (0,1]")
+    val targetExpr = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, p)) => when(col(groupCol) === k, lit(p)).otherwise(acc)
+    }
+    val rated = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+      .withColumn("p_g", targetExpr)
+      .where(col("p_g").isNotNull)
+    val nOut = rated.agg(min(col("n_g") / col("p_g")).as("n_out"))
+    // ((n_out * p_g) / n_g) * Buckets, floored — the oracle mirrors
+    // this exact operation order (IEEE doubles are order-sensitive)
+    val thresholds = rated.crossJoin(broadcast(nOut))
+      .select(col(groupCol),
+        floor(col("n_out") * col("p_g") / col("n_g") * lit(Buckets))
+          .cast("long").as("keep_below"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .where(bucket(col(idCol), salt) < col("keep_below"))
+      .drop("keep_below")
+  }
+
   /** Disjoint train/holdout split: rows route to exactly one side. */
   def split(df: DataFrame, idCol: String, holdoutFraction: Double,
             salt: String = ""): (DataFrame, DataFrame) = {

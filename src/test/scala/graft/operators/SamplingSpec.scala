@@ -44,4 +44,33 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(byLang("de") - 200) < 80)
     assert(!byLang.contains("zh"))
   }
+
+  test("mixtureResample hits target proportions, keeps binding group whole") {
+    // 800 en / 100 de / 100 fr, targets 50/25/25 → de,fr binding (400
+    // out max), en thins to ~200; "xx" absent from spec → dropped
+    val df = ((1 to 800).map(i => (s"e$i", "en")) ++
+      (1 to 100).map(i => (s"d$i", "de")) ++
+      (1 to 100).map(i => (s"f$i", "fr")) ++
+      (1 to 50).map(i => (s"x$i", "xx"))).toDF("id", "g")
+    val out = Sampling.mixtureResample(df, "g", "id",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("de") === 100L) // binding groups fully kept
+    assert(counts("fr") === 100L)
+    assert(!counts.contains("xx"))
+    // en keep-rate 200/800; hash-bucket variance at n=800 is a few %
+    assert(math.abs(counts("en") - 200L) < 40, s"en=${counts("en")}")
+  }
+
+  test("mixtureResample is stable under repartitioning") {
+    val df = (1 to 500).map(i => (s"i$i", if (i % 5 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val a = Sampling.mixtureResample(df, "g", "id",
+      Map("a" -> 0.5, "b" -> 0.5))
+    val b = Sampling.mixtureResample(df.repartition(17), "g", "id",
+      Map("a" -> 0.5, "b" -> 0.5))
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
 }
