@@ -683,6 +683,15 @@ object SparkEntry {
         .orderBy(col("cluster_id"), col("dim"))
     }),
 
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup: k-means clusters bound the pairwise-cosine stage;
+      // greedy lower-id keep-rule, one exemplar per epsilon-ball
+      graft.dedup.SemDedup.semDedupVerdicts(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, threshold = 0.4)
+        .withColumnRenamed("id", "vec_id")
+        .transform(graft.operators.Spread.smallSort(_, col("vec_id")))
+    }),
+
     // ---- similarity search ----------------------------------------------
     "q_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1470,6 +1479,21 @@ object SparkEntry {
          |  round(sum(q)::DOUBLE / (count(*) * 1048576), 6) AS mean
          |FROM comp GROUP BY cluster_id, dim
          |ORDER BY cluster_id, dim""".stripMargin,
+
+    // mirrors SemDedup.semDedupVerdicts: kmeans assignment, then a
+    // point is dropped iff a lower-id same-cluster point is within
+    // the cosine threshold
+    "q_semdedup" ->
+      s"""WITH ${Duck.kmeansAssignCtes(k = 8)},
+         |pairs AS (SELECT a2.vec_id AS id_b
+         |  FROM a a1 JOIN a a2 ON a1.cluster_id = a2.cluster_id
+         |    AND a1.vec_id < a2.vec_id
+         |  JOIN p p1 ON p1.vec_id = a1.vec_id
+         |  JOIN p p2 ON p2.vec_id = a2.vec_id
+         |  WHERE round(list_cosine_similarity(p1.v, p2.v), 6) >= 0.4)
+         |SELECT a.vec_id, a.cluster_id,
+         |  a.vec_id NOT IN (SELECT id_b FROM pairs) AS keep
+         |FROM a ORDER BY vec_id""".stripMargin,
 
     "q_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -1,0 +1,65 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.similarity.KMeans
+
+/** Semantic deduplication (SemDeDup-style): cluster the corpus by
+  * embedding with spherical k-means, then inside each cluster drop
+  * every point that has a semantic near-duplicate (cosine >=
+  * threshold) with a lower id — the minimum-id member of each
+  * duplicate neighborhood survives.
+  *
+  * Why clustering first matters at 100 TB: pairwise cosine over the
+  * corpus is O(n²); k-means restricts candidate pairs to points that
+  * already share a centroid, so the quadratic term is bounded by the
+  * largest cluster, and the cluster count is a tuning knob (SemDeDup
+  * uses ~100k clusters at web scale — here k is a parameter). The
+  * assignment pass is shuffle-free (centroids broadcast, k rows);
+  * only the within-cluster pair join shuffles, keyed by
+  * (cluster_id, salt) so a dominant cluster still fans out across
+  * the executors (see [[Dedup.embeddingNearDupPairs]]).
+  *
+  * The keep-rule is deterministic and engine-portable: a point is
+  * dropped iff some lower-id point in the same cluster is within the
+  * threshold. This is the greedy one-pass rule (not transitive
+  * closure): if a~b and b~c but a!~c, both b and c are dropped —
+  * each has a lower-id near-dup — which matches the reference
+  * SemDeDup behavior of keeping one exemplar per epsilon-ball, not
+  * one per connected component. For component semantics, feed the
+  * pairs into [[Dedup.duplicateClusters]] instead.
+  */
+object SemDedup {
+
+  /** Per-point verdict: (id, cluster_id, keep). `keep` is false iff
+    * a lower-id point in the same k-means cluster has cosine >=
+    * `threshold` with this point. Deterministic seeds
+    * ([[KMeans.initCentroids]]: the k lowest ids) keep runs and
+    * oracles reproducible. */
+  def semDedupVerdicts(points: DataFrame, idCol: String, vecCol: String,
+                       k: Int, threshold: Double): DataFrame = {
+    val centroids = KMeans.initCentroids(points, idCol, vecCol, k)
+    val assigned = KMeans.assign(points, centroids, idCol, vecCol)
+    val members = points
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .join(assigned.select(col("id"), col("cluster_id")), Seq("id"))
+    val pairs = Dedup.embeddingNearDupPairs(
+      members, "id", "v", "cluster_id", threshold)
+    // id_b of every surviving pair is dominated by a lower id; the
+    // dominated set is duplicate-count-sized, so broadcast the anti side
+    val dominated = pairs.select(col("id_b").as("id")).distinct()
+    assigned.select(col("id"), col("cluster_id"))
+      .join(broadcast(dominated.withColumn("__dom", lit(1))), Seq("id"), "left_outer")
+      .select(col("id"), col("cluster_id"), col("__dom").isNull.as("keep"))
+  }
+
+  /** The deduplicated corpus: rows of `points` whose id survives
+    * [[semDedupVerdicts]]. */
+  def semDedup(points: DataFrame, idCol: String, vecCol: String,
+               k: Int, threshold: Double): DataFrame = {
+    val keep = semDedupVerdicts(points, idCol, vecCol, k, threshold)
+      .where(col("keep")).select(col("id").as(idCol))
+    points.join(keep, Seq(idCol), "left_semi")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.SemDedup
+
+class SemDedupSpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("verdicts cover every point exactly once") {
+    val v = SemDedup.semDedupVerdicts(emb, "vec_id", "embedding",
+      k = 4, threshold = 0.4)
+    assert(v.count() === emb.count())
+    assert(v.groupBy(col("id")).count().where(col("count") > 1).count() === 0L)
+  }
+
+  test("a dropped point has a lower-id near-dup in its cluster; a kept one has none") {
+    val v = SemDedup.semDedupVerdicts(emb, "vec_id", "embedding",
+      k = 4, threshold = 0.4).persist()
+    val byCluster = v.alias("x")
+      .join(emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("ev")), Seq("id"))
+    // recompute the domination predicate independently (plain
+    // cross-pair check, no salting) and compare verdicts
+    graft.expressions.GraftFunctions.register(spark)
+    val dominated = byCluster.alias("a")
+      .join(byCluster.alias("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("b.id") < col("a.id") &&
+          round(call_function(graft.expressions.GraftFunctions.Cosine,
+            col("a.ev"), col("b.ev")), 6) >= 0.4)
+      .select(col("a.id")).distinct().collect().map(_.getLong(0)).toSet
+    val verdicts = v.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("keep")).toMap
+    verdicts.foreach { case (id, keep) =>
+      assert(keep === !dominated.contains(id),
+        s"id=$id keep=$keep dominated=${dominated.contains(id)}")
+    }
+    v.unpersist()
+  }
+
+  test("semDedup keeps exactly the keep=true rows, schema preserved") {
+    val kept = SemDedup.semDedup(emb, "vec_id", "embedding",
+      k = 4, threshold = 0.4)
+    val keepIds = SemDedup.semDedupVerdicts(emb, "vec_id", "embedding",
+      k = 4, threshold = 0.4)
+      .where(col("keep")).select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(kept.columns.toSeq === emb.columns.toSeq)
+    assert(kept.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      === keepIds)
+  }
+}
