@@ -534,6 +534,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_source_cap" -> ((s, dir) => {
+      // per-domain quota: ≤10 docs per source, hash-ordered pick
+      graft.sample.Sampling.capPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", cap = 10, salt = "cap1")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup suite (training-data ops) --------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1294,6 +1302,16 @@ object SparkEntry {
          |  CASE WHEN lang = 'en' THEN 500000
          |       WHEN lang = 'de' THEN 100000 ELSE -1 END
          |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Sampling.capPerGroup: hash-ordered row_number ≤ cap
+    "q_source_cap" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ${Duck.hash64("CAST(doc_id AS VARCHAR) || 'cap1'")}
+         |      % 1000000, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups

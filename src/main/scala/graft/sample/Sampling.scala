@@ -1,6 +1,7 @@
 package graft.sample
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -84,6 +85,27 @@ object Sampling {
     df.join(broadcast(thresholds), Seq(groupCol))
       .where(bucket(col(idCol), salt) < col("keep_below"))
       .drop("keep_below")
+  }
+
+  /** Per-group quota: keep at most `cap` rows of each group — the
+    * per-domain cap of web-corpus curation (no single site dominates
+    * the training mix). Rows are ranked by the deterministic id hash
+    * (id as tiebreak on bucket collisions), so the kept subset is an
+    * unbiased within-group sample — not a crawl-order prefix — and
+    * identical on any partitioning, rerun, or engine.
+    *
+    * Scale shape: `row_number() <= cap` is rewritten by Spark's
+    * InferWindowGroupLimit (3.5+) into a WindowGroupLimit that trims
+    * every map partition to `cap` rows per group BEFORE the shuffle —
+    * a hot domain ships O(cap × tasks) rows, not its full count.
+    * SamplingSpec asserts the rewrite is present in the plan. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  cap: Int, salt: String = ""): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(bucket(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap).drop("__rn")
   }
 
   /** Disjoint train/holdout split: rows route to exactly one side. */

@@ -73,4 +73,24 @@ class SamplingSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0)
     assert(b.exceptAll(a).count() === 0)
   }
+
+  test("capPerGroup caps every group, keeps small groups whole, is stable") {
+    val df = ((1 to 100).map(i => (s"a$i", "big")) ++
+      (1 to 3).map(i => (s"b$i", "small"))).toDF("id", "g")
+    val out = Sampling.capPerGroup(df, "g", "id", cap = 10)
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("big") === 10L)
+    assert(counts("small") === 3L)
+    val again = Sampling.capPerGroup(df.repartition(13), "g", "id", cap = 10)
+    assert(out.exceptAll(again).count() === 0)
+    assert(again.exceptAll(out).count() === 0)
+  }
+
+  test("capPerGroup plan uses map-side WindowGroupLimit (hot-group safety)") {
+    val df = (1 to 100).map(i => (s"a$i", "g" + (i % 3))).toDF("id", "g")
+    val plan = Sampling.capPerGroup(df, "g", "id", cap = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
 }
