@@ -255,6 +255,22 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_skew_join" -> ((s, dir) => {
+      // salted join: result must be indistinguishable from the plain
+      // join — verified here through a grouped aggregate
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"))
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.operators.SkewJoin
+        .saltedJoin(li, p, Seq("l_partkey"), "l_orderkey", salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast("double").as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
     "q_join_outer" -> ((s, dir) => {
       // Full outer reconciliation of two half-open views of orders — the
       // idiom behind the reference's re-listing merge (SURVEY J1).
@@ -1127,6 +1143,13 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    // the salt must be invisible: oracle is the PLAIN join
+    "q_skew_join" ->
+      """SELECT p_brand, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_join_outer" ->
       """SELECT COALESCE(lo.k, hi.k) AS k,

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys.
+  *
+  * A shuffle join sends every row of a key to ONE reducer; a hot key
+  * (the null-ish placeholder domain, the one giant customer, the
+  * empty-string language tag) turns that reducer into the stage's
+  * straggler no matter how many executors exist. Salting splits each
+  * hot key's rows across `salts` reducers: the big side gets a
+  * deterministic per-row salt in [0, salts), the small side is
+  * replicated once per salt value, and the join runs on
+  * (key, salt) — same result, `salts`-way parallel hot keys.
+  *
+  * When to reach for this instead of the built-ins:
+  *  - `broadcast(small)` is better when the small side fits in memory
+  *    — salting costs a `salts`× replication of the small side.
+  *  - AQE's skew-join (`spark.sql.adaptive.skewJoin.enabled`) splits
+  *    oversized SORT-MERGE partitions at runtime and should be left
+  *    on; but it only kicks in post-shuffle per-partition, cannot help
+  *    shuffle-hash joins, and re-plans reactively. Salting is the
+  *    static guarantee for a join you KNOW is skewed (and the form
+  *    that ports to any engine).
+  *
+  * Result-preserving for `inner` and `left_outer` (big side
+  * preserved): each big row carries exactly one salt and meets every
+  * key-match exactly once (the small side holds that key once per
+  * salt). Right/full outer would duplicate unmatched small rows
+  * across salts and are rejected.
+  */
+object SkewJoin {
+
+  /** Join `big` ⋈ `small` on `keys` with `salts`-way key splitting.
+    * The salt is a deterministic hash of the big row's key columns
+    * plus `idCol` (any column unique-ish per row — doc id, line
+    * number), so reruns and retries land rows on the same reducer. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 idCol: String, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(Seq("inner", "left_outer", "left").contains(joinType),
+      s"salting preserves only inner/left_outer semantics, got $joinType")
+    val saltExpr = pmod(
+      xxhash64((keys :+ idCol).map(col): _*), lit(salts))
+    val b = big.withColumn("__salt", saltExpr)
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
+    b.join(s, keys :+ "__salt", joinType).drop("__salt")
+  }
+}
