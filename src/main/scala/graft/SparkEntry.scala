@@ -255,6 +255,19 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_zorder" -> ((s, dir) => {
+      // Morton codes as a query: the same expression zorderWrite
+      // sorts by — a z-range predicate selects a 2-D region
+      val z = graft.operators.ZOrder
+        .interleave2(col("l_partkey"), col("l_suppkey"), bits = 10)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), z.as("z"))
+        .where(col("z") < 4096)
+        .transform(graft.operators.Spread.smallSort(_,
+          col("z"), col("l_orderkey"), col("l_linenumber")))
+    }),
+
     "q_skew_join" -> ((s, dir) => {
       // salted join: result must be indistinguishable from the plain
       // join — verified here through a grouped aggregate
@@ -1143,6 +1156,22 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    // mirrors ZOrder.interleave2 term-for-term (generated from the
+    // same loop shape; DuckDB has the same >> << & | semantics on
+    // non-negative BIGINTs)
+    "q_zorder" -> {
+      val x = "(l_partkey % 1024)"
+      val y = "(l_suppkey % 1024)"
+      val morton = (0 until 10).map(i =>
+        s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  ($morton) AS z
+         |FROM lineitem
+         |WHERE ($morton) < 4096
+         |ORDER BY z, l_orderkey, l_linenumber""".stripMargin
+    },
 
     // the salt must be invisible: oracle is the PLAIN join
     "q_skew_join" ->
