@@ -926,6 +926,19 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    "q_orc_scan" -> ((s, dir) => {
+      // ORC round-trip: land a lineitem slice in ORC, read it back;
+      // the result must equal the parquet original (oracle side)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      t(s, dir, "lineitem").where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_shipdate"))
+        .write.mode("overwrite").orc(tmp)
+      graft.sources.Sources.orcScan(s, tmp)
+        .withColumn("l_shipdate", col("l_shipdate").cast("timestamp_ntz"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ---- paginated source (SURVEY §2.1 S10) -----------------------------
     "q_paged_source" -> ((s, dir) => {
       // fixture-fed pagination: nation served as 3 JSON pages of ≤10
@@ -1771,6 +1784,12 @@ object SparkEntry {
     "q_csv_scan" ->
       """SELECT r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    // the ORC hop must be lossless: oracle reads the parquet original
+    "q_orc_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_file_listing" ->
       """SELECT name, ext, CAST(sizeBytes AS BIGINT) AS sizeBytes FROM (

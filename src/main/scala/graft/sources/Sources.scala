@@ -116,6 +116,18 @@ object Sources {
     schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
   }
 
+  /** Columnar-format interop: ORC scan with the same explicit-schema
+    * contract as `csvScan` (ORC self-describes, so the schema arg is
+    * a projection/validation hook, not an inference escape). ORC
+    * carries per-stripe min/max like parquet — predicate pushdown and
+    * partition pruning behave identically, so pipelines landing in
+    * either format share every downstream operator. */
+  def orcScan(spark: SparkSession, path: String,
+              schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).orc(path)
+  }
+
   /** S1: JDBC scan with pushdown subquery — the `(query) AS tab` idiom
     * keeps the predicate in the remote database. */
   def jdbcQuery(spark: SparkSession, url: String, query: String,
