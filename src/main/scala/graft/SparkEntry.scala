@@ -926,6 +926,25 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    "q_normalize" -> ((s, dir) => {
+      // unicode canonicalization ahead of dedup keys: inline fixture
+      // exercises composed/decomposed forms, case, diacritics,
+      // whitespace runs (documents.text is ASCII by contract)
+      import s.implicits._
+      graft.expressions.GraftFunctions.register(s)
+      Seq(
+        (1L, "  Crème  BRÛLÉE à la  Façon  "),
+        (2L, "creme brulee a la facon"),
+        (3L, "Grüner   VELTLINER\tvom  Türkenschanzpark"),
+        (4L, "Niño niño NIÑO"), // composed + combining-mark forms
+        (5L, "plain ascii text"),
+        (6L, "   ")).toDF("id", "txt")
+        .select(col("id"),
+          call_function(graft.expressions.GraftFunctions.Normalize,
+            col("txt")).as("norm"))
+        .orderBy(col("id"))
+    }),
+
     "q_orc_scan" -> ((s, dir) => {
       // ORC round-trip: land a lineitem slice in ORC, read it back;
       // the result must equal the parquet original (oracle side)
@@ -1784,6 +1803,21 @@ object SparkEntry {
     "q_csv_scan" ->
       """SELECT r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    // mirrors TextNormalize: nfc → lower → unaccent → collapse ws.
+    // chr(771) = combining tilde (decomposed form), chr(9) = tab
+    "q_normalize" ->
+      """SELECT id,
+        | trim(regexp_replace(strip_accents(lower(nfc_normalize(txt))),
+        |                     '\s+', ' ', 'g')) AS norm
+        |FROM (VALUES
+        |  (1, '  Crème  BRÛLÉE à la  Façon  '),
+        |  (2, 'creme brulee a la facon'),
+        |  (3, 'Grüner   VELTLINER' || chr(9) || 'vom  Türkenschanzpark'),
+        |  (4, 'Niño nin' || chr(771) || 'o NIÑO'),
+        |  (5, 'plain ascii text'),
+        |  (6, '   ')) t(id, txt)
+        |ORDER BY id""".stripMargin,
 
     // the ORC hop must be lossless: oracle reads the parquet original
     "q_orc_scan" ->

@@ -252,6 +252,7 @@ object GraftFunctions {
   val Cosine = "graft_cosine"
   val SimHash = "graft_simhash"
   val MinHashSig = "graft_minhash_sig"
+  val Normalize = "graft_text_normalize"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -264,5 +265,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(MinHashSig,
       exprs => MinHashSignatureFused(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction(Normalize,
+      exprs => TextNormalize(exprs.head), "scala_udf")
   }
 }

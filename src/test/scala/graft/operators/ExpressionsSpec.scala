@@ -96,4 +96,30 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
       .where(col("fast") =!= col("slow")).count()
     assert(mismatches === 0)
   }
+
+  test("text_normalize: case, diacritics, NFC/NFD forms, whitespace, nulls") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      ("  Cr\u00e8me  BR\u00dbL\u00c9E  ", "creme brulee"),
+      ("ni\u00f1o", "nino"),          // composed
+      ("nin\u0303o", "nino"),         // decomposed composes then strips
+      ("a\tb\n c", "a b c"),
+      ("", "")
+    ).toDF("txt", "want")
+    val bad = rows.select(
+        call_function(GraftFunctions.Normalize, col("txt")).as("got"),
+        col("want"))
+      .where(col("got") =!= col("want")).count()
+    assert(bad === 0)
+    // null-safe + idempotent
+    val n = Seq(Option.empty[String]).toDF("txt")
+      .select(call_function(GraftFunctions.Normalize, col("txt"))).first()
+    assert(n.isNullAt(0))
+    val once = rows.select(
+      call_function(GraftFunctions.Normalize, col("txt")).as("x"))
+    val twice = once.select(
+      call_function(GraftFunctions.Normalize, col("x")).as("x"))
+    assert(once.exceptAll(twice).count() === 0)
+  }
 }
