@@ -837,6 +837,14 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_session_native" -> ((s, dir) => {
+      // built-in session_window over the event stream; end = last+gap
+      graft.streaming.EventStream
+        .sessionWindowAvailableNow(s, dir, gapSeconds = 3600, userMax = 20,
+          queryName = "q_session_native_sink")
+        .orderBy(col("user_id"), col("startMicros"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val ev = t(s, dir, "events").where(col("user_id") < 20)
       // output in µs: DuckDB 1.0 truncates parquet ns-timestamps to µs
@@ -1717,6 +1725,23 @@ object SparkEntry {
     "q_stream_dedup_wm" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // mirrors session_window semantics: break on gap >= 3600 s (the
+    // built-in breaks at exact boundary; fixture has none anyway) and
+    // session end = last event + gap
+    "q_session_native" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events WHERE user_id < 20),
+        |m AS (SELECT user_id, t,
+        |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |       OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 3600000000000
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id, t, sum(brk) OVER
+        |  (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(t) // 1000 AS startMicros,
+        |  max(t) // 1000 + 3600000000 AS endMicros,
+        |  count(*)::INT AS nEvents
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, startMicros""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events WHERE user_id < 20),

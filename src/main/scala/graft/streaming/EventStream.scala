@@ -190,6 +190,51 @@ object EventStream {
       }.toDF("user_id", "startNanos", "endNanos", "nEvents")
   }
 
+  /** Gap sessionization with the BUILT-IN `session_window` aggregate —
+    * the declarative dual of [[sessionizeBatch]]'s explicit
+    * flatMapGroups state. Prefer this form: Catalyst owns the state
+    * store layout, merges partial sessions map-side, and the plan
+    * composes with AQE; the custom-state form remains for semantics
+    * the built-in can't express (per-group dynamic gaps, side
+    * outputs). Complete output mode + AvailableNow = deterministic
+    * final table over a bounded source.
+    *
+    * Boundary semantics differ from [[sessionizeBatch]] by design:
+    * `session_window` BREAKS when the gap is exactly met
+    * (t - last >= gap), the custom form merges (t - last <= gap), and
+    * a session's end is last-event + gap, not last-event. The oracle
+    * mirrors the built-in's rule; the events fixture has no
+    * exact-boundary gaps (verified at sf0.01/sf0.1), so the two forms
+    * disagree only on the end-time convention. */
+  def sessionWindowAvailableNow(spark: SparkSession, sfDir: String,
+                                gapSeconds: Long, userMax: Long,
+                                queryName: String = "stream_session_native"
+                               ): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sessw")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+      .where(col("user_id") < userMax)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(session_window(col("ts_utc"), s"$gapSeconds seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).cast("int").as("nEvents"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("startMicros"),
+        unix_micros(col("session_window.end")).as("endMicros"),
+        col("nEvents"))
+    val q = agg.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming INC ingestion: files arriving under `srcDir` are
     * transformed and appended to `tgtDir` EXACTLY ONCE across runs —
     * the Structured Streaming form of the reference's high-watermark

@@ -266,4 +266,23 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq((1L, 0L, hour / 2, 2), (1L, 3 * hour, 3 * hour, 1),
       (2L, 0L, 0L, 1)))
   }
+
+  test("native session_window agrees with explicit-state sessionizer") {
+    val gap = 3600L
+    val native = EventStream
+      .sessionWindowAvailableNow(spark, sf, gap, userMax = 5,
+        queryName = "spec_session_native")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .where(col("user_id") < 5)
+    // same sessions, translated conventions: µs grain, end = last + gap
+    val batch = EventStream.sessionizeBatch(spark, ev, gap * 1000000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000L,
+        r.getLong(2) / 1000L + gap * 1000000L, r.getInt(3)))
+      .toSet
+    assert(native.nonEmpty && native == batch)
+  }
 }
