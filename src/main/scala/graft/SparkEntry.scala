@@ -103,10 +103,14 @@ object SparkEntry {
         .select(explode_outer(col("w")).as("x"))
         .where(col("x").isNotNull)
         .persist() // consumed twice: sketch cells + candidate set
-      graft.sketch.Sketches.countMinEstimates(items, "x", items, "x",
+      val out = graft.sketch.Sketches.countMinEstimates(items, "x", items, "x",
         depth = 4, width = 1024)
         .orderBy(col("est_count").desc, col("item"))
         .limit(20)
+        .persist() // tiny (20 rows); lets the word cache release now
+      out.count()
+      items.unpersist(blocking = false)
+      out
     }),
 
     "q_scd2" -> ((s, dir) => {

@@ -102,11 +102,21 @@ object Decontaminate {
     val hits = dg.where(mightContain(col("g")))
       .join(bg, Seq("g"), "left_semi") // exact verify kills fpp noise
       .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
-    dg.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val out = dg.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
       .join(hits, Seq("id")) // inner: only contaminated docs survive
       .select(col("id"), col("n_grams"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_grams"), 6)
           .as("contamination"))
+      // Cache lifecycle: bg and dg are gram-scale (O(corpus tokens)) and
+      // must not outlive this call in a long session. Materialize the
+      // doc-scale result (contaminated docs only — orders of magnitude
+      // smaller), then release the gram caches eagerly. The returned
+      // frame stays cached; callers may unpersist() it when done.
+      .persist()
+    out.count()
+    bg.unpersist(blocking = false)
+    dg.unpersist(blocking = false)
+    out
   }
 
   /** Pair-level attribution: which benchmark doc each training doc

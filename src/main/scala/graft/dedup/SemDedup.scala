@@ -49,9 +49,10 @@ object SemDedup {
     // id_b of every surviving pair is dominated by a lower id; the
     // dominated set is duplicate-count-sized, so broadcast the anti side
     val dominated = pairs.select(col("id_b").as("id")).distinct()
+    val dom = graft.operators.Spread.freshCol(assigned, "__dom")
     assigned.select(col("id"), col("cluster_id"))
-      .join(broadcast(dominated.withColumn("__dom", lit(1))), Seq("id"), "left_outer")
-      .select(col("id"), col("cluster_id"), col("__dom").isNull.as("keep"))
+      .join(broadcast(dominated.withColumn(dom, lit(1))), Seq("id"), "left_outer")
+      .select(col("id"), col("cluster_id"), col(dom).isNull.as("keep"))
   }
 
   /** The deduplicated corpus: rows of `points` whose id survives

@@ -73,10 +73,18 @@ object SpanDedup {
     // the semi join — without the barrier the tokenize+hash subtree
     // executes twice
     val spans = spanHashes(df, idCol, textCol, window).persist()
-    val dup = spans.groupBy(col("span_hash"))
-      .agg(countDistinct(col("id")).as("n_docs"))
-      .where(col("n_docs") >= 2).select(col("span_hash"))
-    spans.join(dup, Seq("span_hash"), "left_semi")
+    val out = spans.join(
+        spans.groupBy(col("span_hash"))
+          .agg(countDistinct(col("id")).as("n_docs"))
+          .where(col("n_docs") >= 2).select(col("span_hash")),
+        Seq("span_hash"), "left_semi")
       .select(col("id")).distinct()
+      // materialize the doc-id-scale result, then release the
+      // token-scale span cache eagerly (it must not outlive the call);
+      // the returned small frame stays cached for the caller's actions
+      .persist()
+    out.count()
+    spans.unpersist(blocking = false)
+    out
   }
 }

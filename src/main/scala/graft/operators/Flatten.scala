@@ -110,9 +110,10 @@ object Flatten {
     } else {
       // arrays_zip pads shorter arrays with null — same row multiplicity
       // as the reference's id-join correlation, minus the join.
+      val zc = Spread.freshCol(df, "__z")
       val zipped = df.select(
-        others :+ explode_outer(arrays_zip(arrayCols.map(c => col(q(c))): _*)).as("__z"): _*)
-      zipped.select(others ++ arrayCols.map(a => col(s"__z.${q(a)}").as(a)): _*)
+        others :+ explode_outer(arrays_zip(arrayCols.map(c => col(q(c))): _*)).as(zc): _*)
+      zipped.select(others ++ arrayCols.map(a => col(s"$zc.${q(a)}").as(a)): _*)
     }
   }
 

@@ -31,7 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object Scd2 {
 
-  /** @param existing  history table: key ++ tracked ++ valid_from,
+  /** PRECONDITION: `incoming` holds AT MOST ONE row per business key
+    * (and `existing` at most one current row per key — the invariant
+    * this merge itself maintains). A duplicated incoming key fans out
+    * the full-outer join, emitting multiple closed/current versions
+    * for that key and breaking idempotency. The contract is NOT
+    * enforced here (it would cost an extra action per merge); callers
+    * with untrusted deltas should pre-collapse with
+    * `Windows.keepLatest` or fail fast via [[assertUniqueKeys]].
+    *
+    * @param existing  history table: key ++ tracked ++ valid_from,
     *                   valid_to, is_current
     * @param incoming  delta: key ++ tracked columns only
     * @param keys      business-key column names
@@ -82,5 +91,17 @@ object Scd2 {
     val merged = joined.select(explode_outer(rows).as("r"))
       .select(outCols.map(c0 => col(s"r.$c0").as(c0)): _*)
     hist.select(outCols.map(col): _*).unionByName(merged)
+  }
+
+  /** Fail-fast guard for [[merge]]'s unique-key precondition: throws
+    * with the duplicate count if any business key occurs more than
+    * once. One distributed aggregation, driver sees a single row —
+    * call it on untrusted deltas before merging. */
+  def assertUniqueKeys(df: DataFrame, keys: Seq[String]): Unit = {
+    val dups = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).where(col("n") > 1).count()
+    require(dups == 0,
+      s"Scd2.merge precondition violated: $dups business key(s) " +
+        s"(${keys.mkString(",")}) occur more than once in the input")
   }
 }

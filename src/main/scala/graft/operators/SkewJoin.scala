@@ -44,9 +44,12 @@ object SkewJoin {
       s"salting preserves only inner/left_outer semantics, got $joinType")
     val saltExpr = pmod(
       xxhash64((keys :+ idCol).map(col): _*), lit(salts))
-    val b = big.withColumn("__salt", saltExpr)
-    val s = small.withColumn("__salt",
+    // collision-safe working name: an input already carrying "__salt"
+    // must not be clobbered (Spread.freshCol)
+    val sc = Spread.freshCol(big, Spread.freshCol(small, "__salt"))
+    val b = big.withColumn(sc, saltExpr)
+    val s = small.withColumn(sc,
       explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
-    b.join(s, keys :+ "__salt", joinType).drop("__salt")
+    b.join(s, keys :+ sc, joinType).drop(sc)
   }
 }

@@ -28,4 +28,15 @@ object Spread {
     * tiny shuffle instead. Only for results that fit on one task. */
   def smallSort(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** A helper-column name guaranteed absent from `df`. Operators that
+    * add-then-drop working columns (`__salt`, `__rn`, …) would silently
+    * clobber a user column of the same name; appending underscores
+    * until the name is free makes the collision impossible while
+    * keeping plans readable in the common case. */
+  def freshCol(df: DataFrame, base: String): String = {
+    var n = base
+    while (df.columns.contains(n)) n += "_"
+    n
+  }
 }

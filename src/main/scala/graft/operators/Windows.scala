@@ -56,7 +56,8 @@ object Windows {
   def keepLatest(df: DataFrame, keys: Seq[Column], ts: Column, tieBreak: Column*): DataFrame = {
     val ord = (ts.desc +: tieBreak.map(_.desc))
     val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    val rn = Spread.freshCol(df, "__rn")
+    df.withColumn(rn, row_number().over(w)).where(col(rn) === 1).drop(rn)
   }
 
   /** The stale complement: rows keepLatest would delete (the reference
@@ -64,6 +65,7 @@ object Windows {
   def staleRows(df: DataFrame, keys: Seq[Column], ts: Column, tieBreak: Column*): DataFrame = {
     val ord = (ts.desc +: tieBreak.map(_.desc))
     val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") > 1).drop("__rn")
+    val rn = Spread.freshCol(df, "__rn")
+    df.withColumn(rn, row_number().over(w)).where(col(rn) > 1).drop(rn)
   }
 }

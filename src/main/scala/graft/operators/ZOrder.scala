@@ -46,10 +46,11 @@ object ZOrder {
     * `ZOrderSpec` measures. */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String, bits: Int,
                   numFiles: Int, path: String): Unit = {
-    df.withColumn("__z", interleave2(col(xCol), col(yCol), bits))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    val zc = Spread.freshCol(df, "__z")
+    df.withColumn(zc, interleave2(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
       .write.mode("overwrite").parquet(path)
   }
 }

@@ -104,8 +104,9 @@ object Sampling {
     require(cap > 0, "cap must be positive")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(bucket(col(idCol), salt), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= cap).drop("__rn")
+    val rn = graft.operators.Spread.freshCol(df, "__rn")
+    df.withColumn(rn, row_number().over(w))
+      .where(col(rn) <= cap).drop(rn)
   }
 
   /** Disjoint train/holdout split: rows route to exactly one side. */

@@ -34,6 +34,15 @@ class Scd2Spec extends SparkSpec {
     ))
   }
 
+  test("assertUniqueKeys passes unique deltas and rejects duplicated keys") {
+    Scd2.assertUniqueKeys(incoming, Seq("id")) // no throw
+    val dup = incoming.union(Seq((1L, "D")).toDF("id", "attr"))
+    val e = intercept[IllegalArgumentException] {
+      Scd2.assertUniqueKeys(dup, Seq("id"))
+    }
+    assert(e.getMessage.contains("1 business key"))
+  }
+
   test("scd2 change detection is null-safe on tracked columns") {
     val ex = Seq((1L, null.asInstanceOf[String], "2020-01-01",
       null.asInstanceOf[String], true))

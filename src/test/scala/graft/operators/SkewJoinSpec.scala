@@ -39,6 +39,14 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("a user column named __salt survives salting untouched") {
+    val bigSalt = big.withColumn("__salt", lit("mine"))
+    val out = SkewJoin.saltedJoin(bigSalt, dim, Seq("k"), "row_id", salts = 4)
+    assert(out.columns.count(_ == "__salt") === 1)
+    assert(out.select("__salt").distinct().as[String].collect().toSeq === Seq("mine"))
+    assert(out.count() === big.join(dim, Seq("k"), "inner").count())
+  }
+
   test("shuffle is keyed by (key, salt) when the small side can't broadcast") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
