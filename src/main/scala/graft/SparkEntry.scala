@@ -85,6 +85,18 @@ object SparkEntry {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    "q_agg_cube" -> ((s, dir) => {
+      // full cube over the two low-cardinality dimensions (rollup's
+      // sibling; SURVEY §2.6 extension) — one Expand + one shuffle
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // ---- sketches (beyond ref: reproducible cardinality estimate) -------
     "q_kmv_distinct" -> ((s, dir) => {
       graft.sketch.Sketches.kmvDistinctByKey(
@@ -882,6 +894,41 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- data-quality audit (validate/Expectations) ---------------------
+    "q_expectations" -> ((s, dir) => {
+      import graft.validate.Expectations._
+      // one-scan constraint suite a pipeline gates a promote on
+      audit(t(s, dir, "orders"), Seq(
+        notNull("o_orderdate"),
+        inRange("o_totalprice", 1.0, 600000.0),
+        oneOf("o_orderstatus", Seq("O", "F", "P")),
+        matches("o_orderpriority", "^[1-5]-"),
+        notNull("o_custkey")))
+    }),
+
+    "q_uniqueness" -> ((s, dir) => {
+      // key-uniqueness verdict: lineitem's (orderkey, linenumber) is the
+      // table key (0 dups); o_custkey alone is heavily duplicated
+      graft.validate.Expectations.uniqueness(
+        t(s, dir, "orders").select(col("o_custkey")), Seq("o_custkey"))
+    }),
+
+    "q_profile" -> ((s, dir) => {
+      graft.validate.Expectations.profile(
+        t(s, dir, "customer"),
+        Seq("c_mktsegment", "c_nationkey", "c_acctbal", "c_name"))
+    }),
+
+    // ---- privacy transforms (functions/Privacy) -------------------------
+    "q_pseudonymize" -> ((s, dir) => {
+      import graft.functions.Privacy._
+      t(s, dir, "customer").select(col("c_custkey"),
+          pseudonymize(col("c_name"), "s3cr3t").as("name_pseud"),
+          maskKeepLast(col("c_name"), 4).as("name_masked"),
+          band(col("c_acctbal"), 1000.0).as("acctbal_band"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- validation / classification ------------------------------------
     "q_reconcile" -> ((s, dir) => {
       val src = t(s, dir, "orders")
@@ -1045,6 +1092,59 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_expectations" ->
+      """WITH t AS (SELECT count(*) AS n,
+        | CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn_date,
+        | CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 1.0
+        |   OR o_totalprice > 600000.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        | CAST(sum(CASE WHEN o_orderstatus IS NULL
+        |   OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_oneof,
+        | CAST(sum(CASE WHEN o_orderpriority IS NULL
+        |   OR NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS v_re,
+        | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn_cust
+        | FROM orders)
+        |SELECT check_name, n_rows, n_violations, n_violations = 0 AS passed FROM (
+        | SELECT 'not_null(o_orderdate)' AS check_name, n AS n_rows, v_nn_date AS n_violations FROM t
+        | UNION ALL SELECT 'in_range(o_totalprice)', n, v_range FROM t
+        | UNION ALL SELECT 'one_of(o_orderstatus)', n, v_oneof FROM t
+        | UNION ALL SELECT 'matches(o_orderpriority)', n, v_re FROM t
+        | UNION ALL SELECT 'not_null(o_custkey)', n, v_nn_cust FROM t)
+        |ORDER BY check_name""".stripMargin,
+
+    "q_uniqueness" ->
+      """WITH g AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        | CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+        | CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_rows
+        |FROM g""".stripMargin,
+
+    "q_profile" ->
+      """WITH t AS (SELECT count(*) AS n,
+        | count(c_mktsegment) AS nn_seg, count(DISTINCT c_mktsegment) AS nd_seg,
+        | count(c_nationkey) AS nn_nat, count(DISTINCT c_nationkey) AS nd_nat,
+        | count(c_acctbal) AS nn_bal, count(DISTINCT c_acctbal) AS nd_bal,
+        | count(c_name) AS nn_nam, count(DISTINCT c_name) AS nd_nam
+        | FROM customer)
+        |SELECT * FROM (
+        | SELECT 'c_mktsegment' AS column_name, n AS n_rows, n - nn_seg AS n_null, nd_seg AS n_distinct FROM t
+        | UNION ALL SELECT 'c_nationkey', n, n - nn_nat, nd_nat FROM t
+        | UNION ALL SELECT 'c_acctbal', n, n - nn_bal, nd_bal FROM t
+        | UNION ALL SELECT 'c_name', n, n - nn_nam, nd_nam FROM t)
+        |ORDER BY column_name""".stripMargin,
+
+    "q_pseudonymize" ->
+      """SELECT c_custkey,
+        | sha256('s3cr3t|' || c_name) AS name_pseud,
+        | repeat('*', length(c_name) - 4) || right(c_name, 4) AS name_masked,
+        | floor(c_acctbal / 1000.0) * 1000.0 AS acctbal_band
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_na_fill" ->
       """SELECT c_custkey, COALESCE(o_totalprice, 0.0) AS o_totalprice

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Privacy transforms for training-data preparation, complementing
+  * pattern-based removal (`TextFunctions.redactPii`): keyed
+  * pseudonymization keeps referential integrity across tables without
+  * exposing the identifier; masking and banding generalize
+  * quasi-identifiers. All pure codegen Column expressions — no UDFs,
+  * so they inline into whole-stage codegen next to the scan.
+  *
+  * Scale shape: per-row narrow transforms, no shuffle, no state; the
+  * same secret yields the same pseudonym on every executor, so joins
+  * on pseudonymized keys still co-partition.
+  */
+object Privacy {
+
+  /** Keyed one-way pseudonym: SHA-256 over secret-prefixed value.
+    * Deterministic (same value + secret → same token, so the token
+    * remains joinable), non-reversible, and resistant to rainbow
+    * lookup of low-entropy identifiers as long as `secret` is strong.
+    * Nulls stay null (concat_ws would swallow them otherwise). */
+  def pseudonymize(c: Column, secret: String): Column =
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(sha2(concat_ws("|", lit(secret), c.cast("string")), 256))
+
+  /** Replace all but the last `keep` characters with '*'. Values with
+    * length <= keep pass unchanged (repeat of a negative count is
+    * empty on both Spark and DuckDB — the oracle relies on it). */
+  def maskKeepLast(c: Column, keep: Int): Column =
+    concat(call_function("repeat", lit("*"), length(c) - keep),
+      substring(c, -keep, keep))
+
+  /** Generalize a numeric to the lower edge of its `width`-sized band
+    * (k-anonymity-style coarsening for quasi-identifiers). */
+  def band(c: Column, width: Double): Column =
+    floor(c / width) * width
+}
