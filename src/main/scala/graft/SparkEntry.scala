@@ -627,6 +627,45 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
     }),
 
+    "q_minhash_incr" -> ((s, dir) => {
+      // incremental-ingest dedup: even doc_ids play the saved corpus
+      // signature index, odd doc_ids the arriving batch — the batch
+      // probes the index without re-hashing corpus text
+      val docs = t(s, dir, "documents")
+      val index = Dedup.minHashIndex(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      val probe = Dedup.minHashIndex(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+      Dedup.minHashPairsAgainstIndex(probe, index, numHashes = 32,
+          bands = 8, threshold = 0.8)
+        .transform(graft.operators.Spread.smallSort(_,
+          col("probe_id"), col("index_id")))
+    }),
+
+    "q_leakage_split" -> ((s, dir) => {
+      // near-dup clusters route as ONE unit so holdout never sees a
+      // near-copy of a training doc
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.minHashPairs(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 32, bands = 8, threshold = 0.8))
+      graft.sample.Sampling.leakageSafeSplit(
+          docs.select(col("doc_id")), "doc_id", clusters,
+          holdoutFraction = 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_sem_decontam" -> ((s, dir) => {
+      // embedding-space benchmark leakage: low vec_ids play the eval
+      // set; every corpus vector within cosine 0.3 of any of them
+      val e = t(s, dir, "embeddings")
+      graft.dedup.Decontaminate.semanticContamination(
+          e.where(col("vec_id") >= 8), e.where(col("vec_id") < 8),
+          "vec_id", "embedding", "vec_id", "embedding", threshold = 0.3)
+        .transform(graft.operators.Spread.smallSort(_,
+          col("id"), col("bench_id")))
+    }),
+
     "q_repetition" -> ((s, dir) => {
       // degenerate/boilerplate detector: word-repetition stats via
       // explode + two-level partial agg (the shape that scales — see
@@ -1560,6 +1599,23 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_minhash_incr" -> Duck.minhashIncremental(numHashes = 32, bands = 8,
+      threshold = 0.8),
+
+    "q_leakage_split" -> Duck.leakageSplit(numHashes = 32, bands = 8,
+      threshold = 0.8, holdoutPpm = 100000),
+
+    "q_sem_decontam" ->
+      """WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id >= 8),
+        |b AS (SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+        |  FROM embeddings WHERE vec_id < 8)
+        |SELECT id, bench_id,
+        |  round(list_cosine_similarity(v, bv), 6) AS cosine
+        |FROM c CROSS JOIN b
+        |WHERE round(list_cosine_similarity(v, bv), 6) >= 0.3
+        |ORDER BY id, bench_id""".stripMargin,
+
     // mirrors Repetition.wordRepetitionStats
     "q_repetition" ->
       s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
@@ -2055,6 +2111,40 @@ object SparkEntry {
          |          SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id)
          |SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
          |ORDER BY id""".stripMargin
+
+    /** Mirror of `Dedup.minHashPairsAgainstIndex` on the even/odd
+      * doc_id split: banding is per-document, so banding the full
+      * table and keeping only cross-parity collisions is identical to
+      * banding the two subsets separately. */
+    def minhashIncremental(numHashes: Int, bands: Int,
+                           threshold: Double): String =
+      s"""WITH ${minhashCtes(numHashes, bands)}
+         |SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS probe_id,
+         |  CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS index_id,
+         |  jaccard
+         |FROM j WHERE jaccard >= $threshold AND (id_a + id_b) % 2 = 1
+         |ORDER BY probe_id, index_id""".stripMargin
+
+    /** Mirror of `Sampling.leakageSafeSplit` over
+      * `Dedup.duplicateClusters(minHashPairs(...))`: cluster id via the
+      * recursive closure, then the ppm hash-bucket route on the
+      * representative. */
+    def leakageSplit(numHashes: Int, bands: Int, threshold: Double,
+                     holdoutPpm: Long): String =
+      s"""WITH RECURSIVE ${minhashCtes(numHashes, bands)},
+         |e AS (SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= $threshold
+         |      UNION ALL
+         |      SELECT id_b AS src, id_a AS dst FROM j WHERE jaccard >= $threshold),
+         |reach AS (SELECT src AS id, dst AS r FROM e
+         |          UNION
+         |          SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |cl AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+         |r2 AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep
+         |       FROM documents d LEFT JOIN cl ON d.doc_id = cl.id)
+         |SELECT doc_id, rep,
+         |  CASE WHEN ${hash64("CAST(rep AS VARCHAR)")} % 1000000 < $holdoutPpm
+         |       THEN 'holdout' ELSE 'train' END AS split
+         |FROM r2 ORDER BY doc_id""".stripMargin
 
     /** Spherical k-means assignment mirror of `KMeans.assign` with
       * `KMeans.initCentroids` seeds (the k lowest vec_ids): CTEs

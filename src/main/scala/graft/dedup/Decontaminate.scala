@@ -137,6 +137,45 @@ object Decontaminate {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Embedding-space (semantic) contamination: corpus documents whose
+    * vector lies within cosine ≥ `threshold` of ANY benchmark vector —
+    * catches paraphrased/translated benchmark leakage that n-gram
+    * overlap misses (the gram-based checks above are blind to
+    * rewording). Returns every (id, bench_id, cosine) hit.
+    *
+    * Scale shape: the benchmark side is small by construction, so it
+    * BROADCASTS and the probe is a nested-loop over one corpus scan —
+    * no shuffle of corpus vectors. The per-pair kernel is the codegen'd
+    * Cosine expression, not a UDF. For benchmark sets too large to
+    * broadcast, cluster both sides first and probe per cell
+    * (`Dedup.embeddingNearDupPairs` shape). */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            benchIdCol: String, benchVecCol: String,
+                            threshold: Double): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val c = Spread.ensure(corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")))
+    val b = broadcast(bench.select(col(benchIdCol).as("bench_id"),
+      col(benchVecCol).cast("array<double>").as("bv")))
+    c.crossJoin(b)
+      .select(col("id"), col("bench_id"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("v"), col("bv")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** The corpus minus documents flagged by [[semanticContamination]]. */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            benchIdCol: String, benchVecCol: String,
+                            threshold: Double): DataFrame = {
+    val bad = semanticContamination(corpus, bench, idCol, vecCol,
+      benchIdCol, benchVecCol, threshold)
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** The corpus minus documents whose contamination exceeds
     * `maxContamination` (fraction of distinct grams found in the
     * benchmark set). */

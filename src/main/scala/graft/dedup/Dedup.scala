@@ -59,32 +59,14 @@ object Dedup {
     // own column: HOFs are interpreted with no subexpression
     // elimination, so inlining it under the n minima would run every
     // md5 n times.
-    val r = numHashes / bands
-    graft.expressions.GraftFunctions.register(df.sparkSession)
-    // spread BEFORE shingling: a small single-partition scan would pin
-    // the whole per-row hashing pass to one core. Words materialized
-    // before the shingle lambda (see TextFunctions lambda-cost rule).
-    // The n per-j minima run as ONE fused codegen pass
-    // (MinHashSignatureFused) instead of n interpreted array_min HOFs.
     // persisted: this subtree (md5 per shingle + signature) is the most
     // expensive in the operator and is consumed 4× — both sides of the
     // candidate self-join and both sides of the Jaccard verify.
     // Unreferenced cache entries are reclaimed by the ContextCleaner
     // once the result frame is dropped.
-    val base = Spread.ensure(df.select(col(idCol).as("id"),
-        col(textCol).as("txt")))
-      .select(col("id"), words(col("txt")).as("w"))
-      .select(col("id"), shinglesFromWords(col("w"), shingleK).as("sh"))
-      .withColumn("bh", minHashBaseHashes(col("sh")))
-      .withColumn("sig", call_function(
-        graft.expressions.GraftFunctions.MinHashSig,
-        col("bh"), lit(numHashes)))
-      .select(col("id"), col("sh"), col("sig"))
+    val base = minHashIndex(df, idCol, textCol, shingleK, numHashes)
       .persist()
-    val banded = base.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val banded = banding(base, numHashes, bands)
     val cand = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") &&
@@ -93,6 +75,72 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     verifyJaccard(cand, base.select(col("id"), col("sh")), threshold)
+  }
+
+  /** The reusable half of MinHash dedup: (id, sh, sig) — distinct
+    * word-shingle hashes plus the `numHashes`-minima signature. Compute
+    * once per corpus generation and SAVE it; each arriving batch then
+    * dedups against the corpus via [[minHashPairsAgainstIndex]] without
+    * ever re-hashing corpus text — the incremental-ingest shape (at
+    * 100 TB the corpus-side signature pass is the dominant cost and
+    * must not repeat per batch).
+    *
+    * Spread BEFORE shingling: a small single-partition scan would pin
+    * the whole per-row hashing pass to one core. Words materialized
+    * before the shingle lambda (see TextFunctions lambda-cost rule).
+    * The n per-j minima run as ONE fused codegen pass
+    * (MinHashSignatureFused) instead of n interpreted array_min HOFs. */
+  def minHashIndex(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 3, numHashes: Int = 32): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    Spread.ensure(df.select(col(idCol).as("id"), col(textCol).as("txt")))
+      .select(col("id"), words(col("txt")).as("w"))
+      .select(col("id"), shinglesFromWords(col("w"), shingleK).as("sh"))
+      .withColumn("bh", minHashBaseHashes(col("sh")))
+      .withColumn("sig", call_function(
+        graft.expressions.GraftFunctions.MinHashSig,
+        col("bh"), lit(numHashes)))
+      .select(col("id"), col("sh"), col("sig"))
+  }
+
+  /** (id, band, band_key) LSH band rows of a [[minHashIndex]] frame. */
+  private def banding(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    base.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
+
+  /** Incremental near-dup detection: probe a NEW batch against a saved
+    * corpus signature index (both sides are [[minHashIndex]] outputs
+    * with disjoint id spaces — typically the index read back from
+    * storage). Same LSH contract as [[minHashPairs]], but the candidate
+    * join is probe-bands × index-bands instead of a self-join, so the
+    * per-batch cost scales with the batch, not the corpus. Returns
+    * (probe_id, index_id, jaccard) with jaccard ≥ threshold. */
+  def minHashPairsAgainstIndex(probe: DataFrame, index: DataFrame,
+                               numHashes: Int = 32, bands: Int = 8,
+                               threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // probe (the small new batch) is persisted — banding + verify read
+    // it twice; the index is scan-only on both reads (it lives in
+    // storage at scale; caching a 100-TB index is not an option).
+    val p = probe.persist()
+    val cand = banding(p, numHashes, bands).alias("a")
+      .join(banding(index, numHashes, bands).alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.id").as("probe_id"), col("b.id").as("index_id"))
+      .distinct()
+    cand
+      .join(p.select(col("id").as("probe_id"), col("sh").as("sh_a")),
+        Seq("probe_id"))
+      .join(index.select(col("id").as("index_id"), col("sh").as("sh_b")),
+        Seq("index_id"))
+      .select(col("probe_id"), col("index_id"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** n-gram Jaccard near-dup pairs inside a blocking column (e.g.

@@ -116,4 +116,33 @@ object Sampling {
     val b = bucket(col(idCol), salt)
     (df.where(b >= cut), df.where(b < cut))
   }
+
+  /** Leakage-safe train/holdout assignment: a plain per-id split lets
+    * two NEAR-DUPLICATE documents land on opposite sides, leaking
+    * training text into the holdout (the classic eval-contamination
+    * bug). Here every row routes by its duplicate-cluster
+    * REPRESENTATIVE — `cluster_id` from `clusters` (the
+    * `Dedup.duplicateClusters` output shape `(id, cluster_id)`;
+    * un-clustered docs fall back to their own id) — so a whole
+    * near-dup cluster always lands on ONE side.
+    *
+    * Scale shape: one left equi-join docs × clusters (clusters holds
+    * only ids that appear in a near-dup pair — a small fraction of the
+    * corpus, so AQE broadcasts it) plus the per-row hash route.
+    * Returns docs ++ (rep, split ∈ {train, holdout}). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+                       holdoutFraction: Double, salt: String = ""): DataFrame = {
+    require(holdoutFraction >= 0 && holdoutFraction <= 1,
+      "holdoutFraction in [0,1]")
+    val cut = (holdoutFraction * Buckets).toLong
+    val cl = graft.operators.Spread.freshCol(docs, "__cl")
+    docs
+      .join(clusters.select(col("id").as(idCol), col("cluster_id").as(cl)),
+        Seq(idCol), "left")
+      .withColumn("rep", coalesce(col(cl), col(idCol)))
+      .withColumn("split",
+        when(bucket(col("rep"), salt) < cut, lit("holdout"))
+          .otherwise(lit("train")))
+      .drop(cl)
+  }
 }

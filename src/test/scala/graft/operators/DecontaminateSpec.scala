@@ -60,4 +60,28 @@ class DecontaminateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("semanticContamination flags cosine hits; decontaminate drops them") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (10L, Array(1.0, 0.0)),   // identical direction to bench 1
+      (11L, Array(0.9, 0.1)),   // close
+      (12L, Array(-1.0, 0.0))   // opposite
+    ).toDF("doc_id", "vec")
+    val evalSet = Seq((1L, Array(1.0, 0.0))).toDF("bid", "bvec")
+    val hits = Decontaminate.semanticContamination(corpus, evalSet,
+        "doc_id", "vec", "bid", "bvec", threshold = 0.9)
+      .select(col("id")).as[Long].collect().toSet
+    assert(hits === Set(10L, 11L))
+    val kept = Decontaminate.semanticDecontaminate(corpus, evalSet,
+        "doc_id", "vec", "bid", "bvec", threshold = 0.9)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept === Set(12L))
+    // the bench side broadcasts: corpus vectors never shuffle
+    val plan = Decontaminate.semanticContamination(corpus, evalSet,
+        "doc_id", "vec", "bid", "bvec", threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }

@@ -93,4 +93,34 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
+
+  test("leakageSafeSplit keeps near-dup clusters on one side") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 200L).toDF("id")
+    // every block of 4 consecutive ids is one near-dup cluster
+    val clusters = (1L to 200L).map(i => (i, ((i - 1) / 4) * 4 + 1))
+      .toDF("id", "cluster_id")
+    val out = Sampling.leakageSafeSplit(docs, "id", clusters,
+      holdoutFraction = 0.3)
+    // same cluster → same split, always
+    val perCluster = out
+      .join(clusters, Seq("id"))
+      .select(col("cluster_id"), col("split")).distinct()
+      .groupBy("cluster_id").count()
+      .where(col("count") > 1).count()
+    assert(perCluster === 0L)
+    // both sides populated, and the fraction is cluster-granular
+    val holdout = out.where(col("split") === "holdout").count()
+    assert(holdout > 0L && holdout < 200L)
+    assert(holdout % 4 === 0L) // whole clusters of 4 only
+  }
+
+  test("leakageSafeSplit falls back to own id for unclustered docs") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(1L, 2L).toDF("id")
+    val clusters = Seq((99L, 99L)).toDF("id", "cluster_id")
+    val reps = Sampling.leakageSafeSplit(docs, "id", clusters, 0.5)
+      .select(col("id"), col("rep")).as[(Long, Long)].collect().toSet
+    assert(reps === Set((1L, 1L), (2L, 2L)))
+  }
 }
