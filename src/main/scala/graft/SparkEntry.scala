@@ -885,6 +885,14 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_stream_tws" -> ((s, dir) => {
+      // Spark 4 transformWithState (RocksDB-backed typed state):
+      // per-user running stats, single AvailableNow batch ⇒ one row
+      // per user, matching the batch groupBy oracle
+      graft.streaming.EventStream.userStatsTransformWithState(s, dir)
+        .orderBy(col("user_id"))
+    }),
+
     "q_stream_dedup_wm" -> ((s, dir) => {
       // bounded-state variant: dropDuplicatesWithinWatermark (state
       // purged at the watermark horizon instead of kept forever)
@@ -1885,6 +1893,12 @@ object SparkEntry {
     "q_stream_dedup_wm" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "q_stream_tws" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us,
+        | max(event_id) AS max_event_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // mirrors session_window semantics: break on gap >= 3600 s (the
     // built-in breaks at exact boundary; fixture has none anyway) and

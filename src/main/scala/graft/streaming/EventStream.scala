@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming layer (SURVEY §2.12 + §7 stretch): the
   * reference is batch-incremental only; here the same incremental
@@ -256,6 +256,84 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  case class UserStats(user_id: Long, n_events: Long, max_ts_us: Long,
+                       max_event_id: Long)
+
+  /** Per-user running stats via `transformWithState` — the Spark 4
+    * arbitrary-state API that supersedes flatMapGroupsWithState:
+    * typed state handles (`ValueState`/`ListState`/`MapState`) with
+    * per-state TTL, timers, and schema evolution, backed by the
+    * RocksDB state store. State here is a single fixed-width tuple per
+    * user — O(distinct keys) bytes, order-independent updates (count +
+    * maxes), so re-partitioning, replay, or batch splits cannot change
+    * the converged output. */
+  private class UserStatsProcessor
+    extends StatefulProcessor[Long, (Long, Long, Long), UserStats] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("stats",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, Long, Long)],
+                                 timerValues: TimerValues
+                                ): Iterator[UserStats] = {
+      var (n, maxTs, maxId) =
+        if (st.exists()) st.get() else (0L, Long.MinValue, Long.MinValue)
+      rows.foreach { case (eventId, ts, _) =>
+        n += 1
+        if (ts > maxTs) maxTs = ts
+        if (eventId > maxId) maxId = eventId
+      }
+      st.update((n, maxTs, maxId))
+      // µs grain on output: DuckDB truncates parquet ns-timestamps to
+      // µs at scan, and floor-div commutes with max
+      Iterator.single(UserStats(key, n, maxTs / 1000, maxId))
+    }
+  }
+
+  /** Run [[UserStatsProcessor]] over the events parquet with
+    * AvailableNow into a memory sink. transformWithState requires the
+    * RocksDB state store provider; the session conf is toggled around
+    * the run and restored. The staged single file arrives as ONE
+    * batch, so Update mode emits exactly one row per user — identical
+    * to the batch groupBy oracle. */
+  def userStatsTransformWithState(spark: SparkSession, sfDir: String,
+                                  queryName: String = "stream_tws"
+                                 ): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-tws")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = spark.readStream.schema(schema).parquet(stageDir.toString)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._3)
+        .transformWithState(new UserStatsProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    spark.table(queryName)
   }
 
   /** Streaming keep-latest per key via flatMapGroupsWithState —
