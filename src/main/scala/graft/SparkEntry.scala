@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -83,6 +83,27 @@ object SparkEntry {
             .cast("double").as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      // explicit grouping-set list (Spark 4 Dataset.groupingSets):
+      // detail + per-status subtotal + grand total, one Expand pass
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty[Column]),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q_histogram" -> ((s, dir) => {
+      // 60 exact-width price bins; the drift profile min/max misses
+      graft.validate.Expectations.histogram(
+        t(s, dir, "orders"), "o_totalprice", 0.0, 600000.0, 60)
     }),
 
     "q_agg_cube" -> ((s, dir) => {
@@ -1139,6 +1160,20 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY GROUPING SETS
+        | ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT bin, bin * 10000.0 + 0.0 AS bin_lo, n FROM (
+        | SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 10000.0), 0),
+        |   59) AS BIGINT) AS bin, count(*) AS n
+        | FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1)
+        |ORDER BY bin""".stripMargin,
 
     "q_agg_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

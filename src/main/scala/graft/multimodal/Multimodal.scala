@@ -94,4 +94,27 @@ object Multimodal {
         substring(col("text"), 1, takeBytes).cast("binary").as("content"))
       .as[MediaRow]
   }
+
+  /** Real media landing path: Spark's `binaryFile` source reads a
+    * directory tree of media files as (path, modificationTime, length,
+    * content) with the bytes as a binary column — the production way
+    * to get images/audio into [[MediaRow]] form. `pathGlobFilter`
+    * selects by extension; `modality` derives from the extension.
+    * Scale: listing and reading distribute like any file scan;
+    * `spark.sql.files.maxPartitionBytes` bounds files per task, and a
+    * stable id comes from the path hash (xxhash64 — ids only need to
+    * be unique and reproducible, never cross-engine). */
+  def mediaFromFiles(spark: SparkSession, dir: String,
+                     glob: String = "*.{png,jpg,jpeg,wav,mp4}"
+                    ): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(xxhash64(col("path")).as("id"),
+        lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+          .as("modality"),
+        col("content"))
+      .as[MediaRow]
+  }
 }

@@ -112,4 +112,23 @@ object Expectations {
         col("r.n_distinct").as("n_distinct"))
       .orderBy(col("column_name"))
   }
+
+  /** Fixed-width histogram of a numeric column over [lo, hi):
+    * (bin, bin_lo, n), out-of-range values clamped into the edge
+    * bins. One scan + one tiny groupBy on the bin id — the
+    * distribution profile that catches drift a min/max check misses.
+    * Pick `lo`/`hi`/`nBins` so the width is an exact double (e.g.
+    * powers of ten) if the result must reproduce across engines. */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+                nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "need hi > lo and nBins > 0")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((col(c) - lo) / width), lit(0L)),
+      lit(nBins - 1L))
+    df.where(col(c).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), (col("bin") * width + lo).as("bin_lo"), col("n"))
+      .orderBy(col("bin"))
+  }
 }

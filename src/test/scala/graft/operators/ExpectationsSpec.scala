@@ -80,6 +80,14 @@ class ExpectationsSpec extends SparkSpec {
     assert(out === Set("**cdef", "abc"))
   }
 
+  test("histogram clamps out-of-range values into edge bins") {
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 25.0, 99.0).toDF("x")
+    val out = Expectations.histogram(df, "x", 0.0, 30.0, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSeq
+    assert(out === Seq((0L, 0.0, 3L), (1L, 10.0, 1L), (2L, 20.0, 2L)))
+  }
+
   test("band coarsens to the lower band edge") {
     val out = Seq(-1500.0, 0.0, 999.99, 1000.0).toDF("x")
       .select(Privacy.band(col("x"), 1000.0).as("b"))

@@ -35,4 +35,23 @@ class MultimodalContractSpec extends SparkSpec {
       Seq("id"))
     assert(joined.where(col("n_bytes") =!= col("n_chars64")).count() === 0L)
   }
+
+  test("mediaFromFiles reads a binary tree with glob + modality from ext") {
+    val dir = java.nio.file.Files.createTempDirectory("media")
+    java.nio.file.Files.write(dir.resolve("a.png"),
+      Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(dir.resolve("b.wav"),
+      Array[Byte](9, 8))
+    java.nio.file.Files.write(dir.resolve("skip.txt"),
+      Array[Byte](0)) // filtered by the glob
+    val media = graft.multimodal.Multimodal
+      .mediaFromFiles(spark, dir.toString)
+    val rows = media.collect()
+    assert(rows.map(_.modality).sorted.toSeq === Seq("png", "wav"))
+    assert(rows.map(_.content.length).sorted.toSeq === Seq(2, 4))
+    assert(rows.map(_.id).distinct.length === 2) // stable unique ids
+    // the whole downstream pipeline runs on real file bytes
+    val feats = graft.multimodal.Multimodal.extractFeatures(media)
+    assert(feats.count() === 2L)
+  }
 }
