@@ -334,6 +334,38 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    "q_join_nullsafe" -> ((s, dir) => {
+      // null-safe (<=>) join: NULL keys MATCH each other — the
+      // config-join variant for dimensions with a null-ish placeholder
+      // level (plain equality silently drops those rows)
+      val a = t(s, dir, "orders")
+        .groupBy(expr("nullif(o_orderstatus, 'P')").as("k"))
+        .agg(count(lit(1)).as("n_all"))
+      val b = t(s, dir, "orders").where(col("o_totalprice") > 100000)
+        .groupBy(expr("nullif(o_orderstatus, 'P')").as("k"))
+        .agg(count(lit(1)).as("n_big"))
+      a.join(b.withColumnRenamed("k", "k2"), col("k") <=> col("k2"),
+          "full_outer")
+        .select(coalesce(col("k"), col("k2"), lit("P")).as("o_orderstatus"),
+          col("n_all"), col("n_big"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q_sliding_window" -> ((s, dir) => {
+      // batch sliding windows (2h window, 1h slide): every event lands
+      // in exactly two windows via one Expand — no self-join
+      val ev = t(s, dir, "events")
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      ev.groupBy(window(col("ts_utc"), "2 hours", "1 hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4)))
+            .cast("double").as("total"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy(col("window_start_us"), col("event_type"))
+    }),
+
     // ---- as-of join (beyond ref: time-series point lookup) --------------
     "q_asof_join" -> ((s, dir) => {
       // for each click, the latest view value at-or-before it per user.
@@ -1928,6 +1960,27 @@ object SparkEntry {
     "q_stream_dedup_wm" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "q_join_nullsafe" ->
+      """WITH a AS (SELECT nullif(o_orderstatus, 'P') AS k, count(*) AS n_all
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT nullif(o_orderstatus, 'P') AS k2, count(*) AS n_big
+        |  FROM orders WHERE o_totalprice > 100000 GROUP BY 1)
+        |SELECT COALESCE(k, k2, 'P') AS o_orderstatus, n_all, n_big
+        |FROM a FULL OUTER JOIN b ON k IS NOT DISTINCT FROM k2
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_sliding_window" ->
+      """WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS t, event_type, value
+        |  FROM events),
+        |x AS (SELECT t, event_type, value,
+        |  unnest([(t // 3600000000) * 3600000000,
+        |          (t // 3600000000) * 3600000000 - 3600000000]) AS ws
+        |  FROM e)
+        |SELECT ws AS window_start_us, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM x WHERE t >= ws AND t < ws + 7200000000
+        |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
 
     "q_stream_tws" ->
       """SELECT user_id, count(*) AS n_events,
