@@ -685,8 +685,11 @@ object SparkEntry {
       // signature index, odd doc_ids the arriving batch — the batch
       // probes the index without re-hashing corpus text
       val docs = t(s, dir, "documents")
+      // persisted HERE, not in the operator: in production the index is
+      // a saved table (scan-only on re-read); in this query it's a
+      // computed pipeline consumed twice (banding + verify)
       val index = Dedup.minHashIndex(
-        docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text").persist()
       val probe = Dedup.minHashIndex(
         docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
       Dedup.minHashPairsAgainstIndex(probe, index, numHashes = 32,

@@ -129,6 +129,20 @@ object Sinks {
   }
 
   /** K7: JDBC append (run-log rows to an audit database). */
+  /** Catalog statistics for cost-based optimization: table row/byte
+    * counts plus per-column ndv/null/min/max histograms. At scale this
+    * is what lets Catalyst pick broadcast sides and join orders from
+    * MEASURED sizes instead of file-size guesses — run it after large
+    * loads the way the reference runs post-merge maintenance
+    * (`PSS WHI (XML)/Tables.scala:646-649` vacuums there). */
+  def analyzeTable(spark: SparkSession, table: String,
+                   columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS " +
+        columns.mkString(", "))
+  }
+
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  props: java.util.Properties = new java.util.Properties): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, props)

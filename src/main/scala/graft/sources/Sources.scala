@@ -128,6 +128,37 @@ object Sources {
     schema.fold(r)(r.schema).orc(path)
   }
 
+  /** Malformed-row quarantine for delimited/JSON scans: PERMISSIVE
+    * parsing with a corrupt-record column, split into (good, bad) so a
+    * handful of broken lines in a 100-TB landing zone cannot fail the
+    * run OR silently vanish — the row-level counterpart of
+    * `PagedSource`'s page-level schema-drift quarantine (ref
+    * `Well Logs Curve Data/ModuleFunctions.scala:688-697` routes
+    * failures to a table instead of raising). `bad` carries the raw
+    * line for replay after the parser/schema is fixed.
+    *
+    * One scan feeds both sides (same cached-split shape as
+    * `PagedSource`): rows where every data column is null AND the raw
+    * column is set are parse failures. */
+  def csvScanWithQuarantine(spark: SparkSession, path: String,
+                            schema: StructType,
+                            options: Map[String, String] = Map(
+                              "header" -> "true")
+                           ): (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val full = schema.add(corrupt, StringType)
+    val df = spark.read.options(options)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .schema(full).csv(path)
+      .persist() // one scan, two consumers; small relative to downstream
+    val bad = df.where(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw"), lit("malformed_row").as("reason"))
+    val good = df.where(col(corrupt).isNull)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    (good, bad)
+  }
+
   /** S1: JDBC scan with pushdown subquery — the `(query) AS tab` idiom
     * keeps the predicate in the remote database. */
   def jdbcQuery(spark: SparkSession, url: String, query: String,

@@ -26,6 +26,37 @@ class CatalogOpsSpec extends SparkSpec {
       === Array((1, "a|x"), (2, "b"), (3, "c")))
   }
 
+  test("analyzeTable records row-count and column stats in the catalog") {
+    import spark.implicits._
+    dropManaged("stats_t")
+    (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.saveAsTable("stats_t")
+    Sinks.analyzeTable(spark, "stats_t", Seq("id"))
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED stats_t")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("50 rows"), desc)
+    val colStats = spark.sql("DESCRIBE EXTENDED stats_t id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(colStats.get("distinct_count").contains("50"), colStats)
+    dropManaged("stats_t")
+  }
+
+  test("csvScanWithQuarantine routes malformed rows, keeps good ones") {
+    val dir = java.nio.file.Files.createTempDirectory("csvq").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part.csv"),
+      "k,v\n1,a\nnot_an_int,b\n3,c\n")
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType)))
+    val (good, bad) = Sources.csvScanWithQuarantine(spark, dir, schema)
+    assert(good.orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "a"), (3, "c")))
+    val badRows = bad.collect()
+    assert(badRows.length === 1)
+    assert(badRows.head.getString(0).startsWith("not_an_int"))
+    assert(badRows.head.getString(1) === "malformed_row")
+  }
+
   /** Drop the table AND its managed location: the in-memory catalog is
     * fresh per JVM but the warehouse directory survives across test
     * runs, and saveAsTable refuses a pre-existing location. */
