@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming layer (SURVEY §2.12 + §7 stretch): the
   * reference is batch-incremental only; here the same incremental
@@ -324,6 +324,119 @@ object EventStream {
           TimeMode.None(), OutputMode.Update())
       val q = out.writeStream.format("memory").queryName(queryName)
         .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    spark.table(queryName)
+  }
+
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                        n_events: Int)
+
+  /** Timer-closed gap sessionization — the full Spark 4 stateful
+    * toolkit: event-time watermark, a ValueState session accumulator,
+    * and a REGISTERED TIMER per open session that fires when the
+    * watermark passes last-event + gap, emitting the session even if
+    * the user never sends another event. flatMapGroupsWithState can
+    * only react to new input or coarse group timeouts; per-key
+    * event-time timers are what make low-latency session emission
+    * correct under late data.
+    *
+    * Emission contract (deterministic given a batch split):
+    *  - a session CLOSED BY A LATER EVENT (gap exceeded in-stream)
+    *    emits with that batch;
+    *  - an idle session emits when the event-time watermark passes
+    *    last + gap (timer fire in a later batch);
+    *  - a still-open session at stream end is retained state, not
+    *    output (exactly what a restartable production stream wants).
+    */
+  private class SessionProcessor(gapUs: Long)
+    extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long),
+      SessionOut] {
+    @transient private var st: ValueState[(Long, Long, Int)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Int)]("session",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaInt),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, java.sql.Timestamp, Long)],
+                                 timerValues: TimerValues
+                                ): Iterator[SessionOut] = {
+      // events are unordered within a batch; sessionization needs order
+      val ts = rows.map(_._3).toArray.sorted
+      var out = List.empty[SessionOut]
+      var cur: Option[(Long, Long, Int)] =
+        if (st.exists()) Some(st.get()) else None
+      ts.foreach { t =>
+        cur = cur match {
+          case Some((s0, l0, n0)) if t - l0 <= gapUs =>
+            Some((s0, math.max(l0, t), n0 + 1))
+          case Some((s0, l0, n0)) =>
+            out ::= SessionOut(key, s0, l0, n0)
+            Some((t, t, 1))
+          case None => Some((t, t, 1))
+        }
+      }
+      cur.foreach { c =>
+        st.update(c)
+        // re-arm the close timer at last + gap (timers are in ms)
+        getHandle.listTimers().foreach(e =>
+          getHandle.deleteTimer(e.asInstanceOf[Long]))
+        getHandle.registerTimer((c._2 + gapUs) / 1000)
+      }
+      out.reverse.iterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo
+                                   ): Iterator[SessionOut] = {
+      // a timer can fire in the same batch whose input already EXTENDED
+      // or replaced the session it was armed for — only close state the
+      // expiry actually covers (stale timers are no-ops; the fresh
+      // session re-armed its own timer in handleInputRows)
+      if (st.exists()) {
+        val (s0, l0, n0) = st.get()
+        if ((l0 + gapUs) / 1000 <= expiredTimerInfo.getExpiryTimeInMs) {
+          st.clear()
+          Iterator.single(SessionOut(key, s0, l0, n0))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** Run [[SessionProcessor]] over a staged directory of event files
+    * with `maxFilesPerTrigger = 1` (one batch per file, so the
+    * watermark advances between files and timers actually fire).
+    * Returns the memory-sink table of emitted sessions. */
+  def sessionsWithTimers(spark: SparkSession, stagedDir: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         gapSeconds: Long, delay: String = "5 seconds",
+                         queryName: String = "stream_sessions_tws"
+                        ): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stagedDir)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts_utc", delay)
+        .select(col("user_id"), col("ts_utc"),
+          expr("ts div 1000").as("ts_us"))
+        .as[(Long, java.sql.Timestamp, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionProcessor(gapSeconds * 1000000L),
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = out.writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Append)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
