@@ -776,6 +776,16 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("span_hash")))
     }),
 
+    "q_max_spans" -> ((s, dir) => {
+      // maximal duplicated passages: consecutive shared 10-word
+      // windows merged to (start,end) word ranges via islands-and-gaps
+      graft.dedup.SpanDedup.maximalDuplicatedSpans(
+          t(s, dir, "documents"), "doc_id", "text", window = 10)
+        .withColumnRenamed("id", "doc_id")
+        .transform(graft.operators.Spread.smallSort(_,
+          col("doc_id"), col("start_pos")))
+    }),
+
     "q_tfidf" -> ((s, dir) => {
       graft.functions.Keywords.tfidfTopK(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
@@ -1748,6 +1758,25 @@ object SparkEntry {
          |FROM sp GROUP BY span_hash
          |HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY span_hash""".stripMargin,
+
+    // mirrors SpanDedup.maximalDuplicatedSpans: duplicated window
+    // positions merged into maximal runs by the islands-and-gaps trick
+    "q_max_spans" ->
+      s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
+         |sp AS (SELECT doc_id, i AS pos,
+         |    ${Duck.hash64("array_to_string(w[i:i+9], ' ')")} AS span_hash
+         |  FROM w, unnest(CASE WHEN len(w) >= 10 THEN range(1, len(w) - 8)
+         |    ELSE []::BIGINT[] END) AS t(i)),
+         |dup AS (SELECT span_hash FROM sp GROUP BY span_hash
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT doc_id, pos FROM sp
+         |      WHERE span_hash IN (SELECT span_hash FROM dup)),
+         |isl AS (SELECT doc_id, pos, pos - row_number()
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM d)
+         |SELECT doc_id, min(pos) AS start_pos, max(pos) + 9 AS end_pos,
+         |  count(*) AS n_windows
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, start_pos""".stripMargin,
 
     // mirrors Keywords.tfidfTopK: smoothed tf-idf, top 3 per doc
     "q_tfidf" ->

@@ -25,12 +25,11 @@ import graft.operators.Spread
   */
 object SpanDedup {
 
-  /** Per-document span hashes: (id, span_hash) rows, one per window
-    * position. Documents shorter than `window` words emit no spans.
-    * The hash is `TextFunctions.hash64` (md5-derived 60-bit) over the
-    * space-joined window, so a DuckDB oracle reproduces it exactly. */
-  def spanHashes(df: DataFrame, idCol: String, textCol: String,
-                 window: Int): DataFrame = {
+  /** (id, pos, span_hash) rows — `pos` is the 1-based word index the
+    * window starts at; the positional form [[maximalDuplicatedSpans]]
+    * needs. */
+  def spanHashesWithPos(df: DataFrame, idCol: String, textCol: String,
+                        window: Int): DataFrame = {
     // words materialized before the span lambda (lambda-cost rule:
     // captured expressions re-evaluate per element); the per-element
     // slice+concat+md5 is inherent work, not re-evaluation.
@@ -42,14 +41,27 @@ object SpanDedup {
         transform(sequence(lit(1), size(col("w")) - window + 1),
           i => hash64(concat_ws(" ", slice(col("w"), i, lit(window))))))
         .otherwise(array().cast("array<bigint>")).as("spans"))
-    // explode_outer, not explode: InferFiltersFromGenerate inlines the
-    // full generator expression into a synthesized filter for plain
-    // explode (measured blowup — see Decontaminate); outer generators
-    // are skipped by the rule, and the null rows from empty arrays are
-    // dropped right here.
-    spans.select(col("id"), explode_outer(col("spans")).as("span_hash"))
+    // posexplode_outer, not posexplode: InferFiltersFromGenerate
+    // inlines the full generator expression into a synthesized filter
+    // for plain generators (measured blowup — see Decontaminate);
+    // outer generators are skipped by the rule, and the null rows from
+    // empty arrays are dropped right here. Array index j ↔ word
+    // position j+1.
+    spans.select(col("id"),
+        posexplode_outer(col("spans")).as(Seq("pos0", "span_hash")))
       .where(col("span_hash").isNotNull)
+      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("span_hash"))
   }
+
+  /** Per-document span hashes: (id, span_hash) rows, one per window
+    * position. Documents shorter than `window` words emit no spans.
+    * The hash is `TextFunctions.hash64` (md5-derived 60-bit) over the
+    * space-joined window, so a DuckDB oracle reproduces it exactly. */
+  def spanHashes(df: DataFrame, idCol: String, textCol: String,
+                 window: Int): DataFrame =
+    spanHashesWithPos(df, idCol, textCol, window)
+      .select(col("id"), col("span_hash"))
 
   /** Spans appearing in ≥ `minDocs` distinct documents:
     * (span_hash, n_docs, n_occurrences, first_doc). `n_occurrences`
@@ -63,6 +75,43 @@ object SpanDedup {
         count(lit(1)).as("n_occurrences"),
         min(col("id")).as("first_doc"))
       .where(col("n_docs") >= minDocs)
+
+  /** MAXIMAL duplicated passages per document: consecutive duplicated
+    * windows merge into one (start_pos, end_pos) word range — the
+    * actual text spans a passage-level cleaner would cut (cf. Lee et
+    * al. 2022's ≥50-token repeated substrings), not one row per
+    * window. Islands-and-gaps: duplicated window positions per doc,
+    * `pos − row_number()` constant within a run of consecutive
+    * positions. Returns (id, start_pos, end_pos, n_windows), 1-based
+    * inclusive word positions.
+    *
+    * Scale shape: the span groupBy + semi join distribute on
+    * span_hash; the island window partitions by doc id and its width
+    * is bounded by the doc's own window count — no cross-doc state. */
+  def maximalDuplicatedSpans(df: DataFrame, idCol: String,
+                             textCol: String, window: Int,
+                             minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = spanHashesWithPos(df, idCol, textCol, window).persist()
+    val dup = spans.groupBy(col("span_hash"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs).select(col("span_hash"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val out = spans.join(dup, Seq("span_hash"), "left_semi")
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + window - 1).as("end_pos"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id"), col("start_pos"), col("end_pos"),
+        col("n_windows"))
+      // materialize the passage-scale result, release the token-scale
+      // span cache (same lifecycle contract as docsWithDuplicatedSpans)
+      .persist()
+    out.count()
+    spans.unpersist(blocking = false)
+    out
+  }
 
   /** Documents containing any duplicated span (candidates for
     * passage-level cleaning): left-semi join against the duplicated

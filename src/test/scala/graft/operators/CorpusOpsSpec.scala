@@ -16,6 +16,24 @@ class CorpusOpsSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("maximalDuplicatedSpans merges consecutive windows to one range") {
+    import org.apache.spark.sql.functions.col
+    // a 12-word shared block → 3 consecutive duplicated 10-word
+    // windows in each doc, which must merge into ONE maximal range
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      1L -> s"$shared tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8 tail9",
+      2L -> s"head1 head2 $shared",
+      3L -> "entirely different words with no overlap at all here now")
+    val got = SpanDedup.maximalDuplicatedSpans(d, "doc_id", "text", 10)
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got === Array(
+      (1L, 1L, 12L, 3L),   // block at words 1-12, 3 windows
+      (2L, 3L, 14L, 3L))) // same block shifted by the 2-word head
+  }
+
   test("duplicatedSpans finds the shared 10-word passage, not the unique tails") {
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
     val d = docs(
