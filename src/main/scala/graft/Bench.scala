@@ -29,9 +29,14 @@ object Bench {
     // warmup: touch every table + exercise codegen/shuffle machinery
     Tables.names.foreach(n => Tables(spark, sfDir, n).limit(1).count())
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .map { case (name, fn) =>
+    // measured swing on an idle box: identical code varies ~2× per
+    // query run-to-run (JIT/GC). Queries at/above 1 s get a second
+    // timed run and report the MIN — noise shrinks where it matters,
+    // and the many sub-second queries don't double the wall clock.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame
+                ): Double = {
       val t0 = System.nanoTime()
       // toRdd.count() executes the FULL physical plan (projections,
       // sorts and all) — df.count() would let Catalyst prune every
@@ -43,7 +48,18 @@ object Bench {
       // caller owns lifetime); drop them so storage from 50 earlier
       // queries doesn't squeeze this one's execution memory
       spark.catalog.clearCache()
-      System.err.println(f"[bench] $name%-22s $sec%9.2f s")
+      sec
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
+      var sec = timeOnce(name, fn)
+      var runs = 1
+      while (runs < repeat && sec >= 1.0) {
+        sec = math.min(sec, timeOnce(name, fn))
+        runs += 1
+      }
+      System.err.println(f"[bench] $name%-22s $sec%9.2f s ($runs run(s))")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
