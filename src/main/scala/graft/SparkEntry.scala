@@ -776,6 +776,18 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("span_hash")))
     }),
 
+    "q_chunks" -> ((s, dir) => {
+      // context-window chunking: 50-word windows, 10-word overlap —
+      // emitted as word ranges (no text column rides the shuffle)
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        size(TextFunctions.words(col("text"))).as("n_words"))
+      graft.sample.Packing.chunkByTokens(d, "doc_id", "n_words",
+          chunk = 50, overlap = 10)
+        .withColumnRenamed("id", "doc_id")
+        .transform(graft.operators.Spread.smallSort(_,
+          col("doc_id"), col("chunk_idx")))
+    }),
+
     "q_max_spans" -> ((s, dir) => {
       // maximal duplicated passages: consecutive shared 10-word
       // windows merged to (start,end) word ranges via islands-and-gaps
@@ -1758,6 +1770,20 @@ object SparkEntry {
          |FROM sp GROUP BY span_hash
          |HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY span_hash""".stripMargin,
+
+    // mirrors Packing.chunkByTokens: 50-word windows, stride 40
+    "q_chunks" ->
+      s"""WITH w AS (SELECT doc_id, len(${Duck.words("text")}) AS len
+         |  FROM documents),
+         |c AS (SELECT doc_id, len,
+         |  CASE WHEN len <= 50 THEN 1
+         |       ELSE 1 + CAST(ceil((len - 50)::DOUBLE / 40) AS BIGINT)
+         |  END AS nc FROM w WHERE len > 0)
+         |SELECT doc_id, i AS chunk_idx, i * 40 + 1 AS start_pos,
+         |  least(i * 40 + 50, len) AS end_pos,
+         |  least(i * 40 + 50, len) - (i * 40 + 1) + 1 AS n_tokens
+         |FROM c, unnest(range(0, nc)) AS t(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // mirrors SpanDedup.maximalDuplicatedSpans: duplicated window
     // positions merged into maximal runs by the islands-and-gaps trick

@@ -36,4 +36,36 @@ object Packing {
         floor((sum(col("tokens")).over(w) - col("tokens")).cast("double")
           / budget).cast("long"))
   }
+
+  /** Split each document into fixed-size training windows WITH overlap
+    * (the context-window chunking every pretraining pipeline runs
+    * before packing): word windows of `chunk` tokens advancing by
+    * `chunk − overlap`, final partial window kept. Returns
+    * (id, chunk_idx, start_pos, end_pos, n_tokens) with 1-based
+    * inclusive word positions — the caller slices text/token arrays by
+    * range, so no giant string column rides the shuffle.
+    *
+    * Purely per-row (one Expand via the sequence explode, no shuffle,
+    * no state): a 100-TB corpus chunks in a single map pass. */
+  def chunkByTokens(df: DataFrame, idCol: String, nTokensCol: String,
+                    chunk: Int, overlap: Int): DataFrame = {
+    require(chunk > 0 && overlap >= 0 && overlap < chunk,
+      "need 0 <= overlap < chunk")
+    val stride = chunk - overlap
+    val len = col(nTokensCol).cast("long")
+    // windows fully covering [1, len]: the last chunk starts at or
+    // before len − chunk + 1; docs at or under one chunk yield exactly
+    // one window. n = 1 + ceil((len − chunk)/stride) for len > chunk.
+    val nChunks = when(len <= chunk, lit(1L))
+      .otherwise(lit(1L) + ceil((len - chunk).cast("double") / stride)
+        .cast("long"))
+    df.select(col(idCol).as("id"), len.as("len"), nChunks.as("nc"))
+      .where(col("len") > 0)
+      .select(col("id"), col("len"),
+        posexplode_outer(sequence(lit(0L), col("nc") - 1)))
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+        (col("col") * stride + 1).as("start_pos"),
+        least(col("col") * stride + chunk, col("len")).as("end_pos"))
+      .withColumn("n_tokens", col("end_pos") - col("start_pos") + 1)
+  }
 }

@@ -16,6 +16,27 @@ class CorpusOpsSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("chunkByTokens covers every token with overlapping windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // lens: under one chunk, exactly one chunk, one over, long
+    val d = Seq((1L, 30L), (2L, 50L), (3L, 51L), (4L, 130L), (5L, 0L))
+      .toDF("doc_id", "n")
+    val got = Packing.chunkByTokens(d, "doc_id", "n", chunk = 50,
+        overlap = 10)
+      .orderBy(col("id"), col("chunk_idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      (1L, 0L, 1L, 30L, 30L),
+      (2L, 0L, 1L, 50L, 50L),
+      (3L, 0L, 1L, 50L, 50L), (3L, 1L, 41L, 51L, 11L),
+      (4L, 0L, 1L, 50L, 50L), (4L, 1L, 41L, 90L, 50L),
+      (4L, 2L, 81L, 130L, 50L)))
+    // zero-length docs emit nothing; every doc token is covered
+    assert(!got.exists(_._1 == 5L))
+  }
+
   test("maximalDuplicatedSpans merges consecutive windows to one range") {
     import org.apache.spark.sql.functions.col
     // a 12-word shared block → 3 consecutive duplicated 10-word
