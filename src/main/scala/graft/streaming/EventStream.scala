@@ -235,6 +235,75 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming CDC → dimension history: each arriving micro-batch of
+    * key+attribute rows MERGES into an SCD Type-2 history table via
+    * `foreachBatch` — the lakehouse pattern for keeping a versioned
+    * dimension current from a change stream. Within a batch the
+    * newest row per key wins (`Windows.keepLatest`), satisfying
+    * `Scd2.merge`'s unique-key precondition; the `effective` stamp is
+    * the batch's max event date so replays of the same data are
+    * idempotent. The swap is write-new/overwrite — on plain parquet
+    * that is the honest portable commit (a table format with atomic
+    * swap replaces the last step, nothing else changes).
+    *
+    * Exactly-once: the checkpoint tracks consumed files, so a re-run
+    * merges only unseen batches; and an effective-date guard drops CDC
+    * rows not newer than the key's current version, so replaying old
+    * batches over newer history (fresh checkpoint, source backfill) is
+    * idempotent instead of time-traveling valid_to backwards. */
+  def scd2Sink(spark: SparkSession, srcDir: String,
+               schema: org.apache.spark.sql.types.StructType,
+               historyDir: String, checkpointDir: String,
+               keys: Seq[String], tracked: Seq[String],
+               orderCol: String, effectiveCol: String): Unit = {
+    import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
+    // one micro-batch per arriving file: each CDC delivery merges as
+    // its own SCD2 generation (drain-everything-at-once would collapse
+    // intermediate versions into one)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val dedup = graft.operators.Windows.keepLatest(batch.toDF(),
+          keys.map(col), col(orderCol))
+        val effective = dedup.agg(max(col(effectiveCol))).head.getString(0)
+        val existing =
+          try spark.read.parquet(historyDir)
+          catch { case _: Throwable => // first batch: empty history
+            graft.sources.Sources.emptyFrame(spark, StructType(
+              dedup.select((keys ++ tracked).map(col): _*).schema.fields ++
+                Seq(StructField("valid_from", StringType),
+                  StructField("valid_to", StringType),
+                  StructField("is_current", BooleanType))))
+          }
+        // out-of-order guard: a CDC row not NEWER than the key's
+        // current version start must not open a version (replaying an
+        // old batch over newer history would time-travel valid_to
+        // backwards). This is also what makes full-source replays
+        // idempotent.
+        val cur = existing.where(col("is_current"))
+          .select(keys.map(col) :+ col("valid_from").as("__vf"): _*)
+        val fresh = dedup.join(cur, keys, "left")
+          .where(col("__vf").isNull || col(effectiveCol) > col("__vf"))
+        val merged = graft.operators.Scd2.merge(existing,
+          fresh.select((keys ++ tracked).map(col): _*), keys, tracked,
+          effective)
+        // write-new then swap (portable parquet commit)
+        val tmp = historyDir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = new org.apache.hadoop.fs.Path(historyDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(historyDir), true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(historyDir)),
+          s"history swap rename failed: $tmp -> $historyDir")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming INC ingestion: files arriving under `srcDir` are
     * transformed and appended to `tgtDir` EXACTLY ONCE across runs —
     * the Structured Streaming form of the reference's high-watermark
