@@ -35,9 +35,11 @@ object PlanLint {
 
   final case class Finding(rule: String, node: String, detail: String)
 
-  def lint(df: DataFrame): Seq[Finding] = {
+  def lint(df: DataFrame): Seq[Finding] =
+    lintPlan(df.queryExecution.sparkPlan)
+
+  def lintPlan(plan: SparkPlan): Seq[Finding] = {
     val findings = Seq.newBuilder[Finding]
-    val plan = df.queryExecution.sparkPlan
     plan.foreach {
       case j: CartesianProductExec =>
         findings += Finding("cartesian-product", j.nodeName,
@@ -78,6 +80,36 @@ object PlanLint {
     require(bad.isEmpty,
       "plan lint failed:\n" + bad.map(f => s"  [${f.rule}] ${f.detail}")
         .mkString("\n"))
+  }
+
+  /** Findings recorded by an installed listener: (queryName-or-empty,
+    * finding). */
+  final case class Observed(funcName: String, finding: Finding)
+
+  /** Install a QueryExecutionListener that lints EVERY successful query
+    * the session executes and accumulates findings — the production
+    * form of [[lint]]: plan hygiene becomes telemetry instead of a
+    * code-review habit. Returns the live (thread-safe) findings
+    * buffer; `buffer.clear()` between pipeline stages scopes reports.
+    * Listener callbacks run on the listener bus thread and never block
+    * or fail the query. */
+  def install(spark: org.apache.spark.sql.SparkSession
+             ): java.util.concurrent.ConcurrentLinkedQueue[Observed] = {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Observed]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit = {
+          try lintPlan(qe.sparkPlan)
+            .foreach(f => buf.add(Observed(funcName, f)))
+          catch { case _: Throwable => () } // telemetry must not throw
+        }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    buf
   }
 
   /** Fraction of physical operators inside whole-stage-codegen spans —

@@ -2,6 +2,8 @@ package graft.operators
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -47,6 +49,19 @@ class PlanLintSpec extends SparkSpec {
     val q = Spread.smallSort((1 to 100).toDF("x"), col("x"))
     assert(PlanLint.lint(q).map(_.rule)
       .contains("single-partition-exchange"))
+  }
+
+  test("installed listener observes lint findings on executed queries") {
+    val buf = PlanLint.install(spark)
+    val a = (1 to 5).toDF("x")
+    a.crossJoin((1 to 5).toDF("y")).collect()
+    // listener callbacks are async on the bus thread — poll briefly
+    val deadline = System.currentTimeMillis() + 10000
+    while (buf.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    val rules = buf.iterator().asScala.map(_.finding.rule).toSet
+    assert(rules.contains("cartesian-product") ||
+      rules.contains("unconditioned-nested-loop"), rules)
   }
 
   test("codegenCoverage is high for a simple agg and in [0,1]") {
