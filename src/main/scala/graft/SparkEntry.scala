@@ -1110,6 +1110,28 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    "q_csv_quarantine" -> ((s, dir) => {
+      // landing-zone scan with one malformed row staged in: good rows
+      // come through typed, the broken line lands in quarantine (shown
+      // here as a count sentinel so one frame carries both outcomes)
+      import org.apache.spark.sql.types._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csvq").toString
+      t(s, dir, "region").write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "bad.csv"),
+        "r_regionkey,r_name\nnotanint,broken\n")
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      val (good, bad) = graft.sources.Sources.csvScanWithQuarantine(
+        s, tmp, schema, Map("header" -> "true"))
+      good.unionByName(bad.groupBy().agg(count(lit(1)).as("n"))
+          .select(lit(-1).as("r_regionkey"),
+            concat(lit("QUARANTINED:"), col("n")).as("r_name")))
+        .orderBy(col("r_regionkey"))
+    }),
+
     "q_normalize" -> ((s, dir) => {
       // unicode canonicalization ahead of dedup keys: inline fixture
       // exercises composed/decomposed forms, case, diacritics,
@@ -2148,6 +2170,12 @@ object SparkEntry {
     "q_csv_scan" ->
       """SELECT r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q_csv_quarantine" ->
+      """SELECT r_regionkey, r_name FROM (
+        | SELECT r_regionkey, r_name FROM region
+        | UNION ALL SELECT -1, 'QUARANTINED:1')
+        |ORDER BY r_regionkey""".stripMargin,
 
     // mirrors TextNormalize: nfc → lower → unaccent → collapse ws.
     // chr(771) = combining tilde (decomposed form), chr(9) = tab
