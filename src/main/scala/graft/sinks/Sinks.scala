@@ -129,6 +129,66 @@ object Sinks {
   }
 
   /** K7: JDBC append (run-log rows to an audit database). */
+  /** Poor-man's versioned table: each write lands in a NEW `v=N`
+    * subdirectory and a `_LATEST` pointer file flips to it afterwards —
+    * readers that resolved the pointer before the flip keep reading a
+    * complete old snapshot, so there is no window where the table is
+    * half-written or deleted (the overwrite-swap used for plain
+    * parquet elsewhere has exactly that window). This is the atomicity
+    * kernel of real table formats, minus their transaction log;
+    * `vacuumVersions` is the retention half. The pointer flip is a
+    * single-file rename — atomic on HDFS/local posix; object stores
+    * need their conditional-put instead. */
+  def versionedWrite(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = listVersions(spark, path).maxOption.getOrElse(0) + 1
+    df.write.mode("errorifexists").parquet(s"$path/v=$next")
+    val tmp = new org.apache.hadoop.fs.Path(path, s"_LATEST.tmp$next")
+    val out = fs.create(tmp, true)
+    out.write(next.toString.getBytes("UTF-8")); out.close()
+    val ptr = new org.apache.hadoop.fs.Path(path, "_LATEST")
+    fs.delete(ptr, false)
+    require(fs.rename(tmp, ptr), s"pointer flip failed for $path v$next")
+    next
+  }
+
+  /** Read the pointed-to (or an explicit) version. */
+  def readVersion(spark: SparkSession, path: String,
+                  version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(path, "_LATEST"))
+      val s = scala.io.Source.fromInputStream(in).mkString.trim
+      in.close(); s.toInt
+    }
+    spark.read.parquet(s"$path/v=$v")
+  }
+
+  def listVersions(spark: SparkSession, path: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toInt).sorted
+  }
+
+  /** Drop all but the newest `keep` versions (never the pointed-to
+    * one). Returns the versions removed. */
+  def vacuumVersions(spark: SparkSession, path: String,
+                     keep: Int): Seq[Int] = {
+    require(keep >= 1, "keep >= 1")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listVersions(spark, path)
+    val doomed = versions.dropRight(keep)
+    doomed.foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(path, s"v=$v"), true))
+    doomed
+  }
+
   /** Catalog statistics for cost-based optimization: table row/byte
     * counts plus per-column ndv/null/min/max histograms. At scale this
     * is what lets Catalyst pick broadcast sides and join orders from

@@ -26,6 +26,23 @@ class CatalogOpsSpec extends SparkSpec {
       === Array((1, "a|x"), (2, "b"), (3, "c")))
   }
 
+  test("versionedWrite flips a pointer; old snapshots stay readable") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("vtab").toString + "/t"
+    val v1 = Sinks.versionedWrite(Seq((1L, "a")).toDF("k", "v"), path)
+    val v2 = Sinks.versionedWrite(Seq((1L, "b"), (2L, "c")).toDF("k", "v"), path)
+    assert((v1, v2) === ((1, 2)))
+    assert(Sinks.readVersion(spark, path).count() === 2L) // latest
+    // time travel: the v1 snapshot is intact after the v2 commit
+    assert(Sinks.readVersion(spark, path, Some(1)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a")))
+    assert(Sinks.listVersions(spark, path) === Seq(1, 2))
+    // retention: vacuum keeps the newest, reports what it dropped
+    assert(Sinks.vacuumVersions(spark, path, keep = 1) === Seq(1))
+    assert(Sinks.listVersions(spark, path) === Seq(2))
+    assert(Sinks.readVersion(spark, path).count() === 2L)
+  }
+
   test("analyzeTable records row-count and column stats in the catalog") {
     import spark.implicits._
     dropManaged("stats_t")
