@@ -798,6 +798,28 @@ object SparkEntry {
           col("doc_id"), col("start_pos")))
     }),
 
+    "q_quality_gate" -> ((s, dir) => {
+      // adaptive quality threshold: keep docs at/above their OWN
+      // language's 25th-percentile quality — a fixed global cutoff
+      // would gut low-resource languages (their score distribution
+      // sits lower), which is why mixture-aware pipelines gate per
+      // group. Exact interpolated percentile (parity with the oracle);
+      // the per-lang threshold frame is tiny → broadcast join.
+      import TextFunctions._
+      val d = graft.operators.Spread.ensure(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("text")))
+        .select(col("doc_id"), col("lang"),
+          qualityScore(col("text")).as("score"))
+        .persist() // feeds the threshold agg AND the gate join
+      val thr = d.groupBy(col("lang"))
+        .agg(round(expr("percentile(score, 0.25D)"), 6).as("thr"))
+      d.join(broadcast(thr), Seq("lang"))
+        .where(col("score") >= col("thr"))
+        .select(col("doc_id"), col("lang"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_tfidf" -> ((s, dir) => {
       graft.functions.Keywords.tfidfTopK(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
@@ -1792,6 +1814,27 @@ object SparkEntry {
          |FROM sp GROUP BY span_hash
          |HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY span_hash""".stripMargin,
+
+    // mirrors the q_quality_gate composition: same quality formula as
+    // q_text_stats, per-lang exact interpolated p25, gate join
+    "q_quality_gate" -> {
+      val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT doc_id, lang, text, ${Duck.words("text")} AS w FROM documents),
+         |m AS (SELECT doc_id, lang,
+         |  round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.5 +
+         |    (CASE WHEN (CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         |      (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+         |      / len(text) END) < 0.2 THEN 1.0 ELSE 0.0 END) * 0.25 +
+         |    (CASE WHEN (CASE WHEN len(w) = 0 THEN 0.0 ELSE
+         |      len(list_filter(w, x -> list_contains($stopList, x)))::DOUBLE
+         |      / len(w) END) > 0.01 THEN 1.0 ELSE 0.5 END) * 0.25, 4) AS score
+         |  FROM w),
+         |t AS (SELECT lang, round(quantile_cont(score, 0.25), 6) AS thr
+         |      FROM m GROUP BY lang)
+         |SELECT doc_id, m.lang, score
+         |FROM m JOIN t ON m.lang = t.lang
+         |WHERE score >= thr ORDER BY doc_id""".stripMargin
+    },
 
     // mirrors Packing.chunkByTokens: 50-word windows, stride 40
     "q_chunks" ->
