@@ -251,6 +251,19 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "q_udaf_kth" -> ((s, dir) => {
+      // typed Aggregator UDAF (§2.11): exact k-th largest with O(k)
+      // bounded state — ObjectHashAggregate with map-side partials,
+      // vs the window phrasing's full per-group shuffle-sort. The
+      // oracle states the same question as a window query.
+      val kth = graft.functions.KthLargest(10)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(kth(col("l_extendedprice")).as("kth_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- joins (SURVEY §2.5) -------------------------------------------
     "q_join_inner" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -351,6 +364,31 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "q_fuzzy_match" -> ((s, dir) => {
+      // edit-distance fuzzy self-match via lossless length-bucket
+      // blocking (equi-join, no cross product) + threshold-bounded
+      // levenshtein
+      graft.operators.FuzzyJoin.selfPairs(
+          t(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_lateral" -> ((s, dir) => {
+      // correlated LATERAL subquery (per-nation top-2 customers by
+      // balance) — the SQL surface for dependent joins; Catalyst
+      // decorrelates it into a ranked window join, so no per-row
+      // re-execution survives in the physical plan
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation_v n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer_v c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        ORDER BY n.n_name, t.c_custkey""")
+    }),
+
     "q_sliding_window" -> ((s, dir) => {
       // batch sliding windows (2h window, 1h slide): every event lands
       // in exactly two windows via one Expand — no self-join
@@ -445,6 +483,40 @@ object SparkEntry {
           lag(col("o_orderkey"), 1).over(w).as("prev_order"),
           lead(col("o_orderkey"), 1).over(w).as("next_order"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q_w_ntile" -> ((s, dir) => {
+      // distribution windows (§2.7 breadth): quartile bucketing +
+      // exact rank fractions. The order key includes the unique
+      // custkey so rank functions are tie-free and the rational
+      // (rn−1)/(n−1) is bit-identical across engines.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_dist"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_w_range_frame" -> ((s, dir) => {
+      // RANGE frame over event time: per-user trailing 1-hour sum.
+      // events.ts reads as epoch-NANOS long (see Tables), so the
+      // range offset is 1h in nanos; DuckDB phrases the same frame
+      // as RANGE INTERVAL '1 hour' PRECEDING over its ns timestamp.
+      // One shuffle on user_id; the frame is a sliding aggregate over
+      // the partition sort — no self-join.
+      import org.apache.spark.sql.expressions.Window
+      val hourNs = 3600L * 1000L * 1000L * 1000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-hourNs, 0L)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(18, 6))).over(w)
+            .cast("double").as("hour_sum"))
+        .orderBy(col("user_id"), col("event_id"))
     }),
 
     // ---- projections / filters (SURVEY §2.3) ---------------------------
@@ -664,6 +736,15 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         blockCol = "lang", k = 4, threshold = 0.7)
         .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
+    }),
+
+    "q_containment" -> ((s, dir) => {
+      // asymmetric gram containment (quote/excerpt detection): a doc
+      // whose shingles are ≥60% inside another doc's shingle set
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, threshold = 0.6)
+        .transform(graft.operators.Spread.smallSort(_,
+          col("src_id"), col("dst_id")))
     }),
 
     "q_dedup_clusters" -> ((s, dir) => {
@@ -1573,6 +1654,49 @@ object SparkEntry {
         |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    "q_w_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        | ntile(4) OVER w AS quartile,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cum_dist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_w_range_frame" ->
+      """SELECT user_id, event_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) OVER
+        |  (PARTITION BY user_id ORDER BY ts
+        |   RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS hour_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_udaf_kth" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |                     ORDER BY l_extendedprice DESC) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_extendedprice AS kth_price, n
+        |FROM r WHERE rn = least(10, n)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        | levenshtein(a.s_name, b.s_name) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin,
+
     "q_filters" ->
       """SELECT l_orderkey, l_linenumber,
         | CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS disc_band
@@ -1733,6 +1857,19 @@ object SparkEntry {
          |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
          |      len(list_distinct(a.sh || b.sh)), 6) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // mirrors Dedup.containmentPairs: word 5-shingles, C(A→B)=|∩|/|A|
+    "q_containment" -> {
+      s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
+         |s AS (SELECT doc_id, ${Duck.shinglesK(5)} AS sh FROM w)
+         |SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6)
+         |    AS containment
+         |FROM s a JOIN s b ON a.doc_id != b.doc_id
+         |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6)
+         |      >= 0.6
+         |ORDER BY src_id, dst_id""".stripMargin
     },
 
     "q_dedup_embed" ->

@@ -272,6 +272,70 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Directed containment pairs: C(A→B) = |g(A) ∩ g(B)| / |g(A)| over
+    * distinct word k-shingles — quote/excerpt detection, where a short
+    * doc embedded in a longer one scores near 1.0 while its Jaccard
+    * stays low. Returns (src_id, dst_id, containment) with src the
+    * contained side; both directions are examined (containment is
+    * asymmetric, so q_dedup_ngram's id_a<id_b trick doesn't apply).
+    *
+    * Same lossless prefix-filter design as [[ngramJaccardPairs]], with
+    * the bounds reshaped for asymmetry: C ≥ t needs overlap ≥
+    * ⌈t·|A|⌉, so (a) only the SRC side is prefix-trimmed to its
+    * |A| − ⌈t·|A|⌉ + 1 rarest grams (the DST side must keep ALL grams
+    * — a contained gram can sit anywhere in the container); (b) the
+    * size bound is one-sided: |B| ≥ ⌈t·|A|⌉, no upper bound, so no
+    * size-bucket equi-key. Word shingles (not char grams) keep the
+    * gram space high-cardinality, which is what makes the prefix join
+    * selective. df=1 grams still prune (a cross-doc match needs
+    * df ≥ 2). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 5, threshold: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val base = Spread.ensure(df.select(col(idCol).as("id"),
+        col(textCol).as("txt")))
+      .select(col("id"), words(col("txt")).as("w"))
+      .select(col("id"), shinglesFromWords(col("w"), k).as("g"))
+    val sets = base.select(col("id"), size(col("g")).as("sz"),
+      array_sort(transform(col("g"), s => hash64(s))).as("sh"))
+      .persist()
+    sets.count() // materialize before the plan fans out (see ngram op)
+    val tokens = sets.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    val docFreq = tokens.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+    val tp = threshold - 1e-6
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("g"))
+    // src prefix: rarest |A| − ⌈t·|A|⌉ + 1 grams (inner join to the
+    // df≥2 list is itself lossless here — see scaladoc)
+    val srcPrefix = tokens.join(docFreq, Seq("g"))
+      .withColumn("rn", row_number().over(byRarity))
+      .where(col("rn") <= col("sz") - ceil(lit(tp) * col("sz")) + 1)
+      .select(col("g"), col("id").as("src_id"), col("sz").as("src_sz"))
+    // the dst gram column is RENAMED: both sides fork from `tokens`,
+    // so srcPrefix("g")/dstAll("g") would resolve to the same
+    // attribute and collapse the join key to a tautology
+    val dstAll = tokens.join(docFreq, Seq("g"))
+      .select(col("g").as("gd"), col("id").as("dst_id"),
+        col("sz").as("dst_sz"))
+    val cand = srcPrefix.join(dstAll,
+        col("g") === col("gd") &&
+          col("src_id") =!= col("dst_id") &&
+          col("dst_sz") >= ceil(lit(tp) * col("src_sz")))
+      .select(col("src_id"), col("dst_id")).distinct()
+    val inter = call_function(graft.expressions.GraftFunctions.IntersectSizeSorted,
+      col("sh_src"), col("sh_dst"))
+    cand
+      .join(sets.select(col("id").as("src_id"), col("sz").as("sz_src"),
+        col("sh").as("sh_src")), Seq("src_id"))
+      .join(sets.select(col("id").as("dst_id"), col("sh").as("sh_dst")),
+        Seq("dst_id"))
+      .select(col("src_id"), col("dst_id"),
+        round(inter.cast("double") / col("sz_src"), 6).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** SimHash near-dup pairs: 60-bit simhash, banded into `bands`
     * 15-bit keys (a pair within Hamming distance < bands must share at
     * least one exact band — pigeonhole), verified by exact Hamming ≤

@@ -55,4 +55,46 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got === expected)
     assert(got.map(p => (p._1, p._2)).contains((1L, 4L))) // exact dup pair
   }
+
+  test("containmentPairs: embedded quote scores 1.0 in one direction only") {
+    import spark.implicits._
+    val quote = "the five word secret message here"
+    val container = "prefix words before it " + quote +
+      " and plenty of trailing filler words to dilute the jaccard score badly"
+    val docs = Seq((1L, quote), (2L, container),
+      (3L, "entirely unrelated text with many distinct words in this row"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        k = 5, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1.0))) // 1⊂2 only; 2→1 diluted, 3 unrelated
+  }
+
+  test("containmentPairs equals the brute-force definition") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi"),
+      (3L, "alpha beta gamma delta epsilon different tail words here now"),
+      (4L, "unrelated corpus entry with its own vocabulary entirely")
+    ).toDF("doc_id", "text")
+    val t = 0.5
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", k = 5,
+        threshold = t)
+      .orderBy("src_id", "dst_id").as[(Long, Long, Double)].collect().toSeq
+    val sh = docs.select(col("doc_id"),
+        TextFunctions.shingles(col("text"), 5).as("sh"))
+    val brute = sh.alias("a").join(sh.alias("b"),
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(col("a.sh")), 6).as("c"))
+      .where(col("c") >= t)
+      .orderBy(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
 }
