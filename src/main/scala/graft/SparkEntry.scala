@@ -251,6 +251,25 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "q_numeric_profile" -> ((s, dir) => {
+      // mean/std per group from EXACT decimal power sums — the
+      // one-pass, order-independent way to profile numerics: both
+      // engines derive the identical IEEE doubles from identical
+      // exact sums, so even sqrt hash-matches. No second pass, no
+      // avg()-of-doubles reduction-order drift.
+      val x = col("l_extendedprice").cast(DecimalType(18, 2))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("s1"), sum(x * x).as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          (col("s1").cast("double") / col("n")).as("mean_price"),
+          sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+            (col("n") - 1)).as("std_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_udaf_kth" -> ((s, dir) => {
       // typed Aggregator UDAF (§2.11): exact k-th largest with O(k)
       // bounded state — ObjectHashAggregate with map-side partials,
@@ -387,6 +406,41 @@ object SparkEntry {
                  WHERE c.c_nationkey = n.n_nationkey
                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         ORDER BY n.n_name, t.c_custkey""")
+    }),
+
+    "q_funnel" -> ((s, dir) => {
+      // ordered-step conversion funnel over event time: earliest view
+      // → first click after it → first purchase after that; cascaded
+      // co-partitioned join+min stages, no full sort. Time is µs on
+      // both sides (ts is ns here, but DuckDB's parquet read
+      // truncates TIMESTAMP(NANOS) to µs — so the funnel ordering is
+      // DEFINED at µs grain to keep the engines comparable)
+      graft.operators.Funnel.funnel(
+          t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_event_gaps" -> ((s, dir) => {
+      // inter-event gap profile per user: lag over the per-user time
+      // sort, then exact integer aggregates; µs grain on both sides
+      // (see q_funnel), mean derived from the exact sum
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"))
+        .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .where(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap")).as("min_gap_us"),
+          max(col("gap")).as("max_gap_us"),
+          sum(col("gap")).as("sum_gap_us"))
+        .withColumn("avg_gap_s",
+          round(col("sum_gap_us").cast("double") / col("n_gaps") / 1e6, 6))
+        .orderBy(col("user_id"))
     }),
 
     "q_sliding_window" -> ((s, dir) => {
@@ -1066,6 +1120,16 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_stream_static" -> ((s, dir) => {
+      // stream-static broadcast dim join: stateless enrichment (no
+      // watermark, no join state); one AvailableNow batch ⇒ equals
+      // the batch join, which is exactly the oracle
+      graft.streaming.EventStream.streamStaticEnrichAvailableNow(s, dir)
+        .select(col("c_mktsegment"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "q_stream_tws" -> ((s, dir) => {
       // Spark 4 transformWithState (RocksDB-backed typed state):
       // per-user running stats, single AvailableNow batch ⇒ one row
@@ -1198,6 +1262,18 @@ object SparkEntry {
     }),
 
     // ---- tabular file scan (SURVEY §2.1 S5) -----------------------------
+    "q_provenance" -> ((s, dir) => {
+      // row-level lineage audit: physical source file (basename) +
+      // content fingerprint per row — the ingestion-side provenance
+      // columns a run log keys on; the oracle pins the expected
+      // lineage and the md5 fingerprints must agree across engines
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(input_file_name(), "[^/]+$", 0).as("src_file"),
+          md5(col("text")).as("row_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_csv_scan" -> ((s, dir) => {
       // round-trip region through CSV-with-options; explicit schema =
       // the scale-safe no-inference path
@@ -1671,6 +1747,53 @@ object SparkEntry {
         |   RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
         |  AS DOUBLE) AS hour_sum
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_numeric_profile" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s1,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(l_extendedprice AS DECIMAL(18,2))) AS s2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | CAST(s1 AS DOUBLE) / n AS mean_price,
+        | sqrt((CAST(s2 AS DOUBLE) -
+        |   CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))
+        |   AS std_price
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT s0.user_id, t_view, min(epoch_us(e.ts)) AS t_click
+        |  FROM s0 LEFT JOIN events e ON e.user_id = s0.user_id
+        |   AND e.event_type = 'click' AND epoch_us(e.ts) > t_view
+        |  GROUP BY s0.user_id, t_view),
+        |s2 AS (SELECT s1.user_id, t_view, t_click,
+        |  min(epoch_us(e.ts)) AS t_purchase
+        |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+        |   AND e.event_type = 'purchase' AND epoch_us(e.ts) > t_click
+        |  GROUP BY s1.user_id, t_view, t_click)
+        |SELECT user_id, t_view, t_click, t_purchase,
+        | CASE WHEN t_purchase IS NOT NULL THEN 3
+        |      WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS depth
+        |FROM s2 ORDER BY user_id""".stripMargin,
+
+    "q_event_gaps" ->
+      """WITH g AS (SELECT user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+        |   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        | min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+        | CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+        | round(CAST(sum(gap) AS DOUBLE) / count(*) / 1e6, 6) AS avg_gap_s
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_provenance" ->
+      """SELECT doc_id, 'documents.parquet' AS src_file,
+        | md5(text) AS row_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_udaf_kth" ->
       """WITH r AS (SELECT l_returnflag, l_extendedprice,
@@ -2201,6 +2324,12 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_static" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_stream_join" ->
       """WITH c AS (SELECT event_id AS cid, user_id, ts FROM events

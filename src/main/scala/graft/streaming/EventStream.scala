@@ -12,6 +12,30 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateT
   */
 object EventStream {
 
+  /** Stage a single parquet file into a fresh temp DIRECTORY (file
+    * streams need directory sources; in production the source is
+    * already a directory of arriving files). The dir is deleted on JVM
+    * exit — per-call cleanup would race the stream's async file-index
+    * refresh, and a long-lived session calling this in a loop should
+    * point at a real landing directory instead. */
+  private[streaming] def stageFile(path: java.nio.file.Path,
+                                   prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    java.nio.file.Files.copy(path, dir.resolve(path.getFileName))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        java.nio.file.Files.list(dir).forEach(p =>
+          java.nio.file.Files.deleteIfExists(p))
+        java.nio.file.Files.deleteIfExists(dir)
+      } catch { case _: Throwable => () }
+    }))
+    dir
+  }
+
+  private[streaming] def stageEvents(sfDir: String): java.nio.file.Path =
+    stageFile(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      "graft-stream")
+
   /** Hourly event counts as a stream over the events parquet, executed
     * with AvailableNow into a memory sink, returning the final table.
     * Deterministic: complete output mode, all input consumed. */
@@ -22,10 +46,7 @@ object EventStream {
     // file streams need a DIRECTORY source; stage the single events
     // file into a temp dir (in production the source would already be
     // a directory of arriving files)
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      stageDir.resolve("events.parquet"))
+    val stageDir = stageEvents(sfDir)
     val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
     // ts is epoch-nanos (LongType); convert to a real timestamp for
     // event-time semantics. µs truncation is irrelevant at hour grain.
@@ -67,10 +88,7 @@ object EventStream {
     val partKey = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(partKey)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      stageDir.resolve("events.parquet"))
+    val stageDir = stageEvents(sfDir)
     def side(tpe: String, idAs: String, uidAs: String, tsAs: String) =
       spark.readStream.schema(schema).parquet(stageDir.toString)
         .where(col("event_type") === tpe)
@@ -106,10 +124,7 @@ object EventStream {
                               queryName: String = "stream_dedup"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      stageDir.resolve("events_a.parquet"))
+    val stageDir = stageEvents(sfDir)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stageDir.resolve("events_b.parquet"))
@@ -137,10 +152,7 @@ object EventStream {
                                        delay: String = "1 hour"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      stageDir.resolve("events_a.parquet"))
+    val stageDir = stageEvents(sfDir)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stageDir.resolve("events_b.parquet"))
@@ -151,6 +163,35 @@ object EventStream {
       .select(col("event_id"), col("user_id"), col("event_type"))
     val q = deduped.writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Stream-static enrichment: the streaming fact joined to a static
+    * dimension, aggregated per dimension attribute. The static side is
+    * a plain batch DataFrame — Spark re-plans it each micro-batch (a
+    * catalog dim picks up updates between batches) and broadcasts it
+    * when small, so the join adds NO streaming state and no watermark:
+    * unlike a stream-stream join there is nothing to retain. This is
+    * the scalable shape for dimension lookups at 100 TB/day — state
+    * stores hold only the aggregation, never the join. */
+  def streamStaticEnrichAvailableNow(spark: SparkSession, sfDir: String,
+                                     queryName: String = "stream_static"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stageDir = stageEvents(sfDir)
+    val dim = broadcast(spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = spark.readStream.schema(schema).parquet(stageDir.toString)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -212,10 +253,7 @@ object EventStream {
                                ): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-sessw")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      stageDir.resolve("events.parquet"))
+    val stageDir = stageEvents(sfDir)
     val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
       .where(col("user_id") < userMax)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
@@ -376,10 +414,7 @@ object EventStream {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-tws")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      stageDir.resolve("events.parquet"))
+    val stageDir = stageEvents(sfDir)
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
@@ -526,10 +561,7 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file streams need a DIRECTORY source (see hourlyCountsAvailableNow)
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      stageDir.resolve("events.parquet"))
+    val stageDir = stageEvents(sfDir)
     val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
     val latest = stream.select(col("user_id"), col("event_id"), col("ts"))
       .as[(Long, Long, Long)]
