@@ -408,6 +408,36 @@ object SparkEntry {
         ORDER BY n.n_name, t.c_custkey""")
     }),
 
+    "q_pagerank" -> ((s, dir) => {
+      // iterative graph compute: PageRank over the undirected
+      // customer↔supplier purchase graph in EXACT ppm fixed point —
+      // integer arithmetic is the only way an iterative rank can
+      // hash-match an independent engine (float PR drifts per
+      // reduction order)
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      graft.graph.PageRank.pageRank(edges, "a", "b", iters = 3)
+        .orderBy(col("node_id"))
+    }),
+
+    "q_props_extract" -> ((s, dir) => {
+      // semi-structured extraction: JSON props column → typed field →
+      // exact per-type aggregates (the S2 JSON scan applied to an
+      // embedded payload column)
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_funnel" -> ((s, dir) => {
       // ordered-step conversion funnel over event time: earliest view
       // → first click after it → first purchase after that; cascaded
@@ -748,6 +778,17 @@ object SparkEntry {
       graft.sample.Sampling.deterministicSample(
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", fraction = 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_weighted_sample" -> ((s, dir) => {
+      // deterministic weight-biased sampling: top-20 per language by
+      // hash-div-weight priority — longer docs proportionally more
+      // likely, yet fully reproducible (integer-exact, engine-stable)
+      graft.sample.Sampling.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "lang", "doc_id", "n_chars", k = 20)
         .orderBy(col("doc_id"))
     }),
 
@@ -1761,6 +1802,46 @@ object SparkEntry {
         |   AS std_price
         |FROM a ORDER BY l_returnflag""".stripMargin,
 
+    // mirrors PageRank.pageRank: 3 iterations, ppm fixed point, all
+    // integer ops (sums cast back to BIGINT — DuckDB widens to
+    // HUGEINT, which pandas would materialize as float)
+    "q_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS b
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM pairs
+        |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |p0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        |c1 AS (SELECT e.dst AS node, CAST(sum(p0.pr // d.outdeg) AS BIGINT) AS s
+        |  FROM e JOIN deg d ON e.src = d.src JOIN p0 ON e.src = p0.node
+        |  GROUP BY e.dst),
+        |p1 AS (SELECT d.src AS node,
+        |  CAST(150000 + (850000 * coalesce(c1.s, 0)) // 1000000 AS BIGINT) AS pr
+        |  FROM deg d LEFT JOIN c1 ON d.src = c1.node),
+        |c2 AS (SELECT e.dst AS node, CAST(sum(p1.pr // d.outdeg) AS BIGINT) AS s
+        |  FROM e JOIN deg d ON e.src = d.src JOIN p1 ON e.src = p1.node
+        |  GROUP BY e.dst),
+        |p2 AS (SELECT d.src AS node,
+        |  CAST(150000 + (850000 * coalesce(c2.s, 0)) // 1000000 AS BIGINT) AS pr
+        |  FROM deg d LEFT JOIN c2 ON d.src = c2.node),
+        |c3 AS (SELECT e.dst AS node, CAST(sum(p2.pr // d.outdeg) AS BIGINT) AS s
+        |  FROM e JOIN deg d ON e.src = d.src JOIN p2 ON e.src = p2.node
+        |  GROUP BY e.dst),
+        |p3 AS (SELECT d.src AS node,
+        |  CAST(150000 + (850000 * coalesce(c3.s, 0)) // 1000000 AS BIGINT) AS pr
+        |  FROM deg d LEFT JOIN c3 ON d.src = c3.node)
+        |SELECT node AS node_id, pr AS pr_ppm FROM p3
+        |ORDER BY node_id""".stripMargin,
+
+    "q_props_extract" ->
+      """WITH k AS (SELECT event_type,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        | min(k) AS min_k, max(k) AS max_k
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_funnel" ->
       """WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t_view
         |  FROM events WHERE event_type = 'view' GROUP BY user_id),
@@ -1920,6 +2001,16 @@ object SparkEntry {
     "q_sample_det" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${Duck.hash64("CAST(doc_id AS VARCHAR)")} % 1000000 < 200000
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""WITH p AS (SELECT doc_id, lang, n_chars,
+         |  (${Duck.hash64("CAST(doc_id AS VARCHAR)")} % 1000000) // n_chars
+         |    AS pri FROM documents),
+         |r AS (SELECT doc_id, lang, n_chars,
+         |  row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rn
+         |  FROM p)
+         |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20
          |ORDER BY doc_id""".stripMargin,
 
     "q_sample_strat" ->

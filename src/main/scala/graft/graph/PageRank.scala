@@ -1,0 +1,56 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge table, in EXACT fixed-point arithmetic.
+  *
+  * Classic (non-normalized) formulation: pr(v) = (1−d) + d·Σ_{u→v}
+  * pr(u)/outdeg(u), run for a fixed iteration count. All arithmetic is
+  * integer (parts-per-million fixed point, floor division), so the
+  * result is bit-identical regardless of partitioning, reduction
+  * order, or engine — an iterative float PageRank can NEVER be
+  * oracle-compared exactly, a fixed-point one can.
+  *
+  * Scale design: each iteration is one equi-join (edges ⋈ ranks on
+  * src) and one groupBy(dst) sum — both shuffle on the node key, so
+  * the partitioning is stable across iterations and AQE reuses the
+  * layout; rank state is one row per node (tiny next to the edge
+  * table) and broadcasts when small. Iterations are a fixed small
+  * constant (PageRank converges geometrically; 3-10 rounds), so plan
+  * depth is bounded — for big iteration counts checkpoint every few
+  * rounds like `Dedup.duplicateClusters`. Overflow bound: damping·Σpr
+  * fits a long while n_nodes · SCALE · DAMPING_PPM < 2⁶³, i.e. up to
+  * ~10¹² nodes at this scale — beyond that, move to DECIMAL(38,0).
+  */
+object PageRank {
+  val Scale = 1000000L // 1.0 in ppm fixed point
+
+  /** @param edges  directed edges (srcCol, dstCol); make it symmetric
+    *               beforehand for an undirected graph
+    * @return (node_id, pr_ppm): rank in ppm fixed point, exact */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= Scale)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist()
+    deg.count() // materialize: feeds every iteration's join
+    val base = lit(Scale - dampingPpm)
+    var pr = deg.select(col("src").as("node"), lit(Scale).as("pr_ppm"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(deg, Seq("src"))
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst"),
+          expr("pr_ppm div outdeg").as("c"))
+      val agg = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      pr = deg.select(col("src").as("node"))
+        .join(agg.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (base + expr(s"($dampingPpm * coalesce(s, 0L)) div $Scale"))
+            .as("pr_ppm"))
+    }
+    pr.select(col("node").as("node_id"), col("pr_ppm"))
+  }
+}

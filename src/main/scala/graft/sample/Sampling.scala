@@ -109,6 +109,32 @@ object Sampling {
       .where(col(rn) <= cap).drop(rn)
   }
 
+  /** Deterministic weight-biased top-k per group: rank by the integer
+    * priority `hash(id) div weight` ascending — a row with w× the
+    * weight gets a w×-compressed priority range, so selection
+    * probability grows with weight (the integer-exact cousin of
+    * Efraimidis–Spirakis u^(1/w) sampling; the float form can't be
+    * oracle-compared because pow() differs across engines in the last
+    * ulp, flipping ranks at ties). Reproducible under reruns,
+    * repartitioning, and engine swaps; same WindowGroupLimit map-side
+    * trim as [[capPerGroup]].
+    *
+    * Weights must be positive integers (cast/ceil first). */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+                     weightCol: String, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    // floor(double-div) here equals exact integer division: the
+    // bucket is < 1e6 and weights are ≥ 1, so the correctly-rounded
+    // IEEE quotient sits ≥ 1/w > ulp away from any integer it could
+    // incorrectly cross
+    val pri = floor(bucket(col(idCol), salt).cast("double") /
+      col(weightCol).cast("double")).cast("long")
+    val w = Window.partitionBy(col(groupCol)).orderBy(pri, col(idCol))
+    val rn = graft.operators.Spread.freshCol(df, "__rn")
+    df.withColumn(rn, row_number().over(w))
+      .where(col(rn) <= k).drop(rn)
+  }
+
   /** Disjoint train/holdout split: rows route to exactly one side. */
   def split(df: DataFrame, idCol: String, holdoutFraction: Double,
             salt: String = ""): (DataFrame, DataFrame) = {

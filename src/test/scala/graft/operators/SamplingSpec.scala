@@ -123,4 +123,19 @@ class SamplingSpec extends SparkSpec {
       .select(col("id"), col("rep")).as[(Long, Long)].collect().toSet
     assert(reps === Set((1L, 1L), (2L, 2L)))
   }
+
+  test("weightedSample is deterministic and biased toward heavy rows") {
+    import org.apache.spark.sql.functions.col
+    // one group; half the ids carry 50× the weight
+    val df = (1L to 400L).map(i => (0, i, if (i % 2 == 0) 500L else 10L))
+      .toDF("g", "id", "w")
+    val pick = Sampling.weightedSample(df, "g", "id", "w", k = 50)
+      .select(col("id")).as[Long].collect().toSet
+    assert(pick.size === 50)
+    val heavy = pick.count(_ % 2 == 0)
+    assert(heavy > 35, s"heavy rows underrepresented: $heavy/50")
+    val again = Sampling.weightedSample(df.repartition(7), "g", "id", "w", 50)
+      .select(col("id")).as[Long].collect().toSet
+    assert(again === pick)
+  }
 }
