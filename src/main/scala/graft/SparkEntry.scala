@@ -251,6 +251,67 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "q_star_join" -> ((s, dir) => {
+      // star-schema revenue rollup (TPC-H Q5 shape): the multi-join
+      // benchmark staple — Catalyst orders the joins, AQE broadcasts
+      // the dims as their measured sizes come in; revenue summed in
+      // exact decimal
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q_share" -> ((s, dir) => {
+      // percent-of-total (ratio_to_report): group sums in exact
+      // decimal, the grand total via an unpartitioned window over the
+      // tiny aggregated frame (5 rows — NOT a window over the fact
+      // table), share derived as the one final double
+      import org.apache.spark.sql.expressions.Window
+      val seg = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      seg.select(col("c_mktsegment"),
+          col("rev").cast("double").as("seg_rev"),
+          round(col("rev").cast("double") /
+            sum(col("rev")).over(Window.partitionBy()).cast("double"), 6)
+            .as("share"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q_agg_incremental" -> ((s, dir) => {
+      // incremental MV maintenance: merge(state(base), state(delta))
+      // must equal the full-scan aggregate — which is the oracle; the
+      // even/odd split simulates an already-materialized base plus a
+      // new delta batch
+      import graft.operators.AggMaintain
+      val ev = t(s, dir, "events")
+      val base = AggMaintain.state(
+        ev.where(col("event_id") % 2 === 0), "event_type", "value")
+      val delta = AggMaintain.state(
+        ev.where(col("event_id") % 2 === 1), "event_type", "value")
+      AggMaintain.merge(base, delta)
+        .select(col("event_type"), col("n"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v"), col("max_v"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_numeric_profile" -> ((s, dir) => {
       // mean/std per group from EXACT decimal power sums — the
       // one-pass, order-independent way to profile numerics: both
@@ -1128,6 +1189,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_char_bigrams" -> ((s, dir) => {
+      // tokenizer-training substrate: corpus-wide adjacent character
+      // pair frequencies (NON-distinct — BPE merges rank by total
+      // occurrence count), top-20. One explode + one shuffle on the
+      // pair key; map-side partial counts keep the exchange tiny.
+      val t0 = TextFunctions.normalized(col("text"))
+      t(s, dir, "documents")
+        .select(t0.as("t"))
+        .select(explode(when(length(col("t")) >= 2,
+          transform(sequence(lit(1), length(col("t")) - 1),
+            i => col("t").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       graft.operators.Spread.ensure(
           t(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -1788,6 +1865,46 @@ object SparkEntry {
         |   RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
         |  AS DOUBLE) AS hour_sum
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |   AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |   AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_share" ->
+      """WITH seg AS (SELECT c_mktsegment,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, CAST(rev AS DOUBLE) AS seg_rev,
+        | round(CAST(rev AS DOUBLE) /
+        |   CAST(sum(rev) OVER () AS DOUBLE), 6) AS share
+        |FROM seg ORDER BY c_mktsegment""".stripMargin,
+
+    "q_agg_incremental" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+        | min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_char_bigrams" ->
+      """WITH n AS (SELECT regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |p AS (SELECT unnest(CASE WHEN len(t) >= 2
+        |  THEN list_transform(range(1, len(t)), i -> substr(t, i, 2))
+        |  ELSE []::VARCHAR[] END) AS pair FROM n)
+        |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     "q_numeric_profile" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n,
