@@ -32,20 +32,25 @@ object PageRank {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, dampingPpm: Long = 850000L): DataFrame = {
     require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= Scale)
+    // materialize ONE degree-annotated edge table up front: every
+    // iteration joins against it, and an unpersisted plan would re-run
+    // the whole upstream pipeline (scans, joins, distinct) plus the
+    // degree join once per round. Persisting (src, dst, outdeg) keeps
+    // each round to a single join + aggregate.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .persist()
-    deg.count() // materialize: feeds every iteration's join
+    val ed = e.join(deg, Seq("src")).persist()
+    ed.count()
+    val nodes = ed.select(col("src").as("node")).distinct().persist()
     val base = lit(Scale - dampingPpm)
-    var pr = deg.select(col("src").as("node"), lit(Scale).as("pr_ppm"))
+    var pr = nodes.select(col("node"), lit(Scale).as("pr_ppm"))
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(deg, Seq("src"))
+      val contrib = ed
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst"),
           expr("pr_ppm div outdeg").as("c"))
       val agg = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      pr = deg.select(col("src").as("node"))
+      pr = nodes
         .join(agg.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (base + expr(s"($dampingPpm * coalesce(s, 0L)) div $Scale"))
