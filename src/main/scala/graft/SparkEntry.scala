@@ -251,6 +251,60 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "q_outliers" -> ((s, dir) => {
+      // z-score anomaly detection: per-group mean/std from exact
+      // decimal power sums (see q_numeric_profile), rows beyond
+      // mean + 1.5σ flagged via a broadcast of the tiny stats frame
+      // (the source distribution is bounded — nothing sits past 2σ) —
+      // identical IEEE doubles on both sides make even the boundary
+      // comparison engine-stable
+      val x = col("o_totalprice").cast(DecimalType(18, 2))
+      val stats = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"))
+        .select(col("st"),
+          (col("s1").cast("double") / col("n")).as("mu"),
+          sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+            (col("n") - 1)).as("sigma"))
+      t(s, dir, "orders")
+        .join(broadcast(stats), col("o_orderstatus") === col("st"))
+        .where(col("o_totalprice") > col("mu") + lit(1.5) * col("sigma"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_table_checksum" -> ((s, dir) => {
+      // order-independent content fingerprint: XOR-fold of per-row
+      // 60-bit hashes — the cross-system reconciliation primitive
+      // (commutative, associative, no overflow, any partitioning)
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          bit_xor(TextFunctions.hash64(col("text"))).as("checksum"))
+        .orderBy(col("source"))
+    }),
+
+    "q_above_avg" -> ((s, dir) => {
+      // correlated-aggregate decorrelation: customers whose average
+      // order value beats the global average — the scalar subquery
+      // becomes a one-row broadcast cross join, no per-row rescans.
+      // Averages derive from exact decimal sums (double-identical)
+      val d = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+      val global = d.agg(
+        (sum(col("p")).cast("double") / count(lit(1))).as("g_avg"))
+      d.groupBy(col("o_custkey"))
+        .agg((sum(col("p")).cast("double") / count(lit(1))).as("c_avg"),
+          count(lit(1)).as("n_orders"))
+        .join(broadcast(global))
+        .where(col("c_avg") > col("g_avg"))
+        .select(col("o_custkey"), col("n_orders"),
+          round(col("c_avg"), 6).as("c_avg"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "q_star_join" -> ((s, dir) => {
       // star-schema revenue rollup (TPC-H Q5 shape): the multi-join
       // benchmark staple — Catalyst orders the joins, AQE broadcasts
@@ -1189,6 +1243,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_top_words" -> ((s, dir) => {
+      // per-language vocabulary head: word frequencies (explode +
+      // two-level agg with map-side partials) → top-5 per language by
+      // deterministic (count desc, word) rank
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("word"))
+      t(s, dir, "documents")
+        .select(col("lang"),
+          explode(TextFunctions.words(col("text"))).as("word"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     "q_char_bigrams" -> ((s, dir) => {
       // tokenizer-training substrate: corpus-wide adjacent character
       // pair frequencies (NON-distinct — BPE merges rank by total
@@ -1865,6 +1935,47 @@ object SparkEntry {
         |   RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
         |  AS DOUBLE) AS hour_sum
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_outliers" ->
+      """WITH a AS (SELECT o_orderstatus AS st, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(o_totalprice AS DECIMAL(18,2))) AS s2
+        |  FROM orders GROUP BY o_orderstatus),
+        |st AS (SELECT st, CAST(s1 AS DOUBLE) / n AS mu,
+        |  sqrt((CAST(s2 AS DOUBLE) -
+        |    CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS sigma
+        |  FROM a)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders JOIN st ON o_orderstatus = st.st
+        |WHERE o_totalprice > mu + 1.5 * sigma
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_table_checksum" -> {
+      s"""SELECT source, count(*) AS n,
+         |  bit_xor(${Duck.hash64("text")}) AS checksum
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q_above_avg" ->
+      """WITH d AS (SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |g AS (SELECT CAST(sum(p) AS DOUBLE) / count(*) AS g_avg FROM d),
+        |c AS (SELECT o_custkey, CAST(sum(p) AS DOUBLE) / count(*) AS c_avg,
+        |  count(*) AS n_orders FROM d GROUP BY o_custkey)
+        |SELECT o_custkey, n_orders, round(c_avg, 6) AS c_avg
+        |FROM c, g WHERE c_avg > g_avg
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_top_words" ->
+      s"""WITH w AS (SELECT lang, unnest(${Duck.words("text")}) AS word
+         |  FROM documents),
+         |c AS (SELECT lang, word, count(*) AS cnt FROM w
+         |  GROUP BY lang, word),
+         |r AS (SELECT lang, word, cnt, row_number() OVER
+         |  (PARTITION BY lang ORDER BY cnt DESC, word) AS rank FROM c)
+         |SELECT lang, word, cnt, rank FROM r WHERE rank <= 5
+         |ORDER BY lang, rank""".stripMargin,
 
     "q_star_join" ->
       """SELECT n_name,
