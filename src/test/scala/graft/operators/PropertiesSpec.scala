@@ -60,4 +60,38 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       got == want
     })
   }
+
+  test("KthLargest equals sort-based k-th largest on random groups") {
+    import org.apache.spark.sql.functions.col
+    val inputs = Gen.zip(Gen.choose(1, 8),
+      Gen.nonEmptyListOf(Gen.choose(-1000, 1000).map(_.toDouble)))
+    holds(Prop.forAll(inputs) { case (k, vs) =>
+      val got = vs.map(v => (0, v)).toDF("g", "v").repartition(5)
+        .groupBy(col("g"))
+        .agg(graft.functions.KthLargest(k)(col("v")).as("kth"))
+        .collect().head.getDouble(1)
+      val sorted = vs.sorted.reverse
+      got == sorted(math.min(k, sorted.size) - 1)
+    })
+  }
+
+  test("AggMaintain fold equals full aggregate for any batch split") {
+    import org.apache.spark.sql.functions.col
+    val batch = Gen.listOf(Gen.zip(Gen.choose(0, 3),
+      Gen.choose(-100, 100).map(_ / 4.0)))
+    holds(Prop.forAll(batch, batch) { (a, b) =>
+      def st(xs: List[(Int, Double)]) =
+        AggMaintain.state(xs.toDF("g", "v"), "g", "v")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("g"), col("n"), col("sum_v").cast("double"),
+          col("min_v"), col("max_v"))
+          .collect().map(_.toSeq).toSet
+      if (a.isEmpty && b.isEmpty) true
+      else {
+        val folded = key(AggMaintain.merge(st(a), st(b)))
+        val full = key(st(a ++ b))
+        folded == full
+      }
+    })
+  }
 }
