@@ -57,4 +57,42 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
     }
   }
+
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    // the 100-TB table layout: facts partitioned on the join/filter
+    // key must let a selective dim filter prune fact partitions AT
+    // RUNTIME — scanning all partitions to honor a 3-row dim filter
+    // is the canonical large-table mistake
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp")
+    try {
+      graft.Tables(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus")
+        .parquet(dir.toString)
+      val fact = spark.read.parquet(dir.toString)
+      // the filter sits on a NON-join dim column: a literal filter on
+      // the join key itself would be statically pushed through the
+      // join by constraint propagation (no runtime pruning needed) —
+      // here only DPP can avoid the full fact scan. The dim must be a
+      // FILE scan: an in-memory dim gets its filter constant-folded
+      // into the LocalRelation, leaving no selective predicate for
+      // the DPP planner to see.
+      import spark.implicits._
+      Seq(("F", 1), ("O", 2), ("P", 3)).toDF("st", "pri")
+        .write.mode("overwrite").parquet(s"$dir.dim")
+      val dim = spark.read.parquet(s"$dir.dim").where(col("pri") === 1)
+      val joined = fact.join(dim, col("o_orderstatus") === col("st"))
+        .groupBy(col("o_orderstatus")).count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"), p.take(800))
+      assert(joined.count() === 1)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(dir, java.nio.file.Paths.get(s"$dir.dim"))
+        .filter(java.nio.file.Files.exists(_))
+        .foreach(d => java.nio.file.Files.walk(d).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_)))
+    }
+  }
 }
