@@ -771,6 +771,32 @@ object SparkEntry {
       a.union(b).orderBy(col("k"))
     }),
 
+    "q_union_evolve" -> ((s, dir) => {
+      // schema-evolving union (drifted landing batches): the sides
+      // disagree on columns; unionByName(allowMissingColumns) aligns
+      // by NAME and null-fills the gaps — positional union would
+      // silently misalign
+      val a = t(s, dir, "documents").where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val b = t(s, dir, "documents").where(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("source"), col("lang"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_vec_stats" -> ((s, dir) => {
+      // array higher-order functions over embeddings: fold (norm),
+      // filter (positive dims), size — both engines run the identical
+      // deterministic left-to-right fold over double-cast values
+      val v = col("embedding").cast("array<double>")
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          round(sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x)), 6)
+            .as("norm"),
+          size(filter(v, x => x > 0)).as("n_pos"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_intersect" -> ((s, dir) => {
       val a = t(s, dir, "customer").where(col("c_acctbal") > 5000)
         .select(col("c_custkey").as("k"))
@@ -2165,6 +2191,22 @@ object SparkEntry {
         | UNION ALL
         | SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000) t
         |ORDER BY k""".stripMargin,
+
+    "q_union_evolve" ->
+      """SELECT doc_id, lang, n_chars, NULL AS source FROM documents
+        | WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, NULL AS n_chars, source FROM documents
+        | WHERE doc_id % 3 = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_vec_stats" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT vec_id, len(v) AS dim,
+        | round(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')), 6)
+        |   AS norm,
+        | len(list_filter(v, x -> x > 0)) AS n_pos
+        |FROM e ORDER BY vec_id""".stripMargin,
 
     "q_intersect" ->
       """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
