@@ -1269,6 +1269,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_corpus_report" -> ((s, dir) => {
+      // data-card rollup per source: volume, language spread, length
+      // stats, English share — one scan, exact counts and ratios
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          count(when(col("lang") === "en", 1)).as("n_en"))
+        .withColumn("mean_chars",
+          round(col("total_chars").cast("double") / col("n_docs"), 6))
+        .withColumn("pct_en",
+          round(col("n_en").cast("double") / col("n_docs"), 6))
+        .orderBy(col("source"))
+    }),
+
     "q_top_words" -> ((s, dir) => {
       // per-language vocabulary head: word frequencies (explode +
       // two-level agg with map-side partials) → top-5 per language by
@@ -1992,6 +2010,17 @@ object SparkEntry {
         |SELECT o_custkey, n_orders, round(c_avg, 6) AS c_avg
         |FROM c, g WHERE c_avg > g_avg
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_corpus_report" ->
+      """SELECT source, count(*) AS n_docs,
+        | count(DISTINCT lang) AS n_langs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        | count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+        | round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+        | round(count(CASE WHEN lang = 'en' THEN 1 END)::DOUBLE / count(*), 6)
+        |   AS pct_en
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_top_words" ->
       s"""WITH w AS (SELECT lang, unnest(${Duck.words("text")}) AS word
