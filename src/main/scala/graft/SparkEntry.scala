@@ -1269,6 +1269,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_curation_pipeline" -> ((s, dir) => {
+      // end-to-end curation chain, every stage deterministic:
+      // exact-dedup (keep lowest id per content hash) → length gate →
+      // per-language cap by hash order. Each stage is one shuffle;
+      // the cap's WindowGroupLimit trims map-side (see capPerGroup)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+      val gated = deduped
+        .where(col("n_chars").between(100, 20000))
+      graft.sample.Sampling.capPerGroup(
+          gated.select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "doc_id", cap = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_corpus_report" -> ((s, dir) => {
       // data-card rollup per source: volume, language spread, length
       // stats, English share — one scan, exact counts and ratios
@@ -2010,6 +2028,20 @@ object SparkEntry {
         |SELECT o_custkey, n_orders, round(c_avg, 6) AS c_avg
         |FROM c, g WHERE c_avg > g_avg
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_curation_pipeline" -> {
+      s"""WITH dd AS (SELECT doc_id, lang, n_chars, text,
+         |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |gated AS (SELECT doc_id, lang, n_chars FROM dd
+         |  WHERE rn = 1 AND n_chars BETWEEN 100 AND 20000),
+         |capped AS (SELECT doc_id, lang, n_chars,
+         |  row_number() OVER (PARTITION BY lang ORDER BY
+         |    ${Duck.hash64("CAST(doc_id AS VARCHAR)")} % 1000000, doc_id)
+         |    AS rn FROM gated)
+         |SELECT doc_id, lang, n_chars FROM capped WHERE rn <= 100
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_corpus_report" ->
       """SELECT source, count(*) AS n_docs,
