@@ -771,6 +771,41 @@ object SparkEntry {
       a.union(b).orderBy(col("k"))
     }),
 
+    "q_join_notin" -> ((s, dir) => {
+      // NOT IN (subquery) with its treacherous three-valued-logic
+      // semantics — Spark plans a null-aware anti join (broadcast
+      // hash, isNullAware=true) because the subquery column is
+      // nullable by schema; one NULL in the list would empty the
+      // result on BOTH engines
+      t(s, dir, "nation").createOrReplaceTempView("nation_nv")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_nv")
+      s.sql("""
+        SELECT n_nationkey, n_name FROM nation_nv
+        WHERE n_nationkey NOT IN
+          (SELECT s_nationkey FROM supplier_nv WHERE s_acctbal < 0)
+        ORDER BY n_nationkey""")
+    }),
+
+    "q_date_spine" -> ((s, dir) => {
+      // calendar-spine generation + left join: the gaps-included
+      // daily rollup every reporting pipeline needs (a plain groupBy
+      // silently drops empty days). sequence() builds the spine
+      // in-engine — no driver-side loop, no fixture table
+      val spine = s.range(1)
+        .select(explode(sequence(
+          to_date(lit("1996-01-01")), to_date(lit("1996-03-31")),
+          expr("interval 1 day"))).as("d"))
+      val daily = t(s, dir, "orders")
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(daily, Seq("d"), "left")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n_orders"))
+        .orderBy(col("day"))
+    }),
+
     "q_union_evolve" -> ((s, dir) => {
       // schema-evolving union (drifted landing batches): the sides
       // disagree on columns; unionByName(allowMissingColumns) aligns
@@ -2252,6 +2287,25 @@ object SparkEntry {
         | UNION ALL
         | SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000) t
         |ORDER BY k""".stripMargin,
+
+    "q_join_notin" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey NOT IN
+        |  (SELECT s_nationkey FROM supplier WHERE s_acctbal < 0)
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_date_spine" ->
+      """WITH spine AS (SELECT unnest(generate_series(
+        |    DATE '1996-01-01', DATE '1996-03-31', INTERVAL 1 DAY))::DATE AS d),
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+        | coalesce(daily.n, 0) AS n_orders
+        |FROM spine LEFT JOIN daily ON spine.d = daily.d
+        |ORDER BY day""".stripMargin,
 
     "q_union_evolve" ->
       """SELECT doc_id, lang, n_chars, NULL AS source FROM documents
