@@ -61,6 +61,25 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("FuzzyJoin PassJoin blocking equals brute force on random strings") {
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    val word = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val inputs = Gen.zip(Gen.choose(1, 2),
+      Gen.listOfN(8, word).map(_.zipWithIndex.map { case (w, i) => (i.toLong, w) }))
+    holds(Prop.forAll(inputs) { case (d, rows) =>
+      val df = rows.toDF("id", "s")
+      val got = FuzzyJoin.selfPairs(df, "id", "s", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = df.alias("a").join(df.alias("b"),
+          col("a.id") < col("b.id") &&
+            levenshtein(col("a.s"), col("b.s")) <= d)
+        .select(col("a.id"), col("b.id"), levenshtein(col("a.s"), col("b.s")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      got == brute
+    }, n = 8)
+  }
+
   test("KthLargest equals sort-based k-th largest on random groups") {
     import org.apache.spark.sql.functions.col
     val inputs = Gen.zip(Gen.choose(1, 8),
