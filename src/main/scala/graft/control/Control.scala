@@ -45,7 +45,7 @@ object Control {
     import spark.implicits._
     def append(e: RunLogEntry): Unit = appendAll(Seq(e))
     def appendAll(es: Seq[RunLogEntry]): Unit =
-      es.toDS.toDF.coalesce(1).write.mode(SaveMode.Append).parquet(path)
+      es.toDS().toDF().coalesce(1).write.mode(SaveMode.Append).parquet(path)
     def read(): DataFrame = spark.read.parquet(path)
   }
 

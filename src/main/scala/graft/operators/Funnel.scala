@@ -35,7 +35,7 @@ object Funnel {
       case Seq(prev, step) =>
         val nxt = slim.where(col("tpe") === step)
           .select(col("u").as("u2"), col("ts"))
-        val keep = acc.columns.map(col)
+        val keep = acc.columns.toIndexedSeq.map(col)
         acc = acc.join(nxt,
             col("u") === col("u2") && col("ts") > col(tName(prev)), "left")
           .groupBy(keep: _*)

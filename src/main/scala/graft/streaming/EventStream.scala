@@ -305,7 +305,7 @@ object EventStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val dedup = graft.operators.Windows.keepLatest(batch.toDF(),
           keys.map(col), col(orderCol))
-        val effective = dedup.agg(max(col(effectiveCol))).head.getString(0)
+        val effective = dedup.agg(max(col(effectiveCol))).head().getString(0)
         val existing =
           try spark.read.parquet(historyDir)
           catch { case _: Throwable => // first batch: empty history
@@ -506,7 +506,7 @@ object EventStream {
       // session re-armed its own timer in handleInputRows)
       if (st.exists()) {
         val (s0, l0, n0) = st.get()
-        if ((l0 + gapUs) / 1000 <= expiredTimerInfo.getExpiryTimeInMs) {
+        if ((l0 + gapUs) / 1000 <= expiredTimerInfo.getExpiryTimeInMs()) {
           st.clear()
           Iterator.single(SessionOut(key, s0, l0, n0))
         } else Iterator.empty
