@@ -553,6 +553,24 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_retention" -> ((s, dir) => {
+      // cohort retention matrix: users grouped by first-activity day,
+      // counted on each later active day — two shuffles on user_id
+      // (distinct + cohort join share the partitioning), then a tiny
+      // (cohort, offset) rollup
+      val act = t(s, dir, "events")
+        .select(col("user_id"),
+          to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+        .distinct()
+      val cohort = act.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+      act.join(cohort, Seq("user_id"))
+        .groupBy(col("c"), datediff(col("d"), col("c")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("c"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     "q_funnel" -> ((s, dir) => {
       // ordered-step conversion funnel over event time: earliest view
       // → first click after it → first purchase after that; cascaded
@@ -2191,6 +2209,16 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         | min(k) AS min_k, max(k) AS max_k
         |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |c AS (SELECT user_id, min(d) AS c FROM act GROUP BY user_id)
+        |SELECT strftime(c.c, '%Y-%m-%d') AS cohort_day,
+        | date_diff('day', c.c, act.d) AS day_offset,
+        | count(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN c ON act.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q_funnel" ->
       """WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t_view
