@@ -168,6 +168,28 @@ object Sources {
     spark.read.jdbc(url, s"($query) tab", props)
   }
 
+  /** S1 at scale: PARTITIONED parallel JDBC read — the single-stream
+    * `jdbcQuery` caps ingest at one connection's throughput, which is
+    * the first bottleneck a 100-TB deployment hits on a JDBC source
+    * (the reference reads its job-queue and audit tables single-
+    * stream; its biggest fetchsize is 108k rows —
+    * `bp-scala-api-ingestions/dataSource bp - Well Logs Curve Data/
+    * Tables.scala:68`). Spark splits [lowerBound, upperBound) on the
+    * numeric `partitionColumn` into `numPartitions` range predicates,
+    * one connection per task; bounds only shape the split, rows
+    * OUTSIDE the bounds still load (first/last partitions are
+    * unbounded). Pick a roughly uniform column (surrogate key) —
+    * skewed split columns re-serialize the read. */
+  def jdbcQueryPartitioned(spark: SparkSession, url: String, query: String,
+                           partitionColumn: String, lowerBound: Long,
+                           upperBound: Long, numPartitions: Int,
+                           props: java.util.Properties = new java.util.Properties,
+                           fetchSize: Int = 10000): DataFrame = {
+    props.setProperty("fetchsize", fetchSize.toString)
+    spark.read.jdbc(url, s"($query) tab", partitionColumn, lowerBound,
+      upperBound, numPartitions, props)
+  }
+
   /** S8: empty frame with an explicit schema (union seed). */
   def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

@@ -145,6 +145,19 @@ class PipelineSpec extends SparkSpec {
     assert(back.orderBy("id").select("id").as[Long].collect().toSeq == Seq(2L, 3L))
   }
 
+  test("partitioned jdbc read: parallel ranges, same rows, bounds don't filter") {
+    val url = "jdbc:derby:memory:graftdb2;create=true"
+    val df = (1L to 97L).map(i => (i, s"v$i")).toDF("id", "v")
+    Sinks.jdbcAppend(df, url, "bigjobs")
+    val q = "SELECT \"id\" AS id, \"v\" AS v FROM bigjobs"
+    val part = Sources.jdbcQueryPartitioned(spark, url, q,
+      // bounds narrower than the data: rows outside must STILL load
+      partitionColumn = "id", lowerBound = 20L, upperBound = 80L,
+      numPartitions = 4)
+    assert(part.rdd.getNumPartitions === 4)
+    assert(part.select("id").as[Long].collect().toSet === (1L to 97L).toSet)
+  }
+
   test("xml source extracts attributes and child elements") {
     val xml = Seq(
       """<root><row id="1"><name>alpha</name></row><row id="2"><name>beta</name></row></root>""").toDS
