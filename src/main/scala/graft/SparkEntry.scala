@@ -385,6 +385,19 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q_group_concat" -> ((s, dir) => {
+      // ordered string aggregation: collect_list is order-
+      // NONdeterministic under parallelism, so the sort happens
+      // inside the array before joining — the only engine-stable way
+      // to build a concatenated value column
+      t(s, dir, "customer")
+        .where(col("c_custkey") <= 100)
+        .groupBy(col("c_mktsegment"))
+        .agg(array_join(array_sort(collect_list(col("c_custkey"))), ",")
+          .as("members"), count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "q_udaf_kth" -> ((s, dir) => {
       // typed Aggregator UDAF (§2.11): exact k-th largest with O(k)
       // bounded state — ObjectHashAggregate with map-side partials,
@@ -2253,6 +2266,14 @@ object SparkEntry {
       """SELECT doc_id, 'documents.parquet' AS src_file,
         | md5(text) AS row_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_group_concat" ->
+      """SELECT c_mktsegment,
+        | string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey)
+        |   AS members,
+        | count(*) AS n
+        |FROM customer WHERE c_custkey <= 100
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_udaf_kth" ->
       """WITH r AS (SELECT l_returnflag, l_extendedprice,

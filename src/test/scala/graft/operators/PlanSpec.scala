@@ -58,6 +58,37 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("runtime bloom-filter join pruning can be enabled for selective joins") {
+    // row-level sibling of DPP: a bloom filter built from the
+    // selective side prunes fact rows BEFORE the join shuffle. Off by
+    // thresholds at test scale — lowering them proves the plan shape
+    // the 100-TB config relies on.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.get(k))
+    try {
+      conf.set(keys(0), "true")
+      conf.set(keys(1), "10GB") // allow tiny creation side
+      conf.set(keys(2), "0")    // allow tiny application side
+      conf.set(keys(3), "-1")   // broadcast-able joins skip injection
+      val fact = graft.Tables(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = graft.Tables(spark, sf, "orders")
+        .where(col("o_totalprice") > 200000)
+        .select(col("o_orderkey"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        p.take(800))
+      assert(joined.count() > 0)
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     // the 100-TB table layout: facts partitioned on the join/filter
     // key must let a selective dim filter prune fact partitions AT
