@@ -1496,7 +1496,13 @@ object SparkEntry {
       // downstream.
       val media = graft.multimodal.Multimodal.mediaFromDocuments(
         s, t(s, dir, "documents"), takeBytes = 64)
+      // persist: BOTH knn sides read this frame, and the broadcast
+      // query side's subtree would otherwise re-run the full
+      // mapPartitions encode over every doc (the id<5 filter can't
+      // push through mapPartitions). Bench/Verify clearCache() owns
+      // the release, as with q_quality_gate.
       val emb = graft.multimodal.Multimodal.embedMedia(media, dim = 8)
+        .persist()
       Similarity.bruteForceKnn(emb, emb.where(col("id") < 5), "id",
         "embedding", k = 5)
         .orderBy(col("query_id"), col("rank"))
