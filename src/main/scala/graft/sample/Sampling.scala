@@ -72,7 +72,13 @@ object Sampling {
     val targetExpr = targets.foldLeft(lit(null).cast("double")) {
       case (acc, (k, p)) => when(col(groupCol) === k, lit(p)).otherwise(acc)
     }
-    val rated = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    // explicit IN filter: dropping non-target groups via the when-chain
+    // alone leaves only a CASE predicate on the scans, which parquet
+    // cannot push; isin pushes as an In filter (same row set — the
+    // threshold join restricts to target groups either way)
+    val inTargets = col(groupCol).isin(targets.keys.toSeq: _*)
+    val rated = df.where(inTargets)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
       .withColumn("p_g", targetExpr)
       .where(col("p_g").isNotNull)
     val nOut = rated.agg(min(col("n_g") / col("p_g")).as("n_out"))
@@ -82,7 +88,7 @@ object Sampling {
       .select(col(groupCol),
         floor(col("n_out") * col("p_g") / col("n_g") * lit(Buckets))
           .cast("long").as("keep_below"))
-    df.join(broadcast(thresholds), Seq(groupCol))
+    df.where(inTargets).join(broadcast(thresholds), Seq(groupCol))
       .where(bucket(col(idCol), salt) < col("keep_below"))
       .drop("keep_below")
   }
@@ -127,8 +133,17 @@ object Sampling {
     // bucket is < 1e6 and weights are ≥ 1, so the correctly-rounded
     // IEEE quotient sits ≥ 1/w > ulp away from any integer it could
     // incorrectly cross
-    val pri = floor(bucket(col(idCol), salt).cast("double") /
-      col(weightCol).cast("double")).cast("long")
+    //
+    // the positive-integer contract is enforced, not just documented:
+    // a zero weight would divide to Infinity here but NULL in a SQL
+    // mirror — engines silently diverging is worse than failing
+    val wOk = col(weightCol).isNotNull && col(weightCol) >= 1
+    val pri = when(wOk,
+      floor(bucket(col(idCol), salt).cast("double") /
+        col(weightCol).cast("double")).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"weightedSample: $weightCol must be a positive integer, got "),
+        col(weightCol).cast("string"))))
     val w = Window.partitionBy(col(groupCol)).orderBy(pri, col(idCol))
     val rn = graft.operators.Spread.freshCol(df, "__rn")
     df.withColumn(rn, row_number().over(w))
