@@ -400,20 +400,26 @@ object Dedup {
   }
 
   /** Resolve near-dup pairs into duplicate clusters (connected
-    * components) by minimum-id label propagation: every node starts
-    * labeled with its own id; each round takes the min of its label
-    * and its neighbors' labels; converges in O(component diameter)
-    * rounds (near-dup clusters are shallow). Returns (id, cluster_id)
+    * components) with alternating large-star / small-star rounds
+    * (the two-phase star algorithm from the public Connected
+    * Components in MapReduce literature): each round rewires edges
+    * toward each neighborhood's minimum, and the alternation
+    * converges in O(log n) rounds on ANY graph shape — a long chain
+    * that takes O(n) rounds under min-label propagation (this
+    * function's previous algorithm) collapses logarithmically here.
+    * The fixed point is a star per component centered at its minimum
+    * id, so the result is the same (id, cluster_id = component min)
     * for every id that appears in a pair.
     *
-    * Scale notes: each round is one equi-join + partial-aggregated
-    * groupBy — shuffle keyed on node id. `localCheckpoint` truncates
-    * the growing lineage per round (on a cluster, swap for a reliable
-    * checkpoint dir); the driver only sees one converged-count per
-    * round, never row data. */
+    * Scale notes: each half-round is one partial-aggregated groupBy
+    * (neighborhood min) + one equi-join, both shuffle-keyed on node
+    * id. `localCheckpoint` truncates the growing lineage per round
+    * (on a cluster, swap for a reliable checkpoint dir); the driver
+    * only sees per-check edge counts + checksums, never row data.
+    * Convergence is detected by an (count, hash-sum) signature match
+    * and then CONFIRMED exactly with one except() — paid once. */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
                         idB: String = "id_b", maxIters: Int = 20,
-                        convergeEvery: Int = 2,
                         checkpointDir: Option[String] = None): DataFrame = {
     // `checkpointDir` set → reliable HDFS/object-store checkpoints that
     // survive executor death (the cluster deployment); unset →
@@ -421,38 +427,87 @@ object Dedup {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val edges = materialize(
-      pairs.select(col(idA).as("src"), col(idB).as("dst"))
-        .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst"))))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIters) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      val stepped0 = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"), col("cluster_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("new_label"))
-      it += 1
-      // materialize + converge-check only every `convergeEvery` rounds
-      // (and at the iteration cap): rounds in between stay LAZY — no
-      // Spark job runs at all, their lineage executes inside the next
-      // checkpoint's job — so per-round scheduler/checkpoint overhead
-      // is paid once per `convergeEvery` propagations, which dominates
-      // cost on shallow graphs. A wasted extra round on an
-      // already-converged graph is a no-op propagation — cheaper than
-      // a count() every round.
-      if (it % convergeEvery == 0 || it >= maxIters) {
-        val stepped = materialize(stepped0)
-        changed = stepped.where(col("new_label") =!= col("cluster_id")).count()
-        labels = stepped.select(col("id"), col("new_label").as("cluster_id"))
-      } else {
-        labels = stepped0.select(col("id"), col("new_label").as("cluster_id"))
-      }
+
+    // ONE materialization of the (possibly expensive) pairs lineage;
+    // edge list and node universe both read the checkpoint. Canonical
+    // form: hi ≥ lo; self-pairs survive here (they carry the node
+    // into `nodes`) and drop from the iterated edge set below.
+    val canon = materialize(
+      pairs.select(greatest(col(idA), col(idB)).as("hi"),
+        least(col(idA), col(idB)).as("lo")).distinct())
+    val edges0 = canon.where(col("hi") =!= col("lo"))
+    val nodes = canon.select(col("hi").as("id"))
+      .unionByName(canon.select(col("lo").as("id"))).distinct()
+
+    // large-star: for every node u (symmetric view), attach each
+    // STRICTLY LARGER neighbor v to m = min(Γ(u) ∪ {u}). Output is
+    // already canonical (v > u ≥ m); duplicate (v, m) rows from
+    // different centers are tolerated — small-star's min-agg ignores
+    // them and its final distinct collapses them — so no extra
+    // distinct shuffle here.
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m = s.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      s.join(m, Seq("u")).where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
     }
-    labels
+    // small-star: group the canonical (hi → smaller neighbors) view
+    // by hi; attach every smaller neighbor AND hi itself to the
+    // neighborhood min. mn < hi always, so (hi, mn) is canonical;
+    // (v, mn) needs re-canonicalizing only in the degenerate v = mn
+    // case, which the self-loop filter drops.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("hi")).agg(min(col("lo")).as("mn"))
+      e.join(m, Seq("hi"))
+        .select(col("lo").as("a"), col("mn").as("b"))
+        .unionByName(m.select(col("hi").as("a"), col("mn").as("b")))
+        .where(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("hi"),
+          least(col("a"), col("b")).as("lo"))
+        .distinct()
+    }
+
+    // count + order-independent XOR checksum (never overflows under
+    // ANSI arithmetic; edges are distinct so nothing self-cancels)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // every round materializes + converge-checks (unlike min-label
+    // propagation there are only O(log n) rounds, and shallow
+    // near-dup graphs finish in 1-2 — a skipped check would buy one
+    // fused lineage but usually pay a whole wasted round)
+    var edges = materialize(edges0)
+    var sig = signature(edges)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val stepped = materialize(smallStar(largeStar(edges)))
+      it += 1
+      val next = signature(stepped)
+      if (next == sig) {
+        // signature match is 64-bit-probabilistic; confirm exactly,
+        // once: both sides are distinct, so every edge of the true
+        // fixed point appears exactly twice in the union
+        converged = stepped.unionByName(edges)
+          .groupBy(col("hi"), col("lo")).agg(count(lit(1)).as("n"))
+          .where(col("n") =!= 2).isEmpty
+      }
+      sig = next
+      edges = stepped
+    }
+    log.info(s"duplicateClusters: ${if (converged) "converged" else "capped"}" +
+      s" after $it star round(s), ${sig._1} star edges")
+
+    // fixed point = (member, center) stars; centers and
+    // self-pair-only nodes label themselves
+    nodes.join(edges, nodes("id") === edges("hi"), "left")
+      .select(col("id"), coalesce(col("lo"), col("id")).as("cluster_id"))
   }
 
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,
