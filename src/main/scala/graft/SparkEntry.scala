@@ -1489,6 +1489,30 @@ object SparkEntry {
         .toDF().orderBy(col("id"))
     }),
 
+    "q_media_files" -> ((s, dir) => {
+      // REAL binaryFile landing: stage the first-64-char bytes of 40
+      // documents as .png files (via the distributed writeBinaryFiles
+      // sink), then read them back through Spark's binaryFile source
+      // — the production media path end-to-end, feature-checked
+      // against the documents table. Ids ride in the file NAMES so
+      // the oracle can reproduce them.
+      val staged = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_media_" + java.lang.Long.toHexString(
+          dir.hashCode.toLong & 0xffffffffL)).getAbsolutePath
+      val docs = t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id"),
+          substring(col("text"), 1, 64).cast("binary").as("content"))
+      if (!new java.io.File(staged).isDirectory ||
+          new java.io.File(staged).list((_, n) => n.endsWith(".png")).length != 40)
+        graft.sinks.Sinks.writeBinaryFiles(docs, "doc_id", "content",
+          staged, "png")
+      val media = graft.multimodal.Multimodal.mediaFromFiles(s, staged,
+        idFromPath = regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("long"))
+      graft.multimodal.Multimodal.extractFeatures(media)
+        .toDF().orderBy(col("id"))
+    }),
+
     "q_media_knn" -> ((s, dir) => {
       // the multimodal end-to-end story: media rows → batch-amortized
       // (stub) encoder via mapPartitions → exact ANN over the
@@ -2951,6 +2975,17 @@ object SparkEntry {
         | 1 + (ascii(substr(text, 2, 1)) % 64) AS height,
         | md5(substr(text, 1, 64)) AS checksum
         |FROM documents ORDER BY id""".stripMargin,
+
+    // same features as q_multimodal, but the Spark side reads REAL
+    // files staged by writeBinaryFiles and landed via binaryFile —
+    // the oracle recomputes from the table the bytes came from
+    "q_media_files" ->
+      """SELECT doc_id AS id, 'png' AS modality,
+        | len(substr(text, 1, 64)) AS n_bytes,
+        | 1 + (ascii(substr(text, 1, 1)) % 64) AS width,
+        | 1 + (ascii(substr(text, 2, 1)) % 64) AS height,
+        | md5(substr(text, 1, 64)) AS checksum
+        |FROM documents WHERE doc_id < 40 ORDER BY id""".stripMargin,
 
     // mirrors Multimodal.embedMedia (checksum-seeded stub embedding,
     // ASCII-first-64 contract as q_multimodal) + bruteForceKnn

@@ -105,13 +105,18 @@ object Multimodal {
     * stable id comes from the path hash (xxhash64 — ids only need to
     * be unique and reproducible, never cross-engine). */
   def mediaFromFiles(spark: SparkSession, dir: String,
-                     glob: String = "*.{png,jpg,jpeg,wav,mp4}"
+                     glob: String = "*.{png,jpg,jpeg,wav,mp4}",
+                     idFromPath: org.apache.spark.sql.Column = null
                     ): Dataset[MediaRow] = {
     import spark.implicits._
+    // default id = path hash (unique + reproducible); pass e.g.
+    // regexp_extract(col("path"), "(\\d+)\\.png$", 1).cast("long")
+    // when file NAMES carry the id and cross-engine parity matters
+    val idCol = Option(idFromPath).getOrElse(xxhash64(col("path")))
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
-      .select(xxhash64(col("path")).as("id"),
+      .select(idCol.as("id"),
         lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
           .as("modality"),
         col("content"))

@@ -75,6 +75,34 @@ object Sinks {
     }
   }
 
+  /** Media-shard export: one file per row from a binary column — the
+    * inverse of the `binaryFile` source (write side of the multimodal
+    * landing path). Distributed: each task writes its own partition's
+    * files through the Hadoop filesystem API, so the same code targets
+    * local disk, HDFS, or an object store; no driver collect. File
+    * name is `<id>.<ext>` — ids must be unique (they key the files).
+    * Returns the number of files written. */
+  def writeBinaryFiles(df: DataFrame, idCol: String, contentCol: String,
+                       dir: String, ext: String): Long = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    base.getFileSystem(conf.value).mkdirs(base)
+    val rows = df.select(col(idCol).cast("string").as("f"),
+      col(contentCol).cast("binary").as("c"))
+    val written = df.sparkSession.sparkContext.longAccumulator("filesWritten")
+    rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
+      it.foreach { r =>
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(dir, s"${r.getString(0)}.$ext"), true)
+        try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+        written.add(1)
+      }
+    }
+    written.value
+  }
+
   /** K10 parquet fallback for DELETE FROM t WHERE p: rewrite keeping
     * the complement. Safe two-phase: write to a temp dir, then swap. */
   def deleteWhere(spark: SparkSession, path: String,
