@@ -15,6 +15,12 @@ import graft.operators.Spread
   * materializes globally. Verification (exact Jaccard / Hamming) runs
   * only inside candidate buckets. All hashing is md5-derived
   * (`TextFunctions.hash64`) for cross-engine reproducibility.
+  *
+  * Cache lifecycle: pair generators persist() shared subtrees (gram
+  * sets, prefix tables) that the RETURNED lazy frame still reads, so
+  * they cannot unpersist before the caller materializes. The caller
+  * owns release — `spark.catalog.clearCache()` between jobs (as
+  * `Bench`/`Verify` do) or `unpersist()` on frames handed back.
   */
 object Dedup {
 

@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * table) and broadcasts when small. Iterations are a fixed small
   * constant (PageRank converges geometrically; 3-10 rounds), so plan
   * depth is bounded — for big iteration counts checkpoint every few
-  * rounds like `Dedup.duplicateClusters`. Overflow bound: damping·Σpr
-  * fits a long while n_nodes · SCALE · DAMPING_PPM < 2⁶³, i.e. up to
-  * ~10¹² nodes at this scale — beyond that, move to DECIMAL(38,0).
+  * rounds like `Dedup.duplicateClusters`. Overflow bound: the worst
+  * case is a hub receiving the whole rank mass, so damping·Σpr must
+  * fit a long: n_nodes · SCALE · DAMPING_PPM < 2⁶³ gives
+  * n ≈ 1.1×10⁷ nodes at this scale — for larger graphs move the
+  * multiply to DECIMAL(38,0).
   */
 object PageRank {
   val Scale = 1000000L // 1.0 in ppm fixed point
@@ -56,6 +58,14 @@ object PageRank {
           (base + expr(s"($dampingPpm * coalesce(s, 0L)) div $Scale"))
             .as("pr_ppm"))
     }
-    pr.select(col("node").as("node_id"), col("pr_ppm"))
+    // materialize the (one-row-per-node) result, then release the two
+    // iteration caches — a long-lived session running many queries
+    // must not accumulate cached blocks (localCheckpoint keeps the
+    // result readable after the unpersist)
+    val out = pr.select(col("node").as("node_id"), col("pr_ppm"))
+      .localCheckpoint()
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
 }

@@ -43,6 +43,44 @@ object PagedSource {
   /** No more pages. */
   case object PageEnd extends PageResponse
 
+  /** Transport abstraction for [[pagedSource]]: WHERE pages come from,
+    * separated from the drive loop / quarantine / accumulation logic
+    * the engine owns. Production wires an HTTP implementation; specs
+    * and local runs use [[PageTransport.fromPages]].
+    *
+    * An HTTP implementation maps the reference's four pagination modes
+    * onto `(pageIndex, token)` like this:
+    *  - QueryParam: request `base?page=<pageIndex>` (or
+    *    `offset=<pageIndex·pageSize>`); ignore `token`; return
+    *    `PageData(docs, next = None)`.
+    *  - HEADER: read the continuation from a response header (e.g.
+    *    `X-Next-Token`) and return it as `next`; send the incoming
+    *    `token` back in the request header; `PageEnd` when absent.
+    *  - AbsoluteURL: the response body carries the full next-page
+    *    URL — return it as `next` and request `token.getOrElse(base)`.
+    *  - RelativeURL: same, but resolve `next` against the base URL.
+    * Auth: translate 401/403 into [[PageAuthExpired]] and re-acquire
+    * the credential in [[refreshAuth]] — the drive loop retries the
+    * same page once after a refresh. */
+  trait PageTransport {
+    def fetchPage(pageIndex: Int, token: Option[String]): PageResponse
+    def refreshAuth(): Unit = ()
+  }
+
+  object PageTransport {
+    /** Fixture transport: serve `pages` (each a list of JSON docs) by
+      * index — the QueryParam shape with a deterministic local
+      * source. */
+    def fromPages(spark: SparkSession, pages: Seq[Seq[String]]
+                 ): PageTransport = new PageTransport {
+      import spark.implicits._
+      override def fetchPage(pageIndex: Int,
+                             token: Option[String]): PageResponse =
+        if (pageIndex < pages.size) PageData(pages(pageIndex).toDS())
+        else PageEnd
+    }
+  }
+
   /** Quarantined page: which page, why, and one sample document. */
   final case class PageFailure(page: Int, reason: String, sampleDoc: String)
 
@@ -111,4 +149,11 @@ object PagedSource {
     }
     PagedResult(acc, spark.createDataset(failures.toSeq))
   }
+
+  /** [[pagedSource]] over a [[PageTransport]] — the production entry
+    * point (the function-typed overload remains for inline fixtures). */
+  def pagedSource(spark: SparkSession, target: StructType,
+                  transport: PageTransport): PagedResult =
+    pagedSource(spark, target, transport.fetchPage _,
+      () => transport.refreshAuth())
 }

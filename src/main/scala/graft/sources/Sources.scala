@@ -116,6 +116,34 @@ object Sources {
     schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
   }
 
+  /** S5 Excel facade: delegate to the `com.crealytics:spark-excel`
+    * plugin when its DataSource class is on the classpath — the exact
+    * format the reference reads XLSX with (`dataSource bp/
+    * Tables.scala:366`), same options map (`header`, `dataAddress` for
+    * sheet!range, `inferSchema`) — and fall back to [[csvScan]]
+    * otherwise, so a job ports without code changes and only the
+    * artifact's presence decides the codec. The fallback expects the
+    * same logical table shape in CSV form (the sandbox has no excel
+    * jar; see SURVEY §7.4).
+    *
+    * Plugin contract when present: `spark.read.format("excel")
+    * .options(opts).load(path)` with an explicit `schema` for the
+    * scale-safe path (inference reads the whole workbook). */
+  def excelScan(spark: SparkSession, path: String,
+                options: Map[String, String] = Map("header" -> "true"),
+                schema: Option[StructType] = None): DataFrame = {
+    val pluginPresent =
+      Seq("com.crealytics.spark.excel.v2.ExcelDataSource",
+          "com.crealytics.spark.excel.DefaultSource").exists { c =>
+        try { Class.forName(c, false, getClass.getClassLoader); true }
+        catch { case _: ClassNotFoundException => false }
+      }
+    if (pluginPresent) {
+      val r = spark.read.format("excel").options(options)
+      schema.fold(r.option("inferSchema", "true"))(r.schema).load(path)
+    } else csvScan(spark, path, options - "dataAddress", schema)
+  }
+
   /** Columnar-format interop: ORC scan with the same explicit-schema
     * contract as `csvScan` (ORC self-describes, so the schema arg is
     * a projection/validation hook, not an inference escape). ORC

@@ -18,17 +18,31 @@ object EventStream {
     * exit — per-call cleanup would race the stream's async file-index
     * refresh, and a long-lived session calling this in a loop should
     * point at a real landing directory instead. */
+  // ONE shutdown hook drains every staged dir (a hook per stageFile
+  // call would accumulate threads in a long-lived session), and the
+  // Files.list stream is closed (try-with-resources semantics)
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var dir = stagedDirs.poll()
+      while (dir != null) {
+        try {
+          val ls = java.nio.file.Files.list(dir)
+          try ls.forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally ls.close()
+          java.nio.file.Files.deleteIfExists(dir)
+        } catch { case _: Throwable => () }
+        dir = stagedDirs.poll()
+      }
+    }))
+
   private[streaming] def stageFile(path: java.nio.file.Path,
                                    prefix: String): java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     java.nio.file.Files.copy(path, dir.resolve(path.getFileName))
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        java.nio.file.Files.list(dir).forEach(p =>
-          java.nio.file.Files.deleteIfExists(p))
-        java.nio.file.Files.deleteIfExists(dir)
-      } catch { case _: Throwable => () }
-    }))
+    cleanupHook // registers the single hook on first use
+    stagedDirs.add(dir)
     dir
   }
 

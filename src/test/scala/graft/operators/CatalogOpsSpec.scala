@@ -26,6 +26,22 @@ class CatalogOpsSpec extends SparkSpec {
       === Array((1, "a|x"), (2, "b"), (3, "c")))
   }
 
+  test("excelScan falls back to CSV when the excel plugin is absent") {
+    import spark.implicits._
+    // this sandbox has no spark-excel jar, so the facade must route to
+    // the CSV path, dropping the excel-only dataAddress option
+    val dir = java.nio.file.Files.createTempDirectory("xlspec").toString
+    Seq((1, "a"), (2, "b")).toDF("k", "v")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType)))
+    val back = Sources.excelScan(spark, dir,
+      Map("header" -> "true", "dataAddress" -> "'Sheet1'!A1"), Some(schema))
+    assert(back.schema === schema)
+    assert(back.orderBy("k").collect().map(r => (r.getInt(0), r.getString(1)))
+      === Array((1, "a"), (2, "b")))
+  }
+
   test("versionedWrite flips a pointer; old snapshots stay readable") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("vtab").toString + "/t"

@@ -17,6 +17,28 @@ class PagedSourceSpec extends SparkSpec {
     rows.map { case (i, n) => s"""{"id":$i,"name":"$n"}""" }.toDS()
   }
 
+  test("PageTransport trait drives the loop (fixture transport + auth refresh)") {
+    import graft.sources.PagedSource.PageTransport
+    // fromPages fixture: plain index pagination
+    val t1 = PageTransport.fromPages(spark, Seq(
+      Seq("""{"id":1,"name":"a"}""", """{"id":2,"name":"b"}"""),
+      Seq("""{"id":3,"name":"c"}""")))
+    val r1 = PagedSource.pagedSource(spark, target, t1)
+    assert(r1.data.count() === 3 && r1.failures.count() === 0)
+
+    // custom transport: first credential rejected, refresh re-serves
+    var authed = false
+    val t2 = new PageTransport {
+      override def fetchPage(i: Int, token: Option[String]) =
+        if (!authed) PageAuthExpired
+        else if (i < 1) PageData(jsonPage((7L, "x")))
+        else PageEnd
+      override def refreshAuth(): Unit = authed = true
+    }
+    val r2 = PagedSource.pagedSource(spark, target, t2)
+    assert(r2.data.collect().map(_.getLong(0)).toSeq === Seq(7L))
+  }
+
   test("accumulates pages by index until PageEnd") {
     val res = PagedSource.pagedSource(spark, target,
       (i, _) => if (i < 3) PageData(jsonPage((i * 2L, s"a$i"), (i * 2L + 1, s"b$i")))
