@@ -16,8 +16,18 @@ import org.apache.spark.sql.DataFrame
 object Spread {
 
   def ensure(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // decide from LOGICAL size stats (file-size sums, in-memory row
+    // estimates — no physical planning): the previous
+    // df.rdd.getNumPartitions planned the whole subtree a second time
+    // just to read a partition count, re-listing files on big tables.
+    // est ≥ target·maxPartitionBytes means the scan will already open
+    // with ≥ target partitions, so repartitioning would only add a
+    // shuffle; below it the input is small and the shuffle is cheap.
+    val conf = df.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val est = df.queryExecution.analyzed.stats.sizeInBytes
+    if (est >= BigInt(conf.filesMaxPartitionBytes) * target) df
+    else df.repartition(target)
   }
 
   /** Total order for a KNOWN-SMALL result (e.g. a filtered pair list).
