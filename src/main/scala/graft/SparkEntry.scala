@@ -125,6 +125,36 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    "q_quantile_sketch" -> ((s, dir) => {
+      // mergeable fixed-bin quantile sketch: p50/p90/p99 of order
+      // totals per status from 600×$1000 bin counts — bounded state
+      // per key, cell-wise mergeable across scans, integer-exact
+      graft.sketch.Sketches.binQuantileEstimates(
+        t(s, dir, "orders"), "o_orderstatus", "o_totalprice",
+        lo = 0L, binWidth = 1000L, bins = 600,
+        quantilesPermille = Seq(500, 900, 990))
+        .withColumnRenamed("key", "o_orderstatus")
+        .orderBy(col("o_orderstatus"), col("q_pm"))
+    }),
+
+    "q_lexical_diversity" -> ((s, dir) => {
+      // lexical-diversity quality signals: type-token ratio + hapax
+      // count per doc (low TTR = repetitive/boilerplate text) — all
+      // integer counts, one exact division at the end
+      val w = t(s, dir, "documents").select(col("doc_id"),
+        explode(TextFunctions.words(col("text"))).as("word"))
+      w.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6)
+            .as("ttr"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_cms_topk" -> ((s, dir) => {
       // count-min heavy hitters over document words; candidates = the
       // distinct words themselves (at corpus scale: a sampled/streamed
@@ -1861,6 +1891,37 @@ object SparkEntry {
          |SELECT key, round(CASE WHEN n < 64 THEN n::DOUBLE
          |  ELSE 63 / (hk / 1152921504606846976.0) END, 4) AS est_distinct
          |FROM s ORDER BY key""".stripMargin,
+
+    // mirrors Sketches.binQuantileEstimates: same clamped integer
+    // bins, same ⌈q·tot⌉ = (q_pm·tot + 999) div 1000 threshold —
+    // integer arithmetic end to end, so the ESTIMATE hash-matches
+    "q_quantile_sketch" ->
+      """WITH b AS (SELECT o_orderstatus AS key,
+        |    least(greatest(CAST(floor(o_totalprice / 1000) AS BIGINT), 0), 599)
+        |      AS bin, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (SELECT key, bin,
+        |    sum(n) OVER (PARTITION BY key ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY key) AS tot FROM b),
+        |q AS (SELECT unnest([500, 900, 990]) AS q_pm),
+        |j AS (SELECT c.key, q.q_pm, min(c.bin) AS qbin FROM c JOIN q
+        |    ON c.cum >= (q.q_pm * c.tot + 999) // 1000 GROUP BY 1, 2)
+        |SELECT key AS o_orderstatus, q_pm,
+        |  CAST(qbin * 1000 AS BIGINT) AS est
+        |FROM j ORDER BY o_orderstatus, q_pm""".stripMargin,
+
+    "q_lexical_diversity" ->
+      s"""WITH w AS (SELECT doc_id, unnest(${Duck.words("text")}) AS word
+         |  FROM documents),
+         |c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hapax
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types, n_hapax,
+         |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     // mirrors Sketches.countMinEstimates: depth=4 salted md5 rows ×
     // width=1024 buckets, est = min over rows of bucket totals

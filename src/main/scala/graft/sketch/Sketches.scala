@@ -48,6 +48,47 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** Mergeable fixed-bin quantile estimates: clamp values into
+    * `bins` integer-width buckets, count per (key, bin) — a
+    * fixed-size, cell-wise-addable sketch like [[countMinEstimates]]
+    * — then report, for each requested quantile, the left edge of the
+    * first bin whose cumulative count reaches ⌈q·total⌉. Error is
+    * bounded by `binWidth`; state is ≤ `bins` cells per key no matter
+    * how many rows feed it, and two scans' sketches merge by adding
+    * bin counts (the bounded-memory percentile for 100-TB streams —
+    * exact `percentile()` needs the full value multiset).
+    *
+    * Everything is INTEGER arithmetic — bins, cumulative counts, and
+    * the ⌈q·total⌉ threshold computed as (q_pm·total + 999) div 1000
+    * from per-mille quantiles — so estimates hash-match any engine.
+    * Returns (key, q_pm, est) with est = lo + bin·binWidth. */
+  def binQuantileEstimates(df: DataFrame, keyCol: String, valCol: String,
+                           lo: Long, binWidth: Long, bins: Int,
+                           quantilesPermille: Seq[Int]): DataFrame = {
+    require(binWidth > 0 && bins > 0, "binWidth and bins must be positive")
+    require(quantilesPermille.forall(q => q > 0 && q <= 1000),
+      "quantiles are per-mille in (0, 1000]")
+    val bin = least(greatest(
+      floor((col(valCol) - lit(lo)) / lit(binWidth)).cast("long"), lit(0L)),
+      lit(bins - 1L))
+    val cells = df.select(col(keyCol).as("key"), bin.as("bin"))
+      .groupBy(col("key"), col("bin")).agg(count(lit(1)).as("n"))
+    val cum = Window.partitionBy(col("key")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("key"))
+    val withCum = cells
+      .withColumn("cum", sum(col("n")).over(cum))
+      .withColumn("tot", sum(col("n")).over(tot))
+    val qs = quantilesPermille.map(q => s"($q)").mkString(", ")
+    withCum
+      .join(df.sparkSession.sql(s"SELECT * FROM VALUES $qs AS t(q_pm)")
+        .hint("broadcast"), expr("cum >= (q_pm * tot + 999) div 1000"))
+      .groupBy(col("key"), col("q_pm"))
+      .agg(min(col("bin")).as("qbin"))
+      .select(col("key"), col("q_pm"),
+        (lit(lo) + col("qbin") * lit(binWidth)).as("est"))
+  }
+
   /** Count-min sketch heavy-hitter estimates: `depth` independent
     * md5-derived hash rows × `width` buckets; est(x) = min over rows
     * of its bucket total. Estimates only ever OVERCOUNT (collisions

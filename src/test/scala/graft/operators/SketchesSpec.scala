@@ -46,4 +46,30 @@ class SketchesSpec extends SparkSpec {
       .collect().head.getDouble(1)
     assert(a === b)
   }
+
+  test("bin-quantile sketch: error bounded by binWidth, splits merge") {
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(4000)(("g", rnd.nextInt(100000).toLong))
+    val df = vals.toDF("k", "v")
+    val est = Sketches.binQuantileEstimates(df, "k", "v",
+        lo = 0L, binWidth = 1000L, bins = 100,
+        quantilesPermille = Seq(500, 900, 990))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val sorted = vals.map(_._2).sorted
+    Seq(500, 900, 990).foreach { q =>
+      val exact = sorted((math.ceil(q / 1000.0 * sorted.size) - 1).toInt)
+      assert(math.abs(est(q) - exact) <= 1000L,
+        s"p$q est ${est(q)} vs exact $exact exceeds one bin width")
+    }
+    // mergeability: the sketch over the union equals the estimate
+    // from ADDING the two halves' bin counts — same result as one
+    // pass over everything (here via union, which is exactly cell
+    // addition under groupBy)
+    val (h1, h2) = vals.splitAt(2000)
+    val merged = Sketches.binQuantileEstimates(
+        h1.toDF("k", "v").unionAll(h2.toDF("k", "v")), "k", "v",
+        0L, 1000L, 100, Seq(500, 900, 990))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(merged === est)
+  }
 }
