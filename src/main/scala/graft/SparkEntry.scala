@@ -1443,6 +1443,18 @@ object SparkEntry {
     }),
 
     // ---- streaming (SURVEY §2.12 / §7) ----------------------------------
+    "q_stream_quantile" -> ((s, dir) => {
+      // p50/p90/p99 of event value per hour from a STREAM holding only
+      // bin counts in state (sketch-on-stream composition; exact
+      // per-window percentile would keep every value in state)
+      graft.streaming.EventStream.hourlyValueQuantilesAvailableNow(
+        s, dir, lo = 0L, binWidth = 5L, bins = 100,
+        quantilesPermille = Seq(500, 900, 990))
+        .select(col("key").cast("timestamp_ntz").as("window_start"),
+          col("q_pm"), col("est"))
+        .orderBy(col("window_start"), col("q_pm"))
+    }),
+
     "q_stream_window" -> ((s, dir) => {
       // window() yields TimestampType, which Spark writes to parquet as
       // legacy INT96 (→ nanosecond cells in the driver's pandas compare);
@@ -2940,6 +2952,23 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // mirrors EventStream.hourlyValueQuantilesAvailableNow +
+    // Sketches.quantilesFromBinCounts: same clamped bins, same
+    // integer ⌈q·tot⌉ thresholds — the stream keeps only bin counts
+    "q_stream_quantile" ->
+      """WITH b AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS key,
+        |    least(greatest(CAST(floor(value / 5) AS BIGINT), 0), 99) AS bin,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT key, bin,
+        |    sum(n) OVER (PARTITION BY key ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY key) AS tot FROM b),
+        |q AS (SELECT unnest([500, 900, 990]) AS q_pm),
+        |j AS (SELECT c.key, q.q_pm, min(c.bin) AS qbin FROM c JOIN q
+        |    ON c.cum >= (q.q_pm * c.tot + 999) // 1000 GROUP BY 1, 2)
+        |SELECT key AS window_start, q_pm, CAST(qbin * 5 AS BIGINT) AS est
+        |FROM j ORDER BY window_start, q_pm""".stripMargin,
 
     "q_stream_static" ->
       """SELECT c_mktsegment, count(*) AS n,

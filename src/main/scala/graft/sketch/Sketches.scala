@@ -1,6 +1,6 @@
 package graft.sketch
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -68,11 +68,27 @@ object Sketches {
     require(binWidth > 0 && bins > 0, "binWidth and bins must be positive")
     require(quantilesPermille.forall(q => q > 0 && q <= 1000),
       "quantiles are per-mille in (0, 1000]")
-    val bin = least(greatest(
-      floor((col(valCol) - lit(lo)) / lit(binWidth)).cast("long"), lit(0L)),
-      lit(bins - 1L))
-    val cells = df.select(col(keyCol).as("key"), bin.as("bin"))
+    val cells = df.select(col(keyCol).as("key"),
+        binColumn(col(valCol), lo, binWidth, bins).as("bin"))
       .groupBy(col("key"), col("bin")).agg(count(lit(1)).as("n"))
+    quantilesFromBinCounts(cells, lo, binWidth, quantilesPermille)
+  }
+
+  /** The clamped integer bin id for [[binQuantileEstimates]] — shared
+    * with streaming aggregations that maintain the (key, bin) cells
+    * themselves (bounded per-window state). */
+  def binColumn(value: Column, lo: Long, binWidth: Long,
+                bins: Int): Column =
+    least(greatest(
+      floor((value - lit(lo)) / lit(binWidth)).cast("long"), lit(0L)),
+      lit(bins - 1L))
+
+  /** Quantile read over pre-aggregated (key, bin, n) cells — the merge
+    * path: cells from many scans/streams add cell-wise, then one read
+    * here. Integer thresholds throughout (see
+    * [[binQuantileEstimates]]). */
+  def quantilesFromBinCounts(cells: DataFrame, lo: Long, binWidth: Long,
+                             quantilesPermille: Seq[Int]): DataFrame = {
     val cum = Window.partitionBy(col("key")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(col("key"))
@@ -81,7 +97,7 @@ object Sketches {
       .withColumn("tot", sum(col("n")).over(tot))
     val qs = quantilesPermille.map(q => s"($q)").mkString(", ")
     withCum
-      .join(df.sparkSession.sql(s"SELECT * FROM VALUES $qs AS t(q_pm)")
+      .join(cells.sparkSession.sql(s"SELECT * FROM VALUES $qs AS t(q_pm)")
         .hint("broadcast"), expr("cum >= (q_pm * tot + 999) div 1000"))
       .groupBy(col("key"), col("q_pm"))
       .agg(min(col("bin")).as("qbin"))

@@ -82,6 +82,40 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Windowed bounded-state quantiles on a stream: the streaming agg
+    * maintains (hour-window × value-bin) COUNTS — at most `bins`
+    * cells per window no matter how many events arrive, vs the full
+    * value multiset an exact per-window percentile would hold in
+    * state — and the quantile read
+    * (`Sketches.quantilesFromBinCounts`, integer thresholds) runs
+    * batch-side on the final cells table. This composition is the
+    * scale answer to "p99 per hour over an unbounded stream". */
+  def hourlyValueQuantilesAvailableNow(spark: SparkSession, sfDir: String,
+                                       lo: Long, binWidth: Long, bins: Int,
+                                       quantilesPermille: Seq[Int],
+                                       queryName: String = "stream_quantile"
+                                      ): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stageDir = stageEvents(sfDir)
+    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val cells = stream
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 hour")
+      .groupBy(window(col("ts_utc"), "1 hour"),
+        graft.sketch.Sketches.binColumn(col("value"), lo, binWidth, bins)
+          .as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("key"), col("bin"), col("n"))
+    val q = cells.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sketch.Sketches.quantilesFromBinCounts(
+      spark.table(queryName), lo, binWidth, quantilesPermille)
+  }
+
   /** Watermarked stream-stream interval join: each click enriched with
     * the views of the same user in the preceding hour. Both sides are
     * event-time watermarked so join state is bounded — the watermark
