@@ -107,11 +107,18 @@ object EventStream {
           .as("bin"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("key"), col("bin"), col("n"))
-    val q = cells.writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state-store init per shuffle partition dominates small runs
+    // (same rationale + checkpoint caveat as clickViewJoinAvailableNow)
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
+    try {
+      val q = cells.writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(partKey, prevParts)
     graft.sketch.Sketches.quantilesFromBinCounts(
       spark.table(queryName), lo, binWidth, quantilesPermille)
   }
