@@ -578,7 +578,13 @@ object SparkEntry {
         .select(concat(lit("c"), col("o_custkey")).as("a"),
           concat(lit("s"), col("l_suppkey")).as("b"))
         .distinct()
-      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      // symmetrize in ONE pass: union(pairs, pairs.swapped) executes
+      // the join+distinct pipeline twice; explode emits both
+      // directions from each row
+      val edges = pairs.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
       graft.graph.PageRank.pageRank(edges, "a", "b", iters = 3)
         .orderBy(col("node_id"))
     }),

@@ -38,10 +38,15 @@ object PageRank {
     // iteration joins against it, and an unpersisted plan would re-run
     // the whole upstream pipeline (scans, joins, distinct) plus the
     // degree join once per round. Persisting (src, dst, outdeg) keeps
-    // each round to a single join + aggregate.
+    // each round to a single join + aggregate — and persisting it
+    // HASH-PARTITIONED BY dst means each round's groupBy(dst) (and the
+    // final node-key join) reuses the cached layout instead of
+    // shuffling every edge row again: the rank side broadcasts (AQE,
+    // one row per node), so iterations run exchange-free on the big
+    // table. One upfront shuffle buys iters × (edge-volume shuffle).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg, Seq("src")).persist()
+    val ed = e.join(deg, Seq("src")).repartition(col("dst")).persist()
     ed.count()
     val nodes = ed.select(col("src").as("node")).distinct().persist()
     val base = lit(Scale - dampingPpm)
