@@ -1683,6 +1683,24 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    "q_excel_scan" -> ((s, dir) => {
+      // the S5 Excel facade on its fallback path (no spark-excel jar
+      // in this sandbox): same options map a ported XLSX job passes,
+      // excel-only dataAddress dropped, CSV read underneath — the
+      // plugin path is the same call with the jar on the classpath
+      import org.apache.spark.sql.types._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-xls").toString
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType)))
+      graft.sources.Sources.excelScan(s, tmp,
+        Map("header" -> "true", "dataAddress" -> "'Sheet1'!A1"),
+        Some(schema))
+        .orderBy(col("n_nationkey"))
+    }),
+
     "q_csv_quarantine" -> ((s, dir) => {
       // landing-zone scan with one malformed row staged in: good rows
       // come through typed, the broken line lands in quarantine (shown
@@ -3147,6 +3165,10 @@ object SparkEntry {
         | SELECT r_regionkey, r_name FROM region
         | UNION ALL SELECT -1, 'QUARANTINED:1')
         |ORDER BY r_regionkey""".stripMargin,
+
+    "q_excel_scan" ->
+      """SELECT n_nationkey, n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     // mirrors TextNormalize: nfc → lower → unaccent → collapse ws.
     // chr(771) = combining tilde (decomposed form), chr(9) = tab
