@@ -113,4 +113,31 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       }
     })
   }
+
+  test("star-op connected components match driver-side union-find") {
+    // random multigraphs incl. self-loops, chains, and dup edges — the
+    // shapes that broke naive CC implementations; 30 node ids keep
+    // components overlapping often
+    val edges = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 29L), Gen.choose(0L, 29L)))
+    holds(Prop.forAll(edges) { es =>
+      val got = graft.dedup.Dedup.duplicateClusters(es.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // expected label = MIN member of each component
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+      val want = nodes.map(n => n -> minOf(find(n))).toMap
+      got == want
+    }, n = 8)
+  }
 }
