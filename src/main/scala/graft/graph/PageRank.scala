@@ -51,6 +51,11 @@ object PageRank {
     val nodes = ed.select(col("src").as("node")).distinct().persist()
     val base = lit(Scale - dampingPpm)
     var pr = nodes.select(col("node"), lit(Scale).as("pr_ppm"))
+    // deliberately NOT broadcast(pr) per round: an explicit broadcast
+    // collects eagerly, so round k's broadcast re-executes rounds
+    // 1..k-1 — measured quadratic blowup. Left lazy, all rounds fuse
+    // into ONE job at materialization (each operator runs once) and
+    // AQE still broadcasts the measured-small rank side inside it.
     for (_ <- 1 to iters) {
       val contrib = ed
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))

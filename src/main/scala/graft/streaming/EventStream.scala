@@ -93,7 +93,8 @@ object EventStream {
   def hourlyValueQuantilesAvailableNow(spark: SparkSession, sfDir: String,
                                        lo: Long, binWidth: Long, bins: Int,
                                        quantilesPermille: Seq[Int],
-                                       queryName: String = "stream_quantile"
+                                       queryName: String = "stream_quantile",
+                                       statePartitions: Int = 8
                                       ): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
@@ -111,7 +112,7 @@ object EventStream {
     // (same rationale + checkpoint caveat as clickViewJoinAvailableNow)
     val partKey = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, "8")
+    spark.conf.set(partKey, statePartitions.toString)
     try {
       val q = cells.writeStream.format("memory").queryName(queryName)
         .outputMode(OutputMode.Complete)
