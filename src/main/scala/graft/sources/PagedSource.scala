@@ -49,7 +49,8 @@ object PagedSource {
     * and local runs use [[PageTransport.fromPages]].
     *
     * An HTTP implementation maps the reference's four pagination modes
-    * onto `(pageIndex, token)` like this:
+    * (`dataSource bp/ModuleFunctions.scala:494-561`) onto
+    * `(pageIndex, token)` like this:
     *  - QueryParam: request `base?page=<pageIndex>` (or
     *    `offset=<pageIndex·pageSize>`); ignore `token`; return
     *    `PageData(docs, next = None)`.
