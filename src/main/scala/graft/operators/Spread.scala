@@ -12,6 +12,16 @@ import org.apache.spark.sql.DataFrame
   * input rows — only when the plan's partitioning is actually below it;
   * at scale the scan already has more partitions than cores and this is
   * a no-op.
+  *
+  * LIMIT: the decision reads LOGICAL size stats, so a frame that is
+  * logically large but physically single-partition — an unsplittable
+  * gzip file, an upstream `coalesce(1)`, an inflated non-CBO join
+  * estimate — skips the repartition and keeps its one partition
+  * (perf-only; never a correctness issue). Callers feeding a
+  * potentially-unsplittable source should `repartition` explicitly;
+  * the alternative (reading the physical partition count) plans the
+  * whole subtree a second time, which is exactly what this helper
+  * exists to avoid.
   */
 object Spread {
 

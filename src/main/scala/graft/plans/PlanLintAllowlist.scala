@@ -1,0 +1,57 @@
+package graft.plans
+
+/** The reviewed (query, rule) plan-lint allowlist, shared by the
+  * `sbt test` gate (`PlanLintSweepSpec`, which also flags STALE
+  * entries) and the benchmark driver (`graft.Bench`, which fails fast
+  * on any UNREVIEWED finding so a plan regression can't slip through a
+  * bench-only round where tests are skipped).
+  *
+  * Every entry was reviewed in round 6:
+  *  - `single-partition-exchange` — intentional `Spread.smallSort`
+  *    final orderings of known-tiny results (pair lists, reports).
+  *  - `unconditioned-nested-loop` — cross joins against broadcast
+  *    sub-row frames (k-means centroid sets, 1-row aggregates); the
+  *    "nested loop" is k× or 1× per row, not |L|·|R|.
+  *  - `scan-without-pushed-filters` — predicates parquet can never
+  *    push: modulo fixtures (`id % 17 = 0`), deterministic md5-bucket
+  *    sampling, array-size guards.
+  */
+object PlanLintAllowlist {
+  val allowed: Set[(String, String)] = Set(
+    "q_agg_incremental" -> "scan-without-pushed-filters",
+    "q_bloom_decontam" -> "single-partition-exchange",
+    "q_chunks" -> "scan-without-pushed-filters",
+    "q_chunks" -> "single-partition-exchange",
+    "q_containment" -> "single-partition-exchange",
+    "q_decontam" -> "scan-without-pushed-filters",
+    "q_decontam" -> "single-partition-exchange",
+    "q_dedup_embed" -> "single-partition-exchange",
+    "q_dedup_minhash" -> "single-partition-exchange",
+    "q_dedup_ngram" -> "single-partition-exchange",
+    "q_dedup_simhash" -> "single-partition-exchange",
+    "q_dup_spans" -> "single-partition-exchange",
+    "q_kmeans_assign" -> "unconditioned-nested-loop",
+    "q_kmeans_update" -> "scan-without-pushed-filters",
+    "q_kmeans_update" -> "unconditioned-nested-loop",
+    "q_max_spans" -> "single-partition-exchange",
+    "q_minhash_incr" -> "single-partition-exchange",
+    "q_mixture" -> "single-partition-exchange",
+    "q_quality_filter" -> "single-partition-exchange",
+    "q_range_join" -> "scan-without-pushed-filters",
+    "q_repetition" -> "single-partition-exchange",
+    "q_sample_det" -> "scan-without-pushed-filters",
+    "q_sample_strat" -> "scan-without-pushed-filters",
+    "q_scd2" -> "scan-without-pushed-filters",
+    "q_scd2" -> "single-partition-exchange",
+    "q_sem_decontam" -> "single-partition-exchange",
+    "q_semdedup" -> "single-partition-exchange",
+    "q_semdedup" -> "unconditioned-nested-loop",
+    "q_seq_pack" -> "single-partition-exchange",
+    "q_snapshot_diff" -> "scan-without-pushed-filters",
+    "q_snapshot_diff" -> "single-partition-exchange",
+    "q_tfidf" -> "single-partition-exchange",
+    "q_union_evolve" -> "scan-without-pushed-filters",
+    "q_upsert" -> "scan-without-pushed-filters",
+    "q_zorder" -> "scan-without-pushed-filters",
+    "q_zorder" -> "single-partition-exchange")
+}

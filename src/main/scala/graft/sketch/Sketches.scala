@@ -89,6 +89,9 @@ object Sketches {
     * [[binQuantileEstimates]]). */
   def quantilesFromBinCounts(cells: DataFrame, lo: Long, binWidth: Long,
                              quantilesPermille: Seq[Int]): DataFrame = {
+    // an empty list would build invalid SQL below (`VALUES  AS t`)
+    // and surface as an opaque parse error
+    require(quantilesPermille.nonEmpty, "quantilesPermille must be non-empty")
     val cum = Window.partitionBy(col("key")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(col("key"))

@@ -305,7 +305,8 @@ object EventStream {
     * disagree only on the end-time convention. */
   def sessionWindowAvailableNow(spark: SparkSession, sfDir: String,
                                 gapSeconds: Long, userMax: Long,
-                                queryName: String = "stream_session_native"
+                                queryName: String = "stream_session_native",
+                                statePartitions: Int = 8
                                ): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
@@ -321,11 +322,22 @@ object EventStream {
         unix_micros(col("session_window.start")).as("startMicros"),
         unix_micros(col("session_window.end")).as("endMicros"),
         col("nEvents"))
-    val q = agg.writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // session_window keeps a state store per shuffle partition; store
+    // init + checkpoint I/O, not data volume, dominates small runs.
+    // Size the stateful shuffle to stream throughput, independent of
+    // the session's batch setting (same rationale + restart caveat as
+    // hourlyValueQuantilesAvailableNow: the value is baked into the
+    // state checkpoint — a restarted query must keep it).
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, statePartitions.toString)
+    try {
+      val q = agg.writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(partKey, prevParts)
     spark.table(queryName)
   }
 

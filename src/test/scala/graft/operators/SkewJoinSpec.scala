@@ -47,6 +47,64 @@ class SkewJoinSpec extends SparkSpec {
     assert(out.count() === big.join(dim, Seq("k"), "inner").count())
   }
 
+  test("suggestSalts sizes the salt count from the measured hot key") {
+    // hot key = 900 rows; at 100 rows/task that key needs 9 reducers
+    assert(SkewJoin.suggestSalts(big, Seq("k"), 100L) === 9)
+    // unskewed (hot ≤ target) → 1: salting would only replicate
+    assert(SkewJoin.suggestSalts(dim, Seq("k"), 100L) === 1)
+    assert(SkewJoin.suggestSalts(big.limit(0), Seq("k"), 100L) === 1)
+  }
+
+  test("salting removes the straggler on a 90%-hot fixture (plain vs salted)") {
+    // 400k rows, 90% on key 7 — the one-giant-customer shape. Broadcast
+    // and AQE off so both plans are bare sort-merge joins: what a
+    // shuffle join degrades to when the small side outgrows broadcast.
+    val n = 400000L
+    val bigSkew = spark.range(n).select(
+      when(col("id") % 10 < 9, 7L).otherwise(col("id") % 1000).as("k"),
+      col("id").as("row_id"))
+    val dim1k = spark.range(1000).select(col("id").as("k"),
+      concat(lit("name"), col("id")).as("name"))
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+    val prev = confs.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set(confs(0), "-1")
+      spark.conf.set(confs(1), "false")
+      val salts = SkewJoin.suggestSalts(bigSkew, Seq("k"), 100000L)
+      assert(salts === 4) // measured: hot=360k, 100k/task → 4 reducers
+      val plain = bigSkew.join(dim1k, Seq("k"), "inner")
+      val salted = SkewJoin.saltedJoin(bigSkew, dim1k, Seq("k"), "row_id", salts)
+
+      // wall clock (informational: box noise can be ±2×, so the hard
+      // assert below is on the deterministic straggler metric instead)
+      def time(df: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (tPlain, tSalted) = (time(plain), time(salted))
+      info(f"plain=$tPlain%.2fs salted=$tSalted%.2fs (salts=$salts)")
+
+      // the straggler itself, measured: rows in the fullest join
+      // partition. Plain puts all 360k hot rows on one reducer;
+      // salting must cut the max near 1/salts.
+      def maxPart(df: org.apache.spark.sql.DataFrame): Long = df.queryExecution
+        .toRdd.mapPartitions(it => Iterator(it.size.toLong)).collect().max
+      val (mPlain, mSalted) = (maxPart(plain), maxPart(salted))
+      info(s"max join-partition rows: plain=$mPlain salted=$mSalted")
+      assert(mPlain >= 360000L, "fixture lost its hot key")
+      assert(mSalted * 2 <= mPlain,
+        s"salting did not split the hot key: $mSalted vs $mPlain")
+
+      // same result: row count + order-independent content hash
+      def sig(df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)), sum(xxhash64(col("k"), col("row_id"), col("name"))))
+        .head()
+      assert(sig(salted) === sig(plain))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("shuffle is keyed by (key, salt) when the small side can't broadcast") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
