@@ -46,6 +46,25 @@ object SparkEntry {
     if (l == null) 0 else l.length
   }
 
+  /** 40 genuine single-color PNGs (valid IHDR/IDAT/IEND; dims are a
+    * doc_id formula the oracle replays) staged once via the
+    * distributed writeBinaryFiles sink — the real-media landing
+    * fixture for q_media_files / q_media_sniff. */
+  private def stagedPngs(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    stagedOnce("graft_media_v2", dir)(countFiles(_, ".png") == 40) { path =>
+      val pngs = t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, graft.multimodal.ImageHeaders.tinyPng(
+            (1 + id % 16).toInt, (2 + id % 13).toInt,
+            (id * 2654435761L).toInt & 0xffffff))
+        }.toDF("doc_id", "content")
+      graft.sinks.Sinks.writeBinaryFiles(pngs, "doc_id", "content",
+        path, "png")
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped pricing summary (SURVEY §2.6 A1-A4). */
   def entry(spark: SparkSession): DataFrame =
@@ -1573,26 +1592,32 @@ object SparkEntry {
       // DuckDB oracle reproduces the decoded output without touching
       // bytes. n_bytes/checksum of encoder output are deliberately
       // not emitted — deflate bytes aren't cross-engine stable.
-      import s.implicits._
-      val staged = stagedOnce("graft_media_v2", dir)(countFiles(_, ".png") == 40) {
-        path =>
-          val pngs = t(s, dir, "documents").where(col("doc_id") < 40)
-            .select(col("doc_id")).as[Long]
-            .map { id =>
-              (id, graft.multimodal.ImageHeaders.tinyPng(
-                (1 + id % 16).toInt, (2 + id % 13).toInt,
-                (id * 2654435761L).toInt & 0xffffff))
-            }.toDF("doc_id", "content")
-          graft.sinks.Sinks.writeBinaryFiles(pngs, "doc_id", "content",
-            path, "png")
-      }
-      val media = graft.multimodal.Multimodal.mediaFromFiles(s, staged,
+      val media = graft.multimodal.Multimodal.mediaFromFiles(s, stagedPngs(s, dir),
         idFromPath = regexp_extract(col("path"), "(\\d+)\\.png$", 1)
           .cast("long"))
       graft.multimodal.Multimodal.extractFeatures(media)
         .toDF()
         .select(col("id"), col("modality"), col("width"), col("height"))
         .orderBy(col("id"))
+    }),
+
+    "q_media_sniff" -> ((s, dir) => {
+      // magic-byte content classification over BOTH landing paths: the
+      // staged real PNGs must all sniff 'png' from their BYTES (not
+      // their extension), and the same ids' ASCII text bytes must
+      // sniff 'unknown' — a sniffer regression or staged-byte
+      // corruption breaks the hash match. Codegen Column, no UDF.
+      import graft.multimodal.Multimodal
+      val files = Multimodal.mediaFromFiles(s, stagedPngs(s, dir),
+          idFromPath = regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+            .cast("long")).toDF()
+        .select(lit("file").as("src"), col("id"),
+          Multimodal.sniffModality(col("content")).as("detected"))
+      val texts = t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(lit("text").as("src"), col("doc_id").as("id"),
+          Multimodal.sniffModality(
+            substring(col("text"), 1, 64).cast("binary")).as("detected"))
+      files.unionByName(texts).orderBy(col("src"), col("id"))
     }),
 
     "q_media_knn" -> ((s, dir) => {
@@ -3144,6 +3169,16 @@ object SparkEntry {
         | (1 + doc_id % 16)::INTEGER AS width,
         | (2 + doc_id % 13)::INTEGER AS height
         |FROM documents WHERE doc_id < 40 ORDER BY id""".stripMargin,
+
+    // magic-byte sniff: staged real PNGs detect 'png' from bytes,
+    // ASCII text bytes detect 'unknown' — the oracle pins both
+    "q_media_sniff" ->
+      """SELECT 'file' AS src, doc_id AS id, 'png' AS detected
+        |FROM documents WHERE doc_id < 40
+        |UNION ALL
+        |SELECT 'text' AS src, doc_id AS id, 'unknown' AS detected
+        |FROM documents WHERE doc_id < 40
+        |ORDER BY src, id""".stripMargin,
 
     // mirrors Multimodal.embedMedia (checksum-seeded stub embedding,
     // ASCII-first-64 contract as q_multimodal) + bruteForceKnn

@@ -22,17 +22,26 @@ import org.apache.spark.sql.functions._
   * rounds like `Dedup.duplicateClusters`. Overflow bound: the worst
   * case is a hub receiving the whole rank mass, so damping·Σpr must
   * fit a long: n_nodes · SCALE · DAMPING_PPM < 2⁶³ gives
-  * n ≈ 1.1×10⁷ nodes at this scale — for larger graphs move the
-  * multiply to DECIMAL(38,0).
+  * n ≈ 1.1×10⁷ nodes at this scale. Past that the `wide` path moves
+  * the per-node contribution sum AND the damping multiply to
+  * DECIMAL(38,0) (exact — identical results where both paths are in
+  * range), raising the ceiling to a single NODE's rank overflowing a
+  * long (total mass n·SCALE ⇒ n ≈ 9×10¹² nodes). By default the path
+  * is probed automatically from the (already-materialized) node
+  * count.
   */
 object PageRank {
   val Scale = 1000000L // 1.0 in ppm fixed point
 
   /** @param edges  directed edges (srcCol, dstCol); make it symmetric
     *               beforehand for an undirected graph
+    * @param wide   Some(b) forces the DECIMAL(38,0) arithmetic on/off;
+    *               None (default) probes the node count and widens
+    *               exactly when long damping arithmetic could overflow
     * @return (node_id, pr_ppm): rank in ppm fixed point, exact */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, dampingPpm: Long = 850000L): DataFrame = {
+               iters: Int, dampingPpm: Long = 850000L,
+               wide: Option[Boolean] = None): DataFrame = {
     require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= Scale)
     // materialize ONE degree-annotated edge table up front: every
     // iteration joins against it, and an unpersisted plan would re-run
@@ -49,6 +58,13 @@ object PageRank {
     val ed = e.join(deg, Seq("src")).repartition(col("dst")).persist()
     ed.count()
     val nodes = ed.select(col("src").as("node")).distinct().persist()
+    // overflow probe: damping·Σpr wraps a long iff the total rank mass
+    // n·SCALE exceeds Long.Max/dampingPpm — i.e. n > Long.Max /
+    // (dampingPpm·SCALE) (≈1.085×10⁷ at the default damping). The
+    // count is one cached-distinct action, paid only when `wide` is
+    // left to the probe.
+    val useWide = wide.getOrElse(dampingPpm > 0 &&
+      nodes.count() > Long.MaxValue / (dampingPpm * Scale))
     val base = lit(Scale - dampingPpm)
     var pr = nodes.select(col("node"), lit(Scale).as("pr_ppm"))
     // deliberately NOT broadcast(pr) per round: an explicit broadcast
@@ -61,12 +77,21 @@ object PageRank {
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst"),
           expr("pr_ppm div outdeg").as("c"))
-      val agg = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      // wide: sum and damping-multiply in DECIMAL(38,0) — `div` is
+      // integral divide on decimals too (returns BIGINT), so floor
+      // semantics match the long path exactly for the non-negative
+      // values here
+      val agg = contrib.groupBy(col("dst")).agg(
+        (if (useWide) sum(col("c").cast("decimal(38,0)"))
+         else sum(col("c"))).as("s"))
+      val damped =
+        if (useWide) expr(
+          s"cast(($dampingPpm * coalesce(s, cast(0 as decimal(38,0)))) " +
+            s"div $Scale as bigint)")
+        else expr(s"($dampingPpm * coalesce(s, 0L)) div $Scale")
       pr = nodes
         .join(agg.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (base + expr(s"($dampingPpm * coalesce(s, 0L)) div $Scale"))
-            .as("pr_ppm"))
+        .select(col("node"), (base + damped).as("pr_ppm"))
     }
     // materialize the (one-row-per-node) result, then release the two
     // iteration caches — a long-lived session running many queries

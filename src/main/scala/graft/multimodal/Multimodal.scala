@@ -37,6 +37,26 @@ object Multimodal {
   def decodeDims(content: Array[Byte]): (Int, Int) =
     ImageHeaders.dimensions(content).getOrElse(fakeDecode(content))
 
+  /** Content-type sniffing by MAGIC BYTES as a native Column — all
+    * `substring`-on-binary comparisons, so it stays inside whole-stage
+    * codegen (no UDF) and runs in the scan's projection at 100 TB.
+    * The trust inversion vs extension-based classification
+    * ([[graft.classify.Classifier]], reference `bp-unstructured-netapp-
+    * ingestion/ModuleFunctions.py:375-464`): a renamed or mislabeled
+    * file cannot lie about its bytes. Detects the [[ImageHeaders]]
+    * formats; extend with more `when` arms per format. */
+  def sniffModality(content: org.apache.spark.sql.Column
+                   ): org.apache.spark.sql.Column = {
+    def sig(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+    when(substring(content, 1, 8) ===
+      sig(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a), "png")
+      .when(substring(content, 1, 2) === sig(0xff, 0xd8), "jpeg")
+      .when(substring(content, 1, 6) === lit("GIF87a".getBytes("US-ASCII")) ||
+        substring(content, 1, 6) === lit("GIF89a".getBytes("US-ASCII")), "gif")
+      .when(substring(content, 1, 2) === lit("BM".getBytes("US-ASCII")), "bmp")
+      .otherwise("unknown")
+  }
+
   /** Batch feature extraction over binary content. mapPartitions keeps
     * per-partition setup (codec init in real life) amortized across
     * the batch — the mapInPandas execution shape. */

@@ -36,6 +36,22 @@ class MultimodalContractSpec extends SparkSpec {
     assert(joined.where(col("n_bytes") =!= col("n_chars64")).count() === 0L)
   }
 
+  test("sniffModality detects each format from magic bytes, codegen-side") {
+    import spark.implicits._
+    import graft.multimodal.{ImageHeaders, Multimodal}
+    val rows = Seq(
+      "png" -> ImageHeaders.tinyPng(3, 2, 0xabcdef),
+      "jpeg" -> Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00)
+        .map(_.toByte),
+      "gif" -> ("GIF89a".getBytes("US-ASCII") ++ Array[Byte](1, 0, 1, 0)),
+      "bmp" -> ("BM".getBytes("US-ASCII") ++ new Array[Byte](24)),
+      "unknown" -> "plain ascii text".getBytes("UTF-8"))
+    val got = rows.map(_._2).toDF("content")
+      .select(Multimodal.sniffModality(col("content")).as("m"))
+      .as[String].collect().toSeq
+    assert(got === rows.map(_._1))
+  }
+
   test("mediaFromFiles reads a binary tree with glob + modality from ext") {
     val dir = java.nio.file.Files.createTempDirectory("media")
     java.nio.file.Files.write(dir.resolve("a.png"),

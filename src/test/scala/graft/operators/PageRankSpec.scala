@@ -43,4 +43,37 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(pr(1L) > pr(2L))
     assert((2L to 6L).map(pr).distinct.size === 1)
   }
+
+  test("forced wide (DECIMAL) arithmetic matches the long path exactly") {
+    import spark.implicits._
+    val edges = (1L to 40L).flatMap(i =>
+      Seq((i, i % 40 + 1), (i % 40 + 1, i))).toDF("src", "dst")
+    val narrow = PageRank.pageRank(edges, "src", "dst", 3,
+      wide = Some(false)).orderBy("node_id").as[(Long, Long)].collect().toSeq
+    val wide = PageRank.pageRank(edges, "src", "dst", 3,
+      wide = Some(true)).orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(wide === narrow)
+  }
+
+  test("auto-probe widens past the long overflow bound and stays exact") {
+    // 12M leaves → one hub: round-1 mass into the hub is 1.2e13 ppm,
+    // so damping·s = 8.5e5 · 1.2e13 ≈ 1.02e19 > Long.Max — long
+    // arithmetic would wrap (or throw under ANSI); the probe
+    // (12,000,001 nodes > Long.Max/(850000·1e6) ≈ 1.085e7) must pick
+    // DECIMAL and reproduce the hand-computed fixed point:
+    //   pr(hub)  = 150000 + (850000 · 12e6·1e6) div 1e6 = 10_200_000_150_000
+    //   pr(1)    = 150000 + 850000·1e6 div 1e6          = 1_000_000 (hub→1)
+    //   pr(i>1)  = 150000                                (no in-edges)
+    import org.apache.spark.sql.functions.{col, lit}
+    val m = 12000000L
+    val leaves = spark.range(1, m + 1)
+      .select(col("id").as("src"), lit(0L).as("dst"))
+    val edges = leaves.union(
+      spark.range(1).select(lit(0L).as("src"), lit(1L).as("dst")))
+    val pr = PageRank.pageRank(edges, "src", "dst", iters = 1)
+    val picked = pr.where(col("node_id").isin(0L, 1L, 2L, m))
+      .orderBy("node_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(picked.toSeq === Seq(0L -> 10200000150000L, 1L -> 1000000L,
+      2L -> 150000L, m -> 150000L))
+  }
 }

@@ -48,8 +48,9 @@ class SkewJoinSpec extends SparkSpec {
   }
 
   test("suggestSalts sizes the salt count from the measured hot key") {
-    // hot key = 900 rows; at 100 rows/task that key needs 9 reducers
-    assert(SkewJoin.suggestSalts(big, Seq("k"), 100L) === 9)
+    // hot key 7 = 900 planted rows + 8 tail hits (i % 13 == 7) = 908;
+    // at 100 rows/task that key needs ceil(908/100) = 10 reducers
+    assert(SkewJoin.suggestSalts(big, Seq("k"), 100L) === 10)
     // unskewed (hot ≤ target) → 1: salting would only replicate
     assert(SkewJoin.suggestSalts(dim, Seq("k"), 100L) === 1)
     assert(SkewJoin.suggestSalts(big.limit(0), Seq("k"), 100L) === 1)
@@ -66,13 +67,17 @@ class SkewJoinSpec extends SparkSpec {
     val dim1k = spark.range(1000).select(col("id").as("k"),
       concat(lit("name"), col("id")).as("name"))
     val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.enabled")
+      "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
     val prev = confs.map(k => k -> spark.conf.get(k))
     try {
       spark.conf.set(confs(0), "-1")
       spark.conf.set(confs(1), "false")
-      val salts = SkewJoin.suggestSalts(bigSkew, Seq("k"), 100000L)
-      assert(salts === 4) // measured: hot=360k, 100k/task → 4 reducers
+      // 16 reducers (not the suite's 4): with partitions ≈ salts the
+      // (key, salt) buckets hash-collide onto the same reducer and
+      // mask the split this test measures
+      spark.conf.set(confs(2), "16")
+      val salts = SkewJoin.suggestSalts(bigSkew, Seq("k"), 45000L)
+      assert(salts === 8) // measured: hot=360k, 45k/task → 8 reducers
       val plain = bigSkew.join(dim1k, Seq("k"), "inner")
       val salted = SkewJoin.saltedJoin(bigSkew, dim1k, Seq("k"), "row_id", salts)
 
@@ -97,9 +102,11 @@ class SkewJoinSpec extends SparkSpec {
       assert(mSalted * 2 <= mPlain,
         s"salting did not split the hot key: $mSalted vs $mPlain")
 
-      // same result: row count + order-independent content hash
+      // same result: row count + order-independent content checksum
+      // (bit_xor, not sum — an ANSI long sum of 400k hashes overflows)
       def sig(df: org.apache.spark.sql.DataFrame) = df
-        .agg(count(lit(1)), sum(xxhash64(col("k"), col("row_id"), col("name"))))
+        .select(xxhash64(col("k"), col("row_id"), col("name")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)"))
         .head()
       assert(sig(salted) === sig(plain))
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
