@@ -56,15 +56,21 @@ object PageRank {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ed = e.join(deg, Seq("src")).repartition(col("dst")).persist()
-    ed.count()
+    val edCount = ed.count()
     val nodes = ed.select(col("src").as("node")).distinct().persist()
     // overflow probe: damping·Σpr wraps a long iff the total rank mass
     // n·SCALE exceeds Long.Max/dampingPpm — i.e. n > Long.Max /
     // (dampingPpm·SCALE) (≈1.085×10⁷ at the default damping). The
-    // count is one cached-distinct action, paid only when `wide` is
-    // left to the probe.
-    val useWide = wide.getOrElse(dampingPpm > 0 &&
-      nodes.count() > Long.MaxValue / (dampingPpm * Scale))
+    // already-materialized edge count bounds n from above (every node
+    // is the src of ≥1 edge row), so in-range graphs decide for FREE;
+    // only past the bound is the exact (cached-distinct) node count
+    // paid — trivial next to a 10⁷-edge iteration.
+    val useWide = wide.getOrElse {
+      dampingPpm > 0 && {
+        val safeNodes = Long.MaxValue / (dampingPpm * Scale)
+        edCount > safeNodes && nodes.count() > safeNodes
+      }
+    }
     val base = lit(Scale - dampingPpm)
     var pr = nodes.select(col("node"), lit(Scale).as("pr_ppm"))
     // deliberately NOT broadcast(pr) per round: an explicit broadcast
