@@ -65,6 +65,25 @@ object SparkEntry {
     }
   }
 
+  /** 30 genuine 16-bit PCM WAVs (valid RIFF chunk walk; rate/channels/
+    * frame-count are doc_id formulas the oracle replays) — the audio
+    * sibling of [[stagedPngs]] for q_audio_meta. */
+  private def stagedWavs(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    stagedOnce("graft_audio_v1", dir)(countFiles(_, ".wav") == 30) { path =>
+      val wavs = t(s, dir, "documents").where(col("doc_id") < 30)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, graft.multimodal.AudioHeaders.tinyWav(
+            sampleRate = 8000 * (1 + id % 3).toInt,
+            channels = (1 + id % 2).toInt,
+            nFrames = (500 + id * 37).toInt))
+        }.toDF("doc_id", "content")
+      graft.sinks.Sinks.writeBinaryFiles(wavs, "doc_id", "content",
+        path, "wav")
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped pricing summary (SURVEY §2.6 A1-A4). */
   def entry(spark: SparkSession): DataFrame =
@@ -1620,6 +1639,21 @@ object SparkEntry {
       files.unionByName(texts).orderBy(col("src"), col("id"))
     }),
 
+    "q_audio_meta" -> ((s, dir) => {
+      // audio landing end-to-end: stage 30 GENUINE 16-bit PCM WAVs
+      // (AudioHeaders.tinyWav) through the distributed file sink, read
+      // back via binaryFile, and decode rate/channels/frames from the
+      // ACTUAL RIFF chunk walk; the oracle replays the parameter
+      // formulas, so a parser or round-trip bug breaks the hash match.
+      // duration_ms is integer floor division on both sides.
+      val media = graft.multimodal.Multimodal.mediaFromFiles(s,
+        stagedWavs(s, dir),
+        idFromPath = regexp_extract(col("path"), "(\\d+)\\.wav$", 1)
+          .cast("long"))
+      graft.multimodal.Multimodal.audioFeatures(media)
+        .toDF().orderBy(col("id"))
+    }),
+
     "q_media_knn" -> ((s, dir) => {
       // the multimodal end-to-end story: media rows → batch-amortized
       // (stub) encoder via mapPartitions → exact ANN over the
@@ -3169,6 +3203,18 @@ object SparkEntry {
         | (1 + doc_id % 16)::INTEGER AS width,
         | (2 + doc_id % 13)::INTEGER AS height
         |FROM documents WHERE doc_id < 40 ORDER BY id""".stripMargin,
+
+    // RIFF/WAVE chunk-walk decode of staged real WAVs: the oracle
+    // replays the staging parameter formulas (floor-div duration)
+    "q_audio_meta" ->
+      """SELECT doc_id AS id,
+        | (8000 * (1 + doc_id % 3))::INTEGER AS sample_rate,
+        | (1 + doc_id % 2)::INTEGER AS channels,
+        | 16::INTEGER AS bits,
+        | (500 + doc_id * 37)::BIGINT AS n_frames,
+        | (((500 + doc_id * 37) * 1000) // (8000 * (1 + doc_id % 3)))::BIGINT
+        |   AS duration_ms
+        |FROM documents WHERE doc_id < 30 ORDER BY id""".stripMargin,
 
     // magic-byte sniff: staged real PNGs detect 'png' from bytes,
     // ASCII text bytes detect 'unknown' — the oracle pins both

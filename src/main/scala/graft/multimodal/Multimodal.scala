@@ -53,8 +53,29 @@ object Multimodal {
       .when(substring(content, 1, 2) === sig(0xff, 0xd8), "jpeg")
       .when(substring(content, 1, 6) === lit("GIF87a".getBytes("US-ASCII")) ||
         substring(content, 1, 6) === lit("GIF89a".getBytes("US-ASCII")), "gif")
+      .when(substring(content, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        substring(content, 9, 4) === lit("WAVE".getBytes("US-ASCII")), "wav")
       .when(substring(content, 1, 2) === lit("BM".getBytes("US-ASCII")), "bmp")
       .otherwise("unknown")
+  }
+
+  case class AudioFeatures(id: Long, sample_rate: Int, channels: Int,
+                           bits: Int, n_frames: Long, duration_ms: Long)
+
+  /** Batch audio metadata extraction: [[AudioHeaders.wavInfo]] over
+    * binary content in the same mapPartitions shape as
+    * [[extractFeatures]]. Rows whose bytes are not a parseable WAV are
+    * DROPPED (flatMap) — route them through [[sniffModality]] first if
+    * a quarantine split is needed. */
+  def audioFeatures(ds: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        AudioHeaders.wavInfo(r.content).map(w =>
+          AudioFeatures(r.id, w.sampleRate, w.channels, w.bitsPerSample,
+            w.nFrames, w.durationMillis))
+      }
+    }
   }
 
   /** Batch feature extraction over binary content. mapPartitions keeps

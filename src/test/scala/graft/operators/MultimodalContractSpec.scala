@@ -38,12 +38,13 @@ class MultimodalContractSpec extends SparkSpec {
 
   test("sniffModality detects each format from magic bytes, codegen-side") {
     import spark.implicits._
-    import graft.multimodal.{ImageHeaders, Multimodal}
+    import graft.multimodal.{AudioHeaders, ImageHeaders, Multimodal}
     val rows = Seq(
       "png" -> ImageHeaders.tinyPng(3, 2, 0xabcdef),
       "jpeg" -> Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00)
         .map(_.toByte),
       "gif" -> ("GIF89a".getBytes("US-ASCII") ++ Array[Byte](1, 0, 1, 0)),
+      "wav" -> AudioHeaders.tinyWav(8000, 1, 4),
       "bmp" -> ("BM".getBytes("US-ASCII") ++ new Array[Byte](24)),
       "unknown" -> "plain ascii text".getBytes("UTF-8"))
     val got = rows.map(_._2).toDF("content")
