@@ -213,6 +213,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_lm_coverage" -> ((s, dir) => {
+      // corpus-relative bigram coverage (integer-exact perplexity
+      // stand-in): per doc, how many of its word bigrams recur ≥2
+      // times corpus-wide — high coverage flags boilerplate, near-zero
+      // flags fresh-or-garbage; window-attached corpus counts, no
+      // self-join
+      graft.functions.LmCoverage.bigramCoverage(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id"))
+    }),
+
     "q_cms_topk" -> ((s, dir) => {
       // count-min heavy hitters over document words; candidates = the
       // distinct words themselves (at corpus scale: a sampled/streamed
@@ -2061,6 +2072,29 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, n_types, n_hapax,
          |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    // mirrors LmCoverage.bigramCoverage: per-doc bigram occurrences,
+    // corpus count via bigram-partitioned window sum, covered = corpus
+    // count ≥ 2; BIGINT casts (DuckDB integer sums widen to HUGEINT)
+    "q_lm_coverage" ->
+      s"""WITH w AS (SELECT doc_id AS id, ${Duck.words("text")} AS w
+         |  FROM documents),
+         |b AS (SELECT id, unnest(list_transform(range(1, len(w)),
+         |    i -> w[i] || ' ' || w[i + 1])) AS bg FROM w),
+         |pd AS (SELECT id, bg, count(*) AS occ FROM b GROUP BY 1, 2),
+         |wc AS (SELECT id, occ,
+         |    sum(occ) OVER (PARTITION BY bg) AS corpus_cnt FROM pd),
+         |a AS (SELECT id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+         |    CAST(count(*) AS BIGINT) AS n_distinct,
+         |    CAST(sum(CASE WHEN corpus_cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_covered
+         |  FROM wc GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         |  coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  coalesce(n_distinct, 0)::BIGINT AS n_distinct,
+         |  coalesce(n_covered, 0)::BIGINT AS n_covered
+         |FROM documents d LEFT JOIN a ON d.doc_id = a.id
+         |ORDER BY id""".stripMargin,
 
     // mirrors Sketches.countMinEstimates: depth=4 salted md5 rows ×
     // width=1024 buckets, est = min over rows of bucket totals
