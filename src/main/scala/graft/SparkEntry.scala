@@ -1173,6 +1173,18 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
     }),
 
+    "q_stream_neardup" -> ((s, dir) => {
+      // STREAMING near-dup: 4 arriving micro-batches (doc_id % 4, one
+      // file each), each probing the MinHash index of earlier batches
+      // before folding in (foreachBatch, probe-then-add) — the oracle
+      // replays the batch algebra: LSH pairs with batch(probe) >
+      // batch(index)
+      graft.streaming.EventStream
+        .nearDupStreamAvailableNow(s, dir, batches = 4)
+        .transform(graft.operators.Spread.smallSort(_,
+          col("probe_id"), col("index_id")))
+    }),
+
     "q_minhash_incr" -> ((s, dir) => {
       // incremental-ingest dedup: even doc_ids play the saved corpus
       // signature index, odd doc_ids the arriving batch — the batch
@@ -2795,6 +2807,11 @@ object SparkEntry {
     "q_minhash_incr" -> Duck.minhashIncremental(numHashes = 32, bands = 8,
       threshold = 0.8),
 
+    // mirror of the streaming probe-then-add loop: batch = doc_id % 4,
+    // probe is the strictly-later batch of each qualifying pair
+    "q_stream_neardup" -> Duck.minhashStreamBatched(batches = 4,
+      numHashes = 32, bands = 8, threshold = 0.8),
+
     "q_leakage_split" -> Duck.leakageSplit(numHashes = 32, bands = 8,
       threshold = 0.8, holdoutPpm = 100000),
 
@@ -3463,6 +3480,23 @@ object SparkEntry {
          |  CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS index_id,
          |  jaccard
          |FROM j WHERE jaccard >= $threshold AND (id_a + id_b) % 2 = 1
+         |ORDER BY probe_id, index_id""".stripMargin
+
+    /** Mirror of `EventStream.nearDupStreamAvailableNow`: batches
+      * arrive in `doc_id % batches` order, each probing only earlier
+      * batches — so a qualifying LSH pair is emitted iff its sides sit
+      * in DIFFERENT batches, probe being the strictly later one. */
+    def minhashStreamBatched(batches: Int, numHashes: Int, bands: Int,
+                             threshold: Double): String =
+      s"""WITH ${minhashCtes(numHashes, bands)}
+         |SELECT
+         |  CASE WHEN id_a % $batches > id_b % $batches THEN id_a ELSE id_b END
+         |    AS probe_id,
+         |  CASE WHEN id_a % $batches > id_b % $batches THEN id_b ELSE id_a END
+         |    AS index_id,
+         |  jaccard
+         |FROM j WHERE jaccard >= $threshold
+         |  AND id_a % $batches <> id_b % $batches
          |ORDER BY probe_id, index_id""".stripMargin
 
     /** Mirror of `Sampling.leakageSafeSplit` over

@@ -49,6 +49,9 @@ object PlanLintAllowlist {
     "q_seq_pack" -> "single-partition-exchange",
     "q_snapshot_diff" -> "scan-without-pushed-filters",
     "q_snapshot_diff" -> "single-partition-exchange",
+    // r7: streaming near-dup pair list — intentional smallSort of a
+    // known-tiny result, same as the other dedup pair queries
+    "q_stream_neardup" -> "single-partition-exchange",
     "q_tfidf" -> "single-partition-exchange",
     "q_union_evolve" -> "scan-without-pushed-filters",
     "q_upsert" -> "scan-without-pushed-filters",

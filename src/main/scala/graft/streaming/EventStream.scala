@@ -623,6 +623,99 @@ object EventStream {
 
   /** Streaming keep-latest per key via flatMapGroupsWithState —
     * emits the current latest (event_id, ts) per user each trigger. */
+  /** Stage documents split into `batches` parquet files with strictly
+    * increasing modification times, so a maxFilesPerTrigger=1 file
+    * stream replays them as ordered arriving batches (FileStreamSource
+    * admits oldest-mtime first). Batch membership is `doc_id %
+    * batches` — replayable by any engine without knowing arrival
+    * order. */
+  private def stageDocBatches(spark: SparkSession, sfDir: String,
+                              batches: Int): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream")
+    cleanupHook
+    stagedDirs.add(dir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = System.currentTimeMillis() - batches * 60000L
+    for (b <- 0 until batches) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-docbatch")
+      docs.where(col("doc_id") % batches === b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val ls = java.nio.file.Files.list(tmp)
+        try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally ls.close()
+      }
+      val tgt = dir.resolve(f"batch_$b%03d.parquet")
+      java.nio.file.Files.move(part, tgt)
+      tgt.toFile.setLastModified(base + b * 60000L)
+      // best-effort cleanup of the scratch dir (marker files remain
+      // until the shutdown hook if delete fails — harmless)
+      stagedDirs.add(tmp)
+    }
+    dir
+  }
+
+  /** STREAMING near-duplicate detection — the incremental-curation
+    * flagship: documents arrive in micro-batches (one staged file per
+    * batch here; a landing directory in production), and each batch's
+    * MinHash signatures probe the index of everything seen BEFORE
+    * being folded in (probe-then-add). Per-batch cost scales with the
+    * batch × index-bands match, never re-hashing the corpus — the
+    * streaming form of `Dedup.minHashPairsAgainstIndex`, driven by
+    * `foreachBatch` exactly like the reference's batch-incremental
+    * loads run today.
+    *
+    * Determinism contract (what the DuckDB oracle replays): batch
+    * membership is `doc_id % batches` and batches arrive in index
+    * order, so the emitted pairs are exactly the LSH-band pairs with
+    * `batch(probe) > batch(index)` — within-batch duplicates are
+    * intentionally NOT emitted (run `minHashPairs` inside the batch if
+    * needed). Per-batch pair frames are localCheckpointed eagerly, so
+    * the batch-index caches can be released as soon as the stream
+    * drains. */
+  def nearDupStreamAvailableNow(spark: SparkSession, sfDir: String,
+                                batches: Int = 4, numHashes: Int = 32,
+                                bands: Int = 8, threshold: Double = 0.8
+                               ): DataFrame = {
+    val stageDir = stageDocBatches(spark, sfDir, batches)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ndcp")
+    stagedDirs.add(checkpoint)
+    var index: Option[DataFrame] = None
+    var cached = List.empty[DataFrame]
+    var parts = List.empty[DataFrame]
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bIdx = graft.dedup.Dedup
+          .minHashIndex(batch, "doc_id", "text", shingleK = 3, numHashes)
+          .persist()
+        bIdx.count() // materialize before the plan fans out (see Dedup)
+        cached ::= bIdx
+        index.foreach { idx =>
+          parts ::= graft.dedup.Dedup
+            .minHashPairsAgainstIndex(bIdx, idx, numHashes, bands, threshold)
+            .localCheckpoint() // eager: decouple from the batch caches
+        }
+        index = Some(index.fold(bIdx)(_.unionByName(bIdx)))
+        ()
+      }
+      .option("checkpointLocation", checkpoint.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // pair parts are checkpointed — the per-batch signature caches can
+    // go now instead of waiting for the caller's clearCache
+    cached.foreach(_.unpersist(blocking = false))
+    val spark0 = spark
+    import spark0.implicits._
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      Seq.empty[(Long, Long, Double)].toDF("probe_id", "index_id", "jaccard"))
+  }
+
   def latestPerUserStream(spark: SparkSession, sfDir: String,
                           queryName: String = "stream_latest"): DataFrame = {
     import spark.implicits._
