@@ -640,6 +640,27 @@ object SparkEntry {
         ORDER BY n.n_name, t.c_custkey""")
     }),
 
+    "q_triangles" -> ((s, dir) => {
+      // triangle counts over the co-purchase graph (parts sharing an
+      // order): degree-ordered orientation — each triangle owned by
+      // its min-order corner, out-degrees bounded O(√m) so a hub part
+      // can't explode the wedge join. All-integer → hash-exact.
+      // The orderkey range bound (pushable to the scan) sizes the
+      // graph: the FULL sf0.1 co-purchase graph is pathologically
+      // dense (20k parts × 1.2M edges → 41M wedges — every part
+      // co-bought with every 17th other), which benches the fixture's
+      // density, not the operator; < 15000 keeps ~120k edges / ~400k
+      // wedges at sf0.1.
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 15000)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      graft.graph.Triangles.triangleCounts(edges, "p1", "p2")
+        .orderBy(col("node_id"))
+    }),
+
     "q_pagerank" -> ((s, dir) => {
       // iterative graph compute: PageRank over the undirected
       // customer↔supplier purchase graph in EXACT ppm fixed point —
@@ -2460,6 +2481,38 @@ object SparkEntry {
         |FROM a ORDER BY l_returnflag""".stripMargin,
 
     // mirrors PageRank.pageRank: 3 iterations, ppm fixed point, all
+    // mirrors Triangles.triangleCounts: same degree-ordered
+    // orientation ((deg, id) row-value comparisons), wedge join closed
+    // against oriented edges, per-corner counts with zero fill
+    "q_triangles" ->
+      """WITH e AS (SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS u,
+        |    greatest(x.l_partkey, y.l_partkey) AS v
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_orderkey < 15000 AND y.l_orderkey < 15000),
+        |d AS (SELECT n, count(*) AS dg FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |  GROUP BY n),
+        |o AS (SELECT
+        |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.u ELSE e.v END AS a,
+        |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.v ELSE e.u END AS b,
+        |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN dv.dg ELSE du.dg END
+        |      AS dgb
+        |  FROM e JOIN d du ON du.n = e.u JOIN d dv ON dv.n = e.v),
+        |w AS (SELECT o1.a, o1.b AS x, o2.b AS y
+        |  FROM o o1 JOIN o o2 ON o1.a = o2.a
+        |    AND (o1.dgb, o1.b) < (o2.dgb, o2.b)),
+        |t AS (SELECT w.a, w.x, w.y FROM w
+        |  JOIN o o3 ON o3.a = w.x AND o3.b = w.y),
+        |corners AS (SELECT n, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT a AS n FROM t UNION ALL SELECT x AS n FROM t
+        |        UNION ALL SELECT y AS n FROM t)
+        |  GROUP BY n)
+        |SELECT d.n AS node_id,
+        |  coalesce(n_triangles, 0)::BIGINT AS n_triangles
+        |FROM d LEFT JOIN corners ON corners.n = d.n
+        |ORDER BY node_id""".stripMargin,
+
     // integer ops (sums cast back to BIGINT — DuckDB widens to
     // HUGEINT, which pandas would materialize as float)
     "q_pagerank" ->
