@@ -1188,6 +1188,22 @@ object SparkEntry {
       Dedup.duplicateClusters(pairs).orderBy(col("id"))
     }),
 
+    "q_clusters_incr" -> ((s, dir) => {
+      // incremental cluster maintenance: the even-docs labeling folds
+      // in the batch of pairs touching odd docs WITHOUT re-clustering
+      // history — labels are connectivity-preserving star edges, so
+      // the fixed point equals full re-clustering (the oracle runs the
+      // full form; pairs persisted: both splits read them)
+      val pairs = Dedup.minHashPairs(t(s, dir, "documents"), "doc_id",
+        "text", shingleK = 3, numHashes = 32, bands = 8, threshold = 0.8)
+        .persist()
+      val oldLabels = Dedup.duplicateClusters(
+        pairs.where(col("id_a") % 2 === 0 && col("id_b") % 2 === 0))
+      Dedup.duplicateClustersIncremental(oldLabels,
+          pairs.where(col("id_a") % 2 === 1 || col("id_b") % 2 === 1))
+        .orderBy(col("id"))
+    }),
+
     "q_dedup_embed" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", "label", threshold = 0.4)
@@ -2809,6 +2825,11 @@ object SparkEntry {
     // duplicate clusters over the same LSH pair graph; oracle resolves
     // components with a recursive transitive-closure CTE
     "q_dedup_clusters" -> Duck.minhashClusters(numHashes = 32, bands = 8,
+      threshold = 0.8),
+
+    // incremental fold-in reaches the SAME fixed point as full
+    // re-clustering — the oracle IS the full form
+    "q_clusters_incr" -> Duck.minhashClusters(numHashes = 32, bands = 8,
       threshold = 0.8),
 
     "q_dedup_simhash" -> {

@@ -544,6 +544,31 @@ object Dedup {
       .select(col("id"), coalesce(col("lo"), col("id")).as("cluster_id"))
   }
 
+  /** INCREMENTAL cluster maintenance: fold newly-discovered pairs into
+    * an existing (id, cluster_id) labeling without re-clustering the
+    * corpus. A labeling is a connectivity-preserving edge set (every
+    * member — center star), so running [[duplicateClusters]] over
+    * `labels ∪ newPairs` reaches the same fixed point as re-clustering
+    * all historical pairs — at per-batch cost ∝ |labels| + |newPairs|
+    * (one edge per already-labeled node, NOT the historical pair
+    * count, and the star shape re-converges in O(1) rounds unless the
+    * new pairs genuinely bridge clusters). This is the maintenance
+    * loop behind a standing dedup index: probe a batch
+    * ([[minHashPairsAgainstIndex]]), then fold the resulting pairs in
+    * here. */
+  def duplicateClustersIncremental(labels: DataFrame, newPairs: DataFrame,
+                                   idA: String = "id_a",
+                                   idB: String = "id_b",
+                                   maxIters: Int = 20,
+                                   checkpointDir: Option[String] = None
+                                  ): DataFrame = {
+    val labelEdges = labels
+      .select(col("id").as(idA), col("cluster_id").as(idB))
+    duplicateClusters(
+      labelEdges.unionByName(newPairs.select(col(idA), col(idB))),
+      idA, idB, maxIters, checkpointDir)
+  }
+
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame =
     cand

@@ -97,4 +97,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got === brute)
     assert(got.nonEmpty)
   }
+
+  test("incremental cluster fold-in equals full re-clustering") {
+    import spark.implicits._
+    // old world: {1,2} and {3,4}; new batch BRIDGES them (2-3) and
+    // opens a fresh cluster {7,8}
+    val oldPairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val newPairs = Seq((2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClusters(oldPairs)
+    val got = Dedup.duplicateClustersIncremental(labels, newPairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val full = Dedup.duplicateClusters(oldPairs.unionByName(newPairs))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got === full)
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L))
+  }
 }

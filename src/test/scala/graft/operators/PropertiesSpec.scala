@@ -140,4 +140,28 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       got == want
     }, n = 8)
   }
+
+  test("degree-ordered triangle counts match brute-force enumeration") {
+    val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+    holds(Prop.forAll(edgeGen) { raw =>
+      val edges = raw.filter { case (a, b) => a != b }
+      if (edges.isEmpty) true else {
+        val got = graft.graph.Triangles
+          .triangleCounts(edges.toDF("s", "d"), "s", "d")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        spark.catalog.clearCache()
+        val und = edges.map { case (a, b) => (a min b, a max b) }.toSet
+        val nodes = und.flatMap(e => Set(e._1, e._2))
+        val want = nodes.map { n =>
+          val others = nodes.toSeq.sorted
+          n -> (for {
+            x <- others; y <- others
+            if x < y && x != n && y != n &&
+              und((n min x, n max x)) && und((n min y, n max y)) && und((x, y))
+          } yield 1).size.toLong
+        }.toMap
+        got == want
+      }
+    }, n = 8)
+  }
 }
