@@ -1759,6 +1759,19 @@ object SparkEntry {
     }),
 
     // ---- privacy transforms (functions/Privacy) -------------------------
+    "q_k_anonymity" -> ((s, dir) => {
+      // release audit: quasi-identifier classes (segment × banded
+      // balance × nation) too small to publish at k=6 — an empty
+      // result certifies k-anonymity; one partial-agg groupBy
+      import graft.functions.Privacy
+      val quasi = t(s, dir, "customer").select(col("c_mktsegment"),
+        Privacy.band(col("c_acctbal"), 1000.0).as("acct_band"),
+        col("c_nationkey"))
+      Privacy.kAnonymityViolations(quasi,
+          Seq("c_mktsegment", "acct_band", "c_nationkey"), k = 6)
+        .orderBy(col("c_mktsegment"), col("acct_band"), col("c_nationkey"))
+    }),
+
     "q_pseudonymize" -> ((s, dir) => {
       import graft.functions.Privacy._
       t(s, dir, "customer").select(col("c_custkey"),
@@ -2060,6 +2073,13 @@ object SparkEntry {
         | repeat('*', length(c_name) - 4) || right(c_name, 4) AS name_masked,
         | floor(c_acctbal / 1000.0) * 1000.0 AS acctbal_band
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // quasi-identifier classes below k=6 (k-anonymity audit)
+    "q_k_anonymity" ->
+      """SELECT c_mktsegment, floor(c_acctbal / 1000.0) * 1000.0 AS acct_band,
+        | c_nationkey, CAST(count(*) AS BIGINT) AS class_size
+        |FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 6
+        |ORDER BY c_mktsegment, acct_band, c_nationkey""".stripMargin,
 
     "q_na_fill" ->
       """SELECT c_custkey, COALESCE(o_totalprice, 0.0) AS o_totalprice

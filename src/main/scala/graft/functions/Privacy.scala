@@ -36,4 +36,20 @@ object Privacy {
     * (k-anonymity-style coarsening for quasi-identifiers). */
   def band(c: Column, width: Double): Column =
     floor(c / width) * width
+
+  /** k-anonymity audit: the quasi-identifier equivalence classes with
+    * FEWER than `k` members — the rows a release would have to
+    * generalize further or suppress. One partial-aggregated groupBy on
+    * the quasi columns (the shuffle carries one row per class per
+    * partition), so the audit runs at full table scale; an empty
+    * result certifies the release as k-anonymous. */
+  def kAnonymityViolations(df: org.apache.spark.sql.DataFrame,
+                           quasiCols: Seq[String], k: Long
+                          ): org.apache.spark.sql.DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1,
+      "need at least one quasi-identifier column and k >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .where(col("class_size") < k)
+  }
 }
