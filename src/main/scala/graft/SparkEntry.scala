@@ -816,6 +816,25 @@ object SparkEntry {
         .orderBy(col("pkey"), col("ikey"))
     }),
 
+    "q_interval_overlap" -> ((s, dir) => {
+      // time-interval overlap pairs (event vs event within a user,
+      // [ts, ts + value minutes]): replicated to 6-hour tiles and met
+      // in a (user, tile) equi-join — never the non-equi nested loop —
+      // with each pair kept only in the tile holding its overlap
+      // start, so exactly-once without a distinct
+      // ts is epoch-nanos (see Tables); integral `div` to seconds —
+      // a double division would wobble past 2^53
+      val ev = t(s, dir, "events")
+      val ivs = ev.select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("s"),
+        (expr("ts div 1000000000") +
+          lit(60L) * floor(col("value")).cast("long")).as("e"))
+      graft.operators.IntervalJoin
+        .overlapPairs(ivs, "user_id", "event_id", "s", "e",
+          tileSeconds = 6 * 3600)
+        .orderBy(col("user_id"), col("a_id"), col("b_id"))
+    }),
+
     // ---- windows (SURVEY §2.7) -----------------------------------------
     "q_w1_chunk" -> ((s, dir) => {
       Windows.chunkSlice(
@@ -1171,6 +1190,16 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
     }),
 
+    "q_boilerplate" -> ((s, dir) => {
+      // corpus boilerplate exposure: word 5-grams recurring in >= 3
+      // distinct docs of the same source are boilerplate; per-doc
+      // totals are integer-exact. Two (source, gram)-keyed aggs + one
+      // semi-join — no text ever crosses the network twice
+      graft.dedup.Boilerplate.docStats(t(s, dir, "documents"),
+          "doc_id", "text", "source", n = 5, minDf = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_containment" -> ((s, dir) => {
       // asymmetric gram containment (quote/excerpt detection): a doc
       // whose shingles are ≥60% inside another doc's shingle set
@@ -1432,6 +1461,27 @@ object SparkEntry {
       Similarity.bruteForceKnn(e, e.where(col("vec_id") < 5), "vec_id",
         "embedding", k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_contrastive" -> ((s, dir) => {
+      // hard-negative mining signal: per query, best same-label and
+      // best different-label cosine + margin, in ONE corpus pass (a
+      // conditional-max aggregation, not two knn runs)
+      val e = t(s, dir, "embeddings")
+      Similarity.contrastiveMargins(e, e.where(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", "label")
+        .orderBy(col("query_id"))
+    }),
+
+    "q_vec_quantize" -> ((s, dir) => {
+      // SQ8 scalar quantization audit: per-dim [min,max] (exact
+      // selections — no float-sum order wobble), codes via floor(t*255
+      // + 0.5), per-vector checksum + worst reconstruction error. One
+      // corpus pass: scan → broadcast(dim ranges) → project → agg
+      graft.similarity.Quantize.auditStats(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          levels = 256)
+        .orderBy(col("vec_id"))
     }),
 
     "q_knn_ivf" -> ((s, dir) => {
@@ -2332,6 +2382,16 @@ object SparkEntry {
         |SELECT pkey, ikey, pt FROM p JOIN i ON pt >= lo AND pt <= hi
         |ORDER BY pkey, ikey""".stripMargin,
 
+    "q_interval_overlap" ->
+      """WITH iv AS (SELECT event_id, user_id,
+        |  epoch_us(ts) // 1000000 AS s,
+        |  epoch_us(ts) // 1000000 + 60 * CAST(floor(value) AS BIGINT) AS e
+        |  FROM events)
+        |SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id
+        |FROM iv a JOIN iv b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY a.user_id, a_id, b_id""".stripMargin,
+
     "q_asof_join" ->
       """WITH a AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'click'),
@@ -2877,6 +2937,25 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // mirrors Boilerplate.docStats: word 5-grams, df >= 3 within source
+    "q_boilerplate" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        unnest(list_transform(range(1, len(ws) - 3),
+        |          i -> array_to_string(list_slice(ws, i, i + 4), ' ')))
+        |        AS gram
+        |      FROM d WHERE len(ws) >= 5),
+        |b AS (SELECT source, gram
+        |      FROM (SELECT DISTINCT source, gram, doc_id FROM g)
+        |      GROUP BY source, gram HAVING count(*) >= 3),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        |fl AS (SELECT g.doc_id, count(*) AS n_boiler
+        |       FROM g JOIN b USING (source, gram) GROUP BY g.doc_id)
+        |SELECT doc_id, n_grams, coalesce(n_boiler, 0) AS n_boiler
+        |FROM tot LEFT JOIN fl USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // mirrors Dedup.containmentPairs: word 5-shingles, C(A→B)=|∩|/|A|
     "q_containment" -> {
       s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
@@ -3135,6 +3214,44 @@ object SparkEntry {
         |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Quantize.auditStats: identical IEEE op order — divide
+    // before multiply, floor(t*255+0.5), lo + code*(hi-lo)/255
+    "q_vec_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT vec_id, CAST(g.i AS INT) - 1 AS dim, v[g.i] AS val
+        |      FROM e JOIN generate_series(1, 64) g(i) ON g.i <= len(v)),
+        |r AS (SELECT dim, min(val) AS lo, max(val) AS hi FROM x GROUP BY dim),
+        |c AS (SELECT vec_id, x.dim, val, lo, hi,
+        |        CASE WHEN hi = lo THEN 0
+        |             ELSE CAST(floor((val - lo) / (hi - lo) * 255 + 0.5)
+        |                  AS BIGINT)
+        |        END AS code
+        |      FROM x JOIN r USING (dim))
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS dims,
+        |  CAST(sum(code * (dim + 1)) AS BIGINT) AS code_sum,
+        |  round(max(abs(val - CASE WHEN hi = lo THEN lo
+        |    ELSE lo + code * (hi - lo) / 255 END)), 6) AS max_err
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_contrastive" ->
+      """WITH q AS (SELECT vec_id AS query_id, label,
+        |             embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 25 = 0),
+        |c AS (SELECT vec_id AS nbr_id, label AS nbr_label,
+        |        embedding::DOUBLE[] AS nv FROM embeddings),
+        |s AS (SELECT query_id, q.label AS label, nbr_label,
+        |        list_cosine_similarity(qv, nv) AS sim
+        |      FROM q JOIN c ON query_id <> nbr_id),
+        |m AS (SELECT query_id, label,
+        |        round(max(CASE WHEN nbr_label = label THEN sim END), 6)
+        |          AS pos_sim,
+        |        round(max(CASE WHEN nbr_label <> label THEN sim END), 6)
+        |          AS neg_sim
+        |      FROM s GROUP BY query_id, label)
+        |SELECT query_id, label, pos_sim, neg_sim,
+        |  round(pos_sim - neg_sim, 6) AS margin
+        |FROM m ORDER BY query_id""".stripMargin,
 
     "q_knn_ivf" ->
       """WITH q AS (SELECT label, vec_id AS query_id, embedding::DOUBLE[] AS qv

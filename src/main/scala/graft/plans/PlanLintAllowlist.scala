@@ -20,6 +20,14 @@ object PlanLintAllowlist {
   val allowed: Set[(String, String)] = Set(
     "q_agg_incremental" -> "scan-without-pushed-filters",
     "q_bloom_decontam" -> "single-partition-exchange",
+    // r7: malformed-interval guard (s <= e) is on derived columns —
+    // nothing for parquet to push
+    "q_interval_overlap" -> "scan-without-pushed-filters",
+    // r7: size(split(text)) >= n array-size guard, same category as
+    // q_chunks; the gram explode can't be pushed anyway
+    "q_boilerplate" -> "scan-without-pushed-filters",
+    // r7: vec_id % 25 = 0 modulo query fixture, same as q_sample_det
+    "q_contrastive" -> "scan-without-pushed-filters",
     "q_chunks" -> "scan-without-pushed-filters",
     "q_chunks" -> "single-partition-exchange",
     "q_containment" -> "single-partition-exchange",

@@ -69,6 +69,40 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Contrastive-pair mining signal: for each query vector, the best
+    * same-label cosine (hardest positive ceiling) and the best
+    * different-label cosine (hardest negative) over the corpus, plus
+    * their margin. A small (or negative) margin marks the queries
+    * whose nearest impostor outranks their nearest true neighbor —
+    * exactly the rows worth showing a contrastive trainer.
+    *
+    * This is the exactness baseline: queries broadcast, ONE pass over
+    * the corpus, both extrema taken in the same aggregation (no
+    * window, no second scan). The scale path mines negatives inside
+    * coarse cells via [[partitionedKnn]] over a label-excluding
+    * filter. Queries whose label has no other corpus member report a
+    * null `pos_sim`/`margin` rather than a fabricated score. */
+  def contrastiveMargins(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String,
+                         labelCol: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val c = Spread.ensure(corpus.select(col(idCol).as("nbr_id"),
+      col(labelCol).as("nbr_label"),
+      col(vecCol).cast("array<double>").as("nv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), col(vecCol).cast("array<double>").as("qv"))
+    val sim = call_function(graft.expressions.GraftFunctions.Cosine,
+      col("qv"), col("nv"))
+    c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .groupBy(col("query_id"), col("q_label").as("label"))
+      .agg(
+        round(max(when(col("nbr_label") === col("q_label"), sim)), 6)
+          .as("pos_sim"),
+        round(max(when(col("nbr_label") =!= col("q_label"), sim)), 6)
+          .as("neg_sim"))
+      .withColumn("margin", round(col("pos_sim") - col("neg_sim"), 6))
+  }
+
   /** Deterministic random-hyperplane weights: planes × dims, derived
     * from md5 so buckets reproduce anywhere. Values in [-0.5, 0.5).
     * Exposed package-wide so the oracle SQL can inline the same
