@@ -84,6 +84,26 @@ object SparkEntry {
     }
   }
 
+  /** 24 genuine AVI headers (valid RIFF LIST/hdrl/avih walk; dims/
+    * frames/frame-period are doc_id formulas the oracle replays) — the
+    * video sibling of [[stagedPngs]]/[[stagedWavs]] for q_video_meta. */
+  private def stagedAvis(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    stagedOnce("graft_video_v1", dir)(countFiles(_, ".avi") == 24) { path =>
+      val avis = t(s, dir, "documents").where(col("doc_id") < 24)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, graft.multimodal.VideoHeaders.tinyAvi(
+            width = 160 + 8 * (id % 5).toInt,
+            height = 120 + 8 * (id % 4).toInt,
+            nFrames = (100 + id * 7).toInt,
+            microSecPerFrame = (1000000 / (10 + id % 20)).toInt))
+        }.toDF("doc_id", "content")
+      graft.sinks.Sinks.writeBinaryFiles(avis, "doc_id", "content",
+        path, "avi")
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped pricing summary (SURVEY §2.6 A1-A4). */
   def entry(spark: SparkSession): DataFrame =
@@ -1761,6 +1781,22 @@ object SparkEntry {
         idFromPath = regexp_extract(col("path"), "(\\d+)\\.wav$", 1)
           .cast("long"))
       graft.multimodal.Multimodal.audioFeatures(media)
+        .toDF().orderBy(col("id"))
+    }),
+
+    "q_video_meta" -> ((s, dir) => {
+      // video landing end-to-end: stage 24 GENUINE AVI containers
+      // (VideoHeaders.tinyAvi) through the distributed file sink, read
+      // back via binaryFile, decode width/height/frames/frame-period
+      // from the ACTUAL RIFF LIST/hdrl/avih walk, and emit the
+      // every-10th-frame sampling plan; the oracle replays the
+      // parameter formulas in integer arithmetic, so a parser or
+      // round-trip bug breaks the hash match
+      val media = graft.multimodal.Multimodal.mediaFromFiles(s,
+        stagedAvis(s, dir), glob = "*.avi",
+        idFromPath = regexp_extract(col("path"), "(\\d+)\\.avi$", 1)
+          .cast("long"))
+      graft.multimodal.Multimodal.videoFeatures(media, stride = 10)
         .toDF().orderBy(col("id"))
     }),
 
@@ -3477,6 +3513,22 @@ object SparkEntry {
         | (((500 + doc_id * 37) * 1000) // (8000 * (1 + doc_id % 3)))::BIGINT
         |   AS duration_ms
         |FROM documents WHERE doc_id < 30 ORDER BY id""".stripMargin,
+
+    // replays the stagedAvis parameter formulas in integer arithmetic
+    "q_video_meta" ->
+      """WITH p AS (SELECT doc_id AS id,
+        |  1000000 // (10 + doc_id % 20) AS uspf,
+        |  100 + doc_id * 7 AS nf
+        |  FROM documents WHERE doc_id < 24)
+        |SELECT id,
+        |  (160 + 8 * (id % 5))::INTEGER AS width,
+        |  (120 + 8 * (id % 4))::INTEGER AS height,
+        |  nf::BIGINT AS n_frames,
+        |  (1000000000 // uspf)::BIGINT AS fps_x1000,
+        |  (nf * uspf // 1000)::BIGINT AS duration_ms,
+        |  ((nf + 9) // 10)::BIGINT AS n_sampled,
+        |  ((nf - 1) // 10 * 10)::BIGINT AS last_sampled
+        |FROM p ORDER BY id""".stripMargin,
 
     // magic-byte sniff: staged real PNGs detect 'png' from bytes,
     // ASCII text bytes detect 'unknown' — the oracle pins both

@@ -55,6 +55,8 @@ object Multimodal {
         substring(content, 1, 6) === lit("GIF89a".getBytes("US-ASCII")), "gif")
       .when(substring(content, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
         substring(content, 9, 4) === lit("WAVE".getBytes("US-ASCII")), "wav")
+      .when(substring(content, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        substring(content, 9, 4) === lit("AVI ".getBytes("US-ASCII")), "avi")
       .when(substring(content, 1, 2) === lit("BM".getBytes("US-ASCII")), "bmp")
       .otherwise("unknown")
   }
@@ -74,6 +76,32 @@ object Multimodal {
         AudioHeaders.wavInfo(r.content).map(w =>
           AudioFeatures(r.id, w.sampleRate, w.channels, w.bitsPerSample,
             w.nFrames, w.durationMillis))
+      }
+    }
+  }
+
+  case class VideoFeatures(id: Long, width: Int, height: Int,
+                           n_frames: Long, fps_x1000: Long,
+                           duration_ms: Long, n_sampled: Long,
+                           last_sampled: Long)
+
+  /** Batch video metadata + frame-sampling plan:
+    * [[VideoHeaders.aviInfo]] over binary content plus the
+    * every-`stride`-th-frame plan — the metadata a curation pass
+    * filters on (resolution floor, duration band) and the plan a
+    * decode stage executes where the bytes live. Non-AVI bytes are
+    * DROPPED (flatMap); route through [[sniffModality]] first for a
+    * quarantine split. */
+  def videoFeatures(ds: Dataset[MediaRow],
+                    stride: Int = 10): Dataset[VideoFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        VideoHeaders.aviInfo(r.content).map(v =>
+          VideoFeatures(r.id, v.width, v.height, v.nFrames, v.fpsX1000,
+            v.durationMillis,
+            VideoHeaders.sampledCount(v.nFrames, stride),
+            VideoHeaders.lastSampledIndex(v.nFrames, stride)))
       }
     }
   }
