@@ -836,6 +836,52 @@ object SparkEntry {
         .orderBy(col("pkey"), col("ikey"))
     }),
 
+    "q_join_audit" -> ((s, dir) => {
+      // pre-flight audit of the many-to-many lineitem⋈lineitem join on
+      // partkey: exact per-key and total output cardinality from two
+      // (key, count) aggregations — the join itself never runs. Top-10
+      // hottest keys + a TOTAL row (partkey -1) in one frame
+      val li = t(s, dir, "lineitem").select(col("l_partkey"))
+      val hist = graft.operators.JoinAudit
+        .keyHistogram(li, li, Seq("l_partkey"))
+      val top = hist.orderBy(col("out_rows").desc, col("l_partkey")).limit(10)
+      val total = hist.agg(
+        sum(col("n_left")).as("n_left"), sum(col("n_right")).as("n_right"),
+        sum(col("out_rows")).as("out_rows"))
+        .select(lit(-1L).as("l_partkey"), col("n_left"), col("n_right"),
+          col("out_rows"))
+      top.unionByName(total)
+        .orderBy(col("out_rows").desc, col("l_partkey"))
+    }),
+
+    "q_pit_join" -> ((s, dir) => {
+      // point-in-time feature join: every order gets the customer
+      // segment version valid AT ORDER TIME — v1 until 1997, v2 after,
+      // nulls where history has no coverage (no v1 for %7 keys, v2
+      // closed in 1999 for %5 keys). Union+window as-of: one shuffle,
+      // no inequality-join explosion. ISO date STRINGS compare
+      // lexicographically — no timestamp-precision hazards
+      val c = t(s, dir, "customer")
+      def version(filter: Column, tag: String, from: String,
+                  to: Option[String]) =
+        c.where(filter).select(col("c_custkey").as("o_custkey"),
+          concat(col("c_mktsegment"), lit(tag)).as("segment"),
+          lit(from).as("valid_from"),
+          to.map(lit(_)).getOrElse(lit(null)).cast("string").as("valid_to"))
+      val dim = version(col("c_custkey") % 7 =!= 0, "_v1",
+          "1995-01-01", Some("1997-01-01"))
+        .unionByName(version(col("c_custkey") % 5 =!= 0, "_v2",
+          "1997-01-01", None))
+        .unionByName(version(col("c_custkey") % 5 === 0, "_v2",
+          "1997-01-01", Some("1999-01-01")))
+      val facts = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+      graft.operators.PitJoin.pitJoin(facts, dim, Seq("o_custkey"),
+          "od", "valid_from", "valid_to", Seq("segment"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_interval_overlap" -> ((s, dir) => {
       // time-interval overlap pairs (event vs event within a user,
       // [ts, ts + value minutes]): replicated to 6-hour tiles and met
@@ -2417,6 +2463,41 @@ object SparkEntry {
         |p AS (SELECT o_orderkey AS pkey, o_totalprice AS pt FROM orders)
         |SELECT pkey, ikey, pt FROM p JOIN i ON pt >= lo AND pt <= hi
         |ORDER BY pkey, ikey""".stripMargin,
+
+    "q_join_audit" ->
+      """WITH h AS (SELECT l_partkey, count(*)::BIGINT AS n
+        |           FROM lineitem GROUP BY l_partkey),
+        |k AS (SELECT l_partkey, n AS n_left, n AS n_right,
+        |        n * n AS out_rows FROM h),
+        |top AS (SELECT * FROM k ORDER BY out_rows DESC, l_partkey LIMIT 10),
+        |tot AS (SELECT CAST(-1 AS BIGINT) AS l_partkey,
+        |  CAST(sum(n_left) AS BIGINT) AS n_left,
+        |  CAST(sum(n_right) AS BIGINT) AS n_right,
+        |  CAST(sum(out_rows) AS BIGINT) AS out_rows FROM k)
+        |SELECT * FROM top UNION ALL SELECT * FROM tot
+        |ORDER BY out_rows DESC, l_partkey""".stripMargin,
+
+    // the oracle states PIT semantics directly as the inequality
+    // LEFT JOIN the operator deliberately avoids executing
+    "q_pit_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS k, c_mktsegment || '_v1' AS segment,
+        |    '1995-01-01' AS vf, '1997-01-01' AS vt
+        |  FROM customer WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment || '_v2',
+        |    '1997-01-01', CAST(NULL AS VARCHAR)
+        |  FROM customer WHERE c_custkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment || '_v2',
+        |    '1997-01-01', '1999-01-01'
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |f AS (SELECT o_orderkey, o_custkey,
+        |        strftime(o_orderdate, '%Y-%m-%d') AS od FROM orders)
+        |SELECT o_orderkey, o_custkey, od, segment
+        |FROM f LEFT JOIN dim ON o_custkey = k
+        |  AND od >= vf AND (vt IS NULL OR od < vt)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_interval_overlap" ->
       """WITH iv AS (SELECT event_id, user_id,

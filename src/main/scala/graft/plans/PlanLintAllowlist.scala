@@ -28,6 +28,8 @@ object PlanLintAllowlist {
     "q_boilerplate" -> "scan-without-pushed-filters",
     // r7: vec_id % 25 = 0 modulo query fixture, same as q_sample_det
     "q_contrastive" -> "scan-without-pushed-filters",
+    // r7: c_custkey % 5/7 modulo fixtures building the SCD2 versions
+    "q_pit_join" -> "scan-without-pushed-filters",
     "q_chunks" -> "scan-without-pushed-filters",
     "q_chunks" -> "single-partition-exchange",
     "q_containment" -> "single-partition-exchange",
