@@ -836,6 +836,49 @@ object SparkEntry {
         .orderBy(col("pkey"), col("ikey"))
     }),
 
+    "q_gap_fill" -> ((s, dir) => {
+      // LOCF resample: each user's irregular events → a dense hourly
+      // series, gaps carrying the last observation forward. Bucket =
+      // ts div 1h-in-nanos (integral; µs/ns grain agrees across
+      // engines); in-bucket winner picked by max(struct(ts, event_id))
+      graft.operators.Resample.locfResample(
+          t(s, dir, "events"), Seq("user_id"), "ts",
+          Seq("ts", "event_id"), "value", bucketSize = 3600L * 1000000000L)
+        .withColumnRenamed("bucket", "h")
+        .orderBy(col("user_id"), col("h"))
+    }),
+
+    "q_entity_resolution" -> ((s, dir) => {
+      // end-to-end entity resolution: PassJoin-blocked fuzzy pairs
+      // (within a nation) → star-op connected components → golden
+      // record (cluster representative = min id, member count). Every
+      // stage is an equi-join or agg — no all-pairs anywhere
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      val nat = sup.select(col("s_suppkey").as("sk"),
+        col("s_nationkey").as("nk"))
+      val pairs = graft.operators.FuzzyJoin
+        .selfPairs(t(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 1)
+        .join(nat.withColumnRenamed("sk", "id_a"), Seq("id_a"))
+        .join(nat.withColumnRenamed("sk", "id_b")
+          .withColumnRenamed("nk", "nk_b"), Seq("id_b"))
+        .where(col("nk") === col("nk_b"))
+        .select(col("id_a"), col("id_b"))
+      val labels = graft.dedup.Dedup.duplicateClusters(pairs)
+      val labeled = sup.join(labels, sup("s_suppkey") === labels("id"), "left")
+        .select(col("s_suppkey"),
+          coalesce(col("cluster_id"), col("s_suppkey")).as("cluster_id"))
+      val canon = sup.select(col("s_suppkey").as("cluster_id"),
+        col("s_name").as("canon_name"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+      labeled.join(canon, Seq("cluster_id"))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .select(col("s_suppkey"), col("cluster_id"), col("canon_name"),
+          col("n_members"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     "q_join_audit" -> ((s, dir) => {
       // pre-flight audit of the many-to-many lineitem⋈lineitem join on
       // partkey: exact per-key and total output cardinality from two
@@ -2463,6 +2506,45 @@ object SparkEntry {
         |p AS (SELECT o_orderkey AS pkey, o_totalprice AS pt FROM orders)
         |SELECT pkey, ikey, pt FROM p JOIN i ON pt >= lo AND pt <= hi
         |ORDER BY pkey, ikey""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+        |             ts, event_id, value FROM events),
+        |obs AS (SELECT user_id, h, value FROM o
+        |        QUALIFY row_number() OVER (PARTITION BY user_id, h
+        |          ORDER BY ts DESC, event_id DESC) = 1),
+        |b AS (SELECT user_id, min(h) AS hmin, max(h) AS hmax
+        |      FROM o GROUP BY user_id),
+        |spine AS (SELECT user_id, unnest(generate_series(hmin, hmax)) AS h
+        |          FROM b),
+        |j AS (SELECT s.user_id, s.h, obs.value FROM spine s
+        |      LEFT JOIN obs ON s.user_id = obs.user_id AND s.h = obs.h)
+        |SELECT user_id, h, last_value(value IGNORE NULLS) OVER
+        |  (PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING)
+        |  AS value_filled
+        |FROM j ORDER BY user_id, h""".stripMargin,
+
+    "q_entity_resolution" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+        |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |  WHERE a.s_nationkey = b.s_nationkey
+        |    AND levenshtein(a.s_name, b.s_name) <= 1),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM e0
+        |      UNION ALL SELECT id_b, id_a FROM e0),
+        |reach AS (SELECT src AS id, dst AS r FROM e
+        |          UNION
+        |          SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |cl AS (SELECT id, least(id, min(r)) AS cluster_id
+        |       FROM reach GROUP BY id),
+        |lab AS (SELECT s.s_suppkey,
+        |          coalesce(cl.cluster_id, s.s_suppkey) AS cluster_id
+        |        FROM supplier s LEFT JOIN cl ON s.s_suppkey = cl.id)
+        |SELECT lab.s_suppkey, lab.cluster_id, c.s_name AS canon_name,
+        |  CAST(count(*) OVER (PARTITION BY lab.cluster_id) AS BIGINT)
+        |    AS n_members
+        |FROM lab JOIN supplier c ON lab.cluster_id = c.s_suppkey
+        |ORDER BY lab.s_suppkey""".stripMargin,
 
     "q_join_audit" ->
       """WITH h AS (SELECT l_partkey, count(*)::BIGINT AS n
