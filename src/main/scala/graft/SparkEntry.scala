@@ -836,6 +836,20 @@ object SparkEntry {
         .orderBy(col("pkey"), col("ikey"))
     }),
 
+    "q_compaction_plan" -> ((s, dir) => {
+      // small-file compaction manifest: an orders-derived file
+      // inventory (priority = directory, totalprice = bytes) packed
+      // into ~1 MB rewrite groups by window cumsum — per-directory
+      // group counts follow bytes, never a guessed file count
+      val inv = t(s, dir, "orders").select(
+        col("o_orderpriority").as("dir"),
+        col("o_orderkey").as("name"),
+        floor(col("o_totalprice")).as("bytes"))
+      graft.sinks.CompactionPlan
+        .groupManifest(inv, "dir", "name", "bytes", targetBytes = 1000000L)
+        .orderBy(col("dir"), col("group_id"))
+    }),
+
     "q_gap_fill" -> ((s, dir) => {
       // LOCF resample: each user's irregular events → a dense hourly
       // series, gaps carrying the last observation forward. Bucket =
@@ -2506,6 +2520,20 @@ object SparkEntry {
         |p AS (SELECT o_orderkey AS pkey, o_totalprice AS pt FROM orders)
         |SELECT pkey, ikey, pt FROM p JOIN i ON pt >= lo AND pt <= hi
         |ORDER BY pkey, ikey""".stripMargin,
+
+    "q_compaction_plan" ->
+      """WITH inv AS (SELECT o_orderpriority AS dir, o_orderkey AS name,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS bytes FROM orders),
+        |c AS (SELECT dir, name, bytes,
+        |  sum(bytes) OVER (PARTITION BY dir ORDER BY name
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM inv),
+        |g AS (SELECT dir,
+        |  CAST((cum - bytes) // 1000000 AS BIGINT) AS group_id, bytes
+        |      FROM c)
+        |SELECT dir, group_id, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes
+        |FROM g GROUP BY dir, group_id
+        |ORDER BY dir, group_id""".stripMargin,
 
     "q_gap_fill" ->
       """WITH o AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h,
