@@ -836,6 +836,15 @@ object SparkEntry {
         .orderBy(col("pkey"), col("ikey"))
     }),
 
+    "q_stream_distinct" -> ((s, dir) => {
+      // streaming distinct-users-per-hour with O(k) state per window:
+      // the stream agg holds a KMV minima buffer, never the id set;
+      // the deterministic estimate is read batch-side and hash-checked
+      graft.streaming.EventStream
+        .hourlyDistinctUsersAvailableNow(s, dir, k = 64)
+        .orderBy(col("hour"))
+    }),
+
     "q_compaction_plan" -> ((s, dir) => {
       // small-file compaction manifest: an orders-derived file
       // inventory (priority = directory, totalprice = bytes) packed
@@ -2520,6 +2529,23 @@ object SparkEntry {
         |p AS (SELECT o_orderkey AS pkey, o_totalprice AS pt FROM orders)
         |SELECT pkey, ikey, pt FROM p JOIN i ON pt >= lo AND pt <= hi
         |ORDER BY pkey, ikey""".stripMargin,
+
+    // mirrors EventStream.hourlyDistinctUsersAvailableNow: same
+    // md5-prefix hash, same k-minima, same (k-1)/r_k estimate — the
+    // streaming bounded-state path must land on the identical number
+    "q_stream_distinct" -> {
+      s"""WITH h AS (SELECT DISTINCT
+         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+         |  ${Duck.hash64("CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |r AS (SELECT hour, h,
+         |      row_number() OVER (PARTITION BY hour ORDER BY h) AS rn FROM h),
+         |s AS (SELECT hour, count(*) AS n,
+         |      max(CASE WHEN rn = 64 THEN h END) AS hk
+         |      FROM r WHERE rn <= 64 GROUP BY hour)
+         |SELECT hour, round(CASE WHEN n < 64 THEN n::DOUBLE
+         |  ELSE 63 / (hk / 1152921504606846976.0) END, 4) AS est_users
+         |FROM s ORDER BY hour""".stripMargin
+    },
 
     "q_compaction_plan" ->
       """WITH inv AS (SELECT o_orderpriority AS dir, o_orderkey AS name,

@@ -48,6 +48,19 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** Distinct-count estimate from a [[KmvMinima]] ascending minima
+    * array: exact below k (the sketch holds every hash), else
+    * (k-1)/r_k with r_k the k-th minimum normalized to hash64's
+    * [0, 2^60) range. Same formula as [[kmvDistinctByKey]], so both
+    * phrasings (window batch, bounded-state aggregate) hash-match the
+    * same oracle. */
+  def estimateFromMinima(minima: Column, k: Int): Column = {
+    val twoPow60 = 1152921504606846976.0 // 2^60
+    round(when(size(minima) < k, size(minima).cast("double"))
+      .otherwise(lit(k - 1) /
+        (element_at(minima, k).cast("double") / lit(twoPow60))), 4)
+  }
+
   /** Mergeable fixed-bin quantile estimates: clamp values into
     * `bins` integer-width buckets, count per (key, bin) — a
     * fixed-size, cell-wise-addable sketch like [[countMinEstimates]]

@@ -124,6 +124,49 @@ object EventStream {
       spark.table(queryName), lo, binWidth, quantilesPermille)
   }
 
+  /** Bounded-state streaming distinct count: "distinct users per
+    * hour, forever" with O(k) state per window. The streaming agg
+    * maintains a [[graft.sketch.KmvMinima]] buffer (k smallest
+    * distinct user-id hashes) per hour window — a few hundred bytes
+    * no matter how many events arrive, vs the per-window id SET an
+    * exact streaming countDistinct would pin in the state store —
+    * and the estimate read runs batch-side on the final minima
+    * ([[graft.sketch.Sketches.estimateFromMinima]], deterministic, so
+    * even the approximation is oracle-gated). */
+  def hourlyDistinctUsersAvailableNow(spark: SparkSession, sfDir: String,
+                                      k: Int = 64,
+                                      queryName: String = "stream_distinct",
+                                      statePartitions: Int = 8): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stageDir = stageEvents(sfDir)
+    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val kmv = graft.sketch.KmvMinima(k)
+    val sk = stream
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 hour")
+      .groupBy(window(col("ts_utc"), "1 hour"))
+      .agg(kmv(graft.functions.TextFunctions
+        .hash64(col("user_id").cast("string"))).as("minima"))
+      .select(col("window.start").as("key"), col("minima"))
+    // state-store init per shuffle partition dominates small runs
+    // (same rationale + checkpoint caveat as clickViewJoinAvailableNow)
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, statePartitions.toString)
+    try {
+      val q = sk.writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(partKey, prevParts)
+    spark.table(queryName).select(
+      date_format(col("key"), "yyyy-MM-dd HH").as("hour"),
+      graft.sketch.Sketches.estimateFromMinima(col("minima"), k)
+        .as("est_users"))
+  }
+
   /** Watermarked stream-stream interval join: each click enriched with
     * the views of the same user in the preceding hour. Both sides are
     * event-time watermarked so join state is bounded — the watermark
