@@ -836,6 +836,18 @@ object SparkEntry {
         .orderBy(col("pkey"), col("ikey"))
     }),
 
+    "q_sketch_setops" -> ((s, dir) => {
+      // cross-dataset overlap WITHOUT an id-level join: lineitem's
+      // partkey space vs the even half of part, each reduced to one
+      // k-array; union/Jaccard/intersection estimates composed from
+      // the two sketches — and still oracle-gated, the estimator is
+      // deterministic
+      graft.sketch.Sketches.kmvSetOps(
+        t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "part").where(col("p_partkey") % 2 === 0), "p_partkey",
+        k = 64)
+    }),
+
     "q_stream_distinct" -> ((s, dir) => {
       // streaming distinct-users-per-hour with O(k) state per window:
       // the stream agg holds a KMV minima buffer, never the id set;
@@ -2529,6 +2541,32 @@ object SparkEntry {
         |p AS (SELECT o_orderkey AS pkey, o_totalprice AS pt FROM orders)
         |SELECT pkey, ikey, pt FROM p JOIN i ON pt >= lo AND pt <= hi
         |ORDER BY pkey, ikey""".stripMargin,
+
+    // mirrors Sketches.kmvSetOps: same minima, same union-sketch
+    // closure, same Jaccard estimator, same rounded composition
+    "q_sketch_setops" -> {
+      def est(x: String) =
+        s"round(CASE WHEN len($x) < 64 THEN len($x)::DOUBLE " +
+          s"ELSE 63 / ($x[64] / 1152921504606846976.0) END, 4)"
+      s"""WITH ha AS (SELECT DISTINCT
+         |  ${Duck.hash64("CAST(l_partkey AS VARCHAR)")} AS h FROM lineitem),
+         |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha),
+         |la AS (SELECT list(h ORDER BY h) AS ma FROM ra WHERE rn <= 64),
+         |hb AS (SELECT DISTINCT
+         |  ${Duck.hash64("CAST(p_partkey AS VARCHAR)")} AS h FROM part
+         |  WHERE p_partkey % 2 = 0),
+         |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb),
+         |lb AS (SELECT list(h ORDER BY h) AS mb FROM rb WHERE rn <= 64),
+         |m AS (SELECT ma, mb, list_slice(list_sort(list_distinct(
+         |        list_concat(ma, mb))), 1, 64) AS mu FROM la, lb),
+         |e AS (SELECT ${est("ma")} AS est_a, ${est("mb")} AS est_b,
+         |  ${est("mu")} AS est_union,
+         |  round(len(list_intersect(list_intersect(mu, ma), mb))::DOUBLE
+         |    / len(mu), 4) AS est_jaccard FROM m)
+         |SELECT est_a, est_b, est_union, est_jaccard,
+         |  round(est_jaccard * est_union, 4) AS est_intersection
+         |FROM e""".stripMargin
+    },
 
     // mirrors EventStream.hourlyDistinctUsersAvailableNow: same
     // md5-prefix hash, same k-minima, same (k-1)/r_k estimate — the

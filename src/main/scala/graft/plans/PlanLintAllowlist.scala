@@ -30,6 +30,10 @@ object PlanLintAllowlist {
     "q_contrastive" -> "scan-without-pushed-filters",
     // r7: c_custkey % 5/7 modulo fixtures building the SCD2 versions
     "q_pit_join" -> "scan-without-pushed-filters",
+    // r7: p_partkey % 2 modulo fixture; the "nested loop" is the
+    // deliberate 1-row × 1-row cross of the two sketch aggregates
+    "q_sketch_setops" -> "scan-without-pushed-filters",
+    "q_sketch_setops" -> "unconditioned-nested-loop",
     "q_chunks" -> "scan-without-pushed-filters",
     "q_chunks" -> "single-partition-exchange",
     "q_containment" -> "single-partition-exchange",

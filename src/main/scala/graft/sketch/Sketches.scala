@@ -61,6 +61,40 @@ object Sketches {
         (element_at(minima, k).cast("double") / lit(twoPow60))), 4)
   }
 
+  /** Cross-dataset set-operation estimates from two KMV sketches —
+    * distinct |A|, |B|, |A∪B|, Jaccard, and |A∩B| WITHOUT joining the
+    * underlying data: at 100 TB, "how much do these two id spaces
+    * overlap" costs two scans that each shuffle one k-array, not an
+    * id-level join. The union sketch is the k smallest of the merged
+    * minima (KMV's closure under union); Jaccard is the classic
+    * estimator |M_k(A∪B) ∩ M(A) ∩ M(B)| / |M_k(A∪B)|; intersection is
+    * Jaccard × union, composed from the already-rounded terms so any
+    * engine reproduces the same number. One output row. */
+  def kmvSetOps(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                k: Int = 64): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val kmv = KmvMinima(k)
+    def minima(df: DataFrame, c: String, out: String) =
+      df.agg(kmv(TextFunctions.hash64(col(c).cast("string"))).as(out))
+    val ma = minima(a, aCol, "ma")
+    val mb = minima(b, bCol, "mb")
+    val merged = slice(array_sort(array_distinct(
+      concat(col("ma"), col("mb")))), 1, k)
+    ma.crossJoin(mb) // 1 row × 1 row
+      .withColumn("mu", merged)
+      .withColumn("inter_k",
+        size(array_intersect(array_intersect(col("mu"), col("ma")),
+          col("mb"))))
+      .select(
+        estimateFromMinima(col("ma"), k).as("est_a"),
+        estimateFromMinima(col("mb"), k).as("est_b"),
+        estimateFromMinima(col("mu"), k).as("est_union"),
+        round(col("inter_k").cast("double") / size(col("mu")), 4)
+          .as("est_jaccard"))
+      .withColumn("est_intersection",
+        round(col("est_jaccard") * col("est_union"), 4))
+  }
+
   /** Mergeable fixed-bin quantile estimates: clamp values into
     * `bins` integer-width buckets, count per (key, bin) — a
     * fixed-size, cell-wise-addable sketch like [[countMinEstimates]]
