@@ -836,6 +836,19 @@ object SparkEntry {
         .orderBy(col("pkey"), col("ikey"))
     }),
 
+    "q_drift_report" -> ((s, dir) => {
+      // run-over-run distribution drift: odd- vs even-keyed orders as
+      // "yesterday vs today", totalprice histogrammed on fixed bins,
+      // TVD in ppm from integer cross-products — no float ratio is
+      // ever summed, so the drift SCORE itself is oracle-gated
+      val o = t(s, dir, "orders")
+      graft.validate.Drift.histogramDrift(
+          o.where(col("o_orderkey") % 2 === 1),
+          o.where(col("o_orderkey") % 2 === 0),
+          "o_totalprice", lo = 0L, binWidth = 50000L, bins = 12)
+        .orderBy(col("bin"))
+    }),
+
     "q_sketch_setops" -> ((s, dir) => {
       // cross-dataset overlap WITHOUT an id-level join: lineitem's
       // partkey space vs the even half of part, each reduced to one
@@ -2541,6 +2554,32 @@ object SparkEntry {
         |p AS (SELECT o_orderkey AS pkey, o_totalprice AS pt FROM orders)
         |SELECT pkey, ikey, pt FROM p JOIN i ON pt >= lo AND pt <= hi
         |ORDER BY pkey, ikey""".stripMargin,
+
+    // mirrors Drift.histogramDrift: same clamped bins, same integer
+    // cross-product contributions, same ppm integer division
+    "q_drift_report" ->
+      """WITH b AS (SELECT least(greatest(
+        |    CAST(floor(o_totalprice / 50000) AS BIGINT), 0), 11) AS bin
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |c AS (SELECT least(greatest(
+        |    CAST(floor(o_totalprice / 50000) AS BIGINT), 0), 11) AS bin
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |hb AS (SELECT bin, count(*)::BIGINT AS n_base FROM b GROUP BY bin),
+        |hc AS (SELECT bin, count(*)::BIGINT AS n_cur FROM c GROUP BY bin),
+        |j AS (SELECT coalesce(hb.bin, hc.bin) AS bin,
+        |        coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |      FROM hb FULL JOIN hc ON hb.bin = hc.bin),
+        |t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j),
+        |w AS (SELECT bin, n_base, n_cur,
+        |        abs(n_base * tc - n_cur * tb) AS contrib FROM j, t)
+        |SELECT bin, n_base, n_cur, CAST(contrib AS BIGINT) AS contrib,
+        |  CAST(NULL AS BIGINT) AS tvd_ppm FROM w
+        |UNION ALL
+        |SELECT -1, CAST(tb AS BIGINT), CAST(tc AS BIGINT),
+        |  CAST(sum(contrib) AS BIGINT),
+        |  CAST((500000 * sum(contrib)) // (tb * tc) AS BIGINT)
+        |FROM w, t GROUP BY tb, tc
+        |ORDER BY bin""".stripMargin,
 
     // mirrors Sketches.kmvSetOps: same minima, same union-sketch
     // closure, same Jaccard estimator, same rounded composition

@@ -34,6 +34,10 @@ object PlanLintAllowlist {
     // deliberate 1-row × 1-row cross of the two sketch aggregates
     "q_sketch_setops" -> "scan-without-pushed-filters",
     "q_sketch_setops" -> "unconditioned-nested-loop",
+    // r7: o_orderkey % 2 run-split fixture; broadcast cross of the
+    // 1-row totals frame against ≤bins histogram rows
+    "q_drift_report" -> "scan-without-pushed-filters",
+    "q_drift_report" -> "unconditioned-nested-loop",
     "q_chunks" -> "scan-without-pushed-filters",
     "q_chunks" -> "single-partition-exchange",
     "q_containment" -> "single-partition-exchange",
