@@ -836,6 +836,18 @@ object SparkEntry {
         .orderBy(col("pkey"), col("ikey"))
     }),
 
+    "q_hierarchy" -> ((s, dir) => {
+      // recursive-CTE stand-in at scale: ancestor closure of the
+      // custkey div-7 tree by path DOUBLING — a depth-d hierarchy
+      // closes in ceil(log2 d) self-joins, not d frontier walks
+      val edges = t(s, dir, "customer")
+        .where(col("c_custkey") >= 1)
+        .select(col("c_custkey").as("child"),
+          expr("c_custkey div 7").as("parent"))
+      graft.operators.Hierarchy.ancestorClosure(edges, "child", "parent")
+        .orderBy(col("node"), col("anc"))
+    }),
+
     "q_drift_report" -> ((s, dir) => {
       // run-over-run distribution drift: odd- vs even-keyed orders as
       // "yesterday vs today", totalprice histogrammed on fixed bins,
@@ -2554,6 +2566,18 @@ object SparkEntry {
         |p AS (SELECT o_orderkey AS pkey, o_totalprice AS pt FROM orders)
         |SELECT pkey, ikey, pt FROM p JOIN i ON pt >= lo AND pt <= hi
         |ORDER BY pkey, ikey""".stripMargin,
+
+    // the oracle IS the recursive CTE the operator replaces
+    "q_hierarchy" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT c_custkey AS child, c_custkey // 7 AS parent
+        |  FROM customer WHERE c_custkey >= 1),
+        |r AS (SELECT child AS node, parent AS anc, 1 AS depth FROM e
+        |      UNION ALL
+        |      SELECT r.node, e.parent, r.depth + 1
+        |      FROM r JOIN e ON r.anc = e.child)
+        |SELECT node, anc, CAST(depth AS BIGINT) AS depth FROM r
+        |ORDER BY node, anc""".stripMargin,
 
     // mirrors Drift.histogramDrift: same clamped bins, same integer
     // cross-product contributions, same ppm integer division
