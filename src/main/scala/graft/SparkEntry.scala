@@ -1653,6 +1653,24 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q_knn_ivf_learned" -> ((s, dir) => {
+      // the full IVF story: LEARNED coarse cells (deterministic
+      // k-means assignment) instead of a given label — index build
+      // (assign) and probe (cell-restricted knn) in one plan; the
+      // search join shuffles by cell, never the cross product
+      val e = t(s, dir, "embeddings")
+      val centroids = graft.similarity.KMeans
+        .initCentroids(e, "vec_id", "embedding", k = 8)
+      val cells = graft.similarity.KMeans
+        .assign(e, centroids, "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("cluster_id").as("cell"))
+      val corpus = e.join(cells, Seq("vec_id"))
+      Similarity.partitionedKnn(corpus,
+          corpus.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "cell", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_knn_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.partitionedKnn(e, e.where(col("vec_id") < 10), "vec_id",
@@ -3606,6 +3624,23 @@ object SparkEntry {
         |SELECT query_id, label, pos_sim, neg_sim,
         |  round(pos_sim - neg_sim, 6) AS margin
         |FROM m ORDER BY query_id""".stripMargin,
+
+    // same kmeans CTEs as q_kmeans_assign, probing only the query's cell
+    "q_knn_ivf_learned" -> {
+      s"""WITH ${Duck.kmeansAssignCtes(k = 8)},
+         |cells AS (SELECT vec_id, cluster_id AS cell FROM a),
+         |e2 AS (SELECT p.vec_id, v, cell FROM p JOIN cells USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM e2
+         |      WHERE vec_id % 50 = 0),
+         |scored AS (SELECT query_id, e2.vec_id AS nbr_id,
+         |  round(list_cosine_similarity(qv, e2.v), 6) AS score
+         |  FROM q JOIN e2 USING (cell) WHERE e2.vec_id <> query_id)
+         |SELECT query_id, nbr_id, score, rank FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
 
     "q_knn_ivf" ->
       """WITH q AS (SELECT label, vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -38,6 +38,11 @@ object PlanLintAllowlist {
     // 1-row totals frame against ≤bins histogram rows
     "q_drift_report" -> "scan-without-pushed-filters",
     "q_drift_report" -> "unconditioned-nested-loop",
+    // r7: vec_id % 50 query fixture; k-means assignment crosses each
+    // point with the broadcast k-row centroid set (same as
+    // q_kmeans_assign)
+    "q_knn_ivf_learned" -> "scan-without-pushed-filters",
+    "q_knn_ivf_learned" -> "unconditioned-nested-loop",
     "q_chunks" -> "scan-without-pushed-filters",
     "q_chunks" -> "single-partition-exchange",
     "q_containment" -> "single-partition-exchange",
