@@ -836,6 +836,47 @@ object SparkEntry {
         .orderBy(col("pkey"), col("ikey"))
     }),
 
+    "q_transition_matrix" -> ((s, dir) => {
+      // behavioral Markov counts: per-user event sequences (ordered by
+      // ts, event_id) → from→to transition counts and probabilities in
+      // ppm (integer division — no float ratio). One lag window per
+      // user partition + one tiny groupBy
+      // order at µs grain (ts div 1000): DuckDB only sees µs, so a
+      // ns-grain sort could disagree on sub-µs neighbors
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(expr("ts div 1000"), col("event_id"))
+      val steps = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("to_type"))
+        .withColumn("from_type", lag(col("to_type"), 1).over(w))
+        .where(col("from_type").isNotNull)
+      val counts = steps.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("tot"))
+      counts.join(totals, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("(n * 1000000) div tot").as("p_ppm"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    "q_quality_norm" -> ((s, dir) => {
+      // cross-source score comparability: each doc's integer quality
+      // signal (chars-per-word proxy) normalized to its SOURCE's
+      // percentile via percent_rank — fixed global cutoffs would gut
+      // whichever source runs shorter documents
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("sig"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") * 1000L / (size(split(col("text"), " ")) + 1))
+            .as("sig"))
+        .withColumn("pctl", round(percent_rank().over(w), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_hierarchy" -> ((s, dir) => {
       // recursive-CTE stand-in at scale: ancestor closure of the
       // custkey div-7 tree by path DOUBLING — a depth-d hierarchy
@@ -2584,6 +2625,28 @@ object SparkEntry {
         |p AS (SELECT o_orderkey AS pkey, o_totalprice AS pt FROM orders)
         |SELECT pkey, ikey, pt FROM p JOIN i ON pt >= lo AND pt <= hi
         |ORDER BY pkey, ikey""".stripMargin,
+
+    "q_transition_matrix" ->
+      """WITH s AS (SELECT user_id, event_type AS to_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS from_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM s
+        |      WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+        |t2 AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type)
+        |SELECT c.from_type, to_type, n,
+        |  CAST((n * 1000000) // tot AS BIGINT) AS p_ppm
+        |FROM c JOIN t2 USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q_quality_norm" ->
+      """SELECT doc_id, source, sig,
+        |  round(percent_rank() OVER (PARTITION BY source
+        |    ORDER BY sig, doc_id), 6) AS pctl
+        |FROM (SELECT doc_id, source,
+        |        n_chars * 1000 / (len(string_split(text, ' ')) + 1) AS sig
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // the oracle IS the recursive CTE the operator replaces
     "q_hierarchy" ->
