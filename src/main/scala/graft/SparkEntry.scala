@@ -1400,6 +1400,17 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
     }),
 
+    "q_span_scrub" -> ((s, dir) => {
+      // keep-first passage removal END TO END: duplicated 10-word
+      // windows survive only in their lowest-id owner; every other doc
+      // gets the covered words cut from its normalized stream. The cut
+      // is a per-doc array filter against collected ranges — text
+      // crosses the network exactly once
+      graft.dedup.SpanDedup.scrubDuplicatedSpans(
+          t(s, dir, "documents"), "doc_id", "text", window = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_boilerplate" -> ((s, dir) => {
       // corpus boilerplate exposure: word 5-grams recurring in >= 3
       // distinct docs of the same source are boilerplate; per-doc
@@ -3370,6 +3381,38 @@ object SparkEntry {
          |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
          |      len(list_distinct(a.sh || b.sh)), 6) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // mirrors SpanDedup.scrubDuplicatedSpans: same spans, keep-first
+    // ownership, islands→ranges, word-level cut on the normalized stream
+    "q_span_scrub" -> {
+      s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
+         |sp AS (SELECT doc_id, i AS pos,
+         |    ${Duck.hash64("array_to_string(w[i:i+9], ' ')")} AS span_hash
+         |  FROM w, unnest(CASE WHEN len(w) >= 10 THEN range(1, len(w) - 8)
+         |    ELSE []::BIGINT[] END) AS t(i)),
+         |own AS (SELECT span_hash, min(doc_id) AS first_doc FROM sp
+         |        GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2),
+         |red AS (SELECT sp.doc_id, pos FROM sp JOIN own USING (span_hash)
+         |        WHERE doc_id <> first_doc),
+         |isl AS (SELECT doc_id, pos, pos - row_number()
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM red),
+         |rng AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
+         |        FROM isl GROUP BY doc_id, island),
+         |tok AS (SELECT doc_id, CAST(t.i AS BIGINT) AS i, w[t.i] AS word
+         |        FROM w, unnest(range(1, len(w) + 1)) AS t(i)),
+         |keep AS (SELECT t.doc_id, t.i, t.word FROM tok t
+         |         LEFT JOIN rng r ON t.doc_id = r.doc_id
+         |           AND t.i BETWEEN r.s AND r.e
+         |         WHERE r.doc_id IS NULL),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(word, ' ' ORDER BY i) AS cleaned
+         |        FROM keep GROUP BY doc_id)
+         |SELECT w.doc_id, coalesce(a.cleaned, '') AS cleaned_text,
+         |  len(w.w)::BIGINT AS n_words,
+         |  (len(w.w) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+         |FROM w LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     // mirrors Boilerplate.docStats: word 5-grams, df >= 3 within source

@@ -113,6 +113,56 @@ object SpanDedup {
     out
   }
 
+  /** KEEP-FIRST passage scrub — the dedup stack ending in a usable
+    * transform: every duplicated window is kept only in its
+    * lowest-id owner document and CUT from all later occurrences
+    * (Lee et al. 2022's repeated-substring removal), returning
+    * (id, cleaned_text, n_words, n_removed) over the normalized word
+    * stream the span hashes are defined on.
+    *
+    * Scale shape: ownership is one span_hash-keyed agg; redundant
+    * positions merge to ranges with the same islands trick as
+    * [[maximalDuplicatedSpans]]; the cut itself is a per-document
+    * array `filter` against that document's own (collected, few)
+    * ranges — no token-level shuffle, text crosses the network once. */
+  def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           window: Int, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = spanHashesWithPos(df, idCol, textCol, window).persist()
+    val owners = spans.groupBy(col("span_hash"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        min(col("id")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("span_hash"), col("first_doc"))
+    val redundant = spans.join(owners, Seq("span_hash"))
+      .where(col("id") =!= col("first_doc"))
+      .select(col("id"), col("pos"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val ranges = redundant
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + window - 1).as("e"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("rs"))
+    val base = df.select(col(idCol).as("id"), words(col(textCol)).as("w"))
+    val out = base.join(ranges, Seq("id"), "left")
+      .withColumn("rs", coalesce(col("rs"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      // word j (1-based) survives iff no redundant range covers it
+      .withColumn("kept", filter(col("w"), (x, i) =>
+        !exists(col("rs"),
+          r => (i + 1) >= r.getField("s") && (i + 1) <= r.getField("e"))))
+      .select(col("id").as(idCol),
+        array_join(col("kept"), " ").as("cleaned_text"),
+        size(col("w")).cast("long").as("n_words"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"))
+      .persist()
+    out.count()
+    spans.unpersist(blocking = false)
+    out
+  }
+
   /** Documents containing any duplicated span (candidates for
     * passage-level cleaning): left-semi join against the duplicated
     * span set — distributes as two hash shuffles on span_hash/id. */
