@@ -1723,6 +1723,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_knn_ivf_probe2" -> ((s, dir) => {
+      // multi-probe IVF: queries search their 2 nearest cells — the
+      // recall lever over single-probe; only query rows replicate,
+      // the search join stays cell-keyed
+      val e = t(s, dir, "embeddings")
+      val centroids = graft.similarity.KMeans
+        .initCentroids(e, "vec_id", "embedding", k = 8)
+      val cells = graft.similarity.KMeans
+        .assign(e, centroids, "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("cluster_id").as("cell"))
+      val corpus = e.join(cells, Seq("vec_id"))
+      Similarity.multiProbeKnn(corpus,
+          e.where(col("vec_id") % 50 === 0), centroids,
+          "vec_id", "embedding", "cell", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_knn_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.partitionedKnn(e, e.where(col("vec_id") < 10), "vec_id",
@@ -3738,6 +3755,27 @@ object SparkEntry {
          |e2 AS (SELECT p.vec_id, v, cell FROM p JOIN cells USING (vec_id)),
          |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM e2
          |      WHERE vec_id % 50 = 0),
+         |scored AS (SELECT query_id, e2.vec_id AS nbr_id,
+         |  round(list_cosine_similarity(qv, e2.v), 6) AS score
+         |  FROM q JOIN e2 USING (cell) WHERE e2.vec_id <> query_id)
+         |SELECT query_id, nbr_id, score, rank FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // same kmeans CTEs; probe list = top-2 cells per query from sc
+    "q_knn_ivf_probe2" -> {
+      s"""WITH ${Duck.kmeansAssignCtes(k = 8)},
+         |cells AS (SELECT vec_id, cluster_id AS cell FROM a),
+         |e2 AS (SELECT p.vec_id, v, cell FROM p JOIN cells USING (vec_id)),
+         |pr AS (SELECT vec_id AS query_id, cluster_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, cluster_id) AS rn FROM sc) t
+         |  WHERE rn <= 2 AND vec_id % 50 = 0),
+         |q AS (SELECT pr.query_id, v AS qv, pr.cell FROM pr
+         |      JOIN p ON p.vec_id = pr.query_id),
          |scored AS (SELECT query_id, e2.vec_id AS nbr_id,
          |  round(list_cosine_similarity(qv, e2.v), 6) AS score
          |  FROM q JOIN e2 USING (cell) WHERE e2.vec_id <> query_id)

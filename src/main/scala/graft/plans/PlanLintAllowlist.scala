@@ -43,6 +43,8 @@ object PlanLintAllowlist {
     // q_kmeans_assign)
     "q_knn_ivf_learned" -> "scan-without-pushed-filters",
     "q_knn_ivf_learned" -> "unconditioned-nested-loop",
+    "q_knn_ivf_probe2" -> "scan-without-pushed-filters",
+    "q_knn_ivf_probe2" -> "unconditioned-nested-loop",
     "q_chunks" -> "scan-without-pushed-filters",
     "q_chunks" -> "single-partition-exchange",
     "q_containment" -> "single-partition-exchange",

@@ -56,6 +56,25 @@ object KMeans {
       .where(col("rn") === 1).drop("rn")
   }
 
+  /** Top-`n` centroid assignment per point — the probe list for
+    * multi-probe IVF ([[Similarity.multiProbeKnn]]). Same scoring and
+    * tie-break as [[assign]] (n = 1 is exactly `assign`). */
+  def assignTopN(points: DataFrame, centroids: DataFrame, idCol: String,
+                 vecCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    graft.expressions.GraftFunctions.register(points.sparkSession)
+    val p = Spread.ensure(points.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")))
+    val scored = p.join(broadcast(centroids))
+      .select(col("id"), col("cluster_id"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("v"), col("centroid")), 6).as("score"))
+    val best = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("cluster_id"))
+    scored.withColumn("rn", row_number().over(best))
+      .where(col("rn") <= n).drop("rn")
+  }
+
   /** One Lloyd update: mean vector of each cluster's members, as
     * (cluster_id, dim, mean) rows — the distributed-friendly long
     * form (shuffle key (cluster, dim), partial agg map-side).

@@ -103,6 +103,36 @@ object Similarity {
       .withColumn("margin", round(col("pos_sim") - col("neg_sim"), 6))
   }
 
+  /** Multi-probe IVF top-k: each query searches its `nprobe` nearest
+    * centroid cells instead of only its own — THE recall lever for
+    * cell-restricted ANN (a uniform query's true neighbor sits just
+    * across a cell boundary with probability ≈ 1 − 1/nprobe·…; probing
+    * 2-4 cells recovers most of it for a 2-4× candidate cost, still
+    * orders of magnitude under the cross product). The probe list
+    * replicates only QUERY rows (queries ≪ corpus); the search join
+    * stays a cell-keyed equi-join, corpus rows never replicate. */
+  def multiProbeKnn(corpus: DataFrame, queries: DataFrame,
+                    centroids: DataFrame, idCol: String, vecCol: String,
+                    cellCol: String, k: Int, nprobe: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val c = Spread.ensure(corpus.select(col(cellCol).as("cell"),
+      col(idCol).as("nbr_id"), col(vecCol).cast("array<double>").as("nv")))
+    val probes = KMeans.assignTopN(queries, centroids, idCol, vecCol,
+        nprobe)
+      .select(col("id").as("query_id"), col("cluster_id").as("cell"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .join(probes, Seq("query_id"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("qv"), col("nv")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Deterministic random-hyperplane weights: planes × dims, derived
     * from md5 so buckets reproduce anywhere. Values in [-0.5, 0.5).
     * Exposed package-wide so the oracle SQL can inline the same
