@@ -980,6 +980,45 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    "q_er_survivorship" -> ((s, dir) => {
+      // golden-record ATTRIBUTE merge on the ER clusters: categorical
+      // fields survive by majority vote (deterministic tiebreak:
+      // count desc then value — one min(struct) aggregation, no
+      // window over members), numerics by the max rule. The MDM step
+      // after q_entity_resolution's representative selection
+      val sup = t(s, dir, "supplier")
+      val nat = sup.select(col("s_suppkey").as("sk"),
+        col("s_nationkey").as("nk"))
+      val pairs = graft.operators.FuzzyJoin
+        .selfPairs(sup, "s_suppkey", "s_name", maxDist = 1)
+        .join(nat.withColumnRenamed("sk", "id_a"), Seq("id_a"))
+        .join(nat.withColumnRenamed("sk", "id_b")
+          .withColumnRenamed("nk", "nk_b"), Seq("id_b"))
+        .where(col("nk") === col("nk_b"))
+        .select(col("id_a"), col("id_b"))
+      val labels = graft.dedup.Dedup.duplicateClusters(pairs)
+      val labeled = sup
+        .join(labels, sup("s_suppkey") === labels("id"), "left")
+        .select(col("s_suppkey"),
+          coalesce(col("cluster_id"), col("s_suppkey")).as("cluster_id"),
+          col("s_acctbal"),
+          when(col("s_acctbal") < 0, "delinquent").otherwise("good")
+            .as("status"))
+      val vote = labeled
+        .groupBy(col("cluster_id"), col("status"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("cluster_id"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("status").as("st")))
+          .getField("st").as("status_vote"))
+      labeled.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(col("s_acctbal")).as("max_acctbal"))
+        .join(vote, Seq("cluster_id"))
+        .select(col("cluster_id"), col("n_members"), col("status_vote"),
+          col("max_acctbal"))
+        .orderBy(col("cluster_id"))
+    }),
+
     "q_join_audit" -> ((s, dir) => {
       // pre-flight audit of the many-to-many lineitem⋈lineitem join on
       // partkey: exact per-key and total output cardinality from two
@@ -2809,6 +2848,38 @@ object SparkEntry {
         |    AS n_members
         |FROM lab JOIN supplier c ON lab.cluster_id = c.s_suppkey
         |ORDER BY lab.s_suppkey""".stripMargin,
+
+    // same ER closure; survivorship = majority vote + max rule
+    "q_er_survivorship" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+        |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |  WHERE a.s_nationkey = b.s_nationkey
+        |    AND levenshtein(a.s_name, b.s_name) <= 1),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM e0
+        |      UNION ALL SELECT id_b, id_a FROM e0),
+        |reach AS (SELECT src AS id, dst AS r FROM e
+        |          UNION
+        |          SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |cl AS (SELECT id, least(id, min(r)) AS cluster_id
+        |       FROM reach GROUP BY id),
+        |lab AS (SELECT s.s_suppkey,
+        |          coalesce(cl.cluster_id, s.s_suppkey) AS cluster_id,
+        |          s.s_acctbal,
+        |          CASE WHEN s.s_acctbal < 0 THEN 'delinquent'
+        |               ELSE 'good' END AS status
+        |        FROM supplier s LEFT JOIN cl ON s.s_suppkey = cl.id),
+        |v AS (SELECT cluster_id, status, count(*) AS cnt
+        |      FROM lab GROUP BY cluster_id, status),
+        |vote AS (SELECT cluster_id, status AS status_vote FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY cnt DESC, status) AS rn FROM v) t WHERE rn = 1),
+        |agg AS (SELECT cluster_id, count(*)::BIGINT AS n_members,
+        |          max(s_acctbal) AS max_acctbal
+        |        FROM lab GROUP BY cluster_id)
+        |SELECT a.cluster_id, n_members, status_vote, max_acctbal
+        |FROM agg a JOIN vote USING (cluster_id)
+        |ORDER BY a.cluster_id""".stripMargin,
 
     "q_join_audit" ->
       """WITH h AS (SELECT l_partkey, count(*)::BIGINT AS n
