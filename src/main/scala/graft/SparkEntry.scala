@@ -296,6 +296,38 @@ object SparkEntry {
           col("c_custkey"), col("valid_from")))
     }),
 
+    "q_cdc_apply" -> ((s, dir) => {
+      // fold a Debezium-shaped change log (I/U/D + monotone seq) into
+      // the base snapshot: one union + keep-latest window, no join —
+      // the plan Delta's CDF apply compiles to. Fixture derives the
+      // log from orders so the oracle rebuilds identical inputs:
+      // seq1 U %5 restates, seq2 U %10 overrides, seq3 D %7 deletes,
+      // seq1 I adds shifted new keys for %13
+      val o = t(s, dir, "orders")
+      val snap = o.select(col("o_orderkey"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      val u1 = o.where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("X1").as("status"),
+          col("o_totalprice").as("price"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val u2 = o.where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X2").as("status"),
+          col("o_totalprice").as("price"),
+          lit(2L).as("seq"), lit("U").as("op"))
+      val d3 = o.where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit(null).cast("string").as("status"),
+          lit(null).cast("double").as("price"),
+          lit(3L).as("seq"), lit("D").as("op"))
+      val i1 = o.where(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("status"), col("o_totalprice").as("price"),
+          lit(1L).as("seq"), lit("I").as("op"))
+      val changes = u1.unionByName(u2).unionByName(d3).unionByName(i1)
+      graft.operators.Cdc.applyChangeLog(snap, changes,
+          Seq("o_orderkey"), "seq", "op")
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_snapshot_diff" -> ((s, dir) => {
       // CDC between two snapshots derived from orders: %17 deleted,
       // %5 status-changed, %7 priority-changed, +10M keys inserted
@@ -1666,6 +1698,40 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
     }),
 
+    "q_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 (lexical) and word-set Jaccard (fuzzy)
+      // top-20 lists fused by integer reciprocal-rank fusion — both
+      // retrievers share the broadcast-query-terms shape, fusion
+      // never touches corpus-sized data
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark fast join"),
+        (2L, "window agg stream"),
+        (3L, "customer order value table")).toDF("query_id", "qtext")
+      val docs = t(s, dir, "documents")
+      val bm = graft.functions.Bm25.topK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 20)
+      val jac = graft.functions.Fusion.jaccardTopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 20)
+      graft.functions.Fusion.reciprocalRankFusion(Seq(bm, jac), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_bm25" -> ((s, dir) => {
+      // integer-exact BM25 top-k retrieval: broadcast query terms
+      // restrict the postings map-side; idf = floor-log2 via bin();
+      // Robertson params per-mille — every arithmetic step is BIGINT
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark fast join"),
+        (2L, "window agg stream"),
+        (3L, "customer order value table")).toDF("query_id", "qtext")
+      graft.functions.Bm25.topK(
+        t(s, dir, "documents"), "doc_id", "text",
+        queries, "query_id", "qtext", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_seq_pack" -> ((s, dir) => {
       val docs = graft.operators.Spread.ensure(
           t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")))
@@ -2575,6 +2641,35 @@ object SparkEntry {
         |SELECT c_custkey, segment, valid_from, valid_to, is_current
         |FROM (SELECT * FROM hist UNION ALL SELECT * FROM merged)
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // mirrors Cdc.applyChangeLog: base as seq −∞, keep-latest by
+    // (seq DESC, op priority D>U>I), winning D removes the row
+    "q_cdc_apply" ->
+      """WITH snap AS (SELECT o_orderkey, o_orderstatus AS status,
+        |    o_totalprice AS price FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, 'X1' AS status, o_totalprice AS price,
+        |      1 AS seq, 'U' AS op FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X2', o_totalprice, 2, 'U'
+        |    FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, 3, 'D'
+        |    FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice, 1, 'I'
+        |    FROM orders WHERE o_orderkey % 13 = 0),
+        |allrows AS (
+        |  SELECT o_orderkey, status, price,
+        |    -9223372036854775808 AS seq, 'I' AS op FROM snap
+        |  UNION ALL SELECT * FROM chg),
+        |latest AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq DESC,
+        |      CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC)
+        |    AS rn FROM allrows)
+        |SELECT o_orderkey, status, price FROM latest
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // mirrors SnapshotDiff.diff over the orders-derived snapshots
     "q_snapshot_diff" ->
@@ -3690,6 +3785,97 @@ object SparkEntry {
          |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
          |  FROM sc) t
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // mirrors Bm25.topK exactly: floor-log2 idf via bin(), per-mille
+    // Robertson params, all-BIGINT arithmetic — same div order
+    "q_bm25" ->
+      s"""WITH q AS (SELECT * FROM (VALUES (1, 'spark fast join'),
+         |    (2, 'window agg stream'),
+         |    (3, 'customer order value table')) v(query_id, qtext)),
+         |qt AS (SELECT DISTINCT query_id, term FROM (
+         |    SELECT CAST(query_id AS BIGINT) AS query_id,
+         |      unnest(${Duck.words("qtext")}) AS term FROM q)),
+         |tok AS (SELECT doc_id, unnest(${Duck.words("text")}) AS term
+         |        FROM documents),
+         |dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |         FROM tok GROUP BY doc_id),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(dl) AS BIGINT) AS total_len FROM dlen),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+         |       GROUP BY doc_id, term),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY term),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |    CAST(sum(length(bin(n_docs // df)) *
+         |      ((tf * 2200 * 1000) // (tf * 1000 + 1200 *
+         |        (1000 - 750 + (750 * dl * n_docs) // total_len))))
+         |      AS BIGINT) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN dlen USING (doc_id)
+         |  CROSS JOIN g JOIN qt USING (term)
+         |  GROUP BY qt.query_id, tf.doc_id)
+         |SELECT query_id, doc_id, score, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM sc) t
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Bm25.topK + Fusion.jaccardTopK + reciprocalRankFusion:
+    // two integer top-20 retrievers, 1e9 div (60+rank) fused
+    "q_hybrid_rrf" ->
+      s"""WITH q AS (SELECT * FROM (VALUES (1, 'spark fast join'),
+         |    (2, 'window agg stream'),
+         |    (3, 'customer order value table')) v(query_id, qtext)),
+         |qt AS (SELECT DISTINCT query_id, term FROM (
+         |    SELECT CAST(query_id AS BIGINT) AS query_id,
+         |      unnest(${Duck.words("qtext")}) AS term FROM q)),
+         |tok AS (SELECT doc_id, unnest(${Duck.words("text")}) AS term
+         |        FROM documents),
+         |dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |         FROM tok GROUP BY doc_id),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(dl) AS BIGINT) AS total_len FROM dlen),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+         |       GROUP BY doc_id, term),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY term),
+         |bmsc AS (SELECT qt.query_id, tf.doc_id,
+         |    CAST(sum(length(bin(n_docs // df)) *
+         |      ((tf * 2200 * 1000) // (tf * 1000 + 1200 *
+         |        (1000 - 750 + (750 * dl * n_docs) // total_len))))
+         |      AS BIGINT) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN dlen USING (doc_id)
+         |  CROSS JOIN g JOIN qt USING (term)
+         |  GROUP BY qt.query_id, tf.doc_id),
+         |bm AS (SELECT query_id, doc_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id) AS rank FROM bmsc) t
+         |  WHERE rank <= 20),
+         |dterm AS (SELECT DISTINCT doc_id, term FROM tok),
+         |dsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_doc_terms
+         |        FROM dterm GROUP BY doc_id),
+         |qsz AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_q_terms
+         |        FROM qt GROUP BY query_id),
+         |inter AS (SELECT query_id, doc_id,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM dterm JOIN qt USING (term) GROUP BY query_id, doc_id),
+         |jsc AS (SELECT query_id, doc_id,
+         |    (inter * 1000000) // (n_q_terms + n_doc_terms - inter)
+         |      AS jaccard_ppm
+         |  FROM inter JOIN dsz USING (doc_id) JOIN qsz USING (query_id)),
+         |jac AS (SELECT query_id, doc_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY jaccard_ppm DESC, doc_id) AS rank FROM jsc) t
+         |  WHERE rank <= 20),
+         |fused AS (SELECT query_id, doc_id,
+         |    CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_score
+         |  FROM (SELECT * FROM bm UNION ALL SELECT * FROM jac) u
+         |  GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, rrf_score, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+         |  FROM fused) t
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // mirrors QualityFilter.qualityFilter: same rule order, same
     // metric fragments as q_text_stats

@@ -45,6 +45,12 @@ object PlanLintAllowlist {
     "q_knn_ivf_learned" -> "unconditioned-nested-loop",
     "q_knn_ivf_probe2" -> "scan-without-pushed-filters",
     "q_knn_ivf_probe2" -> "unconditioned-nested-loop",
+    // r7: BM25 crosses each posting with the broadcast 1-row corpus
+    // stats (n_docs, total_len) — 1× per row, not |L|·|R|
+    "q_bm25" -> "unconditioned-nested-loop",
+    "q_hybrid_rrf" -> "unconditioned-nested-loop",
+    // r7: o_orderkey % 5/7/10/13 modulo fixtures building the CDC log
+    "q_cdc_apply" -> "scan-without-pushed-filters",
     "q_chunks" -> "scan-without-pushed-filters",
     "q_chunks" -> "single-partition-exchange",
     "q_containment" -> "single-partition-exchange",
