@@ -1698,6 +1698,29 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
     }),
 
+    "q_importance" -> ((s, dir) => {
+      // DSIR-style data selection: integer log2-grain importance
+      // weight of every document toward the English target domain —
+      // one token pass for term stats, one term-keyed equi-join to
+      // score, broadcast totals
+      val docs = t(s, dir, "documents")
+      graft.sample.Importance.bitWeights(docs, "doc_id", "text",
+          col("lang") === "en")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_blocking_sorted" -> ((s, dir) => {
+      // sorted-neighborhood ER blocking: distributed global rank over
+      // (s_name, s_suppkey) — range exchange + per-partition windows,
+      // never a single-partition global sort — then banded equi-join
+      // pairs within window 5
+      graft.operators.GlobalRank.sortedNeighborhood(
+          t(s, dir, "supplier"), "s_suppkey",
+          Seq(col("s_name")), window = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: BM25 (lexical) and word-set Jaccard (fuzzy)
       // top-20 lists fused by integer reciprocal-rank fusion — both
@@ -3818,6 +3841,37 @@ object SparkEntry {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM sc) t
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Importance.bitWeights: add-one smoothing, floor-log2
+    // via bin(), totals-term normalization — identical div/bit order
+    "q_importance" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+         |    unnest(${Duck.words("text")}) AS term FROM documents),
+         |ts AS (SELECT term, CAST(count(*) AS BIGINT) AS r_cnt,
+         |    CAST(sum(is_target) AS BIGINT) AS t_cnt
+         |  FROM tok GROUP BY term),
+         |g AS (SELECT CAST(sum(r_cnt) AS BIGINT) AS r_total,
+         |    CAST(sum(t_cnt) AS BIGINT) AS t_total FROM ts),
+         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(length(bin(t_cnt + 1)) - length(bin(r_cnt + 1)))
+         |      AS BIGINT) AS term_bits
+         |  FROM tok JOIN ts USING (term) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CAST(term_bits + n_tokens *
+         |    (length(bin(r_total + 1)) - length(bin(t_total + 1)))
+         |    AS BIGINT) AS weight_bits
+         |FROM d CROSS JOIN g ORDER BY doc_id""".stripMargin,
+
+    // mirrors GlobalRank.sortedNeighborhood: global row_number by
+    // (s_name, s_suppkey), pairs within 5 positions
+    "q_blocking_sorted" ->
+      """WITH r AS (SELECT s_suppkey, row_number() OVER
+        |    (ORDER BY s_name, s_suppkey) AS rn FROM supplier)
+        |SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  CAST(b.rn - a.rn AS BIGINT) AS gap
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // mirrors Bm25.topK + Fusion.jaccardTopK + reciprocalRankFusion:
     // two integer top-20 retrievers, 1e9 div (60+rank) fused

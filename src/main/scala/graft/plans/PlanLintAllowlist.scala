@@ -51,6 +51,9 @@ object PlanLintAllowlist {
     "q_hybrid_rrf" -> "unconditioned-nested-loop",
     // r7: o_orderkey % 5/7/10/13 modulo fixtures building the CDC log
     "q_cdc_apply" -> "scan-without-pushed-filters",
+    // r7: DSIR weights cross each doc with the broadcast 1-row corpus
+    // totals (r_total, t_total)
+    "q_importance" -> "unconditioned-nested-loop",
     "q_chunks" -> "scan-without-pushed-filters",
     "q_chunks" -> "single-partition-exchange",
     "q_containment" -> "single-partition-exchange",
