@@ -1698,6 +1698,30 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
     }),
 
+    "q_phrase_search" -> ((s, dir) => {
+      // exact phrase search as a positional-index equi-join — the
+      // tokenize-once, all-phrases-in-one-pass shape, not a per-
+      // phrase regex scan
+      graft.functions.Phrase.phraseMatches(
+          t(s, dir, "documents"), "doc_id", "text", PhraseFixture)
+        .orderBy(col("doc_id"), col("phrase"))
+    }),
+
+    "q_epoch_shuffle" -> ((s, dir) => {
+      // reproducible training-epoch permutation: order by a seeded
+      // md5 of the id (distributed rank — range exchange, never a
+      // single-partition sort), then round-robin shards and
+      // contiguous batches from the rank
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("__key", md5(concat(col("doc_id"), lit(":epoch1"))))
+      graft.operators.GlobalRank.globalRowNumber(docs,
+          Seq(col("__key"), col("doc_id")), rnCol = "epoch_rank")
+        .select(col("doc_id"), col("epoch_rank"),
+          ((col("epoch_rank") - 1) % 4).cast("long").as("shard_id"),
+          expr("(epoch_rank - 1) div 32").as("batch_id"))
+        .orderBy(col("epoch_rank"))
+    }),
+
     "q_importance" -> ((s, dir) => {
       // DSIR-style data selection: integer log2-grain importance
       // weight of every document toward the English target domain —
@@ -3842,6 +3866,46 @@ object SparkEntry {
          |    ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM sc) t
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // mirrors Phrase.phraseMatches: positional tokens joined to the
+    // phrase terms, aligned-start grouping, full-offset-count filter
+    "q_phrase_search" -> {
+      val phraseRows = PhraseFixture.flatMap { p =>
+        val terms = p.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        terms.zipWithIndex.map { case (term, i) =>
+          s"('$p', $i, '$term', ${terms.length})"
+        }
+      }.mkString(",\n        |    ")
+      s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w
+         |           FROM documents),
+         |tok0 AS (SELECT doc_id, w, unnest(range(len(w))) AS pos FROM w),
+         |tok AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |        w[CAST(pos AS INTEGER) + 1] AS term FROM tok0),
+         |pt AS (SELECT * FROM (VALUES $phraseRows)
+         |       v(phrase, off, term, phrase_len)),
+         |m AS (SELECT doc_id, phrase, phrase_len, pos - off AS start
+         |      FROM tok JOIN pt USING (term) WHERE pos - off >= 0),
+         |f AS (SELECT doc_id, phrase, phrase_len, start,
+         |        count(*) AS n_off
+         |      FROM m GROUP BY doc_id, phrase, phrase_len, start)
+         |SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(min(start) AS BIGINT) AS first_pos
+         |FROM f WHERE n_off = phrase_len
+         |GROUP BY doc_id, phrase
+         |ORDER BY doc_id, phrase""".stripMargin
+    },
+
+    // mirrors the q_epoch_shuffle rank: same seeded md5 key, same
+    // round-robin shard / contiguous batch arithmetic
+    "q_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id, md5(doc_id || ':epoch1') AS key
+        |           FROM documents),
+        |r AS (SELECT doc_id, CAST(row_number() OVER
+        |        (ORDER BY key, doc_id) AS BIGINT) AS epoch_rank FROM k)
+        |SELECT doc_id, epoch_rank,
+        |  CAST((epoch_rank - 1) % 4 AS BIGINT) AS shard_id,
+        |  (epoch_rank - 1) // 32 AS batch_id
+        |FROM r ORDER BY epoch_rank""".stripMargin,
+
     // mirrors Importance.bitWeights: add-one smoothing, floor-log2
     // via bin(), totals-term normalization — identical div/bit order
     "q_importance" ->
@@ -4462,6 +4526,9 @@ object SparkEntry {
 
   /** DuckDB SQL fragments mirroring TextFunctions 1:1 (the oracle side
     * of the md5-derived deterministic hashing contract). */
+  /** Phrase-search fixture shared by the Spark query and its oracle. */
+  private val PhraseFixture = Seq("fast scan", "table table", "key agg row")
+
   private object Duck {
     def hash64(s: String): String =
       s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
