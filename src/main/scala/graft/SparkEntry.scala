@@ -2246,6 +2246,46 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"), col("acct_band"), col("c_nationkey"))
     }),
 
+    "q_l_diversity" -> ((s, dir) => {
+      // beyond k-anonymity: classes whose sensitive attribute
+      // (nation) is near-homogeneous — stacked partial aggs, no
+      // distinct-agg over raw rows
+      import graft.functions.Privacy
+      val quasi = t(s, dir, "customer").select(col("c_mktsegment"),
+        Privacy.band(col("c_acctbal"), 2000.0).as("acct_band"),
+        col("c_nationkey"))
+      Privacy.lDiversityViolations(quasi,
+          Seq("c_mktsegment", "acct_band"), "c_nationkey", l = 20)
+        .orderBy(col("c_mktsegment"), col("acct_band"))
+    }),
+
+    "q_dedup_curve" -> ((s, dir) => {
+      // dedup tuning curve: pair/doc counts as the jaccard threshold
+      // sweeps 0.5→0.9, from ONE candidate+verify pass at the lowest
+      // threshold (the expensive stage never re-runs per point)
+      import s.implicits._
+      val pairs = graft.dedup.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", "lang",
+        k = 4, threshold = 0.5)
+      val x = pairs.select(col("id_a"), col("id_b"), col("jaccard"),
+          explode(array(Seq(500, 600, 700, 800, 900).map(v => lit(v.toLong)): _*))
+            .as("threshold_pm"))
+        .where(col("jaccard") >= col("threshold_pm") / lit(1000.0))
+      val np = x.groupBy(col("threshold_pm"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nd = x.select(col("threshold_pm"),
+          explode(array(col("id_a"), col("id_b"))).as("d"))
+        .groupBy(col("threshold_pm"))
+        .agg(countDistinct(col("d")).as("n_docs"))
+      val ts = Seq(500L, 600L, 700L, 800L, 900L).toDF("threshold_pm")
+      ts.join(np, Seq("threshold_pm"), "left")
+        .join(nd, Seq("threshold_pm"), "left")
+        .select(col("threshold_pm"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy(col("threshold_pm"))
+    }),
+
     "q_pseudonymize" -> ((s, dir) => {
       import graft.functions.Privacy._
       t(s, dir, "customer").select(col("c_custkey"),
@@ -2554,6 +2594,48 @@ object SparkEntry {
         | c_nationkey, CAST(count(*) AS BIGINT) AS class_size
         |FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 6
         |ORDER BY c_mktsegment, acct_band, c_nationkey""".stripMargin,
+
+    // mirrors Privacy.lDiversityViolations: class×value then class
+    "q_l_diversity" ->
+      """WITH cv AS (SELECT c_mktsegment,
+        |    floor(c_acctbal / 2000.0) * 2000.0 AS acct_band,
+        |    c_nationkey, count(*) AS vc
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT c_mktsegment, acct_band,
+        |  CAST(sum(vc) AS BIGINT) AS class_size,
+        |  CAST(count(*) AS BIGINT) AS l_distinct,
+        |  CAST(max(vc) AS BIGINT) AS top_freq
+        |FROM cv GROUP BY 1, 2 HAVING count(*) < 20
+        |ORDER BY c_mktsegment, acct_band""".stripMargin,
+
+    // mirrors q_dedup_ngram's exact-jaccard pairs at threshold 0.5,
+    // swept over [500..900]‰ with zero-count thresholds preserved
+    "q_dedup_curve" ->
+      s"""WITH g AS (SELECT doc_id, lang, ${Duck.charNgrams4} AS sh
+         |           FROM (SELECT doc_id, lang,
+         |                 regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+         |                 FROM documents)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |          len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |        len(list_distinct(a.sh || b.sh)), 6) >= 0.5),
+         |t AS (SELECT CAST(unnest([500, 600, 700, 800, 900]) AS BIGINT)
+         |        AS threshold_pm),
+         |x AS (SELECT threshold_pm, id_a, id_b FROM p JOIN t
+         |      ON jaccard >= threshold_pm / 1000.0),
+         |np AS (SELECT threshold_pm, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM x GROUP BY 1),
+         |nd AS (SELECT threshold_pm, CAST(count(DISTINCT d) AS BIGINT)
+         |         AS n_docs
+         |       FROM (SELECT threshold_pm, unnest([id_a, id_b]) AS d
+         |             FROM x) GROUP BY 1)
+         |SELECT t.threshold_pm, coalesce(n_pairs, 0) AS n_pairs,
+         |  coalesce(n_docs, 0) AS n_docs
+         |FROM t LEFT JOIN np USING (threshold_pm)
+         |LEFT JOIN nd USING (threshold_pm)
+         |ORDER BY threshold_pm""".stripMargin,
 
     "q_na_fill" ->
       """SELECT c_custkey, COALESCE(o_totalprice, 0.0) AS o_totalprice

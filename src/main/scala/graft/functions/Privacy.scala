@@ -52,4 +52,30 @@ object Privacy {
       .agg(count(lit(1)).as("class_size"))
       .where(col("class_size") < k)
   }
+
+  /** l-diversity audit: k-anonymity alone still leaks when an
+    * equivalence class is homogeneous in the SENSITIVE attribute
+    * (everyone in the class shares the diagnosis). Per class, report
+    * `class_size`, `l_distinct` (distinct sensitive values),
+    * `top_freq` (count of the most common one) and keep the classes
+    * with fewer than `l` distinct values — an empty result certifies
+    * distinct-l-diversity.
+    *
+    * Two stacked partial aggs (class×value, then class) — never a
+    * distinct-agg over the raw rows, so it scales like a word count.
+    */
+  def lDiversityViolations(df: org.apache.spark.sql.DataFrame,
+                           quasiCols: Seq[String], sensitiveCol: String,
+                           l: Long): org.apache.spark.sql.DataFrame = {
+    require(quasiCols.nonEmpty && l >= 1,
+      "need at least one quasi-identifier column and l >= 1")
+    val q = quasiCols.map(col)
+    df.groupBy((q :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__vc"))
+      .groupBy(q: _*)
+      .agg(sum(col("__vc")).cast("long").as("class_size"),
+        count(lit(1)).as("l_distinct"),
+        max(col("__vc")).cast("long").as("top_freq"))
+      .where(col("l_distinct") < l)
+  }
 }

@@ -94,4 +94,26 @@ class ExpectationsSpec extends SparkSpec {
       .as[Double].collect().toSeq
     assert(out === Seq(-2000.0, 0.0, 0.0, 1000.0))
   }
+
+  test("lDiversityViolations flags homogeneous classes only") {
+    // class A: 3 rows, all sensitive=x (l=1) → violation at l=2
+    // class B: 3 rows, sensitive {x, y} (l=2) → clean
+    val rows = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y"), ("B", "x")).toDF("qid", "s")
+    val out = Privacy.lDiversityViolations(rows, Seq("qid"), "s", l = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("qid") == "A")
+    assert(r.getAs[Long]("class_size") == 3L)
+    assert(r.getAs[Long]("l_distinct") == 1L)
+    assert(r.getAs[Long]("top_freq") == 3L)
+  }
+
+  test("lDiversityViolations is empty when every class is diverse") {
+    val rows = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "z"))
+      .toDF("qid", "s")
+    assert(Privacy.lDiversityViolations(rows, Seq("qid"), "s", 2).isEmpty)
+  }
 }
