@@ -834,6 +834,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_asof_tolerance" -> ((s, dir) => {
+      // staleness-bounded attribution: each purchase takes the latest
+      // prior click's value per user ONLY if it is ≤5 min old — ts
+      // pre-truncated to µs so both engines subtract identical
+      // integers (ns-vs-µs grain rule)
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("value").as("click_value"))
+      graft.operators.AsofJoin.asofJoinTolerance(purchases, clicks,
+          Seq("user_id"), "ts_us", Seq("click_value"),
+          tolerance = lit(300000000L))
+        .select(col("event_id"), col("user_id"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_asof_native" -> ((s, dir) => {
       // same semantics and oracle as q_asof_join, but through the
       // custom whole-operator Catalyst path (plans.NativeAsofJoin):
@@ -866,6 +884,36 @@ object SparkEntry {
         .rangeJoin(points, "pt", intervals, "lo", "hi", binSize = 5000.0)
         .select(col("pkey"), col("ikey"), col("pt"))
         .orderBy(col("pkey"), col("ikey"))
+    }),
+
+    "q_pmi_cooc" -> ((s, dir) => {
+      // association mining: PMI of event-type pairs co-occurring in
+      // the same user's history, at integer log2 grain —
+      // bitlen(c_ab)+bitlen(N)−bitlen(c_a)−bitlen(c_b). The pair join
+      // is keyed by user (fan-out = distinct types per user, bounded
+      // by the type vocabulary), marginals broadcast — no all-pairs
+      // blowup at any corpus size
+      val ue = t(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val marg = ue.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+      val totals = ue.agg(countDistinct(col("user_id")).as("n_total"))
+      val a = ue.withColumnRenamed("event_type", "type_a")
+      val b = ue.withColumnRenamed("event_type", "type_b")
+      a.join(b, Seq("user_id"))
+        .where(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .join(broadcast(marg.select(col("event_type").as("type_a"),
+          col("n_users").as("c_a"))), Seq("type_a"))
+        .join(broadcast(marg.select(col("event_type").as("type_b"),
+          col("n_users").as("c_b"))), Seq("type_b"))
+        .crossJoin(broadcast(totals))
+        .select(col("type_a"), col("type_b"), col("c_ab"),
+          (length(bin(col("c_ab"))) + length(bin(col("n_total"))) -
+            length(bin(col("c_a"))) - length(bin(col("c_b"))))
+            .cast("long").as("pmi_bits"))
+        .orderBy(col("type_a"), col("type_b"))
     }),
 
     "q_transition_matrix" -> ((s, dir) => {
@@ -2917,6 +2965,27 @@ object SparkEntry {
         |SELECT pkey, ikey, pt FROM p JOIN i ON pt >= lo AND pt <= hi
         |ORDER BY pkey, ikey""".stripMargin,
 
+    // mirrors q_pmi_cooc: distinct (user, type), user-keyed pairs,
+    // integer log2 PMI via bin()
+    "q_pmi_cooc" ->
+      """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+        |marg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |         FROM ue GROUP BY event_type),
+        |tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total
+        |        FROM ue),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM ue a JOIN ue b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, c_ab,
+        |  CAST(length(bin(c_ab)) + length(bin(n_total)) -
+        |    length(bin(ma.n)) - length(bin(mb.n)) AS BIGINT) AS pmi_bits
+        |FROM p JOIN marg ma ON p.type_a = ma.event_type
+        |JOIN marg mb ON p.type_b = mb.event_type
+        |CROSS JOIN tot
+        |ORDER BY type_a, type_b""".stripMargin,
+
     "q_transition_matrix" ->
       """WITH s AS (SELECT user_id, event_type AS to_type,
         |  lag(event_type) OVER (PARTITION BY user_id
@@ -3158,6 +3227,21 @@ object SparkEntry {
         |SELECT a.event_id, a.user_id, b.asof_value
         |FROM a ASOF LEFT JOIN b
         |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY event_id""".stripMargin,
+
+    // mirrors AsofJoin.asofJoinTolerance: ASOF match first, then the
+    // µs staleness gate nulls payloads older than 5 minutes
+    "q_asof_tolerance" ->
+      """WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |        value AS click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT a.event_id, a.user_id,
+        |  CASE WHEN a.ts_us - b.ts_us <= 300000000
+        |       THEN b.click_value END AS click_value
+        |FROM a ASOF LEFT JOIN b
+        |  ON a.user_id = b.user_id AND a.ts_us >= b.ts_us
         |ORDER BY event_id""".stripMargin,
 
     // identical oracle to q_asof_join: the native operator must agree

@@ -54,6 +54,9 @@ object PlanLintAllowlist {
     // r7: DSIR weights cross each doc with the broadcast 1-row corpus
     // totals (r_total, t_total)
     "q_importance" -> "unconditioned-nested-loop",
+    // r7: PMI crosses the ≤|types|² pair counts with the broadcast
+    // 1-row distinct-user total
+    "q_pmi_cooc" -> "unconditioned-nested-loop",
     "q_chunks" -> "scan-without-pushed-filters",
     "q_chunks" -> "single-partition-exchange",
     "q_containment" -> "single-partition-exchange",

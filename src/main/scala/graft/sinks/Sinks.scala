@@ -156,6 +156,25 @@ object Sinks {
     manifest
   }
 
+  /** Training-data export: gzip JSONL shards — the exchange format
+    * most trainer data loaders ingest — plus a manifest of per-shard
+    * row counts. Shard assignment is the same deterministic md5 hash
+    * as [[shardedExport]], so re-exports of the same corpus land rows
+    * in the same shards (stable resume/diff). One shuffle keyed by
+    * shard; JSON encoding is codegen'd per row. */
+  def jsonlExport(df: DataFrame, idCol: String, path: String,
+                  shards: Int): DataFrame = {
+    val sharded = shardAssignment(df, idCol, shards)
+    sharded.repartition(shards, col("shard_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard_id")
+      .option("compression", "gzip").json(path)
+    val manifest = sharded.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .json(path.stripSuffix("/") + "__manifest")
+    manifest
+  }
+
   /** K7: JDBC append (run-log rows to an audit database). */
   /** Poor-man's versioned table: each write lands in a NEW `v=N`
     * subdirectory and a `_LATEST` pointer file flips to it afterwards —
