@@ -1803,13 +1803,25 @@ object SparkEntry {
         (1L, "spark fast join"),
         (2L, "window agg stream"),
         (3L, "customer order value table")).toDF("query_id", "qtext")
-      val docs = t(s, dir, "documents")
-      val bm = graft.functions.Bm25.topK(docs, "doc_id", "text",
+      // tokenize the corpus ONCE; both retrievers read the persisted
+      // token stream (forced before the plan fans out — the lazy-
+      // persist-under-concurrency rule)
+      val tokens = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.words(col("text"))).as("term"))
+        .persist()
+      tokens.count()
+      val bm = graft.functions.Bm25.topKFromTokens(tokens,
         queries, "query_id", "qtext", k = 20)
-      val jac = graft.functions.Fusion.jaccardTopK(docs, "doc_id", "text",
+      val jac = graft.functions.Fusion.jaccardTopKFromTokens(tokens,
         queries, "query_id", "qtext", k = 20)
-      graft.functions.Fusion.reciprocalRankFusion(Seq(bm, jac), k = 10)
+      val out = graft.functions.Fusion
+        .reciprocalRankFusion(Seq(bm, jac), k = 10)
         .orderBy(col("query_id"), col("rank"))
+        .persist()
+      out.count()
+      tokens.unpersist(blocking = false)
+      out
     }),
 
     "q_bm25" -> ((s, dir) => {

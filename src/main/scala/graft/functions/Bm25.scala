@@ -44,14 +44,21 @@ object Bm25 {
     */
   def topK(docs: DataFrame, idCol: String, textCol: String,
            queries: DataFrame, qidCol: String, qtextCol: String,
-           k: Int, k1pm: Int = 1200, bpm: Int = 750): DataFrame = {
+           k: Int, k1pm: Int = 1200, bpm: Int = 750): DataFrame =
+    topKFromTokens(
+      docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.words(col(textCol))).as("term")),
+      queries, qidCol, qtextCol, k, k1pm, bpm)
+
+  /** [[topK]] over a pre-tokenized (doc_id, term) stream — lets a
+    * hybrid pipeline tokenize the corpus ONCE and feed several
+    * retrievers (the token frame is the shared index scan). */
+  def topKFromTokens(tokens: DataFrame,
+                     queries: DataFrame, qidCol: String, qtextCol: String,
+                     k: Int, k1pm: Int = 1200, bpm: Int = 750): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(k1pm >= 0 && bpm >= 0 && bpm <= 1000,
       s"per-mille params out of range: k1pm=$k1pm bpm=$bpm")
-
-    val tokens = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.words(col(textCol))).as("term"))
 
     // index-build side: doc lengths and corpus totals (one agg each)
     val dlen = tokens.groupBy(col("doc_id"))

@@ -48,12 +48,20 @@ object Fusion {
     * query as (query_id, doc_id, jaccard_ppm, rank). */
   def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
                   queries: DataFrame, qidCol: String, qtextCol: String,
-                  k: Int): DataFrame = {
+                  k: Int): DataFrame =
+    jaccardTopKFromTokens(
+      docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.words(col(textCol))).as("term")),
+      queries, qidCol, qtextCol, k)
+
+  /** [[jaccardTopK]] over a pre-tokenized (doc_id, term) stream —
+    * shares one tokenize pass with other retrievers in a hybrid
+    * pipeline. */
+  def jaccardTopKFromTokens(tokens: DataFrame,
+                            queries: DataFrame, qidCol: String,
+                            qtextCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val docTerms = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.words(col(textCol))).as("term"))
-      .distinct()
+    val docTerms = tokens.distinct()
     val docSizes = docTerms.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_doc_terms"))
     val qTerms = queries
