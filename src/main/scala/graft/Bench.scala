@@ -57,6 +57,11 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt
 
     val lintPairs = Set.newBuilder[(String, String)]
+    // query name -> first error line; a query that throws records -1
+    // as its "time" — a broken query must look BROKEN, not like a
+    // 0.07 s win (round 7: 17 analysis-failing queries masqueraded as
+    // massive speedups because the failure's elapsed time was logged)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                  lint: Boolean): Double = {
@@ -68,19 +73,31 @@ object Bench {
         val d = fn(spark, sfDir)
         d.queryExecution.toRdd.count()
         Some(d)
-      } catch { case _: Throwable => None }
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.next().take(200)
+          None
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      // lint OUTSIDE the timer, on the already-planned frame
+      // lint OUTSIDE the timer, on the already-planned frame; a lint
+      // CRASH (unplannable subtree the execution somehow dodged) is an
+      // error too, not a silent skip
       if (lint) df.foreach { d =>
         try lintPairs ++= graft.plans.PlanLint.lint(d)
           .map(f => name -> f.rule)
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            errors(name) = "plan-lint: " +
+              Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.next().take(200)
+        }
       }
       // queries persist() shared subtrees and never unpersist (the
       // caller owns lifetime); drop them so storage from 50 earlier
       // queries doesn't squeeze this one's execution memory
       spark.catalog.clearCache()
-      sec
+      if (errors.contains(name)) -1.0 else sec
     }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -115,6 +132,9 @@ object Bench {
     mins.foreach { case (name, sec) =>
       System.err.println(f"[bench] $name%-22s $sec%9.2f s (${runs(name)} run(s))")
     }
+    errors.foreach { case (name, msg) =>
+      System.err.println(s"[bench] ERROR $name: $msg")
+    }
     val results = mins.toSeq
     // 3 decimals: the line must stay short — the harness captures only
     // the TAIL of stdout, and a 100-query dict with nanosecond digits
@@ -125,12 +145,28 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // errored queries carry -1 in "queries"; the total sums only real
+    // timings so one broken query can't zero out or inflate the figure
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val totalS = num(total)
-    // "metric"/"value" appear BOTH first (JSON parsers) and last (tail
-    // truncation survival) — duplicate keys are legal JSON; parsers keep
-    // the last occurrence, which is the same value.
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":$totalS}""")
+    val errs = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$totalS,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    // the harness captures only the TAIL of stdout — a truncated head
+    // makes the line unparseable (round 7: "parsed": null). The file
+    // copy is the audit-proof record; stdout stays the contract.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
+    // broken queries must fail the run loudly (driver + local loops
+    // both see rc≠0), with the JSON line already emitted above
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED")
+      sys.exit(2)
+    }
   }
 }

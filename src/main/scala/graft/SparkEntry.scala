@@ -28,15 +28,21 @@ object SparkEntry {
 
   /** Stage-once cache for queries that must first materialize fixture
     * files (CSV landing zones, PNG media): the staged dir is keyed on
-    * a version TAG (bump it when the content formula changes — stale
-    * bytes can never be served across code versions) plus the dataset
-    * dir, and `write` runs only when the `done` probe fails — so bench
-    * repeats and plan-lint sweeps don't fold fixture-write time into
-    * the measured query or leak a fresh temp dir per invocation. */
+    * a CONTENT FINGERPRINT — the caller states the formula constants
+    * that determine the staged bytes (counts, dimension formulas,
+    * color seeds) in `tag`, so editing the formula without updating
+    * the adjacent tag string is the only way to serve stale bytes,
+    * and a changed tag automatically lands in a fresh dir (no manual
+    * version bump to forget). `write` runs only when the `done` probe
+    * fails — bench repeats and plan-lint sweeps don't fold
+    * fixture-write time into the measured query or leak a fresh temp
+    * dir per invocation. */
   private def stagedOnce(tag: String, dir: String)(done: java.io.File => Boolean)
                         (write: String => Unit): String = {
-    val d = new java.io.File(sys.props("java.io.tmpdir"),
-      tag + "_" + java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest((tag + "|" + dir).getBytes("UTF-8"))
+    val key = md5.take(8).map(b => f"$b%02x").mkString
+    val d = new java.io.File(sys.props("java.io.tmpdir"), "graft_stage_" + key)
     if (!d.isDirectory || !done(d)) write(d.getAbsolutePath)
     d.getAbsolutePath
   }
@@ -52,7 +58,7 @@ object SparkEntry {
     * fixture for q_media_files / q_media_sniff. */
   private def stagedPngs(s: SparkSession, dir: String): String = {
     import s.implicits._
-    stagedOnce("graft_media_v2", dir)(countFiles(_, ".png") == 40) { path =>
+    stagedOnce("png:n=40:w=1+id%16:h=2+id%13:rgb=id*2654435761", dir)(countFiles(_, ".png") == 40) { path =>
       val pngs = t(s, dir, "documents").where(col("doc_id") < 40)
         .select(col("doc_id")).as[Long]
         .map { id =>
@@ -70,7 +76,7 @@ object SparkEntry {
     * sibling of [[stagedPngs]] for q_audio_meta. */
   private def stagedWavs(s: SparkSession, dir: String): String = {
     import s.implicits._
-    stagedOnce("graft_audio_v1", dir)(countFiles(_, ".wav") == 30) { path =>
+    stagedOnce("wav:n=30:rate=8000*(1+id%3):ch=1+id%2:frames=500+id*37", dir)(countFiles(_, ".wav") == 30) { path =>
       val wavs = t(s, dir, "documents").where(col("doc_id") < 30)
         .select(col("doc_id")).as[Long]
         .map { id =>
@@ -89,7 +95,7 @@ object SparkEntry {
     * video sibling of [[stagedPngs]]/[[stagedWavs]] for q_video_meta. */
   private def stagedAvis(s: SparkSession, dir: String): String = {
     import s.implicits._
-    stagedOnce("graft_video_v1", dir)(countFiles(_, ".avi") == 24) { path =>
+    stagedOnce("avi:n=24:w=160+8*(id%5):h=120+8*(id%4):frames=100+id*7:uspf=1e6/(10+id%20)", dir)(countFiles(_, ".avi") == 24) { path =>
       val avis = t(s, dir, "documents").where(col("doc_id") < 24)
         .select(col("doc_id")).as[Long]
         .map { id =>
@@ -756,7 +762,7 @@ object SparkEntry {
       // (cohort, offset) rollup
       val act = t(s, dir, "events")
         .select(col("user_id"),
-          to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+          to_date(timestamp_micros(Tables.eventTsUs)).as("d"))
         .distinct()
       val cohort = act.groupBy(col("user_id")).agg(min(col("d")).as("c"))
       act.join(cohort, Seq("user_id"))
@@ -775,7 +781,7 @@ object SparkEntry {
       // truncates TIMESTAMP(NANOS) to µs — so the funnel ordering is
       // DEFINED at µs grain to keep the engines comparable)
       graft.operators.Funnel.funnel(
-          t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+          t(s, dir, "events").withColumn("ts_us", Tables.eventTsUs),
           "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
         .orderBy(col("user_id"))
     }),
@@ -789,7 +795,7 @@ object SparkEntry {
         .orderBy(col("ts_us"), col("event_id"))
       t(s, dir, "events")
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"))
+          Tables.eventTsUs.as("ts_us"))
         .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
         .where(col("gap").isNotNull)
         .groupBy(col("user_id"))
@@ -806,7 +812,7 @@ object SparkEntry {
       // batch sliding windows (2h window, 1h slide): every event lands
       // in exactly two windows via one Expand — no self-join
       val ev = t(s, dir, "events")
-        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_utc", timestamp_micros(Tables.eventTsUs))
       ev.groupBy(window(col("ts_utc"), "2 hours", "1 hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -840,7 +846,7 @@ object SparkEntry {
       // pre-truncated to µs so both engines subtract identical
       // integers (ns-vs-µs grain rule)
       val ev = t(s, dir, "events")
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", Tables.eventTsUs)
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val clicks = ev.where(col("event_type") === "click")
@@ -925,7 +931,7 @@ object SparkEntry {
       // ns-grain sort could disagree on sub-µs neighbors
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"))
-        .orderBy(expr("ts div 1000"), col("event_id"))
+        .orderBy(Tables.eventTsUs, col("event_id"))
       val steps = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type").as("to_type"))
@@ -2415,7 +2421,7 @@ object SparkEntry {
       // TPC-H content, and re-writing per bench repeat both leaked
       // temp dirs and billed write time to the measured scan.
       import org.apache.spark.sql.types._
-      val tmp = stagedOnce("graft_csv_v1", dir)(
+      val tmp = stagedOnce("csv:region:all-cols:header", dir)(
         d => new java.io.File(d, "_SUCCESS").isFile) { path =>
         t(s, dir, "region").write.mode("overwrite")
           .option("header", "true").csv(path)
@@ -2434,7 +2440,7 @@ object SparkEntry {
       // excel-only dataAddress dropped, CSV read underneath — the
       // plugin path is the same call with the jar on the classpath
       import org.apache.spark.sql.types._
-      val tmp = stagedOnce("graft_xls_v1", dir)(
+      val tmp = stagedOnce("xls-facade:nation:n_nationkey,n_name:header", dir)(
         d => new java.io.File(d, "_SUCCESS").isFile) { path =>
         t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
           .write.mode("overwrite").option("header", "true").csv(path)
@@ -2453,7 +2459,7 @@ object SparkEntry {
       // come through typed, the broken line lands in quarantine (shown
       // here as a count sentinel so one frame carries both outcomes)
       import org.apache.spark.sql.types._
-      val tmp = stagedOnce("graft_csvq_v1", dir)(
+      val tmp = stagedOnce("csvq:region:header+bad-row", dir)(
         d => new java.io.File(d, "_SUCCESS").isFile &&
           new java.io.File(d, "bad.csv").isFile) { path =>
         t(s, dir, "region").write.mode("overwrite")

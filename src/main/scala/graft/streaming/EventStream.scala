@@ -50,22 +50,36 @@ object EventStream {
     stageFile(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       "graft-stream")
 
+  /** The staged events fixture as a file stream with `ts` normalized
+    * to the BIGINT epoch-ns contract ([[graft.Tables.normalizeEventTs]])
+    * — the streaming twin of `Tables.apply`. Fixture generations have
+    * drifted between TIMESTAMP(NANOS) and timestamp[us] physical
+    * types; every events stream goes through here so the grain rule
+    * lives in one place. */
+  private def eventsStream(spark: SparkSession, sfDir: String,
+                           stageDir: java.nio.file.Path): DataFrame = {
+    // nanosAsLong only applies when the fixture is nanos-typed; the
+    // µs-typed generation arrives TIMESTAMP_NTZ and normalizeEventTs
+    // restores the ns-grain LongType either way
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(stageDir.toString))
+  }
+
   /** Hourly event counts as a stream over the events parquet, executed
     * with AvailableNow into a memory sink, returning the final table.
     * Deterministic: complete output mode, all input consumed. */
   def hourlyCountsAvailableNow(spark: SparkSession, sfDir: String,
                                queryName: String = "stream_hourly"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file streams need a DIRECTORY source; stage the single events
     // file into a temp dir (in production the source would already be
     // a directory of arriving files)
-    val stageDir = stageEvents(sfDir)
-    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val stream = eventsStream(spark, sfDir, stageEvents(sfDir))
     // ts is epoch-nanos (LongType); convert to a real timestamp for
     // event-time semantics. µs truncation is irrelevant at hour grain.
     val agg = stream
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", timestamp_micros(graft.Tables.eventTsUs))
       .withWatermark("ts_utc", "1 hour")
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -96,12 +110,9 @@ object EventStream {
                                        queryName: String = "stream_quantile",
                                        statePartitions: Int = 8
                                       ): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stageDir = stageEvents(sfDir)
-    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val stream = eventsStream(spark, sfDir, stageEvents(sfDir))
     val cells = stream
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", timestamp_micros(graft.Tables.eventTsUs))
       .withWatermark("ts_utc", "1 hour")
       .groupBy(window(col("ts_utc"), "1 hour"),
         graft.sketch.Sketches.binColumn(col("value"), lo, binWidth, bins)
@@ -137,13 +148,10 @@ object EventStream {
                                       k: Int = 64,
                                       queryName: String = "stream_distinct",
                                       statePartitions: Int = 8): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stageDir = stageEvents(sfDir)
-    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val stream = eventsStream(spark, sfDir, stageEvents(sfDir))
     val kmv = graft.sketch.KmvMinima(k)
     val sk = stream
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", timestamp_micros(graft.Tables.eventTsUs))
       .withWatermark("ts_utc", "1 hour")
       .groupBy(window(col("ts_utc"), "1 hour"))
       .agg(kmv(graft.functions.TextFunctions
@@ -177,7 +185,6 @@ object EventStream {
   def clickViewJoinAvailableNow(spark: SparkSession, sfDir: String,
                                 queryName: String = "stream_join",
                                 joinPartitions: Int = 8): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // a stream-stream join materializes FOUR state stores per shuffle
     // partition; store init + checkpoint I/O, not data volume,
     // dominates small runs. Size the stateful shuffle to the stream's
@@ -186,13 +193,12 @@ object EventStream {
     // query must keep the same value.
     val partKey = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(partKey)
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stageDir = stageEvents(sfDir)
     def side(tpe: String, idAs: String, uidAs: String, tsAs: String) =
-      spark.readStream.schema(schema).parquet(stageDir.toString)
+      eventsStream(spark, sfDir, stageDir)
         .where(col("event_type") === tpe)
         .select(col("event_id").as(idAs), col("user_id").as(uidAs),
-          timestamp_micros(expr("ts div 1000")).as(tsAs))
+          timestamp_micros(graft.Tables.eventTsUs).as(tsAs))
         .withWatermark(tsAs, "1 hour")
     val clicks = side("click", "cid", "c_uid", "c_ts")
     val views = side("view", "vid", "v_uid", "v_ts")
@@ -221,13 +227,11 @@ object EventStream {
     * so state is purged once a key's watermark horizon passes. */
   def dedupStreamAvailableNow(spark: SparkSession, sfDir: String,
                               queryName: String = "stream_dedup"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stageDir = stageEvents(sfDir)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stageDir.resolve("events_b.parquet"))
-    val deduped = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val deduped = eventsStream(spark, sfDir, stageDir)
       .select(col("event_id"), col("user_id"), col("event_type"))
       .dropDuplicates("event_id")
     val q = deduped.writeStream.format("memory").queryName(queryName)
@@ -249,14 +253,12 @@ object EventStream {
   def dedupWithinWatermarkAvailableNow(spark: SparkSession, sfDir: String,
                                        queryName: String = "stream_dedup_wm",
                                        delay: String = "1 hour"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stageDir = stageEvents(sfDir)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stageDir.resolve("events_b.parquet"))
-    val deduped = spark.readStream.schema(schema).parquet(stageDir.toString)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val deduped = eventsStream(spark, sfDir, stageDir)
+      .withColumn("ts_utc", timestamp_micros(graft.Tables.eventTsUs))
       .withWatermark("ts_utc", delay)
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"))
@@ -278,12 +280,9 @@ object EventStream {
     * stores hold only the aggregation, never the join. */
   def streamStaticEnrichAvailableNow(spark: SparkSession, sfDir: String,
                                      queryName: String = "stream_static"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stageDir = stageEvents(sfDir)
     val dim = broadcast(spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment")))
-    val agg = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val agg = eventsStream(spark, sfDir, stageEvents(sfDir))
       .join(dim, col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
@@ -351,12 +350,9 @@ object EventStream {
                                 queryName: String = "stream_session_native",
                                 statePartitions: Int = 8
                                ): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stageDir = stageEvents(sfDir)
-    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val stream = eventsStream(spark, sfDir, stageEvents(sfDir))
       .where(col("user_id") < userMax)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", timestamp_micros(graft.Tables.eventTsUs))
     val agg = stream
       .groupBy(session_window(col("ts_utc"), s"$gapSeconds seconds"),
         col("user_id"))
@@ -523,15 +519,13 @@ object EventStream {
                                   queryName: String = "stream_tws"
                                  ): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stageDir = stageEvents(sfDir)
+    val stream = eventsStream(spark, sfDir, stageEvents(sfDir))
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val out = spark.readStream.schema(schema).parquet(stageDir.toString)
+      val out = stream
         .select(col("event_id"), col("ts"), col("user_id"))
         .as[(Long, Long, Long)]
         .groupByKey(_._3)
@@ -640,12 +634,15 @@ object EventStream {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val out = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(stagedDir)
-        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      // callers stage either raw fixture copies (physical-type drift
+      // possible) or synthetic Long-ts batches — normalize both
+      val out = graft.Tables.normalizeEventTs(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stagedDir))
+        .withColumn("ts_utc", timestamp_micros(graft.Tables.eventTsUs))
         .withWatermark("ts_utc", delay)
         .select(col("user_id"), col("ts_utc"),
-          expr("ts div 1000").as("ts_us"))
+          graft.Tables.eventTsUs.as("ts_us"))
         .as[(Long, java.sql.Timestamp, Long)]
         .groupByKey(_._1)
         .transformWithState(new SessionProcessor(gapSeconds * 1000000L),
@@ -762,11 +759,8 @@ object EventStream {
   def latestPerUserStream(spark: SparkSession, sfDir: String,
                           queryName: String = "stream_latest"): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file streams need a DIRECTORY source (see hourlyCountsAvailableNow)
-    val stageDir = stageEvents(sfDir)
-    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val stream = eventsStream(spark, sfDir, stageEvents(sfDir))
     val latest = stream.select(col("user_id"), col("event_id"), col("ts"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)

@@ -288,7 +288,7 @@ class PipelineSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
       .toSet
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables(spark, sf, "events")
       .where(col("user_id") < 5)
     // same sessions, translated conventions: µs grain, end = last + gap
     val batch = EventStream.sessionizeBatch(spark, ev, gap * 1000000000L)
