@@ -643,6 +643,89 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    "q_key_skew" -> ((s, dir) => {
+      // the report that DECIDES q_skew_join's salting: top-10 heaviest
+      // join keys with exact per-mille shares from one map-combined
+      // groupBy; the rank window runs over the 10 already-selected rows
+      graft.validate.Skew.keySkewReport(
+        t(s, dir, "lineitem").select(col("l_suppkey")), "l_suppkey",
+        topK = 10)
+        .orderBy(col("rk"))
+    }),
+
+    "q_join_size_est" -> ((s, dir) => {
+      // join sizing WITHOUT running the join: CMS inner product
+      // (min over depth rows) upper-bounds |lineitem ⋈ orders| from
+      // two O(depth·width)-state scans; the exact figure (two grouped
+      // counts joined on the key) rides along so the oracle gates the
+      // estimate's tightness, not just its arithmetic
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"))
+      // width ≫ distinct keys (15k here) keeps the additive collision
+      // term n_l·n_o/width small (measured 1.3% over); cells are
+      // sparse so a huge width costs min(width, keys)·depth state
+      val est = graft.sketch.Sketches.cmsJoinSizeEstimate(
+        l, "l_orderkey", o, "o_orderkey", depth = 4, width = 1 << 20)
+      val exact = l.groupBy(col("l_orderkey")).agg(count(lit(1)).as("nl"))
+        .join(o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("no")),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("nl") * col("no")).as("exact_rows"))
+      // 1-row × 1-row cross of the two aggregates (q_sketch_setops
+      // pattern) — never a row-product join
+      est.crossJoin(exact).select(col("est_rows"), col("exact_rows"))
+    }),
+
+    "q_vocab" -> ((s, dir) => {
+      // deterministic tokenizer vocabulary: corpus token counts →
+      // min-count floor → dense ids in (count desc, token) order; the
+      // one total sort runs over the post-aggregation type table
+      graft.functions.Vocab.build(t(s, dir, "documents"), "text",
+          minCount = 50)
+        .orderBy(col("tok_id"))
+    }),
+
+    "q_skipgrams" -> ((s, dir) => {
+      // word2vec/GloVe co-occurrence substrate: directed skip-gram
+      // pairs within ±2 positions via per-doc LAG windows — never a
+      // positions self-join; min-count floor trims the pair tail
+      graft.functions.Vocab.skipgramCounts(t(s, dir, "documents"),
+          "doc_id", "text", window = 2)
+        .where(col("n") >= 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_temporal_split" -> ((s, dir) => {
+      // leakage-safe temporal split for autocorrelated data: train ≤
+      // cutoff, test only after a 6h embargo gap so trailing-window
+      // features computed on train rows can't peek into test; cutoff
+      // at 70% of the observed range in integer µs so both engines
+      // draw the identical boundary
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("user_id"), Tables.eventTsUs.as("ts_us"))
+      val bounds = ev.agg(min(col("ts_us")).as("lo"),
+        max(col("ts_us")).as("hi"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("cutoff", expr("lo + (hi - lo) * 7 div 10"))
+        .withColumn("split",
+          when(col("ts_us") <= col("cutoff"), "train")
+            .when(col("ts_us") > col("cutoff") + lit(21600000000L), "test")
+            .otherwise("embargo"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts_us")).as("min_ts_us"),
+          max(col("ts_us")).as("max_ts_us"))
+        .orderBy(col("split"))
+    }),
+
+    "q_stream_topk" -> ((s, dir) => {
+      // streaming heavy hitters with BOUNDED state: per-hour CMS cells
+      // (depth × width counters per window, however many users) in the
+      // stream, candidate-probe + top-k read batch-side
+      graft.streaming.EventStream.hourlyTopUsersAvailableNow(s, dir)
+        .orderBy(col("hour"), col("rk"))
+    }),
+
     "q_join_outer" -> ((s, dir) => {
       // Full outer reconciliation of two half-open views of orders — the
       // idiom behind the reference's re-listing merge (SURVEY J1).
@@ -2803,6 +2886,94 @@ object SparkEntry {
          |SELECT item, min(c) AS est_count
          |FROM cb JOIN cells USING (d, b)
          |GROUP BY item ORDER BY est_count DESC, item LIMIT 20""".stripMargin,
+
+    "q_key_skew" ->
+      """WITH s AS (SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |st AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+        |  count(*) AS n_keys FROM s),
+        |top AS (SELECT key, n FROM s ORDER BY n DESC, key LIMIT 10)
+        |SELECT row_number() OVER (ORDER BY n DESC, key) AS rk, key,
+        | CAST(n AS BIGINT) AS n,
+        | n * 1000 // total_rows AS share_pm,
+        | CAST(sum(n) OVER (ORDER BY n DESC, key)
+        |   * 1000 // total_rows AS BIGINT) AS cum_share_pm,
+        | n_keys, total_rows
+        |FROM top CROSS JOIN st ORDER BY rk""".stripMargin,
+
+    "q_join_size_est" ->
+      s"""WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+         |lc AS (SELECT d,
+         |    ${Duck.hash64("CAST(d AS VARCHAR) || '#' || CAST(l_orderkey AS VARCHAR)")} % 1048576 AS b,
+         |    count(*) AS c
+         |  FROM lineitem CROSS JOIN ds GROUP BY d, b),
+         |oc AS (SELECT d,
+         |    ${Duck.hash64("CAST(d AS VARCHAR) || '#' || CAST(o_orderkey AS VARCHAR)")} % 1048576 AS b,
+         |    count(*) AS c
+         |  FROM orders CROSS JOIN ds GROUP BY d, b),
+         |ip AS (SELECT lc.d, CAST(sum(lc.c * oc.c) AS BIGINT) AS ip
+         |  FROM lc JOIN oc ON lc.d = oc.d AND lc.b = oc.b GROUP BY lc.d),
+         |ex AS (SELECT CAST(sum(a.n * b.n) AS BIGINT) AS exact_rows FROM
+         |  (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1) a
+         |  JOIN (SELECT o_orderkey AS k, count(*) AS n FROM orders
+         |    GROUP BY 1) b ON a.k = b.k)
+         |SELECT (SELECT min(ip) FROM ip) AS est_rows, exact_rows
+         |FROM ex""".stripMargin,
+
+    "q_vocab" ->
+      s"""WITH tok AS (SELECT unnest(${Duck.words("text")}) AS token
+         |  FROM documents),
+         |c AS (SELECT token, count(*) AS n FROM tok
+         |  GROUP BY token HAVING count(*) >= 50)
+         |SELECT token, n,
+         | row_number() OVER (ORDER BY n DESC, token) - 1 AS tok_id
+         |FROM c ORDER BY tok_id""".stripMargin,
+
+    "q_skipgrams" ->
+      s"""WITH dw AS (SELECT ${Duck.words("text")} AS w FROM documents),
+         |p AS (SELECT unnest(
+         |    list_transform(range(1, len(w)), i -> [w[i], w[i+1]]) ||
+         |    list_transform(range(1, len(w) - 1), i -> [w[i], w[i+2]]))
+         |    AS pr
+         |  FROM dw)
+         |SELECT pr[1] AS a, pr[2] AS b, count(*) AS n
+         |FROM p GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY a, b""".stripMargin,
+
+    "q_temporal_split" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events),
+        |s AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN epoch_us(ts) <= lo + (hi - lo) * 7 // 10 THEN 'train'
+        |       WHEN epoch_us(ts) > lo + (hi - lo) * 7 // 10 + 21600000000
+        |         THEN 'test'
+        |       ELSE 'embargo' END AS split
+        |  FROM events CROSS JOIN b)
+        |SELECT split, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        | min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us
+        |FROM s GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_stream_topk" ->
+      s"""WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+         |ev AS (SELECT date_trunc('hour', ts) AS h, user_id FROM events),
+         |cells AS (SELECT h, d,
+         |    ${Duck.hash64("CAST(d AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)")} % 256 AS b,
+         |    count(*) AS c
+         |  FROM ev CROSS JOIN ds GROUP BY h, d, b),
+         |cand AS (SELECT DISTINCT user_id FROM events),
+         |cb AS (SELECT user_id, d,
+         |    ${Duck.hash64("CAST(d AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)")} % 256 AS b
+         |  FROM cand CROSS JOIN ds),
+         |est AS (SELECT cells.h, cb.user_id, min(c) AS est_n,
+         |    count(*) AS nd
+         |  FROM cb JOIN cells ON cb.d = cells.d AND cb.b = cells.b
+         |  GROUP BY cells.h, cb.user_id),
+         |r AS (SELECT h, user_id, est_n,
+         |    row_number() OVER (PARTITION BY h
+         |      ORDER BY est_n DESC, user_id) AS rk
+         |  FROM est WHERE nd = 4)
+         |SELECT strftime(h, '%Y-%m-%d %H') AS hour, rk, user_id, est_n
+         |FROM r WHERE rk <= 5 ORDER BY hour, rk""".stripMargin,
 
     // mirrors Scd2.merge over the customer-derived fixture: full-outer
     // current × delta, changed keys close + reopen, history passthrough

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic vocabulary construction — the tokenizer-prep step of
+  * a training-data pipeline: token counts over the corpus, a
+  * min-count floor, then contiguous integer ids assigned in
+  * (count desc, token asc) order so any two engines (or two runs over
+  * re-partitioned data) produce the IDENTICAL token→id table.
+  *
+  * Scale shape: the token-count groupBy (map-side combined) is the
+  * only pass over text; the min-count filter shrinks the type table
+  * before ranking; the id-assignment window then sorts |V| surviving
+  * types — post-aggregation data (≈1-10M rows at 100 TB corpus
+  * scale), the documented known-small single-sort trade
+  * (`Spread.smallSort`). Id assignment is the one inherently total
+  * ordering in the pipeline; everything upstream stays distributed.
+  */
+object Vocab {
+
+  /** (token, n, tok_id) with ids 0..|V|-1 dense in
+    * (n desc, token asc) order; `minCount` drops the long tail before
+    * the ranking sort. */
+  def build(docs: DataFrame, textCol: String, minCount: Long): DataFrame =
+    docs.select(explode(TextFunctions.words(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .withColumn("tok_id",
+        (row_number().over(Window.orderBy(col("n").desc, col("token")))
+          - 1).cast("long"))
+      .select(col("token"), col("n"), col("tok_id"))
+
+  /** Directed skip-gram pair counts — the word2vec/GloVe co-occurrence
+    * substrate: for each token position i and distance d ∈ [1, window],
+    * the ordered pair (token_i, token_{i+d}) counts once. Computed
+    * with `window` LAG columns over the per-document position sort —
+    * per-doc partitioned windows, never a positions self-join (which
+    * replicates every token `window`× through a range join). One
+    * shuffle on doc id (the window sort), one map-combined groupBy on
+    * the pair — both scale-safe; cost is window × token count rows
+    * into the final count, exactly the data's information content. */
+  def skipgramCounts(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val toks = docs.select(col(idCol).as("__doc"),
+        posexplode(TextFunctions.words(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("__doc")).orderBy(col("pos"))
+    // window exprs can't live inside a generator: materialize the lag
+    // columns first, then explode the (lag d, current) pairs
+    val lagged = toks.select(
+      (1 to window).map(d => lag(col("tok"), d).over(w).as(s"a_$d")) :+
+        col("tok").as("b"): _*)
+    lagged.select(explode(array((1 to window).map(d =>
+        struct(col(s"a_$d").as("a"), col("b"))): _*)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+  }
+}

@@ -18,6 +18,17 @@ package graft.plans
   */
 object PlanLintAllowlist {
   val allowed: Set[(String, String)] = Set(
+    // r8: rank/cum-share window over the 10 TakeOrdered-selected rows
+    // crossed with the broadcast 1-row key-stats aggregate (the
+    // window's single-partition requirement is satisfied by the
+    // limit's existing collect — no extra exchange appears)
+    "q_key_skew" -> "unconditioned-nested-loop",
+    // r8: deliberate 1-row × 1-row cross of the CMS estimate and the
+    // exact grouped-count aggregate (q_sketch_setops pattern)
+    "q_join_size_est" -> "unconditioned-nested-loop",
+    // r8: every row crosses the broadcast 1-row (lo, hi) time-bounds
+    // aggregate — 1× per row, not |L|·|R|
+    "q_temporal_split" -> "unconditioned-nested-loop",
     "q_agg_incremental" -> "scan-without-pushed-filters",
     "q_bloom_decontam" -> "single-partition-exchange",
     // r7: malformed-interval guard (s <= e) is on derived columns —

@@ -189,4 +189,40 @@ object Sketches {
       .groupBy(col("item"))
       .agg(min(col("c")).as("est_count"))
   }
+
+  /** Join-cardinality estimate WITHOUT executing the join:
+    * |A ⋈_key B| = Σ_k n_A(k)·n_B(k), estimated as the MIN over CMS
+    * depth rows of the bucket-count inner product Σ_b cA[d,b]·cB[d,b]
+    * (the classic CM-sketch inner-product bound: collisions only ADD
+    * mass, so every row overestimates and the min is tightest, exact
+    * when some row has no cross-key collisions).
+    *
+    * The 100-TB use: decide shuffle-vs-broadcast-vs-salt for a join
+    * from two bounded-state scans BEFORE paying the join's shuffle —
+    * each side's sketch is one map-combined groupBy, and the inner
+    * product runs over the nonzero cells. SIZE width ≫ the expected
+    * distinct-key count: the expected overestimate is the additive
+    * collision term ≈ |L|·|R|/width, and because only NONZERO cells
+    * materialize, state is depth × min(width, distinct keys) rows —
+    * a huge width costs nothing extra on sparse key spaces. Hashing
+    * is the same salted `TextFunctions.hash64` as
+    * [[countMinEstimates]], so the estimate itself is deterministic
+    * and oracle-gated. Returns one row: (est_rows). */
+  def cmsJoinSizeEstimate(left: DataFrame, leftCol: String,
+                          right: DataFrame, rightCol: String,
+                          depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    val rows = (0 until depth).map(lit(_))
+    def sketch(df: DataFrame, c: String, out: String) =
+      df.select(col(c).cast("string").as("x"))
+        .select(explode(array(rows: _*)).as("d"), col("x"))
+        .select(col("d"),
+          pmod(TextFunctions.hash64(concat_ws("#", col("d"), col("x"))),
+            lit(width)).as("b"))
+        .groupBy(col("d"), col("b")).agg(count(lit(1)).as(out))
+    sketch(left, leftCol, "cl")
+      .join(sketch(right, rightCol, "cr"), Seq("d", "b"))
+      .groupBy(col("d")).agg(sum(col("cl") * col("cr")).as("ip"))
+      .agg(min(col("ip")).as("est_rows"))
+  }
 }

@@ -175,6 +175,72 @@ object EventStream {
         .as("est_users"))
   }
 
+  /** Streaming heavy hitters with BOUNDED state: "top users per hour,
+    * forever". The streaming agg maintains CMS CELLS per hour window —
+    * depth × width counters no matter how many events or distinct
+    * users arrive, vs the per-(window, user) count table an exact
+    * streaming top-k would pin in the state store — and the read
+    * (candidate probe → min-over-rows → per-window top-k) runs
+    * batch-side on the final cells, the same
+    * bounded-state-stream + batch-read composition as
+    * [[hourlyValueQuantilesAvailableNow]]. Hashing is the salted
+    * deterministic `TextFunctions.hash64`, so even the approximation
+    * is oracle-gated. Candidates at production scale come from an
+    * external feed (user registry, yesterday's heavy set); here the
+    * batch events table supplies them. */
+  def hourlyTopUsersAvailableNow(spark: SparkSession, sfDir: String,
+                                 depth: Int = 4, width: Int = 256,
+                                 k: Int = 5,
+                                 queryName: String = "stream_topk",
+                                 statePartitions: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rows = (0 until depth).map(lit(_))
+    def bucket(item: org.apache.spark.sql.Column) =
+      pmod(graft.functions.TextFunctions.hash64(
+        concat_ws("#", col("d"), item)), lit(width)).as("b")
+    val stream = eventsStream(spark, sfDir, stageEvents(sfDir))
+    val cells = stream
+      .withColumn("ts_utc", timestamp_micros(graft.Tables.eventTsUs))
+      .withWatermark("ts_utc", "1 hour")
+      .select(col("ts_utc"), explode(array(rows: _*)).as("d"),
+        col("user_id"))
+      .groupBy(window(col("ts_utc"), "1 hour"), col("d"),
+        bucket(col("user_id")))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("key"), col("d"), col("b"), col("c"))
+    // state-store init per shuffle partition dominates small runs
+    // (same rationale + checkpoint caveat as clickViewJoinAvailableNow)
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, statePartitions.toString)
+    try {
+      val q = cells.writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(partKey, prevParts)
+    // batch-side read: a candidate's estimate in a window is the CMS
+    // min over depth rows, 0 (absent) when any of its rows has no
+    // cell there — inner-join hits only nonzero cells, so require all
+    // `depth` rows before taking the min
+    val cand = graft.Tables(spark, sfDir, "events")
+      .select(col("user_id")).distinct()
+      .select(col("user_id"), explode(array(rows: _*)).as("d"))
+      .select(col("user_id"), col("d"), bucket(col("user_id")))
+    val est = cand.join(spark.table(queryName), Seq("d", "b"))
+      .groupBy(col("key"), col("user_id"))
+      .agg(min(col("c")).as("m"), count(lit(1)).as("nd"))
+      .where(col("nd") === depth)
+      .select(col("key"), col("user_id"), col("m").as("est_n"))
+    est.withColumn("rk", row_number().over(
+        W.partitionBy(col("key")).orderBy(col("est_n").desc, col("user_id")))
+        .cast("long"))
+      .where(col("rk") <= k)
+      .select(date_format(col("key"), "yyyy-MM-dd HH").as("hour"),
+        col("rk"), col("user_id"), col("est_n"))
+  }
+
   /** Watermarked stream-stream interval join: each click enriched with
     * the views of the same user in the preceding hour. Both sides are
     * event-time watermarked so join state is bounded — the watermark
