@@ -684,6 +684,41 @@ object SparkEntry {
         .orderBy(col("tok_id"))
     }),
 
+    "q_vocab_incr" -> ((s, dir) => {
+      // incremental vocab maintenance: even-doc vocabulary extended
+      // with the odd-doc batch — old ids stable, new tokens appended
+      // in batch-count rank order; per-batch cost ∝ batch + |V|
+      val docs = t(s, dir, "documents")
+      val base = graft.functions.Vocab.build(
+        docs.where(col("doc_id") % 2 === 0), "text", minCount = 25)
+      graft.functions.Vocab.extend(base,
+          docs.where(col("doc_id") % 2 === 1), "text", minCount = 25)
+        .orderBy(col("tok_id"))
+    }),
+
+    "q_source_overlap" -> ((s, dir) => {
+      // corpus-governance overlap matrix: which SOURCES duplicate each
+      // other — MinHash-LSH near-dup pairs attributed to their
+      // (source, source) cell with exact pair counts and a mean
+      // Jaccard in ppm via integer micro-jaccard units (the verified
+      // jaccard is round(x, 6), so round(j·1e6) is exact on both
+      // engines and the mean never sums floats)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.8)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("id_a", "sa"), Seq("id_a"))
+        .join(src.toDF("id_b", "sb"), Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"),
+          round(col("jaccard") * 1000000).cast("long").as("ju"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(ju) div (1000 * count(1))").as("mean_jaccard_pm"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     "q_skipgrams" -> ((s, dir) => {
       // word2vec/GloVe co-occurrence substrate: directed skip-gram
       // pairs within ±2 positions via per-doc LAG windows — never a
@@ -2929,6 +2964,32 @@ object SparkEntry {
          | row_number() OVER (ORDER BY n DESC, token) - 1 AS tok_id
          |FROM c ORDER BY tok_id""".stripMargin,
 
+    "q_vocab_incr" ->
+      s"""WITH te AS (SELECT unnest(${Duck.words("text")}) AS token
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |base AS (SELECT token, n,
+         |    row_number() OVER (ORDER BY n DESC, token) - 1 AS tok_id
+         |  FROM (SELECT token, count(*) AS n FROM te
+         |        GROUP BY token HAVING count(*) >= 25)),
+         |tb AS (SELECT unnest(${Duck.words("text")}) AS token
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |bc AS (SELECT token, count(*) AS bn FROM tb GROUP BY token),
+         |kept AS (SELECT b.token, b.n + coalesce(bc.bn, 0) AS n, b.tok_id
+         |  FROM base b LEFT JOIN bc ON b.token = bc.token),
+         |mx AS (SELECT coalesce(max(tok_id) + 1, 0) AS m0 FROM base),
+         |fresh AS (SELECT bc.token, bn AS n,
+         |    m0 + row_number() OVER (ORDER BY bn DESC, bc.token) - 1
+         |      AS tok_id
+         |  FROM bc CROSS JOIN mx
+         |  WHERE bn >= 25
+         |    AND bc.token NOT IN (SELECT token FROM base))
+         |SELECT token, n, tok_id FROM kept
+         |UNION ALL SELECT token, n, tok_id FROM fresh
+         |ORDER BY tok_id""".stripMargin,
+
+    "q_source_overlap" -> Duck.minhashSourceOverlap(numHashes = 32,
+      bands = 8, threshold = 0.8),
+
     "q_skipgrams" ->
       s"""WITH dw AS (SELECT ${Duck.words("text")} AS w FROM documents),
          |p AS (SELECT unnest(
@@ -4948,6 +5009,21 @@ object SparkEntry {
       s"""WITH ${minhashCtes(numHashes, bands)}
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
+
+    /** LSH pairs rolled up to their (source, source) cell — mean
+      * jaccard via exact integer micro-jaccard units. */
+    def minhashSourceOverlap(numHashes: Int, bands: Int,
+                             threshold: Double): String =
+      s"""WITH ${minhashCtes(numHashes, bands)},
+         |lab AS (SELECT least(sa.source, sb.source) AS src_a,
+         |    greatest(sa.source, sb.source) AS src_b,
+         |    CAST(round(jaccard * 1000000) AS BIGINT) AS ju
+         |  FROM j JOIN documents sa ON j.id_a = sa.doc_id
+         |         JOIN documents sb ON j.id_b = sb.doc_id
+         |  WHERE jaccard >= $threshold)
+         |SELECT src_a, src_b, count(*) AS n_pairs,
+         | CAST(sum(ju) AS BIGINT) // (1000 * count(*)) AS mean_jaccard_pm
+         |FROM lab GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 
     /** Duplicate clusters over the MinHash-LSH pair graph: transitive
       * closure via recursive CTE, cluster id = min reachable id. */

@@ -32,6 +32,38 @@ object Vocab {
           - 1).cast("long"))
       .select(col("token"), col("n"), col("tok_id"))
 
+  /** Incremental vocabulary maintenance: fold a new document batch
+    * into an existing (token, n, tok_id) table WITHOUT renumbering —
+    * ids already baked into tokenized shards must stay valid, so
+    * existing tokens keep their id (counts updated), and unseen
+    * tokens at-or-above `minCount` in the batch APPEND after the
+    * current max id, ranked by (batch count desc, token). Per-batch
+    * cost ∝ batch + |V|, never the historical corpus — same
+    * maintenance contract as `Dedup.minHashPairsAgainstIndex`.
+    * Limitation (standard for floored vocab state): counts that fell
+    * below the floor in earlier batches were dropped, so a token's
+    * `n` reflects batches since it first crossed the floor. */
+  def extend(vocab: DataFrame, newDocs: DataFrame, textCol: String,
+             minCount: Long): DataFrame = {
+    val batch = newDocs
+      .select(explode(TextFunctions.words(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("bn"))
+    val kept = vocab.join(batch, Seq("token"), "left")
+      .select(col("token"),
+        (col("n") + coalesce(col("bn"), lit(0L))).as("n"), col("tok_id"))
+    val nextId = vocab.agg(
+      coalesce(max(col("tok_id")) + 1, lit(0L)).as("m0"))
+    val fresh = batch.join(vocab.select(col("token")), Seq("token"),
+        "left_anti")
+      .where(col("bn") >= minCount)
+      .crossJoin(broadcast(nextId))
+      .withColumn("tok_id", (col("m0") +
+        row_number().over(Window.orderBy(col("bn").desc, col("token")))
+        - 1).cast("long"))
+      .select(col("token"), col("bn").as("n"), col("tok_id"))
+    kept.unionByName(fresh)
+  }
+
   /** Directed skip-gram pair counts — the word2vec/GloVe co-occurrence
     * substrate: for each token position i and distance d ∈ [1, window],
     * the ordered pair (token_i, token_{i+d}) counts once. Computed

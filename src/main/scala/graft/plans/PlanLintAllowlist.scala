@@ -26,6 +26,10 @@ object PlanLintAllowlist {
     // r8: deliberate 1-row × 1-row cross of the CMS estimate and the
     // exact grouped-count aggregate (q_sketch_setops pattern)
     "q_join_size_est" -> "unconditioned-nested-loop",
+    // r8: doc_id % 2 even/odd batch fixtures (q_minhash_incr pattern);
+    // fresh tokens cross the broadcast 1-row next-id aggregate
+    "q_vocab_incr" -> "scan-without-pushed-filters",
+    "q_vocab_incr" -> "unconditioned-nested-loop",
     // r8: every row crosses the broadcast 1-row (lo, hi) time-bounds
     // aggregate — 1× per row, not |L|·|R|
     "q_temporal_split" -> "unconditioned-nested-loop",

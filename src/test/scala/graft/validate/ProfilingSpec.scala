@@ -49,6 +49,19 @@ class ProfilingSpec extends SparkSpec {
     assert(v.toSeq == Seq(("a", 3L, 0L), ("b", 3L, 1L), ("c", 2L, 2L)))
   }
 
+  test("vocab extend keeps old ids stable and appends new tokens by rank") {
+    val base = Vocab.build(Seq("b b b a a c c").toDF("text"), "text",
+      minCount = 2) // a=2 b=3 c=2 → b:0 a:1 c:2
+    val out = Vocab.extend(base, Seq("a z z z y y q").toDF("text"),
+        "text", minCount = 2)
+      .orderBy("tok_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // existing ids untouched, counts updated (a +1); z(3) then y(2)
+    // append after max id 2; q below floor dropped
+    assert(out.toSeq == Seq(("b", 3L, 0L), ("a", 3L, 1L), ("c", 2L, 2L),
+      ("z", 3L, 3L), ("y", 2L, 4L)))
+  }
+
   test("skipgram pairs are directed, windowed, and never cross documents") {
     val docs = Seq((1L, "a b c"), (2L, "c a")).toDF("doc_id", "text")
     val pairs = Vocab.skipgramCounts(docs, "doc_id", "text", window = 2)
