@@ -2937,15 +2937,10 @@ object SparkEntry {
         |FROM top CROSS JOIN st ORDER BY rk""".stripMargin,
 
     "q_join_size_est" ->
-      s"""WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
-         |lc AS (SELECT d,
-         |    ${Duck.hash64("CAST(d AS VARCHAR) || '#' || CAST(l_orderkey AS VARCHAR)")} % 1048576 AS b,
-         |    count(*) AS c
-         |  FROM lineitem CROSS JOIN ds GROUP BY d, b),
-         |oc AS (SELECT d,
-         |    ${Duck.hash64("CAST(d AS VARCHAR) || '#' || CAST(o_orderkey AS VARCHAR)")} % 1048576 AS b,
-         |    count(*) AS c
-         |  FROM orders CROSS JOIN ds GROUP BY d, b),
+      s"""WITH lc AS (${Duck.cmsCells("lineitem",
+             "CAST(l_orderkey AS VARCHAR)", 4, 1 << 20)}),
+         |oc AS (${Duck.cmsCells("orders",
+             "CAST(o_orderkey AS VARCHAR)", 4, 1 << 20)}),
          |ip AS (SELECT lc.d, CAST(sum(lc.c * oc.c) AS BIGINT) AS ip
          |  FROM lc JOIN oc ON lc.d = oc.d AND lc.b = oc.b GROUP BY lc.d),
          |ex AS (SELECT CAST(sum(a.n * b.n) AS BIGINT) AS exact_rows FROM
@@ -5009,6 +5004,20 @@ object SparkEntry {
       s"""WITH ${minhashCtes(numHashes, bands)}
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
+
+    /** CMS cells over a key with ONE md5 per row + per-depth affine
+      * rehash mod the MinHash prime — mirrors
+      * `Sketches.cmsJoinSizeEstimate`'s hashing exactly. */
+    def cmsCells(table: String, keyExpr: String, depth: Int,
+                 width: Int): String = {
+      val p = TextFunctions.MinHashP
+      (0 until depth).map { d =>
+        val (a, b) = TextFunctions.minHashCoeff(d)
+        s"SELECT $d AS d, ((h * $a + $b) % $p) % $width AS b, " +
+          s"count(*) AS c FROM (SELECT ${hash64(keyExpr)} % $p AS h " +
+          s"FROM $table) GROUP BY b"
+      }.mkString("\n  UNION ALL ")
+    }
 
     /** LSH pairs rolled up to their (source, source) cell — mean
       * jaccard via exact integer micro-jaccard units. */

@@ -212,13 +212,21 @@ object Sketches {
                           right: DataFrame, rightCol: String,
                           depth: Int = 4, width: Int = 1024): DataFrame = {
     require(depth > 0 && width > 0, "depth and width must be positive")
-    val rows = (0 until depth).map(lit(_))
+    // ONE md5 per row; the per-depth buckets are cheap affine rehashes
+    // of the base hash mod the MinHash prime (same independent-row
+    // trick as the MinHash permutations — hashing the row-salted
+    // string per depth costs depth× the md5 work for no extra
+    // independence). a·h stays < 2^60, so the arithmetic is exact in
+    // BIGINT on any engine.
+    val p = TextFunctions.MinHashP
     def sketch(df: DataFrame, c: String, out: String) =
-      df.select(col(c).cast("string").as("x"))
-        .select(explode(array(rows: _*)).as("d"), col("x"))
-        .select(col("d"),
-          pmod(TextFunctions.hash64(concat_ws("#", col("d"), col("x"))),
-            lit(width)).as("b"))
+      df.select((TextFunctions.hash64(col(c).cast("string")) % p).as("h"))
+        .select(explode(array((0 until depth).map { d =>
+          val (a, b) = TextFunctions.minHashCoeff(d)
+          struct(lit(d).as("d"),
+            pmod(pmod(col("h") * a + b, lit(p)), lit(width)).as("b"))
+        }: _*)).as("db"))
+        .select(col("db.d").as("d"), col("db.b").as("b"))
         .groupBy(col("d"), col("b")).agg(count(lit(1)).as(out))
     sketch(left, leftCol, "cl")
       .join(sketch(right, rightCol, "cr"), Seq("d", "b"))
