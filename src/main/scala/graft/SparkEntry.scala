@@ -110,6 +110,26 @@ object SparkEntry {
     }
   }
 
+  /** The versioned customer-segment dimension shared by q_pit_join and
+    * q_stream_pit: v1 until 1997 (absent for %7 keys), v2 after
+    * (closed in 1999 for %5 keys) — coverage gaps exercise the as-of
+    * null semantics. */
+  private def pitDim(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    def version(filter: Column, tag: String, from: String,
+                to: Option[String]) =
+      c.where(filter).select(col("c_custkey").as("o_custkey"),
+        concat(col("c_mktsegment"), lit(tag)).as("segment"),
+        lit(from).as("valid_from"),
+        to.map(lit(_)).getOrElse(lit(null)).cast("string").as("valid_to"))
+    version(col("c_custkey") % 7 =!= 0, "_v1",
+        "1995-01-01", Some("1997-01-01"))
+      .unionByName(version(col("c_custkey") % 5 =!= 0, "_v2",
+        "1997-01-01", None))
+      .unionByName(version(col("c_custkey") % 5 === 0, "_v2",
+        "1997-01-01", Some("1999-01-01")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped pricing summary (SURVEY §2.6 A1-A4). */
   def entry(spark: SparkSession): DataFrame =
@@ -1248,24 +1268,23 @@ object SparkEntry {
       // closed in 1999 for %5 keys). Union+window as-of: one shuffle,
       // no inequality-join explosion. ISO date STRINGS compare
       // lexicographically — no timestamp-precision hazards
-      val c = t(s, dir, "customer")
-      def version(filter: Column, tag: String, from: String,
-                  to: Option[String]) =
-        c.where(filter).select(col("c_custkey").as("o_custkey"),
-          concat(col("c_mktsegment"), lit(tag)).as("segment"),
-          lit(from).as("valid_from"),
-          to.map(lit(_)).getOrElse(lit(null)).cast("string").as("valid_to"))
-      val dim = version(col("c_custkey") % 7 =!= 0, "_v1",
-          "1995-01-01", Some("1997-01-01"))
-        .unionByName(version(col("c_custkey") % 5 =!= 0, "_v2",
-          "1997-01-01", None))
-        .unionByName(version(col("c_custkey") % 5 === 0, "_v2",
-          "1997-01-01", Some("1999-01-01")))
       val facts = t(s, dir, "orders").select(col("o_orderkey"),
         col("o_custkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
-      graft.operators.PitJoin.pitJoin(facts, dim, Seq("o_custkey"),
-          "od", "valid_from", "valid_to", Seq("segment"))
+      graft.operators.PitJoin.pitJoin(facts, pitDim(s, dir),
+          Seq("o_custkey"), "od", "valid_from", "valid_to",
+          Seq("segment"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_stream_pit" -> ((s, dir) => {
+      // STREAMING point-in-time enrichment: arriving order batches get
+      // the dimension version valid at fact time via foreachBatch +
+      // PitJoin — not the current version a stream-static join would
+      // leak; single AvailableNow batch ⇒ equals the batch PitJoin,
+      // which is exactly q_pit_join's oracle
+      graft.streaming.EventStream
+        .pitEnrichStreamAvailableNow(s, dir, pitDim(s, dir))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -3435,6 +3454,28 @@ object SparkEntry {
     // the oracle states PIT semantics directly as the inequality
     // LEFT JOIN the operator deliberately avoids executing
     "q_pit_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS k, c_mktsegment || '_v1' AS segment,
+        |    '1995-01-01' AS vf, '1997-01-01' AS vt
+        |  FROM customer WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment || '_v2',
+        |    '1997-01-01', CAST(NULL AS VARCHAR)
+        |  FROM customer WHERE c_custkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment || '_v2',
+        |    '1997-01-01', '1999-01-01'
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |f AS (SELECT o_orderkey, o_custkey,
+        |        strftime(o_orderdate, '%Y-%m-%d') AS od FROM orders)
+        |SELECT o_orderkey, o_custkey, od, segment
+        |FROM f LEFT JOIN dim ON o_custkey = k
+        |  AND od >= vf AND (vt IS NULL OR od < vt)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // same oracle as q_pit_join: one AvailableNow batch makes the
+    // streaming enrichment equal the batch as-of join
+    "q_stream_pit" ->
       """WITH dim AS (
         |  SELECT c_custkey AS k, c_mktsegment || '_v1' AS segment,
         |    '1995-01-01' AS vf, '1997-01-01' AS vt

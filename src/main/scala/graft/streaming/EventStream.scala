@@ -822,6 +822,41 @@ object EventStream {
       Seq.empty[(Long, Long, Double)].toDF("probe_id", "index_id", "jaccard"))
   }
 
+  /** Streaming POINT-IN-TIME enrichment: each arriving fact
+    * micro-batch joins the dimension version valid AT FACT TIME
+    * (`PitJoin`) inside `foreachBatch` — the feature-store-correct
+    * streaming enrichment. A plain stream-static join serves the
+    * CURRENT version, silently leaking future attribute values into
+    * historical facts; the as-of form keeps backfills and live
+    * streams byte-identical. The dim is a batch frame re-planned per
+    * micro-batch (picks up new versions between batches); state
+    * stores hold nothing — per-batch cost is the batch × dim as-of
+    * join, exactly like the reference's batch-incremental loads.
+    * Orders play the fact stream here (single staged file ⇒ one
+    * batch ⇒ output equals the batch PitJoin, which is the oracle). */
+  def pitEnrichStreamAvailableNow(spark: SparkSession, sfDir: String,
+                                  dim: DataFrame): DataFrame = {
+    val stageDir = stageFile(
+      java.nio.file.Paths.get(s"$sfDir/orders.parquet"), "graft-pit")
+    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    var parts = List.empty[DataFrame]
+    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val facts = batch.select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+        parts ::= graft.operators.PitJoin.pitJoin(facts, dim,
+            Seq("o_custkey"), "od", "valid_from", "valid_to",
+            Seq("segment"))
+          .localCheckpoint() // eager: result outlives the batch plan
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    parts.reduce(_.unionByName(_))
+  }
+
   def latestPerUserStream(spark: SparkSession, sfDir: String,
                           queryName: String = "stream_latest"): DataFrame = {
     import spark.implicits._
