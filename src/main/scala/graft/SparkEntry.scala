@@ -1798,6 +1798,16 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
     }),
 
+    "q_stream_decontam" -> ((s, dir) => {
+      // STREAMING decontamination: 4 arriving doc batches each score
+      // against the broadcast benchmark gram set at landing time —
+      // per-doc scores are batch-independent, so the streamed output
+      // equals the batch scorer (q_decontam's oracle)
+      graft.streaming.EventStream.decontamStreamAvailableNow(s, dir)
+        .withColumnRenamed("id", "doc_id")
+        .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
+    }),
+
     "q_mixture" -> ((s, dir) => {
       // downsample-only resampling to a target language mixture;
       // 'zh' is deliberately absent from the spec → dropped
@@ -4180,6 +4190,8 @@ object SparkEntry {
     // only prunes; the exact join rejects its false positives), so it
     // shares q_decontam's oracle verbatim
     "q_bloom_decontam" -> decontamOracleSql,
+    // batch-independent per-doc scores: streaming arrival ≡ batch run
+    "q_stream_decontam" -> decontamOracleSql,
 
     // mirrors Sampling.mixtureResample: N_out = min(n_g/p_g),
     // threshold = floor(n_out*p_g/n_g*1e6), hash-bucket keep predicate

@@ -30,6 +30,9 @@ object PlanLintAllowlist {
     // fresh tokens cross the broadcast 1-row next-id aggregate
     "q_vocab_incr" -> "scan-without-pushed-filters",
     "q_vocab_incr" -> "unconditioned-nested-loop",
+    // r8: intentional Spread.smallSort of the per-doc score report
+    // (same as q_decontam's own entry)
+    "q_stream_decontam" -> "single-partition-exchange",
     // r8: every row crosses the broadcast 1-row (lo, hi) time-bounds
     // aggregate — 1× per row, not |L|·|R|
     "q_temporal_split" -> "unconditioned-nested-loop",

@@ -857,6 +857,37 @@ object EventStream {
     parts.reduce(_.unionByName(_))
   }
 
+  /** Streaming benchmark decontamination: arriving document batches
+    * score against the broadcast benchmark gram set inside
+    * `foreachBatch` — the landing-zone guard that keeps eval data out
+    * of a training corpus AS IT ARRIVES instead of in a full-corpus
+    * sweep later. Per-doc scores are batch-independent, so the
+    * multi-batch streaming run equals the batch scorer exactly (the
+    * oracle); per-batch cost ∝ batch × benchmark grams, the corpus is
+    * never re-scored. */
+  def decontamStreamAvailableNow(spark: SparkSession, sfDir: String,
+                                 batches: Int = 4, k: Int = 5): DataFrame = {
+    val stageDir = stageDocBatches(spark, sfDir, batches)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val bench = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") % 50 === 0).select(col("text"))
+    var parts = List.empty[DataFrame]
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        parts ::= graft.dedup.Decontaminate
+          .contaminationScores(batch, bench, "doc_id", "text", "text",
+            k = k)
+          .localCheckpoint() // eager: result outlives the batch plan
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    parts.reduce(_.unionByName(_))
+  }
+
   def latestPerUserStream(spark: SparkSession, sfDir: String,
                           queryName: String = "stream_latest"): DataFrame = {
     import spark.implicits._
