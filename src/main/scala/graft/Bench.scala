@@ -51,9 +51,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: touch every table + exercise codegen/shuffle machinery
-    Tables.names.foreach(n => Tables(spark, sfDir, n).limit(1).count())
-    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    // warmup: touch every table + exercise codegen/shuffle machinery.
+    // A broken fixture dir must NOT kill the run here — let each query
+    // fail into the -1/error path below so the JSON line still names
+    // every casualty instead of the driver seeing a bare crash.
+    try {
+      Tables.names.foreach(n => Tables(spark, sfDir, n).limit(1).count())
+      SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARMUP FAILED (continuing): ${
+          Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.next().take(200)}")
+    }
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt
 
     val lintPairs = Set.newBuilder[(String, String)]

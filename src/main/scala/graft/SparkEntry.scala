@@ -2477,9 +2477,14 @@ object SparkEntry {
       // sweeps 0.5→0.9, from ONE candidate+verify pass at the lowest
       // threshold (the expensive stage never re-runs per point)
       import s.implicits._
+      // persist + force: BOTH the pair-count and doc-count branches
+      // read the pairs, and an unpersisted frame would re-run the
+      // whole candidate+verify pipeline per branch (the one-pass
+      // promise of this query)
       val pairs = graft.dedup.Dedup.ngramJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", "lang",
-        k = 4, threshold = 0.5)
+        k = 4, threshold = 0.5).persist()
+      pairs.count()
       val x = pairs.select(col("id_a"), col("id_b"), col("jaccard"),
           explode(array(Seq(500, 600, 700, 800, 900).map(v => lit(v.toLong)): _*))
             .as("threshold_pm"))
