@@ -228,9 +228,13 @@ object Sketches {
         }: _*)).as("db"))
         .select(col("db.d").as("d"), col("db.b").as("b"))
         .groupBy(col("d"), col("b")).agg(count(lit(1)).as(out))
+    // a depth row with NO shared bucket has inner product 0 — it must
+    // zero the min, not vanish from it (disjoint key sets → est 0)
     sketch(left, leftCol, "cl")
       .join(sketch(right, rightCol, "cr"), Seq("d", "b"))
       .groupBy(col("d")).agg(sum(col("cl") * col("cr")).as("ip"))
-      .agg(min(col("ip")).as("est_rows"))
+      .agg(min(col("ip")).as("mi"), count(lit(1)).as("nd"))
+      .select(when(col("nd") === depth, col("mi")).otherwise(lit(0L))
+        .as("est_rows"))
   }
 }

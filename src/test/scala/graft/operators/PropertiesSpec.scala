@@ -164,4 +164,41 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       }
     }, n = 8)
   }
+
+  test("cmsJoinSizeEstimate never underestimates and is exact sans collisions") {
+    val keys = Gen.nonEmptyListOf(Gen.choose(0L, 30L))
+    holds(Prop.forAll(keys, keys) { (l, r) =>
+      {
+        val est = graft.sketch.Sketches.cmsJoinSizeEstimate(
+            l.toDF("k"), "k", r.toDF("k"), "k", depth = 4, width = 4096)
+          .head().getLong(0)
+        val lc = l.groupBy(identity).view.mapValues(_.size.toLong)
+        val rc = r.groupBy(identity).view.mapValues(_.size.toLong)
+        val exact = lc.keys.map(k => lc(k) * rc.getOrElse(k, 0L)).sum
+        // 31 possible keys in 4096 buckets: collisions essentially never
+        // fire at this size, so the bound should be TIGHT — and the
+        // inequality must hold regardless
+        est >= exact && est == exact
+      }
+    }, n = 10)
+  }
+
+  test("skipgramCounts equals brute-force windowed pairs on random docs") {
+    val doc = Gen.listOf(Gen.oneOf("a", "b", "c", "d"))
+    holds(Prop.forAll(Gen.nonEmptyListOf(doc).map(_.take(5))) { docs =>
+      {
+        val df = docs.zipWithIndex
+          .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val got = graft.functions.Vocab.skipgramCounts(df, "doc_id", "text",
+            window = 2)
+          .collect().map(r => ((r.getString(0), r.getString(1)),
+            r.getLong(2))).toMap
+        val want = docs.flatMap { ws =>
+          (1 to 2).flatMap(d => ws.drop(d).zip(ws).map(_.swap))
+        }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        got == want
+      }
+    }, n = 10)
+  }
 }
