@@ -1798,6 +1798,31 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
     }),
 
+    "q_label_vote" -> ((s, dir) => {
+      // weak-supervision label aggregation: three deterministic noisy
+      // labelers (hash-flip error rates 5/15/25%) vote per doc on
+      // is-English; majority wins, agreement and accuracy are integer
+      // per-mille — the ensemble-classifier curation step, scale-safe
+      // as one explode + one map-combined groupBy
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("lang") === "en", lit(1)).otherwise(lit(0)).as("y"))
+      val votes = docs.select(col("doc_id"), col("y"),
+        explode(array((0 until 3).map { i =>
+          val flip = (pmod(TextFunctions.hash64(
+            concat_ws("#", lit(s"lab$i"), col("doc_id"))), lit(100L))
+            < lit(5L + 10L * i)).cast("int")
+          pmod(col("y") + flip, lit(2)).as(s"v$i")
+        }: _*)).as("v"))
+      votes.groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("v")).as("sv"))
+        .select(col("doc_id"),
+          (col("sv") * 2 > 3).cast("int").as("vote"),
+          expr("greatest(sv, 3 - sv) * 1000 div 3").as("agreement_pm"),
+          (when(col("sv") * 2 > 3, 1).otherwise(0) === col("y"))
+            .cast("int").as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_stream_decontam" -> ((s, dir) => {
       // STREAMING decontamination: 4 arriving doc batches each score
       // against the broadcast benchmark gram set at landing time —
@@ -4199,6 +4224,24 @@ object SparkEntry {
     "q_bloom_decontam" -> decontamOracleSql,
     // batch-independent per-doc scores: streaming arrival ≡ batch run
     "q_stream_decontam" -> decontamOracleSql,
+
+    "q_label_vote" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |v AS (SELECT doc_id, y, unnest([
+         |    (y + CASE WHEN ${Duck.hash64("'lab0#' || CAST(doc_id AS VARCHAR)")} % 100 < 5 THEN 1 ELSE 0 END) % 2,
+         |    (y + CASE WHEN ${Duck.hash64("'lab1#' || CAST(doc_id AS VARCHAR)")} % 100 < 15 THEN 1 ELSE 0 END) % 2,
+         |    (y + CASE WHEN ${Duck.hash64("'lab2#' || CAST(doc_id AS VARCHAR)")} % 100 < 25 THEN 1 ELSE 0 END) % 2]) AS vi
+         |  FROM d),
+         |a AS (SELECT doc_id, y, CAST(sum(vi) AS BIGINT) AS sv
+         |  FROM v GROUP BY doc_id, y)
+         |SELECT doc_id,
+         | CASE WHEN sv * 2 > 3 THEN 1 ELSE 0 END AS vote,
+         | greatest(sv, 3 - sv) * 1000 // 3 AS agreement_pm,
+         | CASE WHEN (CASE WHEN sv * 2 > 3 THEN 1 ELSE 0 END) = y
+         |   THEN 1 ELSE 0 END AS correct
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     // mirrors Sampling.mixtureResample: N_out = min(n_g/p_g),
     // threshold = floor(n_out*p_g/n_g*1e6), hash-bucket keep predicate
