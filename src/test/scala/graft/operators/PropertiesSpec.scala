@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
 import graft.functions.TextFunctions
-import graft.operators.Merge
+import graft.operators.{AsofJoin, Merge}
 
 /** ScalaCheck properties (SURVEY §5): the subtle operators are checked
   * against naive driver-side reference implementations on random
@@ -199,6 +199,34 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
         }.groupBy(identity).view.mapValues(_.size.toLong).toMap
         got == want
       }
+    }, n = 10)
+  }
+
+  test("asofJoinTolerance matches brute force on random series") {
+    // right side: distinct (key, ts) like a real series; left ids unique
+    val rightGen = Gen.listOf(Gen.zip(Gen.oneOf("u", "v"),
+        Gen.choose(0L, 200L), Gen.choose(0.0, 9.0)))
+      .map(_.distinctBy(x => (x._1, x._2)))
+    val leftGen = Gen.listOf(Gen.zip(Gen.choose(0L, 100L),
+        Gen.oneOf("u", "v"), Gen.choose(0L, 200L)))
+      .map(_.distinctBy(_._1))
+    holds(Prop.forAll(leftGen, rightGen) { (l, r) =>
+      val out = AsofJoin.asofJoinTolerance(l.toDF("id", "k", "ts"),
+          r.toDF("k", "ts", "px"), Seq("k"), "ts", Seq("px"),
+          tolerance = org.apache.spark.sql.functions.lit(30L))
+        .collect()
+        .map(row => (row.getLong(row.fieldIndex("id")),
+          Option(row.get(row.fieldIndex("px"))))).toSet
+      // the LATEST at-or-before row decides; stale latest nulls the
+      // match (never falls back to an older fresh row)
+      val want = l.map { case (id, k, ts) =>
+        val latest = r.filter(x => x._1 == k && x._2 <= ts)
+          .maxByOption(_._2)
+        (id, latest.collect {
+          case (_, rts, px) if ts - rts <= 30L => px
+        }: Option[Any])
+      }.toSet
+      out == want
     }, n = 10)
   }
 }
