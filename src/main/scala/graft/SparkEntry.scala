@@ -2376,6 +2376,20 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_media_pixels" -> ((s, dir) => {
+      // REAL pixel decode end-to-end: the staged PNGs' color bytes
+      // live only inside the zlib-compressed IDAT, so matching the
+      // oracle's formula-derived per-channel means proves the
+      // inflate + unfilter path is genuine (a header-reading fake
+      // cannot produce them)
+      val media = graft.multimodal.Multimodal.mediaFromFiles(s,
+        stagedPngs(s, dir),
+        idFromPath = regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("long"))
+      graft.multimodal.Multimodal.pixelFeatures(media)
+        .toDF().orderBy(col("id"))
+    }),
+
     "q_media_sniff" -> ((s, dir) => {
       // magic-byte content classification over BOTH landing paths: the
       // staged real PNGs must all sniff 'png' from their BYTES (not
@@ -4887,6 +4901,22 @@ object SparkEntry {
         | (1 + doc_id % 16)::INTEGER AS width,
         | (2 + doc_id % 13)::INTEGER AS height
         |FROM documents WHERE doc_id < 40 ORDER BY id""".stripMargin,
+
+    // per-channel means replay the staged color formula — the color
+    // bytes exist only inside the compressed IDAT, so this gates a
+    // genuine inflate+unfilter, not header reading
+    "q_media_pixels" ->
+      """WITH f AS (SELECT doc_id AS id,
+        |    (1 + doc_id % 16)::INTEGER AS width,
+        |    (2 + doc_id % 13)::INTEGER AS height,
+        |    (doc_id * 2654435761) & 16777215 AS rgb
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT id, width, height,
+        | CAST(width AS BIGINT) * height AS n_pixels,
+        | (rgb >> 16) & 255 AS mean_r,
+        | (rgb >> 8) & 255 AS mean_g,
+        | rgb & 255 AS mean_b
+        |FROM f ORDER BY id""".stripMargin,
 
     // RIFF/WAVE chunk-walk decode of staged real WAVs: the oracle
     // replays the staging parameter formulas (floor-div duration)

