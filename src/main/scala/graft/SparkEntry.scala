@@ -71,6 +71,79 @@ object SparkEntry {
     }
   }
 
+  /** 32 genuine GRADIENT PNGs, 8×8, luma formula
+    * v(x,y) = (x·29 + y·13 + (id div 4)·59) mod 240, plus +15 at the
+    * single position y·8+x == id mod 64 (all three channels = v).
+    * Groups of 4 consecutive ids share a base pattern and differ only
+    * in that one perturbed pixel — within-group aHash Hamming is tiny,
+    * across groups large — the image near-dup fixture whose pixel
+    * bytes live only inside compressed IDAT (decode-gated), yet whose
+    * aHash/embedding the oracle replays arithmetically. */
+  private def stagedGradPngs(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    stagedOnce("gradpng:n=32:8x8:v=(x*29+y*13+(id/4)*59)%240+15@pos=id%64",
+      dir)(countFiles(_, ".png") == 32) { path =>
+      val pngs = t(s, dir, "documents").where(col("doc_id") < 32)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = (id / 4).toInt
+          (id, graft.multimodal.ImageHeaders.encodePng(8, 8, (x, y) => {
+            val v = (x * 29 + y * 13 + g * 59) % 240 +
+              (if (y * 8 + x == (id % 64).toInt) 15 else 0)
+            (v << 16) | (v << 8) | v
+          }))
+        }.toDF("doc_id", "content")
+      graft.sinks.Sinks.writeBinaryFiles(pngs, "doc_id", "content",
+        path, "png")
+    }
+  }
+
+  /** 20 genuine 24-bit BI_RGB BMPs with per-channel gradient formulas
+    * (r=(x·31+id)%256, g=(y·37+id)%256, b=(x+y+id)%256) and non-8-
+    * aligned dims (w=10+id%5, h=6+id%3) that exercise the 4-byte row
+    * padding + bottom-up row order + BGR disk order of the DIB walk.
+    * File ids offset by 1000 so they union with the PNG leg without
+    * collision. */
+  private def stagedBmps(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    stagedOnce("bmp:n=20:w=10+id%5:h=6+id%3:r=(x*31+id)%256:g=(y*37+id)%256:b=(x+y+id)%256",
+      dir)(countFiles(_, ".bmp") == 20) { path =>
+      val bmps = t(s, dir, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val i = id.toInt
+          (1000 + id, graft.multimodal.ImageHeaders.tinyBmp(
+            10 + i % 5, 6 + i % 3,
+            (x, y) => (((x * 31 + i) % 256) << 16) |
+              (((y * 37 + i) % 256) << 8) | ((x + y + i) % 256)))
+        }.toDF("doc_id", "content")
+      graft.sinks.Sinks.writeBinaryFiles(bmps, "doc_id", "content",
+        path, "bmp")
+    }
+  }
+
+  /** 16 genuine baseline grayscale JPEGs (16×16, four 8×8 blocks each
+    * constant at luma (bx·41 + by·59 + id·23) mod 256; DC quantizer 8
+    * makes the decode round-trip integer-exact — JpegGray scaladoc).
+    * The pixel values live only inside the entropy-coded segment, so
+    * q_media_pixels' JPEG leg gates a real Huffman+dequant+IDCT.
+    * File ids offset by 2000. */
+  private def stagedJpegs(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    stagedOnce("jpeg:n=16:16x16:v=(bx*41+by*59+id*23)%256",
+      dir)(countFiles(_, ".jpg") == 16) { path =>
+      val jpgs = t(s, dir, "documents").where(col("doc_id") < 16)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val i = id.toInt
+          (2000 + id, graft.multimodal.JpegGray.tinyJpegGray(16, 16,
+            (bx, by) => (bx * 41 + by * 59 + i * 23) % 256))
+        }.toDF("doc_id", "content")
+      graft.sinks.Sinks.writeBinaryFiles(jpgs, "doc_id", "content",
+        path, "jpg")
+    }
+  }
+
   /** 30 genuine 16-bit PCM WAVs (valid RIFF chunk walk; rate/channels/
     * frame-count are doc_id formulas the oracle replays) — the audio
     * sibling of [[stagedPngs]] for q_audio_meta. */
@@ -104,6 +177,34 @@ object SparkEntry {
             height = 120 + 8 * (id % 4).toInt,
             nFrames = (100 + id * 7).toInt,
             microSecPerFrame = (1000000 / (10 + id % 20)).toInt))
+        }.toDF("doc_id", "content")
+      graft.sinks.Sinks.writeBinaryFiles(avis, "doc_id", "content",
+        path, "avi")
+    }
+  }
+
+  /** 12 genuine uncompressed AVIs WITH raw-DIB frame payloads
+    * (tinyAviWithFrames: `00db` chunks, bottom-up 4-byte-padded BGR
+    * rows): dims w=8+id%3 (padding exercised), h=6+id%2, frames
+    * nf=5+id%4, frame-f pixel formulas r=(x·7+f·11+id)%256,
+    * g=(y·5+f·3+id)%256, b=(x+y+f+id)%256 — the oracle replays the
+    * per-frame means arithmetically, so q_video_frames gates a real
+    * movi walk + DIB decode, not a header read. */
+  private def stagedFrameAvis(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    stagedOnce("aviframes:n=12:w=8+id%3:h=6+id%2:nf=5+id%4:r=(x*7+f*11+id)%256",
+      dir)(countFiles(_, ".avi") == 12) { path =>
+      val avis = t(s, dir, "documents").where(col("doc_id") < 12)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val i = id.toInt
+          (id, graft.multimodal.VideoHeaders.tinyAviWithFrames(
+            width = 8 + i % 3, height = 6 + i % 2,
+            nFrames = 5 + i % 4, microSecPerFrame = 40000,
+            rgbAt = Some(f => (x, y) =>
+              (((x * 7 + f * 11 + i) % 256) << 16) |
+                (((y * 5 + f * 3 + i) % 256) << 8) |
+                ((x + y + f + i) % 256))))
         }.toDF("doc_id", "content")
       graft.sinks.Sinks.writeBinaryFiles(avis, "doc_id", "content",
         path, "avi")
@@ -2377,17 +2478,61 @@ object SparkEntry {
     }),
 
     "q_media_pixels" -> ((s, dir) => {
-      // REAL pixel decode end-to-end: the staged PNGs' color bytes
-      // live only inside the zlib-compressed IDAT, so matching the
-      // oracle's formula-derived per-channel means proves the
-      // inflate + unfilter path is genuine (a header-reading fake
-      // cannot produce them)
-      val media = graft.multimodal.Multimodal.mediaFromFiles(s,
-        stagedPngs(s, dir),
+      // REAL pixel decode end-to-end over MIXED formats: the staged
+      // PNGs' color bytes live only inside the zlib-compressed IDAT
+      // (inflate + unfilter gate) and the staged BMPs' gradient bytes
+      // are laid out bottom-up/BGR/row-padded (DIB-walk gate) with
+      // non-8-aligned dims — matching the oracle's formula-derived
+      // per-channel means proves both decoders are genuine
+      import graft.multimodal.Multimodal
+      val pngs = Multimodal.mediaFromFiles(s, stagedPngs(s, dir),
         idFromPath = regexp_extract(col("path"), "(\\d+)\\.png$", 1)
           .cast("long"))
-      graft.multimodal.Multimodal.pixelFeatures(media)
+      val bmps = Multimodal.mediaFromFiles(s, stagedBmps(s, dir),
+        glob = "*.bmp",
+        idFromPath = regexp_extract(col("path"), "(\\d+)\\.bmp$", 1)
+          .cast("long"))
+      val jpgs = Multimodal.mediaFromFiles(s, stagedJpegs(s, dir),
+        glob = "*.jpg",
+        idFromPath = regexp_extract(col("path"), "(\\d+)\\.jpg$", 1)
+          .cast("long"))
+      Multimodal.pixelFeatures(pngs.unionByName(bmps).unionByName(jpgs))
         .toDF().orderBy(col("id"))
+    }),
+
+    "q_image_neardup" -> ((s, dir) => {
+      // image near-dup from REAL pixels: decode staged gradient PNGs
+      // (bytes only exist inside compressed IDAT), aHash each raster
+      // (8×8 block-luma average hash), then the generic Hamming-banded
+      // self-join (8 bands × 8 bits — pigeonhole-complete for the
+      // Hamming ≤ 2 verify). Within-group siblings differ in one
+      // perturbed pixel, so the oracle's arithmetic replay of the
+      // fixture formula pins both the decode AND the pair semantics.
+      val media = graft.multimodal.Multimodal.mediaFromFiles(s,
+        stagedGradPngs(s, dir),
+        idFromPath = regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("long"))
+      val sig = graft.multimodal.Multimodal.imageSignatures(media)
+      graft.dedup.Dedup.hammingPairs(sig, "id", "ahash",
+          bits = 64, maxHamming = 2, bands = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_knn_pixels" -> ((s, dir) => {
+      // embed-from-REAL-pixels ANN: embedMedia's image path (64
+      // block-mean lumas /255 at dim=64) over the staged gradient
+      // PNGs, then brute-force cosine top-k. Same downstream as
+      // q_media_knn but the vectors are now content-derived — the
+      // oracle rebuilds them from the fixture luma formula.
+      val media = graft.multimodal.Multimodal.mediaFromFiles(s,
+        stagedGradPngs(s, dir),
+        idFromPath = regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("long"))
+      val emb = graft.multimodal.Multimodal.embedMedia(media, dim = 64)
+        .persist() // both knn sides read it (see q_media_knn)
+      Similarity.bruteForceKnn(emb, emb.where(col("id") < 4), "id",
+        "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     "q_media_sniff" -> ((s, dir) => {
@@ -2438,6 +2583,21 @@ object SparkEntry {
           .cast("long"))
       graft.multimodal.Multimodal.videoFeatures(media, stride = 10)
         .toDF().orderBy(col("id"))
+    }),
+
+    "q_video_frames" -> ((s, dir) => {
+      // REAL frame decode end-to-end: stage uncompressed AVIs whose
+      // movi list carries raw-DIB 00db frames, extract every 2nd
+      // frame's pixels (LIST walk + bottom-up/BGR/padded DIB decode)
+      // and emit per-frame channel means; the oracle replays the
+      // per-frame color formulas — turning the r8 "sampling plan" into
+      // decoded frames
+      val media = graft.multimodal.Multimodal.mediaFromFiles(s,
+        stagedFrameAvis(s, dir), glob = "*.avi",
+        idFromPath = regexp_extract(col("path"), "(\\d+)\\.avi$", 1)
+          .cast("long"))
+      graft.multimodal.Multimodal.videoFrameFeatures(media, stride = 2)
+        .toDF().orderBy(col("id"), col("frame_idx"))
     }),
 
     "q_media_knn" -> ((s, dir) => {
@@ -4902,21 +5062,93 @@ object SparkEntry {
         | (2 + doc_id % 13)::INTEGER AS height
         |FROM documents WHERE doc_id < 40 ORDER BY id""".stripMargin,
 
-    // per-channel means replay the staged color formula — the color
-    // bytes exist only inside the compressed IDAT, so this gates a
-    // genuine inflate+unfilter, not header reading
+    // per-channel means replay the staged color formulas — PNG color
+    // bytes exist only inside the compressed IDAT (inflate+unfilter
+    // gate) and BMP gradients are bottom-up/BGR/row-padded (DIB-walk
+    // gate), so a fake in either decoder breaks the hash
     "q_media_pixels" ->
       """WITH f AS (SELECT doc_id AS id,
         |    (1 + doc_id % 16)::INTEGER AS width,
         |    (2 + doc_id % 13)::INTEGER AS height,
         |    (doc_id * 2654435761) & 16777215 AS rgb
-        |  FROM documents WHERE doc_id < 40)
-        |SELECT id, width, height,
-        | CAST(width AS BIGINT) * height AS n_pixels,
-        | (rgb >> 16) & 255 AS mean_r,
-        | (rgb >> 8) & 255 AS mean_g,
-        | rgb & 255 AS mean_b
-        |FROM f ORDER BY id""".stripMargin,
+        |  FROM documents WHERE doc_id < 40),
+        |png AS (SELECT id, width, height,
+        |    CAST(width AS BIGINT) * height AS n_pixels,
+        |    (rgb >> 16) & 255 AS mean_r,
+        |    (rgb >> 8) & 255 AS mean_g,
+        |    rgb & 255 AS mean_b
+        |  FROM f),
+        |bdim AS (SELECT doc_id, 10 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id < 20),
+        |bcells AS (SELECT doc_id, w, h,
+        |    (x * 31 + doc_id) % 256 AS r,
+        |    (y * 37 + doc_id) % 256 AS g,
+        |    (x + y + doc_id) % 256 AS b
+        |  FROM bdim CROSS JOIN range(15) AS tx(x) CROSS JOIN range(9) AS ty(y)
+        |  WHERE x < w AND y < h),
+        |bmp AS (SELECT doc_id + 1000 AS id, w::INTEGER AS width,
+        |    h::INTEGER AS height, (w * h)::BIGINT AS n_pixels,
+        |    CAST(sum(r) // (w * h) AS BIGINT) AS mean_r,
+        |    CAST(sum(g) // (w * h) AS BIGINT) AS mean_g,
+        |    CAST(sum(b) // (w * h) AS BIGINT) AS mean_b
+        |  FROM bcells GROUP BY doc_id, w, h),
+        |jcells AS (SELECT doc_id, (bx * 41 + by * 59 + doc_id * 23) % 256 AS v
+        |  FROM documents CROSS JOIN range(2) AS tbx(bx)
+        |    CROSS JOIN range(2) AS tby(by)
+        |  WHERE doc_id < 16),
+        |jpg AS (SELECT doc_id + 2000 AS id, 16::INTEGER AS width,
+        |    16::INTEGER AS height, 256::BIGINT AS n_pixels,
+        |    CAST(sum(v) // 4 AS BIGINT) AS mean_r,
+        |    CAST(sum(v) // 4 AS BIGINT) AS mean_g,
+        |    CAST(sum(v) // 4 AS BIGINT) AS mean_b
+        |  FROM jcells GROUP BY doc_id)
+        |SELECT * FROM (SELECT * FROM png UNION ALL SELECT * FROM bmp
+        |  UNION ALL SELECT * FROM jpg)
+        |ORDER BY id""".stripMargin,
+
+    // brute-force replay of the gradient-fixture aHash: luma formula →
+    // per-image mean → 64 bits → pairwise Hamming ≤ 2. The engine's
+    // banded join must return EXACTLY these pairs (8 bands ≥ guarantees
+    // recall for Hamming < 8), and its aHash comes from really-decoded
+    // IDAT pixels
+    "q_image_neardup" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 32),
+        |cells AS (SELECT id, x, y,
+        |    (x * 29 + y * 13 + (id // 4) * 59) % 240 +
+        |    CASE WHEN y * 8 + x = id % 64 THEN 15 ELSE 0 END AS v
+        |  FROM ids CROSS JOIN range(8) AS tx(x) CROSS JOIN range(8) AS ty(y)),
+        |m AS (SELECT id, sum(v) // 64 AS mean FROM cells GROUP BY id),
+        |bits AS (SELECT c.id, y * 8 + x AS pos,
+        |    CASE WHEN v >= mean THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN m USING (id)),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+        |         AS INTEGER) AS hamming_dist
+        |  FROM bits a JOIN bits b ON a.pos = b.pos AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, hamming_dist FROM pairs
+        |WHERE hamming_dist <= 2 ORDER BY id_a, id_b""".stripMargin,
+
+    // embed-from-pixels ANN: the 64-dim block-luma embedding rebuilt
+    // from the gradient formula (8×8 image ⇒ block mean = the pixel),
+    // then cosine top-k exactly as q_media_knn
+    "q_knn_pixels" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 32),
+        |cells AS (SELECT id, y * 8 + x AS pos,
+        |    ((x * 29 + y * 13 + (id // 4) * 59) % 240 +
+        |     CASE WHEN y * 8 + x = id % 64 THEN 15 ELSE 0 END) / 255.0 AS v
+        |  FROM ids CROSS JOIN range(8) AS tx(x) CROSS JOIN range(8) AS ty(y)),
+        |e AS (SELECT id, list(v ORDER BY pos) AS vec FROM cells GROUP BY id),
+        |q AS (SELECT id AS query_id, vec AS qv FROM e WHERE id < 4),
+        |c AS (SELECT id AS nbr_id, vec AS nv FROM e),
+        |scored AS (SELECT query_id, nbr_id,
+        |    round(list_cosine_similarity(qv, nv), 6) AS score
+        |  FROM q JOIN c ON query_id <> nbr_id)
+        |SELECT query_id, nbr_id, score, rank FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // RIFF/WAVE chunk-walk decode of staged real WAVs: the oracle
     // replays the staging parameter formulas (floor-div duration)
@@ -4945,6 +5177,28 @@ object SparkEntry {
         |  ((nf + 9) // 10)::BIGINT AS n_sampled,
         |  ((nf - 1) // 10 * 10)::BIGINT AS last_sampled
         |FROM p ORDER BY id""".stripMargin,
+
+    // per-frame channel means replay the staged frame formulas — the
+    // frames live in movi 00db chunks (bottom-up padded BGR DIB), so
+    // this gates a genuine movi walk + frame decode at stride 2
+    "q_video_frames" ->
+      """WITH p AS (SELECT doc_id AS id, 8 + doc_id % 3 AS w,
+        |    6 + doc_id % 2 AS h, 5 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id < 12),
+        |fr AS (SELECT id, w, h, f FROM p CROSS JOIN range(8) AS tf(f)
+        |  WHERE f < nf AND f % 2 = 0),
+        |cells AS (SELECT id, f, w, h,
+        |    (x * 7 + f * 11 + id) % 256 AS r,
+        |    (y * 5 + f * 3 + id) % 256 AS g,
+        |    (x + y + f + id) % 256 AS b
+        |  FROM fr CROSS JOIN range(10) AS tx(x) CROSS JOIN range(7) AS ty(y)
+        |  WHERE x < w AND y < h)
+        |SELECT id, f::BIGINT AS frame_idx, w::INTEGER AS width,
+        |  h::INTEGER AS height,
+        |  CAST(sum(r) // (w * h) AS BIGINT) AS mean_r,
+        |  CAST(sum(g) // (w * h) AS BIGINT) AS mean_g,
+        |  CAST(sum(b) // (w * h) AS BIGINT) AS mean_b
+        |FROM cells GROUP BY id, f, w, h ORDER BY id, frame_idx""".stripMargin,
 
     // magic-byte sniff: staged real PNGs detect 'png' from bytes,
     // ASCII text bytes detect 'unknown' — the oracle pins both

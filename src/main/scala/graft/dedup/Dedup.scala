@@ -364,23 +364,48 @@ object Dedup {
     * maxHamming. Returns (id_a, id_b, hamming_dist). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    val bitsPerBand = SimhashBits / bands
-    val mask = (1L << bitsPerBand) - 1
     // word-hash array materialized first (one md5 pass), then the 60
     // bit folds run as one fused codegen'd expression
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    // persisted: the md5 word-hash + simhash fold subtree feeds both
-    // sides of the banded self-join and would otherwise execute twice
     val base = Spread.ensure(df.select(col(idCol).as("id"),
         col(textCol).as("txt")))
       .select(col("id"), wordHashes(col("txt")).as("h"))
       .withColumn("sh", call_function(
         graft.expressions.GraftFunctions.SimHash, col("h")))
       .select(col("id"), col("sh"))
+    hammingPairs(base, "id", "sh", SimhashBits, maxHamming, bands)
+  }
+
+  /** Generic Hamming-banded near-dup join over ANY integer bit
+    * signature (text SimHash, image aHash, audio fingerprints…):
+    * split the `bits`-bit signature into `bands` equal bands, equi-
+    * join on (band index, band bits) — pigeonhole guarantees every
+    * pair within Hamming distance < bands shares at least one exact
+    * band — then verify with exact `bit_count(xor)` ≤ maxHamming.
+    * Returns (id_a, id_b, hamming_dist).
+    *
+    * Scale: the only shuffle is the equi-join on the band key; no
+    * all-pairs anywhere. The signature frame is persisted here because
+    * both sides of the self-join read it — callers' signatures often
+    * come from expensive subtrees (md5 passes, pixel decodes) that
+    * must not run twice (caller's clearCache owns the release). */
+  def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
+                   bits: Int, maxHamming: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && bits % bands == 0,
+      s"bands ($bands) must divide the signature width ($bits)")
+    require(maxHamming < bands,
+      s"banding with $bands bands only guarantees recall for Hamming " +
+        s"< bands; maxHamming=$maxHamming needs more bands")
+    val bitsPerBand = bits / bands
+    val mask = if (bitsPerBand >= 64) lit(-1L)
+      else lit((1L << bitsPerBand) - 1)
+    val base = sig.select(col(idCol).as("id"), col(sigCol).as("sig"))
       .persist()
-    val banded = base.select(col("id"), col("sh"),
+    // arithmetic shiftright sign-extends the top band of a 64-bit
+    // signature; the mask strips the extension so band keys are exact
+    val banded = base.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
-        shiftright(col("sh"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)))
+        shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     // verify (cheap bit_count) BEFORE distinct: hot band keys can blow
     // the join output up quadratically, and distinct() would shuffle
@@ -391,7 +416,7 @@ object Dedup {
           col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming(col("a.sh"), col("b.sh")).as("hamming_dist"))
+        hamming(col("a.sig"), col("b.sig")).as("hamming_dist"))
       .where(col("hamming_dist") <= maxHamming)
       .distinct()
   }

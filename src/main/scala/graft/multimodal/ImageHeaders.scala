@@ -83,11 +83,20 @@ object ImageHeaders {
     else None
 
   /** A minimal, deterministic, VALID single-color PNG built without
-    * ImageIO: IHDR (8-bit RGB), one IDAT holding the zlib-compressed
-    * filter-0 scanlines, IEND. Deterministic across JVMs (fixed
-    * deflate level 9) so staged fixtures are content-stable. */
-  def tinyPng(width: Int, height: Int, rgb: Int): Array[Byte] = {
-    require(width > 0 && height > 0, "tinyPng needs positive dimensions")
+    * ImageIO — see [[encodePng]]. */
+  def tinyPng(width: Int, height: Int, rgb: Int): Array[Byte] =
+    encodePng(width, height, (_, _) => rgb)
+
+  /** Deterministic PNG encoder for arbitrary pixel patterns: IHDR
+    * (8-bit RGB), one IDAT holding the zlib-compressed filter-0
+    * scanlines, IEND. `rgbAt(x, y)` supplies each pixel's 0xRRGGBB.
+    * Deterministic across JVMs (fixed deflate level 9) so staged
+    * fixtures are content-stable — the per-pixel colors exist ONLY
+    * inside the compressed IDAT, which is what lets gradient fixtures
+    * gate a genuine decode in [[decodePixels]]. */
+  def encodePng(width: Int, height: Int,
+                rgbAt: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "encodePng needs positive dimensions")
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
     def chunk(tag: String, body: Array[Byte]): Unit = {
@@ -107,16 +116,15 @@ object ImageHeaders {
       .array()
     chunk("IHDR", ihdr)
     val raw = new Array[Byte](height * (1 + 3 * width)) // filter byte + RGB row
-    val (r, g, bl) = (((rgb >> 16) & 0xff).toByte, ((rgb >> 8) & 0xff).toByte,
-      (rgb & 0xff).toByte)
     var y = 0
     while (y < height) {
       val base = y * (1 + 3 * width) // raw(base) = 0: filter type None
       var x = 0
       while (x < width) {
-        raw(base + 1 + 3 * x) = r
-        raw(base + 2 + 3 * x) = g
-        raw(base + 3 + 3 * x) = bl
+        val rgb = rgbAt(x, y)
+        raw(base + 1 + 3 * x) = ((rgb >> 16) & 0xff).toByte
+        raw(base + 2 + 3 * x) = ((rgb >> 8) & 0xff).toByte
+        raw(base + 3 + 3 * x) = (rgb & 0xff).toByte
         x += 1
       }
       y += 1
@@ -156,7 +164,9 @@ object ImageHeaders {
     try {
       while (pos + 8 <= png.length) {
         val len = bb.getInt(pos)
-        if (len < 0 || pos + 12 + len > png.length) return None
+        // Long arithmetic: len near Int.MaxValue must not wrap the
+        // bounds check into a "fits" verdict and crash idat.write
+        if (len < 0 || pos.toLong + 12L + len > png.length) return None
         val tag = new String(png, pos + 4, 4, "US-ASCII")
         tag match {
           case "IHDR" =>
@@ -175,6 +185,12 @@ object ImageHeaders {
         case _ => return None
       }
       if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+      // cap the decoded size BEFORE allocating: an adversarial header
+      // claiming ~2G pixels would otherwise overflow `h * (1 + stride)`
+      // into NegativeArraySizeException (or OOM a 16 GB allocation).
+      // 2^27 samples ≈ 128 MP RGBA — far above any curation fixture,
+      // far below harm.
+      if (w.toLong * h * channels + h > (1L << 27)) return None
       val stride = channels * w
       val raw = new Array[Byte](h * (1 + stride))
       val inf = new java.util.zip.Inflater()
@@ -182,7 +198,11 @@ object ImageHeaders {
       var off = 0
       while (!inf.finished() && off < raw.length) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // n == 0 while unfinished covers BOTH truncated streams
+        // (needsInput) and FDICT preset-dictionary streams
+        // (needsDictionary, where needsInput stays false and the old
+        // needsInput-only check spun forever)
+        if (n == 0) return None
         off += n
       }
       inf.end()
@@ -220,8 +240,131 @@ object ImageHeaders {
         y += 1
       }
       Some(Raster(w, h, channels, out))
-    } catch { case _: java.util.zip.DataFormatException => None }
+    } catch {
+      // malformed untrusted blobs route to quarantine as None, never an
+      // executor-killing throw: bad zlib bytes, chunk-length lies that
+      // slip past the walk, or header/size inconsistencies
+      case _: java.util.zip.DataFormatException => None
+      case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
   }
+
+  /** REAL BMP pixel decode: BITMAPFILEHEADER + BITMAPINFOHEADER walk,
+    * then the uncompressed DIB pixel array — 24/32-bit BI_RGB only
+    * (the overwhelmingly dominant uncompressed layout). Rows are
+    * 4-byte aligned and stored bottom-up unless biHeight is negative
+    * (top-down); samples are B,G,R(,A) order on disk and returned as
+    * RGB in the [[Raster]] (alpha dropped — callers treat BMP as
+    * opaque, matching every curation feature downstream). Returns None
+    * for palette/compressed/16-bit shapes and malformed buffers. */
+  def decodeBmp(b: Array[Byte]): Option[Raster] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    try {
+      val dataOffset = le32(b, 10)
+      val dibSize = le32(b, 14)
+      if (dibSize < 40) return None // BITMAPCOREHEADER not supported
+      val w = le32(b, 18)
+      val hRaw = le32(b, 22)
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      val bpp = le16(b, 28)
+      val compression = le32(b, 30)
+      if (w <= 0 || h <= 0 || compression != 0 ||
+        (bpp != 24 && bpp != 32)) return None
+      decodeDib(b, dataOffset, w, h, bpp, topDown)
+    } catch {
+      case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** Raw DIB pixel-array walk shared by [[decodeBmp]] and AVI `00db`
+    * frame payloads ([[VideoHeaders.rawFrames]]): `h` rows of 4-byte-
+    * aligned B,G,R(,A) samples, bottom-up unless `topDown`. */
+  private[multimodal] def decodeDib(b: Array[Byte], dataOffset: Int,
+                                    w: Int, h: Int, bpp: Int,
+                                    topDown: Boolean): Option[Raster] = {
+    try {
+      if (w <= 0 || h <= 0 || (bpp != 24 && bpp != 32)) return None
+      if (w.toLong * h * 3 > (1L << 27)) return None // same cap as PNG
+      val inChannels = bpp / 8
+      val rowSize = ((bpp.toLong * w + 31) / 32 * 4).toInt
+      if (dataOffset < 0 ||
+        dataOffset.toLong + rowSize.toLong * h > b.length) return None
+      val out = new Array[Int](h * w * 3)
+      var y = 0
+      while (y < h) {
+        val srcRow = if (topDown) y else h - 1 - y
+        val rowBase = dataOffset + srcRow * rowSize
+        var x = 0
+        while (x < w) {
+          val p = rowBase + x * inChannels
+          val o = (y * w + x) * 3
+          out(o) = u8(b(p + 2))     // R (disk order is B,G,R[,A])
+          out(o + 1) = u8(b(p + 1)) // G
+          out(o + 2) = u8(b(p))     // B
+          x += 1
+        }
+        y += 1
+      }
+      Some(Raster(w, h, 3, out))
+    } catch {
+      case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** A minimal, deterministic, VALID 24-bit BI_RGB BMP for arbitrary
+    * pixel patterns — bottom-up rows, 4-byte row padding, B,G,R disk
+    * order — the uncompressed sibling of [[encodePng]] for staged
+    * fixtures (here the pixel bytes are raw, so the decode gate is the
+    * row-order/padding/channel-order walk rather than inflate). */
+  def tinyBmp(width: Int, height: Int,
+              rgbAt: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "tinyBmp needs positive dimensions")
+    val rowSize = (3 * width + 3) / 4 * 4
+    val dataSize = rowSize * height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize) // file size
+      .putInt(0)             // reserved
+      .putInt(54)            // pixel data offset
+      .putInt(40)            // BITMAPINFOHEADER size
+      .putInt(width).putInt(height) // positive height = bottom-up
+      .putShort(1)           // planes
+      .putShort(24)          // bits per pixel
+      .putInt(0)             // BI_RGB (uncompressed)
+      .putInt(dataSize)
+      .putInt(2835).putInt(2835) // 72 dpi
+      .putInt(0).putInt(0)   // palette counts
+    var y = height - 1 // bottom-up: last raster row first on disk
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val rgb = rgbAt(x, y)
+        bb.put((rgb & 0xff).toByte)         // B
+          .put(((rgb >> 8) & 0xff).toByte)  // G
+          .put(((rgb >> 16) & 0xff).toByte) // R
+        x += 1
+      }
+      var pad = rowSize - 3 * width
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** Unified pixel decode across the formats with a pure-JVM path:
+    * PNG (inflate + unfilter), BMP (DIB walk), or baseline grayscale
+    * JPEG (entropy decode + IDCT, [[JpegGray.decode]]). Other formats
+    * and malformed bytes → None (quarantine leg). */
+  def decodeImage(b: Array[Byte]): Option[Raster] =
+    if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff &&
+      (b(1) & 0xff) == 0xd8) JpegGray.decode(b)
+    else decodePixels(b)
 
   /** Integer per-channel pixel statistics of a decoded raster:
     * (meanR, meanG, meanB) by floor division — engine-replayable. */
@@ -234,5 +377,78 @@ object ImageHeaders {
       i += r.channels
     }
     (sr / n, sg / n, sb / n)
+  }
+
+  /** 8×8 grid of integer block-mean lumas, row-major (index =
+    * by*8 + bx) — the resize step of the classic average-hash. All
+    * arithmetic is integer floor (luma = (r+g+b)/3, block mean =
+    * sum/count) so any engine replays the exact values. Block
+    * boundaries are `b*dim/8`; images narrower than 8 px clamp each
+    * block to at least one pixel (neighboring blocks then share
+    * pixels, still deterministic). */
+  def blockLumas(r: Raster): Array[Int] = {
+    val out = new Array[Int](64)
+    var by = 0
+    while (by < 8) {
+      val y0 = by * r.height / 8
+      val y1 = math.max(y0 + 1, (by + 1) * r.height / 8)
+      var bx = 0
+      while (bx < 8) {
+        val x0 = bx * r.width / 8
+        val x1 = math.max(x0 + 1, (bx + 1) * r.width / 8)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = (y * r.width + x) * r.channels
+            sum += (r.samples(p) + r.samples(p + 1) + r.samples(p + 2)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        out(by * 8 + bx) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  /** Average-hash (aHash) of a decoded raster: 64 block lumas
+    * ([[blockLumas]]), mean = floor(sum/64), bit (by*8+bx) set iff
+    * that block's luma >= mean. Near-identical images differ in a few
+    * bits; the Hamming-banded self-join over these signatures is the
+    * image near-dup candidate generator ([[graft.dedup.Dedup
+    * .hammingPairs]]). Integer end-to-end — oracle-replayable. */
+  def aHash(r: Raster): Long = {
+    val blocks = blockLumas(r)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += blocks(i); i += 1 }
+    val mean = sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (blocks(i) >= mean) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Per-channel histogram counts: `bins` equal-width buckets per
+    * channel (bucket = sample*bins/256), returned as
+    * [r_0..r_{bins-1}, g_0.., b_0..] — the cheap content fingerprint
+    * that complements the spatial aHash. */
+  def channelHistogram(r: Raster, bins: Int): Array[Long] = {
+    val out = new Array[Long](3 * bins)
+    var i = 0
+    while (i < r.samples.length) {
+      out(r.samples(i) * bins / 256) += 1
+      out(bins + r.samples(i + 1) * bins / 256) += 1
+      out(2 * bins + r.samples(i + 2) * bins / 256) += 1
+      i += r.channels
+    }
+    out
   }
 }

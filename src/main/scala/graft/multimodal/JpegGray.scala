@@ -1,0 +1,423 @@
+package graft.multimodal
+
+/** Pure-JVM baseline JPEG decode for single-component (grayscale)
+  * JFIF streams — the format that dominates real image corpora. This
+  * is a REAL entropy decoder of the published format (ITU T.81):
+  * DQT/DHT/SOF0/SOS marker walk, canonical Huffman table
+  * construction (Annex C), byte-unstuffing bit reader, DC prediction
+  * with restart-marker resets, run-length AC decoding (EOB/ZRL),
+  * dequantization, de-zigzag, and a separable floating IDCT with the
+  * +128 level shift. Scope: baseline sequential (SOF0), 8-bit,
+  * exactly one component; progressive, color, and arithmetic-coded
+  * streams return None (quarantine leg), like every decoder in
+  * [[ImageHeaders]].
+  *
+  * [[tinyJpegGray]] emits block-constant fixtures with a DC quantizer
+  * of 8, which makes the decode ROUND-TRIP EXACT in integer
+  * arithmetic (qDC = v−128 exactly; DC-only IDCT = DC/8 is a
+  * power-of-two float division, no error) — so a DuckDB oracle can
+  * replay decoded pixel statistics arithmetically while the pixel
+  * values themselves live only inside the entropy-coded segment.
+  */
+object JpegGray {
+
+  // zigzag index -> natural (row-major) index (T.81 Figure A.6)
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Annex K.3 typical luminance Huffman tables (the interchange set
+  // every camera/encoder ships; our fixtures use them too)
+  private[multimodal] val DcCounts: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private[multimodal] val DcSymbols: Array[Int] =
+    Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private[multimodal] val AcCounts: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private[multimodal] val AcSymbols: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Canonical Huffman table (Annex C): for each symbol, its code and
+    * length; decode side indexed as (length -> (firstCode, firstIdx)).
+    */
+  private final class Huff(counts: Array[Int], symbols: Array[Int]) {
+    // decode structures: minCode/maxCode/valPtr per code length 1..16
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    // encode structures: symbol -> (code, length)
+    val encCode = new Array[Int](256)
+    val encLen = new Array[Int](256)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        var i = 0
+        while (i < counts(l - 1)) {
+          encCode(symbols(k)) = code
+          encLen(symbols(k)) = l
+          code += 1; k += 1; i += 1
+        }
+        maxCode(l) = code - 1
+        if (counts(l - 1) == 0) maxCode(l) = -1 // no codes at this length
+        code <<= 1
+        l += 1
+      }
+    }
+    def symbolAt(idx: Int): Int = symbols(idx)
+  }
+
+  /** Bit reader over the entropy-coded segment with 0xFF00
+    * unstuffing; surfaces restart markers (D0–D7) as predictor-reset
+    * events and stops at any other marker (EOI). */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var bits = 0
+    private var nbits = 0
+    var hitMarker = false
+    var restart = false
+    def nextBit(): Int = {
+      if (nbits == 0) {
+        if (pos >= b.length) { hitMarker = true; return -1 }
+        var byte0 = b(pos) & 0xff
+        pos += 1
+        if (byte0 == 0xff) {
+          val m = if (pos < b.length) b(pos) & 0xff else 0xd9
+          if (m == 0x00) pos += 1 // stuffed literal 0xFF
+          else if (m >= 0xd0 && m <= 0xd7) { // restart marker
+            pos += 1
+            restart = true
+            nbits = 0
+            return nextBit()
+          } else { hitMarker = true; return -1 }
+          byte0 = 0xff
+        }
+        bits = byte0; nbits = 8
+      }
+      nbits -= 1
+      (bits >> nbits) & 1
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val bit = nextBit()
+        if (bit < 0) return -1
+        v = (v << 1) | bit
+        i += 1
+      }
+      v
+    }
+    def byteAlign(): Unit = { nbits = 0 }
+    def decodeSymbol(h: Huff): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        val bit = nextBit()
+        if (bit < 0) return -1
+        code = (code << 1) | bit
+        if (h.maxCode(l) >= 0 && code <= h.maxCode(l))
+          return h.symbolAt(h.valPtr(l) + code - h.minCode(l))
+        l += 1
+      }
+      -1 // invalid code
+    }
+  }
+
+  // T.81 F.2.2.1 EXTEND: map s magnitude bits to a signed coefficient
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode a baseline grayscale JPEG to a [[ImageHeaders.Raster]]
+    * (channels = 3 with r=g=b, so downstream raster features apply
+    * unchanged). None for anything outside the supported shape or any
+    * malformed stream. */
+  def decode(b: Array[Byte]): Option[ImageHeaders.Raster] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    try {
+      val quant = new Array[Array[Int]](4)
+      val dcTables = new Array[Huff](4)
+      val acTables = new Array[Huff](4)
+      var w = -1
+      var h = -1
+      var qId = -1
+      var dcId = -1
+      var acId = -1
+      var restartInterval = 0
+      var pos = 2
+      var scanStart = -1
+      while (scanStart < 0 && pos + 4 <= b.length) {
+        if ((b(pos) & 0xff) != 0xff) return None
+        // tolerate fill bytes (repeated 0xFF) before a marker
+        while (pos + 4 <= b.length && (b(pos + 1) & 0xff) == 0xff) pos += 1
+        val m = b(pos + 1) & 0xff
+        val len = ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+        val seg = pos + 4
+        val segEnd = pos + 2 + len
+        if (segEnd > b.length) return None
+        m match {
+          case 0xdb => // DQT: one or more tables
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              if (pq != 0) return None // 16-bit tables: out of scope
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) { t(i) = b(p + 1 + i) & 0xff; i += 1 }
+              quant(tq) = t
+              p += 65
+            }
+          case 0xc4 => // DHT: one or more tables
+            var p = seg
+            while (p < segEnd) {
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              val counts = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
+              val n = counts.sum
+              val symbols = Array.tabulate(n)(i => b(p + 17 + i) & 0xff)
+              val huff = new Huff(counts, symbols)
+              if (tc == 0) dcTables(th) = huff else acTables(th) = huff
+              p += 17 + n
+            }
+          case 0xc0 => // SOF0 baseline
+            if ((b(seg) & 0xff) != 8) return None // precision
+            h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+            w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+            val ncomp = b(seg + 5) & 0xff
+            if (ncomp != 1) return None // grayscale only
+            qId = b(seg + 8) & 0x0f
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+               0xcb | 0xcd | 0xce | 0xcf =>
+            return None // non-baseline SOF: out of scope
+          case 0xdd => // DRI
+            restartInterval =
+              ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
+          case 0xda => // SOS
+            val ns = b(seg) & 0xff
+            if (ns != 1) return None
+            dcId = (b(seg + 2) & 0xff) >> 4
+            acId = b(seg + 2) & 0x0f
+            scanStart = segEnd
+          case _ => () // APPn/COM/etc: skip
+        }
+        if (scanStart < 0) pos = segEnd
+      }
+      if (scanStart < 0 || w <= 0 || h <= 0 || qId < 0) return None
+      if (w.toLong * h * 3 > (1L << 27)) return None // cap, as PNG/BMP
+      val q = quant(qId)
+      val dcH = dcTables(dcId)
+      val acH = acTables(acId)
+      if (q == null || dcH == null || acH == null) return None
+
+      val bw = (w + 7) / 8
+      val bh = (h + 7) / 8
+      val out = new Array[Int](h * w * 3)
+      val reader = new BitReader(b, scanStart)
+      val coef = new Array[Int](64)
+      val block = new Array[Double](64)
+      var pred = 0
+      var mcu = 0
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          if (restartInterval > 0 && mcu > 0 &&
+            mcu % restartInterval == 0) {
+            // encoder emitted RSTn here; reader resets on consuming it
+            reader.byteAlign()
+            pred = 0
+          }
+          java.util.Arrays.fill(coef, 0)
+          // DC
+          val s = reader.decodeSymbol(dcH)
+          if (s < 0 || s > 11) return None
+          val diffBits = if (s == 0) 0 else reader.readBits(s)
+          if (diffBits < 0) return None
+          reader.restart = false // predictor already reset at the boundary
+          pred += extend(diffBits, s)
+          coef(0) = pred * q(0)
+          // AC (run-length over zigzag positions 1..63)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = reader.decodeSymbol(acH)
+            if (rs < 0) return None
+            val r = rs >> 4
+            val sa = rs & 0x0f
+            if (rs == 0x00) eob = true
+            else if (rs == 0xf0) k += 16 // ZRL: sixteen zeros
+            else {
+              k += r
+              if (k > 63) return None
+              val vb = reader.readBits(sa)
+              if (vb < 0) return None
+              coef(Zigzag(k)) = extend(vb, sa) * q(k)
+              k += 1
+            }
+          }
+          // IDCT (separable would be faster; fixtures are tiny and
+          // correctness-exactness matters more than speed here)
+          var i = 0
+          while (i < 64) { block(i) = 0.0; i += 1 }
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              val c = coef(v * 8 + u)
+              if (c != 0) {
+                val cu = if (u == 0) 0.7071067811865476 else 1.0
+                val cv = if (v == 0) 0.7071067811865476 else 1.0
+                val amp = 0.25 * cu * cv * c
+                var y0 = 0
+                while (y0 < 8) {
+                  val cy = Math.cos((2 * y0 + 1) * v * Math.PI / 16)
+                  var x0 = 0
+                  while (x0 < 8) {
+                    block(y0 * 8 + x0) +=
+                      amp * Math.cos((2 * x0 + 1) * u * Math.PI / 16) * cy
+                    x0 += 1
+                  }
+                  y0 += 1
+                }
+              }
+              u += 1
+            }
+            v += 1
+          }
+          // level shift + clamp + crop into the raster
+          var yy = 0
+          while (yy < 8) {
+            val py = by * 8 + yy
+            if (py < h) {
+              var xx = 0
+              while (xx < 8) {
+                val px = bx * 8 + xx
+                if (px < w) {
+                  val g0 = Math.round(block(yy * 8 + xx) + 128.0).toInt
+                  val g = if (g0 < 0) 0 else if (g0 > 255) 255 else g0
+                  val o = (py * w + px) * 3
+                  out(o) = g; out(o + 1) = g; out(o + 2) = g
+                }
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+      Some(ImageHeaders.Raster(w, h, 3, out))
+    } catch {
+      case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** Bit writer with JPEG byte stuffing (0xFF → 0xFF 0x00). */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def write(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flushWithOnes(): Unit = if (n > 0) {
+      while (n != 0) write(1, 1) // pad to byte with 1-bits (T.81 F.1.2.3)
+    }
+  }
+
+  /** A minimal, deterministic, VALID baseline grayscale JPEG whose
+    * 8×8 blocks are CONSTANT at `lumaAt(bx, by)`: DQT with DC
+    * quantizer 8 (so the quantized DC is exactly v−128 and the
+    * decode round-trips bit-exact in integer arithmetic), Annex K
+    * Huffman tables, DC-difference entropy coding with immediate EOB
+    * per block. `width`/`height` must be multiples of 8 so every
+    * pixel belongs to a full block. The pixel values exist ONLY
+    * inside the entropy-coded bitstream — decoding them is proof of a
+    * real Huffman + dequant + IDCT path. */
+  def tinyJpegGray(width: Int, height: Int,
+                   lumaAt: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
+      "tinyJpegGray needs positive multiple-of-8 dimensions")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    // DQT table 0: zigzag position 0 (DC) = 8, AC = 16 (any value —
+    // all AC coefficients are zero for constant blocks)
+    seg(0xdb, Array(0x00) ++ Array.tabulate(64)(i => if (i == 0) 8 else 16))
+    // SOF0: 8-bit, 1 component (id 1, 1×1 sampling, qtable 0)
+    seg(0xc0, Array(8,
+      (height >> 8) & 0xff, height & 0xff,
+      (width >> 8) & 0xff, width & 0xff,
+      1, 1, 0x11, 0))
+    // DHT: Annex K DC + AC luminance tables
+    seg(0xc4, Array(0x00) ++ DcCounts ++ DcSymbols)
+    seg(0xc4, Array(0x10) ++ AcCounts ++ AcSymbols)
+    // SOS: 1 component, DC table 0 / AC table 0
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val dcHuff = new Huff(DcCounts, DcSymbols)
+    val acHuff = new Huff(AcCounts, AcSymbols)
+    val bw = new BitWriter(out)
+    var pred = 0
+    var by = 0
+    while (by < height / 8) {
+      var bx = 0
+      while (bx < width / 8) {
+        val v = lumaAt(bx, by) & 0xff
+        val dc = v - 128 // quantized DC with quantizer 8 (see above)
+        val diff = dc - pred
+        pred = dc
+        val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(
+          math.abs(diff))
+        bw.write(dcHuff.encCode(s), dcHuff.encLen(s))
+        if (s > 0) {
+          val bits = if (diff >= 0) diff else diff + (1 << s) - 1
+          bw.write(bits, s)
+        }
+        bw.write(acHuff.encCode(0x00), acHuff.encLen(0x00)) // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flushWithOnes()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+}

@@ -127,19 +127,21 @@ object Multimodal {
                            n_pixels: Long, mean_r: Long, mean_g: Long,
                            mean_b: Long)
 
-  /** REAL pixel-level features for decodable PNGs
-    * ([[ImageHeaders.decodePixels]]: chunk walk → IDAT inflate →
-    * full scanline-filter reversal): dims from the decoded raster and
+  /** REAL pixel-level features for decodable images
+    * ([[ImageHeaders.decodeImage]]: PNG chunk walk → IDAT inflate →
+    * full scanline-filter reversal, or BMP DIB walk with row
+    * order/padding/BGR reversal): dims from the decoded raster and
     * integer per-channel means. Undecodable rows are dropped — at
     * scale they route to a quarantine leg like malformed CSV rows.
-    * The color bytes exist only inside the compressed IDAT, so these
-    * means CANNOT be derived from headers — the oracle replaying the
-    * staged fixtures' color formula gates a genuine decode. */
+    * For PNG the color bytes exist only inside the compressed IDAT,
+    * so these means CANNOT be derived from headers — the oracle
+    * replaying the staged fixtures' color formula gates a genuine
+    * decode. */
   def pixelFeatures(ds: Dataset[MediaRow]): Dataset[PixelFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        ImageHeaders.decodePixels(r.content).map { px =>
+        ImageHeaders.decodeImage(r.content).map { px =>
           val (mr, mg, mb) = ImageHeaders.pixelMeans(px)
           PixelFeatures(r.id, px.width, px.height,
             px.width.toLong * px.height, mr, mg, mb)
@@ -148,14 +150,35 @@ object Multimodal {
     }
   }
 
-  /** STUB media embedding: `dim` deterministic pseudo-features derived
-    * from the content checksum — emb[j] = (hash64(md5hex ∥ '_' ∥ j)
-    * mod 1000) / 999 with the same 60-bit md5-prefix hash the text
-    * operators use, so a DuckDB oracle reproduces it bit-for-bit. The
-    * mapPartitions shape is the point: a real implementation
-    * initializes the vision/audio encoder once per partition and runs
-    * content batches through it; downstream (ANN search, embedding
-    * dedup) is identical either way. */
+  /** Content-derived image signatures from REAL decoded pixels:
+    * (id, width, height, ahash) where ahash is the 64-bit average
+    * hash over the 8×8 block-luma grid ([[ImageHeaders.aHash]]).
+    * Undecodable rows are dropped (quarantine leg). Feed the result to
+    * [[graft.dedup.Dedup.hammingPairs]] for the banded image near-dup
+    * join — the visual twin of text SimHash. */
+  def imageSignatures(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        ImageHeaders.decodeImage(r.content).map(px =>
+          (r.id, px.width, px.height, ImageHeaders.aHash(px)))
+      }
+    }.toDF("id", "width", "height", "ahash")
+  }
+
+  /** Media embedding. For content that REALLY decodes (PNG/BMP pixel
+    * paths in [[ImageHeaders.decodeImage]]) the embedding is computed
+    * from the raster — the 64 block-mean lumas (8×8 grid, /255)
+    * followed by 4-bin-per-channel histogram rates, cycled to `dim` —
+    * a genuine content-derived visual descriptor (near-identical
+    * images land near-identical vectors; the q_knn_pixels oracle
+    * replays it arithmetically from the staged gradient formulas).
+    * Undecodable content falls back to the documented checksum STUB —
+    * emb[j] = (hash64(md5hex ∥ '_' ∥ j) mod 1000) / 999 — which keeps
+    * text-bytes fixtures oracle-testable and marks the seam where a
+    * production deployment mounts a real vision/audio encoder (loaded
+    * once per partition, batched through mapPartitions — downstream
+    * ANN/dedup is identical either way). */
   def embedMedia(ds: Dataset[MediaRow], dim: Int): DataFrame = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
@@ -163,17 +186,51 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
       it.map { r =>
-        md.reset()
-        val ck = hex(md.digest(r.content))
-        val emb = Array.tabulate(dim) { j =>
-          md.reset()
-          val h = java.lang.Long.parseLong(
-            hex(md.digest(s"${ck}_$j".getBytes("UTF-8"))).take(15), 16)
-          (h % 1000L) / 999.0
+        val emb = ImageHeaders.decodeImage(r.content) match {
+          case Some(px) =>
+            val blocks = ImageHeaders.blockLumas(px)
+            val hist = ImageHeaders.channelHistogram(px, bins = 4)
+            val n = px.width.toDouble * px.height
+            val pool = blocks.map(_ / 255.0) ++ hist.map(_ / n)
+            Array.tabulate(dim)(j => pool(j % pool.length))
+          case None =>
+            md.reset()
+            val ck = hex(md.digest(r.content))
+            Array.tabulate(dim) { j =>
+              md.reset()
+              val h = java.lang.Long.parseLong(
+                hex(md.digest(s"${ck}_$j".getBytes("UTF-8"))).take(15), 16)
+              (h % 1000L) / 999.0
+            }
         }
         (r.id, emb)
       }
     }.toDF("id", "embedding")
+  }
+
+  case class FrameFeatures(id: Long, frame_idx: Long, width: Int,
+                           height: Int, mean_r: Long, mean_g: Long,
+                           mean_b: Long)
+
+  /** REAL decoded video frames: every `stride`-th raw-DIB frame of an
+    * uncompressed AVI ([[VideoHeaders.rawFrames]]) becomes a row with
+    * integer per-channel means — the executed form of the frame-
+    * sampling plan in [[videoFeatures]]. flatMap = explode-to-frames
+    * where the bytes live; non-AVI/compressed rows contribute nothing
+    * (quarantine leg). At scale the per-task cost is bounded by
+    * `spark.sql.files.maxPartitionBytes` on the binaryFile scan, and
+    * only sampled-frame FEATURES (not rasters) ever shuffle. */
+  def videoFrameFeatures(ds: Dataset[MediaRow],
+                         stride: Int = 10): Dataset[FrameFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        VideoHeaders.rawFrames(r.content, stride).map { case (idx, px) =>
+          val (mr, mg, mb) = ImageHeaders.pixelMeans(px)
+          FrameFeatures(r.id, idx, px.width, px.height, mr, mg, mb)
+        }
+      }
+    }
   }
 
   /** Frame-sample stub: pick every `stride`-th byte as a "frame"

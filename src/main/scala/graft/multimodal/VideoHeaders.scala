@@ -81,12 +81,30 @@ object VideoHeaders {
     * any spec-following parser to read the MainAVIHeader; no frame
     * payload (byte-stable everywhere). */
   def tinyAvi(width: Int, height: Int, nFrames: Int,
-              microSecPerFrame: Int): Array[Byte] = {
+              microSecPerFrame: Int): Array[Byte] =
+    tinyAviWithFrames(width, height, nFrames, microSecPerFrame, None)
+
+  /** [[tinyAvi]] plus a REAL uncompressed video stream: the `movi`
+    * list carries one `00db` chunk per frame holding the raw 24-bit
+    * DIB pixel array (bottom-up rows, 4-byte row alignment, B,G,R
+    * disk order — the uncompressed-AVI frame layout, same walk as a
+    * BMP pixel array). `rgbAt(frame)(x, y)` supplies each pixel.
+    * When `rgbAt` is None only the header is emitted (byte-stable,
+    * the q_video_meta fixture). */
+  def tinyAviWithFrames(width: Int, height: Int, nFrames: Int,
+                        microSecPerFrame: Int,
+                        rgbAt: Option[Int => (Int, Int) => Int]
+                       ): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames >= 0 && microSecPerFrame > 0,
       "tinyAvi needs positive parameters")
     val avihPayload = 56
     val hdrlList = 4 + 8 + avihPayload        // 'hdrl' + avih hdr + payload
-    val moviList = 4                          // 'movi' only
+    val rowSize = (3 * width + 3) / 4 * 4
+    val frameBytes = rowSize * height
+    val nChunks = if (rgbAt.isEmpty) 0 else nFrames
+    // '00db' chunks: 8-byte header + payload (+1 pad if payload is odd
+    // — rowSize is 4-aligned so payload is always even here)
+    val moviList = 4 + nChunks * (8 + frameBytes)
     val riffPayload = 4 + 8 + hdrlList + 8 + moviList // 'AVI ' + lists
     val bb = java.nio.ByteBuffer.allocate(8 + riffPayload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -108,6 +126,70 @@ object VideoHeaders {
       .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
     bb.put("LIST".getBytes("US-ASCII")).putInt(moviList)
       .put("movi".getBytes("US-ASCII"))
+    rgbAt.foreach { colorOf =>
+      var f = 0
+      while (f < nFrames) {
+        val px = colorOf(f)
+        bb.put("00db".getBytes("US-ASCII")).putInt(frameBytes)
+        var y = height - 1 // bottom-up
+        while (y >= 0) {
+          var x = 0
+          while (x < width) {
+            val rgb = px(x, y)
+            bb.put((rgb & 0xff).toByte)
+              .put(((rgb >> 8) & 0xff).toByte)
+              .put(((rgb >> 16) & 0xff).toByte)
+            x += 1
+          }
+          var pad = rowSize - 3 * width
+          while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+          y -= 1
+        }
+        f += 1
+      }
+    }
     bb.array()
+  }
+
+  /** REAL frame extraction for uncompressed AVIs: walk `LIST movi` for
+    * `00db`/`01db` raw-DIB chunks and decode every `stride`-th one's
+    * pixel array (shared [[ImageHeaders.decodeDib]] walk: bottom-up
+    * 4-byte-aligned BGR rows at the avih dimensions). Returns
+    * (frameIndex, raster) for the sampled frames; Nil for non-AVI
+    * bytes, compressed streams, or malformed chunks — the quarantine
+    * contract of every decoder here. This turns [[sampledCount]]'s
+    * sampling PLAN into decoded frames where the bytes live. */
+  def rawFrames(b: Array[Byte],
+                stride: Int): Seq[(Long, ImageHeaders.Raster)] = {
+    val info = aviInfo(b).getOrElse(return Nil)
+    if (info.width <= 0 || info.height <= 0) return Nil
+    val out = Seq.newBuilder[(Long, ImageHeaders.Raster)]
+    var off = 12
+    while (off + 8 <= b.length) {
+      val size = le32(b, off + 4).toInt
+      if (tag(b, off, "LIST") && tag(b, off + 8, "movi")) {
+        var in = off + 12
+        val end = math.min(off + 8 + size, b.length)
+        var idx = 0L
+        while (in + 8 <= end) {
+          val s2 = le32(b, in + 4).toInt
+          if (s2 < 0 || in.toLong + 8 + s2 > end) return Nil // malformed
+          // ..db = uncompressed DIB frame chunk of any stream number
+          if (tag(b, in + 2, "db")) {
+            if (idx % stride == 0)
+              ImageHeaders.decodeDib(b, in + 8, info.width, info.height,
+                  bpp = 24, topDown = false) match {
+                case Some(r) => out += ((idx, r))
+                case None => return Nil // lying chunk: quarantine whole file
+              }
+            idx += 1
+          }
+          in += 8 + s2 + (s2 & 1)
+        }
+        return out.result()
+      }
+      off += 8 + size + (size & 1)
+    }
+    Nil
   }
 }

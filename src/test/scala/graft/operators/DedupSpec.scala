@@ -98,6 +98,36 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("hammingPairs equals brute force over random 64-bit signatures") {
+    import spark.implicits._
+    // seeded generator: negative longs included — the top band of a
+    // 64-bit signature sign-extends under shiftright, which the band
+    // mask must strip
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(40)(rnd.nextLong())
+    // plant near-dups: flip ≤ 3 random bits of earlier signatures
+    val sigs = (base.take(25) ++ base.take(15).map { s =>
+      (0 until 1 + rnd.nextInt(3)).foldLeft(s)((a, _) =>
+        a ^ (1L << rnd.nextInt(64)))
+    }).zipWithIndex.map { case (s, i) => (i.toLong, s) }.toSeq
+    val df = sigs.toDF("id", "sig")
+    val maxH = 3
+    val got = Dedup.hammingPairs(df, "id", "sig", bits = 64,
+        maxHamming = maxH, bands = 8)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    val brute = for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+    } yield (ia, ib, h)
+    assert(got === brute.sortBy(p => (p._1, p._2)))
+    assert(got.nonEmpty)
+    // banding cannot guarantee recall at maxHamming >= bands
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(df, "id", "sig", bits = 64, maxHamming = 8,
+        bands = 8)
+    }
+  }
+
   test("incremental cluster fold-in equals full re-clustering") {
     import spark.implicits._
     // old world: {1,2} and {3,4}; new batch BRIDGES them (2-3) and

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{ImageHeaders, JpegGray}
+
+/** Baseline grayscale JPEG decode, validated three ways: (1) integer-
+  * exact round-trip of the block-constant fixtures (the oracle
+  * contract — DC quantizer 8 makes qDC = v−128 exact); (2) ImageIO
+  * accepts our encoder's output and agrees on pixels (an invalid
+  * marker stream, broken Huffman table, or bad byte stuffing would
+  * make ImageIO reject, not just mismatch); (3) our decoder reads
+  * ImageIO's OWN encoder output (full AC-coefficient streams we did
+  * not produce) to within IDCT tolerance — proof the AC run-length
+  * path is real, not just EOB handling. */
+class JpegGraySpec extends AnyFunSuite {
+
+  test("block-constant fixture round-trips integer-exact") {
+    def luma(bx: Int, by: Int): Int = (bx * 41 + by * 59 + 77) % 256
+    val jpg = JpegGray.tinyJpegGray(24, 16, luma)
+    val r = JpegGray.decode(jpg).get
+    assert((r.width, r.height, r.channels) === ((24, 16, 3)))
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val want = luma(x / 8, y / 8)
+      val p = (y * 24 + x) * 3
+      assert(r.samples(p) === want, s"($x,$y)")
+      assert(r.samples(p + 1) === want && r.samples(p + 2) === want)
+    }
+    // decodeImage dispatches on the FFD8 magic
+    assert(ImageHeaders.decodeImage(jpg).get.samples.sameElements(r.samples))
+    // header-level dimensions still parse (SOF walk)
+    assert(ImageHeaders.dimensions(jpg) === Some((24, 16)))
+  }
+
+  test("ImageIO accepts tinyJpegGray and agrees on every pixel") {
+    def luma(bx: Int, by: Int): Int = (bx * 97 + by * 13 + 5) % 256
+    val jpg = JpegGray.tinyJpegGray(16, 16, luma)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    assert(img != null, "ImageIO rejected the generated JPEG")
+    assert(img.getWidth === 16 && img.getHeight === 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      // raw raster samples — getRGB on TYPE_BYTE_GRAY would apply a
+      // linear-gray → sRGB gamma conversion and skew every value
+      val got = img.getRaster.getSample(x, y, 0)
+      // ImageIO's integer IDCT may differ from the exact DC value by 1
+      assert(math.abs(got - luma(x / 8, y / 8)) <= 1, s"($x,$y)")
+    }
+  }
+
+  test("decodes ImageIO-encoded JPEGs (real AC streams) within IDCT tolerance") {
+    val rnd = new scala.util.Random(7)
+    val w = 32; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    // smooth-ish gradient + noise: produces genuine AC coefficients
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.min(255, math.max(0, 4 * x + 3 * y + rnd.nextInt(17)))
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpg = bos.toByteArray
+    val ours = JpegGray.decode(jpg)
+    assert(ours.isDefined, "our decoder rejected an ImageIO baseline JPEG")
+    val r = ours.get
+    assert((r.width, r.height) === ((w, h)))
+    // reference: ImageIO decoding the SAME bytes; spec-conformant
+    // decoders agree within ±1 of the reference IDCT — allow 2 for
+    // the float-vs-integer IDCT pairing
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val a = r.samples((y * w + x) * 3)
+      val b = ref.getRaster.getSample(x, y, 0) // raw, not gamma-mapped
+      maxDiff = math.max(maxDiff, math.abs(a - b))
+    }
+    assert(maxDiff <= 2, s"max per-pixel deviation $maxDiff")
+  }
+
+  test("rejects what it cannot honestly decode") {
+    // color (3-component) JPEG from ImageIO
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    assert(JpegGray.decode(bos.toByteArray) === None)
+    // truncated entropy segment (big enough that the cut lands
+    // mid-stream, not in the EOI)
+    val jpg = JpegGray.tinyJpegGray(64, 64,
+      (bx, by) => (40 * bx + 90 * by) % 256)
+    assert(JpegGray.decode(jpg.dropRight(30)) === None)
+    assert(JpegGray.decode("not a jpeg".getBytes) === None)
+  }
+}

@@ -53,6 +53,47 @@ class MultimodalContractSpec extends SparkSpec {
     assert(got === rows.map(_._1))
   }
 
+  test("embedMedia: real pixel embedding for decodable content, stub for text") {
+    import spark.implicits._
+    import graft.multimodal.{ImageHeaders, Multimodal}
+    val png = ImageHeaders.encodePng(8, 8,
+      (x, y) => ((x * 30) << 16) | ((y * 30) << 8) | 128)
+    val bmp = ImageHeaders.tinyBmp(8, 8,
+      (x, y) => ((x * 30) << 16) | ((y * 30) << 8) | 128)
+    val txt = "not an image at all, just bytes".getBytes("UTF-8")
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "png", png),
+      Multimodal.MediaRow(2L, "bmp", bmp),
+      Multimodal.MediaRow(3L, "txt", txt)).toDS()
+    val emb = Multimodal.embedMedia(ds, dim = 64)
+      .as[(Long, Array[Double])].collect().toMap
+    // PNG and BMP carry the SAME pixels → identical real embeddings
+    assert(emb(1L).sameElements(emb(2L)))
+    // block lumas of the 8×8 pattern: luma(x,y) = (30x + 30y + 128)/3
+    val expect = Array.tabulate(64) { i =>
+      ((30 * (i % 8) + 30 * (i / 8) + 128) / 3) / 255.0
+    }
+    assert(emb(1L).sameElements(expect))
+    // undecodable bytes keep the checksum-stub contract (q_media_knn)
+    assert(!emb(3L).sameElements(emb(1L)))
+    assert(emb(3L).forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("imageSignatures drops undecodable rows and matches aHash") {
+    import spark.implicits._
+    import graft.multimodal.{ImageHeaders, Multimodal}
+    val png = ImageHeaders.encodePng(8, 8,
+      (x, _) => if (x < 4) 0x000000 else 0xffffff)
+    val ds = Seq(
+      Multimodal.MediaRow(7L, "png", png),
+      Multimodal.MediaRow(8L, "txt", "nope".getBytes("UTF-8"))).toDS()
+    val sig = Multimodal.imageSignatures(ds)
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(sig.map(_._1) === Seq(7L))
+    assert(sig.head._4 ===
+      ImageHeaders.aHash(ImageHeaders.decodePixels(png).get))
+  }
+
   test("mediaFromFiles reads a binary tree with glob + modality from ext") {
     val dir = java.nio.file.Files.createTempDirectory("media")
     java.nio.file.Files.write(dir.resolve("a.png"),
