@@ -72,6 +72,11 @@ object Bench {
     // 0.07 s win (round 7: 17 analysis-failing queries masqueraded as
     // massive speedups because the failure's elapsed time was logged)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // lint CRASHES live here, not in `errors`: a query that executed
+    // and timed fine but whose plan the linter choked on keeps its
+    // timing (round-8 ADVICE — a lint-only failure was discarding all
+    // valid timings and failing the whole run)
+    val lintErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                  lint: Boolean): Double = {
@@ -91,14 +96,14 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       // lint OUTSIDE the timer, on the already-planned frame; a lint
-      // CRASH (unplannable subtree the execution somehow dodged) is an
-      // error too, not a silent skip
+      // CRASH (unplannable subtree the execution somehow dodged) is
+      // reported loudly but separately — the execution timing stands
       if (lint) df.foreach { d =>
         try lintPairs ++= graft.plans.PlanLint.lint(d)
           .map(f => name -> f.rule)
         catch {
           case e: Throwable =>
-            errors(name) = "plan-lint: " +
+            lintErrors(name) = "plan-lint: " +
               Option(e.getMessage).getOrElse(e.getClass.getName)
                 .linesIterator.next().take(200)
         }
@@ -110,7 +115,17 @@ object Bench {
       if (errors.contains(name)) -1.0 else sec
     }
 
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // iterative queries (PageRank/CC/k-means rounds holding
+    // localCheckpoint blocks) run LAST in each pass: their checkpoint
+    // blocks + JIT churn measurably bleed into whatever runs next when
+    // they sit mid-pass (round-8 adjudication of the q_pagerank
+    // interleaved-vs-solo gap, BASELINE.md), so the alphabetical order
+    // is kept within each group but the block-pinning group trails
+    val iterative = Set("q_pagerank", "q_dedup_clusters", "q_clusters_incr",
+      "q_entity_resolution", "q_er_survivorship", "q_kmeans_update",
+      "q_hierarchy", "q_dedup_curve")
+    val names = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (iterative.contains(name), name) }
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
     val runs = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
@@ -145,6 +160,9 @@ object Bench {
     errors.foreach { case (name, msg) =>
       System.err.println(s"[bench] ERROR $name: $msg")
     }
+    lintErrors.foreach { case (name, msg) =>
+      System.err.println(s"[bench] LINT-ERROR $name: $msg")
+    }
     val results = mins.toSeq
     // 3 decimals: the line must stay short — the harness captures only
     // the TAIL of stdout, and a 100-query dict with nanosecond digits
@@ -160,11 +178,19 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val totalS = num(total)
     val errs = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val lintErrs = lintErrors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // trailing DUPLICATE metric/value/unit keys: the harness may keep
+    // only the tail of a long stdout line, and JSON last-wins on
+    // duplicate keys — so a head-truncated capture that still has the
+    // closing braces parses to the same total (round-8 ADVICE)
     val line =
-      s"""{"metric":"total","value":$totalS,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
-    // the harness captures only the TAIL of stdout — a truncated head
-    // makes the line unparseable (round 7: "parsed": null). The file
-    // copy is the audit-proof record; stdout stays the contract.
+      s"""{"metric":"total","value":$totalS,"unit":"sec","errors":$errs,"lint_errors":$lintErrs,"queries":$qs,"sf":"$sfDir","metric":"total","value":$totalS,"unit":"sec"}"""
+    // leading short summary FIRST: even if the JSON line is truncated
+    // at either end by the capture window, the totals survive in a
+    // greppable fixed format, and the audit-proof full record is the
+    // bench_out.json file named here
+    println(s"total=${totalS}s queries=${results.size} errors=${errors.size}" +
+      s" lint_errors=${lintErrors.size} file=bench_out.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case e: Throwable =>
@@ -173,10 +199,16 @@ object Bench {
     println(line)
     spark.stop()
     // broken queries must fail the run loudly (driver + local loops
-    // both see rc≠0), with the JSON line already emitted above
+    // both see rc≠0), with the JSON line already emitted above; a
+    // lint-only crash is a distinct nonzero code — timings are valid
+    // but the linter needs fixing
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED")
       sys.exit(2)
+    }
+    if (lintErrors.nonEmpty) {
+      System.err.println(s"[bench] ${lintErrors.size} queries had lint crashes")
+      sys.exit(3)
     }
   }
 }
