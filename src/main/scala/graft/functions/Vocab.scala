@@ -12,24 +12,57 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the token-count groupBy (map-side combined) is the
   * only pass over text; the min-count filter shrinks the type table
-  * before ranking; the id-assignment window then sorts |V| surviving
-  * types — post-aggregation data (≈1-10M rows at 100 TB corpus
-  * scale), the documented known-small single-sort trade
-  * (`Spread.smallSort`). Id assignment is the one inherently total
-  * ordering in the pipeline; everything upstream stays distributed.
+  * before ranking; dense-id assignment runs DISTRIBUTED
+  * ([[denseRankIds]]: range-partitioned sort + per-partition
+  * prefix-sum offsets) — a 100 TB web corpus has 10⁸+ surviving
+  * types, which an unpartitioned ranking window would funnel through
+  * one straggler task.
   */
 object Vocab {
 
+  /** Global dense ids 0..N-1 over `df` in (orderN desc, orderTok asc)
+    * order WITHOUT a single-partition window: range-partition on the
+    * sort key (global order across partitions), rank locally within
+    * each partition, then shift by the prefix sum of partition sizes.
+    * The only driver-side data is one row PER PARTITION (the size
+    * table) — same bounded control-plane collect contract as watermark
+    * reads. Output is bit-identical to
+    * `row_number().over(Window.orderBy(...)) - 1`: the key set is
+    * unique (post-groupBy tokens), so the total order has no ties for
+    * boundary placement to perturb. */
+  private[graft] def denseRankIds(df: DataFrame, idName: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // persisted: the size pass and the rank pass must see the SAME
+    // physical partitioning (range boundaries are sampled per-run)
+    val ranged = df.repartitionByRange(parts, col("n").desc, col("token"))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val sizes = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    val offsets = sizes.map { case (pid, c) =>
+      val o = (pid, acc); acc += c; o
+    }.toSeq
+    val local = Window.partitionBy(col("__pid"))
+      .orderBy(col("n").desc, col("token"))
+    ranged
+      .join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
+      .withColumn(idName,
+        (col("__off") + row_number().over(local) - 1).cast("long"))
+      .drop("__pid", "__off")
+  }
+
   /** (token, n, tok_id) with ids 0..|V|-1 dense in
     * (n desc, token asc) order; `minCount` drops the long tail before
-    * the ranking sort. */
+    * the distributed ranking. */
   def build(docs: DataFrame, textCol: String, minCount: Long): DataFrame =
-    docs.select(explode(TextFunctions.words(col(textCol))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .where(col("n") >= minCount)
-      .withColumn("tok_id",
-        (row_number().over(Window.orderBy(col("n").desc, col("token")))
-          - 1).cast("long"))
+    denseRankIds(
+      docs.select(explode(TextFunctions.words(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= minCount),
+      "tok_id")
       .select(col("token"), col("n"), col("tok_id"))
 
   /** Incremental vocabulary maintenance: fold a new document batch
@@ -53,14 +86,16 @@ object Vocab {
         (col("n") + coalesce(col("bn"), lit(0L))).as("n"), col("tok_id"))
     val nextId = vocab.agg(
       coalesce(max(col("tok_id")) + 1, lit(0L)).as("m0"))
-    val fresh = batch.join(vocab.select(col("token")), Seq("token"),
-        "left_anti")
-      .where(col("bn") >= minCount)
+    // distributed ranking for the appended block too (same contract
+    // as build — a first-batch bootstrap can carry full-corpus scale)
+    val fresh = denseRankIds(
+        batch.join(vocab.select(col("token")), Seq("token"), "left_anti")
+          .where(col("bn") >= minCount)
+          .select(col("token"), col("bn").as("n")),
+        "rid")
       .crossJoin(broadcast(nextId))
-      .withColumn("tok_id", (col("m0") +
-        row_number().over(Window.orderBy(col("bn").desc, col("token")))
-        - 1).cast("long"))
-      .select(col("token"), col("bn").as("n"), col("tok_id"))
+      .select(col("token"), col("n"),
+        (col("m0") + col("rid")).cast("long").as("tok_id"))
     kept.unionByName(fresh)
   }
 

@@ -26,10 +26,11 @@ object PlanLintAllowlist {
     // r8: deliberate 1-row × 1-row cross of the CMS estimate and the
     // exact grouped-count aggregate (q_sketch_setops pattern)
     "q_join_size_est" -> "unconditioned-nested-loop",
-    // r8: doc_id % 2 even/odd batch fixtures (q_minhash_incr pattern);
-    // fresh tokens cross the broadcast 1-row next-id aggregate
+    // r8: doc_id % 2 even/odd batch fixtures (q_minhash_incr pattern).
+    // (The r8 "unconditioned-nested-loop" entry went stale in r9: the
+    // distributed denseRankIds ranking restructured the fresh-token
+    // branch so the 1-row next-id cross no longer surfaces.)
     "q_vocab_incr" -> "scan-without-pushed-filters",
-    "q_vocab_incr" -> "unconditioned-nested-loop",
     // r8: intentional Spread.smallSort of the per-doc score report
     // (same as q_decontam's own entry)
     "q_stream_decontam" -> "single-partition-exchange",
