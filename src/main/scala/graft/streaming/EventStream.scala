@@ -50,6 +50,23 @@ object EventStream {
     stageFile(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       "graft-stream")
 
+  /** A CLONED SparkSession (shared SparkContext, isolated SQL conf)
+    * with `spark.sql.shuffle.partitions` pinned for ONE stream: state-
+    * store init per shuffle partition dominates small stateful runs,
+    * so streams size their stateful shuffle independently of the
+    * session's batch setting — and scoping the conf to a clone means
+    * two streams starting concurrently in one parent session can no
+    * longer race a session-global set/restore (round-8 ADVICE). The
+    * value is baked into the state checkpoint: a restarted query must
+    * keep the same partition count. The whole pipeline (source, agg,
+    * memory-sink table read) must run on the returned session. */
+  private def streamSession(spark: SparkSession,
+                            shufflePartitions: Int): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    s
+  }
+
   /** The staged events fixture as a file stream with `ts` normalized
     * to the BIGINT epoch-ns contract ([[graft.Tables.normalizeEventTs]])
     * — the streaming twin of `Tables.apply`. Fixture generations have
@@ -110,7 +127,9 @@ object EventStream {
                                        queryName: String = "stream_quantile",
                                        statePartitions: Int = 8
                                       ): DataFrame = {
-    val stream = eventsStream(spark, sfDir, stageEvents(sfDir))
+    // conf scoped to a cloned session — see streamSession
+    val s = streamSession(spark, statePartitions)
+    val stream = eventsStream(s, sfDir, stageEvents(sfDir))
     val cells = stream
       .withColumn("ts_utc", timestamp_micros(graft.Tables.eventTsUs))
       .withWatermark("ts_utc", "1 hour")
@@ -119,20 +138,13 @@ object EventStream {
           .as("bin"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("key"), col("bin"), col("n"))
-    // state-store init per shuffle partition dominates small runs
-    // (same rationale + checkpoint caveat as clickViewJoinAvailableNow)
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, statePartitions.toString)
-    try {
-      val q = cells.writeStream.format("memory").queryName(queryName)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set(partKey, prevParts)
+    val q = cells.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     graft.sketch.Sketches.quantilesFromBinCounts(
-      spark.table(queryName), lo, binWidth, quantilesPermille)
+      s.table(queryName), lo, binWidth, quantilesPermille)
   }
 
   /** Bounded-state streaming distinct count: "distinct users per
@@ -148,7 +160,9 @@ object EventStream {
                                       k: Int = 64,
                                       queryName: String = "stream_distinct",
                                       statePartitions: Int = 8): DataFrame = {
-    val stream = eventsStream(spark, sfDir, stageEvents(sfDir))
+    // conf scoped to a cloned session — see streamSession
+    val s = streamSession(spark, statePartitions)
+    val stream = eventsStream(s, sfDir, stageEvents(sfDir))
     val kmv = graft.sketch.KmvMinima(k)
     val sk = stream
       .withColumn("ts_utc", timestamp_micros(graft.Tables.eventTsUs))
@@ -157,19 +171,12 @@ object EventStream {
       .agg(kmv(graft.functions.TextFunctions
         .hash64(col("user_id").cast("string"))).as("minima"))
       .select(col("window.start").as("key"), col("minima"))
-    // state-store init per shuffle partition dominates small runs
-    // (same rationale + checkpoint caveat as clickViewJoinAvailableNow)
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, statePartitions.toString)
-    try {
-      val q = sk.writeStream.format("memory").queryName(queryName)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set(partKey, prevParts)
-    spark.table(queryName).select(
+    val q = sk.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(queryName).select(
       date_format(col("key"), "yyyy-MM-dd HH").as("hour"),
       graft.sketch.Sketches.estimateFromMinima(col("minima"), k)
         .as("est_users"))
@@ -198,7 +205,10 @@ object EventStream {
     def bucket(item: org.apache.spark.sql.Column) =
       pmod(graft.functions.TextFunctions.hash64(
         concat_ws("#", col("d"), item)), lit(width)).as("b")
-    val stream = eventsStream(spark, sfDir, stageEvents(sfDir))
+    // conf scoped to a cloned session — see streamSession; batch-side
+    // reads below stay on the clone too (frames must share a session)
+    val s = streamSession(spark, statePartitions)
+    val stream = eventsStream(s, sfDir, stageEvents(sfDir))
     val cells = stream
       .withColumn("ts_utc", timestamp_micros(graft.Tables.eventTsUs))
       .withWatermark("ts_utc", "1 hour")
@@ -208,27 +218,20 @@ object EventStream {
         bucket(col("user_id")))
       .agg(count(lit(1)).as("c"))
       .select(col("window.start").as("key"), col("d"), col("b"), col("c"))
-    // state-store init per shuffle partition dominates small runs
-    // (same rationale + checkpoint caveat as clickViewJoinAvailableNow)
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, statePartitions.toString)
-    try {
-      val q = cells.writeStream.format("memory").queryName(queryName)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set(partKey, prevParts)
+    val q = cells.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     // batch-side read: a candidate's estimate in a window is the CMS
     // min over depth rows, 0 (absent) when any of its rows has no
     // cell there — inner-join hits only nonzero cells, so require all
     // `depth` rows before taking the min
-    val cand = graft.Tables(spark, sfDir, "events")
+    val cand = graft.Tables(s, sfDir, "events")
       .select(col("user_id")).distinct()
       .select(col("user_id"), explode(array(rows: _*)).as("d"))
       .select(col("user_id"), col("d"), bucket(col("user_id")))
-    val est = cand.join(spark.table(queryName), Seq("d", "b"))
+    val est = cand.join(s.table(queryName), Seq("d", "b"))
       .groupBy(col("key"), col("user_id"))
       .agg(min(col("c")).as("m"), count(lit(1)).as("nd"))
       .where(col("nd") === depth)
@@ -254,14 +257,11 @@ object EventStream {
     // a stream-stream join materializes FOUR state stores per shuffle
     // partition; store init + checkpoint I/O, not data volume,
     // dominates small runs. Size the stateful shuffle to the stream's
-    // throughput (8 here), independent of the session's batch setting.
-    // NOTE: this is baked into the state checkpoint — a restarted
-    // query must keep the same value.
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
+    // throughput (8 here) via a cloned session — see streamSession.
+    val s = streamSession(spark, joinPartitions)
     val stageDir = stageEvents(sfDir)
     def side(tpe: String, idAs: String, uidAs: String, tsAs: String) =
-      eventsStream(spark, sfDir, stageDir)
+      eventsStream(s, sfDir, stageDir)
         .where(col("event_type") === tpe)
         .select(col("event_id").as(idAs), col("user_id").as(uidAs),
           timestamp_micros(graft.Tables.eventTsUs).as(tsAs))
@@ -273,15 +273,12 @@ object EventStream {
         col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
         col("v_ts") <= col("c_ts"))
       .select(col("cid"), col("vid"))
-    spark.conf.set(partKey, joinPartitions.toString)
-    try {
-      val q = joined.writeStream.format("memory").queryName(queryName)
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set(partKey, prevParts)
-    spark.table(queryName)
+    val q = joined.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(queryName)
   }
 
   /** Streaming exact dedup: a file source that delivers every event
@@ -416,7 +413,10 @@ object EventStream {
                                 queryName: String = "stream_session_native",
                                 statePartitions: Int = 8
                                ): DataFrame = {
-    val stream = eventsStream(spark, sfDir, stageEvents(sfDir))
+    // session_window keeps a state store per shuffle partition; size
+    // the stateful shuffle via a cloned session — see streamSession
+    val s = streamSession(spark, statePartitions)
+    val stream = eventsStream(s, sfDir, stageEvents(sfDir))
       .where(col("user_id") < userMax)
       .withColumn("ts_utc", timestamp_micros(graft.Tables.eventTsUs))
     val agg = stream
@@ -427,23 +427,12 @@ object EventStream {
         unix_micros(col("session_window.start")).as("startMicros"),
         unix_micros(col("session_window.end")).as("endMicros"),
         col("nEvents"))
-    // session_window keeps a state store per shuffle partition; store
-    // init + checkpoint I/O, not data volume, dominates small runs.
-    // Size the stateful shuffle to stream throughput, independent of
-    // the session's batch setting (same rationale + restart caveat as
-    // hourlyValueQuantilesAvailableNow: the value is baked into the
-    // state checkpoint — a restarted query must keep it).
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, statePartitions.toString)
-    try {
-      val q = agg.writeStream.format("memory").queryName(queryName)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set(partKey, prevParts)
-    spark.table(queryName)
+    val q = agg.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(queryName)
   }
 
   /** Streaming CDC → dimension history: each arriving micro-batch of
@@ -839,22 +828,33 @@ object EventStream {
     val stageDir = stageFile(
       java.nio.file.Paths.get(s"$sfDir/orders.parquet"), "graft-pit")
     val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    // mutated on the micro-batch thread, read on the caller thread:
+    // awaitTermination happens-before in practice, but the monitor
+    // states the contract instead of relying on it
+    val lock = new Object
     var parts = List.empty[DataFrame]
+    def fact(df: DataFrame) = df.select(col("o_orderkey"), col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
     val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val facts = batch.select(col("o_orderkey"), col("o_custkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
-        parts ::= graft.operators.PitJoin.pitJoin(facts, dim,
+        val enriched = graft.operators.PitJoin.pitJoin(fact(batch), dim,
             Seq("o_custkey"), "od", "valid_from", "valid_to",
             Seq("segment"))
           .localCheckpoint() // eager: result outlives the batch plan
+        lock.synchronized { parts ::= enriched }
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    parts.reduce(_.unionByName(_))
+    // zero micro-batches (already-consumed checkpoint) must yield an
+    // EMPTY frame, not reduce()'s UnsupportedOperationException — the
+    // empty-input batch operator supplies the exact output schema
+    lock.synchronized(parts).reduceOption(_.unionByName(_)).getOrElse(
+      graft.operators.PitJoin.pitJoin(
+        fact(spark.read.parquet(s"$sfDir/orders.parquet").limit(0)), dim,
+        Seq("o_custkey"), "od", "valid_from", "valid_to", Seq("segment")))
   }
 
   /** Streaming benchmark decontamination: arriving document batches
@@ -871,21 +871,27 @@ object EventStream {
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val bench = spark.read.parquet(s"$sfDir/documents.parquet")
       .where(col("doc_id") % 50 === 0).select(col("text"))
+    val lock = new Object // see pitEnrichStreamAvailableNow
     var parts = List.empty[DataFrame]
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        parts ::= graft.dedup.Decontaminate
+        val scored = graft.dedup.Decontaminate
           .contaminationScores(batch, bench, "doc_id", "text", "text",
             k = k)
           .localCheckpoint() // eager: result outlives the batch plan
+        lock.synchronized { parts ::= scored }
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    parts.reduce(_.unionByName(_))
+    // zero micro-batches → empty frame with the scorer's exact schema
+    lock.synchronized(parts).reduceOption(_.unionByName(_)).getOrElse(
+      graft.dedup.Decontaminate.contaminationScores(
+        spark.read.parquet(s"$sfDir/documents.parquet").limit(0), bench,
+        "doc_id", "text", "text", k = k))
   }
 
   def latestPerUserStream(spark: SparkSession, sfDir: String,
