@@ -93,4 +93,35 @@ object Control {
     val f = results.size - s
     (if (f == 0) "S" else "F", s.toLong, f.toLong)
   }
+
+  /** C6 notification hook (ref `bp-unstructured-sharepoint-ingestion/
+    * ModuleFunctions.py:706-729`, the illegal-folder email; run-status
+    * mails in `Concurrent.scala`). The engine-native form is a RECORD,
+    * not a side effect: derive the pending notifications from run-log
+    * state — failures ("F" → severity `error`) and partial successes
+    * (recFailed > 0 → `warn`) — routed to per-job recipients (default
+    * `ops` when a job has no routing row). A delivery adapter (SMTP /
+    * webhook) consumes this frame downstream; keeping the hook
+    * declarative makes it idempotent, replayable, and testable — and
+    * the pass is a filter + broadcast join over the run log, never a
+    * driver-side loop.
+    *
+    * `recipients`: (jobId, recipient). Returns (runId, jobId,
+    * severity, recipient, subject, body, ts). */
+  def pendingNotifications(runLog: DataFrame,
+                           recipients: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    runLog
+      .where(col("status") === "F" || col("recFailed") > 0)
+      .withColumn("severity",
+        when(col("status") === "F", "error").otherwise("warn"))
+      .join(broadcast(recipients), Seq("jobId"), "left")
+      .select(col("runId"), col("jobId"), col("severity"),
+        coalesce(col("recipient"), lit("ops")).as("recipient"),
+        concat(lit("["), col("severity"), lit("] job "), col("jobId"),
+          lit(" run "), col("runId")).as("subject"),
+        concat(col("message"), lit(" (failed="), col("recFailed"),
+          lit(" of "), col("recInSource"), lit(")")).as("body"),
+        col("ts"))
+  }
 }

@@ -44,6 +44,29 @@ class PipelineSpec extends SparkSpec {
     assert(runLog.read().count() == 2)
   }
 
+  test("a failure run emits a routed pending notification (C6 hook)") {
+    val dir = tmpDir()
+    val runLog = new RunLog(spark, s"$dir/runlog")
+    val now = new java.sql.Timestamp(1700000000000L)
+    runLog.appendAll(Seq(
+      Control.RunLogEntry("r1", 1L, "S", 10L, 10L, 0L, "ok", now),
+      Control.RunLogEntry("r1", 2L, "F", 10L, 0L, 10L, "boom", now),
+      Control.RunLogEntry("r1", 3L, "S", 10L, 8L, 2L, "partial", now)))
+    val recipients = Seq((2L, "team-ingest")).toDF("jobId", "recipient")
+    val got = Control.pendingNotifications(runLog.read(), recipients)
+      .orderBy("jobId")
+      .select("jobId", "severity", "recipient", "subject", "body")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq
+    // clean success emits nothing; the failure routes to its recipient;
+    // the partial success warns to the default channel
+    assert(got === Seq(
+      (2L, "error", "team-ingest", "[error] job 2 run r1",
+        "boom (failed=10 of 10)"),
+      (3L, "warn", "ops", "[warn] job 3 run r1",
+        "partial (failed=2 of 10)")))
+  }
+
   test("fileIngest lists, classifies, copies, and INC-recopies modified files") {
     val src = tmpDir(); val tgt = tmpDir(); val dir = tmpDir()
     val sub = new java.io.File(s"$src/sub"); sub.mkdirs()
