@@ -144,6 +144,32 @@ object SparkEntry {
     }
   }
 
+  /** 10 genuine GIF89a files (16-color global table with palette
+    * formulas r=(i·37+11)%256 g=(i·59+3)%256 b=(i·83+7)%256; pixel
+    * index (x·3 + y·5 + id) mod 16; dims w=9+id%4, h=7+id%3). The
+    * indices exist only inside the LZW-coded stream, so the oracle's
+    * palette/index replay gates genuine decompression. Ids offset by
+    * 4000. */
+  private def stagedGifs(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    stagedOnce("gif:n=10:w=9+id%4:h=7+id%3:idx=(x*3+y*5+id)%16",
+      dir)(countFiles(_, ".gif") == 10) { path =>
+      val pal = Array.tabulate(16)(i =>
+        (((i * 37 + 11) % 256) << 16) | (((i * 59 + 3) % 256) << 8) |
+          ((i * 83 + 7) % 256))
+      val gifs = t(s, dir, "documents").where(col("doc_id") < 10)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val i = id.toInt
+          (4000 + id, graft.multimodal.GifPixels.tinyGif(
+            9 + i % 4, 7 + i % 3, pal,
+            (x, y) => (x * 3 + y * 5 + i) % 16))
+        }.toDF("doc_id", "content")
+      graft.sinks.Sinks.writeBinaryFiles(gifs, "doc_id", "content",
+        path, "gif")
+    }
+  }
+
   /** 30 genuine 16-bit PCM WAVs (valid RIFF chunk walk; rate/channels/
     * frame-count are doc_id formulas the oracle replays) — the audio
     * sibling of [[stagedPngs]] for q_audio_meta. */
@@ -157,6 +183,28 @@ object SparkEntry {
             sampleRate = 8000 * (1 + id % 3).toInt,
             channels = (1 + id % 2).toInt,
             nFrames = (500 + id * 37).toInt))
+        }.toDF("doc_id", "content")
+      graft.sinks.Sinks.writeBinaryFiles(wavs, "doc_id", "content",
+        path, "wav")
+    }
+  }
+
+  /** 20 genuine mono 16-bit PCM WAVs whose SAMPLES follow the formula
+    * s(f) = ((f·7 + id·13) mod 4001) − 2000 (frames nf = 400 + id·7) —
+    * the waveform-decode fixture: q_audio_features' integer statistics
+    * exist only in the data-chunk bytes, so the oracle's arithmetic
+    * replay gates a real PCM walk. File ids offset by 3000. */
+  private def stagedPatternWavs(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    stagedOnce("wavpat:n=20:mono:nf=400+id*7:s=((f*7+id*13)%4001)-2000",
+      dir)(countFiles(_, ".wav") == 20) { path =>
+      val wavs = t(s, dir, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val i = id.toInt
+          (3000 + id, graft.multimodal.AudioHeaders.tinyWavPattern(
+            sampleRate = 8000, channels = 1, nFrames = 400 + i * 7,
+            sampleAt = (f, _) => ((f * 7 + i * 13) % 4001) - 2000))
         }.toDF("doc_id", "content")
       graft.sinks.Sinks.writeBinaryFiles(wavs, "doc_id", "content",
         path, "wav")
@@ -2496,7 +2544,12 @@ object SparkEntry {
         glob = "*.jpg",
         idFromPath = regexp_extract(col("path"), "(\\d+)\\.jpg$", 1)
           .cast("long"))
-      Multimodal.pixelFeatures(pngs.unionByName(bmps).unionByName(jpgs))
+      val gifs = Multimodal.mediaFromFiles(s, stagedGifs(s, dir),
+        glob = "*.gif",
+        idFromPath = regexp_extract(col("path"), "(\\d+)\\.gif$", 1)
+          .cast("long"))
+      Multimodal.pixelFeatures(
+          pngs.unionByName(bmps).unionByName(jpgs).unionByName(gifs))
         .toDF().orderBy(col("id"))
     }),
 
@@ -2582,6 +2635,20 @@ object SparkEntry {
         idFromPath = regexp_extract(col("path"), "(\\d+)\\.avi$", 1)
           .cast("long"))
       graft.multimodal.Multimodal.videoFeatures(media, stride = 10)
+        .toDF().orderBy(col("id"))
+    }),
+
+    "q_audio_features" -> ((s, dir) => {
+      // REAL waveform decode end-to-end: the staged WAVs' samples
+      // follow an integer formula, and peak / mean-abs / energy /
+      // zero-crossing statistics exist only in the data-chunk bytes —
+      // the oracle's arithmetic replay gates a genuine PCM walk (a
+      // header-reading fake cannot produce them)
+      val media = graft.multimodal.Multimodal.mediaFromFiles(s,
+        stagedPatternWavs(s, dir), glob = "*.wav",
+        idFromPath = regexp_extract(col("path"), "(\\d+)\\.wav$", 1)
+          .cast("long"))
+      graft.multimodal.Multimodal.audioWaveformFeatures(media)
         .toDF().orderBy(col("id"))
     }),
 
@@ -5101,9 +5168,21 @@ object SparkEntry {
         |    CAST(sum(v) // 4 AS BIGINT) AS mean_r,
         |    CAST(sum(v) // 4 AS BIGINT) AS mean_g,
         |    CAST(sum(v) // 4 AS BIGINT) AS mean_b
-        |  FROM jcells GROUP BY doc_id)
+        |  FROM jcells GROUP BY doc_id),
+        |gdim AS (SELECT doc_id, 9 + doc_id % 4 AS w, 7 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id < 10),
+        |gcells AS (SELECT doc_id, w, h,
+        |    (x * 3 + y * 5 + doc_id) % 16 AS i
+        |  FROM gdim CROSS JOIN range(13) AS tx(x) CROSS JOIN range(9) AS ty(y)
+        |  WHERE x < w AND y < h),
+        |gif AS (SELECT doc_id + 4000 AS id, w::INTEGER AS width,
+        |    h::INTEGER AS height, (w * h)::BIGINT AS n_pixels,
+        |    CAST(sum((i * 37 + 11) % 256) // (w * h) AS BIGINT) AS mean_r,
+        |    CAST(sum((i * 59 + 3) % 256) // (w * h) AS BIGINT) AS mean_g,
+        |    CAST(sum((i * 83 + 7) % 256) // (w * h) AS BIGINT) AS mean_b
+        |  FROM gcells GROUP BY doc_id, w, h)
         |SELECT * FROM (SELECT * FROM png UNION ALL SELECT * FROM bmp
-        |  UNION ALL SELECT * FROM jpg)
+        |  UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM gif)
         |ORDER BY id""".stripMargin,
 
     // brute-force replay of the gradient-fixture aHash: luma formula →
@@ -5177,6 +5256,27 @@ object SparkEntry {
         |  ((nf + 9) // 10)::BIGINT AS n_sampled,
         |  ((nf - 1) // 10 * 10)::BIGINT AS last_sampled
         |FROM p ORDER BY id""".stripMargin,
+
+    // integer waveform statistics replay the staged sample formula —
+    // the samples live only in the data chunk, so this gates a real
+    // PCM decode; crossings use the closed-form previous sample (no
+    // window needed)
+    "q_audio_features" ->
+      """WITH p AS (SELECT doc_id, 400 + doc_id * 7 AS nf
+        |  FROM documents WHERE doc_id < 20),
+        |sm AS (SELECT doc_id, nf,
+        |    ((f * 7 + doc_id * 13) % 4001) - 2000 AS s,
+        |    CASE WHEN f >= 1 AND
+        |      ((((f * 7 + doc_id * 13) % 4001) - 2000 >= 0) <>
+        |       ((((f - 1) * 7 + doc_id * 13) % 4001) - 2000 >= 0))
+        |      THEN 1 ELSE 0 END AS crossed
+        |  FROM p CROSS JOIN range(540) AS tf(f) WHERE f < nf)
+        |SELECT doc_id + 3000 AS id, nf::BIGINT AS n_samples,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak,
+        |  CAST(sum(abs(s)) // nf AS BIGINT) AS mean_abs,
+        |  CAST(sum(s * s) // nf AS BIGINT) AS energy,
+        |  CAST(sum(crossed) AS BIGINT) AS zero_crossings
+        |FROM sm GROUP BY doc_id, nf ORDER BY id""".stripMargin,
 
     // per-frame channel means replay the staged frame formulas — the
     // frames live in movi 00db chunks (bottom-up padded BGR DIB), so

@@ -80,6 +80,30 @@ object Multimodal {
     }
   }
 
+  case class AudioWaveFeatures(id: Long, n_samples: Long, peak: Long,
+                               mean_abs: Long, energy: Long,
+                               zero_crossings: Long)
+
+  /** REAL waveform features from decoded PCM samples
+    * ([[AudioHeaders.pcmSamples]] + integer [[AudioHeaders
+    * .waveformStats]]): the silence/clipping/loudness signals an audio
+    * curation pass gates on, computed from the actual `data`-chunk
+    * bytes (not the header). Non-PCM-16 rows drop (quarantine leg). */
+  def audioWaveformFeatures(ds: Dataset[MediaRow]
+                           ): Dataset[AudioWaveFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        AudioHeaders.pcmSamples(r.content).map { case (info, s) =>
+          val (peak, meanAbs, energy, cross) =
+            AudioHeaders.waveformStats(info, s)
+          AudioWaveFeatures(r.id, s.length.toLong, peak, meanAbs,
+            energy, cross)
+        }
+      }
+    }
+  }
+
   case class VideoFeatures(id: Long, width: Int, height: Int,
                            n_frames: Long, fps_x1000: Long,
                            duration_ms: Long, n_sampled: Long,

@@ -61,4 +61,44 @@ class AudioHeadersSpec extends AnyFunSuite {
     avi(8) = 'A'; avi(9) = 'V'; avi(10) = 'I'; avi(11) = ' '
     assert(AudioHeaders.wavInfo(avi) === None)
   }
+
+  test("pcmSamples round-trips tinyWavPattern, validated by the JDK sound API") {
+    def s(f: Int, c: Int): Int = ((f * 11 + c * 5) % 3001) - 1500
+    val wav = AudioHeaders.tinyWavPattern(16000, 2, 50, s)
+    val (info, got) = AudioHeaders.pcmSamples(wav).get
+    assert((info.sampleRate, info.channels, info.nFrames) ===
+      ((16000, 2, 50L)))
+    for (f <- 0 until 50; c <- 0 until 2)
+      assert(got(f * 2 + c) === s(f, c), s"frame $f ch $c")
+    // independent read: javax.sound must agree on every byte of PCM
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val buf = ais.readAllBytes()
+    assert(buf.length === 50 * 2 * 2)
+    for (i <- got.indices) {
+      val v = ((buf(2 * i + 1) << 8) | (buf(2 * i) & 0xff)).toShort.toInt
+      assert(v === got(i), s"sample $i vs javax.sound")
+    }
+  }
+
+  test("waveformStats integer statistics match a direct computation") {
+    val samples = Array(100, -200, 300, 0, -1, 1, 32767, -32768)
+    val info = AudioHeaders.WavInfo(8000, 1, 16, samples.length)
+    val (peak, meanAbs, energy, cross) =
+      AudioHeaders.waveformStats(info, samples)
+    assert(peak === 32768L)
+    assert(meanAbs === samples.map(v => math.abs(v.toLong)).sum / 8)
+    assert(energy === samples.map(v => v.toLong * v).sum / 8)
+    // sign flips (>=0 boundary): 100→-200, -200→300, 0→-1, -1→1,
+    // 32767→-32768 = 5
+    assert(cross === 5L)
+    // stereo: crossings count channel 0 only
+    val st = AudioHeaders.WavInfo(8000, 2, 16, 2)
+    val (_, _, _, c2) = AudioHeaders.waveformStats(st,
+      Array(10, -10, -10, 10)) // ch0: 10→-10 = 1 crossing
+    assert(c2 === 1L)
+    // non-16-bit and truncated data reject
+    val wav = AudioHeaders.tinyWavPattern(8000, 1, 10, (f, _) => f)
+    assert(AudioHeaders.pcmSamples(wav.dropRight(4)) === None)
+  }
 }
