@@ -357,13 +357,16 @@ object ImageHeaders {
   }
 
   /** Unified pixel decode across the formats with a pure-JVM path:
-    * PNG (inflate + unfilter), BMP (DIB walk), or baseline grayscale
-    * JPEG (entropy decode + IDCT, [[JpegGray.decode]]). Other formats
-    * and malformed bytes → None (quarantine leg). */
+    * PNG (inflate + unfilter), BMP (DIB walk), baseline grayscale
+    * JPEG (entropy decode + IDCT, [[JpegGray.decode]]), or GIF (LZW,
+    * [[GifPixels.decode]]). Other formats and malformed bytes → None
+    * (quarantine leg). */
   def decodeImage(b: Array[Byte]): Option[Raster] =
     if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
     else if (b.length >= 2 && (b(0) & 0xff) == 0xff &&
       (b(1) & 0xff) == 0xd8) JpegGray.decode(b)
+    else if (b.length >= 3 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      GifPixels.decode(b)
     else decodePixels(b)
 
   /** Integer per-channel pixel statistics of a decoded raster:
