@@ -124,8 +124,16 @@ object Bench {
     val iterative = Set("q_pagerank", "q_dedup_clusters", "q_clusters_incr",
       "q_entity_resolution", "q_er_survivorship", "q_kmeans_update",
       "q_hierarchy", "q_dedup_curve")
+    // within the trailing group, q_pagerank goes FIRST: it is the one
+    // query measurably sensitive to iterative predecessors (r8/r9
+    // adjudication in BASELINE.md — running it after the other seven
+    // cost ~1.8 s with a byte-identical plan), so the known victim
+    // gets the group's cleanest slot
     val names = SparkEntry.queries.toSeq
-      .sortBy { case (name, _) => (iterative.contains(name), name) }
+      .sortBy { case (name, _) =>
+        (iterative.contains(name),
+          if (name == "q_pagerank") "" else name)
+      }
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
     val runs = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
