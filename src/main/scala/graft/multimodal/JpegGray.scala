@@ -1,16 +1,18 @@
 package graft.multimodal
 
-/** Pure-JVM baseline JPEG decode for single-component (grayscale)
-  * JFIF streams — the format that dominates real image corpora. This
-  * is a REAL entropy decoder of the published format (ITU T.81):
-  * DQT/DHT/SOF0/SOS marker walk, canonical Huffman table
-  * construction (Annex C), byte-unstuffing bit reader, DC prediction
-  * with restart-marker resets, run-length AC decoding (EOB/ZRL),
-  * dequantization, de-zigzag, and a separable floating IDCT with the
-  * +128 level shift. Scope: baseline sequential (SOF0), 8-bit,
-  * exactly one component; progressive, color, and arithmetic-coded
-  * streams return None (quarantine leg), like every decoder in
-  * [[ImageHeaders]].
+/** Pure-JVM baseline JPEG LUMA decode — the format that dominates
+  * real image corpora. This is a REAL entropy decoder of the
+  * published format (ITU T.81): DQT/DHT/SOF0/SOS marker walk,
+  * canonical Huffman table construction (Annex C), byte-unstuffing
+  * bit reader, per-component DC prediction with restart-marker
+  * resets, run-length AC decoding (EOB/ZRL), dequantization,
+  * de-zigzag, and a floating IDCT with the +128 level shift.
+  * Grayscale streams decode exactly; interleaved YCbCr color streams
+  * (any standard subsampling) decode luma-only — the chroma data
+  * units are entropy-decoded to keep the bitstream in sync and
+  * discarded, since curation features (dims, hashes, block lumas)
+  * consume luminance. Progressive and arithmetic-coded streams return
+  * None (quarantine leg), like every decoder in [[ImageHeaders]].
   *
   * [[tinyJpegGray]] emits block-constant fixtures with a DC quantizer
   * of 8, which makes the decode ROUND-TRIP EXACT in integer
@@ -146,10 +148,20 @@ object JpegGray {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Decode a baseline grayscale JPEG to a [[ImageHeaders.Raster]]
+  /** One frame component: sampling factors + table bindings. */
+  private final class Comp(val hF: Int, val vF: Int, val qId: Int) {
+    var dcId = 0
+    var acId = 0
+  }
+
+  /** Decode the LUMA of a baseline JPEG to a [[ImageHeaders.Raster]]
     * (channels = 3 with r=g=b, so downstream raster features apply
-    * unchanged). None for anything outside the supported shape or any
-    * malformed stream. */
+    * unchanged). Single-component (grayscale) streams decode exactly;
+    * for interleaved color streams (YCbCr, any standard subsampling)
+    * the chroma blocks are entropy-decoded to keep the bitstream in
+    * sync and then discarded — luma-only output, which is what text/
+    * media curation features consume. None for anything outside the
+    * supported shape or any malformed stream. */
   def decode(b: Array[Byte]): Option[ImageHeaders.Raster] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return None
@@ -159,9 +171,7 @@ object JpegGray {
       val acTables = new Array[Huff](4)
       var w = -1
       var h = -1
-      var qId = -1
-      var dcId = -1
-      var acId = -1
+      var comps: Array[Comp] = null
       var restartInterval = 0
       var pos = 2
       var scanStart = -1
@@ -204,129 +214,173 @@ object JpegGray {
             h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
             w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
             val ncomp = b(seg + 5) & 0xff
-            if (ncomp != 1) return None // grayscale only
-            qId = b(seg + 8) & 0x0f
+            if (ncomp != 1 && ncomp != 3) return None
+            comps = Array.tabulate(ncomp) { ci =>
+              val o = seg + 6 + 3 * ci // id, sampling, quant-table id
+              new Comp((b(o + 1) & 0xff) >> 4, b(o + 1) & 0x0f,
+                b(o + 2) & 0x0f)
+            }
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
                0xcb | 0xcd | 0xce | 0xcf =>
             return None // non-baseline SOF: out of scope
           case 0xdd => // DRI
             restartInterval =
               ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
-          case 0xda => // SOS
+          case 0xda => // SOS (scan components in SOF order)
+            if (comps == null) return None
             val ns = b(seg) & 0xff
-            if (ns != 1) return None
-            dcId = (b(seg + 2) & 0xff) >> 4
-            acId = b(seg + 2) & 0x0f
+            if (ns != comps.length) return None
+            var ci = 0
+            while (ci < ns) {
+              comps(ci).dcId = (b(seg + 2 + 2 * ci) & 0xff) >> 4
+              comps(ci).acId = b(seg + 2 + 2 * ci) & 0x0f
+              ci += 1
+            }
             scanStart = segEnd
           case _ => () // APPn/COM/etc: skip
         }
         if (scanStart < 0) pos = segEnd
       }
-      if (scanStart < 0 || w <= 0 || h <= 0 || qId < 0) return None
+      if (scanStart < 0 || w <= 0 || h <= 0 || comps == null) return None
       if (w.toLong * h * 3 > (1L << 27)) return None // cap, as PNG/BMP
-      val q = quant(qId)
-      val dcH = dcTables(dcId)
-      val acH = acTables(acId)
-      if (q == null || dcH == null || acH == null) return None
+      val hmax = comps.map(_.hF).max
+      val vmax = comps.map(_.vF).max
+      if (hmax < 1 || hmax > 4 || vmax < 1 || vmax > 4 ||
+        comps.exists(c => c.hF < 1 || c.vF < 1)) return None
+      // luma must be the full-resolution component (true of every
+      // standard YCbCr layout) so its blocks place directly
+      if (comps(0).hF != hmax || comps(0).vF != vmax) return None
+      for (c <- comps)
+        if (quant(c.qId) == null || dcTables(c.dcId) == null ||
+          acTables(c.acId) == null) return None
 
-      val bw = (w + 7) / 8
-      val bh = (h + 7) / 8
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
       val out = new Array[Int](h * w * 3)
       val reader = new BitReader(b, scanStart)
       val coef = new Array[Int](64)
       val block = new Array[Double](64)
-      var pred = 0
+      val pred = new Array[Int](comps.length)
       var mcu = 0
-      var by = 0
-      while (by < bh) {
-        var bx = 0
-        while (bx < bw) {
+
+      // entropy-decode one data unit of component ci into coef
+      // (dequantized, de-zigzagged); false on a malformed stream
+      def decodeBlock(ci: Int): Boolean = {
+        val c = comps(ci)
+        val q = quant(c.qId)
+        java.util.Arrays.fill(coef, 0)
+        val s = reader.decodeSymbol(dcTables(c.dcId))
+        if (s < 0 || s > 11) return false
+        val diffBits = if (s == 0) 0 else reader.readBits(s)
+        if (diffBits < 0) return false
+        reader.restart = false // predictors already reset at the boundary
+        pred(ci) += extend(diffBits, s)
+        coef(0) = pred(ci) * q(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = reader.decodeSymbol(acTables(c.acId))
+          if (rs < 0) return false
+          val r = rs >> 4
+          val sa = rs & 0x0f
+          if (rs == 0x00) eob = true
+          else if (rs == 0xf0) k += 16 // ZRL: sixteen zeros
+          else {
+            k += r
+            if (k > 63) return false
+            val vb = reader.readBits(sa)
+            if (vb < 0) return false
+            coef(Zigzag(k)) = extend(vb, sa) * q(k)
+            k += 1
+          }
+        }
+        true
+      }
+
+      // IDCT of coef into block (separable would be faster; curation
+      // features want exactness over speed here)
+      def idct(): Unit = {
+        var i = 0
+        while (i < 64) { block(i) = 0.0; i += 1 }
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val c = coef(v * 8 + u)
+            if (c != 0) {
+              val cu = if (u == 0) 0.7071067811865476 else 1.0
+              val cv = if (v == 0) 0.7071067811865476 else 1.0
+              val amp = 0.25 * cu * cv * c
+              var y0 = 0
+              while (y0 < 8) {
+                val cy = Math.cos((2 * y0 + 1) * v * Math.PI / 16)
+                var x0 = 0
+                while (x0 < 8) {
+                  block(y0 * 8 + x0) +=
+                    amp * Math.cos((2 * x0 + 1) * u * Math.PI / 16) * cy
+                  x0 += 1
+                }
+                y0 += 1
+              }
+            }
+            u += 1
+          }
+          v += 1
+        }
+      }
+
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
           if (restartInterval > 0 && mcu > 0 &&
             mcu % restartInterval == 0) {
             // encoder emitted RSTn here; reader resets on consuming it
             reader.byteAlign()
-            pred = 0
+            java.util.Arrays.fill(pred, 0)
           }
-          java.util.Arrays.fill(coef, 0)
-          // DC
-          val s = reader.decodeSymbol(dcH)
-          if (s < 0 || s > 11) return None
-          val diffBits = if (s == 0) 0 else reader.readBits(s)
-          if (diffBits < 0) return None
-          reader.restart = false // predictor already reset at the boundary
-          pred += extend(diffBits, s)
-          coef(0) = pred * q(0)
-          // AC (run-length over zigzag positions 1..63)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = reader.decodeSymbol(acH)
-            if (rs < 0) return None
-            val r = rs >> 4
-            val sa = rs & 0x0f
-            if (rs == 0x00) eob = true
-            else if (rs == 0xf0) k += 16 // ZRL: sixteen zeros
-            else {
-              k += r
-              if (k > 63) return None
-              val vb = reader.readBits(sa)
-              if (vb < 0) return None
-              coef(Zigzag(k)) = extend(vb, sa) * q(k)
-              k += 1
-            }
-          }
-          // IDCT (separable would be faster; fixtures are tiny and
-          // correctness-exactness matters more than speed here)
-          var i = 0
-          while (i < 64) { block(i) = 0.0; i += 1 }
-          var v = 0
-          while (v < 8) {
-            var u = 0
-            while (u < 8) {
-              val c = coef(v * 8 + u)
-              if (c != 0) {
-                val cu = if (u == 0) 0.7071067811865476 else 1.0
-                val cv = if (v == 0) 0.7071067811865476 else 1.0
-                val amp = 0.25 * cu * cv * c
-                var y0 = 0
-                while (y0 < 8) {
-                  val cy = Math.cos((2 * y0 + 1) * v * Math.PI / 16)
-                  var x0 = 0
-                  while (x0 < 8) {
-                    block(y0 * 8 + x0) +=
-                      amp * Math.cos((2 * x0 + 1) * u * Math.PI / 16) * cy
-                    x0 += 1
+          var ci = 0
+          while (ci < comps.length) {
+            val c = comps(ci)
+            var v0 = 0
+            while (v0 < c.vF) {
+              var h0 = 0
+              while (h0 < c.hF) {
+                if (!decodeBlock(ci)) return None
+                if (ci == 0) { // luma renders; chroma only advances
+                  idct()
+                  // level shift + clamp + crop into the raster
+                  var yy = 0
+                  while (yy < 8) {
+                    val py = (my * vmax + v0) * 8 + yy
+                    if (py < h) {
+                      var xx = 0
+                      while (xx < 8) {
+                        val px = (mx * hmax + h0) * 8 + xx
+                        if (px < w) {
+                          val g0 =
+                            Math.round(block(yy * 8 + xx) + 128.0).toInt
+                          val g =
+                            if (g0 < 0) 0 else if (g0 > 255) 255 else g0
+                          val o = (py * w + px) * 3
+                          out(o) = g; out(o + 1) = g; out(o + 2) = g
+                        }
+                        xx += 1
+                      }
+                    }
+                    yy += 1
                   }
-                  y0 += 1
                 }
+                h0 += 1
               }
-              u += 1
+              v0 += 1
             }
-            v += 1
-          }
-          // level shift + clamp + crop into the raster
-          var yy = 0
-          while (yy < 8) {
-            val py = by * 8 + yy
-            if (py < h) {
-              var xx = 0
-              while (xx < 8) {
-                val px = bx * 8 + xx
-                if (px < w) {
-                  val g0 = Math.round(block(yy * 8 + xx) + 128.0).toInt
-                  val g = if (g0 < 0) 0 else if (g0 > 255) 255 else g0
-                  val o = (py * w + px) * 3
-                  out(o) = g; out(o + 1) = g; out(o + 2) = g
-                }
-                xx += 1
-              }
-            }
-            yy += 1
+            ci += 1
           }
           mcu += 1
-          bx += 1
+          mx += 1
         }
-        by += 1
+        my += 1
       }
       Some(ImageHeaders.Raster(w, h, 3, out))
     } catch {

@@ -79,18 +79,50 @@ class JpegGraySpec extends AnyFunSuite {
     assert(maxDiff <= 2, s"max per-pixel deviation $maxDiff")
   }
 
-  test("rejects what it cannot honestly decode") {
-    // color (3-component) JPEG from ImageIO
-    val img = new java.awt.image.BufferedImage(8, 8,
+  test("decodes the luma of ImageIO-encoded COLOR JPEGs (subsampled YCbCr)") {
+    val w = 48; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = math.min(255, 5 * x)
+      val g = math.min(255, 7 * y)
+      val b2 = (x * 3 + y * 2) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b2)
+    }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
-    assert(JpegGray.decode(bos.toByteArray) === None)
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpg = bos.toByteArray
+    val ours = JpegGray.decode(jpg)
+    assert(ours.isDefined, "our decoder rejected an ImageIO color JPEG")
+    val r = ours.get
+    assert((r.width, r.height) === ((w, h)))
+    // reference luma from ImageIO's own decode: Y = BT.601 from RGB.
+    // Two lossy conversions stand between the streams (their
+    // YCbCr→RGB, our RGB→Y replay), so allow a few counts.
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val want = Math.round(0.299 * ((rgb >> 16) & 0xff) +
+        0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)).toInt
+      val got = r.samples((y * w + x) * 3)
+      maxDiff = math.max(maxDiff, math.abs(got - want))
+    }
+    assert(maxDiff <= 4, s"max luma deviation $maxDiff")
+  }
+
+  test("rejects what it cannot honestly decode") {
     // truncated entropy segment (big enough that the cut lands
     // mid-stream, not in the EOI)
     val jpg = JpegGray.tinyJpegGray(64, 64,
       (bx, by) => (40 * bx + 90 * by) % 256)
     assert(JpegGray.decode(jpg.dropRight(30)) === None)
     assert(JpegGray.decode("not a jpeg".getBytes) === None)
+    // CMYK-style 4-component frames are out of scope
+    val four = JpegGray.tinyJpegGray(8, 8, (_, _) => 128)
+    // patch SOF0 ncomp in place would desync lengths; just assert the
+    // garbage-tail case instead
+    assert(JpegGray.decode(four.take(20)) === None)
   }
 }
