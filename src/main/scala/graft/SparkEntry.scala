@@ -2571,6 +2571,34 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_stream_media" -> ((s, dir) => {
+      // streaming media landing: the staged PNG directory arrives as a
+      // binaryFile STREAM (16 files per micro-batch ⇒ 3 batches), each
+      // batch pixel-decoded where its bytes live; per-file features
+      // are batch-independent so streaming ≡ the batch q_media_pixels
+      // PNG leg, whose formula the oracle replays
+      graft.streaming.EventStream.mediaPixelStreamAvailableNow(
+          s, stagedPngs(s, dir))
+        .orderBy(col("id"))
+    }),
+
+    "q_image_clusters" -> ((s, dir) => {
+      // visual dedup end-to-end: decoded-pixel aHash signatures →
+      // Hamming-banded pairs → duplicate clusters (the same star-op
+      // connected components the text pipeline uses) — the keep-one-
+      // per-cluster decision input for an image corpus. The oracle
+      // replays the aHash formula brute-force and closes components
+      // with a recursive CTE.
+      val media = graft.multimodal.Multimodal.mediaFromFiles(s,
+        stagedGradPngs(s, dir),
+        idFromPath = regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("long"))
+      val sig = graft.multimodal.Multimodal.imageSignatures(media)
+      val pairs = graft.dedup.Dedup.hammingPairs(sig, "id", "ahash",
+        bits = 64, maxHamming = 2, bands = 8)
+      Dedup.duplicateClusters(pairs).orderBy(col("id"))
+    }),
+
     "q_knn_pixels" -> ((s, dir) => {
       // embed-from-REAL-pixels ANN: embedMedia's image path (64
       // block-mean lumas /255 at dim=64) over the staged gradient
@@ -5207,6 +5235,48 @@ object SparkEntry {
         |  GROUP BY a.id, b.id)
         |SELECT id_a, id_b, hamming_dist FROM pairs
         |WHERE hamming_dist <= 2 ORDER BY id_a, id_b""".stripMargin,
+
+    // streaming ≡ batch for per-file decode: same formula replay as
+    // q_media_pixels' PNG leg
+    "q_stream_media" ->
+      """WITH f AS (SELECT doc_id AS id,
+        |    (1 + doc_id % 16)::INTEGER AS width,
+        |    (2 + doc_id % 13)::INTEGER AS height,
+        |    (doc_id * 2654435761) & 16777215 AS rgb
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT id, width, height,
+        | CAST(width AS BIGINT) * height AS n_pixels,
+        | (rgb >> 16) & 255 AS mean_r,
+        | (rgb >> 8) & 255 AS mean_g,
+        | rgb & 255 AS mean_b
+        |FROM f ORDER BY id""".stripMargin,
+
+    // aHash pairs (as q_image_neardup) closed into components with a
+    // recursive CTE — cluster_id = component minimum, matching the
+    // engine's star-op fixed point
+    "q_image_clusters" ->
+      """WITH RECURSIVE ids AS (
+        |  SELECT doc_id AS id FROM documents WHERE doc_id < 32),
+        |cells AS (SELECT id, x, y,
+        |    (x * 29 + y * 13 + (id // 4) * 59) % 240 +
+        |    CASE WHEN y * 8 + x = id % 64 THEN 15 ELSE 0 END AS v
+        |  FROM ids CROSS JOIN range(8) AS tx(x) CROSS JOIN range(8) AS ty(y)),
+        |m AS (SELECT id, sum(v) // 64 AS mean FROM cells GROUP BY id),
+        |bits AS (SELECT c.id, y * 8 + x AS pos,
+        |    CASE WHEN v >= mean THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN m USING (id)),
+        |p0 AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM bits a JOIN bits b ON a.pos = b.pos AND a.id < b.id
+        |  GROUP BY a.id, b.id
+        |  HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 2),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p0
+        |      UNION ALL SELECT id_b, id_a FROM p0),
+        |reach AS (SELECT src AS id, dst AS r FROM e
+        |          UNION
+        |          SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |cl AS (SELECT id, least(id, min(r)) AS cluster_id
+        |       FROM reach GROUP BY id)
+        |SELECT id, cluster_id FROM cl ORDER BY id""".stripMargin,
 
     // embed-from-pixels ANN: the 64-dim block-luma embedding rebuilt
     // from the gradient formula (8×8 image ⇒ block mean = the pixel),

@@ -894,6 +894,51 @@ object EventStream {
         "doc_id", "text", "text", k = k))
   }
 
+  /** Streaming MEDIA landing: a binaryFile stream over an arriving
+    * media directory, decoded to pixel features micro-batch by
+    * micro-batch inside `foreachBatch` — the multimodal twin of the
+    * document streams above, and the landing-zone shape for image
+    * corpora at scale (decode runs where each batch's bytes live;
+    * only kilobyte FEATURE rows outlive the batch). Per-file features
+    * are batch-independent, so the multi-batch streaming run equals
+    * the batch [[graft.multimodal.Multimodal.pixelFeatures]] pass
+    * exactly — which is the oracle. */
+  def mediaPixelStreamAvailableNow(spark: SparkSession, mediaDir: String,
+                                   glob: String = "*.png",
+                                   idPattern: String = "(\\d+)\\.png$",
+                                   maxFilesPerTrigger: Int = 16
+                                  ): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    def toMedia(df: DataFrame) = df.select(
+        regexp_extract(col("path"), idPattern, 1).cast("long").as("id"),
+        lit("media").as("modality"), col("content"))
+      .as[Multimodal.MediaRow]
+    val batchSchema = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(mediaDir).schema
+    val stream = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .schema(batchSchema)
+      .load(mediaDir)
+    val lock = new Object // see pitEnrichStreamAvailableNow
+    var parts = List.empty[DataFrame]
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val feats = Multimodal.pixelFeatures(toMedia(batch))
+          .toDF().localCheckpoint() // eager: outlives the batch plan
+        lock.synchronized { parts ::= feats }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lock.synchronized(parts).reduceOption(_.unionByName(_)).getOrElse(
+      Multimodal.pixelFeatures(toMedia(
+        spark.read.format("binaryFile").option("pathGlobFilter", glob)
+          .load(mediaDir).limit(0))).toDF())
+  }
+
   def latestPerUserStream(spark: SparkSession, sfDir: String,
                           queryName: String = "stream_latest"): DataFrame = {
     import spark.implicits._
