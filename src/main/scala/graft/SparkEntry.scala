@@ -3001,6 +3001,17 @@ object SparkEntry {
         .toDF()
         .select(col("name"), col("ext"), col("sizeBytes"))
         .orderBy(col("name"))
+    }),
+
+    // ---- corpus-LM perplexity filter (functions/NgramLm) ----------------
+    "q_perplexity" -> ((s, dir) => {
+      // CCNet-style quality signal: NLL of every document under the
+      // corpus-trained add-one bigram LM, in exact integer micro-nats
+      // (per-bigram round BEFORE the sum → order-free aggregation)
+      graft.functions.NgramLm.bigramNll(
+        t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -5475,7 +5486,38 @@ object SparkEntry {
         | VALUES ('a.csv', 'csv', 3), ('b.parquet', 'parquet', 5),
         |        ('c.txt', 'txt', 7), ('d.json', 'json', 10),
         |        ('noext', '', 2)) t(name, ext, sizeBytes)
-        |ORDER BY name""".stripMargin
+        |ORDER BY name""".stripMargin,
+
+    // mirrors NgramLm.bigramNll: add-one bigram LM self-trained on the
+    // corpus; per-bigram -ln P rounded to micro-nats BEFORE the
+    // per-document sum (order-free integer aggregation, same
+    // round-then-sum trick as the jaccard-micro pattern). The two
+    // aligned unnest columns zip positionally in DuckDB.
+    "q_perplexity" ->
+      s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
+         |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS p,
+         |         unnest(w[2:len(w)]) AS c
+         |       FROM w WHERE len(w) >= 2),
+         |tok AS (SELECT unnest(w) AS t FROM w),
+         |vv AS (SELECT count(DISTINCT t) AS v FROM tok),
+         |pd AS (SELECT doc_id, p, c, CAST(count(*) AS BIGINT) AS occ
+         |       FROM bg GROUP BY doc_id, p, c),
+         |wc AS (SELECT *,
+         |  CAST(sum(occ) OVER (PARTITION BY p, c) AS BIGINT) AS big_cnt,
+         |  CAST(sum(occ) OVER (PARTITION BY p) AS BIGINT) AS ctx_cnt
+         |  FROM pd),
+         |sc AS (SELECT doc_id, occ,
+         |  CAST(round(ln(CAST(ctx_cnt + v AS DOUBLE) / (big_cnt + 1.0))
+         |       * 1000000) AS BIGINT) AS mn
+         |  FROM wc CROSS JOIN vv),
+         |agg AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(occ * mn) AS BIGINT) AS nll_micro
+         |  FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(n_bigrams, 0) AS n_bigrams,
+         |  coalesce(nll_micro, 0) AS nll_micro
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   )
 
   private lazy val decontamOracleSql: String =
