@@ -3012,6 +3012,26 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- LPA communities (graph/LabelProp) ------------------------------
+    "q_communities" -> ((s, dir) => {
+      // deterministic synchronous label propagation over the same
+      // undirected customer↔supplier purchase graph q_pagerank ranks:
+      // 3 rounds, self-vote on (damps the bipartite oscillation),
+      // ties to the smallest label — communities, not components
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = pairs.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      graft.graph.LabelProp.propagate(edges, "a", "b", iters = 3)
+        .orderBy(col("node_id"))
     })
   )
 
@@ -5517,7 +5537,38 @@ object SparkEntry {
          |  coalesce(n_bigrams, 0) AS n_bigrams,
          |  coalesce(nll_micro, 0) AS nll_micro
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors LabelProp.propagate: 3 unrolled synchronous rounds with
+    // self-vote, argmax by (count desc, label asc) — the unique
+    // tie-break makes every round engine-exact
+    "q_communities" ->
+      """WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS b
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM pairs
+        |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |l0 AS (SELECT node, node AS label FROM n),
+        |v1 AS (SELECT e.dst AS node, l.label FROM e JOIN l0 l ON e.src = l.node
+        |       UNION ALL SELECT node, label FROM l0),
+        |c1 AS (SELECT node, label, count(*) AS cnt FROM v1 GROUP BY node, label),
+        |l1 AS (SELECT node, label FROM (SELECT node, label, row_number()
+        |  OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c1)
+        |  WHERE rn = 1),
+        |v2 AS (SELECT e.dst AS node, l.label FROM e JOIN l1 l ON e.src = l.node
+        |       UNION ALL SELECT node, label FROM l1),
+        |c2 AS (SELECT node, label, count(*) AS cnt FROM v2 GROUP BY node, label),
+        |l2 AS (SELECT node, label FROM (SELECT node, label, row_number()
+        |  OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c2)
+        |  WHERE rn = 1),
+        |v3 AS (SELECT e.dst AS node, l.label FROM e JOIN l2 l ON e.src = l.node
+        |       UNION ALL SELECT node, label FROM l2),
+        |c3 AS (SELECT node, label, count(*) AS cnt FROM v3 GROUP BY node, label),
+        |l3 AS (SELECT node, label FROM (SELECT node, label, row_number()
+        |  OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c3)
+        |  WHERE rn = 1)
+        |SELECT node AS node_id, label FROM l3 ORDER BY node_id""".stripMargin
   )
 
   private lazy val decontamOracleSql: String =

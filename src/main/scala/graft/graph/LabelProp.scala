@@ -1,0 +1,77 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (LPA) community detection over an
+  * edge table — the cheap communities-without-a-modularity-solver
+  * operator: every node starts labeled with its own id, and each round
+  * adopts the most frequent label among its neighbors (optionally
+  * counting its own current label as one vote), ties broken by the
+  * smallest label. A fixed iteration count plus the total tie-break
+  * order makes the result fully deterministic — engine-, partitioning-
+  * and schedule-independent — unlike textbook LPA's random tie-breaks,
+  * so an independent serial engine can replay it exactly.
+  * [[graft.dedup.Dedup.duplicateClusters]] answers "which nodes are
+  * CONNECTED"; this answers "which nodes are DENSELY connected" —
+  * communities, not components.
+  *
+  * Scale shape: per round, ONE equi-join (edges ⋈ labels on src —
+  * label state is one row per node, tiny next to the edge table, and
+  * AQE broadcasts it when small) and a two-stage aggregation:
+  * groupBy(node, label) vote counts (map-side combined), then a
+  * groupBy(node) `min_by` argmax — both partial-agg friendly, no
+  * window sort, no per-round pass over anything edge-sized beyond the
+  * one join. Iteration count is a small constant (LPA stabilizes in a
+  * handful of rounds); for large counts checkpoint every few rounds
+  * like `Dedup.duplicateClusters`.
+  *
+  * `includeSelf = true` (default) is also the standard damping for
+  * bipartite graphs, where pure synchronous LPA oscillates
+  * two-colorings forever.
+  */
+object LabelProp {
+
+  /** @param edges   directed edges (srcCol, dstCol); symmetrize
+    *                beforehand for an undirected graph
+    * @param iters   fixed round count (determinism over convergence)
+    * @param includeSelf count the node's own current label as one vote
+    * @return (node_id, label): the community label after `iters`
+    *         rounds; isolated label-sinks keep their own id */
+  def propagate(edges: DataFrame, srcCol: String, dstCol: String,
+                iters: Int, includeSelf: Boolean = true): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    // one persisted edge pass: every round joins against it
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist()
+    e.count()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val msgs = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+      val votes = if (includeSelf) msgs.unionByName(labels) else msgs
+      val counts = votes.groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      // argmax (count desc, label asc) as a partial-agg-friendly
+      // min_by over (-n, label) — the label component makes the
+      // ordering key unique, so min_by's tie behavior never engages
+      val next = counts.groupBy(col("node"))
+        .agg(min_by(col("label"), struct((-col("n")).as("neg_n"),
+          col("label").as("l"))).as("label"))
+      // a node can receive zero votes only with includeSelf=false and
+      // no in-edges; it keeps its own id
+      labels =
+        if (includeSelf) next
+        else nodes.join(next, Seq("node"), "left")
+          .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    }
+    val out = labels.select(col("node").as("node_id"), col("label"))
+      .localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    out
+  }
+}
