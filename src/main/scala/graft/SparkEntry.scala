@@ -3032,6 +3032,35 @@ object SparkEntry {
         .select(col("e.a").as("a"), col("e.b").as("b"))
       graft.graph.LabelProp.propagate(edges, "a", "b", iters = 3)
         .orderBy(col("node_id"))
+    }),
+
+    // ---- preference-pair ranking (sample/Preference) --------------------
+    "q_btl_rank" -> ((s, dir) => {
+      // RLHF-style pairwise preference fit: consecutive click events
+      // per user form games between their props.k item buckets (higher
+      // value wins, ties to the smaller item), then a 2-round exact
+      // fixed-point Bradley-Terry MM fit ranks the items
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").where(col("event_type") === "click")
+        .select(col("user_id"), Tables.eventTsUs.as("tu"), col("event_id"),
+          (get_json_object(col("props"), "$.k").cast("long") % 12).as("item"),
+          col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tu"), col("event_id"))
+      val lg = ev.select(col("item"), col("value"),
+          lag(col("item"), 1).over(w).as("p_item"),
+          lag(col("value"), 1).over(w).as("p_val"))
+        .where(col("p_item").isNotNull && col("p_item") =!= col("item"))
+      val matches = lg.select(
+        when(col("value") > col("p_val"), col("item"))
+          .when(col("value") < col("p_val"), col("p_item"))
+          .otherwise(least(col("item"), col("p_item"))).as("winner"),
+        when(col("value") > col("p_val"), col("p_item"))
+          .when(col("value") < col("p_val"), col("item"))
+          .otherwise(greatest(col("item"), col("p_item"))).as("loser"))
+      graft.sample.Preference.bradleyTerry(matches, "winner", "loser",
+          iters = 2)
+        .orderBy(col("item"))
     })
   )
 
@@ -5568,7 +5597,51 @@ object SparkEntry {
         |l3 AS (SELECT node, label FROM (SELECT node, label, row_number()
         |  OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c3)
         |  WHERE rn = 1)
-        |SELECT node AS node_id, label FROM l3 ORDER BY node_id""".stripMargin
+        |SELECT node AS node_id, label FROM l3 ORDER BY node_id""".stripMargin,
+
+    // mirrors Preference.bradleyTerry (2 unrolled MM rounds, ppm
+    // fixed point, 10^12 inner scaling, floor division) over games
+    // built from consecutive per-user click events
+    "q_btl_rank" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
+        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 12
+        |      AS item, value
+        |  FROM events WHERE event_type = 'click'),
+        |lg AS (SELECT item, value,
+        |    lag(item) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+        |      AS p_item,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+        |      AS p_val
+        |  FROM ev),
+        |mt AS (SELECT
+        |    CASE WHEN value > p_val THEN item WHEN value < p_val THEN p_item
+        |         ELSE least(item, p_item) END AS w,
+        |    CASE WHEN value > p_val THEN p_item WHEN value < p_val THEN item
+        |         ELSE greatest(item, p_item) END AS l
+        |  FROM lg WHERE p_item IS NOT NULL AND p_item <> item),
+        |g AS (SELECT w, l, CAST(count(*) AS BIGINT) AS c FROM mt GROUP BY w, l),
+        |m AS (SELECT i, j, CAST(sum(wv) AS BIGINT) AS w_ij,
+        |    CAST(sum(nv) AS BIGINT) AS n_ij FROM (
+        |    SELECT w AS i, l AS j, c AS wv, c AS nv FROM g
+        |    UNION ALL SELECT l AS i, w AS j, 0 AS wv, c AS nv FROM g)
+        |  GROUP BY i, j),
+        |wins AS (SELECT i, CAST(sum(w_ij) AS BIGINT) AS win,
+        |    CAST(sum(n_ij) AS BIGINT) AS n_games FROM m GROUP BY i),
+        |s0 AS (SELECT i, CAST(1000000 AS BIGINT) AS s FROM wins),
+        |d1 AS (SELECT m.i,
+        |    CAST(sum((n_ij * 1000000000000) // (a.s + b.s)) AS BIGINT) AS d
+        |  FROM m JOIN s0 a ON m.i = a.i JOIN s0 b ON m.j = b.i GROUP BY m.i),
+        |s1 AS (SELECT wins.i,
+        |    CAST((win * 1000000000000) // d AS BIGINT) AS s
+        |  FROM wins JOIN d1 ON wins.i = d1.i),
+        |d2 AS (SELECT m.i,
+        |    CAST(sum((n_ij * 1000000000000) // (a.s + b.s)) AS BIGINT) AS d
+        |  FROM m JOIN s1 a ON m.i = a.i JOIN s1 b ON m.j = b.i GROUP BY m.i),
+        |s2 AS (SELECT wins.i,
+        |    CAST((win * 1000000000000) // d AS BIGINT) AS s
+        |  FROM wins JOIN d2 ON wins.i = d2.i)
+        |SELECT wins.i AS item, n_games, win AS n_wins, s2.s AS s_ppm
+        |FROM wins JOIN s2 ON wins.i = s2.i ORDER BY item""".stripMargin
   )
 
   private lazy val decontamOracleSql: String =
