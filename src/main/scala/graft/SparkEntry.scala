@@ -3061,6 +3061,30 @@ object SparkEntry {
       graft.sample.Preference.bradleyTerry(matches, "winner", "loser",
           iters = 2)
         .orderBy(col("item"))
+    }),
+
+    // ---- BPE tokenizer training (functions/Bpe) -------------------------
+    "q_bpe_train" -> ((s, dir) => {
+      // distributed byte-pair-encoding merge learning over the corpus
+      // word-type table: 4 rounds of pair-count → argmax → greedy
+      // left-to-right merge, fully deterministic (ties break
+      // (count desc, left, right)), so the oracle replays every round
+      val model = graft.functions.Bpe.train(
+        graft.functions.Bpe.wordTypes(t(s, dir, "documents"), "text"),
+        numMerges = 4)
+      graft.functions.Bpe.mergesDF(s, model).orderBy(col("merge_rank"))
+    }),
+
+    "q_bpe_encode" -> ((s, dir) => {
+      // the encode path of the same model: per-document subword
+      // statistics via ONE join of word occurrences to the merged
+      // type table (segmentation computed per type, not per token)
+      val docs = t(s, dir, "documents")
+      val model = graft.functions.Bpe.train(
+        graft.functions.Bpe.wordTypes(docs, "text"), numMerges = 4)
+      graft.functions.Bpe.encodeStats(docs, "doc_id", "text", model.types)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -5641,7 +5665,36 @@ object SparkEntry {
         |    CAST((win * 1000000000000) // d AS BIGINT) AS s
         |  FROM wins JOIN d2 ON wins.i = d2.i)
         |SELECT wins.i AS item, n_games, win AS n_wins, s2.s AS s_ppm
-        |FROM wins JOIN s2 ON wins.i = s2.i ORDER BY item""".stripMargin
+        |FROM wins JOIN s2 ON wins.i = s2.i ORDER BY item""".stripMargin,
+
+    // mirrors Bpe.train via Duck.bpeChain: 4 unrolled merge rounds
+    "q_bpe_train" ->
+      s"""WITH ${Duck.bpeChain(4)}
+         |SELECT CAST(r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+         |  cnt AS pair_count FROM (
+         |  SELECT 1 AS r, a, b, cnt FROM m1
+         |  UNION ALL SELECT 2, a, b, cnt FROM m2
+         |  UNION ALL SELECT 3, a, b, cnt FROM m3
+         |  UNION ALL SELECT 4, a, b, cnt FROM m4)
+         |ORDER BY merge_rank""".stripMargin,
+
+    // mirrors Bpe.encodeStats under the same 4-merge model
+    "q_bpe_encode" ->
+      s"""WITH ${Duck.bpeChain(4)},
+         |tokd AS (SELECT doc_id, unnest(w) AS word FROM w),
+         |sub AS (SELECT doc_id, unnest(t.s) AS sub FROM tokd
+         |        JOIN w4 t ON tokd.word = t.word),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_subwords,
+         |    CAST(count(DISTINCT sub) AS BIGINT) AS n_distinct_sub
+         |  FROM sub GROUP BY doc_id),
+         |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
+         |  FROM tokd GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+         |  coalesce(n_subwords, 0) AS n_subwords,
+         |  coalesce(n_distinct_sub, 0) AS n_distinct_sub
+         |FROM documents d LEFT JOIN nw ON d.doc_id = nw.doc_id
+         |LEFT JOIN ag ON d.doc_id = ag.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   )
 
   private lazy val decontamOracleSql: String =
@@ -5689,6 +5742,53 @@ object SparkEntry {
       "CASE WHEN len(t) < 4 THEN [t] " +
         "ELSE list_distinct(list_transform(range(1, len(t) - 2), " +
         "i -> substr(t, i, 4))) END"
+
+    /** CTE chain learning `rounds` BPE merges over the documents
+      * corpus: defines `w` (per-doc word arrays), word-type symbol
+      * tables `w0..w{rounds}` and per-round argmax merges
+      * `m1..m{rounds}`. Mirrors `Bpe.train` exactly — pair counts
+      * weighted by type frequency, argmax (cnt desc, a, b), and the
+      * greedy left-to-right apply expressed as islands-of-matches
+      * alternation (take every other match position inside each
+      * consecutive run — positionally equivalent to the engine's
+      * fold). */
+    def bpeChain(rounds: Int): String = {
+      val base =
+        s"""w AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+           |tokw AS (SELECT unnest(w) AS word FROM w),
+           |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n,
+           |    list_transform(range(1, len(word) + 1),
+           |      i -> substr(word, i, 1)) AS s
+           |  FROM tokw GROUP BY word)""".stripMargin
+      val rs = (1 to rounds).map { r =>
+        val prev = s"w${r - 1}"
+        s"""p$r AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+           |    SELECT n, unnest(s[1:len(s)-1]) AS a, unnest(s[2:len(s)]) AS b
+           |    FROM $prev WHERE len(s) >= 2) GROUP BY a, b),
+           |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |e$r AS (SELECT word, n, s, unnest(generate_series(1, len(s))) AS i
+           |  FROM $prev),
+           |f$r AS (SELECT word, n, i, s[i] AS sym,
+           |    CASE WHEN i < len(s) AND s[i] = (SELECT a FROM m$r)
+           |         AND s[i + 1] = (SELECT b FROM m$r) THEN 1 ELSE 0 END AS mt
+           |  FROM e$r),
+           |g$r AS (SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY i) AS nxt,
+           |    CASE WHEN mt = 1 THEN i - row_number()
+           |      OVER (PARTITION BY word, mt ORDER BY i) ELSE NULL END AS isl
+           |  FROM f$r),
+           |k$r AS (SELECT *, CASE WHEN mt = 1 AND
+           |      (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0
+           |    THEN 1 ELSE 0 END AS keep
+           |  FROM g$r),
+           |j$r AS (SELECT *, coalesce(lag(keep)
+           |    OVER (PARTITION BY word ORDER BY i), 0) AS pk FROM k$r),
+           |w$r AS (SELECT word, CAST(max(n) AS BIGINT) AS n,
+           |    list(CASE WHEN keep = 1 THEN sym || nxt ELSE sym END
+           |      ORDER BY i) AS s
+           |  FROM j$r WHERE pk = 0 GROUP BY word)""".stripMargin
+      }
+      (base +: rs).mkString(",\n")
+    }
 
     /** MinHash + banded LSH mirror of `Dedup.minHashPairs` (word
       * 3-shingles, universal-hash family from
