@@ -41,7 +41,11 @@ object Bpe {
   def wordTypes(docs: DataFrame, textCol: String): DataFrame =
     graft.operators.Spread.ensure(
       docs.select(TextFunctions.words(col(textCol)).as("w")))
-      .select(explode(col("w")).as("word"))
+      // explode_outer + null filter ≡ explode, but skips
+      // InferFiltersFromGenerate's `size(words(text)) > 0` scan
+      // filter (unpushable, double-evaluates the tokenize regex)
+      .select(explode_outer(col("w")).as("word"))
+      .where(col("word").isNotNull)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .withColumn("s", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
@@ -110,7 +114,8 @@ object Bpe {
                   types: DataFrame): DataFrame = {
     val tok = graft.operators.Spread.ensure(
       docs.select(col(idCol).as("id"), TextFunctions.words(col(textCol)).as("w")))
-      .select(col("id"), explode(col("w")).as("word"))
+      .select(col("id"), explode_outer(col("w")).as("word"))
+      .where(col("word").isNotNull) // see wordTypes: lint-clean explode
     val sub = tok.join(types.select(col("word"), col("s")), Seq("word"))
       .select(col("id"), explode(col("s")).as("sub"))
     val agg = sub.groupBy(col("id")).agg(

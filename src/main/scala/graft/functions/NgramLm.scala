@@ -62,8 +62,14 @@ object NgramLm {
     val withCounts = perDoc
       .withColumn("big_cnt", sum(col("occ")).over(Window.partitionBy(col("p"), col("c"))))
       .withColumn("ctx_cnt", sum(col("occ")).over(Window.partitionBy(col("p"))))
-    // vocabulary size: distinct unigram types (two-stage distinct agg)
-    val v = base.select(explode(col("w")).as("t"))
+    // vocabulary size: distinct unigram types (two-stage distinct agg).
+    // explode_OUTER on purpose: a plain explode of the attribute `w`
+    // makes InferFiltersFromGenerate push `size(words(text)) > 0`
+    // down to the parquet scan as an unpushable full-regex filter
+    // (evaluating words() twice per row); outer generates skip the
+    // inference, and countDistinct ignores the null row an empty doc
+    // contributes.
+    val v = base.select(explode_outer(col("w")).as("t"))
       .agg(countDistinct(col("t")).as("V"))
     val scored = withCounts.crossJoin(broadcast(v))
       .withColumn("mn",

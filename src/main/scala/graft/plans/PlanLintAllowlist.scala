@@ -74,6 +74,10 @@ object PlanLintAllowlist {
     // r7: DSIR weights cross each doc with the broadcast 1-row corpus
     // totals (r_total, t_total)
     "q_importance" -> "unconditioned-nested-loop",
+    // r9: bigram-LM scoring crosses each (doc, bigram) group with the
+    // broadcast 1-row vocabulary-size aggregate — 1× per row, not
+    // |L|·|R| (same shape as q_importance / q_bm25)
+    "q_perplexity" -> "unconditioned-nested-loop",
     // r7: PMI crosses the ≤|types|² pair counts with the broadcast
     // 1-row distinct-user total
     "q_pmi_cooc" -> "unconditioned-nested-loop",
