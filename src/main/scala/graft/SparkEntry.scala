@@ -3085,6 +3085,17 @@ object SparkEntry {
       graft.functions.Bpe.encodeStats(docs, "doc_id", "text", model.types)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- HyperLogLog cardinality sketch (sketch/Sketches) ---------------
+    "q_hll_distinct" -> ((s, dir) => {
+      // 64-register HLL distinct parts per returnflag, in exact
+      // integer arithmetic (register maxima + DECIMAL floor-divided
+      // estimate); the exact count rides along to expose the error
+      graft.sketch.Sketches.hllDistinctByKey(
+        t(s, dir, "lineitem"), "l_returnflag", "l_partkey")
+        .withColumnRenamed("key", "l_returnflag")
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -5694,7 +5705,36 @@ object SparkEntry {
          |  coalesce(n_distinct_sub, 0) AS n_distinct_sub
          |FROM documents d LEFT JOIN nw ON d.doc_id = nw.doc_id
          |LEFT JOIN ag ON d.doc_id = ag.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors Sketches.hllDistinctByKey: 64-register HLL with the
+    // exact-integer estimate path (HUGEINT stands in for DECIMAL(38,0))
+    "q_hll_distinct" ->
+      s"""WITH h AS (SELECT l_returnflag AS key,
+         |    ${Duck.hash64("CAST(l_partkey AS VARCHAR)")} AS h FROM lineitem),
+         |r AS (SELECT key, h // 18014398509481984 AS bucket,
+         |    h % 18014398509481984 AS w FROM h),
+         |rr AS (SELECT key, bucket,
+         |    max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS r
+         |  FROM r GROUP BY key, bucket),
+         |sp AS (SELECT DISTINCT key FROM rr),
+         |spine AS (SELECT key, unnest(range(0, 64)) AS bucket FROM sp),
+         |f AS (SELECT spine.key, coalesce(rr.r, 0) AS r FROM spine
+         |  LEFT JOIN rr ON spine.key = rr.key AND spine.bucket = rr.bucket),
+         |s AS (SELECT key,
+         |    CAST(sum(1::BIGINT << CAST(55 - r AS INT)) AS BIGINT) AS S,
+         |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS V
+         |  FROM f GROUP BY key),
+         |e AS (SELECT key, CAST((2904064::HUGEINT * (1::HUGEINT << 55)) //
+         |    (1000::HUGEINT * S) AS BIGINT) AS raw, V FROM s),
+         |x AS (SELECT key, CASE WHEN raw <= 160 AND V > 0
+         |    THEN CAST(round(64 * ln(64.0 / V)) AS BIGINT)
+         |    ELSE raw END AS est_hll FROM e),
+         |ex AS (SELECT l_returnflag AS key,
+         |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+         |  FROM lineitem GROUP BY 1)
+         |SELECT x.key AS l_returnflag, est_hll, n_exact
+         |FROM x JOIN ex ON x.key = ex.key ORDER BY l_returnflag""".stripMargin
   )
 
   private lazy val decontamOracleSql: String =

@@ -237,4 +237,54 @@ object Sketches {
       .select(when(col("nd") === depth, col("mi")).otherwise(lit(0L))
         .as("est_rows"))
   }
+
+  /** HyperLogLog distinct-count estimate per key, m = 64 registers
+    * (p = 6) over hash64's 60-bit space: bucket = top 6 hash bits,
+    * rho = leading-zero rank of the remaining 54 bits (via binary
+    * string length, the same engine-portable trick as BM25's integer
+    * idf). State is AT MOST 64 small integers per key — max-mergeable
+    * across scans, batches, or streams, the industry-standard
+    * bounded-state cardinality sketch next to [[kmvDistinctByKey]]'s
+    * k-minima (KMV supports set ops; HLL has 64-byte state and
+    * union-by-max). The estimate is engine-exact: `S = Σ 2^(55-r)` is
+    * an exact long (dyadic terms, ≤ 64·2^55 < 2^62), the raw
+    * alpha·m²/S estimate runs in DECIMAL(38,0) floor division, and
+    * the small-range linear-counting branch rounds `m·ln(m/V)` at
+    * integer grain where the 64 possible V values can't straddle a
+    * rounding boundary. Returns (key, est_hll, n_exact) — the exact
+    * count rides along for error inspection (same deliberate pattern
+    * as cmsJoinSizeEstimate's oracle gate). */
+  def hllDistinctByKey(df: DataFrame, keyCol: String, valueCol: String)
+      : DataFrame = {
+    val twoPow54 = 18014398509481984L // 2^54: splits 60-bit hash 6|54
+    val hashed = df.select(col(keyCol).as("key"),
+      TextFunctions.hash64(col(valueCol).cast("string")).as("h"))
+    val regs = hashed.select(col("key"),
+        expr(s"h div ${twoPow54}L").as("bucket"),
+        expr(s"h % ${twoPow54}L").as("w"))
+      .withColumn("rho", when(col("w") === 0, lit(55))
+        .otherwise(lit(55) - length(expr("bin(w)"))))
+      .groupBy(col("key"), col("bucket")).agg(max(col("rho")).as("r"))
+    // full 64-register spine per key: a missing register is rho 0
+    val spine = regs.select(col("key")).distinct()
+      .select(col("key"), explode(sequence(lit(0), lit(63))).as("bucket"))
+    val full = spine.join(regs, Seq("key", "bucket"), "left")
+      .select(col("key"), coalesce(col("r"), lit(0)).as("r"))
+    val s = full.groupBy(col("key")).agg(
+      sum(expr("shiftleft(1L, cast(55 - r as int))")).as("S"),
+      sum(when(col("r") === 0, 1L).otherwise(0L)).as("V"))
+    // raw estimate: alpha_64·m²/(S/2^55) = (709·4096·2^55) div
+    // (1000·S), exact in DECIMAL(38,0); 709·4096 = 2904064
+    val raw = s.withColumn("raw", expr(
+      "cast(cast(2904064 as decimal(38,0)) * cast(shiftleft(1L, 55) as " +
+        "decimal(38,0)) div (cast(1000 as decimal(38,0)) * " +
+        "cast(S as decimal(38,0))) as bigint)"))
+    val est = raw.select(col("key"),
+      when(col("raw") <= 160 && col("V") > 0,
+        round(lit(64) * log(lit(64.0) / col("V"))).cast("long"))
+        .otherwise(col("raw")).as("est_hll"))
+    val exact = df.select(col(keyCol).as("key"), col(valueCol).as("v"))
+      .groupBy(col("key")).agg(countDistinct(col("v")).as("n_exact"))
+    est.join(exact, Seq("key"))
+  }
 }
