@@ -3096,6 +3096,18 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_returnflag", "l_partkey")
         .withColumnRenamed("key", "l_returnflag")
         .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- trainable text classification (classify/NaiveBayes) ------------
+    "q_nb_classify" -> ((s, dir) => {
+      // multinomial NB self-trained on the lang labels and applied
+      // back: training is two groupBys, scoring a word-keyed join —
+      // the model never leaves the cluster; micro-nat integer costs
+      // make the argmin engine-exact
+      graft.classify.NaiveBayes.classify(
+        t(s, dir, "documents"), "doc_id", "text", "lang")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -5734,7 +5746,52 @@ object SparkEntry {
          |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
          |  FROM lineitem GROUP BY 1)
          |SELECT x.key AS l_returnflag, est_hll, n_exact
-         |FROM x JOIN ex ON x.key = ex.key ORDER BY l_returnflag""".stripMargin
+         |FROM x JOIN ex ON x.key = ex.key ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors NaiveBayes.classify: add-one multinomial NB, micro-nat
+    // costs rounded before summation, argmin (cost, class)
+    "q_nb_classify" ->
+      s"""WITH w AS (SELECT doc_id, lang, ${Duck.words("text")} AS w
+         |  FROM documents),
+         |tok AS (SELECT doc_id, lang, unnest(w) AS word FROM w),
+         |wc AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n_wc
+         |  FROM tok GROUP BY lang, word),
+         |cc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_c
+         |  FROM tok GROUP BY lang),
+         |vv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM tok),
+         |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY lang),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |cls AS (SELECT DISTINCT lang FROM documents),
+         |wds AS (SELECT DISTINCT word FROM tok),
+         |sp AS (SELECT wds.word, cls.lang,
+         |    CAST(round(ln(CAST(cc.n_c + vv.v AS DOUBLE) /
+         |      (coalesce(wc.n_wc, 0) + 1.0)) * 1000000) AS BIGINT) AS lp
+         |  FROM wds CROSS JOIN cls
+         |  JOIN cc ON cls.lang = cc.lang CROSS JOIN vv
+         |  LEFT JOIN wc ON wc.word = wds.word AND wc.lang = cls.lang),
+         |pr AS (SELECT nd.lang,
+         |    CAST(round(ln(CAST(nt.n AS DOUBLE) / nd.n_docs) * 1000000)
+         |      AS BIGINT) AS pc
+         |  FROM nd CROSS JOIN nt),
+         |dwo AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS occ
+         |  FROM tok GROUP BY doc_id, word),
+         |sc AS (SELECT dwo.doc_id, sp.lang AS cls,
+         |    CAST(sum(occ * sp.lp) AS BIGINT) AS wcost
+         |  FROM dwo JOIN sp ON dwo.word = sp.word GROUP BY 1, 2),
+         |tot AS (SELECT d.doc_id, cls.lang AS cls,
+         |    coalesce(sc.wcost, 0) + pr.pc AS cost
+         |  FROM documents d CROSS JOIN cls
+         |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.cls = cls.lang
+         |  JOIN pr ON pr.lang = cls.lang),
+         |best AS (SELECT doc_id, cls AS pred, cost AS cost_micro FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY doc_id ORDER BY cost, cls) AS rn FROM tot)
+         |  WHERE rn = 1)
+         |SELECT d.doc_id, d.lang AS label, b.pred,
+         |  CAST(b.cost_micro AS BIGINT) AS cost_micro
+         |FROM documents d JOIN best b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   )
 
   private lazy val decontamOracleSql: String =

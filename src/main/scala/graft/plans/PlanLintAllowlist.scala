@@ -78,6 +78,11 @@ object PlanLintAllowlist {
     // broadcast 1-row vocabulary-size aggregate — 1× per row, not
     // |L|·|R| (same shape as q_importance / q_bm25)
     "q_perplexity" -> "unconditioned-nested-loop",
+    // r9: the NB smoothing/prior spines cross words (and docs) with
+    // the broadcast class list and 1-row totals — |classes|× per row
+    // by design (the add-one model needs unseen (word, class) pairs),
+    // same category as q_kmeans_assign's centroid cross
+    "q_nb_classify" -> "unconditioned-nested-loop",
     // r7: PMI crosses the ≤|types|² pair counts with the broadcast
     // 1-row distinct-user total
     "q_pmi_cooc" -> "unconditioned-nested-loop",
