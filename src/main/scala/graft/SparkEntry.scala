@@ -3108,6 +3108,17 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", "lang")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    "q_stream_perplexity" -> ((s, dir) => {
+      // STREAMING perplexity gate: 4 arriving doc batches score
+      // against the once-trained reference bigram LM at landing time —
+      // scores are batch-independent and the batches partition the
+      // training corpus, so the streamed output equals q_perplexity's
+      // fused self-scoring (the shared oracle)
+      graft.streaming.EventStream.perplexityStreamAvailableNow(s, dir)
+        .withColumnRenamed("id", "doc_id")
+        .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
     })
   )
 
@@ -5584,36 +5595,10 @@ object SparkEntry {
         |        ('noext', '', 2)) t(name, ext, sizeBytes)
         |ORDER BY name""".stripMargin,
 
-    // mirrors NgramLm.bigramNll: add-one bigram LM self-trained on the
-    // corpus; per-bigram -ln P rounded to micro-nats BEFORE the
-    // per-document sum (order-free integer aggregation, same
-    // round-then-sum trick as the jaccard-micro pattern). The two
-    // aligned unnest columns zip positionally in DuckDB.
-    "q_perplexity" ->
-      s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
-         |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS p,
-         |         unnest(w[2:len(w)]) AS c
-         |       FROM w WHERE len(w) >= 2),
-         |tok AS (SELECT unnest(w) AS t FROM w),
-         |vv AS (SELECT count(DISTINCT t) AS v FROM tok),
-         |pd AS (SELECT doc_id, p, c, CAST(count(*) AS BIGINT) AS occ
-         |       FROM bg GROUP BY doc_id, p, c),
-         |wc AS (SELECT *,
-         |  CAST(sum(occ) OVER (PARTITION BY p, c) AS BIGINT) AS big_cnt,
-         |  CAST(sum(occ) OVER (PARTITION BY p) AS BIGINT) AS ctx_cnt
-         |  FROM pd),
-         |sc AS (SELECT doc_id, occ,
-         |  CAST(round(ln(CAST(ctx_cnt + v AS DOUBLE) / (big_cnt + 1.0))
-         |       * 1000000) AS BIGINT) AS mn
-         |  FROM wc CROSS JOIN vv),
-         |agg AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
-         |  CAST(sum(occ * mn) AS BIGINT) AS nll_micro
-         |  FROM sc GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  coalesce(n_bigrams, 0) AS n_bigrams,
-         |  coalesce(nll_micro, 0) AS nll_micro
-         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    // mirrors NgramLm.bigramNll (and the streaming twin, whose
+    // batches partition the same corpus the LM trains on)
+    "q_perplexity" -> perplexityOracleSql,
+    "q_stream_perplexity" -> perplexityOracleSql,
 
     // mirrors LabelProp.propagate: 3 unrolled synchronous rounds with
     // self-vote, argmax by (count desc, label asc) — the unique
@@ -5793,6 +5778,39 @@ object SparkEntry {
          |FROM documents d JOIN best b ON d.doc_id = b.doc_id
          |ORDER BY d.doc_id""".stripMargin
   )
+
+  /** Mirrors NgramLm.bigramNll: add-one bigram LM self-trained on the
+    * corpus; per-bigram -ln P rounded to micro-nats BEFORE the
+    * per-document sum (order-free integer aggregation, same
+    * round-then-sum trick as the jaccard-micro pattern). The two
+    * aligned unnest columns zip positionally in DuckDB. Shared with
+    * q_stream_perplexity: the streamed batches partition the same
+    * corpus the LM trains on, so streaming ≡ the fused self-scoring. */
+  private lazy val perplexityOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
+       |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS p,
+       |         unnest(w[2:len(w)]) AS c
+       |       FROM w WHERE len(w) >= 2),
+       |tok AS (SELECT unnest(w) AS t FROM w),
+       |vv AS (SELECT count(DISTINCT t) AS v FROM tok),
+       |pd AS (SELECT doc_id, p, c, CAST(count(*) AS BIGINT) AS occ
+       |       FROM bg GROUP BY doc_id, p, c),
+       |wc AS (SELECT *,
+       |  CAST(sum(occ) OVER (PARTITION BY p, c) AS BIGINT) AS big_cnt,
+       |  CAST(sum(occ) OVER (PARTITION BY p) AS BIGINT) AS ctx_cnt
+       |  FROM pd),
+       |sc AS (SELECT doc_id, occ,
+       |  CAST(round(ln(CAST(ctx_cnt + v AS DOUBLE) / (big_cnt + 1.0))
+       |       * 1000000) AS BIGINT) AS mn
+       |  FROM wc CROSS JOIN vv),
+       |agg AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(occ * mn) AS BIGINT) AS nll_micro
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_bigrams, 0) AS n_bigrams,
+       |  coalesce(nll_micro, 0) AS nll_micro
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   private lazy val decontamOracleSql: String =
     s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),

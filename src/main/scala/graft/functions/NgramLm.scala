@@ -83,4 +83,65 @@ object NgramLm {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
   }
+
+  /** A trained bigram LM as three frames: bigram counts `bg`
+    * (p, c, big_cnt), context counts `ctx` (p, ctx_cnt), and the
+    * one-row vocabulary size `v` (V). [[bigramNll]] fuses training
+    * and scoring over ONE corpus (window sums, no join); this split
+    * exists for scoring OTHER data — arriving batches, a held-out
+    * split — against a fixed reference LM. */
+  final case class BigramLm(bg: DataFrame, ctx: DataFrame, v: DataFrame)
+
+  /** Train the add-one bigram LM on `corpus`: one tokenize+explode
+    * pass, one (p, c) groupBy (map-side combined), context counts
+    * re-aggregated from the bigram table (types, not occurrences). */
+  def trainBigramLm(corpus: DataFrame, textCol: String): BigramLm = {
+    val base = graft.operators.Spread.ensure(
+      corpus.select(TextFunctions.words(col(textCol)).as("w")))
+    val bg = base.select(explode(expr(
+      "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), " +
+        "i -> struct(element_at(w, i + 1) AS p, element_at(w, i + 2) AS c)) " +
+        "ELSE array() END")).as("b"))
+      .groupBy(col("b.p").as("p"), col("b.c").as("c"))
+      .agg(count(lit(1)).as("big_cnt"))
+    val ctx = bg.groupBy(col("p")).agg(sum(col("big_cnt")).as("ctx_cnt"))
+    val v = base.select(explode_outer(col("w")).as("t")) // see bigramNll
+      .agg(countDistinct(col("t")).as("V"))
+    BigramLm(bg, ctx, v)
+  }
+
+  /** Score `docs` against a FIXED reference [[BigramLm]] (the
+    * streaming / held-out phrasing of [[bigramNll]] — identical
+    * output when `docs` IS the training corpus). Unseen bigrams and
+    * contexts coalesce to zero counts, so an out-of-vocabulary bigram
+    * costs `-ln(1/(ctx + V))` with the add-one mass it deserves.
+    * Two equi-joins on the (p, c) / p keys — the minimal co-location
+    * any scorer needs; the 1-row V broadcasts. */
+  def scoreAgainstLm(docs: DataFrame, idCol: String, textCol: String,
+                     lm: BigramLm): DataFrame = {
+    val base = graft.operators.Spread.ensure(
+      docs.select(col(idCol).as("id"), TextFunctions.words(col(textCol)).as("w")))
+    val perDoc = base.select(col("id"), explode(expr(
+      "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), " +
+        "i -> struct(element_at(w, i + 1) AS p, element_at(w, i + 2) AS c)) " +
+        "ELSE array() END")).as("b"))
+      .select(col("id"), col("b.p").as("p"), col("b.c").as("c"))
+      .groupBy(col("id"), col("p"), col("c"))
+      .agg(count(lit(1)).as("occ"))
+    val scored = perDoc
+      .join(lm.bg, Seq("p", "c"), "left")
+      .join(lm.ctx, Seq("p"), "left")
+      .crossJoin(broadcast(lm.v))
+      .withColumn("mn",
+        round(log((coalesce(col("ctx_cnt"), lit(0L)) + col("V")).cast("double") /
+          (coalesce(col("big_cnt"), lit(0L)) + lit(1.0))) * lit(1000000.0))
+          .cast("long"))
+    val agg = scored.groupBy(col("id")).agg(
+      sum(col("occ")).as("n_bigrams"),
+      sum(col("occ") * col("mn")).as("nll_micro"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
+  }
 }

@@ -894,6 +894,50 @@ object EventStream {
         "doc_id", "text", "text", k = k))
   }
 
+  /** Streaming perplexity gate: arriving document batches score
+    * against a FIXED reference bigram LM inside `foreachBatch` — the
+    * landing-zone quality filter that prices each document's fluency
+    * AS IT ARRIVES (the perplexity twin of
+    * [[decontamStreamAvailableNow]]). The LM trains ONCE on the
+    * reference corpus and is persisted across micro-batches, so
+    * per-batch cost is the batch's own tokenize + two LM joins; the
+    * corpus is never re-trained. Per-doc scores are batch-independent
+    * and the arriving batches partition the same corpus the LM was
+    * trained on, so the multi-batch streaming run equals
+    * [[graft.functions.NgramLm.bigramNll]]'s fused self-scoring
+    * exactly — which is the oracle. */
+  def perplexityStreamAvailableNow(spark: SparkSession, sfDir: String,
+                                   batches: Int = 4): DataFrame = {
+    import graft.functions.NgramLm
+    val stageDir = stageDocBatches(spark, sfDir, batches)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lm0 = NgramLm.trainBigramLm(corpus, "text")
+    // persist + force: every micro-batch joins the LM; unpersisted it
+    // would re-train per batch (Bench/Verify clearCache() releases)
+    val lm = NgramLm.BigramLm(lm0.bg.persist(), lm0.ctx.persist(),
+      lm0.v.persist())
+    lm.bg.count(); lm.ctx.count(); lm.v.count()
+    val lock = new Object // see pitEnrichStreamAvailableNow
+    var parts = List.empty[DataFrame]
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = NgramLm.scoreAgainstLm(batch, "doc_id", "text", lm)
+          .localCheckpoint() // eager: result outlives the batch plan
+        lock.synchronized { parts ::= scored }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lock.synchronized(parts).reduceOption(_.unionByName(_)).getOrElse(
+      NgramLm.scoreAgainstLm(
+        spark.read.parquet(s"$sfDir/documents.parquet").limit(0),
+        "doc_id", "text", lm))
+  }
+
   /** Streaming MEDIA landing: a binaryFile stream over an arriving
     * media directory, decoded to pixel features micro-batch by
     * micro-batch inside `foreachBatch` — the multimodal twin of the

@@ -61,6 +61,39 @@ class NgramLmSpec extends SparkSpec {
     assert(perBigramCommon < perBigramRare)
   }
 
+  test("train/score split equals the fused self-scoring phrasing") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat"),
+      (3L, "a dog runs fast"),
+      (4L, "the the the")).toDF("doc_id", "text")
+    val fused = NgramLm.bigramNll(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val lm = NgramLm.trainBigramLm(docs, "text")
+    val split = NgramLm.scoreAgainstLm(docs, "doc_id", "text", lm)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(split === fused)
+  }
+
+  test("scoring held-out text prices unseen bigrams at the add-one floor") {
+    val corpus = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    val lm = NgramLm.trainBigramLm(corpus, "text")
+    // corpus: V=5 (the,cat,sat,ran + ...): words = the,cat,sat,ran → V=4
+    // contexts: the→2, cat→2; bigrams: (the,cat)=2,(cat,sat)=1,(cat,ran)=1
+    val heldOut = Seq(
+      (10L, "the cat"),   // seen bigram: ln((2+4)/(2+1))
+      (11L, "cat zzz"),   // seen context, unseen bigram: ln((2+4)/(0+1))
+      (12L, "zzz qqq"))   // unseen context: ln((0+4)/(0+1))
+      .toDF("doc_id", "text")
+    val got = NgramLm.scoreAgainstLm(heldOut, "doc_id", "text", lm)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    def mn(num: Double, den: Double) = math.round(math.log(num / den) * 1e6)
+    assert(got === Seq(
+      (10L, 1L, mn(6.0, 3.0)),
+      (11L, 1L, mn(6.0, 1.0)),
+      (12L, 1L, mn(4.0, 1.0))))
+  }
+
   test("short and empty documents report zeros") {
     val docs = Seq((1L, "a b"), (2L, "x"), (3L, "  ")).toDF("doc_id", "text")
     val got = NgramLm.bigramNll(docs, "doc_id", "text")

@@ -229,4 +229,55 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       out == want
     }, n = 10)
   }
+
+  test("label propagation matches serial synchronous LPA on random graphs") {
+    val edgeGen = Gen.listOfN(14, Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9)))
+      .map(_.filter(e => e._1 != e._2)
+        .flatMap { case (a, b) => Seq(("n" + a, "n" + b), ("n" + b, "n" + a)) }
+        .distinct)
+      .suchThat(_.nonEmpty)
+    holds(Prop.forAll(edgeGen) { edges =>
+      val got = graft.graph.LabelProp
+        .propagate(edges.toDF("src", "dst"), "src", "dst", iters = 2)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var labels = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to 2) {
+        val votes = edges.map { case (s, d) => d -> labels(s) } ++ labels.toSeq
+        val grouped = votes.groupBy(_._1)
+        labels = nodes.map { n =>
+          n -> grouped(n).map(_._2).groupBy(identity)
+            .map { case (l, o) => (l, o.size) }
+            .minBy { case (l, c) => (-c, l) }._1
+        }.toMap
+      }
+      got == labels
+    }, n = 8)
+  }
+
+  test("Bradley-Terry fixed point matches serial integer MM on random games") {
+    val gameGen = Gen.listOfN(20, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 5L)))
+      .map(_.filter(g => g._1 != g._2)).suchThat(_.nonEmpty)
+    holds(Prop.forAll(gameGen) { games =>
+      val got = graft.sample.Preference
+        .bradleyTerry(games.toDF("w", "l"), "w", "l", iters = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val items = (games.map(_._1) ++ games.map(_._2)).distinct
+      val nIj = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+      val wIj = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+      games.foreach { case (w, l) => nIj((w, l)) += 1; nIj((l, w)) += 1; wIj((w, l)) += 1 }
+      val wins = items.map(i => i -> items.filter(_ != i).map(j => wIj((i, j))).sum).toMap
+      val ng = items.map(i => i -> items.filter(_ != i).map(j => nIj((i, j))).sum).toMap
+      var s = items.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 2) {
+        s = items.map { i =>
+          val denom = items.filter(j => j != i && nIj((i, j)) > 0)
+            .map(j => (nIj((i, j)) * 1000000000000L) / (s(i) + s(j))).sum
+          i -> (if (denom == 0) 0L else (wins(i) * 1000000000000L) / denom)
+        }.toMap
+      }
+      got == items.map(i => i -> ((ng(i), wins(i), s(i)))).toMap
+    }, n = 8)
+  }
 }
