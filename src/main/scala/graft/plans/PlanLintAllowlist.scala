@@ -34,6 +34,9 @@ object PlanLintAllowlist {
     // r8: intentional Spread.smallSort of the per-doc score report
     // (same as q_decontam's own entry)
     "q_stream_decontam" -> "single-partition-exchange",
+    // r9: intentional Spread.smallSort of the per-doc score report
+    // (same as q_stream_decontam above)
+    "q_stream_perplexity" -> "single-partition-exchange",
     // r8: every row crosses the broadcast 1-row (lo, hi) time-bounds
     // aggregate — 1× per row, not |L|·|R|
     "q_temporal_split" -> "unconditioned-nested-loop",
