@@ -3119,6 +3119,22 @@ object SparkEntry {
       graft.streaming.EventStream.perplexityStreamAvailableNow(s, dir)
         .withColumnRenamed("id", "doc_id")
         .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
+    }),
+
+    "q_nb_holdout" -> ((s, dir) => {
+      // generalization check for the NB model: train on even doc_ids,
+      // score the held-out odd ones — unseen words price at the
+      // per-class add-one floor instead of silently vanishing
+      val docs = t(s, dir, "documents")
+      val model = graft.classify.NaiveBayes.train(
+        docs.where(col("doc_id") % 2 === 0), "text", "lang")
+      val test = docs.where(col("doc_id") % 2 === 1)
+      graft.classify.NaiveBayes.score(test, "doc_id", "text", model)
+        .join(test.select(col("doc_id").as("id"), col("lang").as("label")),
+          Seq("id"))
+        .select(col("id").as("doc_id"), col("label"), col("pred"),
+          col("cost_micro"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -5733,50 +5749,13 @@ object SparkEntry {
          |SELECT x.key AS l_returnflag, est_hll, n_exact
          |FROM x JOIN ex ON x.key = ex.key ORDER BY l_returnflag""".stripMargin,
 
-    // mirrors NaiveBayes.classify: add-one multinomial NB, micro-nat
-    // costs rounded before summation, argmin (cost, class)
-    "q_nb_classify" ->
-      s"""WITH w AS (SELECT doc_id, lang, ${Duck.words("text")} AS w
-         |  FROM documents),
-         |tok AS (SELECT doc_id, lang, unnest(w) AS word FROM w),
-         |wc AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n_wc
-         |  FROM tok GROUP BY lang, word),
-         |cc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_c
-         |  FROM tok GROUP BY lang),
-         |vv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM tok),
-         |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
-         |  FROM documents GROUP BY lang),
-         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-         |cls AS (SELECT DISTINCT lang FROM documents),
-         |wds AS (SELECT DISTINCT word FROM tok),
-         |sp AS (SELECT wds.word, cls.lang,
-         |    CAST(round(ln(CAST(cc.n_c + vv.v AS DOUBLE) /
-         |      (coalesce(wc.n_wc, 0) + 1.0)) * 1000000) AS BIGINT) AS lp
-         |  FROM wds CROSS JOIN cls
-         |  JOIN cc ON cls.lang = cc.lang CROSS JOIN vv
-         |  LEFT JOIN wc ON wc.word = wds.word AND wc.lang = cls.lang),
-         |pr AS (SELECT nd.lang,
-         |    CAST(round(ln(CAST(nt.n AS DOUBLE) / nd.n_docs) * 1000000)
-         |      AS BIGINT) AS pc
-         |  FROM nd CROSS JOIN nt),
-         |dwo AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS occ
-         |  FROM tok GROUP BY doc_id, word),
-         |sc AS (SELECT dwo.doc_id, sp.lang AS cls,
-         |    CAST(sum(occ * sp.lp) AS BIGINT) AS wcost
-         |  FROM dwo JOIN sp ON dwo.word = sp.word GROUP BY 1, 2),
-         |tot AS (SELECT d.doc_id, cls.lang AS cls,
-         |    coalesce(sc.wcost, 0) + pr.pc AS cost
-         |  FROM documents d CROSS JOIN cls
-         |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.cls = cls.lang
-         |  JOIN pr ON pr.lang = cls.lang),
-         |best AS (SELECT doc_id, cls AS pred, cost AS cost_micro FROM (
-         |    SELECT *, row_number() OVER
-         |      (PARTITION BY doc_id ORDER BY cost, cls) AS rn FROM tot)
-         |  WHERE rn = 1)
-         |SELECT d.doc_id, d.lang AS label, b.pred,
-         |  CAST(b.cost_micro AS BIGINT) AS cost_micro
-         |FROM documents d JOIN best b ON d.doc_id = b.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+    // mirrors NaiveBayes.train+score via Duck.nbSql (OOV floor never
+    // engaged when scoring the training corpus itself)
+    "q_nb_classify" -> Duck.nbSql("TRUE", "TRUE"),
+
+    // mirrors the held-out split: train on even doc_ids, score the
+    // odd ones — unseen words priced at the per-class add-one floor
+    "q_nb_holdout" -> Duck.nbSql("doc_id % 2 = 0", "doc_id % 2 = 1")
   )
 
   /** Mirrors NgramLm.bigramNll: add-one bigram LM self-trained on the
@@ -5904,6 +5883,64 @@ object SparkEntry {
       }
       (base +: rs).mkString(",\n")
     }
+
+    /** Full NB train/score query: add-one multinomial Naive Bayes
+      * trained on `documents WHERE trainPred`, scoring `documents
+      * WHERE scorePred` — mirrors `NaiveBayes.train`/`score` (micro-
+      * nat costs rounded before summation, OOV words at the per-class
+      * add-one floor, argmin (cost, class)). */
+    def nbSql(trainPred: String, scorePred: String): String =
+      s"""WITH tdoc AS (SELECT * FROM documents WHERE $trainPred),
+         |sdoc AS (SELECT * FROM documents WHERE $scorePred),
+         |tw AS (SELECT lang, ${words("text")} AS w FROM tdoc),
+         |ttok AS (SELECT lang, unnest(w) AS word FROM tw),
+         |wc AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n_wc
+         |  FROM ttok GROUP BY lang, word),
+         |cc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_c
+         |  FROM ttok GROUP BY lang),
+         |vv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM ttok),
+         |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM tdoc GROUP BY lang),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tdoc),
+         |cls AS (SELECT DISTINCT lang FROM tdoc),
+         |wds AS (SELECT DISTINCT word FROM ttok),
+         |sp AS (SELECT wds.word, cls.lang,
+         |    CAST(round(ln(CAST(cc.n_c + vv.v AS DOUBLE) /
+         |      (coalesce(wc.n_wc, 0) + 1.0)) * 1000000) AS BIGINT) AS lp
+         |  FROM wds CROSS JOIN cls
+         |  JOIN cc ON cls.lang = cc.lang CROSS JOIN vv
+         |  LEFT JOIN wc ON wc.word = wds.word AND wc.lang = cls.lang),
+         |oov AS (SELECT cc.lang,
+         |    CAST(round(ln(CAST(cc.n_c + vv.v AS DOUBLE) / 1.0) * 1000000)
+         |      AS BIGINT) AS lpo
+         |  FROM cc CROSS JOIN vv),
+         |pr AS (SELECT nd.lang,
+         |    CAST(round(ln(CAST(nt.n AS DOUBLE) / nd.n_docs) * 1000000)
+         |      AS BIGINT) AS pc
+         |  FROM nd CROSS JOIN nt),
+         |sw AS (SELECT doc_id, ${words("text")} AS w FROM sdoc),
+         |stok AS (SELECT doc_id, unnest(w) AS word FROM sw),
+         |dwo AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS occ
+         |  FROM stok GROUP BY doc_id, word),
+         |sc AS (SELECT dwo.doc_id, cls.lang AS cls,
+         |    CAST(sum(occ * coalesce(sp.lp, oov.lpo)) AS BIGINT) AS wcost
+         |  FROM dwo CROSS JOIN cls
+         |  LEFT JOIN sp ON sp.word = dwo.word AND sp.lang = cls.lang
+         |  JOIN oov ON oov.lang = cls.lang
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT d.doc_id, cls.lang AS cls,
+         |    coalesce(sc.wcost, 0) + pr.pc AS cost
+         |  FROM sdoc d CROSS JOIN cls
+         |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.cls = cls.lang
+         |  JOIN pr ON pr.lang = cls.lang),
+         |best AS (SELECT doc_id, cls AS pred, cost AS cost_micro FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY doc_id ORDER BY cost, cls) AS rn FROM tot)
+         |  WHERE rn = 1)
+         |SELECT d.doc_id, d.lang AS label, b.pred,
+         |  CAST(b.cost_micro AS BIGINT) AS cost_micro
+         |FROM sdoc d JOIN best b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin
 
     /** MinHash + banded LSH mirror of `Dedup.minHashPairs` (word
       * 3-shingles, universal-hash family from

@@ -86,6 +86,10 @@ object PlanLintAllowlist {
     // by design (the add-one model needs unseen (word, class) pairs),
     // same category as q_kmeans_assign's centroid cross
     "q_nb_classify" -> "unconditioned-nested-loop",
+    // r9: same NB class-spine crosses, plus the doc_id % 2 train/test
+    // modulo fixture (q_minhash_incr category)
+    "q_nb_holdout" -> "unconditioned-nested-loop",
+    "q_nb_holdout" -> "scan-without-pushed-filters",
     // r7: PMI crosses the ≤|types|² pair counts with the broadcast
     // 1-row distinct-user total
     "q_pmi_cooc" -> "unconditioned-nested-loop",

@@ -64,6 +64,28 @@ class NaiveBayesSpec extends SparkSpec {
     }
   }
 
+  test("held-out scoring prices unseen words at the add-one floor") {
+    val train = Seq(
+      (1L, "gato perro casa", "es"), (2L, "perro sol", "es"),
+      (3L, "cat dog house", "en"), (4L, "dog sun", "en"))
+    val test = Seq((10L, "gato zzz"), (11L, "zzz qqq"))
+    val model = NaiveBayes.train(train.toDF("doc_id", "text", "lang"),
+      "text", "lang")
+    val got = NaiveBayes.score(test.toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // serial: V=8, n_c=5 per class, priors ln(2) each
+    def mn(num: Double, den: Double) = math.round(math.log(num / den) * 1e6)
+    val floor = mn(13.0, 1.0) // ln((5+8)/1): unseen word, either class
+    val prior = mn(2.0, 1.0)
+    // doc 10: 'gato' seen only in es (n_wc=1): es cost ln(13/2)+floor,
+    // en cost floor+floor — es wins
+    assert(got(10L) === (("es", prior + mn(13.0, 2.0) + floor)))
+    // doc 11: both words unseen → equal costs, tie to 'en' (asc)
+    assert(got(11L) === (("en", prior + 2 * floor)))
+  }
+
   test("a word-less document takes the prior-only argmin") {
     val withEmpty = docs :+ ((9L, "   ", "fr"))
     val got = NaiveBayes.classify(withEmpty.toDF("doc_id", "text", "lang"),
