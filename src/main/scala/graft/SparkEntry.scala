@@ -26,6 +26,33 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Pairwise preference games from the event stream, shared by the
+    * ranking queries (q_btl_rank, q_winrate): consecutive click
+    * events per user pit their props.k item buckets against each
+    * other — the later event's higher `value` wins, ties go to the
+    * smaller item, equal items produce no game. One lag window at µs
+    * grain. */
+  private def clickGames(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events").where(col("event_type") === "click")
+      .select(col("user_id"), Tables.eventTsUs.as("tu"), col("event_id"),
+        (get_json_object(col("props"), "$.k").cast("long") % 12).as("item"),
+        col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("event_id"))
+    val lg = ev.select(col("item"), col("value"),
+        lag(col("item"), 1).over(w).as("p_item"),
+        lag(col("value"), 1).over(w).as("p_val"))
+      .where(col("p_item").isNotNull && col("p_item") =!= col("item"))
+    lg.select(
+      when(col("value") > col("p_val"), col("item"))
+        .when(col("value") < col("p_val"), col("p_item"))
+        .otherwise(least(col("item"), col("p_item"))).as("winner"),
+      when(col("value") > col("p_val"), col("p_item"))
+        .when(col("value") < col("p_val"), col("item"))
+        .otherwise(greatest(col("item"), col("p_item"))).as("loser"))
+  }
+
   /** Stage-once cache for queries that must first materialize fixture
     * files (CSV landing zones, PNG media): the staged dir is keyed on
     * a CONTENT FINGERPRINT — the caller states the formula constants
@@ -3040,26 +3067,16 @@ object SparkEntry {
       // per user form games between their props.k item buckets (higher
       // value wins, ties to the smaller item), then a 2-round exact
       // fixed-point Bradley-Terry MM fit ranks the items
-      import org.apache.spark.sql.expressions.Window
-      val ev = t(s, dir, "events").where(col("event_type") === "click")
-        .select(col("user_id"), Tables.eventTsUs.as("tu"), col("event_id"),
-          (get_json_object(col("props"), "$.k").cast("long") % 12).as("item"),
-          col("value"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("tu"), col("event_id"))
-      val lg = ev.select(col("item"), col("value"),
-          lag(col("item"), 1).over(w).as("p_item"),
-          lag(col("value"), 1).over(w).as("p_val"))
-        .where(col("p_item").isNotNull && col("p_item") =!= col("item"))
-      val matches = lg.select(
-        when(col("value") > col("p_val"), col("item"))
-          .when(col("value") < col("p_val"), col("p_item"))
-          .otherwise(least(col("item"), col("p_item"))).as("winner"),
-        when(col("value") > col("p_val"), col("p_item"))
-          .when(col("value") < col("p_val"), col("item"))
-          .otherwise(greatest(col("item"), col("p_item"))).as("loser"))
-      graft.sample.Preference.bradleyTerry(matches, "winner", "loser",
-          iters = 2)
+      graft.sample.Preference.bradleyTerry(clickGames(s, dir),
+          "winner", "loser", iters = 2)
+        .orderBy(col("item"))
+    }),
+
+    "q_winrate" -> ((s, dir) => {
+      // the uncertainty-aware companion ranking over the same games:
+      // Wilson lower-bound win rates (2/2 must not outrank 90/100)
+      graft.sample.Preference.winRates(clickGames(s, dir),
+          "winner", "loser")
         .orderBy(col("item"))
     }),
 
@@ -5649,24 +5666,9 @@ object SparkEntry {
 
     // mirrors Preference.bradleyTerry (2 unrolled MM rounds, ppm
     // fixed point, 10^12 inner scaling, floor division) over games
-    // built from consecutive per-user click events
+    // built from consecutive per-user click events (clickGamesCtes)
     "q_btl_rank" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
-        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 12
-        |      AS item, value
-        |  FROM events WHERE event_type = 'click'),
-        |lg AS (SELECT item, value,
-        |    lag(item) OVER (PARTITION BY user_id ORDER BY tu, event_id)
-        |      AS p_item,
-        |    lag(value) OVER (PARTITION BY user_id ORDER BY tu, event_id)
-        |      AS p_val
-        |  FROM ev),
-        |mt AS (SELECT
-        |    CASE WHEN value > p_val THEN item WHEN value < p_val THEN p_item
-        |         ELSE least(item, p_item) END AS w,
-        |    CASE WHEN value > p_val THEN p_item WHEN value < p_val THEN item
-        |         ELSE greatest(item, p_item) END AS l
-        |  FROM lg WHERE p_item IS NOT NULL AND p_item <> item),
+      s"""WITH $clickGamesCtes,
         |g AS (SELECT w, l, CAST(count(*) AS BIGINT) AS c FROM mt GROUP BY w, l),
         |m AS (SELECT i, j, CAST(sum(wv) AS BIGINT) AS w_ij,
         |    CAST(sum(nv) AS BIGINT) AS n_ij FROM (
@@ -5690,6 +5692,27 @@ object SparkEntry {
         |  FROM wins JOIN d2 ON wins.i = d2.i)
         |SELECT wins.i AS item, n_games, win AS n_wins, s2.s AS s_ppm
         |FROM wins JOIN s2 ON wins.i = s2.i ORDER BY item""".stripMargin,
+
+    // mirrors Preference.winRates: identical Wilson expression text,
+    // rounded to 6 decimals, over the same games
+    "q_winrate" ->
+      s"""WITH $clickGamesCtes,
+        |wn AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS n_wins
+        |  FROM mt GROUP BY 1),
+        |ls AS (SELECT l AS item, CAST(count(*) AS BIGINT) AS n_losses
+        |  FROM mt GROUP BY 1),
+        |g AS (SELECT coalesce(wn.item, ls.item) AS item,
+        |    coalesce(n_wins, 0) + coalesce(n_losses, 0) AS n_games,
+        |    coalesce(n_wins, 0) AS n_wins
+        |  FROM wn FULL JOIN ls ON wn.item = ls.item),
+        |p AS (SELECT item, n_games, n_wins,
+        |    CAST(n_wins AS DOUBLE) / n_games AS phat FROM g)
+        |SELECT item, CAST(n_games AS BIGINT) AS n_games,
+        |  CAST(n_wins AS BIGINT) AS n_wins,
+        |  round((phat + 1.96*1.96/(2*n_games) - 1.96 *
+        |    sqrt(phat*(1-phat)/n_games + 1.96*1.96/(4*n_games*n_games)))
+        |    / (1 + 1.96*1.96/n_games), 6) AS wilson_lb
+        |FROM p ORDER BY item""".stripMargin,
 
     // mirrors Bpe.train via Duck.bpeChain: 4 unrolled merge rounds
     "q_bpe_train" ->
@@ -5757,6 +5780,26 @@ object SparkEntry {
     // odd ones — unseen words priced at the per-class add-one floor
     "q_nb_holdout" -> Duck.nbSql("doc_id % 2 = 0", "doc_id % 2 = 1")
   )
+
+  /** Mirrors SparkEntry.clickGames: the shared games CTE chain
+    * (`ev`/`lg`/`mt`) for the preference-ranking oracles. */
+  private lazy val clickGamesCtes: String =
+    """ev AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
+      |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 12
+      |      AS item, value
+      |  FROM events WHERE event_type = 'click'),
+      |lg AS (SELECT item, value,
+      |    lag(item) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+      |      AS p_item,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+      |      AS p_val
+      |  FROM ev),
+      |mt AS (SELECT
+      |    CASE WHEN value > p_val THEN item WHEN value < p_val THEN p_item
+      |         ELSE least(item, p_item) END AS w,
+      |    CASE WHEN value > p_val THEN p_item WHEN value < p_val THEN item
+      |         ELSE greatest(item, p_item) END AS l
+      |  FROM lg WHERE p_item IS NOT NULL AND p_item <> item)""".stripMargin
 
   /** Mirrors NgramLm.bigramNll: add-one bigram LM self-trained on the
     * corpus; per-bigram -ln P rounded to micro-nats BEFORE the

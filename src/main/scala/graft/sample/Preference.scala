@@ -74,4 +74,32 @@ object Preference {
     wins.unpersist()
     out
   }
+
+  /** Wilson-lower-bound win rates — the uncertainty-aware companion
+    * to [[bradleyTerry]]: an item with 2/2 wins must NOT outrank one
+    * with 90/100, and the Wilson score interval's lower bound is the
+    * standard fix. Two map-side-combined groupBys and one item-keyed
+    * outer join; the bound itself is one closed-form expression
+    * (written with the identical operation order as the SQL oracle
+    * and rounded to 6 decimals — the float-output discipline every
+    * ratio column in this repo follows). Returns (item, n_games,
+    * n_wins, wilson_lb). */
+  def winRates(matches: DataFrame, winnerCol: String, loserCol: String)
+      : DataFrame = {
+    val w = matches.groupBy(col(winnerCol).as("item"))
+      .agg(count(lit(1)).as("n_wins"))
+    val l = matches.groupBy(col(loserCol).as("item"))
+      .agg(count(lit(1)).as("n_losses"))
+    w.join(l, Seq("item"), "full")
+      .select(col("item"),
+        (coalesce(col("n_wins"), lit(0L)) +
+          coalesce(col("n_losses"), lit(0L))).as("n_games"),
+        coalesce(col("n_wins"), lit(0L)).as("n_wins"))
+      .withColumn("phat",
+        col("n_wins").cast("double") / col("n_games"))
+      .select(col("item"), col("n_games"), col("n_wins"),
+        expr("round((phat + 1.96*1.96/(2*n_games) - 1.96 * " +
+          "sqrt(phat*(1-phat)/n_games + 1.96*1.96/(4*n_games*n_games)))" +
+          " / (1 + 1.96*1.96/n_games), 6)").as("wilson_lb"))
+  }
 }

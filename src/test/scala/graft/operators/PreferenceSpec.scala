@@ -56,6 +56,28 @@ class PreferenceSpec extends SparkSpec {
     assert(got(1L) > got(2L) && got(2L) > got(3L))
   }
 
+  test("Wilson lower bound ranks certain records above lucky streaks") {
+    // 2/2 (perfect but tiny) must NOT outrank 90/100
+    val games = (1 to 90).map(_ => (10L, 99L)) ++ (1 to 10).map(_ => (99L, 10L)) ++
+      Seq((20L, 98L), (20L, 98L))
+    val got = Preference.winRates(games.toDF("w", "l"), "w", "l")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L)._1 === 100L && got(10L)._2 === 90L)
+    assert(got(20L)._1 === 2L && got(20L)._2 === 2L)
+    assert(got(10L)._3 > got(20L)._3) // 90/100 beats 2/2
+    // serial check of the exact formula for 90/100
+    val phat = 90.0 / 100
+    val n = 100.0
+    val want = BigDecimal((phat + 1.96 * 1.96 / (2 * n) - 1.96 *
+      math.sqrt(phat * (1 - phat) / n + 1.96 * 1.96 / (4 * n * n))) /
+      (1 + 1.96 * 1.96 / n))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L)._3 === want)
+    // an all-losses item reports a 0 rate with a 0 bound
+    assert(got(98L) === ((2L, 0L, 0.0)))
+  }
+
   test("an all-losses item pins to zero and never divides by zero") {
     val games = Seq[(Long, Long)]((1L, 2L), (1L, 2L), (3L, 2L))
     val got = Preference.bradleyTerry(games.toDF("w", "l"), "w", "l", 2)
