@@ -123,7 +123,11 @@ object Bench {
     // is kept within each group but the block-pinning group trails
     val iterative = Set("q_pagerank", "q_dedup_clusters", "q_clusters_incr",
       "q_entity_resolution", "q_er_survivorship", "q_kmeans_update",
-      "q_hierarchy", "q_dedup_curve")
+      "q_hierarchy", "q_dedup_curve",
+      // r9 additions that iterate with localCheckpoint blocks: LPA
+      // rounds, BT MM rounds, BPE merge rounds, image CC clusters
+      "q_communities", "q_btl_rank", "q_bpe_train", "q_bpe_encode",
+      "q_image_clusters")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven
