@@ -280,4 +280,77 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       got == items.map(i => i -> ((ng(i), wins(i), s(i)))).toMap
     }, n = 8)
   }
+
+  test("BPE training matches serial merge learning on random corpora") {
+    val docGen = Gen.listOfN(6, Gen.listOfN(5,
+        Gen.oneOf("ab", "aab", "abc", "ba", "cab", "abab", "aa"))
+      .map(_.mkString(" ")))
+    holds(Prop.forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // serial reference: same argmax tie-break + greedy-left apply
+      val counts = texts.flatMap(_.split(" ")).groupBy(identity)
+        .map { case (w, o) => w -> o.size.toLong }
+      var types: Map[String, (Long, Seq[String])] =
+        counts.map { case (w, n) => w -> (n, w.map(_.toString)) }.toMap
+      val expect = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= 4 && !done) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+          .withDefaultValue(0L)
+        types.values.foreach { case (n, s) =>
+          s.sliding(2).filter(_.size == 2).foreach(p => pc((p(0), p(1))) += n)
+        }
+        if (pc.isEmpty) done = true
+        else {
+          val ((a, b), c) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          expect += ((r, a, b, c))
+          types = types.map { case (w, (n, s)) =>
+            w -> (n, s.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+              else acc :+ x
+            })
+          }
+          r += 1
+        }
+      }
+      val model = graft.functions.Bpe.train(
+        graft.functions.Bpe.wordTypes(docs.toDF("doc_id", "text"), "text"), 4)
+      model.merges == expect.toSeq
+    }, n = 6)
+  }
+
+  test("NB classification matches the serial micro-nat argmin on random docs") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.listOfN(6, Gen.zip(
+      Gen.listOfN(4, word).map(_.mkString(" ")), Gen.oneOf("x", "y")))
+      .suchThat(d => d.map(_._2).distinct.size >= 1)
+    holds(Prop.forAll(docGen) { rows =>
+      val docs = rows.zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) }
+      val tok = docs.flatMap { case (id, t, l) => t.split(" ").map(w => (l, w)) }
+      val nWc = tok.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        .withDefaultValue(0L)
+      val nC = tok.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val vocab = tok.map(_._2).distinct.size.toLong
+      val nDocs = docs.groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+      val classes = nDocs.keys.toSeq.sorted
+      val expect = docs.map { case (id, t, _) =>
+        val costs = classes.map { c =>
+          val pc = math.round(math.log(docs.size.toDouble / nDocs(c)) * 1e6)
+          val wcost = t.split(" ").map { w =>
+            math.round(math.log((nC(c) + vocab).toDouble / (nWc((c, w)) + 1.0)) * 1e6)
+          }.sum
+          c -> (pc + wcost)
+        }
+        val (pred, cost) = costs.minBy { case (c, k) => (k, c) }
+        id -> ((pred, cost))
+      }.toMap
+      val got = graft.classify.NaiveBayes.classify(
+          docs.toDF("doc_id", "text", "lang"), "doc_id", "text", "lang")
+        .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3))))
+        .toMap
+      got == expect
+    }, n = 6)
+  }
 }
