@@ -3061,6 +3061,28 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_ppr" -> ((s, dir) => {
+      // personalized PageRank: restart mass pinned to the %100
+      // customer seed set over the same purchase graph — rank
+      // concentrates in the seeds' neighborhood (the graph
+      // recommendation / seed-expansion primitive), exact ppm
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = pairs.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val seeds = oc.where(col("o_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+      graft.graph.PageRank.personalizedPageRank(edges, "a", "b", seeds,
+          iters = 3)
+        .orderBy(col("node_id"))
+    }),
+
     // ---- preference-pair ranking (sample/Preference) --------------------
     "q_btl_rank" -> ((s, dir) => {
       // RLHF-style pairwise preference fit: consecutive click events
@@ -5663,6 +5685,42 @@ object SparkEntry {
         |  OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c3)
         |  WHERE rn = 1)
         |SELECT node AS node_id, label FROM l3 ORDER BY node_id""".stripMargin,
+
+    // mirrors PageRank.personalizedPageRank: 3 unrolled rounds, seed-
+    // pinned restart base, same ppm floor arithmetic as q_pagerank
+    "q_ppr" ->
+      """WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS b
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM pairs
+        |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |sd AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS node
+        |  FROM orders WHERE o_custkey % 100 = 0),
+        |n AS (SELECT d.src AS node, (sd.node IS NOT NULL) AS is_seed
+        |  FROM deg d LEFT JOIN sd ON d.src = sd.node),
+        |p0 AS (SELECT node, CASE WHEN is_seed THEN CAST(1000000 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS pr FROM n),
+        |c1 AS (SELECT e.dst AS node, CAST(sum(p0.pr // d.outdeg) AS BIGINT) AS s
+        |  FROM e JOIN deg d ON e.src = d.src JOIN p0 ON e.src = p0.node
+        |  GROUP BY e.dst),
+        |p1 AS (SELECT n.node, CAST((CASE WHEN n.is_seed THEN 150000 ELSE 0 END)
+        |    + (850000 * coalesce(c1.s, 0)) // 1000000 AS BIGINT) AS pr
+        |  FROM n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, CAST(sum(p1.pr // d.outdeg) AS BIGINT) AS s
+        |  FROM e JOIN deg d ON e.src = d.src JOIN p1 ON e.src = p1.node
+        |  GROUP BY e.dst),
+        |p2 AS (SELECT n.node, CAST((CASE WHEN n.is_seed THEN 150000 ELSE 0 END)
+        |    + (850000 * coalesce(c2.s, 0)) // 1000000 AS BIGINT) AS pr
+        |  FROM n LEFT JOIN c2 ON n.node = c2.node),
+        |c3 AS (SELECT e.dst AS node, CAST(sum(p2.pr // d.outdeg) AS BIGINT) AS s
+        |  FROM e JOIN deg d ON e.src = d.src JOIN p2 ON e.src = p2.node
+        |  GROUP BY e.dst),
+        |p3 AS (SELECT n.node, CAST((CASE WHEN n.is_seed THEN 150000 ELSE 0 END)
+        |    + (850000 * coalesce(c3.s, 0)) // 1000000 AS BIGINT) AS pr
+        |  FROM n LEFT JOIN c3 ON n.node = c3.node)
+        |SELECT node AS node_id, pr AS pr_ppm FROM p3
+        |ORDER BY node_id""".stripMargin,
 
     // mirrors Preference.bradleyTerry (2 unrolled MM rounds, ppm
     // fixed point, 10^12 inner scaling, floor division) over games

@@ -125,4 +125,57 @@ object PageRank {
     nodes.unpersist(blocking = false)
     out
   }
+
+  /** Personalized PageRank: restart mass flows to a SEED set instead
+    * of uniformly — the "similar to these" primitive of graph
+    * recommendation and seed-expansion curation. Same exact ppm
+    * fixed-point arithmetic and per-round shape as [[pageRank]]
+    * (one equi-join + one map-combined groupBy per round), with the
+    * restart base and the initial vector both `(1−d)·[v ∈ S]`-shaped:
+    * seeds start at SCALE and keep receiving `SCALE − dampingPpm`
+    * per round; non-seeds accumulate only flowed-through mass, so
+    * rank concentrates in the seeds' neighborhood (unnormalized —
+    * total mass is |S|-proportional, ratios are what callers rank
+    * by). The seed table joins once into the node frame (seed flag),
+    * adding zero per-round work. Long arithmetic holds to the same
+    * ~1.1e7-node bound as the narrow [[pageRank]] path (the hub
+    * worst case is identical); past that, widen the same way.
+    *
+    * @param seeds one column of node ids (same values as `srcCol`) */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, iters: Int,
+                           dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= Scale)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg, Seq("src")).persist()
+    ed.count()
+    val seedFlag = seeds.select(col(seeds.columns.head).as("node"))
+      .distinct().withColumn("is_seed", lit(true))
+    val nodes = ed.select(col("src").as("node")).distinct()
+      .join(seedFlag, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .persist()
+    nodes.count()
+    val base = when(col("is_seed"), lit(Scale - dampingPpm)).otherwise(lit(0L))
+    var pr = nodes.select(col("node"),
+      when(col("is_seed"), lit(Scale)).otherwise(lit(0L)).as("pr_ppm"))
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst"), expr("pr_ppm div outdeg").as("c"))
+      val agg = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      pr = nodes
+        .join(agg.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (base + expr(s"($dampingPpm * coalesce(s, 0L)) div $Scale"))
+            .as("pr_ppm"))
+    }
+    val out = pr.select(col("node").as("node_id"), col("pr_ppm"))
+      .localCheckpoint()
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
 }

@@ -44,6 +44,40 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert((2L to 6L).map(pr).distinct.size === 1)
   }
 
+  test("personalized restart matches hand-computed seed fixed point") {
+    import spark.implicits._
+    // path 1–2–3, seed {1}: p0 = (1e6, 0, 0)
+    // round 1: contribs 1→2: 1e6; 2→{1,3}: 0; 3→2: 0
+    //   p1(1) = 850000 + 850000·0 = 850000? base = 150000 for seed:
+    //   p1(1) = 150000 + 0 = 150000; p1(2) = 0 + 850000·1e6/1e6 = 850000
+    //   p1(3) = 0
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = PageRank.personalizedPageRank(edges, "src", "dst", seeds,
+        iters = 1)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 150000L), (2L, 850000L), (3L, 0L)))
+  }
+
+  test("personalized rank concentrates near the seed") {
+    import spark.implicits._
+    // two triangles bridged by one edge; seed in the left triangle
+    val sym = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val pr = PageRank.personalizedPageRank(sym, "src", "dst",
+        Seq(Tuple1(1L)).toDF("node"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // every left-triangle node outranks every right-triangle node
+    assert(Seq(1L, 2L, 3L).map(pr).min > Seq(5L, 6L).map(pr).max)
+    // and the seeded graph is NOT the uniform ranking
+    val uniform = PageRank.pageRank(sym, "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pr(1L).toDouble / pr(6L).max(1L) >
+      uniform(1L).toDouble / uniform(6L))
+  }
+
   test("forced wide (DECIMAL) arithmetic matches the long path exactly") {
     import spark.implicits._
     val edges = (1L to 40L).flatMap(i =>
