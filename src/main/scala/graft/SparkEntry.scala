@@ -3083,6 +3083,26 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_walks" -> ((s, dir) => {
+      // DeepWalk front end: 2 deterministic seeded-hash walks of 4
+      // steps from every node of the purchase graph — the walk corpus
+      // the skip-gram/PMI machinery consumes like text; "random" is a
+      // pure function of (graph, seed), so the oracle replays it
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = pairs.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      graft.graph.RandomWalks.walks(edges, "a", "b",
+          walksPerNode = 2, len = 4, seed = "w42")
+        .orderBy(col("walk_id"), col("step"))
+    }),
+
     // ---- preference-pair ranking (sample/Preference) --------------------
     "q_btl_rank" -> ((s, dir) => {
       // RLHF-style pairwise preference fit: consecutive click events
@@ -5722,6 +5742,9 @@ object SparkEntry {
         |SELECT node AS node_id, pr AS pr_ppm FROM p3
         |ORDER BY node_id""".stripMargin,
 
+    // mirrors RandomWalks.walks via Duck.walkSql
+    "q_walks" -> Duck.walkSql(walksPerNode = 2, len = 4, seed = "w42"),
+
     // mirrors Preference.bradleyTerry (2 unrolled MM rounds, ppm
     // fixed point, 10^12 inner scaling, floor division) over games
     // built from consecutive per-user click events (clickGamesCtes)
@@ -5983,6 +6006,37 @@ object SparkEntry {
            |  FROM j$r WHERE pk = 0 GROUP BY word)""".stripMargin
       }
       (base +: rs).mkString(",\n")
+    }
+
+    /** Unrolled deterministic-random-walk chain over the purchase
+      * graph: mirrors `RandomWalks.walks` — step t of walk w moves to
+      * the neighbor minimizing hash64(seed:w:t:dst), ties by dst. */
+    def walkSql(walksPerNode: Int, len: Int, seed: String): String = {
+      val reps = (0 until walksPerNode).map(i => s"($i)").mkString(", ")
+      val steps = (1 to len).map { t =>
+        s"""c$t AS (SELECT f.walk_id, e.dst,
+           |    ${hash64(s"'$seed:' || f.walk_id || ':$t:' || e.dst")} AS h
+           |  FROM f${t - 1} f JOIN e ON f.cur = e.src),
+           |f$t AS (SELECT walk_id, dst AS cur FROM (SELECT *, row_number()
+           |    OVER (PARTITION BY walk_id ORDER BY h, dst) AS rn FROM c$t)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to len)
+        .map(t => s"UNION ALL SELECT walk_id, $t, cur FROM f$t")
+        .mkString("\n")
+      s"""WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |f0 AS (SELECT node || '#' || CAST(w AS VARCHAR) AS walk_id,
+         |    node AS cur FROM n CROSS JOIN (VALUES $reps) v(w)),
+         |$steps
+         |SELECT walk_id, CAST(step AS INT) AS step, node FROM (
+         |  SELECT walk_id, 0 AS step, cur AS node FROM f0
+         |  $unions)
+         |ORDER BY walk_id, step""".stripMargin
     }
 
     /** Full NB train/score query: add-one multinomial Naive Bayes
