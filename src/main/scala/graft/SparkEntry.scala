@@ -3103,6 +3103,26 @@ object SparkEntry {
         .orderBy(col("walk_id"), col("step"))
     }),
 
+    "q_walk_cooc" -> ((s, dir) => {
+      // the embedding-trainer input: skip-gram pair counts (±2 steps)
+      // over the same deterministic walk corpus — graph-as-text
+      // composition of walks + the skipgram shape
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = pairs.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val pos = graft.graph.RandomWalks.walks(edges, "a", "b",
+        walksPerNode = 2, len = 4, seed = "w42")
+      graft.graph.RandomWalks.walkCooccurrence(pos, window = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // ---- preference-pair ranking (sample/Preference) --------------------
     "q_btl_rank" -> ((s, dir) => {
       // RLHF-style pairwise preference fit: consecutive click events
@@ -5745,6 +5765,20 @@ object SparkEntry {
     // mirrors RandomWalks.walks via Duck.walkSql
     "q_walks" -> Duck.walkSql(walksPerNode = 2, len = 4, seed = "w42"),
 
+    // mirrors RandomWalks.walkCooccurrence over the same walk chain
+    "q_walk_cooc" ->
+      s"""WITH ${Duck.walkChain(2, 4, "w42")},
+         |ld AS (SELECT walk_id, step, node,
+         |    lead(node, 1) OVER (PARTITION BY walk_id ORDER BY step) AS l1,
+         |    lead(node, 2) OVER (PARTITION BY walk_id ORDER BY step) AS l2
+         |  FROM pos),
+         |pr AS (SELECT node AS a, l1 AS b FROM ld WHERE l1 IS NOT NULL
+         |  UNION ALL SELECT l1, node FROM ld WHERE l1 IS NOT NULL
+         |  UNION ALL SELECT node, l2 FROM ld WHERE l2 IS NOT NULL
+         |  UNION ALL SELECT l2, node FROM ld WHERE l2 IS NOT NULL)
+         |SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM pr
+         |GROUP BY a, b ORDER BY a, b""".stripMargin,
+
     // mirrors Preference.bradleyTerry (2 unrolled MM rounds, ppm
     // fixed point, 10^12 inner scaling, floor division) over games
     // built from consecutive per-user click events (clickGamesCtes)
@@ -6008,10 +6042,11 @@ object SparkEntry {
       (base +: rs).mkString(",\n")
     }
 
-    /** Unrolled deterministic-random-walk chain over the purchase
-      * graph: mirrors `RandomWalks.walks` — step t of walk w moves to
-      * the neighbor minimizing hash64(seed:w:t:dst), ties by dst. */
-    def walkSql(walksPerNode: Int, len: Int, seed: String): String = {
+    /** Unrolled deterministic-random-walk CTE chain over the purchase
+      * graph, ending in a `pos` (walk_id, step, node) CTE: mirrors
+      * `RandomWalks.walks` — step t of walk w moves to the neighbor
+      * minimizing hash64(seed:w:t:dst), ties by dst. */
+    def walkChain(walksPerNode: Int, len: Int, seed: String): String = {
       val reps = (0 until walksPerNode).map(i => s"($i)").mkString(", ")
       val steps = (1 to len).map { t =>
         s"""c$t AS (SELECT f.walk_id, e.dst,
@@ -6024,7 +6059,7 @@ object SparkEntry {
       val unions = (1 to len)
         .map(t => s"UNION ALL SELECT walk_id, $t, cur FROM f$t")
         .mkString("\n")
-      s"""WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+      s"""pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
          |    's' || CAST(l_suppkey AS VARCHAR) AS b
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          |e AS (SELECT a AS src, b AS dst FROM pairs
@@ -6032,12 +6067,17 @@ object SparkEntry {
          |n AS (SELECT DISTINCT src AS node FROM e),
          |f0 AS (SELECT node || '#' || CAST(w AS VARCHAR) AS walk_id,
          |    node AS cur FROM n CROSS JOIN (VALUES $reps) v(w)),
-         |$steps
-         |SELECT walk_id, CAST(step AS INT) AS step, node FROM (
+         |$steps,
+         |pos AS (SELECT walk_id, CAST(step AS INT) AS step, node FROM (
          |  SELECT walk_id, 0 AS step, cur AS node FROM f0
-         |  $unions)
-         |ORDER BY walk_id, step""".stripMargin
+         |  $unions))""".stripMargin
     }
+
+    /** The walk corpus itself (q_walks). */
+    def walkSql(walksPerNode: Int, len: Int, seed: String): String =
+      s"""WITH ${walkChain(walksPerNode, len, seed)}
+         |SELECT walk_id, step, node FROM pos
+         |ORDER BY walk_id, step""".stripMargin
 
     /** Full NB train/score query: add-one multinomial Naive Bayes
       * trained on `documents WHERE trainPred`, scoring `documents

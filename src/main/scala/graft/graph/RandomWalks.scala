@@ -60,4 +60,26 @@ object RandomWalks {
     e.unpersist(blocking = false)
     out
   }
+
+  /** Skip-gram co-occurrence counts over a walk corpus — the exact
+    * pair statistics a graph-embedding trainer (or the PMI scorer)
+    * consumes: directed (a, b) counts for every pair within ±window
+    * steps of the same walk. One set of lead windows per walk (walks
+    * are short — the window sort is per-walk, never global), the same
+    * no-positions-self-join shape as
+    * [[graft.functions.Vocab.skipgramCounts]] over text. */
+  def walkCooccurrence(positions: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("walk_id")).orderBy(col("step"))
+    val withLeads = positions.select(col("node") +:
+      (1 to window).map(d => lead(col("node"), d).over(w).as(s"l$d")): _*)
+    val prs = withLeads.select(explode(array((1 to window).flatMap { d =>
+      Seq(struct(col("node").as("a"), col(s"l$d").as("b")),
+        struct(col(s"l$d").as("a"), col("node").as("b")))
+    }: _*)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    prs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+  }
 }

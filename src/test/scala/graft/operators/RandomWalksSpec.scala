@@ -63,6 +63,27 @@ class RandomWalksSpec extends SparkSpec {
     assert(a !== c) // a different seed must change some step
   }
 
+  test("walk co-occurrence counts match brute-force windowed pairs") {
+    val edges = sym(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+    val pos = RandomWalks.walks(edges.toDF("src", "dst"), "src", "dst",
+      walksPerNode = 2, len = 3, seed = "t2")
+    val got = RandomWalks.walkCooccurrence(pos, window = 2)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // brute: rebuild sequences from the serial walk reference
+    val walks = brute(edges, 2, 3, "t2").groupBy(_._1)
+      .map { case (_, v) => v.toSeq.sortBy(_._2).map(_._3) }
+    val want = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    walks.foreach { seq =>
+      for (i <- seq.indices; d <- 1 to 2 if i + d < seq.size) {
+        want((seq(i), seq(i + d))) += 1
+        want((seq(i + d), seq(i))) += 1
+      }
+    }
+    assert(got === want.toMap)
+  }
+
   test("a dead-end node ends its walk early") {
     // directed: a -> b, b has no out-edges
     val edges = Seq(("a", "b")).toDF("src", "dst")
