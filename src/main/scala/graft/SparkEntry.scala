@@ -3214,6 +3214,103 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("label"), col("pred"),
           col("cost_micro"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- graph structure: coreness + link prediction --------------------
+    "q_kcore" -> ((s, dir) => {
+      // k-core decomposition by iterated neighborhood h-indices
+      // (graph/KCore) over the bounded co-purchase graph — the
+      // q_triangles construction at a tighter orderkey bound (< 1500
+      // keeps ~12k edges and comparable density at every SF; the
+      // q_triangles 15000 bound is 10× denser at sf0.01 than sf0.1).
+      // 4 rounds from the degree, exact integers → hash-exact.
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      graft.graph.KCore.corenessHIndex(edges, "p1", "p2", rounds = 4)
+        .orderBy(col("node_id"))
+    }),
+
+    "q_link_predict" -> ((s, dir) => {
+      // link prediction over the same bounded co-purchase graph:
+      // common-neighbor + Jaccard scores for non-adjacent
+      // distance-2 part pairs (graph/LinkPrediction) — candidate
+      // recommendations, exact integer/ppm scores
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      graft.graph.LinkPrediction
+        .jaccardCandidates(edges, "p1", "p2", minCommon = 2L)
+        .orderBy(col("u"), col("v"))
+    }),
+
+    // ---- label curation: inter-annotator agreement ----------------------
+    "q_kappa" -> ((s, dir) => {
+      // Cohen's kappa between the corpus' declared `lang` metadata and
+      // the stopword lang-id prediction (the q_langid labeler) — the
+      // chance-corrected agreement a labeling-function audit needs;
+      // exact ppm fixed point (functions/Agreement)
+      import TextFunctions._
+      val docs = t(s, dir, "documents")
+        .withColumn("w", words(col("text")))
+      graft.functions.Agreement.cohenKappaPpm(docs,
+        col("lang"), langIdFromWords(col("w")))
+    }),
+
+    // ---- hashing-trick featurization ------------------------------------
+    "q_feature_hash" -> ((s, dir) => {
+      // vocabulary-free hashed term frequencies (functions/FeatureHash,
+      // dim 256) rolled up to the corpus bucket profile: load per
+      // bucket, sign-corrected sum, document frequency — bounded
+      // output (≤ dim rows) regardless of corpus size
+      val tf = graft.functions.FeatureHash.hashedTf(
+        t(s, dir, "documents"), "doc_id", "text", dim = 256)
+      tf.groupBy(col("bucket"))
+        .agg(sum(col("tf")).as("total_tf"),
+          sum(col("signed_tf")).as("signed_sum"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- time-series smoothing ------------------------------------------
+    "q_ewma" -> ((s, dir) => {
+      // truncated α=1/2 EWMA (depth 4) of event values per user —
+      // bounded-look-back exponential smoothing as one window pass
+      // (operators/TimeSeries); ordering at µs grain + event_id ties
+      // the per-key sequence identically in both engines
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          Tables.eventTsUs.as("t_us"), col("value"))
+      graft.operators.TimeSeries.truncatedEwma(ev, col("user_id"),
+          col("value"), depth = 4, col("t_us"), col("event_id"))
+        .select(col("event_id"), col("user_id"), col("ewma"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- semi-join reduction --------------------------------------------
+    "q_bloom_join" -> ((s, dir) => {
+      // Bloom-pruned fact⋈dim join (operators/BloomJoin): the ~1% of
+      // orders above 495k broadcast as a Bloom filter prunes lineitem
+      // BEFORE its shuffle; the exact join then kills false positives,
+      // so the result is identical to the plain join (the oracle)
+      val big = t(s, dir, "orders")
+        .where(col("o_totalprice") > 495000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      graft.operators.BloomJoin
+        .bloomPrunedJoin(li, "l_orderkey", big, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast("double").as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -5893,7 +5990,73 @@ object SparkEntry {
 
     // mirrors the held-out split: train on even doc_ids, score the
     // odd ones — unseen words priced at the per-class add-one floor
-    "q_nb_holdout" -> Duck.nbSql("doc_id % 2 = 0", "doc_id % 2 = 1")
+    "q_nb_holdout" -> Duck.nbSql("doc_id % 2 = 0", "doc_id % 2 = 1"),
+
+    // iterated-h-index coreness: rounds unrolled to match the Spark
+    // side's fixed iteration count exactly
+    "q_kcore" -> Duck.kcoreSql(rounds = 4),
+
+    "q_link_predict" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey < 1500),
+        |e AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+        |    greatest(x.pk, y.pk) AS v
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |sym AS (SELECT u AS c, v AS x FROM e
+        |        UNION ALL SELECT v AS c, u AS x FROM e),
+        |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY c),
+        |cn AS (SELECT l.x AS u, r.x AS v, CAST(count(*) AS BIGINT) AS common_n
+        |  FROM sym l JOIN sym r ON l.c = r.c AND l.x < r.x
+        |  GROUP BY l.x, r.x HAVING count(*) >= 2),
+        |cand AS (SELECT cn.u, cn.v, cn.common_n FROM cn
+        |  LEFT JOIN e ON e.u = cn.u AND e.v = cn.v WHERE e.u IS NULL)
+        |SELECT cand.u, cand.v, common_n,
+        |  (1000000 * common_n) // (du.dg + dv.dg - common_n) AS jaccard_ppm
+        |FROM cand JOIN deg du ON du.c = cand.u JOIN deg dv ON dv.c = cand.v
+        |ORDER BY u, v""".stripMargin,
+
+    "q_kappa" -> Duck.kappaSql,
+
+    "q_feature_hash" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${Duck.words("text")}) AS w
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${Duck.hash64("w")} % 256 AS bucket,
+         |  CASE WHEN ${Duck.hash64("'s#' || w")} % 2 = 0
+         |       THEN 1 ELSE -1 END AS sg FROM t),
+         |tf AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf,
+         |    CAST(sum(sg) AS BIGINT) AS signed_tf
+         |  FROM h GROUP BY doc_id, bucket)
+         |SELECT bucket, CAST(sum(tf) AS BIGINT) AS total_tf,
+         | CAST(sum(signed_tf) AS BIGINT) AS signed_sum,
+         | CAST(count(*) AS BIGINT) AS n_docs
+         |FROM tf GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // truncated EWMA: exact decimal dot product over lag columns,
+    // final IEEE double division — deterministic on both engines
+    "q_ewma" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS t,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |l AS (SELECT event_id, user_id, v,
+        |    lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+        |    lag(v, 3) OVER w AS v3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT event_id, user_id,
+        |  CAST(8*v + coalesce(4*v1, 0) + coalesce(2*v2, 0)
+        |       + coalesce(1*v3, 0) AS DOUBLE)
+        |  / (8 + CASE WHEN v1 IS NULL THEN 0 ELSE 4 END
+        |       + CASE WHEN v2 IS NULL THEN 0 ELSE 2 END
+        |       + CASE WHEN v3 IS NULL THEN 0 ELSE 1 END) AS ewma
+        |FROM l ORDER BY event_id""".stripMargin,
+
+    // the Bloom prefilter never changes the result — the oracle is
+    // the PLAIN join
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 495000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 
   /** Mirrors SparkEntry.clickGames: the shared games CTE chain
@@ -6078,6 +6241,76 @@ object SparkEntry {
       s"""WITH ${walkChain(walksPerNode, len, seed)}
          |SELECT walk_id, step, node FROM pos
          |ORDER BY walk_id, step""".stripMargin
+
+    /** Iterated-h-index coreness (graph/KCore) with `rounds` unrolled
+      * h-index recomputations over the bounded co-purchase graph —
+      * v0 is the degree; each vK+1 is the per-node h-index of
+      * neighbors' vK (row_number over values desc, h = max min(v, rn),
+      * identical to the Spark window formulation). */
+    def kcoreSql(rounds: Int): String = {
+      val steps = (1 to rounds).map { k =>
+        s"""v$k AS (SELECT n, max(least(nv, rn)) AS val FROM (
+           |    SELECT s.n, vm.val AS nv,
+           |      row_number() OVER (PARTITION BY s.n
+           |        ORDER BY vm.val DESC, s.m) AS rn
+           |    FROM sym s JOIN v${k - 1} vm ON vm.n = s.m)
+           |  GROUP BY n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey < 1500),
+         |e AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+         |    greatest(x.pk, y.pk) AS v
+         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         |sym AS (SELECT u AS n, v AS m FROM e
+         |        UNION ALL SELECT v AS n, u AS m FROM e),
+         |v0 AS (SELECT n, CAST(count(*) AS BIGINT) AS val
+         |  FROM sym GROUP BY n),
+         |$steps
+         |SELECT n AS node_id, CAST(val AS BIGINT) AS coreness
+         |FROM v$rounds ORDER BY node_id""".stripMargin
+    }
+
+    /** Cohen's kappa between documents.lang and the stopword lang-id
+      * labeler — mirrors Agreement.cohenKappaPpm's exact ppm
+      * arithmetic (both DuckDB's `//` and Spark's `div` truncate
+      * toward zero, so the possibly-negative kappa matches exactly). */
+    def kappaSql: String = {
+      def hits(lang: String): String = {
+        val l = TextFunctions.langStopwords(lang)
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(w, x -> list_contains($l, x)))"
+      }
+      s"""WITH w AS (SELECT doc_id, lang, ${words("text")} AS w FROM documents),
+         |sc AS (SELECT lang, ${hits("de")} AS s_de, ${hits("en")} AS s_en,
+         |  ${hits("es")} AS s_es, ${hits("fr")} AS s_fr, ${hits("zh")} AS s_zh
+         |  FROM w),
+         |p AS (SELECT lang AS la,
+         |  CASE
+         |   WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |   WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |   WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |   WHEN s_fr >= s_zh THEN 'fr'
+         |   ELSE 'zh' END AS lb
+         |  FROM sc),
+         |cells AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS c FROM p
+         |  WHERE la IS NOT NULL AND lb IS NOT NULL GROUP BY la, lb),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT) AS agree_n
+         |  FROM cells),
+         |ra AS (SELECT la, CAST(sum(c) AS BIGINT) AS ra FROM cells GROUP BY la),
+         |cb AS (SELECT lb, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY lb),
+         |rcx AS (SELECT CAST(coalesce(sum(ra.ra * cb.cb), 0) AS HUGEINT) AS rc
+         |  FROM ra JOIN cb ON cb.lb = ra.la),
+         |f AS (SELECT n, agree_n,
+         |  CAST((1000000 * agree_n) // n AS BIGINT) AS po_ppm,
+         |  CAST((1000000 * rcx.rc) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+         |  FROM tot, rcx)
+         |SELECT n, agree_n, po_ppm, pe_ppm,
+         |  CASE WHEN pe_ppm = 1000000 THEN CAST(1000000 AS BIGINT)
+         |       ELSE CAST((1000000 * (po_ppm - pe_ppm))
+         |                 // (1000000 - pe_ppm) AS BIGINT) END AS kappa_ppm
+         |FROM f""".stripMargin
+    }
 
     /** Full NB train/score query: add-one multinomial Naive Bayes
       * trained on `documents WHERE trainPred`, scoring `documents

@@ -18,6 +18,14 @@ package graft.plans
   */
 object PlanLintAllowlist {
   val allowed: Set[(String, String)] = Set(
+    // r9: the Bloom prefilter IS the probe-side predicate — a
+    // broadcast-filter UDF parquet can never push (the pruning
+    // happens post-scan by design; the win is the avoided SHUFFLE,
+    // not the scan — see operators/BloomJoin)
+    "q_bloom_join" -> "scan-without-pushed-filters",
+    // r9: deliberate 1-row × 1-row cross of the (n, agree) aggregate
+    // and the Σrow·col margin aggregate (q_sketch_setops pattern)
+    "q_kappa" -> "unconditioned-nested-loop",
     // r8: rank/cum-share window over the 10 TakeOrdered-selected rows
     // crossed with the broadcast 1-row key-stats aggregate (the
     // window's single-partition requirement is satisfied by the
