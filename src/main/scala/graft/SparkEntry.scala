@@ -3293,6 +3293,65 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- mixture budget planning ----------------------------------------
+    "q_token_budget" -> ((s, dir) => {
+      // token-budget allocation (sample/Budget): per-language token
+      // counts vs a target mixture at 60% of the corpus — the
+      // auditable plan mixtureResample then executes; small langs cap
+      // at availability with an explicit shortfall
+      import TextFunctions._
+      graft.sample.Budget.tokenBudgetAllocation(
+          t(s, dir, "documents"), col("lang"),
+          tokenCount(col("text")).cast("long"),
+          Seq("de" -> 150000L, "en" -> 400000L, "es" -> 150000L,
+            "fr" -> 150000L, "zh" -> 150000L),
+          budgetPpmOfTotal = 600000L)
+        .orderBy(col("domain"))
+    }),
+
+    // ---- right-to-be-forgotten cascade ----------------------------------
+    "q_forget_cascade" -> ((s, dir) => {
+      // GDPR deletion-impact report (functions/Privacy.forgetCascade):
+      // seed customers → their orders → those orders' line items,
+      // counted per table in child-before-parent deletion order
+      import graft.functions.Privacy
+      val seeds = t(s, dir, "customer")
+        .where(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey"))
+      Privacy.forgetCascade(seeds, "c_custkey", Seq(
+          Privacy.CascadeLevel("customer", t(s, dir, "customer"),
+            "c_custkey", Some("c_custkey")),
+          Privacy.CascadeLevel("orders", t(s, dir, "orders"),
+            "o_custkey", Some("o_orderkey")),
+          Privacy.CascadeLevel("lineitem", t(s, dir, "lineitem"),
+            "l_orderkey", None)))
+        .orderBy(col("level"))
+    }),
+
+    // ---- graph profiling ------------------------------------------------
+    "q_graph_stats" -> ((s, dir) => {
+      // structural profile of the bounded co-purchase graph
+      // (graph/GraphStats): counts, degree range, and exact-ppm degree
+      // assortativity — the skew-planning scalar for graph workloads
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      graft.graph.GraphStats.degreeProfile(edges, "p1", "p2")
+    }),
+
+    // ---- streaming EWMA twin --------------------------------------------
+    "q_stream_ewma" -> ((s, dir) => {
+      // STREAMING truncated EWMA: time-sliced arriving batches with
+      // O(depth) per-user state carried across batches — bit-identical
+      // to the batch q_ewma (shared oracle); see
+      // EventStream.ewmaStreamAvailableNow
+      graft.streaming.EventStream.ewmaStreamAvailableNow(s, dir)
+        .orderBy(col("event_id"))
+    }),
+
     // ---- semi-join reduction --------------------------------------------
     "q_bloom_join" -> ((s, dir) => {
       // Bloom-pruned fact⋈dim join (operators/BloomJoin): the ~1% of
@@ -6033,21 +6092,72 @@ object SparkEntry {
 
     // truncated EWMA: exact decimal dot product over lag columns,
     // final IEEE double division — deterministic on both engines
-    "q_ewma" ->
-      """WITH e AS (SELECT event_id, user_id,
-        |    CAST(epoch_us(ts) AS BIGINT) AS t,
-        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
-        |l AS (SELECT event_id, user_id, v,
-        |    lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
-        |    lag(v, 3) OVER w AS v3
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
-        |SELECT event_id, user_id,
-        |  CAST(8*v + coalesce(4*v1, 0) + coalesce(2*v2, 0)
-        |       + coalesce(1*v3, 0) AS DOUBLE)
-        |  / (8 + CASE WHEN v1 IS NULL THEN 0 ELSE 4 END
-        |       + CASE WHEN v2 IS NULL THEN 0 ELSE 2 END
-        |       + CASE WHEN v3 IS NULL THEN 0 ELSE 1 END) AS ewma
-        |FROM l ORDER BY event_id""".stripMargin,
+    "q_ewma" -> Duck.ewmaSql,
+    // the streaming twin is bit-identical by construction (bounded
+    // state over time-sliced batches) — same oracle
+    "q_stream_ewma" -> Duck.ewmaSql,
+
+    "q_token_budget" ->
+      s"""WITH d AS (SELECT lang, len(${Duck.words("text")}) AS tk
+         |  FROM documents),
+         |pd AS (SELECT lang AS domain, CAST(sum(tk) AS BIGINT) AS tokens
+         |  FROM d GROUP BY lang HAVING sum(tk) > 0),
+         |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM pd),
+         |tgt(domain, tp) AS (VALUES ('de', 150000), ('en', 400000),
+         |  ('es', 150000), ('fr', 150000), ('zh', 150000)),
+         |j AS (SELECT pd.domain, tokens, CAST(tp AS BIGINT) AS target_ppm,
+         |    (total_tokens * 600000) // 1000000 AS budget
+         |  FROM pd JOIN tgt ON tgt.domain = pd.domain, tot),
+         |k AS (SELECT domain, tokens, target_ppm,
+         |    least(tokens, (target_ppm * budget) // 1000000) AS alloc_tokens,
+         |    (target_ppm * budget) // 1000000 AS want FROM j)
+         |SELECT domain, tokens, target_ppm, alloc_tokens,
+         |  (1000000 * alloc_tokens) // tokens AS accept_ppm,
+         |  CAST(want - alloc_tokens AS BIGINT) AS shortfall
+         |FROM k ORDER BY domain""".stripMargin,
+
+    "q_forget_cascade" ->
+      """WITH seeds AS (SELECT c_custkey FROM customer
+        |  WHERE c_custkey % 97 = 0),
+        |ok AS (SELECT DISTINCT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM seeds))
+        |SELECT * FROM (
+        |  SELECT 1 AS level, 'customer' AS "table",
+        |    (SELECT count(*) FROM customer
+        |     WHERE c_custkey IN (SELECT c_custkey FROM seeds)) AS n_purged
+        |  UNION ALL SELECT 2, 'orders',
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_custkey IN (SELECT c_custkey FROM seeds))
+        |  UNION ALL SELECT 3, 'lineitem',
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT o_orderkey FROM ok)))
+        |ORDER BY level""".stripMargin,
+
+    "q_graph_stats" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey < 1500),
+        |e AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+        |    greatest(x.pk, y.pk) AS v
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |sym AS (SELECT u AS n, v AS m FROM e
+        |        UNION ALL SELECT v AS n, u AS m FROM e),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg
+        |  FROM sym GROUP BY n),
+        |pairs AS (SELECT d1.dg AS dx, d2.dg AS dy FROM sym
+        |  JOIN deg d1 ON d1.n = sym.n JOIN deg d2 ON d2.n = sym.m),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS mm,
+        |    min(dx) AS deg_min, max(dx) AS deg_max,
+        |    CAST(sum(dx) AS HUGEINT) AS sx,
+        |    CAST(sum(dx * dy) AS HUGEINT) AS sxy,
+        |    CAST(sum(dx * dx) AS HUGEINT) AS sxx
+        |  FROM pairs)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  CAST(mm // 2 AS BIGINT) AS n_edges, deg_min, deg_max,
+        |  CASE WHEN mm * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((1000000 * (mm * sxy - sx * sx))
+        |                 // (mm * sxx - sx * sx) AS BIGINT) END
+        |    AS assortativity_ppm
+        |FROM agg""".stripMargin,
 
     // the Bloom prefilter never changes the result — the oracle is
     // the PLAIN join
@@ -6241,6 +6351,26 @@ object SparkEntry {
       s"""WITH ${walkChain(walksPerNode, len, seed)}
          |SELECT walk_id, step, node FROM pos
          |ORDER BY walk_id, step""".stripMargin
+
+    /** Truncated α=1/2 EWMA over events, shared by the batch operator
+      * (q_ewma) and its bit-identical streaming twin (q_stream_ewma):
+      * exact decimal dot product over lag columns, one final IEEE
+      * double division. */
+    val ewmaSql: String =
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS t,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |l AS (SELECT event_id, user_id, v,
+        |    lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+        |    lag(v, 3) OVER w AS v3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT event_id, user_id,
+        |  CAST(8*v + coalesce(4*v1, 0) + coalesce(2*v2, 0)
+        |       + coalesce(1*v3, 0) AS DOUBLE)
+        |  / (8 + CASE WHEN v1 IS NULL THEN 0 ELSE 4 END
+        |       + CASE WHEN v2 IS NULL THEN 0 ELSE 2 END
+        |       + CASE WHEN v3 IS NULL THEN 0 ELSE 1 END) AS ewma
+        |FROM l ORDER BY event_id""".stripMargin
 
     /** Iterated-h-index coreness (graph/KCore) with `rounds` unrolled
       * h-index recomputations over the bounded co-purchase graph —

@@ -78,4 +78,52 @@ object Privacy {
         max(col("__vc")).cast("long").as("top_freq"))
       .where(col("l_distinct") < l)
   }
+
+  /** One level of a right-to-be-forgotten cascade: the table, the
+    * column that links it to the previous level's emitted keys, and
+    * (for non-leaf levels) the column whose values become the next
+    * level's keys. */
+  case class CascadeLevel(table: String,
+                          df: org.apache.spark.sql.DataFrame,
+                          linkCol: String, nextKeyCol: Option[String])
+
+  /** Right-to-be-forgotten impact report: walk a parent→child key
+    * chain (customer → their orders → those orders' line items) from
+    * a seed of deletion-request keys and count the rows each table
+    * would purge. The DELETE itself is `Sinks.deleteWhere` per table;
+    * this is the audit/planning pass a GDPR workflow runs first (and
+    * logs) — deleting children before parents, which is why the
+    * report preserves chain order.
+    *
+    * Scale shape: per level one semi-join (left_semi against the
+    * previous level's key set — broadcast when small, shuffle
+    * otherwise) and one distinct projection feeding the next level.
+    * Nothing is collected; key frames stay distributed. Each level's
+    * matched frame is persisted because it feeds BOTH the count and
+    * the next level's key projection.
+    *
+    * @return (table, n_purged) in chain order, tagged `level` 1..n
+    */
+  def forgetCascade(seedKeys: org.apache.spark.sql.DataFrame,
+                    seedCol: String, levels: Seq[CascadeLevel]
+                   ): org.apache.spark.sql.DataFrame = {
+    require(levels.nonEmpty, "cascade needs at least one level")
+    val spark = seedKeys.sparkSession
+    import spark.implicits._
+    var keys = seedKeys.select(col(seedCol).as("__k")).distinct()
+    val counts = levels.zipWithIndex.map { case (lvl, i) =>
+      val hit = lvl.df
+        .join(keys, lvl.df(lvl.linkCol) === keys("__k"), "left_semi")
+        .persist()
+      val n = hit.count()
+      keys = lvl.nextKeyCol match {
+        case Some(nk) => hit.select(col(nk).as("__k")).distinct()
+          .localCheckpoint() // sever before the parent cache releases
+        case None => keys
+      }
+      hit.unpersist(blocking = false)
+      (i + 1, lvl.table, n)
+    }
+    counts.toDF("level", "table", "n_purged")
+  }
 }

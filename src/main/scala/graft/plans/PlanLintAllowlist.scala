@@ -26,6 +26,12 @@ object PlanLintAllowlist {
     // r9: deliberate 1-row × 1-row cross of the (n, agree) aggregate
     // and the Σrow·col margin aggregate (q_sketch_setops pattern)
     "q_kappa" -> "unconditioned-nested-loop",
+    // r9: 1-row assortativity aggregate crossed with the 1-row node
+    // count (q_sketch_setops pattern)
+    "q_graph_stats" -> "unconditioned-nested-loop",
+    // r9: every |domains| row crosses the broadcast 1-row corpus
+    // total (q_temporal_split pattern)
+    "q_token_budget" -> "unconditioned-nested-loop",
     // r8: rank/cum-share window over the 10 TakeOrdered-selected rows
     // crossed with the broadcast 1-row key-stats aggregate (the
     // window's single-partition requirement is satisfied by the

@@ -1,0 +1,68 @@
+package graft.sample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Token-budget mixture planning: given per-domain token counts, a
+  * target mixture, and a total token budget, compute how many tokens
+  * each domain may contribute and the per-domain acceptance rate that
+  * achieves it — the planning step BEFORE `Sampling.mixtureResample`
+  * actually draws documents (the budget arithmetic that papers like
+  * The Pile / DoReMi report as "mixture weights" becomes an explicit,
+  * auditable table here).
+  *
+  * A domain whose corpus is smaller than its target allocation is
+  * CAPPED at what it has; the report carries the shortfall instead of
+  * silently under-delivering the mixture (a caller can water-fill the
+  * freed budget in a second round using the same table).
+  *
+  * All arithmetic is integer ppm with floor division — the plan is
+  * engine-reproducible. Scale shape: one groupBy(domain) over the
+  * corpus with map-side combine, a 1-row total cross, and a broadcast
+  * join against the tiny targets table; output is |domains| rows.
+  */
+object Budget {
+
+  /** @param tokens        per-row token count column
+    * @param targets       (domain, target_ppm) mixture, should sum to
+    *                      ~10⁶ (not enforced — partial mixtures are
+    *                      legitimate)
+    * @param budgetPpmOfTotal  total budget as ppm of the corpus'
+    *                      total tokens (e.g. 600000 = keep 60%)
+    * @return (domain, tokens, target_ppm, alloc_tokens, accept_ppm,
+    *         shortfall) — alloc capped at available tokens,
+    *         accept_ppm = alloc·10⁶/tokens, shortfall = target − alloc
+    */
+  def tokenBudgetAllocation(df: DataFrame, domainCol: Column,
+                            tokens: Column, targets: Seq[(String, Long)],
+                            budgetPpmOfTotal: Long): DataFrame = {
+    require(budgetPpmOfTotal >= 0 && budgetPpmOfTotal <= 1000000L)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perDomain = df
+      .select(domainCol.as("domain"), tokens.as("tk"))
+      .groupBy(col("domain")).agg(sum(col("tk")).as("tokens"))
+      // a domain with zero tokens has no acceptance rate to report
+      // (and would divide by zero below)
+      .where(col("tokens") > 0)
+      // |domains| rows feed BOTH the total and the plan join —
+      // materialize once so the corpus is scanned a single time
+      .localCheckpoint()
+    val total = perDomain.agg(sum(col("tokens")).as("total_tokens"))
+    val tgt = broadcast(targets.toDF("domain", "target_ppm"))
+    perDomain
+      .join(tgt, Seq("domain"))
+      .crossJoin(total) // 1-row scalar
+      .select(col("domain"), col("tokens"), col("target_ppm"),
+        expr(s"(total_tokens * $budgetPpmOfTotal) div 1000000")
+          .as("budget"))
+      .select(col("domain"), col("tokens"), col("target_ppm"),
+        least(col("tokens"), expr("(target_ppm * budget) div 1000000"))
+          .as("alloc_tokens"),
+        expr("(target_ppm * budget) div 1000000").as("want"))
+      .select(col("domain"), col("tokens"), col("target_ppm"),
+        col("alloc_tokens"),
+        expr("(1000000 * alloc_tokens) div tokens").as("accept_ppm"),
+        (col("want") - col("alloc_tokens")).as("shortfall"))
+  }
+}

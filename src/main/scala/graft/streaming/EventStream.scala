@@ -983,6 +983,98 @@ object EventStream {
           .load(mediaDir).limit(0))).toDF())
   }
 
+  /** STREAMING truncated EWMA — the bounded-state feature twin of
+    * `operators/TimeSeries.truncatedEwma`: events arrive in
+    * time-contiguous micro-batches (staged time slices here; a
+    * time-partitioned landing directory in production) and a
+    * flatMapGroupsWithState keyed by user carries exactly the last
+    * `depth−1` smoothed inputs per user across batches — O(depth)
+    * state per key forever, versus the batch window's full-partition
+    * sort. Emitted per event: the exact integer numerator/denominator
+    * of the truncated-weight dot product; the final select performs
+    * the single IEEE double division, so the streamed result is
+    * BIT-IDENTICAL to the batch operator (shared oracle).
+    *
+    * Determinism contract: batches are half-open equal time slices of
+    * [min ts, max ts] in arrival order (mtime-ordered files,
+    * maxFilesPerTrigger=1), and within a batch each user's rows are
+    * folded in (t_us, event_id) order — so the per-user sequence is
+    * exactly the batch operator's window order. Values enter the fold
+    * through the SAME decimal(18,4) cast as the batch path, scaled to
+    * integer 10⁻⁴ units. */
+  def ewmaStreamAvailableNow(spark: SparkSession, sfDir: String,
+                             depth: Int = 4, batches: Int = 4,
+                             queryName: String = "stream_ewma",
+                             statePartitions: Int = 8): DataFrame = {
+    require(depth >= 1 && depth <= 30 && batches >= 1)
+    val s = streamSession(spark, statePartitions)
+    import s.implicits._
+    val ev = graft.Tables(s, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        graft.Tables.eventTsUs.as("t_us"),
+        (col("value").cast("decimal(18,4)") * 10000)
+          .cast("long").as("vs"))
+    val (lo, hi) = ev.agg(min(col("t_us")), max(col("t_us")))
+      .as[(Long, Long)].head()
+    val span = math.max(hi - lo + 1, 1L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ewmastream")
+    cleanupHook
+    stagedDirs.add(dir)
+    val base = System.currentTimeMillis() - batches * 60000L
+    for (b <- 0 until batches) {
+      val from = lo + span * b / batches
+      val until = lo + span * (b + 1) / batches
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ewmabatch")
+      ev.where(col("t_us") >= from && col("t_us") < until)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val ls = java.nio.file.Files.list(tmp)
+        try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally ls.close()
+      }
+      val tgt = dir.resolve(f"batch_$b%03d.parquet")
+      java.nio.file.Files.move(part, tgt)
+      tgt.toFile.setLastModified(base + b * 60000L)
+      stagedDirs.add(tmp)
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val weights = (0 until depth).map(i => 1L << (depth - 1 - i))
+    val out = stream
+      .select(col("event_id"), col("user_id"), col("t_us"), col("vs"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[List[Long]]) =>
+          // hist: most-recent-first scaled values, ≤ depth−1 of them
+          var hist = state.getOption.getOrElse(Nil)
+          val emitted = rows.toSeq.sortBy(r => (r._3, r._1)).map { r =>
+            val window = r._4 :: hist.take(depth - 1)
+            val num = window.iterator.zip(weights.iterator)
+              .map { case (v, w) => v * w }.sum
+            val den = weights.take(window.size).sum
+            hist = (r._4 :: hist).take(depth - 1)
+            (r._1, uid, num, den)
+          }
+          state.update(hist)
+          emitted.iterator
+      }
+      .toDF("event_id", "user_id", "num_scaled", "den")
+    val q = out.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the ONE float op, identical to the batch path: exact integer
+    // numerator → correctly-rounded /10⁴ → correctly-rounded /den
+    s.table(queryName)
+      .select(col("event_id"), col("user_id"),
+        (col("num_scaled").cast("double") / 10000.0
+          / col("den").cast("double")).as("ewma"))
+  }
+
   def latestPerUserStream(spark: SparkSession, sfDir: String,
                           queryName: String = "stream_latest"): DataFrame = {
     import spark.implicits._
