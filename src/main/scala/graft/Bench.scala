@@ -128,8 +128,9 @@ object Bench {
       // rounds, BT MM rounds, BPE merge rounds, image CC clusters
       "q_communities", "q_btl_rank", "q_bpe_train", "q_bpe_encode",
       "q_image_clusters", "q_ppr", "q_walks", "q_walk_cooc",
-      // r9 session 4: h-index coreness rounds localCheckpoint too
-      "q_kcore")
+      // r9 session 4: h-index coreness + power-iteration rounds
+      // localCheckpoint too
+      "q_kcore", "q_principal_dir")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

@@ -3352,6 +3352,30 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- implicit-matrix random projection ------------------------------
+    "q_random_projection" -> ((s, dir) => {
+      // JL ±1 projection of SQ8-quantized embeddings to 4 dims
+      // (similarity/Projection): the sign matrix is a pure hash
+      // function, so no matrix is stored or broadcast and the integer
+      // dot products are engine-exact
+      graft.similarity.Projection.quantizeAndProject(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 4)
+        .orderBy(col("vec_id"), col("j"))
+    }),
+
+    // ---- fixed-point power iteration ------------------------------------
+    "q_principal_dir" -> ((s, dir) => {
+      // dominant principal direction of the SQ8-quantized embedding
+      // corpus (similarity/PowerIteration): exact ppm power iteration
+      // on the d²-cell Gram matrix — distributed linear algebra that
+      // hash-matches the oracle because every step is integer
+      val codes = graft.similarity.Quantize
+        .encode(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id"), col("dim"), col("code"))
+      graft.similarity.PowerIteration.principalDirection(codes, iters = 3)
+        .orderBy(col("dim"))
+    }),
+
     // ---- semi-join reduction --------------------------------------------
     "q_bloom_join" -> ((s, dir) => {
       // Bloom-pruned fact⋈dim join (operators/BloomJoin): the ~1% of
@@ -6076,6 +6100,32 @@ object SparkEntry {
 
     "q_kappa" -> Duck.kappaSql,
 
+    // fixed-point power iteration on the quantized Gram matrix,
+    // 3 unrolled rounds
+    "q_principal_dir" -> Duck.powerIterSql(iters = 3),
+
+    // same quantize chain as q_vec_quantize, then the hash-sign dot
+    // product per (vector, output dim)
+    "q_random_projection" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |x AS (SELECT vec_id, CAST(g.i AS INT) - 1 AS dim, v[g.i] AS val
+         |      FROM e JOIN generate_series(1, 64) g(i) ON g.i <= len(v)),
+         |r AS (SELECT dim, min(val) AS lo, max(val) AS hi FROM x GROUP BY dim),
+         |c AS (SELECT vec_id, x.dim, val, lo, hi,
+         |        CASE WHEN hi = lo THEN 0
+         |             ELSE CAST(floor((val - lo) / (hi - lo) * 255 + 0.5)
+         |                  AS BIGINT)
+         |        END AS code
+         |      FROM x JOIN r USING (dim)),
+         |p AS (SELECT vec_id, CAST(g.j AS INT) AS j,
+         |        CAST(sum(CASE WHEN ${Duck.hash64(
+                    "CAST(g.j AS VARCHAR) || '#' || CAST(dim AS VARCHAR)")}
+         |                      % 2 = 0 THEN code ELSE -code END) AS BIGINT)
+         |          AS proj
+         |      FROM c JOIN generate_series(0, 3) g(j) ON true
+         |      GROUP BY vec_id, g.j)
+         |SELECT vec_id, j, proj FROM p ORDER BY vec_id, j""".stripMargin,
+
     "q_feature_hash" ->
       s"""WITH t AS (SELECT doc_id, unnest(${Duck.words("text")}) AS w
          |  FROM documents),
@@ -6351,6 +6401,40 @@ object SparkEntry {
       s"""WITH ${walkChain(walksPerNode, len, seed)}
          |SELECT walk_id, step, node FROM pos
          |ORDER BY walk_id, step""".stripMargin
+
+    /** Power-iteration principal direction (similarity/PowerIteration)
+      * with `iters` unrolled rounds over the SQ8 Gram matrix of the
+      * embeddings corpus — HUGEINT arithmetic mirrors the Spark
+      * side's DECIMAL(38,0); all quantities non-negative so `//`
+      * truncation ≡ floor on both engines. */
+    def powerIterSql(iters: Int): String = {
+      val rounds = (1 to iters).map { k =>
+        s"""y$k AS (SELECT da, sum(CAST(g AS HUGEINT) * x${k - 1}.v) AS y
+           |  FROM g JOIN x${k - 1} ON x${k - 1}.dim = g.db GROUP BY da),
+           |m$k AS (SELECT max(y) AS m FROM y$k),
+           |x$k AS (SELECT da AS dim, (1000000 * y) // m AS v
+           |  FROM y$k, m$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |x AS (SELECT vec_id, CAST(g.i AS INT) - 1 AS dim, v[g.i] AS val
+         |      FROM e JOIN generate_series(1, 64) g(i) ON g.i <= len(v)),
+         |r AS (SELECT dim, min(val) AS lo, max(val) AS hi FROM x GROUP BY dim),
+         |c AS (SELECT vec_id, x.dim,
+         |        CASE WHEN hi = lo THEN 0
+         |             ELSE CAST(floor((val - lo) / (hi - lo) * 255 + 0.5)
+         |                  AS BIGINT)
+         |        END AS code
+         |      FROM x JOIN r USING (dim)),
+         |g AS (SELECT a.dim AS da, b.dim AS db,
+         |        CAST(sum(a.code * b.code) AS BIGINT) AS g
+         |      FROM c a JOIN c b ON a.vec_id = b.vec_id
+         |      GROUP BY a.dim, b.dim),
+         |x0 AS (SELECT DISTINCT da AS dim, CAST(1000000 AS HUGEINT) AS v
+         |  FROM g),
+         |$rounds
+         |SELECT dim, CAST(v AS BIGINT) AS component_ppm
+         |FROM x$iters ORDER BY dim""".stripMargin
+    }
 
     /** Truncated α=1/2 EWMA over events, shared by the batch operator
       * (q_ewma) and its bit-identical streaming twin (q_stream_ewma):
