@@ -3363,6 +3363,31 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("j"))
     }),
 
+    // ---- robust statistics ----------------------------------------------
+    "q_robust_outliers" -> ((s, dir) => {
+      // median/MAD anomaly profile per event type (validate/Robust):
+      // rank-picked lower medians on exact decimals — the masking-
+      // resistant sibling of q_outliers' mean/σ detector
+      graft.validate.Robust.medianMadProfile(
+          t(s, dir, "events"), col("event_type"), col("value"), k = 5)
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- sparse TF cosine pairs -----------------------------------------
+    "q_sparse_cosine" -> ((s, dir) => {
+      // exact squared-cosine document pairs via the inverted-index
+      // join (similarity/SparseCosine) over a two-source slice — the
+      // synthetic corpus' ~30-word vocabulary makes EVERY doc pair
+      // meet on shared terms (the worst case the maxDf guard exists
+      // for), so the slice bounds the pair space, not the operator
+      graft.similarity.SparseCosine.cosinePairs(
+          t(s, dir, "documents")
+            .where(col("source").isin("src0", "src1")),
+          "doc_id", "text", minCos2Ppm = 700000L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- fixed-point power iteration ------------------------------------
     "q_principal_dir" -> ((s, dir) => {
       // dominant principal direction of the SQ8-quantized embedding
@@ -6103,6 +6128,52 @@ object SparkEntry {
     // fixed-point power iteration on the quantized Gram matrix,
     // 3 unrolled rounds
     "q_principal_dir" -> Duck.powerIterSql(iters = 3),
+
+    // lower-median rank picks — NOT interpolated medians (float
+    // midpoints differ across engines); (n+1)//2 on positive counts
+    "q_robust_outliers" ->
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v)
+        |    AS rn, count(*) OVER (PARTITION BY g) AS n FROM e),
+        |med AS (SELECT g, v AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (SELECT e.g, e.v, abs(e.v - med.med) AS dd, med.med
+        |  FROM e JOIN med USING (g)),
+        |r2 AS (SELECT g, dd, row_number() OVER (PARTITION BY g ORDER BY dd)
+        |    AS rn, count(*) OVER (PARTITION BY g) AS n FROM d),
+        |mad AS (SELECT g, dd AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(d.med) AS DOUBLE) AS median,
+        |  CAST(max(mad.mad) AS DOUBLE) AS mad,
+        |  CAST(sum(CASE WHEN d.dd > mad.mad * 5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (g) GROUP BY d.g
+        |ORDER BY event_type""".stripMargin,
+
+    "q_sparse_cosine" ->
+      s"""WITH docs2 AS (SELECT doc_id, text FROM documents
+         |  WHERE source IN ('src0', 'src1')),
+         |t AS (SELECT doc_id, unnest(${Duck.words("text")}) AS w
+         |  FROM docs2),
+         |tf AS (SELECT doc_id AS id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM t GROUP BY doc_id, w),
+         |norms AS (SELECT id, CAST(sum(tf * tf) AS BIGINT) AS n2
+         |  FROM tf GROUP BY id),
+         |keep AS (SELECT w FROM (SELECT w, count(*) AS df FROM tf GROUP BY w)
+         |  WHERE df BETWEEN 2 AND 1000),
+         |ix AS (SELECT tf.* FROM tf JOIN keep USING (w)),
+         |dots AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+         |  FROM ix a JOIN ix b ON a.w = b.w AND a.id < b.id
+         |  GROUP BY a.id, b.id),
+         |sc AS (SELECT id_a, id_b, dot,
+         |    CAST((1000000 * CAST(dot AS HUGEINT) * dot)
+         |      // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_ppm
+         |  FROM dots JOIN norms na ON na.id = id_a
+         |    JOIN norms nb ON nb.id = id_b)
+         |SELECT id_a, id_b, dot, cos2_ppm FROM sc
+         |WHERE cos2_ppm >= 700000
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // same quantize chain as q_vec_quantize, then the hash-sign dot
     // product per (vector, output dim)
