@@ -3363,6 +3363,37 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("j"))
     }),
 
+    // ---- incremental triangle maintenance -------------------------------
+    "q_triangles_incr" -> ((s, dir) => {
+      // triangles CREATED by the orders-1200..1500 co-purchase batch
+      // landing on the orders-<1200 graph (graph/TriangleDelta):
+      // cost ∝ batch·degree, never the full wedge enumeration —
+      // spec-proven equal to the recount difference
+      def g(maxOk: Long, minOk: Long = 0L) = {
+        val li = t(s, dir, "lineitem")
+          .where(col("l_orderkey") >= minOk && col("l_orderkey") < maxOk)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        li.alias("x").join(li.alias("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      }
+      // the batch is ALL co-purchase edges of the wider window —
+      // left_anti inside the operator isolates the genuinely new ones
+      graft.graph.TriangleDelta.triangleDelta(
+          g(1200L), g(1500L), "p1", "p2")
+        .orderBy(col("node_id"))
+    }),
+
+    "q_stream_triangles" -> ((s, dir) => {
+      // STREAMING triangle counts: arriving co-purchase edge batches
+      // pay only TriangleDelta against the accumulated graph; summed
+      // deltas equal the full recount because each triangle is
+      // created exactly once (see EventStream.triangleStreamAvailableNow)
+      graft.streaming.EventStream
+        .triangleStreamAvailableNow(s, dir, maxOrderKey = 1500L)
+        .orderBy(col("node_id"))
+    }),
+
     // ---- robust statistics ----------------------------------------------
     "q_robust_outliers" -> ((s, dir) => {
       // median/MAD anomaly profile per event type (validate/Robust):
@@ -6128,6 +6159,56 @@ object SparkEntry {
     // fixed-point power iteration on the quantized Gram matrix,
     // 3 unrolled rounds
     "q_principal_dir" -> Duck.powerIterSql(iters = 3),
+
+    // triangles of the <1500 graph containing at least one edge
+    // absent from the <1200 graph — canonical sorted triples counted
+    // once per corner (the operator's definition, spec-tied to the
+    // full-recount difference)
+    "q_triangles_incr" ->
+      """WITH liF AS (SELECT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey < 1500),
+        |liO AS (SELECT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey < 1200),
+        |f AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+        |    greatest(x.pk, y.pk) AS v
+        |  FROM liF x JOIN liF y ON x.ok = y.ok AND x.pk < y.pk),
+        |o AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+        |    greatest(x.pk, y.pk) AS v
+        |  FROM liO x JOIN liO y ON x.ok = y.ok AND x.pk < y.pk),
+        |d AS (SELECT f.u, f.v FROM f LEFT JOIN o
+        |  ON o.u = f.u AND o.v = f.v WHERE o.u IS NULL),
+        |sym AS (SELECT u AS n, v AS m FROM f
+        |        UNION ALL SELECT v AS n, u AS m FROM f),
+        |cand AS (SELECT d.u, d.v, s.m AS w FROM d
+        |  JOIN sym s ON s.n = d.u
+        |  JOIN f e2 ON e2.u = least(s.m, d.v)
+        |    AND e2.v = greatest(s.m, d.v)
+        |  WHERE s.m <> d.v),
+        |tri AS (SELECT DISTINCT list_sort([u, v, w]) AS t FROM cand)
+        |SELECT g.node_id, CAST(count(*) AS BIGINT) AS delta_triangles
+        |FROM (SELECT unnest(t) AS node_id FROM tri) g
+        |GROUP BY g.node_id ORDER BY node_id""".stripMargin,
+
+    // full triangle set of the <1500 graph as distinct sorted triples
+    // (the q_triangles_incr chain with an empty "old" graph), corner
+    // counts without the zero-fill
+    "q_stream_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey < 1500),
+        |f AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+        |    greatest(x.pk, y.pk) AS v
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |sym AS (SELECT u AS n, v AS m FROM f
+        |        UNION ALL SELECT v AS n, u AS m FROM f),
+        |cand AS (SELECT f.u, f.v, s.m AS w FROM f
+        |  JOIN sym s ON s.n = f.u
+        |  JOIN f e2 ON e2.u = least(s.m, f.v)
+        |    AND e2.v = greatest(s.m, f.v)
+        |  WHERE s.m <> f.v),
+        |tri AS (SELECT DISTINCT list_sort([u, v, w]) AS t FROM cand)
+        |SELECT g.node_id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest(t) AS node_id FROM tri) g
+        |GROUP BY g.node_id ORDER BY node_id""".stripMargin,
 
     // lower-median rank picks — NOT interpolated medians (float
     // midpoints differ across engines); (n+1)//2 on positive counts

@@ -1075,6 +1075,77 @@ object EventStream {
           / col("den").cast("double")).as("ewma"))
   }
 
+  /** STREAMING triangle maintenance: co-purchase edge batches arrive
+    * (orderkey slices staged as mtime-ordered files) and each batch
+    * pays only `TriangleDelta` against the edges seen so far —
+    * cost ∝ batch·degree per trigger, never the full wedge
+    * enumeration. A triangle is created exactly when its LAST edge
+    * first appears, so the accumulated per-node deltas equal the
+    * full recount on the final graph (the oracle — q_triangles'
+    * corner counts without the zero-fill). */
+  def triangleStreamAvailableNow(spark: SparkSession, sfDir: String,
+                                 maxOrderKey: Long, batches: Int = 4
+                                ): DataFrame = {
+    require(batches >= 1 && maxOrderKey >= 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tristream")
+    cleanupHook
+    stagedDirs.add(dir)
+    val li = graft.Tables(spark, sfDir, "lineitem")
+      .where(col("l_orderkey") < maxOrderKey)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.alias("x").join(li.alias("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.ok").as("ok"), col("x.pk").as("p1"),
+        col("y.pk").as("p2"))
+    val base = System.currentTimeMillis() - batches * 60000L
+    for (b <- 0 until batches) {
+      // orderkey slices: an order's co-purchase clique never spans
+      // batches, and repeated edges across batches are handled by
+      // the delta's left_anti
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tribatch")
+      edges.where(col("ok") % batches === b)
+        .select(col("p1"), col("p2"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val ls = java.nio.file.Files.list(tmp)
+        try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally ls.close()
+      }
+      val tgt = dir.resolve(f"batch_$b%03d.parquet")
+      java.nio.file.Files.move(part, tgt)
+      tgt.toFile.setLastModified(base + b * 60000L)
+      stagedDirs.add(tmp)
+    }
+    val spark0 = spark
+    import spark0.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("p1", "p2")
+    val lock = new Object
+    var acc: DataFrame = empty
+    var parts = List.empty[DataFrame]
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        lock.synchronized {
+          val delta = graft.graph.TriangleDelta
+            .triangleDelta(acc, batch, "p1", "p2") // eager (checkpointed)
+          parts ::= delta
+          acc = acc.unionByName(batch.select(col("p1"), col("p2")))
+            .localCheckpoint() // sever from the micro-batch source
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lock.synchronized(parts).reduceOption(_.unionByName(_))
+      .getOrElse(Seq.empty[(Long, Long)].toDF("node_id", "delta_triangles"))
+      .groupBy(col("node_id"))
+      .agg(sum(col("delta_triangles")).as("n_triangles"))
+  }
+
   def latestPerUserStream(spark: SparkSession, sfDir: String,
                           queryName: String = "stream_latest"): DataFrame = {
     import spark.implicits._
