@@ -3085,14 +3085,21 @@ object SparkEntry {
 
     "q_walks" -> ((s, dir) => {
       // DeepWalk front end: 2 deterministic seeded-hash walks of 4
-      // steps from every node of the purchase graph — the walk corpus
-      // the skip-gram/PMI machinery consumes like text; "random" is a
-      // pure function of (graph, seed), so the oracle replays it
-      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+      // steps from every node of the bounded co-purchase graph — the
+      // walk corpus the skip-gram/PMI machinery consumes like text;
+      // "random" is a pure function of (graph, seed), so the oracle
+      // replays it. (r9 bench adjudication: on the FULL purchase
+      // graph each step joins frontier×degree ≈ 2.3M candidate rows —
+      // 25 s solo / 75 s interleaved for a fixture query; the bounded
+      // graph exercises the identical operator at fixture-appropriate
+      // cost, like q_kcore/q_triangles.)
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(concat(lit("p"), col("x.pk")).as("a"),
+          concat(lit("p"), col("y.pk")).as("b"))
         .distinct()
       val edges = pairs.select(explode(array(
           struct(col("a"), col("b")),
@@ -3106,12 +3113,15 @@ object SparkEntry {
     "q_walk_cooc" -> ((s, dir) => {
       // the embedding-trainer input: skip-gram pair counts (±2 steps)
       // over the same deterministic walk corpus — graph-as-text
-      // composition of walks + the skipgram shape
-      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+      // composition of walks + the skipgram shape (bounded co-purchase
+      // graph; see q_walks' cost adjudication)
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(concat(lit("p"), col("x.pk")).as("a"),
+          concat(lit("p"), col("y.pk")).as("b"))
         .distinct()
       val edges = pairs.select(explode(array(
           struct(col("a"), col("b")),
@@ -3257,7 +3267,13 @@ object SparkEntry {
       // chance-corrected agreement a labeling-function audit needs;
       // exact ppm fixed point (functions/Agreement)
       import TextFunctions._
-      val docs = t(s, dir, "documents")
+      // Spread.ensure: the single-file documents scan opens as ONE
+      // partition and the 5-language stopword scoring is the per-row
+      // cost — unspread it runs on one core (measured 10 s vs 1 s at
+      // sf0.1, the q_langid lesson)
+      val docs = graft.operators.Spread.ensure(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("text")))
         .withColumn("w", words(col("text")))
       graft.functions.Agreement.cohenKappaPpm(docs,
         col("lang"), langIdFromWords(col("w")))
@@ -3307,6 +3323,31 @@ object SparkEntry {
             "fr" -> 150000L, "zh" -> 150000L),
           budgetPpmOfTotal = 600000L)
         .orderBy(col("domain"))
+    }),
+
+    "q_token_budget_fill" -> ((s, dir) => {
+      // water-filling refinement at a 90% budget: the de slice caps
+      // at availability and round 2 redistributes its freed budget
+      // across the still-unfilled languages (sample/Budget)
+      import TextFunctions._
+      graft.sample.Budget.waterfillAllocation(
+          t(s, dir, "documents"), col("lang"),
+          tokenCount(col("text")).cast("long"),
+          Seq("de" -> 150000L, "en" -> 400000L, "es" -> 150000L,
+            "fr" -> 150000L, "zh" -> 150000L),
+          budgetPpmOfTotal = 900000L, rounds = 2)
+        .orderBy(col("domain"))
+    }),
+
+    // ---- per-group trend slopes -----------------------------------------
+    "q_trend" -> ((s, dir) => {
+      // exact-OLS value-vs-time slope per event type (validate/Trend):
+      // the metric-drift monitor as integer sufficient statistics —
+      // engine-exact where regr_slope/corr builtins are float
+      graft.validate.Trend.slopeProfile(t(s, dir, "events"),
+          col("event_type"), Tables.eventTsUs, col("value"))
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"))
     }),
 
     // ---- right-to-be-forgotten cascade ----------------------------------
@@ -6318,6 +6359,64 @@ object SparkEntry {
          |  CAST(want - alloc_tokens AS BIGINT) AS shortfall
          |FROM k ORDER BY domain""".stripMargin,
 
+    // 2 unrolled water-fill rounds: grant proportionally to unfilled
+    // targets, cap at availability, redistribute the freed remainder
+    "q_token_budget_fill" ->
+      s"""WITH d AS (SELECT lang, len(${Duck.words("text")}) AS tk
+         |  FROM documents),
+         |pd0 AS (SELECT lang AS domain, CAST(sum(tk) AS BIGINT) AS tokens
+         |  FROM d GROUP BY lang HAVING sum(tk) > 0),
+         |tgt(domain, tp) AS (VALUES ('de', 150000), ('en', 400000),
+         |  ('es', 150000), ('fr', 150000), ('zh', 150000)),
+         |pd AS (SELECT pd0.domain, tokens, CAST(tp AS BIGINT) AS target_ppm
+         |  FROM pd0 JOIN tgt ON tgt.domain = pd0.domain),
+         |b AS (SELECT CAST((sum(tokens) * 900000) // 1000000 AS BIGINT)
+         |    AS budget FROM pd),
+         |a0 AS (SELECT domain, tokens, target_ppm, CAST(0 AS BIGINT)
+         |    AS alloc FROM pd),
+         |s1 AS (SELECT CAST(sum(CASE WHEN alloc < tokens THEN target_ppm
+         |    ELSE 0 END) AS BIGINT) AS tw,
+         |    CAST((SELECT budget FROM b) - sum(alloc) AS BIGINT) AS r
+         |  FROM a0),
+         |a1 AS (SELECT domain, tokens, target_ppm,
+         |    least(tokens, alloc + CASE WHEN alloc < tokens AND tw > 0
+         |      THEN (target_ppm * r) // tw ELSE 0 END) AS alloc
+         |  FROM a0, s1),
+         |s2 AS (SELECT CAST(sum(CASE WHEN alloc < tokens THEN target_ppm
+         |    ELSE 0 END) AS BIGINT) AS tw,
+         |    CAST((SELECT budget FROM b) - sum(alloc) AS BIGINT) AS r
+         |  FROM a1),
+         |a2 AS (SELECT domain, tokens, target_ppm,
+         |    least(tokens, alloc + CASE WHEN alloc < tokens AND tw > 0
+         |      THEN (target_ppm * r) // tw ELSE 0 END) AS alloc
+         |  FROM a1, s2)
+         |SELECT domain, tokens, target_ppm,
+         |  CAST(alloc AS BIGINT) AS alloc_tokens,
+         |  (1000000 * alloc) // tokens AS accept_ppm
+         |FROM a2 ORDER BY domain""".stripMargin,
+
+    // exact-OLS slope from integer sufficient statistics; x centered
+    // per group in seconds, y at 1e-4 grain, slope per day
+    "q_trend" ->
+      """WITH e AS (SELECT event_type AS g, CAST(epoch_us(ts) AS BIGINT)
+        |    AS t_us,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS ys
+        |  FROM events),
+        |e0 AS (SELECT g, min(t_us) AS t0 FROM e GROUP BY g),
+        |xy AS (SELECT e.g, (t_us - t0) // 1000000 AS x, ys
+        |  FROM e JOIN e0 USING (g)),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(ys) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * ys) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM xy GROUP BY g)
+        |SELECT g AS event_type, n,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((86400 * (n * sxy - sx * sy))
+        |                 // (n * sxx - sx * sx) AS BIGINT) END
+        |    AS slope_y4_per_day
+        |FROM m ORDER BY event_type""".stripMargin,
+
     "q_forget_cascade" ->
       """WITH seeds AS (SELECT c_custkey FROM customer
         |  WHERE c_custkey % 97 = 0),
@@ -6534,9 +6633,11 @@ object SparkEntry {
       val unions = (1 to len)
         .map(t => s"UNION ALL SELECT walk_id, $t, cur FROM f$t")
         .mkString("\n")
-      s"""pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
-         |    's' || CAST(l_suppkey AS VARCHAR) AS b
-         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      s"""li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey < 1500),
+         |pairs AS (SELECT DISTINCT 'p' || CAST(x.pk AS VARCHAR) AS a,
+         |    'p' || CAST(y.pk AS VARCHAR) AS b
+         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
          |e AS (SELECT a AS src, b AS dst FROM pairs
          |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
          |n AS (SELECT DISTINCT src AS node FROM e),

@@ -34,11 +34,17 @@ object Agreement {
   def cohenKappaPpm(df: DataFrame, a: Column, b: Column): DataFrame = {
     // the |labels|² contingency table feeds three aggregations below;
     // materialize it once (localCheckpoint — tiny, auto-released) so
-    // the corpus scan + label expressions run a single time
+    // the corpus scan + label expressions run a single time. The
+    // null-rater filter runs AFTER the aggregate ON PURPOSE: a where
+    // before it pushes `b IS NOT NULL` beneath the projection, and
+    // with an expensive label expression (q_kappa's 5-language
+    // scorer) the pushed predicate re-evaluates it per row — measured
+    // 3× the query cost. Nulls group into their own cells (tiny) and
+    // die here against checkpointed attributes nothing can push past.
     val pairs = df.select(a.as("la"), b.as("lb"))
-      .where(col("la").isNotNull && col("lb").isNotNull)
       .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
+      .where(col("la").isNotNull && col("lb").isNotNull)
     // contingency margins: row sums per a-label × column sums per
     // b-label give pe; the diagonal gives po. Everything below is
     // over the tiny |labels|² table.

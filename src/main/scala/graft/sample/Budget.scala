@@ -33,6 +33,53 @@ object Budget {
     *         shortfall) — alloc capped at available tokens,
     *         accept_ppm = alloc·10⁶/tokens, shortfall = target − alloc
     */
+  /** Water-filling refinement of [[tokenBudgetAllocation]]: budget
+    * freed by domains that cap at availability is redistributed to
+    * the still-unfilled domains proportionally to their target
+    * shares, `rounds` times — the fixpoint is the water-filling
+    * allocation (each round is one scan of the |domains|-row plan
+    * table; floor-division residue of at most |domains|−1 tokens per
+    * round stays unspent, documented rather than fudged).
+    *
+    * @return (domain, tokens, target_ppm, alloc_tokens, accept_ppm) */
+  def waterfillAllocation(df: DataFrame, domainCol: Column,
+                          tokens: Column, targets: Seq[(String, Long)],
+                          budgetPpmOfTotal: Long,
+                          rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && budgetPpmOfTotal >= 0 &&
+      budgetPpmOfTotal <= 1000000L)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perDomain = df
+      .select(domainCol.as("domain"), tokens.as("tk"))
+      .groupBy(col("domain")).agg(sum(col("tk")).as("tokens"))
+      .where(col("tokens") > 0)
+      .join(broadcast(targets.toDF("domain", "target_ppm")), Seq("domain"))
+      .localCheckpoint() // tiny plan table, re-read every round
+    val budget = perDomain
+      .crossJoin(perDomain.agg(sum(col("tokens")).as("tt")))
+      .select(col("domain"), col("tokens"), col("target_ppm"),
+        expr(s"(tt * $budgetPpmOfTotal) div 1000000").as("budget"))
+    var alloc = budget.withColumn("alloc", lit(0L))
+    for (_ <- 1 to rounds) {
+      val scal = alloc.agg(
+        sum(when(col("alloc") < col("tokens"), col("target_ppm"))
+          .otherwise(0L)).as("tw"),
+        (max(col("budget")) - sum(col("alloc"))).as("r"))
+      alloc = alloc.crossJoin(scal) // 1-row scalars
+        .select(col("domain"), col("tokens"), col("target_ppm"),
+          col("budget"),
+          least(col("tokens"), col("alloc") +
+            when(col("alloc") < col("tokens") && col("tw") > 0,
+              expr("(target_ppm * r) div tw")).otherwise(0L))
+            .as("alloc"))
+        .localCheckpoint()
+    }
+    alloc.select(col("domain"), col("tokens"), col("target_ppm"),
+      col("alloc").as("alloc_tokens"),
+      expr("(1000000 * alloc) div tokens").as("accept_ppm"))
+  }
+
   def tokenBudgetAllocation(df: DataFrame, domainCol: Column,
                             tokens: Column, targets: Seq[(String, Long)],
                             budgetPpmOfTotal: Long): DataFrame = {

@@ -34,6 +34,37 @@ class BudgetSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq("a"))
   }
 
+  test("waterfill redistributes budget freed by capped domains") {
+    import spark.implicits._
+    // tokens: a=100, b=100, c=10; targets equal thirds; budget 90
+    // round 1: each granted 30 (333333·90//999999); c caps at 10
+    // round 2: freed r = 90−70 = 20 split between a,b → +10 each
+    val rows = Seq(("a", 100L), ("b", 100L), ("c", 10L)).toDF("d", "tk")
+    val got = Budget.waterfillAllocation(rows, col("d"), col("tk"),
+        Seq("a" -> 333333L, "b" -> 333333L, "c" -> 333333L),
+        budgetPpmOfTotal = 428572L, // 210·428572//1e6 = 90
+        rounds = 2)
+      .orderBy("domain")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._4)) === Seq(("a", 40L), ("b", 40L),
+      ("c", 10L)))
+    // single-round base allocation would have stopped at 29/29/10
+  }
+
+  test("waterfill with no capped domain equals the base allocation") {
+    import spark.implicits._
+    val rows = Seq(("a", 1000L), ("b", 1000L)).toDF("d", "tk")
+    val fill = Budget.waterfillAllocation(rows, col("d"), col("tk"),
+        Seq("a" -> 600000L, "b" -> 400000L), 500000L, rounds = 3)
+      .orderBy("domain")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val base = Budget.tokenBudgetAllocation(rows, col("d"), col("tk"),
+        Seq("a" -> 600000L, "b" -> 400000L), 500000L)
+      .orderBy("domain")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(fill.map(_._4) === base.map(_._4))
+  }
+
   test("full budget with matching mixture accepts everything") {
     import spark.implicits._
     val rows = Seq(("a", 75L), ("b", 25L)).toDF("d", "tk")
