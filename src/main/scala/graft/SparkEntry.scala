@@ -3226,6 +3226,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_nb_confusion" -> ((s, dir) => {
+      // classifier audit: per-class precision/recall/F1 in exact ppm
+      // (classify/Evaluation) over the NB holdout's scored frame —
+      // one |classes|² confusion groupBy, then scalar arithmetic
+      val docs = t(s, dir, "documents")
+      val model = graft.classify.NaiveBayes.train(
+        docs.where(col("doc_id") % 2 === 0), "text", "lang")
+      val test = docs.where(col("doc_id") % 2 === 1)
+      val scored = graft.classify.NaiveBayes
+        .score(test, "doc_id", "text", model)
+        .join(test.select(col("doc_id").as("id"), col("lang").as("label")),
+          Seq("id"))
+      graft.classify.Evaluation
+        .classMetrics(scored, col("label"), col("pred"))
+        .orderBy(col("clazz"))
+    }),
+
     // ---- graph structure: coreness + link prediction --------------------
     "q_kcore" -> ((s, dir) => {
       // k-core decomposition by iterated neighborhood h-indices
@@ -6171,6 +6188,40 @@ object SparkEntry {
     // mirrors the held-out split: train on even doc_ids, score the
     // odd ones — unseen words priced at the per-class add-one floor
     "q_nb_holdout" -> Duck.nbSql("doc_id % 2 = 0", "doc_id % 2 = 1"),
+
+    // confusion-matrix metrics over the NB holdout's scored frame —
+    // the nbSql chain wrapped as a subquery, then exact ppm ratios
+    "q_nb_confusion" ->
+      s"""WITH scored AS (SELECT * FROM (
+         |${Duck.nbSql("doc_id % 2 = 0", "doc_id % 2 = 1")}
+         |) q),
+         |cells AS (SELECT label AS l, pred AS p,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM scored GROUP BY label, pred),
+         |cls AS (SELECT l AS clazz FROM cells
+         |        UNION SELECT p AS clazz FROM cells),
+         |bt AS (SELECT l AS clazz, CAST(sum(c) AS BIGINT) AS n_true
+         |  FROM cells GROUP BY l),
+         |bp AS (SELECT p AS clazz, CAST(sum(c) AS BIGINT) AS n_pred
+         |  FROM cells GROUP BY p),
+         |cr AS (SELECT l AS clazz, c AS n_correct FROM cells WHERE l = p),
+         |m AS (SELECT cls.clazz, coalesce(n_true, 0) AS n_true,
+         |    coalesce(n_pred, 0) AS n_pred,
+         |    coalesce(n_correct, 0) AS n_correct
+         |  FROM cls LEFT JOIN bt USING (clazz) LEFT JOIN bp USING (clazz)
+         |    LEFT JOIN cr USING (clazz)),
+         |mm AS (SELECT clazz, n_true, n_pred, n_correct,
+         |    CASE WHEN n_pred = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE (1000000 * n_correct) // n_pred END AS precision_ppm,
+         |    CASE WHEN n_true = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE (1000000 * n_correct) // n_true END AS recall_ppm
+         |  FROM m)
+         |SELECT clazz, n_true, n_pred, n_correct, precision_ppm,
+         |  recall_ppm,
+         |  CASE WHEN precision_ppm + recall_ppm = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE (2 * precision_ppm * recall_ppm)
+         |            // (precision_ppm + recall_ppm) END AS f1_ppm
+         |FROM mm ORDER BY clazz""".stripMargin,
 
     // iterated-h-index coreness: rounds unrolled to match the Spark
     // side's fixed iteration count exactly
