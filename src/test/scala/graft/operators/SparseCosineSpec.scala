@@ -46,6 +46,34 @@ class SparseCosineSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq((1L, 2L, 1L, 250000L)))
   }
 
+  test("random corpora match the brute-force TF cosine exactly") {
+    import spark.implicits._
+    // deterministic pseudo-random docs over a 12-word vocabulary —
+    // dense enough that pairs share terms, with repeats for tf > 1
+    val vocab = "alpha beta gamma delta eps zeta eta theta iota kappa lambda mu".split(" ")
+    def doc(id: Long): String =
+      (0 until 20).map(i => vocab(((id * 31 + i * i * 7) % 12).toInt))
+        .mkString(" ")
+    val docs = (1L to 15L).map(i => (i, doc(i))).toDF("id", "text")
+    val got = SparseCosine.cosinePairs(docs, "id", "text", 0L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    val tfs = (1L to 15L).map(i => i ->
+      doc(i).split(" ").groupBy(identity).map { case (w, a) =>
+        w -> a.length.toLong }).toMap
+    val want = (for {
+      a <- 1L to 15L; b <- 1L to 15L if a < b
+      dot = tfs(a).keySet.intersect(tfs(b).keySet).toSeq
+        .map(w => tfs(a)(w) * tfs(b)(w)).sum if dot > 0
+    } yield {
+      val na = tfs(a).values.map(v => v * v).sum
+      val nb = tfs(b).values.map(v => v * v).sum
+      ((a, b), (dot, 1000000L * dot * dot / (na * nb)))
+    }).toMap
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
   test("threshold prunes weak pairs") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a w x y"), (3L, "a b c e"))
