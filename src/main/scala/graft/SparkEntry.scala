@@ -3356,6 +3356,28 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    "q_balance" -> ((s, dir) => {
+      // corpus-balance report: exact-ppm Gini of token mass by source
+      // and by language (validate/Balance) — the one-number companion
+      // to the mixture planner; narrow (source, lang, tk) projection
+      // checkpointed once, both ginis read it
+      import TextFunctions._
+      val docs = graft.operators.Spread.ensure(
+          t(s, dir, "documents").select(col("source"), col("lang"),
+            col("text")))
+        .select(col("source"), col("lang"),
+          tokenCount(col("text")).cast("long").as("tk"))
+        .localCheckpoint()
+      graft.validate.Balance.giniPpm(docs, col("source"), col("tk"))
+        .select(lit("source").as("dimension"), col("n_domains"),
+          col("total"), col("gini_ppm"))
+        .unionByName(
+          graft.validate.Balance.giniPpm(docs, col("lang"), col("tk"))
+            .select(lit("lang").as("dimension"), col("n_domains"),
+              col("total"), col("gini_ppm")))
+        .orderBy(col("dimension"))
+    }),
+
     // ---- per-group trend slopes -----------------------------------------
     "q_trend" -> ((s, dir) => {
       // exact-OLS value-vs-time slope per event type (validate/Trend):
@@ -6445,6 +6467,40 @@ object SparkEntry {
          |  CAST(alloc AS BIGINT) AS alloc_tokens,
          |  (1000000 * alloc) // tokens AS accept_ppm
          |FROM a2 ORDER BY domain""".stripMargin,
+
+    // rank-formulation Gini over per-domain token mass, by source and
+    // by language — ties rank on (x, domain) but any tie order gives
+    // the same sum (equal x, symmetric terms)
+    "q_balance" ->
+      s"""WITH d AS (SELECT source, lang, len(${Duck.words("text")}) AS tk
+         |  FROM documents),
+         |ms AS (SELECT source AS dm, CAST(sum(tk) AS BIGINT) AS x
+         |  FROM d GROUP BY source),
+         |rs AS (SELECT x, CAST(row_number() OVER (ORDER BY x, dm)
+         |    AS BIGINT) AS i FROM ms),
+         |gs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS total,
+         |    CAST(sum(CAST(x AS HUGEINT) * i) AS HUGEINT) AS six FROM rs),
+         |ml AS (SELECT lang AS dm, CAST(sum(tk) AS BIGINT) AS x
+         |  FROM d GROUP BY lang),
+         |rl AS (SELECT x, CAST(row_number() OVER (ORDER BY x, dm)
+         |    AS BIGINT) AS i FROM ml),
+         |gl AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS total,
+         |    CAST(sum(CAST(x AS HUGEINT) * i) AS HUGEINT) AS six FROM rl)
+         |SELECT * FROM (
+         |  SELECT 'source' AS dimension, n AS n_domains, total,
+         |    CASE WHEN total = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST((1000000 * (2 * six - (n + 1) * total))
+         |              // (CAST(n AS HUGEINT) * total) AS BIGINT) END
+         |      AS gini_ppm FROM gs
+         |  UNION ALL
+         |  SELECT 'lang', n, total,
+         |    CASE WHEN total = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST((1000000 * (2 * six - (n + 1) * total))
+         |              // (CAST(n AS HUGEINT) * total) AS BIGINT) END
+         |    FROM gl)
+         |ORDER BY dimension""".stripMargin,
 
     // exact-OLS slope from integer sufficient statistics; x centered
     // per group in seconds, y at 1e-4 grain, slope per day
