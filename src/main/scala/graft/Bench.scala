@@ -31,6 +31,26 @@ import org.apache.spark.sql.SparkSession
   * grow monotonically across passes — growth means a query is pinning
   * checkpoint blocks.
   */
+/** Pass-merge semantics for the bench repeat protocol, extracted so
+  * the flaky-recovery contract is unit-testable without a bench run:
+  * a query's reported time is the min over its SUCCESSFUL passes
+  * (None = failure); only a query with zero successes reports as an
+  * error, a partially-failed one is annotated flaky with its timing
+  * kept (round-9 verdict item 7). */
+object BenchProtocol {
+  /** Fold one more pass result into the running min-of-successes. */
+  def mergeMin(prev: Option[Double], next: Option[Double]): Option[Double] =
+    (prev, next) match {
+      case (Some(a), Some(b)) => Some(math.min(a, b))
+      case (a, b) => a.orElse(b)
+    }
+
+  /** (isError, isFlaky) for a query given its final min and failure
+    * count. */
+  def classify(min: Option[Double], failures: Int): (Boolean, Boolean) =
+    (min.isEmpty, min.nonEmpty && failures > 0)
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val only = args.toSet // optional query-name filter for iterating
@@ -67,19 +87,24 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt
 
     val lintPairs = Set.newBuilder[(String, String)]
-    // query name -> first error line; a query that throws records -1
-    // as its "time" — a broken query must look BROKEN, not like a
-    // 0.07 s win (round 7: 17 analysis-failing queries masqueraded as
-    // massive speedups because the failure's elapsed time was logged)
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // lint CRASHES live here, not in `errors`: a query that executed
-    // and timed fine but whose plan the linter choked on keeps its
-    // timing (round-8 ADVICE — a lint-only failure was discarding all
-    // valid timings and failing the whole run)
+    // query name -> last error line + per-query failure counts. A
+    // query with ZERO successful passes records -1 as its "time" — a
+    // broken query must look BROKEN, not like a 0.07 s win (round 7:
+    // 17 analysis-failing queries masqueraded as massive speedups
+    // because the failure's elapsed time was logged). A query with ≥1
+    // successful pass keeps the min of its SUCCESSFUL passes and is
+    // annotated flaky instead — a transient single-repeat hiccup no
+    // longer discards all valid timings (round-9 verdict item 7).
+    val lastError = scala.collection.mutable.LinkedHashMap[String, String]()
+    val failCount = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // lint CRASHES live here, not in the error maps: a query that
+    // executed and timed fine but whose plan the linter choked on
+    // keeps its timing (round-8 ADVICE — a lint-only failure was
+    // discarding all valid timings and failing the whole run)
     val lintErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                 lint: Boolean): Double = {
+                 lint: Boolean): Option[Double] = {
       val t0 = System.nanoTime()
       // toRdd.count() executes the FULL physical plan (projections,
       // sorts and all) — df.count() would let Catalyst prune every
@@ -90,8 +115,9 @@ object Bench {
         Some(d)
       } catch {
         case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          lastError(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.next().take(200)
+          failCount(name) = failCount.getOrElse(name, 0) + 1
           None
       }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -112,7 +138,7 @@ object Bench {
       // caller owns lifetime); drop them so storage from 50 earlier
       // queries doesn't squeeze this one's execution memory
       spark.catalog.clearCache()
-      if (errors.contains(name)) -1.0 else sec
+      df.map(_ => sec)
     }
 
     // iterative queries (PageRank/CC/k-means rounds holding
@@ -142,14 +168,17 @@ object Bench {
           if (name == "q_pagerank") "" else name)
       }
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-    val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // min over SUCCESSFUL passes only; None = no success yet
+    val mins = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
     val runs = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     for (pass <- 1 to repeat) {
       names.foreach { case (name, fn) =>
-        // fast queries are timed on pass 1 only; errors (-1) aren't retried
-        if (pass == 1 || mins(name) >= 0.3) {
+        // fast queries are timed on pass 1 only; a not-yet-successful
+        // query IS retried on later passes (flaky recovery)
+        if (pass == 1 || mins(name).forall(_ >= 0.3)) {
           val sec = timeOnce(name, fn, lint = pass == 1)
-          mins(name) = if (pass == 1) sec else math.min(mins(name), sec)
+          mins(name) =
+            if (pass == 1) sec else BenchProtocol.mergeMin(mins(name), sec)
           runs(name) += 1
         }
       }
@@ -169,16 +198,27 @@ object Bench {
         }
       }
     }
+    // errors = zero successful passes; flaky = some passes failed but
+    // ≥1 succeeded (timing kept, failure count annotated)
+    val errors = lastError.filter { case (n, _) =>
+      BenchProtocol.classify(mins.get(n).flatten, failCount(n))._1 }
+    val flaky = failCount.filter { case (n, c) =>
+      BenchProtocol.classify(mins.get(n).flatten, c)._2 }
     mins.foreach { case (name, sec) =>
-      System.err.println(f"[bench] $name%-22s $sec%9.2f s (${runs(name)} run(s))")
+      System.err.println(f"[bench] $name%-22s ${sec.getOrElse(-1.0)}%9.2f s (${runs(name)} run(s)${
+        failCount.get(name).map(f => s", $f FAILED").getOrElse("")})")
     }
     errors.foreach { case (name, msg) =>
       System.err.println(s"[bench] ERROR $name: $msg")
     }
+    flaky.foreach { case (name, n) =>
+      System.err.println(s"[bench] FLAKY $name: $n failed pass(es), " +
+        s"kept min of ${runs(name) - n} success(es): ${lastError(name)}")
+    }
     lintErrors.foreach { case (name, msg) =>
       System.err.println(s"[bench] LINT-ERROR $name: $msg")
     }
-    val results = mins.toSeq
+    val results = mins.toSeq.map { case (n, s) => (n, s.getOrElse(-1.0)) }
     // 3 decimals: the line must stay short — the harness captures only
     // the TAIL of stdout, and a 100-query dict with nanosecond digits
     // pushed the leading total out of the captured window in round 4.
@@ -193,19 +233,21 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val totalS = num(total)
     val errs = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flakies = flaky.map { case (n, c) => "\"" + n + "\":" + c }
+      .mkString("{", ",", "}")
     val lintErrs = lintErrors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     // trailing DUPLICATE metric/value/unit keys: the harness may keep
     // only the tail of a long stdout line, and JSON last-wins on
     // duplicate keys — so a head-truncated capture that still has the
     // closing braces parses to the same total (round-8 ADVICE)
     val line =
-      s"""{"metric":"total","value":$totalS,"unit":"sec","errors":$errs,"lint_errors":$lintErrs,"queries":$qs,"sf":"$sfDir","metric":"total","value":$totalS,"unit":"sec"}"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","errors":$errs,"flaky":$flakies,"lint_errors":$lintErrs,"queries":$qs,"sf":"$sfDir","metric":"total","value":$totalS,"unit":"sec"}"""
     // leading short summary FIRST: even if the JSON line is truncated
     // at either end by the capture window, the totals survive in a
     // greppable fixed format, and the audit-proof full record is the
     // bench_out.json file named here
     println(s"total=${totalS}s queries=${results.size} errors=${errors.size}" +
-      s" lint_errors=${lintErrors.size} file=bench_out.json")
+      s" flaky=${flaky.size} lint_errors=${lintErrors.size} file=bench_out.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case e: Throwable =>

@@ -6444,7 +6444,7 @@ object SparkEntry {
          |pd AS (SELECT pd0.domain, tokens, CAST(tp AS BIGINT) AS target_ppm
          |  FROM pd0 JOIN tgt ON tgt.domain = pd0.domain),
          |b AS (SELECT CAST((sum(tokens) * 900000) // 1000000 AS BIGINT)
-         |    AS budget FROM pd),
+         |    AS budget FROM pd0),
          |a0 AS (SELECT domain, tokens, target_ppm, CAST(0 AS BIGINT)
          |    AS alloc FROM pd),
          |s1 AS (SELECT CAST(sum(CASE WHEN alloc < tokens THEN target_ppm
@@ -6453,7 +6453,7 @@ object SparkEntry {
          |  FROM a0),
          |a1 AS (SELECT domain, tokens, target_ppm,
          |    least(tokens, alloc + CASE WHEN alloc < tokens AND tw > 0
-         |      THEN (target_ppm * r) // tw ELSE 0 END) AS alloc
+         |      THEN (target_ppm * r) // 1000000 ELSE 0 END) AS alloc
          |  FROM a0, s1),
          |s2 AS (SELECT CAST(sum(CASE WHEN alloc < tokens THEN target_ppm
          |    ELSE 0 END) AS BIGINT) AS tw,
@@ -6556,7 +6556,7 @@ object SparkEntry {
         |agg AS (SELECT CAST(count(*) AS BIGINT) AS mm,
         |    min(dx) AS deg_min, max(dx) AS deg_max,
         |    CAST(sum(dx) AS HUGEINT) AS sx,
-        |    CAST(sum(dx * dy) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
         |    CAST(sum(dx * dx) AS HUGEINT) AS sxx
         |  FROM pairs)
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,

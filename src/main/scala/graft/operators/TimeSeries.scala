@@ -33,6 +33,12 @@ object TimeSeries {
     * weight sum, emitted as DOUBLE (deterministic: both operands are
     * exact, IEEE division is correctly rounded).
     *
+    * Null values: a NULL current value yields a NULL ewma (nulls
+    * propagate, round-9 ADVICE — previously an all-null first row
+    * divided 0/0 into NaN); a NULL at lag position i simply
+    * contributes weight 0 (skipped), the same treatment as a missing
+    * early-history lag.
+    *
     * @param valueCol numeric column (cast to DECIMAL(18,4) internally)
     * @param orderBy  total order within a key — include a tie-breaker
     * @return input columns + `ewma`
@@ -56,6 +62,7 @@ object TimeSeries {
       when(c.isNotNull, lit(wt)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.withColumn("ewma",
-      num.cast("decimal(28,4)").cast("double") / den.cast("double"))
+      when(v.isNotNull,
+        num.cast("decimal(28,4)").cast("double") / den.cast("double")))
   }
 }

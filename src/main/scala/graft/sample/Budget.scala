@@ -41,6 +41,15 @@ object Budget {
     * table; floor-division residue of at most |domains|−1 tokens per
     * round stays unspent, documented rather than fudged).
     *
+    * Strict-refinement contract vs [[tokenBudgetAllocation]] (round-9
+    * ADVICE): the corpus total is taken BEFORE the target join (same
+    * envelope as the base API — untargeted domains still count toward
+    * the budget), and round 1's grant is the base API's absolute-ppm
+    * grant `target_ppm·budget div 10⁶` — so a no-cap `rounds = 1` run
+    * equals the base allocation even for partial mixtures whose
+    * targets don't sum to 10⁶. Only rounds ≥ 2 normalize by the LIVE
+    * unfilled-target sum `tw` (relative shares of the freed budget).
+    *
     * @return (domain, tokens, target_ppm, alloc_tokens, accept_ppm) */
   def waterfillAllocation(df: DataFrame, domainCol: Column,
                           tokens: Column, targets: Seq[(String, Long)],
@@ -50,28 +59,36 @@ object Budget {
       budgetPpmOfTotal <= 1000000L)
     val spark = df.sparkSession
     import spark.implicits._
-    val perDomain = df
+    val sized = df
       .select(domainCol.as("domain"), tokens.as("tk"))
       .groupBy(col("domain")).agg(sum(col("tk")).as("tokens"))
       .where(col("tokens") > 0)
-      .join(broadcast(targets.toDF("domain", "target_ppm")), Seq("domain"))
       .localCheckpoint() // tiny plan table, re-read every round
+    val perDomain = sized
+      .join(broadcast(targets.toDF("domain", "target_ppm")), Seq("domain"))
     val budget = perDomain
-      .crossJoin(perDomain.agg(sum(col("tokens")).as("tt")))
+      // total over ALL nonzero domains (pre-target-join), matching
+      // tokenBudgetAllocation's budget envelope
+      .crossJoin(sized.agg(sum(col("tokens")).as("tt")))
       .select(col("domain"), col("tokens"), col("target_ppm"),
         expr(s"(tt * $budgetPpmOfTotal) div 1000000").as("budget"))
-    var alloc = budget.withColumn("alloc", lit(0L))
-    for (_ <- 1 to rounds) {
+    var alloc = budget.withColumn("alloc", lit(0L)).localCheckpoint()
+    for (round <- 1 to rounds) {
       val scal = alloc.agg(
         sum(when(col("alloc") < col("tokens"), col("target_ppm"))
           .otherwise(0L)).as("tw"),
         (max(col("budget")) - sum(col("alloc"))).as("r"))
+      // round 1 divides by 10⁶ (absolute ppm, ≡ base API); later
+      // rounds divide by the live unfilled-target sum (water-fill)
+      val grant =
+        if (round == 1) expr("(target_ppm * r) div 1000000")
+        else expr("(target_ppm * r) div tw")
       alloc = alloc.crossJoin(scal) // 1-row scalars
         .select(col("domain"), col("tokens"), col("target_ppm"),
           col("budget"),
           least(col("tokens"), col("alloc") +
-            when(col("alloc") < col("tokens") && col("tw") > 0,
-              expr("(target_ppm * r) div tw")).otherwise(0L))
+            when(col("alloc") < col("tokens") && col("tw") > 0, grant)
+              .otherwise(0L))
             .as("alloc"))
         .localCheckpoint()
     }

@@ -31,6 +31,28 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq(100.0, 1.0, (2 * 3 + 1) / 3.0))
   }
 
+  test("null values propagate: null row → null ewma, null lag skipped") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, Some(10.0)), (1L, 2L, None), (1L, 3L, Some(30.0)))
+      .toDF("k", "t", "x")
+    val got = TimeSeries
+      .truncatedEwma(df, col("k"), col("x"), depth = 3, col("t"))
+      .orderBy("t").select("ewma").as[Option[Double]].collect().toSeq
+    assert(got(0) === Some(10.0)) // first row, renormalized
+    assert(got(1) === None)       // own value null → null, not NaN/0
+    // lag-1 (null) contributes weight 0; lag-2 carries the 10
+    assert(got(2) === Some((4 * 30 + 1 * 10) / 5.0))
+  }
+
+  test("all-null first row emits null ewma, not NaN (0/0 guard)") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, None: Option[Double])).toDF("k", "t", "x")
+    val got = TimeSeries
+      .truncatedEwma(df, col("k"), col("x"), depth = 3, col("t"))
+      .select("ewma").as[Option[Double]].collect().head
+    assert(got === None)
+  }
+
   test("decimal truncation is at 4 places") {
     import spark.implicits._
     val df = Seq((1L, 1L, 1.00006)).toDF("k", "t", "x")
