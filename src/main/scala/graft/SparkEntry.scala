@@ -311,7 +311,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = TpcH.queries ++ Map(
 
     // ---- aggregations (SURVEY §2.6) -------------------------------------
     "q1_agg" -> ((s, dir) => {
@@ -3533,7 +3533,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = TpcH.oracleSql ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

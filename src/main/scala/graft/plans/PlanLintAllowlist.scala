@@ -23,6 +23,10 @@ object PlanLintAllowlist {
     // happens post-scan by design; the win is the avoided SHUFFLE,
     // not the scan — see operators/BloomJoin)
     "q_bloom_join" -> "scan-without-pushed-filters",
+    // r10: Q22's country-code predicate is c_nationkey % 10 IN (…) —
+    // a modulo derivation parquet can never push (the fixture has no
+    // phone column to prefix-match; same class as the id % 17 entries)
+    "q_tpch_22" -> "scan-without-pushed-filters",
     // r9: deliberate 1-row × 1-row cross of the (n, agree) aggregate
     // and the Σrow·col margin aggregate (q_sketch_setops pattern)
     "q_kappa" -> "unconditioned-nested-loop",
