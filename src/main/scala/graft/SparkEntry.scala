@@ -171,6 +171,32 @@ object SparkEntry {
     }
   }
 
+  /** 12 genuine baseline COLOR JPEGs (16×16 4:2:0 — one MCU: four
+    * luma blocks at (bx·41 + by·59 + id·17) mod 256 and one constant
+    * chroma pair cb = (id·53+64) mod 256, cr = (id·71+192) mod 256;
+    * DC quantizer 8 keeps every plane integer-exact, so the oracle
+    * replays the libjpeg fixed-point YCbCr→RGB arithmetically). The
+    * r9 decoder discarded these chroma blocks; matching per-channel
+    * means now gates the full upsample+convert path. Ids offset by
+    * 6000. */
+  private def stagedColorJpegs(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    stagedOnce("cjpeg:n=12:16x16:420:y=(bx*41+by*59+id*17)%256",
+      dir)(countFiles(_, ".jpg") == 12) { path =>
+      val jpgs = t(s, dir, "documents").where(col("doc_id") < 12)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val i = id.toInt
+          (6000 + id, graft.multimodal.JpegGray.tinyJpegColor(16, 16, 2,
+            (bx, by) => (bx * 41 + by * 59 + i * 17) % 256,
+            (_, _) => (i * 53 + 64) % 256,
+            (_, _) => (i * 71 + 192) % 256))
+        }.toDF("doc_id", "content")
+      graft.sinks.Sinks.writeBinaryFiles(jpgs, "doc_id", "content",
+        path, "jpg")
+    }
+  }
+
   /** 10 genuine GIF89a files (16-color global table with palette
     * formulas r=(i·37+11)%256 g=(i·59+3)%256 b=(i·83+7)%256; pixel
     * index (x·3 + y·5 + id) mod 16; dims w=9+id%4, h=7+id%3). The
@@ -2571,12 +2597,17 @@ object SparkEntry {
         glob = "*.jpg",
         idFromPath = regexp_extract(col("path"), "(\\d+)\\.jpg$", 1)
           .cast("long"))
+      val cjpgs = Multimodal.mediaFromFiles(s, stagedColorJpegs(s, dir),
+        glob = "*.jpg",
+        idFromPath = regexp_extract(col("path"), "(\\d+)\\.jpg$", 1)
+          .cast("long"))
       val gifs = Multimodal.mediaFromFiles(s, stagedGifs(s, dir),
         glob = "*.gif",
         idFromPath = regexp_extract(col("path"), "(\\d+)\\.gif$", 1)
           .cast("long"))
       Multimodal.pixelFeatures(
-          pngs.unionByName(bmps).unionByName(jpgs).unionByName(gifs))
+          pngs.unionByName(bmps).unionByName(jpgs).unionByName(cjpgs)
+            .unionByName(gifs))
         .toDF().orderBy(col("id"))
     }),
 
@@ -5737,9 +5768,30 @@ object SparkEntry {
         |    CAST(sum((i * 37 + 11) % 256) // (w * h) AS BIGINT) AS mean_r,
         |    CAST(sum((i * 59 + 3) % 256) // (w * h) AS BIGINT) AS mean_g,
         |    CAST(sum((i * 83 + 7) % 256) // (w * h) AS BIGINT) AS mean_b
-        |  FROM gcells GROUP BY doc_id, w, h)
+        |  FROM gcells GROUP BY doc_id, w, h),
+        |cjy AS (SELECT doc_id, (bx * 41 + by * 59 + doc_id * 17) % 256 AS y,
+        |    (doc_id * 53 + 64) % 256 AS cb, (doc_id * 71 + 192) % 256 AS cr
+        |  FROM documents CROSS JOIN range(2) AS tbx(bx)
+        |    CROSS JOIN range(2) AS tby(by)
+        |  WHERE doc_id < 12),
+        |cjrgb AS (SELECT doc_id,
+        |    greatest(0, least(255, y + CAST(floor(
+        |      (91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+        |    greatest(0, least(255, y + CAST(floor(
+        |      (-22554 * (cb - 128) + 32768 - 46802 * (cr - 128))
+        |        / 65536.0) AS BIGINT))) AS g,
+        |    greatest(0, least(255, y + CAST(floor(
+        |      (116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+        |  FROM cjy),
+        |cjpg AS (SELECT doc_id + 6000 AS id, 16::INTEGER AS width,
+        |    16::INTEGER AS height, 256::BIGINT AS n_pixels,
+        |    CAST(sum(r) // 4 AS BIGINT) AS mean_r,
+        |    CAST(sum(g) // 4 AS BIGINT) AS mean_g,
+        |    CAST(sum(b) // 4 AS BIGINT) AS mean_b
+        |  FROM cjrgb GROUP BY doc_id)
         |SELECT * FROM (SELECT * FROM png UNION ALL SELECT * FROM bmp
-        |  UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM gif)
+        |  UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM cjpg
+        |  UNION ALL SELECT * FROM gif)
         |ORDER BY id""".stripMargin,
 
     // brute-force replay of the gradient-fixture aHash: luma formula →
@@ -6557,7 +6609,7 @@ object SparkEntry {
         |    min(dx) AS deg_min, max(dx) AS deg_max,
         |    CAST(sum(dx) AS HUGEINT) AS sx,
         |    CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
-        |    CAST(sum(dx * dx) AS HUGEINT) AS sxx
+        |    CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx
         |  FROM pairs)
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
         |  CAST(mm // 2 AS BIGINT) AS n_edges, deg_min, deg_max,

@@ -37,10 +37,36 @@ object EventStream {
       }
     }))
 
+  /** Copy a parquet DATASET (single file, or a directory of part
+    * files as every real table is laid out) into `dir` under `alias`:
+    * a file lands as `alias`, a directory's data files land flattened
+    * as `alias-partN.parquet` so the file-stream source sees them
+    * without needing recursive lookup. A bare `Files.copy` of a
+    * directory copies only the empty dir entry — caught live when the
+    * scale harness's amplified (directory-shaped) events table staged
+    * as zero files and the dedup stream emitted nothing. */
+  private[streaming] def stageParquetAs(src: java.nio.file.Path,
+                                        dir: java.nio.file.Path,
+                                        alias: String): Unit =
+    if (java.nio.file.Files.isDirectory(src)) {
+      val parts = java.nio.file.Files.list(src).iterator()
+      var i = 0
+      while (parts.hasNext) {
+        val p = parts.next()
+        val n = p.getFileName.toString
+        if (!n.startsWith("_") && !n.startsWith(".") &&
+            java.nio.file.Files.isRegularFile(p)) {
+          java.nio.file.Files.copy(p, dir.resolve(
+            s"${alias.stripSuffix(".parquet")}-part$i.parquet"))
+          i += 1
+        }
+      }
+    } else java.nio.file.Files.copy(src, dir.resolve(alias))
+
   private[streaming] def stageFile(path: java.nio.file.Path,
                                    prefix: String): java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
-    java.nio.file.Files.copy(path, dir.resolve(path.getFileName))
+    stageParquetAs(path, dir, path.getFileName.toString)
     cleanupHook // registers the single hook on first use
     stagedDirs.add(dir)
     dir
@@ -291,9 +317,8 @@ object EventStream {
   def dedupStreamAvailableNow(spark: SparkSession, sfDir: String,
                               queryName: String = "stream_dedup"): DataFrame = {
     val stageDir = stageEvents(sfDir)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      stageDir.resolve("events_b.parquet"))
+    stageParquetAs(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir, "events_b.parquet")
     val deduped = eventsStream(spark, sfDir, stageDir)
       .select(col("event_id"), col("user_id"), col("event_type"))
       .dropDuplicates("event_id")
@@ -317,9 +342,8 @@ object EventStream {
                                        queryName: String = "stream_dedup_wm",
                                        delay: String = "1 hour"): DataFrame = {
     val stageDir = stageEvents(sfDir)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      stageDir.resolve("events_b.parquet"))
+    stageParquetAs(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir, "events_b.parquet")
     val deduped = eventsStream(spark, sfDir, stageDir)
       .withColumn("ts_utc", timestamp_micros(graft.Tables.eventTsUs))
       .withWatermark("ts_utc", delay)

@@ -4,15 +4,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.{ImageHeaders, JpegGray}
 
-/** Baseline grayscale JPEG decode, validated three ways: (1) integer-
-  * exact round-trip of the block-constant fixtures (the oracle
-  * contract — DC quantizer 8 makes qDC = v−128 exact); (2) ImageIO
-  * accepts our encoder's output and agrees on pixels (an invalid
-  * marker stream, broken Huffman table, or bad byte stuffing would
-  * make ImageIO reject, not just mismatch); (3) our decoder reads
-  * ImageIO's OWN encoder output (full AC-coefficient streams we did
-  * not produce) to within IDCT tolerance — proof the AC run-length
-  * path is real, not just EOB handling. */
+/** Baseline JPEG decode (grayscale AND full-color YCbCr), validated
+  * both directions: (1) integer-exact round-trip of the
+  * block-constant fixtures (the oracle contract — DC quantizer 8
+  * makes qDC = v−128 exact), with color additionally checked against
+  * an independent FLOAT JFIF conversion; (2) ImageIO accepts our
+  * encoders' output (gray, 4:4:4, 4:2:0) and agrees on pixels (an
+  * invalid marker stream, broken Huffman table, or bad byte stuffing
+  * would make ImageIO reject, not just mismatch); (3) our decoder
+  * reads ImageIO's OWN encoder output (full AC-coefficient streams,
+  * subsampled chroma we did not produce) to within IDCT tolerance —
+  * proof the AC run-length, upsampling, and conversion paths are
+  * real. */
 class JpegGraySpec extends AnyFunSuite {
 
   test("block-constant fixture round-trips integer-exact") {
@@ -79,7 +82,58 @@ class JpegGraySpec extends AnyFunSuite {
     assert(maxDiff <= 2, s"max per-pixel deviation $maxDiff")
   }
 
-  test("decodes the luma of ImageIO-encoded COLOR JPEGs (subsampled YCbCr)") {
+  test("color 4:4:4 fixture round-trips; RGB matches float conversion ±1") {
+    def yv(bx: Int, by: Int) = (60 + 23 * bx + 31 * by) % 256
+    def cb(bx: Int, by: Int) = (90 + 17 * bx + 11 * by) % 256
+    def cr(bx: Int, by: Int) = (140 + 29 * bx + 7 * by) % 256
+    val jpg = JpegGray.tinyJpegColor(24, 16, 1, yv, cb, cr)
+    val r = JpegGray.decode(jpg).get
+    assert((r.width, r.height, r.channels) === ((24, 16, 3)))
+    // independent reference: FLOAT JFIF conversion of the exact
+    // (DC-only, quantizer-8) component values; the decoder's libjpeg
+    // fixed-point tables must agree within a count
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val (bY, bC) = ((x / 8, y / 8), (x / 8, y / 8))
+      val yy = yv(bY._1, bY._2).toDouble
+      val cbv = cb(bC._1, bC._2) - 128.0
+      val crv = cr(bC._1, bC._2) - 128.0
+      def cl(v: Double) = math.max(0, math.min(255, math.round(v))).toInt
+      val p = (y * 24 + x) * 3
+      assert(math.abs(r.samples(p) - cl(yy + 1.402 * crv)) <= 1, s"R($x,$y)")
+      assert(math.abs(r.samples(p + 1) -
+        cl(yy - 0.344136 * cbv - 0.714136 * crv)) <= 1, s"G($x,$y)")
+      assert(math.abs(r.samples(p + 2) - cl(yy + 1.772 * cbv)) <= 1,
+        s"B($x,$y)")
+    }
+  }
+
+  test("color 4:2:0 fixture: ImageIO agrees with our decode per channel") {
+    // constant chroma per MCU makes fancy-vs-any upsampling identical
+    // in the interior AND at edges, isolating the subsampled-layout
+    // decode itself; ImageIO (a libjpeg port) is the cross-reference
+    def yv(bx: Int, by: Int) = (40 * bx + 90 * by + 30) % 256
+    def cb(bx: Int, by: Int) = (70 + 50 * bx + 20 * by) % 256
+    def cr(bx: Int, by: Int) = (200 - 40 * bx + 10 * by) % 256
+    val jpg = JpegGray.tinyJpegColor(32, 32, 2, yv, cb, cr)
+    val ours = JpegGray.decode(jpg).get
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    assert(ref != null, "ImageIO rejected the generated 4:2:0 color JPEG")
+    var maxDiff = 0
+    for (y <- 0 until 32; x <- 0 until 32; c <- 0 until 3) {
+      val got = ours.samples((y * 32 + x) * 3 + c)
+      val want = (ref.getRGB(x, y) >> ((2 - c) * 8)) & 0xff
+      maxDiff = math.max(maxDiff, math.abs(got - want))
+    }
+    assert(maxDiff <= 2, s"max per-channel deviation vs ImageIO $maxDiff")
+    // the signature path consumes color rasters unchanged: block
+    // lumas + aHash are deterministic over the decoded RGB
+    assert(ImageHeaders.blockLumas(ours).length === 64)
+    assert(ImageHeaders.aHash(ours) ===
+      ImageHeaders.aHash(JpegGray.decode(jpg).get))
+  }
+
+  test("decodes ImageIO-encoded COLOR JPEGs (subsampled YCbCr) to full RGB") {
     val w = 48; val h = 32
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -96,20 +150,20 @@ class JpegGraySpec extends AnyFunSuite {
     assert(ours.isDefined, "our decoder rejected an ImageIO color JPEG")
     val r = ours.get
     assert((r.width, r.height) === ((w, h)))
-    // reference luma from ImageIO's own decode: Y = BT.601 from RGB.
-    // Two lossy conversions stand between the streams (their
-    // YCbCr→RGB, our RGB→Y replay), so allow a few counts.
+    // reference: ImageIO decoding the SAME bytes. Upsampling
+    // (libjpeg fancy triangular) and YCbCr→RGB (libjpeg fixed point)
+    // are implemented bit-for-bit, so the only remaining source of
+    // disagreement is float-vs-integer IDCT (±1 per component)
+    // amplified by the conversion gains (×1.77 worst case)
     val ref = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(jpg))
     var maxDiff = 0
-    for (y <- 0 until h; x <- 0 until w) {
-      val rgb = ref.getRGB(x, y)
-      val want = Math.round(0.299 * ((rgb >> 16) & 0xff) +
-        0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)).toInt
-      val got = r.samples((y * w + x) * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val got = r.samples((y * w + x) * 3 + c)
+      val want = (ref.getRGB(x, y) >> ((2 - c) * 8)) & 0xff
       maxDiff = math.max(maxDiff, math.abs(got - want))
     }
-    assert(maxDiff <= 4, s"max luma deviation $maxDiff")
+    assert(maxDiff <= 4, s"max per-channel deviation $maxDiff")
   }
 
   test("rejects what it cannot honestly decode") {
