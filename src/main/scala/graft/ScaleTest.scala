@@ -99,7 +99,13 @@ object ScaleTest {
       System.err.println(s"[scale] WARMUP FAILED (continuing): ${e.getMessage}")
     }
 
-    val names = heavy.filter(n => only.isEmpty || only.contains(n))
+    // `only` may name ANY SparkEntry query (e.g. the full TPC-H suite
+    // at scale), not just the default heavy set; default-run order
+    // stays the curated heavy sequence
+    val names =
+      if (only.isEmpty) heavy
+      else (heavy ++ SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(heavy.toSet)).filter(only.contains)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
     // (seconds, rows) for one full-plan execution

@@ -2126,6 +2126,16 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
     }),
 
+    "q_mix_manifest" -> ((s, dir) => {
+      // curation manifest (sample/Manifest): per-(source, lang) doc/
+      // token counts, exact-dup and quality-fail accounting, survivor
+      // counts and exact-ppm rates — the sign-off table ahead of the
+      // budget allocators
+      graft.sample.Manifest.curationManifest(
+          t(s, dir, "documents"), Seq("source", "lang"), "doc_id", "text")
+        .orderBy(col("source"), col("lang"))
+    }),
+
     "q_phrase_search" -> ((s, dir) => {
       // exact phrase search as a positional-index equi-join — the
       // tokenize-once, all-phrases-in-one-pass shape, not a per-
@@ -3070,6 +3080,25 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    "q_domain_xent" -> ((s, dir) => {
+      // D×D cross-domain LM matrix over language: every language's
+      // bigram LM scores every language's text (integer micro-nats) —
+      // the measurement behind DoReMi-style mixture reweighting
+      graft.functions.NgramLm.crossDomainNll(
+        t(s, dir, "documents"), "lang", "text")
+        .orderBy(col("train_domain"), col("eval_domain"))
+    }),
+
+    "q_domain_mix" -> ((s, dir) => {
+      // mixture weights from the cross-entropy matrix: a language no
+      // foreign LM explains well is unique → up-weighted; margins and
+      // weights in exact integer ppm (floor division end to end)
+      graft.functions.NgramLm.domainMixWeights(
+        graft.functions.NgramLm.crossDomainNll(
+          t(s, dir, "documents"), "lang", "text"))
+        .orderBy(col("domain"))
     }),
 
     // ---- LPA communities (graph/LabelProp) ------------------------------
@@ -5365,6 +5394,47 @@ object SparkEntry {
          |FROM r ORDER BY doc_id""".stripMargin
     },
 
+    // mirrors Manifest.curationManifest: the quality-filter rules, the
+    // normalized-md5 exact-dup keeper set, and the composed per-
+    // (source, lang) accounting with floor-division ppm rates
+    "q_mix_manifest" -> {
+      val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT doc_id, source, lang, text, ${Duck.words("text")} AS w
+         |           FROM documents),
+         |m AS (SELECT doc_id, source, lang, CAST(len(w) AS BIGINT) AS tk,
+         |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+         |    len(array_to_string(w, ''))::DOUBLE / len(w) END AS mwl,
+         |  CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         |    (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+         |    / len(text) END AS praw,
+         |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+         |    len(list_filter(w, x -> list_contains($stopList, x)))::DOUBLE
+         |    / len(w) END AS sraw
+         |  FROM w),
+         |r AS (SELECT doc_id, source, lang, tk,
+         |  (NOT (tk < 10 OR mwl < 2.0 OR mwl > 10.0 OR praw > 0.2
+         |        OR sraw < 0.01)) AS keep
+         |  FROM m),
+         |k AS (SELECT min(doc_id) AS id FROM documents
+         |      GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+         |p AS (SELECT r.*, r.doc_id IN (SELECT id FROM k) AS is_keeper FROM r)
+         |SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(tk) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_docs,
+         |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality_fail,
+         |  CAST(sum(CASE WHEN is_keeper AND keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept_docs,
+         |  CAST(sum(CASE WHEN is_keeper AND keep THEN tk ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens,
+         |  (1000000 * CAST(sum(CASE WHEN is_keeper AND keep THEN 1 ELSE 0 END)
+         |    AS BIGINT)) // count(*) AS kept_ppm,
+         |  (1000000 * CAST(sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END)
+         |    AS BIGINT)) // count(*) AS dup_ppm
+         |FROM p GROUP BY source, lang ORDER BY source, lang""".stripMargin
+    },
+
     // mirrors Packing.packByBudget: cumulative token prefix // budget
     "q_seq_pack" ->
       s"""WITH d AS (SELECT doc_id, lang,
@@ -6063,6 +6133,12 @@ object SparkEntry {
     "q_perplexity" -> perplexityOracleSql,
     "q_stream_perplexity" -> perplexityOracleSql,
 
+    // mirrors NgramLm.crossDomainNll / domainMixWeights over lang —
+    // same add-one micro-nat arithmetic as the perplexity oracle,
+    // trained and scored per domain
+    "q_domain_xent" -> domainXentOracleSql,
+    "q_domain_mix" -> domainMixOracleSql,
+
     // mirrors LabelProp.propagate: 3 unrolled synchronous rounds with
     // self-vote, argmax by (count desc, label asc) — the unique
     // tie-break makes every round engine-exact
@@ -6681,6 +6757,61 @@ object SparkEntry {
        |  coalesce(nll_micro, 0) AS nll_micro
        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared CTE chain replaying [[graft.functions.NgramLm.crossDomainNll]]
+    * over `lang`: per-domain add-one bigram LMs, every domain scored
+    * under every domain's LM, micro-nat rounding before any sum. */
+  private lazy val domainXentCtes: String =
+    s"""WITH w AS (SELECT lang AS dom, ${Duck.words("text")} AS w FROM documents),
+       |bg0 AS (SELECT dom, unnest(w[1:len(w)-1]) AS p, unnest(w[2:len(w)]) AS c
+       |        FROM w WHERE len(w) >= 2),
+       |bg AS (SELECT dom, p, c, CAST(count(*) AS BIGINT) AS occ
+       |       FROM bg0 GROUP BY dom, p, c),
+       |ctx AS (SELECT dom AS dom_t, p, CAST(sum(occ) AS BIGINT) AS ctx_cnt
+       |        FROM bg GROUP BY dom, p),
+       |vv AS (SELECT dom AS dom_t, count(DISTINCT t) AS v
+       |       FROM (SELECT dom, unnest(w) AS t FROM w) GROUP BY dom),
+       |nd AS (SELECT lang AS dom_e, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM documents GROUP BY lang),
+       |doms AS (SELECT DISTINCT dom AS dom_t FROM bg),
+       |sc AS (SELECT e.dom AS dom_e, d.dom_t, e.occ,
+       |  CAST(round(ln(CAST(coalesce(cx.ctx_cnt, 0) + vv.v AS DOUBLE) /
+       |       (coalesce(tr.occ, 0) + 1.0)) * 1000000) AS BIGINT) AS mn
+       |  FROM bg e CROSS JOIN doms d
+       |  LEFT JOIN bg tr ON tr.dom = d.dom_t AND tr.p = e.p AND tr.c = e.c
+       |  LEFT JOIN ctx cx ON cx.dom_t = d.dom_t AND cx.p = e.p
+       |  JOIN vv ON vv.dom_t = d.dom_t),
+       |m AS (SELECT dom_t AS train_domain, dom_e AS eval_domain,
+       |  CAST(sum(occ) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(occ * mn) AS BIGINT) AS nll_micro
+       |  FROM sc GROUP BY dom_t, dom_e)""".stripMargin
+
+  private lazy val domainXentOracleSql: String =
+    s"""$domainXentCtes
+       |SELECT train_domain, eval_domain, n_docs, n_bigrams, nll_micro
+       |FROM m JOIN nd ON nd.dom_e = m.eval_domain
+       |ORDER BY train_domain, eval_domain""".stripMargin
+
+  private lazy val domainMixOracleSql: String =
+    s"""$domainXentCtes,
+       |mm AS (SELECT train_domain, eval_domain,
+       |  nll_micro // greatest(n_bigrams, 1) AS mean_micro FROM m),
+       |slf AS (SELECT eval_domain, mean_micro AS self_micro FROM mm
+       |        WHERE train_domain = eval_domain),
+       |bc AS (SELECT eval_domain, min(mean_micro) AS cross_micro FROM mm
+       |       WHERE train_domain <> eval_domain GROUP BY eval_domain),
+       |mg AS (SELECT s.eval_domain AS domain, s.self_micro,
+       |  coalesce(bc.cross_micro, s.self_micro) AS cross_micro,
+       |  greatest(coalesce(bc.cross_micro, s.self_micro) - s.self_micro,
+       |           CAST(0 AS BIGINT)) AS margin_micro
+       |  FROM slf s LEFT JOIN bc ON bc.eval_domain = s.eval_domain),
+       |tt AS (SELECT CAST(sum(margin_micro) AS BIGINT) AS total_margin,
+       |  count(*) AS n_domains FROM mg)
+       |SELECT domain, self_micro, cross_micro, margin_micro,
+       |  CASE WHEN total_margin > 0
+       |       THEN (margin_micro * 1000000) // total_margin
+       |       ELSE 1000000 // n_domains END AS weight_ppm
+       |FROM mg CROSS JOIN tt ORDER BY domain""".stripMargin
 
   private lazy val decontamOracleSql: String =
     s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),

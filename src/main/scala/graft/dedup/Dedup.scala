@@ -181,11 +181,21 @@ object Dedup {
                         blockCol: String, k: Int = 4,
                         threshold: Double = 0.7): DataFrame = {
     val (cand, sets) = ngramCandidates(df, idCol, textCol, blockCol, k, threshold)
+    // size the verification shuffle from MEASURED candidate volume:
+    // both counts below are cheap cached scans (ngramCandidates
+    // persisted + materialized both frames)
+    val n = verifyShufflePartitions(df.sparkSession, cand.count(),
+      avgSetLen(sets))
+    val conf = sessionShufflePartitions(df.sparkSession)
     val inter = call_function(graft.expressions.GraftFunctions.IntersectSizeSorted,
       col("sh_a"), col("sh_b"))
-    cand
+    val withA = (if (n > conf) cand.repartition(n, col("id_a")) else cand)
       .join(sets.select(col("id").as("id_a"), col("sz").as("sz_a"),
         col("sh").as("sh_a")), Seq("id_a"))
+    // the second verify join re-keys on id_b anyway; the explicit
+    // repartition just carries the measured partition count instead of
+    // falling back to the session conf
+    (if (n > conf) withA.repartition(n, col("id_b")) else withA)
       .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"),
         col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -193,6 +203,47 @@ object Dedup {
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Partition count for a gram-set verification join, derived from
+    * measured candidate volume instead of the session conf.
+    *
+    * The round-10 scale harness caught exactly one partition-pressure
+    * residual (SCALETEST_r10: `q_dedup_curve` 24.7× wall at 10× data,
+    * recovered ~30% by one manual partition doubling): the verify
+    * join inherited `spark.sql.shuffle.partitions` — sized for the
+    * test SF — while every candidate row carries two full hashed-gram
+    * arrays. This applies [[graft.validate.Tuning.shuffleAdvice]]
+    * automatically at the one place the pressure was measured:
+    * partitions grow with candidates × avg set length and never drop
+    * below the session conf, so small-volume plans (and their lint /
+    * bench records) are byte-identical.
+    *
+    * 16 B per array element covers the 8 B hashed gram plus
+    * UnsafeArrayData headers and exchange-serialization overhead,
+    * ×2 arrays per verify row. */
+  private[graft] def verifyShufflePartitions(spark: org.apache.spark.sql.SparkSession,
+                                             nCand: Long,
+                                             avgLen: Double): Int = {
+    val conf = sessionShufflePartitions(spark)
+    if (nCand <= 0L || !(avgLen > 0)) conf
+    else {
+      val bytes = (2.0 * avgLen * 16.0 * nCand).toLong
+      val cores = math.max(spark.sparkContext.defaultParallelism, 1)
+      math.max(conf,
+        graft.validate.Tuning.shuffleAdvice(bytes, nCand, 0L, cores)
+          .shufflePartitions)
+    }
+  }
+
+  private def sessionShufflePartitions(spark: org.apache.spark.sql.SparkSession): Int =
+    scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(math.max(spark.sparkContext.defaultParallelism, 1))
+
+  /** Mean hashed-gram set length of a (persisted) `sets` frame — one
+    * cached-scan aggregate; 0 for an empty corpus. */
+  private def avgSetLen(sets: DataFrame): Double =
+    Option(sets.agg(avg(col("sz"))).head().get(0))
+      .fold(0.0)(_.asInstanceOf[Double])
 
   /** Candidate stage of [[ngramJaccardPairs]], exposed for the
     * prefix-filter selectivity spec: returns (candidate id pairs,
@@ -346,11 +397,18 @@ object Dedup {
           col("src_id") =!= col("dst_id") &&
           col("dst_sz") >= ceil(lit(tp) * col("src_sz")))
       .select(col("src_id"), col("dst_id")).distinct()
+      .persist()
+    // persisted + counted for the same two reasons as ngramCandidates:
+    // prune observability, and measured sizing of the verify shuffle
+    val n = verifyShufflePartitions(df.sparkSession, cand.count(),
+      avgSetLen(sets))
+    val conf = sessionShufflePartitions(df.sparkSession)
     val inter = call_function(graft.expressions.GraftFunctions.IntersectSizeSorted,
       col("sh_src"), col("sh_dst"))
-    cand
+    val withSrc = (if (n > conf) cand.repartition(n, col("src_id")) else cand)
       .join(sets.select(col("id").as("src_id"), col("sz").as("sz_src"),
         col("sh").as("sh_src")), Seq("src_id"))
+    (if (n > conf) withSrc.repartition(n, col("dst_id")) else withSrc)
       .join(sets.select(col("id").as("dst_id"), col("sh").as("sh_dst")),
         Seq("dst_id"))
       .select(col("src_id"), col("dst_id"),

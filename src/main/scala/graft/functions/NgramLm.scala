@@ -144,4 +144,105 @@ object NgramLm {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
   }
+
+  private val bigramsExpr: String =
+    "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), " +
+      "i -> struct(element_at(w, i + 1) AS p, element_at(w, i + 2) AS c)) " +
+      "ELSE array() END"
+
+  /** D×D cross-domain LM matrix: one add-one bigram LM per domain
+    * (source, language, …), every domain's text scored under every
+    * domain's LM — the measurement behind domain-reweighting schemes
+    * (DoReMi-style mixture tuning): the diagonal is each domain's
+    * self-fit, the off-diagonal says how well domain t's distribution
+    * explains domain e.
+    *
+    * Returns (train_domain, eval_domain, n_docs, n_bigrams,
+    * nll_micro) — `n_docs` counts eval-domain documents, `nll_micro`
+    * is the occurrence-weighted sum of per-bigram `-ln P` in integer
+    * micro-nats (order-free; same hash-exactness contract as
+    * [[bigramNll]]). Mean NLL per bigram is `nll_micro / n_bigrams`.
+    *
+    * Scale shape: ONE tokenize+explode pass; per-domain train counts
+    * are (dom, p, c) / (dom, p) aggregations of that pass (map-side
+    * combined); the eval side re-aggregates the same bigrams at
+    * (dom, p, c) and fans out ×D via a broadcast of the tiny domain
+    * list — total work is D× the corpus bigram types, the inherent
+    * cost of a D×D matrix, all equi-join co-located. Per-domain
+    * vocabulary sizes are a D-row broadcast. No per-domain loop, no
+    * driver-side anything. */
+  def crossDomainNll(df: DataFrame, domainCol: String,
+                     textCol: String): DataFrame = {
+    val base = graft.operators.Spread.ensure(
+      df.select(col(domainCol).as("dom"), TextFunctions.words(col(textCol)).as("w")))
+    val bg = base.select(col("dom"), explode(expr(bigramsExpr)).as("b"))
+      .select(col("dom"), col("b.p").as("p"), col("b.c").as("c"))
+      .groupBy(col("dom"), col("p"), col("c"))
+      .agg(count(lit(1)).as("occ"))
+      // both the train-count and eval sides read this one aggregation
+      .persist()
+    val tc = bg.select(col("dom").as("dom_t"), col("p"), col("c"),
+      col("occ").as("big_cnt"))
+    val ctx = tc.groupBy(col("dom_t"), col("p"))
+      .agg(sum(col("big_cnt")).as("ctx_cnt"))
+    // per-domain unigram-type count (explode_outer: see bigramNll)
+    val v = base.select(col("dom").as("dom_t"), explode_outer(col("w")).as("t"))
+      .groupBy(col("dom_t")).agg(countDistinct(col("t")).as("V"))
+    val nDocs = df.groupBy(col(domainCol).as("dom_e"))
+      .agg(count(lit(1)).as("n_docs"))
+    val domains = bg.select(col("dom").as("dom_t")).distinct()
+    val scored = bg.select(col("dom").as("dom_e"), col("p"), col("c"), col("occ"))
+      .crossJoin(broadcast(domains))
+      .join(tc, Seq("dom_t", "p", "c"), "left")
+      .join(ctx, Seq("dom_t", "p"), "left")
+      .join(broadcast(v), Seq("dom_t"))
+      .withColumn("mn",
+        round(log((coalesce(col("ctx_cnt"), lit(0L)) + col("V")).cast("double") /
+          (coalesce(col("big_cnt"), lit(0L)) + lit(1.0))) * lit(1000000.0))
+          .cast("long"))
+    scored.groupBy(col("dom_t"), col("dom_e")).agg(
+        sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * col("mn")).as("nll_micro"))
+      .join(broadcast(nDocs), Seq("dom_e"))
+      .select(col("dom_t").as("train_domain"), col("dom_e").as("eval_domain"),
+        col("n_docs"), col("n_bigrams"), col("nll_micro"))
+  }
+
+  /** Mixture weights from a [[crossDomainNll]] matrix: a domain whose
+    * text NO other domain's LM explains well is unique and gets
+    * up-weighted; a domain whose best foreign LM scores it almost as
+    * well as its own LM is redundant and floors at zero.
+    *
+    * For eval domain e, with mean per-bigram NLLs in integer
+    * micro-nats (floor division — exact across engines):
+    * `margin = max(0, min over t≠e of mean(t,e) − mean(e,e))`, and
+    * `weight_ppm = floor(margin · 10⁶ / Σ margins)` (uniform
+    * `floor(10⁶ / D)` when every margin is zero — degenerate
+    * single-domain or all-identical corpora). Weights are floors, so
+    * they sum to ≤ 10⁶; feed them to the budget allocators
+    * ([[graft.sample.Budget]]) which own residue semantics.
+    *
+    * Driver-free: D×D input rows, three tiny aggregations. */
+  def domainMixWeights(matrix: DataFrame): DataFrame = {
+    val mean = matrix.select(col("train_domain"), col("eval_domain"),
+      expr("nll_micro div greatest(n_bigrams, 1)").as("mean_micro"))
+    val self = mean.where(col("train_domain") === col("eval_domain"))
+      .select(col("eval_domain"), col("mean_micro").as("self_micro"))
+    val bestCross = mean.where(col("train_domain") =!= col("eval_domain"))
+      .groupBy(col("eval_domain"))
+      .agg(min(col("mean_micro")).as("cross_micro"))
+    val margins = self.join(bestCross, Seq("eval_domain"), "left")
+      .select(col("eval_domain").as("domain"), col("self_micro"),
+        coalesce(col("cross_micro"), col("self_micro")).as("cross_micro"),
+        greatest(coalesce(col("cross_micro"), col("self_micro")) -
+          col("self_micro"), lit(0L)).as("margin_micro"))
+    val totals = margins.agg(sum(col("margin_micro")).as("total_margin"),
+      count(lit(1)).as("n_domains"))
+    margins.crossJoin(broadcast(totals))
+      .select(col("domain"), col("self_micro"), col("cross_micro"),
+        col("margin_micro"),
+        when(col("total_margin") > 0,
+          expr("(margin_micro * 1000000) div total_margin"))
+          .otherwise(expr("1000000 div n_domains")).as("weight_ppm"))
+  }
 }

@@ -18,6 +18,13 @@ package graft.plans
   */
 object PlanLintAllowlist {
   val allowed: Set[(String, String)] = Set(
+    // r10: the D-row broadcast domain fan-out (eval bigrams × every
+    // train LM — the definition of a D×D matrix) plus the D-row
+    // per-domain vocabulary broadcast (q_token_budget pattern)
+    "q_domain_xent" -> "unconditioned-nested-loop",
+    // r10: same matrix fan-out feeding the weights, plus the 1-row
+    // margin-total aggregate crossed back over D rows
+    "q_domain_mix" -> "unconditioned-nested-loop",
     // r9: the Bloom prefilter IS the probe-side predicate — a
     // broadcast-filter UDF parquet can never push (the pruning
     // happens post-scan by design; the win is the avoided SHUFFLE,

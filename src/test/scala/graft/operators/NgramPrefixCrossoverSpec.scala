@@ -93,4 +93,43 @@ class NgramPrefixCrossoverSpec extends SparkSpec {
         "not selective on a high-cardinality gram space")
     spark.catalog.clearCache()
   }
+
+  test("verify-shuffle sizing: conf floor, measured growth, core floor") {
+    val conf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // empty / tiny volumes keep the session conf (small-SF plans and
+    // their lint/bench records must stay byte-identical)
+    assert(Dedup.verifyShufflePartitions(spark, 0L, 0.0) == conf)
+    assert(Dedup.verifyShufflePartitions(spark, 100L, 50.0) >= conf)
+    // 10M candidates x 900-gram sets = ~288 GB of verify rows:
+    // ceil(2*900*16*10M / 128 MB) = 2146 partitions at the default target
+    val big = Dedup.verifyShufflePartitions(spark, 10_000_000L, 900.0)
+    assert(big == 2146, s"expected 2146 measured partitions, got $big")
+    // growth is linear in candidate volume
+    assert(Dedup.verifyShufflePartitions(spark, 20_000_000L, 900.0) == 2 * big)
+  }
+
+  test("sized verify path is result-invariant (cloned session, conf=2)") {
+    // a cloned session with shuffle.partitions=2 < defaultParallelism
+    // forces the resize branch (advice floors at cores=4) on ANY
+    // nonempty corpus — same pairs, verify join at the advised width
+    val clone = spark.newSession()
+    clone.conf.set("spark.sql.shuffle.partitions", "2")
+    val cloneDf = clone.createDataFrame(
+      spark.sparkContext.parallelize(docs.map(d => org.apache.spark.sql.Row(d._1, d._2, d._3)), 4),
+      df.schema)
+    val sized = Dedup.ngramJaccardPairs(cloneDf, "id", "text", "lang",
+      k = 4, threshold = 0.8)
+    val cores = math.max(clone.sparkContext.defaultParallelism, 1)
+    assert(sized.rdd.getNumPartitions == cores,
+      s"expected the advised $cores-partition verify join, got " +
+        s"${sized.rdd.getNumPartitions}")
+    val got = sized.select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = Dedup.ngramJaccardPairs(df, "id", "text", "lang",
+        k = 4, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == base)
+    spark.catalog.clearCache()
+  }
 }
