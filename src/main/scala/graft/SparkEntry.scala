@@ -3236,6 +3236,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- unigram (SentencePiece-style) tokenizer (functions/Unigram) ----
+    "q_unigram_seed" -> ((s, dir) => {
+      // candidate-piece seeding: substring counts over the word-type
+      // table, all single chars + top-200 longer pieces — the
+      // SQL-expressible stage of unigram training, oracle-replayed
+      graft.functions.Unigram.seedVocab(
+          graft.functions.Bpe.wordTypes(t(s, dir, "documents"), "text"),
+          maxPieceLen = 4, seedSize = 200)
+        .orderBy(col("piece"))
+    }),
+
+    "q_unigram_train" -> ((s, dir) => {
+      // hard-EM unigram training (Viterbi E-step, integer micro-nat
+      // costs): not SQL-expressible — the driver records rows>0; the
+      // bit-exact guarantee is UnigramSpec's serial-reference replay
+      graft.functions.Unigram.train(
+          graft.functions.Bpe.wordTypes(t(s, dir, "documents"), "text"),
+          vocabSize = 300, maxPieceLen = 4, rounds = 2, seedSize = 800)
+        .toDF(s).orderBy(col("piece"))
+    }),
+
+    "q_unigram_encode" -> ((s, dir) => {
+      // per-document piece statistics under the trained model — one
+      // join of word occurrences to the segmented type table
+      val docs = t(s, dir, "documents")
+      val model = graft.functions.Unigram.train(
+        graft.functions.Bpe.wordTypes(docs, "text"),
+        vocabSize = 300, maxPieceLen = 4, rounds = 2, seedSize = 800)
+      graft.functions.Unigram.encodeStats(docs, "doc_id", "text", model)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- HyperLogLog cardinality sketch (sketch/Sketches) ---------------
     "q_hll_distinct" -> ((s, dir) => {
       // 64-register HLL distinct parts per returnflag, in exact
@@ -6274,6 +6307,27 @@ object SparkEntry {
         |FROM p ORDER BY item""".stripMargin,
 
     // mirrors Bpe.train via Duck.bpeChain: 4 unrolled merge rounds
+    // mirrors Unigram.seedVocab (maxPieceLen=4, seedSize=200): every
+    // substring start position weighted by word-type frequency; all
+    // single chars plus the deterministic (cnt desc, piece) top-200
+    "q_unigram_seed" ->
+      s"""WITH w0 AS (SELECT ${Duck.words("text")} AS w FROM documents),
+         |tok AS (SELECT unnest(w) AS word FROM w0),
+         |t AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+         |      FROM tok GROUP BY word),
+         |sub AS (SELECT n, unnest(flatten(list_transform(
+         |    range(1, len(word) + 1), i -> list_transform(
+         |      range(i, least(len(word), i + 3) + 1),
+         |      j -> substr(word, i, j - i + 1))))) AS piece FROM t),
+         |c AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+         |      FROM sub GROUP BY piece),
+         |top AS (SELECT piece, cnt FROM c WHERE len(piece) > 1
+         |        ORDER BY cnt DESC, piece LIMIT 200),
+         |ch AS (SELECT piece, cnt FROM c WHERE len(piece) = 1)
+         |SELECT piece, cnt FROM ch
+         |UNION ALL SELECT piece, cnt FROM top
+         |ORDER BY piece""".stripMargin,
+
     "q_bpe_train" ->
       s"""WITH ${Duck.bpeChain(4)}
          |SELECT CAST(r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
