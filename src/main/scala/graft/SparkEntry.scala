@@ -2356,6 +2356,39 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_ann_recall" -> ((s, dir) => {
+      // measured recall@3 of the label-cell ANN against brute force
+      // over the same query set — the evaluation that picks cell/probe
+      // counts before a full-corpus ANN run commits to them (the
+      // fixture labels ignore cosine geometry, so this one measures
+      // LOW — q_ann_recall_probe2 is the learned-cell counterpart)
+      val e = t(s, dir, "embeddings")
+      val qs = e.where(col("vec_id") < 10)
+      Similarity.recallAtK(
+          Similarity.partitionedKnn(e, qs, "vec_id", "embedding", "label", k = 3),
+          Similarity.bruteForceKnn(e, qs, "vec_id", "embedding", k = 3))
+        .orderBy(col("query_id"))
+    }),
+
+    "q_ann_recall_probe2" -> ((s, dir) => {
+      // recall@3 of the LEARNED kmeans-cell ANN with 2-cell probing —
+      // the configuration the recall evaluator recommends over the
+      // label cells; same brute-force exactness baseline
+      val e = t(s, dir, "embeddings")
+      val centroids = graft.similarity.KMeans
+        .initCentroids(e, "vec_id", "embedding", k = 8)
+      val cells = graft.similarity.KMeans
+        .assign(e, centroids, "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("cluster_id").as("cell"))
+      val corpus = e.join(cells, Seq("vec_id"))
+      val qs = e.where(col("vec_id") % 50 === 0)
+      Similarity.recallAtK(
+          Similarity.multiProbeKnn(corpus, qs, centroids,
+            "vec_id", "embedding", "cell", k = 3, nprobe = 2),
+          Similarity.bruteForceKnn(e, qs, "vec_id", "embedding", k = 3))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- text analysis --------------------------------------------------
     "q_text_stats" -> ((s, dir) => {
       import TextFunctions._
@@ -5624,6 +5657,78 @@ object SparkEntry {
     // md5-derived plane weights inlined as literals, so both engines
     // compute identical buckets
     "q_knn_lsh" -> Duck.lshKnn(planes = 6, dims = 64, k = 3, queryMax = 10),
+
+    // mirrors Similarity.recallAtK over the q_knn_ivf approx result
+    // and the brute-force exact top-3 for the same query set
+    "q_ann_recall" ->
+      """WITH q AS (SELECT label, vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT label, vec_id AS nbr_id, embedding::DOUBLE[] AS nv
+        |      FROM embeddings),
+        |bsc AS (SELECT query_id, nbr_id,
+        |  round(list_cosine_similarity(qv, nv), 6) AS score
+        |  FROM q JOIN c ON query_id <> nbr_id),
+        |bt AS (SELECT query_id, nbr_id FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+        |  FROM bsc) t WHERE rank <= 3),
+        |ac AS (SELECT query_id, nbr_id,
+        |  round(list_cosine_similarity(qv, nv), 6) AS score
+        |  FROM q JOIN c USING (label) WHERE query_id <> nbr_id),
+        |ap AS (SELECT query_id, nbr_id FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+        |  FROM ac) t WHERE rank <= 3),
+        |h AS (SELECT bt.query_id, CAST(count(*) AS BIGINT) AS n_hit
+        |      FROM bt JOIN ap ON bt.query_id = ap.query_id
+        |        AND bt.nbr_id = ap.nbr_id
+        |      GROUP BY bt.query_id),
+        |e AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+        |      FROM bt GROUP BY query_id)
+        |SELECT e.query_id AS query_id, n_exact, coalesce(n_hit, 0) AS n_hit,
+        |  (1000000 * coalesce(n_hit, 0)) // n_exact AS recall_ppm
+        |FROM e LEFT JOIN h ON e.query_id = h.query_id
+        |ORDER BY e.query_id""".stripMargin,
+
+    // mirrors recallAtK over the q_knn_ivf_probe2 chain vs brute force
+    "q_ann_recall_probe2" -> {
+      s"""WITH ${Duck.kmeansAssignCtes(k = 8)},
+         |cells AS (SELECT vec_id, cluster_id AS cell FROM a),
+         |e2 AS (SELECT p.vec_id, v, cell FROM p JOIN cells USING (vec_id)),
+         |pr AS (SELECT vec_id AS query_id, cluster_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, cluster_id) AS rn FROM sc) t
+         |  WHERE rn <= 2 AND vec_id % 50 = 0),
+         |q AS (SELECT pr.query_id, v AS qv, pr.cell FROM pr
+         |      JOIN p ON p.vec_id = pr.query_id),
+         |ascored AS (SELECT query_id, e2.vec_id AS nbr_id,
+         |  round(list_cosine_similarity(qv, e2.v), 6) AS score
+         |  FROM q JOIN e2 USING (cell) WHERE e2.vec_id <> query_id),
+         |apx AS (SELECT query_id, nbr_id FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+         |  FROM ascored) t WHERE rank <= 3),
+         |qq AS (SELECT vec_id AS query_id, v AS qv FROM p
+         |       WHERE vec_id % 50 = 0),
+         |bsc AS (SELECT query_id, p.vec_id AS nbr_id,
+         |  round(list_cosine_similarity(qv, p.v), 6) AS score
+         |  FROM qq JOIN p ON p.vec_id <> query_id),
+         |bt AS (SELECT query_id, nbr_id FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+         |  FROM bsc) t WHERE rank <= 3),
+         |h AS (SELECT bt.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         |      FROM bt JOIN apx ON bt.query_id = apx.query_id
+         |        AND bt.nbr_id = apx.nbr_id
+         |      GROUP BY bt.query_id),
+         |ee AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM bt GROUP BY query_id)
+         |SELECT ee.query_id AS query_id, n_exact,
+         |  coalesce(n_hit, 0) AS n_hit,
+         |  (1000000 * coalesce(n_hit, 0)) // n_exact AS recall_ppm
+         |FROM ee LEFT JOIN h ON ee.query_id = h.query_id
+         |ORDER BY ee.query_id""".stripMargin
+    },
 
     "q_text_stats" -> {
       val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")

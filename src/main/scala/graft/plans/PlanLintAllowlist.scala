@@ -92,6 +92,11 @@ object PlanLintAllowlist {
     "q_knn_ivf_learned" -> "unconditioned-nested-loop",
     "q_knn_ivf_probe2" -> "scan-without-pushed-filters",
     "q_knn_ivf_probe2" -> "unconditioned-nested-loop",
+    // r10: the recall evaluator runs the SAME probe2 chain (modulo
+    // query fixture + broadcast k-row centroid cross) as its approx
+    // side — identical findings, identical rationale
+    "q_ann_recall_probe2" -> "scan-without-pushed-filters",
+    "q_ann_recall_probe2" -> "unconditioned-nested-loop",
     // r7: BM25 crosses each posting with the broadcast 1-row corpus
     // stats (n_docs, total_len) — 1× per row, not |L|·|R|. (In
     // q_hybrid_rrf the same cross sits behind the materialized result

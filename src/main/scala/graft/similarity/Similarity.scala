@@ -176,4 +176,29 @@ object Similarity {
       .orderBy(col("score").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** ANN evaluation — recall@k of an approximate top-k result
+    * against the exact (brute-force) top-k, per query: the "measure,
+    * don't guess" companion to every cell/bucket-restricted search
+    * above. A sampled query set's recall is what decides nprobe /
+    * cell count / plane count BEFORE a full-corpus run commits to
+    * them.
+    *
+    * Both inputs are (query_id, nbr_id, …) top-k frames, so rows are
+    * already k-bounded per query — the semi-join and counts are
+    * trivially small at any corpus scale. Returns (query_id,
+    * n_exact, n_hit, recall_ppm) with recall in exact floor-divided
+    * ppm; queries absent from `approx` (empty cell, missed bucket)
+    * report zero hits rather than disappearing. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("nbr_id"))
+    val e = exact.select(col("query_id"), col("nbr_id"))
+    val hits = e.join(a, Seq("query_id", "nbr_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_ppm", expr("(1000000 * n_hit) div n_exact"))
+  }
 }
