@@ -41,6 +41,10 @@ object ScaleTest {
     "q_knn_brute", "q_knn_ivf", "q_sparse_cosine", "q_principal_dir",
     // text / tokenizer
     "q_vocab", "q_bpe_train", "q_perplexity", "q_quality_filter",
+    // r10 additions: cross-domain LM matrix, curation manifest,
+    // unigram hard-EM training, learned-cell ANN recall
+    "q_domain_xent", "q_mix_manifest", "q_unigram_train",
+    "q_ann_recall_probe2",
     // SQL / window / merge
     "q_gap_fill", "q_cdc_apply", "q_upsert", "q_scd2",
     "q_tpch_01", "q_tpch_05", "q_tpch_09",

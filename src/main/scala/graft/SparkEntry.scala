@@ -2126,6 +2126,32 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("doc_id")))
     }),
 
+    "q_curriculum" -> ((s, dir) => {
+      // deterministic curriculum order for training: quality-pass
+      // docs first, then ascending corpus-LM perplexity (integer
+      // micro-nats), doc_id tie-break — distributed global rank
+      // (range exchange, never a single-partition sort) and a
+      // 4-phase split by exact floor division
+      import graft.functions.{NgramLm, QualityFilter}
+      val docs = t(s, dir, "documents")
+      val nll = NgramLm.bigramNll(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          expr("nll_micro div greatest(n_bigrams, 1)").as("mean_nll_micro"))
+      val q = QualityFilter.qualityFilter(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("keep"))
+      val scored = nll.join(q, Seq("doc_id"))
+        .withColumn("fail", when(col("keep"), lit(0)).otherwise(lit(1)))
+      val ranked = graft.operators.GlobalRank.globalRowNumber(scored,
+        Seq(col("fail"), col("mean_nll_micro"), col("doc_id")),
+        rnCol = "curriculum_rank")
+      val total = scored.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(total))
+        .select(col("doc_id"), col("mean_nll_micro"), col("keep"),
+          col("curriculum_rank"),
+          expr("(4 * (curriculum_rank - 1)) div n").as("phase"))
+        .orderBy(col("curriculum_rank"))
+    }),
+
     "q_mix_manifest" -> ((s, dir) => {
       // curation manifest (sample/Manifest): per-(source, lang) doc/
       // token counts, exact-dup and quality-fail accounting, survivor
@@ -5499,6 +5525,59 @@ object SparkEntry {
          |  (1000000 * CAST(sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END)
          |    AS BIGINT)) // count(*) AS dup_ppm
          |FROM p GROUP BY source, lang ORDER BY source, lang""".stripMargin
+    },
+
+    // mirrors the q_curriculum composition: perplexity chain + quality
+    // keep → (fail, mean_nll, doc_id) global rank + 4-phase floor split
+    "q_curriculum" -> {
+      val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT doc_id, text, ${Duck.words("text")} AS w FROM documents),
+         |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS p,
+         |         unnest(w[2:len(w)]) AS c
+         |       FROM w WHERE len(w) >= 2),
+         |tok AS (SELECT unnest(w) AS t FROM w),
+         |vv AS (SELECT count(DISTINCT t) AS v FROM tok),
+         |pd AS (SELECT doc_id, p, c, CAST(count(*) AS BIGINT) AS occ
+         |       FROM bg GROUP BY doc_id, p, c),
+         |wc AS (SELECT *,
+         |  CAST(sum(occ) OVER (PARTITION BY p, c) AS BIGINT) AS big_cnt,
+         |  CAST(sum(occ) OVER (PARTITION BY p) AS BIGINT) AS ctx_cnt
+         |  FROM pd),
+         |sc AS (SELECT doc_id, occ,
+         |  CAST(round(ln(CAST(ctx_cnt + v AS DOUBLE) / (big_cnt + 1.0))
+         |       * 1000000) AS BIGINT) AS mn
+         |  FROM wc CROSS JOIN vv),
+         |agg AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(occ * mn) AS BIGINT) AS nll_micro
+         |  FROM sc GROUP BY doc_id),
+         |pm AS (SELECT d.doc_id,
+         |  coalesce(nll_micro, 0) // greatest(coalesce(n_bigrams, 0), 1)
+         |    AS mean_nll_micro
+         |  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+         |qm AS (SELECT doc_id, len(w) AS tc,
+         |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+         |    len(array_to_string(w, ''))::DOUBLE / len(w) END AS mwl,
+         |  CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         |    (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+         |    / len(text) END AS praw,
+         |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+         |    len(list_filter(w, x -> list_contains($stopList, x)))::DOUBLE
+         |    / len(w) END AS sraw
+         |  FROM w),
+         |qual AS (SELECT doc_id,
+         |  (NOT (tc < 10 OR mwl < 2.0 OR mwl > 10.0 OR praw > 0.2
+         |        OR sraw < 0.01)) AS keep
+         |  FROM qm),
+         |s AS (SELECT pm.doc_id, mean_nll_micro, keep,
+         |  CASE WHEN keep THEN 0 ELSE 1 END AS fail
+         |  FROM pm JOIN qual ON pm.doc_id = qual.doc_id),
+         |r AS (SELECT *, CAST(row_number() OVER
+         |    (ORDER BY fail, mean_nll_micro, doc_id) AS BIGINT)
+         |    AS curriculum_rank FROM s),
+         |tt AS (SELECT count(*) AS n FROM s)
+         |SELECT doc_id, mean_nll_micro, keep, curriculum_rank,
+         |  (4 * (curriculum_rank - 1)) // n AS phase
+         |FROM r CROSS JOIN tt ORDER BY curriculum_rank""".stripMargin
     },
 
     // mirrors Packing.packByBudget: cumulative token prefix // budget

@@ -652,6 +652,14 @@ object Dedup {
       idA, idB, maxIters, checkpointDir)
   }
 
+  /** MinHash's verify join deliberately does NOT get the
+    * [[verifyShufflePartitions]] treatment: banded-LSH candidate
+    * volume is bounded by band collisions (measured flat through the
+    * 100× scale run — 36 s, SCALETEST_r10_x100), and sizing it would
+    * force a persist+count of a frame that is otherwise consumed
+    * exactly once. The sizing applies where the harness measured
+    * pressure: the prefix-filter family, whose candidate counts track
+    * corpus similarity structure instead of band width. */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame =
     cand

@@ -18,6 +18,9 @@ package graft.plans
   */
 object PlanLintAllowlist {
   val allowed: Set[(String, String)] = Set(
+    // r10: every ranked row crosses the broadcast 1-row doc count for
+    // the 4-phase floor split (q_token_budget pattern)
+    "q_curriculum" -> "unconditioned-nested-loop",
     // r10: the D-row broadcast domain fan-out (eval bigrams × every
     // train LM — the definition of a D×D matrix) plus the D-row
     // per-domain vocabulary broadcast (q_token_budget pattern)
