@@ -1924,6 +1924,29 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
     }),
 
+    "q_dedup_embed_lsh" -> ((s, dir) => {
+      // corpus-size-adaptive SRP-banded near-dup at a NEAR-DUP
+      // threshold (0.9). The fixture corpus is near-orthogonal (no
+      // pair above cos 0.6), so a perturbed copy of every vector is
+      // planted with a value-dependent formula both engines replay
+      // verbatim; the result is the original↔copy pair set — linear
+      // in n — and the oracle mirrors banding bucket-for-bucket with
+      // the same md5-derived plane weights. planesPerBand is derived
+      // from count(): autoPlanesPerBand(1000, 32) = 5 at this
+      // fixture, growing with the corpus so bucket occupancy — and
+      // candidate volume per vector — stays constant to web scale.
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val planted = e.unionByName(e.select(
+        (col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("v"), x =>
+          x * (lit(1.0d) + (floor(abs(x) * 10000.0d).cast("long") % 7 - 3)
+            / lit(1000.0d))).as("v")))
+      graft.dedup.SrpDedup.srpBandedPairsAuto(planted, "vec_id", "v",
+          dims = 64, threshold = 0.9, bands = 4, targetBucket = 32)
+        .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
+    }),
+
     "q_stream_neardup" -> ((s, dir) => {
       // STREAMING near-dup: 4 arriving micro-batches (doc_id % 4, one
       // file each), each probing the MinHash index of earlier batches
@@ -2300,6 +2323,19 @@ object SparkEntry {
       // greedy lower-id keep-rule, one exemplar per epsilon-ball
       graft.dedup.SemDedup.semDedupVerdicts(t(s, dir, "embeddings"),
           "vec_id", "embedding", k = 8, threshold = 0.4)
+        .withColumnRenamed("id", "vec_id")
+        .transform(graft.operators.Spread.smallSort(_, col("vec_id")))
+    }),
+
+    "q_semdedup_auto" -> ((s, dir) => {
+      // SemDeDup with the corpus-adaptive cluster count autoK =
+      // max(8, ceil(sqrt(n/2))) — n·k assignment balanced against
+      // n²/2k within-cluster pairs, Θ(n^1.5) total where any fixed k
+      // is Θ(n²) (the 288× quadratic SCALETEST_r10_x100 measured).
+      // At this fixture's n=500 the engine derives k=16; the oracle
+      // pins the same value.
+      graft.dedup.SemDedup.semDedupVerdictsAuto(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4)
         .withColumnRenamed("id", "vec_id")
         .transform(graft.operators.Spread.smallSort(_, col("vec_id")))
     }),
@@ -5630,6 +5666,27 @@ object SparkEntry {
          |  a.vec_id NOT IN (SELECT id_b FROM pairs) AS keep
          |FROM a ORDER BY vec_id""".stripMargin,
 
+    // same verdict SQL as q_semdedup at k = autoK(500) = 16 — the
+    // oracle pins the k the engine derives from its count() at the
+    // gate fixture (500 embeddings); the adaptive policy itself is
+    // exercised at 100× in SCALETEST_r10_x100
+    "q_semdedup_auto" ->
+      s"""WITH ${Duck.kmeansAssignCtes(k = 16)},
+         |pairs AS (SELECT a2.vec_id AS id_b
+         |  FROM a a1 JOIN a a2 ON a1.cluster_id = a2.cluster_id
+         |    AND a1.vec_id < a2.vec_id
+         |  JOIN p p1 ON p1.vec_id = a1.vec_id
+         |  JOIN p p2 ON p2.vec_id = a2.vec_id
+         |  WHERE round(list_cosine_similarity(p1.v, p2.v), 6) >= 0.4)
+         |SELECT a.vec_id, a.cluster_id,
+         |  a.vec_id NOT IN (SELECT id_b FROM pairs) AS keep
+         |FROM a ORDER BY vec_id""".stripMargin,
+
+    // bands=4, planesPerBand = autoPlanesPerBand(2·500, 32) = 5 at
+    // the gate fixture — mirrored banding over the planted corpus
+    "q_dedup_embed_lsh" -> Duck.srpPairs(bands = 4, planesPerBand = 5,
+      dims = 64, threshold = 0.9, offset = 10000000L),
+
     "q_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),
@@ -7536,6 +7593,41 @@ object SparkEntry {
          |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
          |  FROM scored) t
          |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    }
+
+    /** SRP-banded near-dup mirror of `SrpDedup.srpBandedPairs` over
+      * the planted (original ∪ perturbed-copy) corpus — identical
+      * md5-derived plane weights inlined as literals, identical
+      * value-dependent perturbation formula, so both engines compute
+      * the same buckets, candidates, and verified pairs. */
+    def srpPairs(bands: Int, planesPerBand: Int, dims: Int,
+                 threshold: Double, offset: Long): String = {
+      def bandExpr(b: Int): String = (0 until planesPerBand).map { j =>
+        val p = b * planesPerBand + j
+        val ws = (0 until dims)
+          .map(d => graft.similarity.Similarity.planeWeight(p, d))
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $ws) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", "\n   + ", ")")
+      val keyed = (0 until bands)
+        .map(b => s"SELECT vec_id, $b AS band, ${bandExpr(b)} AS key FROM pl")
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pl AS (SELECT vec_id, v FROM e UNION ALL
+         |  SELECT vec_id + $offset,
+         |    list_transform(v, x -> x * (1 +
+         |      (CAST(floor(abs(x) * 10000.0) AS BIGINT) % 7 - 3) / 1000.0))
+         |  FROM e),
+         |kx AS ($keyed),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM kx a JOIN kx b ON a.band = b.band AND a.key = b.key
+         |    AND a.vec_id < b.vec_id),
+         |vf AS (SELECT id_a, id_b,
+         |    round(list_cosine_similarity(pa.v, pb.v), 6) AS cosine
+         |  FROM cand JOIN pl pa ON pa.vec_id = cand.id_a
+         |            JOIN pl pb ON pb.vec_id = cand.id_b)
+         |SELECT id_a, id_b, cosine FROM vf WHERE cosine >= $threshold
+         |ORDER BY id_a, id_b""".stripMargin
     }
 
     /** 60-bit simhash over a hash-array column named h */

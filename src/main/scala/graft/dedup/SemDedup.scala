@@ -55,6 +55,35 @@ object SemDedup {
       .select(col("id"), col("cluster_id"), col(dom).isNull.as("keep"))
   }
 
+  /** Corpus-size-adaptive cluster count: max(kMin, ceil(√(n/2))).
+    *
+    * Why √n: the two data-proportional stages pull k in opposite
+    * directions — assignment scores n·k point-centroid cosines,
+    * the within-cluster pair stage verifies ~n²/(2k) (balanced
+    * clusters). Their sum n·k + n²/(2k) is minimized at
+    * k* = √(n/2), where total pairwise work is Θ(n^1.5) — against
+    * Θ(n²/k) at any FIXED k, which is exactly the quadratic
+    * `SCALETEST_r10_x100` measured for q_semdedup (288× at 100×).
+    * At 100 TB the next rung is hierarchical assignment (coarse
+    * cells first, then children — [[graft.similarity.Similarity]]'s
+    * IVF shape), which takes assignment to n·√k; the k policy here
+    * is the single-level optimum. */
+  def autoK(n: Long, kMin: Int = 8): Int =
+    math.max(kMin, math.ceil(math.sqrt(n.toDouble / 2.0)).toInt)
+
+  /** [[semDedupVerdicts]] with k chosen by [[autoK]] from one
+    * count() pass. Note the verdict SEMANTICS depend on cluster
+    * granularity (SemDeDup drops within-cluster neighbors only), so
+    * this is the method's own knob turned to the corpus — the
+    * SemDeDup recipe runs ~100k clusters at web scale — not an
+    * approximation of the fixed-k result. */
+  def semDedupVerdictsAuto(points: DataFrame, idCol: String,
+                           vecCol: String, threshold: Double,
+                           kMin: Int = 8): DataFrame = {
+    val n = points.count()
+    semDedupVerdicts(points, idCol, vecCol, autoK(n, kMin), threshold)
+  }
+
   /** The deduplicated corpus: rows of `points` whose id survives
     * [[semDedupVerdicts]]. */
   def semDedup(points: DataFrame, idCol: String, vecCol: String,

@@ -132,6 +132,9 @@ object PlanLintAllowlist {
     "q_decontam" -> "scan-without-pushed-filters",
     "q_decontam" -> "single-partition-exchange",
     "q_dedup_embed" -> "single-partition-exchange",
+    // r10: smallSort of the verified pair list (one pair per planted
+    // copy — n rows, report-sized)
+    "q_dedup_embed_lsh" -> "single-partition-exchange",
     "q_dedup_minhash" -> "single-partition-exchange",
     "q_dedup_ngram" -> "single-partition-exchange",
     "q_dedup_simhash" -> "single-partition-exchange",
@@ -152,6 +155,11 @@ object PlanLintAllowlist {
     "q_sem_decontam" -> "single-partition-exchange",
     "q_semdedup" -> "single-partition-exchange",
     "q_semdedup" -> "unconditioned-nested-loop",
+    // r10: same two reviewed shapes as q_semdedup — the broadcast
+    // centroid cross (k sub-row frame per point) and the smallSort
+    // of the per-point verdict report
+    "q_semdedup_auto" -> "single-partition-exchange",
+    "q_semdedup_auto" -> "unconditioned-nested-loop",
     "q_seq_pack" -> "single-partition-exchange",
     "q_snapshot_diff" -> "scan-without-pushed-filters",
     "q_snapshot_diff" -> "single-partition-exchange",

@@ -42,6 +42,25 @@ class SemDedupSpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("autoK arithmetic: ceil(sqrt(n/2)) floored at kMin") {
+    assert(SemDedup.autoK(500) === 16)
+    assert(SemDedup.autoK(2000) === 32)
+    assert(SemDedup.autoK(200000) === 317)
+    assert(SemDedup.autoK(100) === 8)   // kMin floor
+    assert(SemDedup.autoK(100, kMin = 4) === 8)  // ceil(sqrt(50))=8
+  }
+
+  test("auto verdicts equal fixed-k verdicts at the derived k") {
+    val n = emb.count()
+    val auto = SemDedup.semDedupVerdictsAuto(emb, "vec_id", "embedding",
+      threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val fixed = SemDedup.semDedupVerdicts(emb, "vec_id", "embedding",
+      k = SemDedup.autoK(n), threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(auto === fixed)
+  }
+
   test("semDedup keeps exactly the keep=true rows, schema preserved") {
     val kept = SemDedup.semDedup(emb, "vec_id", "embedding",
       k = 4, threshold = 0.4)
