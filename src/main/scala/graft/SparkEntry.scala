@@ -1947,6 +1947,34 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
     }),
 
+    "q_embed_incr" -> ((s, dir) => {
+      // INCREMENTAL embedding near-dup — the minhash-index shape for
+      // vectors: the corpus SRP index is built once (plane count from
+      // the CORPUS size and then fixed for the index's lifetime), and
+      // an arriving batch probes it via a probe-bands × index-bands
+      // equi-join, so per-batch cost scales with the batch, never the
+      // corpus. The batch is a perturbed copy of every corpus vector
+      // (the q_dedup_embed_lsh planted construct), so the expected
+      // result is exactly the (probe → original) mapping; the oracle
+      // replays banding bucket-for-bucket. autoPlanesPerBand(500, 32)
+      // = 4 at the gate fixture.
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val r = graft.dedup.SrpDedup.autoPlanesPerBand(e.count(), 32)
+      val index = graft.dedup.SrpDedup.srpIndex(e, "vec_id", "v",
+        dims = 64, bands = 4, planesPerBand = r)
+      val batch = e.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("v"), x =>
+          x * (lit(1.0d) + (floor(abs(x) * 10000.0d).cast("long") % 7 - 3)
+            / lit(1000.0d))).as("v"))
+      val probe = graft.dedup.SrpDedup.srpIndex(batch, "vec_id", "v",
+        dims = 64, bands = 4, planesPerBand = r)
+      graft.dedup.SrpDedup.srpPairsAgainstIndex(probe, index,
+          threshold = 0.9)
+        .transform(graft.operators.Spread.smallSort(
+          _, col("probe_id"), col("index_id")))
+    }),
+
     "q_stream_neardup" -> ((s, dir) => {
       // STREAMING near-dup: 4 arriving micro-batches (doc_id % 4, one
       // file each), each probing the MinHash index of earlier batches
@@ -5687,6 +5715,12 @@ object SparkEntry {
     "q_dedup_embed_lsh" -> Duck.srpPairs(bands = 4, planesPerBand = 5,
       dims = 64, threshold = 0.9, offset = 10000000L),
 
+    // index planes from the CORPUS size: autoPlanesPerBand(500, 32)
+    // = 4 at the gate fixture (vs 5 for the 1000-row planted union
+    // of q_dedup_embed_lsh)
+    "q_embed_incr" -> Duck.srpProbePairs(bands = 4, planesPerBand = 4,
+      dims = 64, threshold = 0.9, offset = 10000000L),
+
     "q_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),
@@ -7600,8 +7634,10 @@ object SparkEntry {
       * md5-derived plane weights inlined as literals, identical
       * value-dependent perturbation formula, so both engines compute
       * the same buckets, candidates, and verified pairs. */
-    def srpPairs(bands: Int, planesPerBand: Int, dims: Int,
-                 threshold: Double, offset: Long): String = {
+    /** (vec_id, band, key) band-row SQL over a CTE named `src`,
+      * mirroring `SrpDedup.srpBandKeys` literal-for-literal. */
+    private def srpKeyed(src: String, bands: Int,
+                         planesPerBand: Int, dims: Int): String = {
       def bandExpr(b: Int): String = (0 until planesPerBand).map { j =>
         val p = b * planesPerBand + j
         val ws = (0 until dims)
@@ -7609,15 +7645,26 @@ object SparkEntry {
           .mkString("[", ", ", "]")
         s"(CASE WHEN list_dot_product(v, $ws) > 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString("(", "\n   + ", ")")
-      val keyed = (0 until bands)
-        .map(b => s"SELECT vec_id, $b AS band, ${bandExpr(b)} AS key FROM pl")
+      (0 until bands)
+        .map(b => s"SELECT vec_id, $b AS band, ${bandExpr(b)} AS key FROM $src")
         .mkString("\nUNION ALL\n")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |pl AS (SELECT vec_id, v FROM e UNION ALL
-         |  SELECT vec_id + $offset,
+    }
+
+    /** The value-dependent perturbed copy of CTE `e`, ids offset —
+      * the planted-near-dup construct both engines replay. */
+    private def srpPerturbed(offset: Long): String =
+      s"""SELECT vec_id + $offset AS vec_id,
          |    list_transform(v, x -> x * (1 +
          |      (CAST(floor(abs(x) * 10000.0) AS BIGINT) % 7 - 3) / 1000.0))
-         |  FROM e),
+         |      AS v
+         |  FROM e""".stripMargin
+
+    def srpPairs(bands: Int, planesPerBand: Int, dims: Int,
+                 threshold: Double, offset: Long): String = {
+      val keyed = srpKeyed("pl", bands, planesPerBand, dims)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pl AS (SELECT vec_id, v FROM e UNION ALL
+         |  ${srpPerturbed(offset)}),
          |kx AS ($keyed),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM kx a JOIN kx b ON a.band = b.band AND a.key = b.key
@@ -7629,6 +7676,25 @@ object SparkEntry {
          |SELECT id_a, id_b, cosine FROM vf WHERE cosine >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
     }
+
+    /** Incremental mirror of `SrpDedup.srpPairsAgainstIndex`: the
+      * corpus (CTE e) is the index, the perturbed copies are the
+      * arriving probe batch; candidates are probe-bands × index-bands
+      * instead of a self-join. */
+    def srpProbePairs(bands: Int, planesPerBand: Int, dims: Int,
+                      threshold: Double, offset: Long): String =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pr AS (${srpPerturbed(offset)}),
+         |ki AS (${srpKeyed("e", bands, planesPerBand, dims)}),
+         |kp AS (${srpKeyed("pr", bands, planesPerBand, dims)}),
+         |cand AS (SELECT DISTINCT p.vec_id AS probe_id, i.vec_id AS index_id
+         |  FROM kp p JOIN ki i ON p.band = i.band AND p.key = i.key),
+         |vf AS (SELECT probe_id, index_id,
+         |    round(list_cosine_similarity(pp.v, pi.v), 6) AS cosine
+         |  FROM cand JOIN pr pp ON pp.vec_id = cand.probe_id
+         |            JOIN e  pi ON pi.vec_id = cand.index_id)
+         |SELECT probe_id, index_id, cosine FROM vf WHERE cosine >= $threshold
+         |ORDER BY probe_id, index_id""".stripMargin
 
     /** 60-bit simhash over a hash-array column named h */
     val simhashSum: String = (0 until TextFunctions.SimhashBits).map { j =>

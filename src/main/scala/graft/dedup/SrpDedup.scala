@@ -101,6 +101,60 @@ object SrpDedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** The reusable half of SRP near-dup — (id, v, keys) with the
+    * band keys materialized — the embedding analogue of
+    * [[Dedup.minHashIndex]]: compute once per corpus generation and
+    * SAVE it; each arriving batch then probes via
+    * [[srpPairsAgainstIndex]] without re-keying the corpus (at
+    * 100 TB the corpus-side signature pass is the dominant cost and
+    * must not repeat per batch). The plane count is fixed at
+    * index-build time — pick it with [[autoPlanesPerBand]] over the
+    * CORPUS size; probes must be keyed with the same geometry
+    * (same bands × planes) or the band equi-join silently finds
+    * nothing — persist the geometry beside the index. */
+  def srpIndex(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+               bands: Int, planesPerBand: Int): DataFrame =
+    Spread.ensure(df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")))
+      .select(col("id"), col("v"),
+        srpBandKeys(col("v"), bands, planesPerBand, dims).as("keys"))
+
+  /** (id, band, key) rows of a [[srpIndex]] frame. */
+  private def banded(base: DataFrame): DataFrame =
+    base.select(col("id"),
+      posexplode(col("keys")).as(Seq("band", "key")))
+
+  /** Incremental embedding near-dup: probe a NEW batch against a
+    * saved corpus index (both sides [[srpIndex]] outputs with
+    * disjoint id spaces, identical band geometry). Same collision
+    * contract as [[srpBandedPairs]], but the candidate join is
+    * probe-bands × index-bands instead of a self-join, so per-batch
+    * cost scales with the batch, not the corpus — the
+    * [[Dedup.minHashPairsAgainstIndex]] shape. The probe (small by
+    * contract) is persisted across its two reads; the index is
+    * scan-only on both reads (it lives in storage at scale).
+    * Returns (probe_id, index_id, cosine) with cosine ≥ threshold. */
+  def srpPairsAgainstIndex(probe: DataFrame, index: DataFrame,
+                           threshold: Double): DataFrame = {
+    graft.expressions.GraftFunctions.register(probe.sparkSession)
+    val p = probe.persist()
+    val cand = banded(p).alias("a")
+      .join(banded(index).alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("probe_id"), col("b.id").as("index_id"))
+      .distinct()
+    val cos = call_function(
+      graft.expressions.GraftFunctions.Cosine, col("va"), col("vb"))
+    cand
+      .join(p.select(col("id").as("probe_id"), col("v").as("va")),
+        Seq("probe_id"))
+      .join(index.select(col("id").as("index_id"), col("v").as("vb")),
+        Seq("index_id"))
+      .select(col("probe_id"), col("index_id"),
+        round(cos, 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** [[srpBandedPairs]] with the corpus-size-adaptive plane count:
     * one count() pass picks `planesPerBand` via
     * [[autoPlanesPerBand]], so bucket occupancy — and with it

@@ -135,6 +135,12 @@ object PlanLintAllowlist {
     // r10: smallSort of the verified pair list (one pair per planted
     // copy — n rows, report-sized)
     "q_dedup_embed_lsh" -> "single-partition-exchange",
+    // r10: same report-sized smallSort over the probe-batch pairs;
+    // the index side is scan-only BY CONTRACT (banding + verify each
+    // read the whole saved index — no predicate exists to push; at
+    // scale it lives in storage and is never cached)
+    "q_embed_incr" -> "single-partition-exchange",
+    "q_embed_incr" -> "scan-without-pushed-filters",
     "q_dedup_minhash" -> "single-partition-exchange",
     "q_dedup_ngram" -> "single-partition-exchange",
     "q_dedup_simhash" -> "single-partition-exchange",

@@ -76,6 +76,34 @@ class SrpDedupSpec extends SparkSpec {
     assert(recomputed.count() === 0L)
   }
 
+  test("index probe: planted recall, equivalent to the self-join path") {
+    import spark.implicits._
+    val dims = 32
+    val base = randomCorpus(60, dims, seed = 21L)
+    val batch = base.map { case (id, v) =>
+      (id + 1000L, perturb(v, eps = 0.1, seed = id)) }
+    val index = SrpDedup.srpIndex(base.toDF("id", "v"), "id", "v",
+      dims, bands = 8, planesPerBand = 4)
+    val probe = SrpDedup.srpIndex(batch.toDF("id", "v"), "id", "v",
+      dims, bands = 8, planesPerBand = 4)
+    val got = SrpDedup.srpPairsAgainstIndex(probe, index, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every planted (probe, original) pair recovered
+    base.foreach { case (id, _) =>
+      assert(got.exists(p => p._1 == id + 1000L && p._2 == id),
+        s"missed planted probe pair $id")
+    }
+    // exactly the cross-side subset of the self-join over the union:
+    // srpBandedPairs orders id_a < id_b, so cross pairs come out as
+    // (original, probe) — flip and compare
+    val self = SrpDedup.srpBandedPairs(
+      (base ++ batch).toDF("id", "v"), "id", "v", dims,
+      threshold = 0.9, bands = 8, planesPerBand = 4)
+      .where(col("id_a") < 1000L && col("id_b") >= 1000L)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    assert(got === self)
+  }
+
   test("auto variant picks the plane count from the corpus size") {
     import spark.implicits._
     val dims = 16
