@@ -1975,6 +1975,29 @@ object SparkEntry {
           _, col("probe_id"), col("index_id")))
     }),
 
+    "q_stream_embed_neardup" -> ((s, dir) => {
+      // STREAMING embedding near-dup: 4 arriving micro-batches
+      // (vec_id % 4), each probing the SRP index of earlier batches
+      // before folding in (probe-then-add). Planted construct as
+      // q_dedup_embed_lsh but with offset ≡ 1 (mod 4), so each
+      // perturbed copy lands one batch AFTER its original — except
+      // batch-3 originals, whose copies wrap to batch 0 and arrive
+      // EARLIER; the oracle orients every pair by batch order, which
+      // is exactly the probe-then-add emission rule.
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val planted = e.unionByName(e.select(
+        (col("vec_id") + lit(10000001L)).as("vec_id"),
+        transform(col("v"), x =>
+          x * (lit(1.0d) + (floor(abs(x) * 10000.0d).cast("long") % 7 - 3)
+            / lit(1000.0d))).as("v")))
+      graft.streaming.EventStream.embedNearDupStreamAvailableNow(
+          s, planted, "vec_id", "v", batches = 4, dims = 64, bands = 4,
+          planesPerBand = 5, threshold = 0.9)
+        .transform(graft.operators.Spread.smallSort(
+          _, col("probe_id"), col("index_id")))
+    }),
+
     "q_stream_neardup" -> ((s, dir) => {
       // STREAMING near-dup: 4 arriving micro-batches (doc_id % 4, one
       // file each), each probing the MinHash index of earlier batches
@@ -5201,6 +5224,13 @@ object SparkEntry {
     "q_stream_neardup" -> Duck.minhashStreamBatched(batches = 4,
       numHashes = 32, bands = 8, threshold = 0.8),
 
+    // band geometry fixed at stream start (4×5 over the ~1000-row
+    // planted union); offset 10000001 ≡ 1 (mod 4) shifts each copy
+    // one batch after its original
+    "q_stream_embed_neardup" -> Duck.srpStreamBatched(batches = 4,
+      bands = 4, planesPerBand = 5, dims = 64, threshold = 0.9,
+      offset = 10000001L),
+
     "q_leakage_split" -> Duck.leakageSplit(numHashes = 32, bands = 8,
       threshold = 0.8, holdoutPpm = 100000),
 
@@ -7659,23 +7689,45 @@ object SparkEntry {
          |      AS v
          |  FROM e""".stripMargin
 
-    def srpPairs(bands: Int, planesPerBand: Int, dims: Int,
-                 threshold: Double, offset: Long): String = {
-      val keyed = srpKeyed("pl", bands, planesPerBand, dims)
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    /** CTE chain ending in `vf(id_a < id_b, cosine)`: planted corpus
+      * → band keys → candidate self-join → cosine verify. */
+    private def srpVfCtes(bands: Int, planesPerBand: Int, dims: Int,
+                          offset: Long): String =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |pl AS (SELECT vec_id, v FROM e UNION ALL
          |  ${srpPerturbed(offset)}),
-         |kx AS ($keyed),
+         |kx AS (${srpKeyed("pl", bands, planesPerBand, dims)}),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM kx a JOIN kx b ON a.band = b.band AND a.key = b.key
          |    AND a.vec_id < b.vec_id),
          |vf AS (SELECT id_a, id_b,
          |    round(list_cosine_similarity(pa.v, pb.v), 6) AS cosine
          |  FROM cand JOIN pl pa ON pa.vec_id = cand.id_a
-         |            JOIN pl pb ON pb.vec_id = cand.id_b)
+         |            JOIN pl pb ON pb.vec_id = cand.id_b)""".stripMargin
+
+    def srpPairs(bands: Int, planesPerBand: Int, dims: Int,
+                 threshold: Double, offset: Long): String =
+      s"""WITH ${srpVfCtes(bands, planesPerBand, dims, offset)}
          |SELECT id_a, id_b, cosine FROM vf WHERE cosine >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
-    }
+
+    /** Streaming mirror: cross-batch SRP pairs oriented probe = the
+      * later batch (batch = id % batches), within-batch pairs
+      * excluded — the probe-then-add batch algebra of
+      * `EventStream.embedNearDupStreamAvailableNow`. */
+    def srpStreamBatched(batches: Int, bands: Int, planesPerBand: Int,
+                         dims: Int, threshold: Double,
+                         offset: Long): String =
+      s"""WITH ${srpVfCtes(bands, planesPerBand, dims, offset)}
+         |SELECT
+         |  CASE WHEN id_a % $batches > id_b % $batches THEN id_a ELSE id_b END
+         |    AS probe_id,
+         |  CASE WHEN id_a % $batches > id_b % $batches THEN id_b ELSE id_a END
+         |    AS index_id,
+         |  cosine
+         |FROM vf WHERE cosine >= $threshold
+         |  AND id_a % $batches <> id_b % $batches
+         |ORDER BY probe_id, index_id""".stripMargin
 
     /** Incremental mirror of `SrpDedup.srpPairsAgainstIndex`: the
       * corpus (CTE e) is the index, the perturbed copies are the

@@ -172,6 +172,9 @@ object PlanLintAllowlist {
     // r7: streaming near-dup pair list — intentional smallSort of a
     // known-tiny result, same as the other dedup pair queries
     "q_stream_neardup" -> "single-partition-exchange",
+    // r10: same reviewed shape as q_stream_neardup — the smallSort of
+    // the drained cross-batch pair report
+    "q_stream_embed_neardup" -> "single-partition-exchange",
     "q_tfidf" -> "single-partition-exchange",
     "q_union_evolve" -> "scan-without-pushed-filters",
     "q_upsert" -> "scan-without-pushed-filters",

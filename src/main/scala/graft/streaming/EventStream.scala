@@ -749,15 +749,24 @@ object EventStream {
     * batches` — replayable by any engine without knowing arrival
     * order. */
   private def stageDocBatches(spark: SparkSession, sfDir: String,
-                              batches: Int): java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-docstream")
+                              batches: Int): java.nio.file.Path =
+    stageFrameBatches(spark.read.parquet(s"$sfDir/documents.parquet"),
+      "doc_id", batches, "graft-docstream")
+
+  /** Stage `df` as `batches` one-file parquet drops (membership
+    * `keyCol % batches`, arrival order = batch index via mtime) — the
+    * micro-batch arrival fixture every AvailableNow stream here
+    * consumes. */
+  private def stageFrameBatches(df: DataFrame, keyCol: String,
+                                batches: Int,
+                                prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
     cleanupHook
     stagedDirs.add(dir)
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val base = System.currentTimeMillis() - batches * 60000L
     for (b <- 0 until batches) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-docbatch")
-      docs.where(col("doc_id") % batches === b)
+      val tmp = java.nio.file.Files.createTempDirectory(prefix + "-b")
+      df.where(col(keyCol) % batches === b)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = {
         val ls = java.nio.file.Files.list(tmp)
@@ -773,6 +782,66 @@ object EventStream {
       stagedDirs.add(tmp)
     }
     dir
+  }
+
+  /** STREAMING embedding near-dup — the vector twin of
+    * [[nearDupStreamAvailableNow]]: embedding rows arrive in
+    * micro-batches, each batch's SRP band keys probe the index of
+    * everything seen BEFORE being folded in (probe-then-add) — the
+    * streaming form of [[graft.dedup.SrpDedup.srpPairsAgainstIndex]].
+    * Per-batch cost is batch-bands × index-bands, never re-keying the
+    * corpus. Band geometry (bands × planesPerBand) is an
+    * index-lifetime constant fixed at stream start — a live deploy
+    * picks it from the EXPECTED corpus size
+    * ([[graft.dedup.SrpDedup.autoPlanesPerBand]]) and rebuilds the
+    * index on regeneration, exactly like the minhash index.
+    *
+    * Determinism contract (what the oracle replays): batch membership
+    * is `id % batches`, batches arrive in index order, so the emitted
+    * pairs are exactly the cross-batch SRP-band pairs oriented
+    * probe = later batch; within-batch duplicates are intentionally
+    * NOT emitted. Returns (probe_id, index_id, cosine ≥ threshold). */
+  def embedNearDupStreamAvailableNow(spark: SparkSession,
+                                     points: DataFrame, idCol: String,
+                                     vecCol: String, batches: Int = 4,
+                                     dims: Int = 64, bands: Int = 4,
+                                     planesPerBand: Int = 5,
+                                     threshold: Double = 0.9): DataFrame = {
+    val staged = stageFrameBatches(
+      points.select(col(idCol), col(vecCol)), idCol, batches, "graft-embstream")
+    val schema = spark.read.parquet(staged.toString).schema
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-embcp")
+    stagedDirs.add(checkpoint)
+    var index: Option[DataFrame] = None
+    var cached = List.empty[DataFrame]
+    var parts = List.empty[DataFrame]
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bIdx = graft.dedup.SrpDedup
+          .srpIndex(batch, idCol, vecCol, dims, bands, planesPerBand)
+          .persist()
+        bIdx.count() // materialize before the plan fans out (see Dedup)
+        cached ::= bIdx
+        index.foreach { idx =>
+          parts ::= graft.dedup.SrpDedup
+            .srpPairsAgainstIndex(bIdx, idx, threshold)
+            .localCheckpoint() // eager: decouple from the batch caches
+        }
+        index = Some(index.fold(bIdx)(_.unionByName(bIdx)))
+        ()
+      }
+      .option("checkpointLocation", checkpoint.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    cached.foreach(_.unpersist(blocking = false))
+    val spark0 = spark
+    import spark0.implicits._
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      Seq.empty[(Long, Long, Double)].toDF("probe_id", "index_id", "cosine"))
   }
 
   /** STREAMING near-duplicate detection — the incremental-curation
