@@ -2391,6 +2391,22 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("vec_id")))
     }),
 
+    "q_semdedup_hier" -> ((s, dir) => {
+      // SemDeDup's full scale stack: autoK granularity (k grows as
+      // √(n/2)) with TWO-LEVEL (IVF-shaped) assignment — points score
+      // ⌈√k⌉ coarse centroids then only the fine centroids routed to
+      // the winning cell, so per-point cost is 2√k instead of k: the
+      // rung that keeps autoK's growing k affordable at web scale
+      // (k≈100k → ~632 cosines/point instead of 100k). Cell
+      // membership is the standard IVF approximation of the flat
+      // argmax; the oracle replays both levels stage-for-stage at
+      // the gate-derived k = autoK(500) = 16, coarseK = 4.
+      graft.dedup.SemDedup.semDedupVerdictsHierAuto(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4)
+        .withColumnRenamed("id", "vec_id")
+        .transform(graft.operators.Spread.smallSort(_, col("vec_id")))
+    }),
+
     // ---- similarity search ----------------------------------------------
     "q_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -5740,6 +5756,20 @@ object SparkEntry {
          |  a.vec_id NOT IN (SELECT id_b FROM pairs) AS keep
          |FROM a ORDER BY vec_id""".stripMargin,
 
+    // two-level assignment replayed stage-for-stage (coarse route,
+    // point→coarse, point→fine-in-cell), then the same verdict SQL
+    "q_semdedup_hier" ->
+      s"""WITH ${Duck.kmeansAssignHierCtes(k = 16, coarseK = 4)},
+         |pairs AS (SELECT a2.vec_id AS id_b
+         |  FROM a a1 JOIN a a2 ON a1.cluster_id = a2.cluster_id
+         |    AND a1.vec_id < a2.vec_id
+         |  JOIN p p1 ON p1.vec_id = a1.vec_id
+         |  JOIN p p2 ON p2.vec_id = a2.vec_id
+         |  WHERE round(list_cosine_similarity(p1.v, p2.v), 6) >= 0.4)
+         |SELECT a.vec_id, a.cluster_id,
+         |  a.vec_id NOT IN (SELECT id_b FROM pairs) AS keep
+         |FROM a ORDER BY vec_id""".stripMargin,
+
     // bands=4, planesPerBand = autoPlanesPerBand(2·500, 32) = 5 at
     // the gate fixture — mirrored banding over the planted corpus
     "q_dedup_embed_lsh" -> Duck.srpPairs(bands = 4, planesPerBand = 5,
@@ -7664,6 +7694,37 @@ object SparkEntry {
       * md5-derived plane weights inlined as literals, identical
       * value-dependent perturbation formula, so both engines compute
       * the same buckets, candidates, and verified pairs. */
+    /** Two-level IVF assignment mirror of `KMeans.assignHier`, ending
+      * in CTE `a(vec_id, cluster_id, score)` — fine centroids as
+      * `kmeansAssignCtes`' `c`, coarse = the first `coarseK` of them,
+      * every stage rounded to 6 places with lowest-id tie-break. */
+    def kmeansAssignHierCtes(k: Int, coarseK: Int): String =
+      s"""c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+         |    embedding::DOUBLE[] AS centroid
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k)),
+         |cc AS (SELECT cluster_id AS coarse_id, centroid AS cv
+         |  FROM c WHERE cluster_id < $coarseK),
+         |rt AS (SELECT coarse_id, cluster_id, centroid FROM (
+         |  SELECT cluster_id, coarse_id, centroid, row_number() OVER
+         |    (PARTITION BY cluster_id ORDER BY rscore DESC, coarse_id) AS rn
+         |  FROM (SELECT c.cluster_id, cc.coarse_id, c.centroid,
+         |      round(list_cosine_similarity(c.centroid, cc.cv), 6) AS rscore
+         |    FROM c CROSS JOIN cc) t0) t WHERE rn = 1),
+         |p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pc AS (SELECT vec_id, v, coarse_id FROM (
+         |  SELECT vec_id, v, coarse_id, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cscore DESC, coarse_id) AS rn
+         |  FROM (SELECT p.vec_id, p.v, cc.coarse_id,
+         |      round(list_cosine_similarity(p.v, cc.cv), 6) AS cscore
+         |    FROM p CROSS JOIN cc) t0) t WHERE rn = 1),
+         |a AS (SELECT vec_id, cluster_id, score FROM (
+         |  SELECT vec_id, cluster_id, score, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY score DESC, cluster_id) AS rn
+         |  FROM (SELECT pc.vec_id, rt.cluster_id,
+         |      round(list_cosine_similarity(pc.v, rt.centroid), 6) AS score
+         |    FROM pc JOIN rt ON rt.coarse_id = pc.coarse_id) t0) t
+         |  WHERE rn = 1)""".stripMargin
+
     /** (vec_id, band, key) band-row SQL over a CTE named `src`,
       * mirroring `SrpDedup.srpBandKeys` literal-for-literal. */
     private def srpKeyed(src: String, bands: Int,

@@ -84,6 +84,45 @@ object SemDedup {
     semDedupVerdicts(points, idCol, vecCol, autoK(n, kMin), threshold)
   }
 
+  /** [[semDedupVerdicts]] with two-level IVF-shaped assignment
+    * ([[KMeans.assignHier]]): per-point assignment cost drops from k
+    * to coarseK + k/coarseK cosines (≈ 2√k at the default
+    * coarseK = ⌈√k⌉), which is the rung that keeps [[autoK]]'s
+    * growing cluster count affordable — at web scale (k ≈ 100k,
+    * the SemDeDup recipe) flat assignment alone is n·100k. Cell
+    * membership is the standard IVF approximation of the flat
+    * argmax (see [[KMeans.assignHier]]); the within-cluster drop
+    * rule is unchanged. */
+  def semDedupVerdictsHier(points: DataFrame, idCol: String,
+                           vecCol: String, k: Int, threshold: Double,
+                           coarseK: Int = 0): DataFrame = {
+    val ck = if (coarseK > 0) coarseK
+      else math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val centroids = KMeans.initCentroids(points, idCol, vecCol, k)
+    val assigned = KMeans.assignHier(points, centroids, idCol, vecCol, ck)
+    val members = points
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .join(assigned.select(col("id"), col("cluster_id")), Seq("id"))
+    val pairs = Dedup.embeddingNearDupPairs(
+      members, "id", "v", "cluster_id", threshold)
+    val dominated = pairs.select(col("id_b").as("id")).distinct()
+    val dom = graft.operators.Spread.freshCol(assigned, "__dom")
+    assigned.select(col("id"), col("cluster_id"))
+      .join(broadcast(dominated.withColumn(dom, lit(1))), Seq("id"), "left_outer")
+      .select(col("id"), col("cluster_id"), col(dom).isNull.as("keep"))
+  }
+
+  /** [[semDedupVerdictsHier]] at [[autoK]] granularity — the full
+    * scale stack: corpus-adaptive cluster count (Θ(n^1.5) total pair
+    * work) with two-level assignment (per-point cost 2√k instead of
+    * k). One count() pass derives k; coarseK defaults to ⌈√k⌉. */
+  def semDedupVerdictsHierAuto(points: DataFrame, idCol: String,
+                               vecCol: String, threshold: Double,
+                               kMin: Int = 8): DataFrame = {
+    val n = points.count()
+    semDedupVerdictsHier(points, idCol, vecCol, autoK(n, kMin), threshold)
+  }
+
   /** The deduplicated corpus: rows of `points` whose id survives
     * [[semDedupVerdicts]]. */
   def semDedup(points: DataFrame, idCol: String, vecCol: String,

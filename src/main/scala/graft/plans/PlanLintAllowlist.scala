@@ -166,6 +166,10 @@ object PlanLintAllowlist {
     // of the per-point verdict report
     "q_semdedup_auto" -> "single-partition-exchange",
     "q_semdedup_auto" -> "unconditioned-nested-loop",
+    // r10: same two reviewed shapes — the point × broadcast-coarse
+    // cross (coarseK sub-rows per point) and the verdict smallSort
+    "q_semdedup_hier" -> "single-partition-exchange",
+    "q_semdedup_hier" -> "unconditioned-nested-loop",
     "q_seq_pack" -> "single-partition-exchange",
     "q_snapshot_diff" -> "scan-without-pushed-filters",
     "q_snapshot_diff" -> "single-partition-exchange",

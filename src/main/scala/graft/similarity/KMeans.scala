@@ -56,6 +56,68 @@ object KMeans {
       .where(col("rn") === 1).drop("rn")
   }
 
+  /** Two-level (IVF-shaped) assignment — the scale rung above
+    * [[assign]]: each point scores the `coarseK` COARSE centroids
+    * first, then only the fine centroids routed to its best coarse
+    * cell. Per-point scoring cost drops from k to
+    * coarseK + k/coarseK (≈ 2√k at coarseK = √k) — at the SemDeDup
+    * recipe's web-scale k ≈ 100k that is ~632 cosines per point
+    * instead of 100k, which is what makes corpus-adaptive cluster
+    * counts affordable in the first place.
+    *
+    * Determinism (what an oracle replays): coarse centroids are the
+    * fine centroids with `cluster_id < coarseK` (the lowest-id seeds,
+    * already deterministic); every scoring stage rounds to 6 places
+    * and breaks ties to the lowest id, exactly like [[assign]].
+    * Routing fine → coarse is a k × coarseK broadcast product —
+    * driver-bounded, never corpus-bounded. The assignment is the
+    * standard IVF approximation of the flat argmax: a point whose
+    * true best fine cell routes to a different coarse cell than the
+    * point itself can be assigned elsewhere — the documented IVF
+    * trade, NOT an approximation bug; [[assign]] remains the exact
+    * single-level form. Returns (id, cluster_id, score) with
+    * cluster_id the FINE cell. */
+  def assignHier(points: DataFrame, centroids: DataFrame, idCol: String,
+                 vecCol: String, coarseK: Int): DataFrame = {
+    require(coarseK >= 1, s"coarseK must be >= 1: $coarseK")
+    graft.expressions.GraftFunctions.register(points.sparkSession)
+    // k tiny rows read three times (coarse subset, routing, scoring):
+    // checkpoint once so the seed scan doesn't recompute per use
+    val cents = centroids.localCheckpoint()
+    val coarse = cents.where(col("cluster_id") < coarseK)
+      .select(col("cluster_id").as("coarse_id"), col("centroid").as("cv"))
+    val cos = (a: String, b: String) => round(call_function(
+      graft.expressions.GraftFunctions.Cosine, col(a), col(b)), 6)
+    // fine centroid -> its coarse cell (k x coarseK, driver-scale)
+    val routeBest = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("rscore").desc, col("coarse_id"))
+    val route = cents.join(broadcast(coarse))
+      .select(col("cluster_id"), col("coarse_id"), col("centroid"),
+        cos("centroid", "cv").as("rscore"))
+      .withColumn("rn", row_number().over(routeBest))
+      .where(col("rn") === 1)
+      .select(col("coarse_id"), col("cluster_id"), col("centroid"))
+    // point -> coarse cell (n x coarseK)
+    val p = Spread.ensure(points.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")))
+    val coarseBest = Window.partitionBy(col("id"))
+      .orderBy(col("cscore").desc, col("coarse_id"))
+    val pc = p.join(broadcast(coarse))
+      .select(col("id"), col("v"), col("coarse_id"),
+        cos("v", "cv").as("cscore"))
+      .withColumn("rn", row_number().over(coarseBest))
+      .where(col("rn") === 1)
+      .select(col("id"), col("v"), col("coarse_id"))
+    // point -> fine cell within its coarse cell (n x k/coarseK avg)
+    val fineBest = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("cluster_id"))
+    pc.join(broadcast(route), Seq("coarse_id"))
+      .select(col("id"), col("cluster_id"),
+        cos("v", "centroid").as("score"))
+      .withColumn("rn", row_number().over(fineBest))
+      .where(col("rn") === 1).drop("rn")
+  }
+
   /** Top-`n` centroid assignment per point — the probe list for
     * multi-probe IVF ([[Similarity.multiProbeKnn]]). Same scoring and
     * tie-break as [[assign]] (n = 1 is exactly `assign`). */

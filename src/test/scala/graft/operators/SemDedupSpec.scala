@@ -61,6 +61,39 @@ class SemDedupSpec extends SparkSpec {
     assert(auto === fixed)
   }
 
+  test("hier assignment at coarseK = k degenerates to the flat argmax") {
+    // with every fine centroid also coarse, the coarse stage IS the
+    // flat argmax and self-routing keeps the winner in its own cell —
+    // so the two assignments must agree row-for-row
+    val k = 12
+    val cents = graft.similarity.KMeans.initCentroids(
+      emb, "vec_id", "embedding", k)
+    val flat = graft.similarity.KMeans.assign(emb, cents, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val hier = graft.similarity.KMeans.assignHier(
+      emb, cents, "vec_id", "embedding", coarseK = k)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(hier === flat)
+  }
+
+  test("hier verdicts: one row per point, clusters in range, and " +
+       "coarseK = k equals the flat verdicts") {
+    val n = emb.count()
+    val hier = SemDedup.semDedupVerdictsHier(emb, "vec_id", "embedding",
+      k = 16, threshold = 0.4, coarseK = 4)
+    assert(hier.count() === n)
+    assert(hier.select(col("id")).distinct().count() === n)
+    assert(hier.where(col("cluster_id") < 0 || col("cluster_id") >= 16)
+      .count() === 0L)
+    val degen = SemDedup.semDedupVerdictsHier(emb, "vec_id", "embedding",
+      k = 16, threshold = 0.4, coarseK = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val flat = SemDedup.semDedupVerdicts(emb, "vec_id", "embedding",
+      k = 16, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(degen === flat)
+  }
+
   test("semDedup keeps exactly the keep=true rows, schema preserved") {
     val kept = SemDedup.semDedup(emb, "vec_id", "embedding",
       k = 4, threshold = 0.4)
