@@ -1947,6 +1947,35 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("id_a"), col("id_b")))
     }),
 
+    "q_srp_recall" -> ((s, dir) => {
+      // SRP recall evaluation — the q_ann_recall companion for the
+      // banded near-dup path: how many PLANTED pairs (ground truth by
+      // construction: copy id = original + 10^7, the only cos ≥ 0.9
+      // pairs in the near-orthogonal corpus) does the banding
+      // recover, and how many extra pairs ride along. Exact
+      // floor-divided ppm; the measurement that picks bands/planes
+      // BEFORE a full-corpus run, without any all-pairs reference.
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val planted = e.unionByName(e.select(
+        (col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("v"), x =>
+          x * (lit(1.0d) + (floor(abs(x) * 10000.0d).cast("long") % 7 - 3)
+            / lit(1000.0d))).as("v")))
+      val pairs = graft.dedup.SrpDedup.srpBandedPairsAuto(planted,
+        "vec_id", "v", dims = 64, threshold = 0.9, bands = 4,
+        targetBucket = 32)
+      pairs.agg(
+          sum(when(col("id_b") === col("id_a") + 10000000L, 1L)
+            .otherwise(0L)).cast("long").as("n_found"),
+          sum(when(col("id_b") =!= col("id_a") + 10000000L, 1L)
+            .otherwise(0L)).cast("long").as("n_extra"))
+        .crossJoin(e.agg(count(lit(1)).as("n_true")))
+        .select(col("n_true"), col("n_found"), col("n_extra"),
+          expr("CAST(n_found * 1000000 div n_true AS BIGINT)")
+            .as("recall_ppm"))
+    }),
+
     "q_embed_incr" -> ((s, dir) => {
       // INCREMENTAL embedding near-dup — the minhash-index shape for
       // vectors: the corpus SRP index is built once (plane count from
@@ -5781,6 +5810,24 @@ object SparkEntry {
     "q_embed_incr" -> Duck.srpProbePairs(bands = 4, planesPerBand = 4,
       dims = 64, threshold = 0.9, offset = 10000000L),
 
+    // recall over the planted ground truth (copy id = original +
+    // 10^7) — pair set replayed bucket-for-bucket, then the id
+    // algebra; planesPerBand = autoPlanesPerBand(1000, 32) = 5
+    "q_srp_recall" ->
+      s"""WITH ${Duck.srpVfCtes(bands = 4, planesPerBand = 5,
+             dims = 64, offset = 10000000L)},
+         |pairs AS (SELECT id_a, id_b FROM vf WHERE cosine >= 0.9),
+         |m AS (SELECT
+         |    CAST(COALESCE(sum(CASE WHEN id_b = id_a + 10000000 THEN 1
+         |      ELSE 0 END), 0) AS BIGINT) AS n_found,
+         |    CAST(COALESCE(sum(CASE WHEN id_b <> id_a + 10000000 THEN 1
+         |      ELSE 0 END), 0) AS BIGINT) AS n_extra
+         |  FROM pairs),
+         |t AS (SELECT count(*) AS n_true FROM embeddings)
+         |SELECT t.n_true, m.n_found, m.n_extra,
+         |  CAST(m.n_found * 1000000 // t.n_true AS BIGINT) AS recall_ppm
+         |FROM m CROSS JOIN t""".stripMargin,
+
     "q_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),
@@ -7752,8 +7799,8 @@ object SparkEntry {
 
     /** CTE chain ending in `vf(id_a < id_b, cosine)`: planted corpus
       * → band keys → candidate self-join → cosine verify. */
-    private def srpVfCtes(bands: Int, planesPerBand: Int, dims: Int,
-                          offset: Long): String =
+    def srpVfCtes(bands: Int, planesPerBand: Int, dims: Int,
+                  offset: Long): String =
       s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |pl AS (SELECT vec_id, v FROM e UNION ALL
          |  ${srpPerturbed(offset)}),

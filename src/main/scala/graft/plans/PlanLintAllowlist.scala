@@ -135,6 +135,9 @@ object PlanLintAllowlist {
     // r10: smallSort of the verified pair list (one pair per planted
     // copy — n rows, report-sized)
     "q_dedup_embed_lsh" -> "single-partition-exchange",
+    // r10: recall report — two 1-row aggregates attached by a scalar
+    // cross (the reviewed 1-row broadcast shape)
+    "q_srp_recall" -> "unconditioned-nested-loop",
     // r10: same report-sized smallSort over the probe-batch pairs;
     // the index side is scan-only BY CONTRACT (banding + verify each
     // read the whole saved index — no predicate exists to push; at
