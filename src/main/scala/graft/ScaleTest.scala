@@ -39,8 +39,8 @@ object ScaleTest {
     "q_dedup_clusters", "q_dedup_curve",
     // r10 scale fixes for the fixed-granularity quadratics: adaptive
     // cluster count and SRP-banded near-dup (BASELINE 100×-extension)
-    "q_semdedup_auto", "q_semdedup_hier", "q_dedup_embed_lsh",
-    "q_embed_incr",
+    "q_semdedup_auto", "q_semdedup_hier", "q_semdedup_incr",
+    "q_dedup_embed_lsh", "q_embed_incr",
     // ANN / vectors
     "q_knn_brute", "q_knn_ivf", "q_sparse_cosine", "q_principal_dir",
     // text / tokenizer

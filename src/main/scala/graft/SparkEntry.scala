@@ -2436,6 +2436,37 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("vec_id")))
     }),
 
+    "q_semdedup_incr" -> ((s, dir) => {
+      // INCREMENTAL SemDeDup: the corpus member index is built once
+      // (k = autoK(n), centroid seeds an index-lifetime constant),
+      // then an arriving batch probes it — batch assignment against
+      // the SAME seeds, batch × same-cluster corpus join (corpus
+      // always wins), in-batch keep-first rule. The batch: perturbed
+      // copies of even vec_ids (near-dups that must drop) and negated
+      // vectors of odd vec_ids (verdicts decided by the data —
+      // cos(-v, w) = -cos(v, w) — and replayed by the oracle).
+      // Parity, not a range, so the construct scales under the
+      // interleaved key remap.
+      val e = t(s, dir, "embeddings")
+      val ev = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val k = graft.dedup.SemDedup.autoK(ev.count())
+      val centroids = graft.similarity.KMeans.initCentroids(
+        e, "vec_id", "embedding", k)
+      val index = graft.dedup.SemDedup.semDedupIndex(
+        e, "vec_id", "embedding", k)
+      val batch = ev.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        when(col("vec_id") % 2 === 0,
+          transform(col("v"), x =>
+            x * (lit(1.0d) + (floor(abs(x) * 10000.0d).cast("long") % 7 - 3)
+              / lit(1000.0d))))
+          .otherwise(transform(col("v"), x => -x)).as("v"))
+      graft.dedup.SemDedup.semDedupBatchVerdicts(batch, index, centroids,
+          "vec_id", "v", threshold = 0.4)
+        .withColumnRenamed("id", "vec_id")
+        .transform(graft.operators.Spread.smallSort(_, col("vec_id")))
+    }),
+
     // ---- similarity search ----------------------------------------------
     "q_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -5798,6 +5829,40 @@ object SparkEntry {
          |SELECT a.vec_id, a.cluster_id,
          |  a.vec_id NOT IN (SELECT id_b FROM pairs) AS keep
          |FROM a ORDER BY vec_id""".stripMargin,
+
+    // corpus assignment from kmeansAssignCtes (k = autoK(500) = 16),
+    // batch assignment against the same centroids, then the two
+    // domination sources: same-cluster corpus members and lower-id
+    // same-cluster batch members
+    "q_semdedup_incr" ->
+      s"""WITH ${Duck.kmeansAssignCtes(k = 16)},
+         |bt AS (SELECT vec_id + 10000000 AS vec_id,
+         |    CASE WHEN vec_id % 2 = 0
+         |      THEN list_transform(v, x -> x * (1 +
+         |        (CAST(floor(abs(x) * 10000.0) AS BIGINT) % 7 - 3) / 1000.0))
+         |      ELSE list_transform(v, x -> -x) END AS v
+         |  FROM p),
+         |scb AS (SELECT bt.vec_id, c.cluster_id,
+         |    round(list_cosine_similarity(bt.v, c.centroid), 6) AS score
+         |  FROM bt CROSS JOIN c),
+         |ab AS (SELECT vec_id, cluster_id FROM (
+         |  SELECT vec_id, cluster_id, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY score DESC, cluster_id) AS rn
+         |  FROM scb) t WHERE rn = 1),
+         |cd AS (SELECT DISTINCT ab.vec_id FROM ab
+         |  JOIN bt ON bt.vec_id = ab.vec_id
+         |  JOIN a ON a.cluster_id = ab.cluster_id
+         |  JOIN p ON p.vec_id = a.vec_id
+         |  WHERE round(list_cosine_similarity(bt.v, p.v), 6) >= 0.4),
+         |bd AS (SELECT DISTINCT a2.vec_id FROM ab a1 JOIN ab a2
+         |    ON a1.cluster_id = a2.cluster_id AND a1.vec_id < a2.vec_id
+         |  JOIN bt b1 ON b1.vec_id = a1.vec_id
+         |  JOIN bt b2 ON b2.vec_id = a2.vec_id
+         |  WHERE round(list_cosine_similarity(b1.v, b2.v), 6) >= 0.4)
+         |SELECT ab.vec_id, ab.cluster_id,
+         |  ab.vec_id NOT IN (SELECT vec_id FROM cd)
+         |    AND ab.vec_id NOT IN (SELECT vec_id FROM bd) AS keep
+         |FROM ab ORDER BY vec_id""".stripMargin,
 
     // bands=4, planesPerBand = autoPlanesPerBand(2·500, 32) = 5 at
     // the gate fixture — mirrored banding over the planted corpus

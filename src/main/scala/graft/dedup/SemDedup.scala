@@ -40,7 +40,16 @@ object SemDedup {
   def semDedupVerdicts(points: DataFrame, idCol: String, vecCol: String,
                        k: Int, threshold: Double): DataFrame = {
     val centroids = KMeans.initCentroids(points, idCol, vecCol, k)
-    val assigned = KMeans.assign(points, centroids, idCol, vecCol)
+    verdictsFromAssigned(points, idCol, vecCol,
+      KMeans.assign(points, centroids, idCol, vecCol), threshold)
+  }
+
+  /** The shared verdict tail: within-cluster near-dup pairs over an
+    * (id, cluster_id) assignment, then keep = "no lower-id near-dup
+    * in my cluster". */
+  private def verdictsFromAssigned(points: DataFrame, idCol: String,
+                                   vecCol: String, assigned: DataFrame,
+                                   threshold: Double): DataFrame = {
     val members = points
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .join(assigned.select(col("id"), col("cluster_id")), Seq("id"))
@@ -99,17 +108,8 @@ object SemDedup {
     val ck = if (coarseK > 0) coarseK
       else math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val centroids = KMeans.initCentroids(points, idCol, vecCol, k)
-    val assigned = KMeans.assignHier(points, centroids, idCol, vecCol, ck)
-    val members = points
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .join(assigned.select(col("id"), col("cluster_id")), Seq("id"))
-    val pairs = Dedup.embeddingNearDupPairs(
-      members, "id", "v", "cluster_id", threshold)
-    val dominated = pairs.select(col("id_b").as("id")).distinct()
-    val dom = graft.operators.Spread.freshCol(assigned, "__dom")
-    assigned.select(col("id"), col("cluster_id"))
-      .join(broadcast(dominated.withColumn(dom, lit(1))), Seq("id"), "left_outer")
-      .select(col("id"), col("cluster_id"), col(dom).isNull.as("keep"))
+    verdictsFromAssigned(points, idCol, vecCol,
+      KMeans.assignHier(points, centroids, idCol, vecCol, ck), threshold)
   }
 
   /** [[semDedupVerdictsHier]] at [[autoK]] granularity — the full
@@ -121,6 +121,68 @@ object SemDedup {
                                kMin: Int = 8): DataFrame = {
     val n = points.count()
     semDedupVerdictsHier(points, idCol, vecCol, autoK(n, kMin), threshold)
+  }
+
+  /** The reusable half of incremental SemDeDup: the corpus's
+    * (id, cluster_id, v) member table — compute once per corpus
+    * generation and SAVE it beside the centroid seeds; arriving
+    * batches then probe via [[semDedupBatchVerdicts]] without
+    * re-assigning the corpus (the [[graft.dedup.SrpDedup.srpIndex]]
+    * contract for cluster membership). */
+  def semDedupIndex(points: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val centroids = KMeans.initCentroids(points, idCol, vecCol, k)
+    points
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .join(KMeans.assign(points, centroids, idCol, vecCol)
+        .select(col("id"), col("cluster_id")), Seq("id"))
+      .select(col("id"), col("cluster_id"), col("v"))
+  }
+
+  /** Incremental SemDeDup: verdicts for a NEW batch against a saved
+    * corpus index (disjoint id spaces). A batch point is dropped iff
+    * a cosine-≥-threshold neighbor shares its cluster among (a) ANY
+    * corpus member — the corpus always wins, matching keep-first
+    * exemplar semantics — or (b) a lower-id batch member. Cluster
+    * membership comes from the SAME centroid seeds that built the
+    * index (passed as `centroids`, an index-lifetime constant like
+    * the SRP band geometry); per-batch cost is batch-assignment
+    * (|batch|·k) plus the batch × same-cluster join — never a corpus
+    * re-assignment. Returns (id, cluster_id, keep) for batch rows. */
+  def semDedupBatchVerdicts(batch: DataFrame, index: DataFrame,
+                            centroids: DataFrame, idCol: String,
+                            vecCol: String, threshold: Double,
+                            salt: Int = 8): DataFrame = {
+    graft.expressions.GraftFunctions.register(batch.sparkSession)
+    val assigned = KMeans.assign(batch, centroids, idCol, vecCol)
+    // persisted: read by the corpus probe, the batch self-join (both
+    // sides), and the verdict spine
+    val members = batch
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .join(assigned.select(col("id"), col("cluster_id")), Seq("id"))
+      .persist()
+    val cos = round(call_function(
+      graft.expressions.GraftFunctions.Cosine, col("va"), col("vb")), 6)
+    // (a) batch × corpus-members-of-the-same-cluster, salted like
+    // embeddingNearDupPairs so a dominant cluster fans out
+    val a = members.withColumn("salt", pmod(hash(col("id")), lit(salt)))
+    val b = index.withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+    val corpusDominated = a.alias("a")
+      .join(b.alias("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.salt") === col("b.salt"))
+      .select(col("a.id").as("id"), col("a.v").as("va"), col("b.v").as("vb"))
+      .where(cos >= threshold)
+      .select(col("id")).distinct()
+    // (b) lower-id batch near-dups, the in-batch keep-first rule
+    val batchDominated = Dedup.embeddingNearDupPairs(
+        members, "id", "v", "cluster_id", threshold, salt)
+      .select(col("id_b").as("id")).distinct()
+    val dominated = corpusDominated.unionByName(batchDominated).distinct()
+    val dom = graft.operators.Spread.freshCol(members, "__dom")
+    members.select(col("id"), col("cluster_id"))
+      .join(broadcast(dominated.withColumn(dom, lit(1))), Seq("id"), "left_outer")
+      .select(col("id"), col("cluster_id"), col(dom).isNull.as("keep"))
   }
 
   /** The deduplicated corpus: rows of `points` whose id survives

@@ -173,6 +173,10 @@ object PlanLintAllowlist {
     // cross (coarseK sub-rows per point) and the verdict smallSort
     "q_semdedup_hier" -> "single-partition-exchange",
     "q_semdedup_hier" -> "unconditioned-nested-loop",
+    // r10: batch × broadcast-centroid cross + verdict smallSort (the
+    // q_semdedup shapes; the corpus probe itself is an equi-join)
+    "q_semdedup_incr" -> "single-partition-exchange",
+    "q_semdedup_incr" -> "unconditioned-nested-loop",
     "q_seq_pack" -> "single-partition-exchange",
     "q_snapshot_diff" -> "scan-without-pushed-filters",
     "q_snapshot_diff" -> "single-partition-exchange",

@@ -94,6 +94,47 @@ class SemDedupSpec extends SparkSpec {
     assert(degen === flat)
   }
 
+  test("batch verdicts: corpus near-dups drop, novel points keep, " +
+       "in-batch keep-first applies") {
+    import spark.implicits._
+    val dims = 32
+    val rnd = new scala.util.Random(17L)
+    def vec() = Array.fill(dims)(rnd.nextGaussian())
+    def perturb(v: Array[Double], seed: Long) = {
+      val r = new scala.util.Random(seed)
+      v.map(x => x + 0.02 * r.nextGaussian())
+    }
+    val corpus = (0 until 40).map(i => (i.toLong, vec()))
+    val corpusDf = corpus.toDF("id", "v")
+    val k = 8
+    val centroids = graft.similarity.KMeans.initCentroids(
+      corpusDf, "id", "v", k)
+    val index = SemDedup.semDedupIndex(corpusDf, "id", "v", k)
+    val fresh = (0 until 10).map(i => (1010L + i, vec()))
+    val twin = vec()
+    val batch = (
+      corpus.take(10).map { case (id, v) => (1000L + id, perturb(v, id)) }
+        ++ fresh
+        ++ Seq((1020L, twin), (1021L, perturb(twin, 99L)))
+      ).toDF("id", "v")
+    val got = SemDedup.semDedupBatchVerdicts(batch, index, centroids,
+        "id", "v", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(got.size === 22)
+    // copies of corpus vectors: dominated by the corpus
+    (0 until 10).foreach { i =>
+      assert(!got(1000L + i), s"corpus copy ${1000 + i} should drop")
+    }
+    // novel vectors: nothing within cos 0.9 anywhere
+    (0 until 10).foreach { i =>
+      assert(got(1010L + i), s"novel point ${1010 + i} should keep")
+    }
+    // in-batch twins: keep-first — the lower id survives
+    assert(got(1020L), "first twin should keep")
+    assert(!got(1021L), "second twin should drop to its lower-id near-dup")
+    spark.catalog.clearCache()
+  }
+
   test("semDedup keeps exactly the keep=true rows, schema preserved") {
     val kept = SemDedup.semDedup(emb, "vec_id", "embedding",
       k = 4, threshold = 0.4)
