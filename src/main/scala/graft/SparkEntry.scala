@@ -2467,6 +2467,22 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("vec_id")))
     }),
 
+    "q_silhouette" -> ((s, dir) => {
+      // cluster-quality report at the semdedup granularity: per-point
+      // centroid-silhouette (a = own-centroid distance, b = best
+      // other — the rn=1/rn=2 rows of the assignment window, O(n·k)
+      // total, no pairwise term), floored to ppm, per-cluster integer
+      // mean — the measurement that validates an autoK choice before
+      // a full-corpus dedup run. k = autoK(500) = 16 at the gate.
+      val e = t(s, dir, "embeddings")
+      val k = graft.dedup.SemDedup.autoK(e.count())
+      val centroids = graft.similarity.KMeans.initCentroids(
+        e, "vec_id", "embedding", k)
+      graft.similarity.KMeans.silhouetteByCluster(
+          e, centroids, "vec_id", "embedding")
+        .transform(graft.operators.Spread.smallSort(_, col("cluster_id")))
+    }),
+
     // ---- similarity search ----------------------------------------------
     "q_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -5829,6 +5845,34 @@ object SparkEntry {
          |SELECT a.vec_id, a.cluster_id,
          |  a.vec_id NOT IN (SELECT id_b FROM pairs) AS keep
          |FROM a ORDER BY vec_id""".stripMargin,
+
+    // rn=1/rn=2 of the same assignment window give a and b; ppm floor
+    // then integer mean per cluster (sum div count, truncation
+    // matching Spark's div)
+    "q_silhouette" ->
+      s"""WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+         |    AS cluster_id, embedding::DOUBLE[] AS centroid
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT vec_id, cluster_id,
+         |    round(list_cosine_similarity(v, centroid), 6) AS score
+         |  FROM p CROSS JOIN c),
+         |r AS (SELECT vec_id, cluster_id, score, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY score DESC, cluster_id) AS rn
+         |  FROM sc),
+         |w AS (SELECT vec_id,
+         |    max(CASE WHEN rn = 1 THEN cluster_id END) AS cluster_id,
+         |    max(CASE WHEN rn = 1 THEN score END) AS s1,
+         |    max(CASE WHEN rn = 2 THEN score END) AS s2
+         |  FROM r WHERE rn <= 2 GROUP BY vec_id),
+         |s AS (SELECT cluster_id,
+         |    CASE WHEN greatest(1 - s1, 1 - s2) <= 0 THEN 0
+         |      ELSE CAST(floor((s1 - s2) / greatest(1 - s1, 1 - s2)
+         |        * 1000000.0) AS BIGINT) END AS sil_ppm
+         |  FROM w)
+         |SELECT cluster_id, count(*) AS n,
+         |  CAST(sum(sil_ppm) // count(*) AS BIGINT) AS mean_sil_ppm
+         |FROM s GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     // corpus assignment from kmeansAssignCtes (k = autoK(500) = 16),
     // batch assignment against the same centroids, then the two

@@ -177,6 +177,10 @@ object PlanLintAllowlist {
     // q_semdedup shapes; the corpus probe itself is an equi-join)
     "q_semdedup_incr" -> "single-partition-exchange",
     "q_semdedup_incr" -> "unconditioned-nested-loop",
+    // r10: point × broadcast-centroid cross (k sub-rows per point)
+    // + smallSort of the k-row cluster report
+    "q_silhouette" -> "single-partition-exchange",
+    "q_silhouette" -> "unconditioned-nested-loop",
     "q_seq_pack" -> "single-partition-exchange",
     "q_snapshot_diff" -> "scan-without-pushed-filters",
     "q_snapshot_diff" -> "single-partition-exchange",

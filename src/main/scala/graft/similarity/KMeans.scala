@@ -137,6 +137,48 @@ object KMeans {
       .where(col("rn") <= n).drop("rn")
   }
 
+  /** Per-cluster simplified (centroid-based) silhouette — the
+    * cluster-quality measurement that validates a granularity choice
+    * (e.g. [[graft.dedup.SemDedup.autoK]]) BEFORE a full-corpus run.
+    * Per point: a = cosine distance to its own centroid, b = distance
+    * to the best OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]; since
+    * the score window already orders centroids by cosine, a and b
+    * are just the rn=1 and rn=2 rows — O(n·k) scoring total, no
+    * pairwise term anywhere (the classic silhouette's O(n²) member
+    * distances are replaced by centroid distances, the standard
+    * scalable form). Exactness contract: scores rounded to 6 places,
+    * s floored to ppm, per-cluster mean = integer sum div count —
+    * bit-stable and oracle-replayable. Requires k ≥ 2. Returns
+    * (cluster_id, n, mean_sil_ppm), one row per non-empty cluster. */
+  def silhouetteByCluster(points: DataFrame, centroids: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(points.sparkSession)
+    val p = Spread.ensure(points.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")))
+    val scored = p.join(broadcast(centroids))
+      .select(col("id"), col("cluster_id"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("v"), col("centroid")), 6).as("score"))
+    val best = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("cluster_id"))
+    val two = scored.withColumn("rn", row_number().over(best))
+      .where(col("rn") <= 2)
+    val wide = two.groupBy(col("id")).agg(
+      max(when(col("rn") === 1, col("cluster_id"))).as("cluster_id"),
+      max(when(col("rn") === 1, col("score"))).as("s1"),
+      max(when(col("rn") === 2, col("score"))).as("s2"))
+    val a = lit(1.0d) - col("s1")
+    val b = lit(1.0d) - col("s2")
+    val sil = wide.withColumn("sil_ppm",
+      when(greatest(a, b) <= lit(0.0d), lit(0L))
+        .otherwise(floor((col("s1") - col("s2")) / greatest(a, b)
+          * lit(1000000.0d)).cast("long")))
+    sil.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(sil_ppm) div count(1) AS BIGINT)")
+          .as("mean_sil_ppm"))
+  }
+
   /** One Lloyd update: mean vector of each cluster's members, as
     * (cluster_id, dim, mean) rows — the distributed-friendly long
     * form (shuffle key (cluster, dim), partial agg map-side).

@@ -47,4 +47,28 @@ class KMeansSpec extends SparkSpec {
     assert(m.groupBy(col("cluster_id"), col("dim")).count()
       .where(col("count") > 1).count() === 0L)
   }
+
+  test("silhouette: counts cover the corpus, values in [0, 1e6], " +
+       "tight planted clusters score high") {
+    import spark.implicits._
+    // 4 well-separated direction prototypes, 15 tightly-perturbed
+    // members each; ids ordered so the 4 seeds are one per prototype
+    val dims = 16
+    val rnd = new scala.util.Random(13L)
+    val protos = Array.fill(4)(Array.fill(dims)(rnd.nextGaussian() * 3))
+    val rows = (0 until 60).map { i =>
+      val p = protos(i % 4)
+      (i.toLong, p.map(x => x + 0.05 * rnd.nextGaussian()))
+    }
+    val df = rows.toDF("id", "v")
+    val cents = KMeans.initCentroids(df, "id", "v", k = 4)
+    val sil = KMeans.silhouetteByCluster(df, cents, "id", "v").collect()
+    assert(sil.map(_.getAs[Long]("n")).sum === 60L)
+    val ppm = sil.map(_.getAs[Long]("mean_sil_ppm"))
+    // assignment is argmax, so a <= b and silhouette is non-negative
+    assert(ppm.forall(v => v >= 0L && v <= 1000000L))
+    // tight clusters around orthogonal-ish prototypes: own-centroid
+    // distance is tiny vs the best foreign centroid
+    assert(ppm.forall(_ > 500000L), s"low silhouette: ${ppm.mkString(",")}")
+  }
 }
