@@ -48,6 +48,45 @@ class KMeansSpec extends SparkSpec {
       .where(col("count") > 1).count() === 0L)
   }
 
+  test("assignHier: every point lands in a fine cell routed to its " +
+       "coarse winner (random corpus)") {
+    import spark.implicits._
+    val dims = 12
+    val rnd = new scala.util.Random(41L)
+    val rows = (0 until 80).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextGaussian())))
+    val df = rows.toDF("id", "v")
+    val k = 9
+    val coarseK = 3
+    val cents = KMeans.initCentroids(df, "id", "v", k)
+    val hier = KMeans.assignHier(df, cents, "id", "v", coarseK)
+    assert(hier.count() === 80L)
+    assert(hier.select(col("id")).distinct().count() === 80L)
+    // recompute the routing serially and check cell-consistency:
+    // point -> argmax coarse; its fine cell must route to that coarse
+    val cvecs = cents.orderBy(col("cluster_id")).collect()
+      .map(r => (r.getAs[Int]("cluster_id"), r.getAs[Seq[Double]]("centroid").toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val coarse = cvecs.take(coarseK)
+    def bestCoarse(v: Array[Double]): Int =
+      coarse.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .maxBy { case (cid, s) => (s, -cid) }._1
+    val route = cvecs.map { case (cid, cv) => cid -> bestCoarse(cv) }.toMap
+    val byId = rows.toMap
+    hier.collect().foreach { r =>
+      val id = r.getLong(0); val cell = r.getInt(1)
+      assert(route(cell) === bestCoarse(byId(id)),
+        s"point $id assigned to cell $cell routed to ${route(cell)}, " +
+          s"but its coarse winner is ${bestCoarse(byId(id))}")
+    }
+  }
+
   test("silhouette: counts cover the corpus, values in [0, 1e6], " +
        "tight planted clusters score high") {
     import spark.implicits._
