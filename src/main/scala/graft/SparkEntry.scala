@@ -5818,95 +5818,27 @@ object SparkEntry {
 
     // same verdict SQL as q_semdedup at k = autoK(500) = 16 — the
     // oracle pins the k the engine derives from its count() at the
-    // gate fixture (500 embeddings); the adaptive policy itself is
-    // exercised at 100× in SCALETEST_r10_x100
+    // gate fixture (500 embeddings); ScaleOracles re-instantiates the
+    // same generator at scale-derived k for amplified-dir re-checks
     "q_semdedup_auto" ->
-      s"""WITH ${Duck.kmeansAssignCtes(k = 16)},
-         |pairs AS (SELECT a2.vec_id AS id_b
-         |  FROM a a1 JOIN a a2 ON a1.cluster_id = a2.cluster_id
-         |    AND a1.vec_id < a2.vec_id
-         |  JOIN p p1 ON p1.vec_id = a1.vec_id
-         |  JOIN p p2 ON p2.vec_id = a2.vec_id
-         |  WHERE round(list_cosine_similarity(p1.v, p2.v), 6) >= 0.4)
-         |SELECT a.vec_id, a.cluster_id,
-         |  a.vec_id NOT IN (SELECT id_b FROM pairs) AS keep
-         |FROM a ORDER BY vec_id""".stripMargin,
+      Duck.semdedupVerdictSql(Duck.kmeansAssignCtes(k = 16), 0.4),
 
     // two-level assignment replayed stage-for-stage (coarse route,
     // point→coarse, point→fine-in-cell), then the same verdict SQL
     "q_semdedup_hier" ->
-      s"""WITH ${Duck.kmeansAssignHierCtes(k = 16, coarseK = 4)},
-         |pairs AS (SELECT a2.vec_id AS id_b
-         |  FROM a a1 JOIN a a2 ON a1.cluster_id = a2.cluster_id
-         |    AND a1.vec_id < a2.vec_id
-         |  JOIN p p1 ON p1.vec_id = a1.vec_id
-         |  JOIN p p2 ON p2.vec_id = a2.vec_id
-         |  WHERE round(list_cosine_similarity(p1.v, p2.v), 6) >= 0.4)
-         |SELECT a.vec_id, a.cluster_id,
-         |  a.vec_id NOT IN (SELECT id_b FROM pairs) AS keep
-         |FROM a ORDER BY vec_id""".stripMargin,
+      Duck.semdedupVerdictSql(
+        Duck.kmeansAssignHierCtes(k = 16, coarseK = 4), 0.4),
 
     // rn=1/rn=2 of the same assignment window give a and b; ppm floor
     // then integer mean per cluster (sum div count, truncation
     // matching Spark's div)
-    "q_silhouette" ->
-      s"""WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
-         |    AS cluster_id, embedding::DOUBLE[] AS centroid
-         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
-         |p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |sc AS (SELECT vec_id, cluster_id,
-         |    round(list_cosine_similarity(v, centroid), 6) AS score
-         |  FROM p CROSS JOIN c),
-         |r AS (SELECT vec_id, cluster_id, score, row_number() OVER
-         |    (PARTITION BY vec_id ORDER BY score DESC, cluster_id) AS rn
-         |  FROM sc),
-         |w AS (SELECT vec_id,
-         |    max(CASE WHEN rn = 1 THEN cluster_id END) AS cluster_id,
-         |    max(CASE WHEN rn = 1 THEN score END) AS s1,
-         |    max(CASE WHEN rn = 2 THEN score END) AS s2
-         |  FROM r WHERE rn <= 2 GROUP BY vec_id),
-         |s AS (SELECT cluster_id,
-         |    CASE WHEN greatest(1 - s1, 1 - s2) <= 0 THEN 0
-         |      ELSE CAST(floor((s1 - s2) / greatest(1 - s1, 1 - s2)
-         |        * 1000000.0) AS BIGINT) END AS sil_ppm
-         |  FROM w)
-         |SELECT cluster_id, count(*) AS n,
-         |  CAST(sum(sil_ppm) // count(*) AS BIGINT) AS mean_sil_ppm
-         |FROM s GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "q_silhouette" -> Duck.silhouetteSql(k = 16),
 
     // corpus assignment from kmeansAssignCtes (k = autoK(500) = 16),
     // batch assignment against the same centroids, then the two
     // domination sources: same-cluster corpus members and lower-id
     // same-cluster batch members
-    "q_semdedup_incr" ->
-      s"""WITH ${Duck.kmeansAssignCtes(k = 16)},
-         |bt AS (SELECT vec_id + 10000000 AS vec_id,
-         |    CASE WHEN vec_id % 2 = 0
-         |      THEN list_transform(v, x -> x * (1 +
-         |        (CAST(floor(abs(x) * 10000.0) AS BIGINT) % 7 - 3) / 1000.0))
-         |      ELSE list_transform(v, x -> -x) END AS v
-         |  FROM p),
-         |scb AS (SELECT bt.vec_id, c.cluster_id,
-         |    round(list_cosine_similarity(bt.v, c.centroid), 6) AS score
-         |  FROM bt CROSS JOIN c),
-         |ab AS (SELECT vec_id, cluster_id FROM (
-         |  SELECT vec_id, cluster_id, row_number() OVER
-         |    (PARTITION BY vec_id ORDER BY score DESC, cluster_id) AS rn
-         |  FROM scb) t WHERE rn = 1),
-         |cd AS (SELECT DISTINCT ab.vec_id FROM ab
-         |  JOIN bt ON bt.vec_id = ab.vec_id
-         |  JOIN a ON a.cluster_id = ab.cluster_id
-         |  JOIN p ON p.vec_id = a.vec_id
-         |  WHERE round(list_cosine_similarity(bt.v, p.v), 6) >= 0.4),
-         |bd AS (SELECT DISTINCT a2.vec_id FROM ab a1 JOIN ab a2
-         |    ON a1.cluster_id = a2.cluster_id AND a1.vec_id < a2.vec_id
-         |  JOIN bt b1 ON b1.vec_id = a1.vec_id
-         |  JOIN bt b2 ON b2.vec_id = a2.vec_id
-         |  WHERE round(list_cosine_similarity(b1.v, b2.v), 6) >= 0.4)
-         |SELECT ab.vec_id, ab.cluster_id,
-         |  ab.vec_id NOT IN (SELECT vec_id FROM cd)
-         |    AND ab.vec_id NOT IN (SELECT vec_id FROM bd) AS keep
-         |FROM ab ORDER BY vec_id""".stripMargin,
+    "q_semdedup_incr" -> Duck.semdedupIncrSql(k = 16),
 
     // bands=4, planesPerBand = autoPlanesPerBand(2·500, 32) = 5 at
     // the gate fixture — mirrored banding over the planted corpus
@@ -5922,20 +5854,7 @@ object SparkEntry {
     // recall over the planted ground truth (copy id = original +
     // 10^7) — pair set replayed bucket-for-bucket, then the id
     // algebra; planesPerBand = autoPlanesPerBand(1000, 32) = 5
-    "q_srp_recall" ->
-      s"""WITH ${Duck.srpVfCtes(bands = 4, planesPerBand = 5,
-             dims = 64, offset = 10000000L)},
-         |pairs AS (SELECT id_a, id_b FROM vf WHERE cosine >= 0.9),
-         |m AS (SELECT
-         |    CAST(COALESCE(sum(CASE WHEN id_b = id_a + 10000000 THEN 1
-         |      ELSE 0 END), 0) AS BIGINT) AS n_found,
-         |    CAST(COALESCE(sum(CASE WHEN id_b <> id_a + 10000000 THEN 1
-         |      ELSE 0 END), 0) AS BIGINT) AS n_extra
-         |  FROM pairs),
-         |t AS (SELECT count(*) AS n_true FROM embeddings)
-         |SELECT t.n_true, m.n_found, m.n_extra,
-         |  CAST(m.n_found * 1000000 // t.n_true AS BIGINT) AS recall_ppm
-         |FROM m CROSS JOIN t""".stripMargin,
+    "q_srp_recall" -> Duck.srpRecallSql(planesPerBand = 5),
 
     "q_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -7377,7 +7296,7 @@ object SparkEntry {
   /** Phrase-search fixture shared by the Spark query and its oracle. */
   private val PhraseFixture = Seq("fast scan", "table table", "key agg row")
 
-  private object Duck {
+  private[graft] object Duck {
     def hash64(s: String): String =
       s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
 
@@ -7850,6 +7769,101 @@ object SparkEntry {
       * md5-derived plane weights inlined as literals, identical
       * value-dependent perturbation formula, so both engines compute
       * the same buckets, candidates, and verified pairs. */
+    /** Shared SemDeDup verdict tail over any assignment CTE chain
+      * ending in `a(vec_id, cluster_id, …)` with corpus vectors in
+      * `p` — within-cluster pairs then "keep iff no lower-id
+      * near-dup". */
+    def semdedupVerdictSql(assignCtes: String, threshold: Double): String =
+      s"""WITH $assignCtes,
+         |pairs AS (SELECT a2.vec_id AS id_b
+         |  FROM a a1 JOIN a a2 ON a1.cluster_id = a2.cluster_id
+         |    AND a1.vec_id < a2.vec_id
+         |  JOIN p p1 ON p1.vec_id = a1.vec_id
+         |  JOIN p p2 ON p2.vec_id = a2.vec_id
+         |  WHERE round(list_cosine_similarity(p1.v, p2.v), 6) >= $threshold)
+         |SELECT a.vec_id, a.cluster_id,
+         |  a.vec_id NOT IN (SELECT id_b FROM pairs) AS keep
+         |FROM a ORDER BY vec_id""".stripMargin
+
+    /** Incremental SemDeDup mirror of `SemDedup.semDedupBatchVerdicts`
+      * over the parity-mixed planted batch: corpus assignment at `k`,
+      * batch assignment against the same centroids, then the two
+      * domination sources. */
+    def semdedupIncrSql(k: Int): String =
+      s"""WITH ${kmeansAssignCtes(k)},
+         |bt AS (SELECT vec_id + 10000000 AS vec_id,
+         |    CASE WHEN vec_id % 2 = 0
+         |      THEN list_transform(v, x -> x * (1 +
+         |        (CAST(floor(abs(x) * 10000.0) AS BIGINT) % 7 - 3) / 1000.0))
+         |      ELSE list_transform(v, x -> -x) END AS v
+         |  FROM p),
+         |scb AS (SELECT bt.vec_id, c.cluster_id,
+         |    round(list_cosine_similarity(bt.v, c.centroid), 6) AS score
+         |  FROM bt CROSS JOIN c),
+         |ab AS (SELECT vec_id, cluster_id FROM (
+         |  SELECT vec_id, cluster_id, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY score DESC, cluster_id) AS rn
+         |  FROM scb) t WHERE rn = 1),
+         |cd AS (SELECT DISTINCT ab.vec_id FROM ab
+         |  JOIN bt ON bt.vec_id = ab.vec_id
+         |  JOIN a ON a.cluster_id = ab.cluster_id
+         |  JOIN p ON p.vec_id = a.vec_id
+         |  WHERE round(list_cosine_similarity(bt.v, p.v), 6) >= 0.4),
+         |bd AS (SELECT DISTINCT a2.vec_id FROM ab a1 JOIN ab a2
+         |    ON a1.cluster_id = a2.cluster_id AND a1.vec_id < a2.vec_id
+         |  JOIN bt b1 ON b1.vec_id = a1.vec_id
+         |  JOIN bt b2 ON b2.vec_id = a2.vec_id
+         |  WHERE round(list_cosine_similarity(b1.v, b2.v), 6) >= 0.4)
+         |SELECT ab.vec_id, ab.cluster_id,
+         |  ab.vec_id NOT IN (SELECT vec_id FROM cd)
+         |    AND ab.vec_id NOT IN (SELECT vec_id FROM bd) AS keep
+         |FROM ab ORDER BY vec_id""".stripMargin
+
+    /** Centroid-silhouette mirror of `KMeans.silhouetteByCluster` at
+      * cluster count `k`. */
+    def silhouetteSql(k: Int): String =
+      s"""WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+         |    AS cluster_id, embedding::DOUBLE[] AS centroid
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k)),
+         |p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT vec_id, cluster_id,
+         |    round(list_cosine_similarity(v, centroid), 6) AS score
+         |  FROM p CROSS JOIN c),
+         |r AS (SELECT vec_id, cluster_id, score, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY score DESC, cluster_id) AS rn
+         |  FROM sc),
+         |w AS (SELECT vec_id,
+         |    max(CASE WHEN rn = 1 THEN cluster_id END) AS cluster_id,
+         |    max(CASE WHEN rn = 1 THEN score END) AS s1,
+         |    max(CASE WHEN rn = 2 THEN score END) AS s2
+         |  FROM r WHERE rn <= 2 GROUP BY vec_id),
+         |s AS (SELECT cluster_id,
+         |    CASE WHEN greatest(1 - s1, 1 - s2) <= 0 THEN 0
+         |      ELSE CAST(floor((s1 - s2) / greatest(1 - s1, 1 - s2)
+         |        * 1000000.0) AS BIGINT) END AS sil_ppm
+         |  FROM w)
+         |SELECT cluster_id, count(*) AS n,
+         |  CAST(sum(sil_ppm) // count(*) AS BIGINT) AS mean_sil_ppm
+         |FROM s GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+    /** Planted-truth SRP recall mirror of `q_srp_recall` at the given
+      * plane count (the engine derives it from the planted-union
+      * size). */
+    def srpRecallSql(planesPerBand: Int): String =
+      s"""WITH ${srpVfCtes(bands = 4, planesPerBand = planesPerBand,
+             dims = 64, offset = 10000000L)},
+         |pairs AS (SELECT id_a, id_b FROM vf WHERE cosine >= 0.9),
+         |m AS (SELECT
+         |    CAST(COALESCE(sum(CASE WHEN id_b = id_a + 10000000 THEN 1
+         |      ELSE 0 END), 0) AS BIGINT) AS n_found,
+         |    CAST(COALESCE(sum(CASE WHEN id_b <> id_a + 10000000 THEN 1
+         |      ELSE 0 END), 0) AS BIGINT) AS n_extra
+         |  FROM pairs),
+         |t AS (SELECT count(*) AS n_true FROM embeddings)
+         |SELECT t.n_true, m.n_found, m.n_extra,
+         |  CAST(m.n_found * 1000000 // t.n_true AS BIGINT) AS recall_ppm
+         |FROM m CROSS JOIN t""".stripMargin
+
     /** Two-level IVF assignment mirror of `KMeans.assignHier`, ending
       * in CTE `a(vec_id, cluster_id, score)` — fine centroids as
       * `kmeansAssignCtes`' `c`, coarse = the first `coarseK` of them,
