@@ -156,7 +156,9 @@ object Bench {
       "q_image_clusters", "q_ppr", "q_walks", "q_walk_cooc",
       // r9 session 4: h-index coreness + power-iteration rounds
       // localCheckpoint too
-      "q_kcore", "q_principal_dir")
+      "q_kcore", "q_principal_dir",
+      // r10: HITS hub/authority rounds localCheckpoint per half-step
+      "q_hits")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

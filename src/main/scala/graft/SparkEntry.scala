@@ -1082,6 +1082,24 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_hits" -> ((s, dir) => {
+      // HITS hubs/authorities over the DIRECTED customer→supplier
+      // purchase graph (the q_pagerank edge set without
+      // symmetrization): customers can only be hubs, suppliers only
+      // authorities — the bipartite degenerate case that makes the
+      // scores interpretable (who buys broadly / who is bought
+      // broadly). Exact L∞-normalized integer fixed point (see
+      // graph/Hits.scala) — the only iterative formulation an
+      // independent engine can hash-match.
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+      graft.graph.Hits.hits(pairs, "a", "b", iters = 3)
+        .transform(graft.operators.Spread.smallSort(_, col("node_id")))
+    }),
+
     "q_props_extract" -> ((s, dir) => {
       // semi-structured extraction: JSON props column → typed field →
       // exact per-type aggregates (the S2 JSON scan applied to an
@@ -4939,6 +4957,8 @@ object SparkEntry {
         |SELECT node AS node_id, pr AS pr_ppm FROM p3
         |ORDER BY node_id""".stripMargin,
 
+    "q_hits" -> Duck.hitsSql(iters = 3),
+
     "q_props_extract" ->
       """WITH k AS (SELECT event_type,
         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
@@ -7769,6 +7789,37 @@ object SparkEntry {
       * md5-derived plane weights inlined as literals, identical
       * value-dependent perturbation formula, so both engines compute
       * the same buckets, candidates, and verified pairs. */
+    /** Unrolled L∞-normalized integer HITS mirror of `Hits.hits`
+      * over the directed customer→supplier purchase graph: per round
+      * an auth half-step (sum of in-neighbor hubs, zero-filled,
+      * `·SCALE // max`) then the hub half-step symmetrically. */
+    def hitsSql(iters: Int): String = {
+      val rounds = (1 to iters).map { r =>
+        s"""ra$r AS (SELECT p.b AS node, CAST(sum(h${r - 1}.s) AS BIGINT) AS s
+           |  FROM pairs p JOIN h${r - 1} ON h${r - 1}.node = p.a GROUP BY p.b),
+           |za$r AS (SELECT n.node, coalesce(ra$r.s, 0) AS s
+           |  FROM n LEFT JOIN ra$r ON ra$r.node = n.node),
+           |a$r AS (SELECT node, CAST(s * 1000000 // (SELECT max(s) FROM za$r)
+           |    AS BIGINT) AS s FROM za$r),
+           |rh$r AS (SELECT p.a AS node, CAST(sum(a$r.s) AS BIGINT) AS s
+           |  FROM pairs p JOIN a$r ON a$r.node = p.b GROUP BY p.a),
+           |zh$r AS (SELECT n.node, coalesce(rh$r.s, 0) AS s
+           |  FROM n LEFT JOIN rh$r ON rh$r.node = n.node),
+           |h$r AS (SELECT node, CAST(s * 1000000 // (SELECT max(s) FROM zh$r)
+           |    AS BIGINT) AS s FROM zh$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |n AS (SELECT a AS node FROM pairs UNION SELECT b AS node FROM pairs),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM n),
+         |$rounds
+         |SELECT n.node AS node_id, h$iters.s AS hub_ppm, a$iters.s AS auth_ppm
+         |FROM n JOIN h$iters ON h$iters.node = n.node
+         |       JOIN a$iters ON a$iters.node = n.node
+         |ORDER BY node_id""".stripMargin
+    }
+
     /** Shared SemDeDup verdict tail over any assignment CTE chain
       * ending in `a(vec_id, cluster_id, …)` with corpus vectors in
       * `p` — within-cluster pairs then "keep iff no lower-id

@@ -1,0 +1,85 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs & authorities over a DIRECTED edge table, in exact
+  * fixed-point arithmetic — the link-analysis companion to
+  * [[PageRank]] (same per-round communication pattern, opposite
+  * normalization trick).
+  *
+  * Per round: auth(v) = Σ_{u→v} hub(u), then hub(v) = Σ_{v→w}
+  * auth(w), each renormalized. Classic HITS normalizes by the L2
+  * norm — a square root, never integer-exact — so this
+  * implementation normalizes by the MAXIMUM (L∞): after each
+  * half-step every score is `score·SCALE div max(score)`, pure
+  * integer floor division. L∞ scaling preserves the power-iteration
+  * direction (only the normalization constant differs), keeps the
+  * top hub/authority pinned at exactly SCALE, and makes the result
+  * bit-identical across partitionings and engines — the same
+  * reasoning as PageRank's ppm arithmetic, where a float HITS could
+  * never hash-match an oracle.
+  *
+  * Scale design: each half-step is ONE equi-join (edges ⋈ scores) +
+  * one partially-aggregated groupBy sum; score state is one row per
+  * node and broadcasts when small (AQE). The normalization max is a
+  * 1-row aggregate attached by broadcast — never a driver round-trip
+  * in the loop body. Per-round plan growth is truncated with an
+  * eager localCheckpoint on the (tiny) score frame. Overflow bound:
+  * a node's raw sum is ≤ degree·SCALE, so degrees up to ~9.2×10¹²
+  * fit a long — beyond any real web graph's in-degree.
+  *
+  * Nodes with no in-edges have authority 0; with no out-edges, hub 0
+  * (on a bipartite graph like customer→supplier this degenerates to
+  * the meaningful "customers are hubs, suppliers are authorities"
+  * split, which is what `q_hits` exercises).
+  */
+object Hits {
+  val Scale = 1000000L // 1.0 in ppm fixed point
+
+  /** @param edges directed (srcCol, dstCol)
+    * @return (node_id, hub_ppm, auth_ppm) for every node appearing
+    *         as a src or dst, exact after `iters` rounds */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    e.count() // materialize before the per-round joins fan out
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().persist()
+
+    // score·SCALE div max(score), with max attached as a broadcast
+    // 1-row frame (scores are non-negative; an all-zero frame would
+    // mean an empty edge set, excluded by construction)
+    def lInfNorm(scores: DataFrame, c: String): DataFrame = {
+      val mx = scores.agg(max(col(c)).as("__mx"))
+      scores.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"CAST($c * ${Scale}L div __mx AS BIGINT)").as(c))
+    }
+
+    var hub = nodes.select(col("node"), lit(Scale).as("hub"))
+    var auth: DataFrame = null
+    for (_ <- 0 until iters) {
+      val rawAuth = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
+        .withColumnRenamed("dst", "node")
+      auth = lInfNorm(
+        nodes.join(rawAuth, Seq("node"), "left_outer")
+          .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth")),
+        "auth").localCheckpoint()
+      val rawHub = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
+        .withColumnRenamed("src", "node")
+      hub = lInfNorm(
+        nodes.join(rawHub, Seq("node"), "left_outer")
+          .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub")),
+        "hub").localCheckpoint()
+    }
+    nodes.join(hub, Seq("node")).join(auth, Seq("node"))
+      .select(col("node").as("node_id"), col("hub").as("hub_ppm"),
+        col("auth").as("auth_ppm"))
+  }
+}

@@ -167,6 +167,9 @@ object PlanLintAllowlist {
     // r10: same two reviewed shapes as q_semdedup — the broadcast
     // centroid cross (k sub-row frame per point) and the smallSort
     // of the per-point verdict report
+    // r10: smallSort of the 1.6k-node hub/authority report (the
+    // in-loop score frames are checkpoint-truncated, report-sized)
+    "q_hits" -> "single-partition-exchange",
     "q_semdedup_auto" -> "single-partition-exchange",
     "q_semdedup_auto" -> "unconditioned-nested-loop",
     // r10: same two reviewed shapes — the point × broadcast-coarse
