@@ -1082,6 +1082,27 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_scc" -> ((s, dir) => {
+      // strongly connected components over the DIRECTED
+      // part-succession graph: p1→p2 when p2's lineitem immediately
+      // follows p1's within an order (the "bought next" relation),
+      // bounded to the q_triangles co-purchase slice (< 1500: 1.6k
+      // nodes, 959 components — a 690-node giant SCC plus singleton
+      // DAG tails, probed with Kosaraju before pinning) so the
+      // multi-peel path actually runs. scc_id = the component's MAX
+      // member id — the coloring invariant (graph/Scc.scala), which
+      // the oracle reproduces definitionally from recursive-CTE
+      // mutual reachability.
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val e = li.alias("a").join(li.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("b.l_linenumber") === col("a.l_linenumber") + 1)
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.graph.Scc.scc(e, "src", "dst")
+        .transform(graft.operators.Spread.smallSort(_, col("node_id")))
+    }),
+
     "q_hits" -> ((s, dir) => {
       // HITS hubs/authorities over the DIRECTED customer→supplier
       // purchase graph (the q_pagerank edge set without
@@ -4958,6 +4979,25 @@ object SparkEntry {
         |ORDER BY node_id""".stripMargin,
 
     "q_hits" -> Duck.hitsSql(iters = 3),
+
+    // definitional SCC: recursive-CTE reachability → mutual pairs →
+    // scc_id = max member id (the engine's coloring invariant)
+    "q_scc" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey, l_linenumber, l_partkey
+        |  FROM lineitem WHERE l_orderkey < 1500),
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey
+        |    AND b.l_linenumber = a.l_linenumber + 1),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+        |reach(a, b) AS (SELECT src, dst FROM e2
+        |  UNION SELECT r.a, p.dst FROM reach r JOIN e2 p ON p.src = r.b),
+        |mu AS (SELECT r1.a AS v, r1.b AS u FROM reach r1
+        |  JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)
+        |SELECT n.node AS node_id,
+        |  greatest(n.node, coalesce(max(mu.u), n.node)) AS scc_id
+        |FROM n LEFT JOIN mu ON mu.v = n.node
+        |GROUP BY n.node ORDER BY node_id""".stripMargin,
 
     "q_props_extract" ->
       """WITH k AS (SELECT event_type,

@@ -1,0 +1,133 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Strongly connected components of a DIRECTED graph via iterative
+  * coloring (the Orzan/FB-coloring family — the published scalable
+  * SCC form; Tarjan is inherently sequential and never distributes).
+  *
+  * Outer loop, until every node is assigned:
+  *  1. COLOR: within the active subgraph, propagate
+  *     color(v) = max(v, max_{u→v} color(u)) to a fixed point —
+  *     color(v) is the maximum active id that can reach v.
+  *  2. MARK: each color's root r (the node whose id IS its color)
+  *     plus every node with a same-color path TO r form exactly
+  *     r's SCC (if v is marked, r reaches v via the color relation
+  *     and v reaches r via the path, so they are mutual; conversely
+  *     a member's whole v→r path carries color r — any bigger-id
+  *     intruder reaching a path node would reach r and contradict
+  *     color(r)=r). Propagated backward to a fixed point.
+  *  3. Emit marked nodes with scc_id = color (= the SCC's MAX
+  *     member id), peel them from the active set, repeat.
+  *
+  * Every step is one equi-join + partial-agg max / left_semi — the
+  * PageRank communication shape; fixed points converge in ≤ diameter
+  * rounds and each outer pass assigns at least every current color
+  * root, so passes are bounded by the SCC-DAG depth. Convergence is
+  * detected by the [[graft.dedup.Dedup.duplicateClusters]] signature
+  * trick: a (count, bit_xor(xxhash64)) 1-row aggregate per round —
+  * driver sees two longs, never node data. Per-round lineage is
+  * truncated with localCheckpoint on the node-sized frames.
+  */
+object Scc {
+
+  /** @return (node_id, scc_id) for every endpoint of `edges`, where
+    *         scc_id is the component's maximum member id. */
+  def scc(edges: DataFrame, srcCol: String, dstCol: String,
+          maxOuter: Int = 50, maxInner: Int = 200): DataFrame = {
+    // node universe BEFORE the self-loop filter (a self-loop-only
+    // node is a singleton SCC, not a dropped row)
+    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val allNodes = eRaw.select(col("src").as("node"))
+      .unionByName(eRaw.select(col("dst").as("node"))).distinct()
+    val e0 = eRaw.where(col("src") =!= col("dst")).distinct().persist()
+    e0.count()
+
+    def sig(df: DataFrame, cols: String): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var active = allNodes.localCheckpoint()
+    var nActive = active.count()
+    var parts = List.empty[DataFrame]
+    var outer = 0
+    while (nActive > 0) {
+      outer += 1
+      require(outer <= maxOuter, s"SCC exceeded $maxOuter peel passes")
+      val ea = e0
+        .join(active.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(active.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .persist()
+      ea.count()
+
+      // 1. forward max-color fixed point
+      var color = active.select(col("node"), col("node").as("color"))
+        .localCheckpoint()
+      var cSig = sig(color, "node, color")
+      var rounds = 0
+      var done = false
+      while (!done) {
+        rounds += 1
+        require(rounds <= maxInner, s"color pass exceeded $maxInner rounds")
+        val msgs = ea
+          .join(color.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst")).agg(max(col("color")).as("m"))
+          .withColumnRenamed("dst", "node")
+        val next = color.join(msgs, Seq("node"), "left_outer")
+          .select(col("node"),
+            greatest(col("color"), coalesce(col("m"), col("color")))
+              .as("color"))
+          .localCheckpoint()
+        val nSig = sig(next, "node, color")
+        done = nSig == cSig
+        cSig = nSig
+        color = next
+      }
+
+      // 2. backward mark within color classes, from the roots
+      val eColored = ea
+        .join(color.select(col("node").as("src"), col("color").as("cs")),
+          Seq("src"))
+        .join(color.select(col("node").as("dst"), col("color").as("cd")),
+          Seq("dst"))
+        .where(col("cs") === col("cd"))
+        .select(col("src"), col("dst"), col("cs").as("color"))
+        .persist()
+      eColored.count()
+      var marked = color.where(col("node") === col("color"))
+        .localCheckpoint()
+      var mSig = sig(marked, "node")
+      rounds = 0
+      done = false
+      while (!done) {
+        rounds += 1
+        require(rounds <= maxInner, s"mark pass exceeded $maxInner rounds")
+        val newMarks = eColored
+          .join(marked.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src").as("node"), col("color"))
+        val next = marked.unionByName(newMarks).distinct().localCheckpoint()
+        val nSig = sig(next, "node")
+        done = nSig == mSig
+        mSig = nSig
+        marked = next
+      }
+
+      parts ::= marked.select(col("node").as("node_id"),
+        col("color").as("scc_id"))
+      val nextActive = active
+        .join(marked.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      ea.unpersist(blocking = false)
+      eColored.unpersist(blocking = false)
+      active = nextActive
+      nActive = active.count()
+    }
+    e0.unpersist(blocking = false)
+    // empty edge input → empty (correctly-typed) result
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      allNodes.select(col("node").as("node_id"), col("node").as("scc_id")))
+  }
+}

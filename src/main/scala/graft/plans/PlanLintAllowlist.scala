@@ -170,6 +170,9 @@ object PlanLintAllowlist {
     // r10: smallSort of the 1.6k-node hub/authority report (the
     // in-loop score frames are checkpoint-truncated, report-sized)
     "q_hits" -> "single-partition-exchange",
+    // r10: smallSort of the per-node component report (the peel
+    // loop's frames are checkpoint-truncated, node-sized)
+    "q_scc" -> "single-partition-exchange",
     "q_semdedup_auto" -> "single-partition-exchange",
     "q_semdedup_auto" -> "unconditioned-nested-loop",
     // r10: same two reviewed shapes — the point × broadcast-coarse
