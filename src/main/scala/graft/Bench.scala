@@ -157,8 +157,9 @@ object Bench {
       // r9 session 4: h-index coreness + power-iteration rounds
       // localCheckpoint too
       "q_kcore", "q_principal_dir",
-      // r10: HITS hub/authority rounds localCheckpoint per half-step
-      "q_hits")
+      // r10: HITS hub/authority rounds localCheckpoint per half-step;
+      // SCC color/mark fixed points checkpoint per round
+      "q_hits", "q_scc")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven
