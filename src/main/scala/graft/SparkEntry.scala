@@ -1103,6 +1103,29 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("node_id")))
     }),
 
+    "q_scc_condense" -> ((s, dir) => {
+      // the SCC condensation DAG: q_scc's component ids joined back
+      // over the edge list → distinct cross-component edges (always
+      // acyclic by construction). The standard second step after SCC
+      // — cycle-free lineage over a cyclic link graph.
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val e = li.alias("a").join(li.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("b.l_linenumber") === col("a.l_linenumber") + 1)
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      val comp = graft.graph.Scc.scc(e, "src", "dst").persist()
+      comp.count() // materialize: both edge endpoints map through it
+      e.join(comp.select(col("node_id").as("src"), col("scc_id").as("scc_a")),
+          Seq("src"))
+        .join(comp.select(col("node_id").as("dst"), col("scc_id").as("scc_b")),
+          Seq("dst"))
+        .where(col("scc_a") =!= col("scc_b"))
+        .select(col("scc_a"), col("scc_b")).distinct()
+        .transform(graft.operators.Spread.smallSort(
+          _, col("scc_a"), col("scc_b")))
+    }),
+
     "q_hits" -> ((s, dir) => {
       // HITS hubs/authorities over the DIRECTED customer→supplier
       // purchase graph (the q_pagerank edge set without
@@ -4998,6 +5021,29 @@ object SparkEntry {
         |  greatest(n.node, coalesce(max(mu.u), n.node)) AS scc_id
         |FROM n LEFT JOIN mu ON mu.v = n.node
         |GROUP BY n.node ORDER BY node_id""".stripMargin,
+
+    // q_scc's component map folded back over the edges → the
+    // condensation DAG's distinct cross-component edges
+    "q_scc_condense" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey, l_linenumber, l_partkey
+        |  FROM lineitem WHERE l_orderkey < 1500),
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey
+        |    AND b.l_linenumber = a.l_linenumber + 1),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+        |reach(a, b) AS (SELECT src, dst FROM e2
+        |  UNION SELECT r.a, p.dst FROM reach r JOIN e2 p ON p.src = r.b),
+        |mu AS (SELECT r1.a AS v, r1.b AS u FROM reach r1
+        |  JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+        |scc AS (SELECT n.node,
+        |    greatest(n.node, coalesce(max(mu.u), n.node)) AS scc_id
+        |  FROM n LEFT JOIN mu ON mu.v = n.node GROUP BY n.node)
+        |SELECT DISTINCT sa.scc_id AS scc_a, sb.scc_id AS scc_b
+        |FROM e JOIN scc sa ON sa.node = e.src
+        |       JOIN scc sb ON sb.node = e.dst
+        |WHERE sa.scc_id <> sb.scc_id
+        |ORDER BY scc_a, scc_b""".stripMargin,
 
     "q_props_extract" ->
       """WITH k AS (SELECT event_type,

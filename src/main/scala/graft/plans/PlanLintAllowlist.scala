@@ -173,6 +173,8 @@ object PlanLintAllowlist {
     // r10: smallSort of the per-node component report (the peel
     // loop's frames are checkpoint-truncated, node-sized)
     "q_scc" -> "single-partition-exchange",
+    // r10: same smallSort over the 1.3k cross-component edge report
+    "q_scc_condense" -> "single-partition-exchange",
     "q_semdedup_auto" -> "single-partition-exchange",
     "q_semdedup_auto" -> "unconditioned-nested-loop",
     // r10: same two reviewed shapes — the point × broadcast-coarse
