@@ -63,7 +63,20 @@ object Scc {
         .persist()
       ea.count()
 
-      // 1. forward max-color fixed point
+      // 1. forward max-color fixed point. Propagation is MONOTONE
+      // (colors only grow), so a fixed point of the doubled step is a
+      // fixed point of the single step — two hops are fused into each
+      // checkpointed round, halving the dominant per-round job count.
+      def colorStep(c: DataFrame): DataFrame = {
+        val msgs = ea
+          .join(c.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst")).agg(max(col("color")).as("m"))
+          .withColumnRenamed("dst", "node")
+        c.join(msgs, Seq("node"), "left_outer")
+          .select(col("node"),
+            greatest(col("color"), coalesce(col("m"), col("color")))
+              .as("color"))
+      }
       var color = active.select(col("node"), col("node").as("color"))
         .localCheckpoint()
       var cSig = sig(color, "node, color")
@@ -72,15 +85,7 @@ object Scc {
       while (!done) {
         rounds += 1
         require(rounds <= maxInner, s"color pass exceeded $maxInner rounds")
-        val msgs = ea
-          .join(color.withColumnRenamed("node", "src"), Seq("src"))
-          .groupBy(col("dst")).agg(max(col("color")).as("m"))
-          .withColumnRenamed("dst", "node")
-        val next = color.join(msgs, Seq("node"), "left_outer")
-          .select(col("node"),
-            greatest(col("color"), coalesce(col("m"), col("color")))
-              .as("color"))
-          .localCheckpoint()
+        val next = colorStep(colorStep(color)).localCheckpoint()
         val nSig = sig(next, "node, color")
         done = nSig == cSig
         cSig = nSig
@@ -97,6 +102,13 @@ object Scc {
         .select(col("src"), col("dst"), col("cs").as("color"))
         .persist()
       eColored.count()
+      // marked-set growth is monotone too — same doubled-step trick
+      def markStep(m: DataFrame): DataFrame = {
+        val newMarks = eColored
+          .join(m.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src").as("node"), col("color"))
+        m.unionByName(newMarks).distinct()
+      }
       var marked = color.where(col("node") === col("color"))
         .localCheckpoint()
       var mSig = sig(marked, "node")
@@ -105,10 +117,7 @@ object Scc {
       while (!done) {
         rounds += 1
         require(rounds <= maxInner, s"mark pass exceeded $maxInner rounds")
-        val newMarks = eColored
-          .join(marked.select(col("node").as("dst")), Seq("dst"), "left_semi")
-          .select(col("src").as("node"), col("color"))
-        val next = marked.unionByName(newMarks).distinct().localCheckpoint()
+        val next = markStep(markStep(marked)).localCheckpoint()
         val nSig = sig(next, "node")
         done = nSig == mSig
         mSig = nSig
