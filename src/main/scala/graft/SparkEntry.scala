@@ -1099,8 +1099,28 @@ object SparkEntry {
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("b.l_linenumber") === col("a.l_linenumber") + 1)
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      graft.graph.Scc.scc(e, "src", "dst")
+      // finish thresholds pinned small so the gate exercises the
+      // DISTRIBUTED peel passes and hands only the last tail to the
+      // sequential endgame (the API default would finish the whole
+      // bounded fixture in one driver pass)
+      graft.graph.Scc.scc(e, "src", "dst",
+          finishNodes = 256L, finishEdges = 2048L)
         .transform(graft.operators.Spread.smallSort(_, col("node_id")))
+    }),
+
+    "q_assoc_rules" -> ((s, dir) => {
+      // market-basket association rules over order baskets: pair
+      // support from the per-order self-join (≤ C(7,2) pairs per
+      // TPC-H order — linear in orders at any scale), confidence and
+      // lift in exact ppm (lift through DECIMAL(38,0), the
+      // q_graph_stats overflow pattern). minSupport 3 keeps the
+      // report to the genuinely recurring pairs.
+      graft.operators.AssocRules.rules(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 3L)
+        .transform(graft.operators.Spread.smallSort(
+          _, col("ante"), col("cons")))
     }),
 
     "q_scc_condense" -> ((s, dir) => {
@@ -1114,7 +1134,8 @@ object SparkEntry {
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("b.l_linenumber") === col("a.l_linenumber") + 1)
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      val comp = graft.graph.Scc.scc(e, "src", "dst").persist()
+      val comp = graft.graph.Scc.scc(e, "src", "dst",
+        finishNodes = 256L, finishEdges = 2048L).persist()
       comp.count() // materialize: both edge endpoints map through it
       e.join(comp.select(col("node_id").as("src"), col("scc_id").as("scc_a")),
           Seq("src"))
@@ -5002,6 +5023,28 @@ object SparkEntry {
         |ORDER BY node_id""".stripMargin,
 
     "q_hits" -> Duck.hitsSql(iters = 3),
+
+    // pair support from the per-order self-join; lift through HUGEINT
+    // (the DECIMAL(38,0) twin), floor division both sides
+    "q_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |it AS (SELECT pk, count(*) AS supp FROM b GROUP BY pk),
+        |pr AS (SELECT x.pk AS a, y.pk AS c, count(*) AS supp_pair
+        |  FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |d AS (SELECT a AS ante, c AS cons, supp_pair FROM pr
+        |  UNION ALL SELECT c AS ante, a AS cons, supp_pair FROM pr),
+        |nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM b)
+        |SELECT d.ante, d.cons, d.supp_pair,
+        |  ia.supp AS supp_ante, ic.supp AS supp_cons,
+        |  CAST(d.supp_pair * 1000000 // ia.supp AS BIGINT) AS conf_ppm,
+        |  CAST(CAST(d.supp_pair AS HUGEINT) * nb.n_baskets * 1000000
+        |    // (CAST(ia.supp AS HUGEINT) * ic.supp) AS BIGINT) AS lift_ppm
+        |FROM d JOIN it ia ON ia.pk = d.ante
+        |       JOIN it ic ON ic.pk = d.cons
+        |  CROSS JOIN nb
+        |ORDER BY ante, cons""".stripMargin,
 
     // definitional SCC: recursive-CTE reachability → mutual pairs →
     // scc_id = max member id (the engine's coloring invariant)

@@ -32,10 +32,26 @@ import org.apache.spark.sql.functions._
   */
 object Scc {
 
-  /** @return (node_id, scc_id) for every endpoint of `edges`, where
+  /** @param finishNodes once the ACTIVE remainder has at most this
+    *                     many nodes (and `finishEdges` edges), finish
+    *                     it with one sequential Tarjan pass on the
+    *                     driver — the standard FB-hybrid endgame from
+    *                     the literature: the distributed peels shrink
+    *                     the graph geometrically, then dozens of
+    *                     near-empty peel rounds (each a fixed set of
+    *                     scheduler-bound jobs) would dominate wall
+    *                     time; a BOUNDED collect (≲ a few MB by these
+    *                     thresholds, the BPE-argmax class of
+    *                     control-plane transfer) replaces them with
+    *                     microseconds of driver work. The component
+    *                     MAX is still computed by Spark expressions,
+    *                     so cross-engine ordering of ids is untouched.
+    * @return (node_id, scc_id) for every endpoint of `edges`, where
     *         scc_id is the component's maximum member id. */
   def scc(edges: DataFrame, srcCol: String, dstCol: String,
-          maxOuter: Int = 50, maxInner: Int = 200): DataFrame = {
+          maxOuter: Int = 50, maxInner: Int = 200,
+          finishNodes: Long = 100000L,
+          finishEdges: Long = 1000000L): DataFrame = {
     // node universe BEFORE the self-loop filter (a self-loop-only
     // node is a singleton SCC, not a dropped row)
     val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -61,7 +77,36 @@ object Scc {
         .join(active.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(active.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
         .persist()
-      ea.count()
+      val eaCount = ea.count()
+
+      if (nActive <= finishNodes && eaCount <= finishEdges) {
+        // ENDGAME: the remainder fits the documented bound — one
+        // sequential Tarjan pass instead of more scheduler-bound
+        // peel rounds (see the finishNodes param doc)
+        val spark = active.sparkSession
+        val nodeVals: Array[Any] = active.collect().map(_.get(0))
+        val idx = nodeVals.zipWithIndex.toMap
+        val adjB = Array.fill(nodeVals.length)(
+          scala.collection.mutable.ArrayBuffer.empty[Int])
+        ea.select(col("src"), col("dst")).collect().foreach { r =>
+          adjB(idx(r.get(0))) += idx(r.get(1))
+        }
+        val comp = tarjanComponents(nodeVals.length, adjB.map(_.toArray))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          active.schema.fields(0).copy(name = "node"),
+          org.apache.spark.sql.types.StructField("comp",
+            org.apache.spark.sql.types.IntegerType, nullable = false)))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(nodeVals.indices.map(i =>
+            org.apache.spark.sql.Row(nodeVals(i), comp(i))): _*)
+        // the component MAX goes back through Spark's own ordering
+        val df = spark.createDataFrame(rows, schema)
+        val reps = df.groupBy(col("comp")).agg(max(col("node")).as("scc_id"))
+        parts ::= df.join(reps, Seq("comp"))
+          .select(col("node").as("node_id"), col("scc_id"))
+        ea.unpersist(blocking = false)
+        nActive = 0
+      } else {
 
       // 1. forward max-color fixed point. Propagation is MONOTONE
       // (colors only grow), so a fixed point of the doubled step is a
@@ -133,10 +178,61 @@ object Scc {
       eColored.unpersist(blocking = false)
       active = nextActive
       nActive = active.count()
+      }
     }
     e0.unpersist(blocking = false)
     // empty edge input → empty (correctly-typed) result
     parts.reduceOption(_.unionByName(_)).getOrElse(
       allNodes.select(col("node").as("node_id"), col("node").as("scc_id")))
+  }
+
+  /** Iterative (explicit-stack) Tarjan over an adjacency array —
+    * the endgame's sequential pass. Returns a component index per
+    * vertex; component identity semantics (max member) are applied
+    * by the caller through Spark expressions. */
+  private def tarjanComponents(n: Int,
+                               adj: Array[Array[Int]]): Array[Int] = {
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStack = Array.fill(n)(false)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val comp = Array.fill(n)(-1)
+    var nComp = 0
+    var counter = 0
+    for (root <- 0 until n if index(root) < 0) {
+      val work = scala.collection.mutable.ArrayBuffer[(Int, Int)]((root, 0))
+      index(root) = counter; low(root) = counter; counter += 1
+      stack += root; onStack(root) = true
+      while (work.nonEmpty) {
+        val (v, ci) = work.last
+        if (ci < adj(v).length) {
+          work(work.length - 1) = (v, ci + 1)
+          val w = adj(v)(ci)
+          if (index(w) < 0) {
+            index(w) = counter; low(w) = counter; counter += 1
+            stack += w; onStack(w) = true
+            work += ((w, 0))
+          } else if (onStack(w)) {
+            low(v) = math.min(low(v), index(w))
+          }
+        } else {
+          work.remove(work.length - 1)
+          if (work.nonEmpty) {
+            val p = work.last._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            var w = -1
+            while (w != v) {
+              w = stack.remove(stack.length - 1)
+              onStack(w) = false
+              comp(w) = nComp
+            }
+            nComp += 1
+          }
+        }
+      }
+    }
+    comp
   }
 }

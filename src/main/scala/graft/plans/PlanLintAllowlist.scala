@@ -170,6 +170,11 @@ object PlanLintAllowlist {
     // r10: smallSort of the 1.6k-node hub/authority report (the
     // in-loop score frames are checkpoint-truncated, report-sized)
     "q_hits" -> "single-partition-exchange",
+    // r10: every rule row crosses the broadcast 1-row basket-count
+    // aggregate (q_token_budget pattern) + smallSort of the rule
+    // report (one row per recurring pair direction)
+    "q_assoc_rules" -> "unconditioned-nested-loop",
+    "q_assoc_rules" -> "single-partition-exchange",
     // r10: smallSort of the per-node component report (the peel
     // loop's frames are checkpoint-truncated, node-sized)
     "q_scc" -> "single-partition-exchange",

@@ -38,14 +38,22 @@ class SccSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("random digraph: engine equals the serial closure reference") {
+  test("random digraph: engine equals the serial closure reference " +
+       "on BOTH paths (distributed peels and the Tarjan endgame)") {
     import spark.implicits._
     val rnd = new scala.util.Random(37L)
     val edges = (0 until 70)
       .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)).toSet
-    val got = Scc.scc(edges.toSeq.toDF("src", "dst"), "src", "dst")
+    val want = serialScc(edges)
+    // default thresholds → the whole graph goes through the endgame
+    val viaEndgame = Scc.scc(edges.toSeq.toDF("src", "dst"), "src", "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got === serialScc(edges))
+    assert(viaEndgame === want)
+    // endgame disabled → pure distributed peel path
+    val viaPeels = Scc.scc(edges.toSeq.toDF("src", "dst"), "src", "dst",
+        finishNodes = 0L, finishEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaPeels === want)
     spark.catalog.clearCache()
   }
 }
