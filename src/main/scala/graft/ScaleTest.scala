@@ -51,7 +51,7 @@ object ScaleTest {
     "q_ann_recall_probe2",
     // SQL / window / merge
     "q_gap_fill", "q_cdc_apply", "q_upsert", "q_scd2",
-    "q_tpch_01", "q_tpch_05", "q_tpch_09",
+    "q_tpch_01", "q_tpch_05", "q_tpch_09", "q_assoc_rules",
     // capped-by-construction probes (constant slice under the
     // interleaved remap; expected ~1x)
     "q_sessionize",
