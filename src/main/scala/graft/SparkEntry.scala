@@ -2550,6 +2550,18 @@ object SparkEntry {
         .transform(graft.operators.Spread.smallSort(_, col("vec_id")))
     }),
 
+    "q_coreset" -> ((s, dir) => {
+      // greedy k-center (farthest-point) coreset over the embedding
+      // corpus: 8 centers, each round a broadcast distance update +
+      // a 1-row argmax — the diversity-sampling primitive, with the
+      // coverage-radius curve as the output (when radii flatten,
+      // stop adding centers). Exact ppm distances, lowest-id seed
+      // and tie-breaks; the oracle replays all 8 rounds.
+      graft.similarity.Coreset.kCenterGreedy(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .orderBy(col("sel_order"))
+    }),
+
     "q_silhouette" -> ((s, dir) => {
       // cluster-quality report at the semdedup granularity: per-point
       // centroid-silhouette (a = own-centroid distance, b = best
@@ -5983,6 +5995,8 @@ object SparkEntry {
     // matching Spark's div)
     "q_silhouette" -> Duck.silhouetteSql(k = 16),
 
+    "q_coreset" -> Duck.kCenterSql(k = 8),
+
     // corpus assignment from kmeansAssignCtes (k = autoK(500) = 16),
     // batch assignment against the same centroids, then the two
     // domination sources: same-cluster corpus members and lower-id
@@ -7998,6 +8012,36 @@ object SparkEntry {
          |  ab.vec_id NOT IN (SELECT vec_id FROM cd)
          |    AND ab.vec_id NOT IN (SELECT vec_id FROM bd) AS keep
          |FROM ab ORDER BY vec_id""".stripMargin
+
+    /** Unrolled greedy k-center mirror of `Coreset.kCenterGreedy`:
+      * seed = lowest vec_id, then per round the (d DESC, vec_id)
+      * argmax and the fused `least` distance update, all in exact
+      * ppm. */
+    def kCenterSql(k: Int): String = {
+      def dist(a: String, b: String): String =
+        s"CAST(round((1 - round(list_cosine_similarity($a, $b), 6))" +
+          s" * 1000000) AS BIGINT)"
+      val rounds = (2 to k).map { i =>
+        s"""c$i AS (SELECT vec_id, v, d FROM m${i - 1}
+           |  ORDER BY d DESC, vec_id LIMIT 1),
+           |m$i AS (SELECT m.vec_id, m.v,
+           |    least(m.d, ${dist("m.v", "c.v")}) AS d
+           |  FROM m${i - 1} m CROSS JOIN c$i c)""".stripMargin
+      }.mkString(",\n")
+      val out = (2 to k)
+        .map(i => s"UNION ALL SELECT $i, c$i.vec_id, c$i.d FROM c$i")
+        .mkString("\n  ")
+      s"""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT vec_id, v FROM p ORDER BY vec_id LIMIT 1),
+         |m1 AS (SELECT p.vec_id, p.v, ${dist("p.v", "s.v")} AS d
+         |  FROM p CROSS JOIN s),
+         |$rounds
+         |SELECT * FROM (
+         |  SELECT 1 AS sel_order, s.vec_id AS center_id,
+         |    CAST(NULL AS BIGINT) AS radius_ppm FROM s
+         |  $out
+         |) ORDER BY sel_order""".stripMargin
+    }
 
     /** Centroid-silhouette mirror of `KMeans.silhouetteByCluster` at
       * cluster count `k`. */
