@@ -43,6 +43,7 @@ object ScaleTest {
     "q_dedup_embed_lsh", "q_embed_incr",
     // ANN / vectors
     "q_knn_brute", "q_knn_ivf", "q_sparse_cosine", "q_principal_dir",
+    "q_coreset",
     // text / tokenizer
     "q_vocab", "q_bpe_train", "q_perplexity", "q_quality_filter",
     // r10 additions: cross-domain LM matrix, curation manifest,
