@@ -34,7 +34,7 @@ object Coreset {
     val p = graft.operators.Spread.ensure(points
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
       .persist()
-    p.count()
+    require(p.count() > 0, "kCenterGreedy needs a non-empty corpus")
     def distTo(centerVec: Array[Double]): org.apache.spark.sql.Column = {
       val cv = array(centerVec.map(lit(_)): _*)
       val cos6 = round(call_function(
