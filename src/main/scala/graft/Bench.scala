@@ -159,7 +159,12 @@ object Bench {
       "q_kcore", "q_principal_dir",
       // r10: HITS hub/authority rounds localCheckpoint per half-step;
       // SCC color/mark fixed points checkpoint per round
-      "q_hits", "q_scc")
+      "q_hits", "q_scc",
+      // r11: coreset localCheckpoints per selection round; condense
+      // reads the saved SCC labeling (fold-back join) but stages the
+      // peel loop when the artifact is cold — keep it behind q_scc
+      // in the trailing group per the house rule
+      "q_scc_condense", "q_coreset")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

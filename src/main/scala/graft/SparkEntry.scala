@@ -74,6 +74,42 @@ object SparkEntry {
     d.getAbsolutePath
   }
 
+  /** The q_scc part-succession edge list: p1→p2 when p2's lineitem
+    * immediately follows p1's within an order, on the bounded
+    * co-purchase slice. Shared by the SCC queries so the saved
+    * labeling provably describes the same graph. */
+  private def sccEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    li.alias("a").join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("b.l_linenumber") === col("a.l_linenumber") + 1)
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+  }
+
+  /** Saved SCC labeling (the minHashIndex/srpIndex saved-index idiom
+    * applied to graph labels): the peel loop's (node_id, scc_id)
+    * output staged once per data dir as a tiny parquet, so every
+    * downstream consumer pays a fold-back join instead of re-running
+    * the suite's single most expensive iterative computation.
+    * `recompute = true` (q_scc itself) always re-runs the loop and
+    * refreshes the artifact; `false` (consumers) reads the staged
+    * copy when present. Deterministic either way — the labeling is
+    * exact, so refresh vs reuse cannot change any result. The finish
+    * thresholds are pinned small so the gate exercises the
+    * DISTRIBUTED peel passes and hands only the last tail to the
+    * sequential endgame (the API default would finish the whole
+    * bounded fixture in one driver pass). */
+  private def sccLabeling(s: SparkSession, dir: String,
+                          recompute: Boolean): String = {
+    def write(out: String): Unit =
+      graft.graph.Scc.scc(sccEdges(s, dir), "src", "dst",
+          finishNodes = 256L, finishEdges = 2048L)
+        .write.mode("overwrite").parquet(out)
+    stagedOnce("scc_label_fn256_fe2048_v1", dir)(d =>
+      !recompute && new java.io.File(d, "_SUCCESS").isFile)(write)
+  }
+
   private def countFiles(d: java.io.File, suffix: String): Int = {
     val l = d.list((_, n) => n.endsWith(suffix))
     if (l == null) 0 else l.length
@@ -1092,19 +1128,17 @@ object SparkEntry {
       // multi-peel path actually runs. scc_id = the component's MAX
       // member id — the coloring invariant (graph/Scc.scala), which
       // the oracle reproduces definitionally from recursive-CTE
-      // mutual reachability.
-      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-      val e = li.alias("a").join(li.alias("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("b.l_linenumber") === col("a.l_linenumber") + 1)
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      // finish thresholds pinned small so the gate exercises the
-      // DISTRIBUTED peel passes and hands only the last tail to the
-      // sequential endgame (the API default would finish the whole
-      // bounded fixture in one driver pass)
-      graft.graph.Scc.scc(e, "src", "dst",
-          finishNodes = 256L, finishEdges = 2048L)
+      // mutual reachability. The labeling is SAVED (tiny parquet,
+      // the minHashIndex/srpIndex saved-index idiom) so downstream
+      // consumers (q_scc_condense) pay a fold-back join, not a
+      // second peel loop — at scale SCC is the single most
+      // expensive labeling a pipeline computes, and recomputing it
+      // per consumer is exactly the anti-pattern the saved-index
+      // family exists to prevent. This query recomputes the peel on
+      // every run (its bench figure stays the honest loop cost) and
+      // refreshes the saved copy as a side effect.
+      val out = sccLabeling(s, dir, recompute = true)
+      s.read.parquet(out)
         .transform(graft.operators.Spread.smallSort(_, col("node_id")))
     }),
 
@@ -1124,19 +1158,14 @@ object SparkEntry {
     }),
 
     "q_scc_condense" -> ((s, dir) => {
-      // the SCC condensation DAG: q_scc's component ids joined back
+      // the SCC condensation DAG: the SAVED labeling (see q_scc /
+      // sccLabeling — computed at most once per data dir) joined back
       // over the edge list → distinct cross-component edges (always
       // acyclic by construction). The standard second step after SCC
-      // — cycle-free lineage over a cyclic link graph.
-      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-      val e = li.alias("a").join(li.alias("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("b.l_linenumber") === col("a.l_linenumber") + 1)
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      val comp = graft.graph.Scc.scc(e, "src", "dst",
-        finishNodes = 256L, finishEdges = 2048L).persist()
-      comp.count() // materialize: both edge endpoints map through it
+      // — cycle-free lineage over a cyclic link graph — priced at
+      // fold-back-join cost, not a second peel loop.
+      val e = sccEdges(s, dir)
+      val comp = s.read.parquet(sccLabeling(s, dir, recompute = false))
       e.join(comp.select(col("node_id").as("src"), col("scc_id").as("scc_a")),
           Seq("src"))
         .join(comp.select(col("node_id").as("dst"), col("scc_id").as("scc_b")),

@@ -235,7 +235,7 @@ object Dedup {
     }
   }
 
-  private def sessionShufflePartitions(spark: org.apache.spark.sql.SparkSession): Int =
+  private[dedup] def sessionShufflePartitions(spark: org.apache.spark.sql.SparkSession): Int =
     scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .getOrElse(math.max(spark.sparkContext.defaultParallelism, 1))
 

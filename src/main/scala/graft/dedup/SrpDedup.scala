@@ -89,8 +89,7 @@ object SrpDedup {
     // counted for prune observability and measured verify sizing
     val n = Dedup.verifyShufflePartitions(df.sparkSession, cand.count(),
       dims.toDouble)
-    val conf = scala.util.Try(df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt).getOrElse(n)
+    val conf = Dedup.sessionShufflePartitions(df.sparkSession)
     val cos = call_function(
       graft.expressions.GraftFunctions.Cosine, col("va"), col("vb"))
     val withA = (if (n > conf) cand.repartition(n, col("id_a")) else cand)

@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
   * 1-row aggregate attached by broadcast — never a driver round-trip
   * in the loop body. Per-round plan growth is truncated with an
   * eager localCheckpoint on the (tiny) score frame. Overflow bound:
-  * a node's raw sum is ≤ degree·SCALE, so degrees up to ~9.2×10¹²
-  * fit a long — beyond any real web graph's in-degree.
+  * a node's raw half-step sum is ≤ degree·SCALE, so degrees up to
+  * ~9.2×10¹² fit the long sum — beyond any real web graph's
+  * in-degree. The normalization multiply (`score · SCALE`) would
+  * overflow a long already at degree ≈ 9.2×10⁶ (real web graphs DO
+  * exceed that in-degree), so it is routed through DECIMAL(38,0) —
+  * the same overflow discipline as `AssocRules.lift` and the
+  * q_graph_stats oracle — making the whole pipeline exact up to the
+  * sum bound.
   *
   * Nodes with no in-edges have authority 0; with no out-edges, hub 0
   * (on a bipartite graph like customer→supplier this degenerates to
@@ -52,12 +58,15 @@ object Hits {
 
     // score·SCALE div max(score), with max attached as a broadcast
     // 1-row frame (scores are non-negative; an all-zero frame would
-    // mean an empty edge set, excluded by construction)
+    // mean an empty edge set, excluded by construction). The multiply
+    // runs in DECIMAL(38,0): score is bounded by degree·SCALE, so a
+    // long `score * SCALE` wraps once in-degree exceeds ~9.2e6.
     def lInfNorm(scores: DataFrame, c: String): DataFrame = {
       val mx = scores.agg(max(col(c)).as("__mx"))
       scores.crossJoin(broadcast(mx))
         .select(col("node"),
-          expr(s"CAST($c * ${Scale}L div __mx AS BIGINT)").as(c))
+          expr(s"CAST((CAST($c AS DECIMAL(38,0)) * ${Scale}L) div __mx AS BIGINT)")
+            .as(c))
     }
 
     var hub = nodes.select(col("node"), lit(Scale).as("hub"))

@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   * id. Returns (sel_order 1..k, center_id, radius_ppm) where
   * radius_ppm is the chosen point's min-distance at selection time —
   * the coverage-radius curve that tells you when to stop adding
-  * centers; the seed's radius is NULL. */
+  * centers; the seed's radius is NULL. Selection stops early once the
+  * farthest point is at distance 0 — coverage is complete (every
+  * remaining point coincides with a chosen center), so asking for
+  * k > |distinct points| returns fewer than k rows instead of
+  * silently re-emitting already-covered points with radius 0. */
 object Coreset {
 
   def kCenterGreedy(points: DataFrame, idCol: String, vecCol: String,
@@ -49,12 +53,16 @@ object Coreset {
     var chosen = List[(Any, Option[Long])]((seedId, None))
     var mind = p.select(col("id"), col("v"),
       distTo(seedRow.getSeq[Double](1).toArray).as("d")).localCheckpoint()
-    for (_ <- 2 to k) {
+    var covered = false
+    for (_ <- 2 to k if !covered) {
       val far = mind.orderBy(col("d").desc, col("id")).limit(1).head()
-      chosen ::= (far.get(0), Some(far.getLong(2)))
-      mind = mind.select(col("id"), col("v"),
-        least(col("d"), distTo(far.getSeq[Double](1).toArray)).as("d"))
-        .localCheckpoint()
+      if (far.getLong(2) == 0L) covered = true // nothing left to cover
+      else {
+        chosen ::= (far.get(0), Some(far.getLong(2)))
+        mind = mind.select(col("id"), col("v"),
+          least(col("d"), distTo(far.getSeq[Double](1).toArray)).as("d"))
+          .localCheckpoint()
+      }
     }
     p.unpersist(blocking = false)
     val sel = chosen.reverse.zipWithIndex

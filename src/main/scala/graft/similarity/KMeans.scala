@@ -152,6 +152,10 @@ object KMeans {
     * (cluster_id, n, mean_sil_ppm), one row per non-empty cluster. */
   def silhouetteByCluster(points: DataFrame, centroids: DataFrame,
                           idCol: String, vecCol: String): DataFrame = {
+    // cheap limit(2) cardinality probe: with one centroid there is no
+    // "best other" (s2 is null) and every downstream mean is garbage
+    require(centroids.limit(2).count() >= 2,
+      "silhouetteByCluster requires k >= 2 centroids")
     graft.expressions.GraftFunctions.register(points.sparkSession)
     val p = Spread.ensure(points.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")))

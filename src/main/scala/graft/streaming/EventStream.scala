@@ -49,18 +49,21 @@ object EventStream {
                                         dir: java.nio.file.Path,
                                         alias: String): Unit =
     if (java.nio.file.Files.isDirectory(src)) {
-      val parts = java.nio.file.Files.list(src).iterator()
-      var i = 0
-      while (parts.hasNext) {
-        val p = parts.next()
-        val n = p.getFileName.toString
-        if (!n.startsWith("_") && !n.startsWith(".") &&
-            java.nio.file.Files.isRegularFile(p)) {
-          java.nio.file.Files.copy(p, dir.resolve(
-            s"${alias.stripSuffix(".parquet")}-part$i.parquet"))
-          i += 1
+      val ls = java.nio.file.Files.list(src)
+      try {
+        val parts = ls.iterator()
+        var i = 0
+        while (parts.hasNext) {
+          val p = parts.next()
+          val n = p.getFileName.toString
+          if (!n.startsWith("_") && !n.startsWith(".") &&
+              java.nio.file.Files.isRegularFile(p)) {
+            java.nio.file.Files.copy(p, dir.resolve(
+              s"${alias.stripSuffix(".parquet")}-part$i.parquet"))
+            i += 1
+          }
         }
-      }
+      } finally ls.close() // try-with-resources policy, as in the hook
     } else java.nio.file.Files.copy(src, dir.resolve(alias))
 
   private[streaming] def stageFile(path: java.nio.file.Path,

@@ -60,4 +60,21 @@ class CoresetSpec extends SparkSpec {
     assert(got(0).getLong(1) === 3L && got(0).isNullAt(2))
     spark.catalog.clearCache()
   }
+
+  test("k beyond the corpus stops at full coverage instead of " +
+       "re-emitting covered points with radius 0") {
+    import spark.implicits._
+    // 3 distinct directions, one exact duplicate of id 1: coverage is
+    // complete after the 3 distinct vectors are chosen, so k = 10
+    // returns exactly 3 rows (the duplicate's min-distance is 0 and
+    // must never be selected)
+    val rows = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)),
+      (3L, Array(-1.0, 0.5)), (4L, Array(1.0, 0.0)))
+    val got = Coreset.kCenterGreedy(rows.toDF("id", "v"), "id", "v", k = 10)
+      .collect().sortBy(_.getInt(0))
+    assert(got.length === 3, got.mkString(","))
+    assert(got.map(_.getLong(1)).toSet.subsetOf(Set(1L, 2L, 3L)))
+    assert(got.forall(r => r.isNullAt(2) || r.getLong(2) > 0L))
+    spark.catalog.clearCache()
+  }
 }

@@ -110,4 +110,14 @@ class KMeansSpec extends SparkSpec {
     // distance is tiny vs the best foreign centroid
     assert(ppm.forall(_ > 500000L), s"low silhouette: ${ppm.mkString(",")}")
   }
+
+  test("silhouette rejects k = 1 up front (no 'best other' centroid)") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0))).toDF("id", "v")
+    val one = KMeans.initCentroids(df, "id", "v", k = 1)
+    val e = intercept[IllegalArgumentException] {
+      KMeans.silhouetteByCluster(df, one, "id", "v")
+    }
+    assert(e.getMessage.contains("k >= 2"))
+  }
 }
