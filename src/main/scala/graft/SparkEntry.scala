@@ -3611,8 +3611,9 @@ object SparkEntry {
 
     "q_unigram_train" -> ((s, dir) => {
       // hard-EM unigram training (Viterbi E-step, integer micro-nat
-      // costs): not SQL-expressible — the driver records rows>0; the
-      // bit-exact guarantee is UnigramSpec's serial-reference replay
+      // costs), hash-gated since r11: the oracle replays both EM
+      // rounds with a recursive-CTE Viterbi DP (Duck.unigramChain);
+      // UnigramSpec's serial reference stays as the second witness
       graft.functions.Unigram.train(
           graft.functions.Bpe.wordTypes(t(s, dir, "documents"), "text"),
           vocabSize = 300, maxPieceLen = 4, rounds = 2, seedSize = 800)
@@ -6930,6 +6931,17 @@ object SparkEntry {
          |UNION ALL SELECT piece, cnt FROM top
          |ORDER BY piece""".stripMargin,
 
+    // mirrors Unigram.train via Duck.unigramChain: 2 unrolled hard-EM
+    // rounds, each a recursive-CTE Viterbi DP over the word types
+    // (the Duck.bpeChain discipline applied to the E-step)
+    "q_unigram_train" ->
+      Duck.unigramTrainSql(rounds = 2, maxLen = 4, vocab = 300, seed = 800),
+
+    // mirrors Unigram.encodeStats under the same trained model: a
+    // third segmentation pass folded back over per-doc occurrences
+    "q_unigram_encode" ->
+      Duck.unigramEncodeSql(rounds = 2, maxLen = 4, vocab = 300, seed = 800),
+
     "q_bpe_train" ->
       s"""WITH ${Duck.bpeChain(4)}
          |SELECT CAST(r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
@@ -7560,6 +7572,146 @@ object SparkEntry {
            |  FROM j$r WHERE pk = 0 GROUP BY word)""".stripMargin
       }
       (base +: rs).mkString(",\n")
+    }
+
+    /** One Viterbi segmentation pass of unigram training — pass `p`
+      * segments every word TYPE under the `cost{p-1}` model table.
+      * The DP is a recursive CTE advancing one character position per
+      * iteration, carrying the best-cost and back-pointer arrays as
+      * LISTS on the word's single row (best[j+1] = best cost of the
+      * length-j prefix): candidate transitions (piece ending at i,
+      * starting after j, in-vocabulary) are pre-joined OUTSIDE the
+      * recursion into per-(word, i) lists, so each recursive step is
+      * a pure scalar `list_min` — no aggregate over the recursive
+      * relation (which DuckDB forbids). The argmin tie-break
+      * `list_min` over the filtered j's = smallest j = LONGEST piece,
+      * exactly the engine's fixed iteration order
+      * (Unigram.viterbi). A second recursion replays the back
+      * pointers into the piece list. MATERIALIZED hints keep DuckDB
+      * from re-inlining the whole upstream chain into every
+      * recursion iteration (unhinted, the 3-pass encode oracle is
+      * combinatorially slow). In-vocabulary-only candidates are
+      * sufficient: every corpus character is a model piece by
+      * construction (seed chars are kept, zero-filled, every round),
+      * so the engine's OOV branch is unreachable on corpus words. */
+    def unigramSegPass(p: Int, maxLen: Int): String =
+      s"""cand$p AS (
+         |  SELECT q.word, q.i, q.j, c.cost_micro AS c
+         |  FROM (SELECT word, i, unnest(range(greatest(0, i - $maxLen), i)) AS j
+         |        FROM (SELECT word, unnest(range(1, len(word) + 1)) AS i
+         |              FROM uty)) q
+         |  JOIN ucost${p - 1} c ON c.piece = substr(q.word, CAST(q.j + 1 AS INT),
+         |                                           CAST(q.i - q.j AS INT))),
+         |ucl$p AS MATERIALIZED (SELECT word, i,
+         |    list(struct_pack(j := j, c := c) ORDER BY j) AS cands
+         |  FROM cand$p GROUP BY word, i),
+         |udp$p AS (
+         |  SELECT word, len(word) AS n, CAST(0 AS BIGINT) AS i,
+         |         [CAST(0 AS BIGINT)] AS best, [CAST(0 AS BIGINT)] AS back
+         |  FROM uty
+         |  UNION ALL
+         |  SELECT d.word, d.n, d.i + 1,
+         |    list_append(d.best,
+         |      list_min(list_transform(c.cands, s -> d.best[s.j + 1] + s.c))),
+         |    list_append(d.back,
+         |      list_min(list_transform(
+         |        list_filter(c.cands, s -> d.best[s.j + 1] + s.c =
+         |          list_min(list_transform(c.cands, s2 -> d.best[s2.j + 1] + s2.c))),
+         |        s -> s.j)))
+         |  FROM udp$p d JOIN ucl$p c ON c.word = d.word AND c.i = d.i + 1
+         |  WHERE d.i < d.n),
+         |ufin$p AS MATERIALIZED (SELECT word, n, back FROM udp$p WHERE i = n),
+         |ubt$p AS (
+         |  SELECT word, CAST(n AS BIGINT) AS k, []::VARCHAR[] AS pieces
+         |  FROM ufin$p
+         |  UNION ALL
+         |  SELECT b.word, f.back[CAST(b.k AS INT) + 1] AS k,
+         |    list_prepend(substr(b.word,
+         |      CAST(f.back[CAST(b.k AS INT) + 1] + 1 AS INT),
+         |      CAST(b.k - f.back[CAST(b.k AS INT) + 1] AS INT)), b.pieces)
+         |  FROM ubt$p b JOIN ufin$p f ON f.word = b.word
+         |  WHERE b.k > 0),
+         |useg$p AS MATERIALIZED (SELECT word, pieces FROM ubt$p WHERE k = 0),
+         |uused$p AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM
+         |    (SELECT t.n, unnest(s.pieces) AS piece
+         |     FROM uty t JOIN useg$p s USING (word))
+         |  GROUP BY piece)""".stripMargin
+
+    /** Model update after segmentation pass `p`: seed chars
+      * (zero-filled when unused) + top-`vocab` longer pieces by
+      * (cnt desc, piece), re-smoothed to integer micro-nat costs —
+      * mirrors Unigram.train's round tail / costsOf. */
+    def unigramModelRound(p: Int, vocab: Int): String =
+      s"""umo$p AS (
+         |  SELECT uch.piece, coalesce(u.cnt, CAST(0 AS BIGINT)) AS cnt
+         |  FROM uch LEFT JOIN uused$p u USING (piece)
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (SELECT piece, cnt FROM uused$p
+         |    WHERE len(piece) > 1 ORDER BY cnt DESC, piece LIMIT $vocab)),
+         |ucost$p AS MATERIALIZED (SELECT piece, cnt,
+         |  CAST(round(ln(CAST((SELECT sum(cnt) + count(*) FROM umo$p) AS DOUBLE)
+         |    / (cnt + 1.0)) * 1e6) AS BIGINT) AS cost_micro FROM umo$p)""".stripMargin
+
+    /** CTE chain replaying `rounds` of hard-EM unigram training
+      * (Unigram.train): word types → substring seed vocabulary →
+      * smoothed costs → per round (Viterbi segment, re-count,
+      * re-model). Ends at `ucost{rounds}` = the trained model. */
+    def unigramChain(rounds: Int, maxLen: Int, vocab: Int,
+                     seed: Int): String = {
+      val base =
+        s"""uw AS MATERIALIZED (SELECT doc_id, ${words("text")} AS w
+           |  FROM documents),
+           |utokw AS MATERIALIZED (SELECT unnest(w) AS word FROM uw),
+           |uty AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n
+           |  FROM utokw GROUP BY word),
+           |usub0 AS (SELECT n, unnest(flatten(list_transform(
+           |    range(1, len(word) + 1),
+           |    i -> list_transform(range(i, least(len(word), i + ${maxLen - 1}) + 1),
+           |    j -> substr(word, CAST(i AS INT), CAST(j - i + 1 AS INT)))))) AS piece
+           |  FROM uty),
+           |usc AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+           |  FROM usub0 GROUP BY piece),
+           |uch AS (SELECT piece, cnt FROM usc WHERE len(piece) = 1),
+           |umo0 AS (SELECT piece, cnt FROM uch UNION ALL
+           |  SELECT piece, cnt FROM (SELECT piece, cnt FROM usc
+           |    WHERE len(piece) > 1 ORDER BY cnt DESC, piece LIMIT $seed)),
+           |ucost0 AS MATERIALIZED (SELECT piece, cnt,
+           |  CAST(round(ln(CAST((SELECT sum(cnt) + count(*) FROM umo0) AS DOUBLE)
+           |    / (cnt + 1.0)) * 1e6) AS BIGINT) AS cost_micro FROM umo0)""".stripMargin
+      val rs = (1 to rounds).map(p =>
+        unigramSegPass(p, maxLen) + ",\n" + unigramModelRound(p, vocab))
+      (base +: rs).mkString(",\n")
+    }
+
+    /** q_unigram_train: the trained model table. */
+    def unigramTrainSql(rounds: Int, maxLen: Int, vocab: Int,
+                        seed: Int): String =
+      s"""WITH RECURSIVE ${unigramChain(rounds, maxLen, vocab, seed)}
+         |SELECT piece, cnt, cost_micro FROM ucost$rounds
+         |ORDER BY piece""".stripMargin
+
+    /** q_unigram_encode: one more segmentation pass under the final
+      * model, folded back over per-document word occurrences —
+      * mirrors Unigram.encodeStats. */
+    def unigramEncodeSql(rounds: Int, maxLen: Int, vocab: Int,
+                         seed: Int): String = {
+      val p = rounds + 1
+      s"""WITH RECURSIVE ${unigramChain(rounds, maxLen, vocab, seed)},
+         |${unigramSegPass(p, maxLen)},
+         |utokd AS (SELECT doc_id, unnest(w) AS word FROM uw),
+         |unw AS MATERIALIZED (SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words FROM utokd GROUP BY doc_id),
+         |usubd AS (SELECT doc_id, unnest(s.pieces) AS piece
+         |  FROM utokd JOIN useg$p s USING (word)),
+         |uag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+         |    CAST(count(DISTINCT piece) AS BIGINT) AS n_distinct_pieces
+         |  FROM usubd GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(unw.n_words, 0) AS n_words,
+         |  coalesce(uag.n_pieces, 0) AS n_pieces,
+         |  coalesce(uag.n_distinct_pieces, 0) AS n_distinct_pieces
+         |FROM documents d LEFT JOIN unw USING (doc_id)
+         |LEFT JOIN uag USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     }
 
     /** Unrolled deterministic-random-walk CTE chain over the purchase
