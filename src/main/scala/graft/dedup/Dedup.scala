@@ -576,25 +576,22 @@ object Dedup {
     }
 
     // count + order-independent XOR checksum (never overflows under
-    // ANSI arithmetic; edges are distinct so nothing self-cancels)
-    def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L)).as("h")).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // ANSI arithmetic; edges are distinct so nothing self-cancels),
+    // collected DURING the materializing job via Converge.withSig —
+    // one job per round, not checkpoint + separate aggregate
+    def matWithSig(e: DataFrame): (DataFrame, (Long, Long)) =
+      graft.operators.Converge.withSig(e, "hi, lo")(materialize)
 
     // every round materializes + converge-checks (unlike min-label
     // propagation there are only O(log n) rounds, and shallow
     // near-dup graphs finish in 1-2 — a skipped check would buy one
     // fused lineage but usually pay a whole wasted round)
-    var edges = materialize(edges0)
-    var sig = signature(edges)
+    var (edges, sig) = matWithSig(edges0)
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
-      val stepped = materialize(smallStar(largeStar(edges)))
+      val (stepped, next) = matWithSig(smallStar(largeStar(edges)))
       it += 1
-      val next = signature(stepped)
       if (next == sig) {
         // signature match is 64-bit-probabilistic; confirm exactly,
         // once: both sides are distinct, so every edge of the true

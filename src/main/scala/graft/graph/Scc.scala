@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   * rounds and each outer pass assigns at least every current color
   * root, so passes are bounded by the SCC-DAG depth. Convergence is
   * detected by the [[graft.dedup.Dedup.duplicateClusters]] signature
-  * trick: a (count, bit_xor(xxhash64)) 1-row aggregate per round —
-  * driver sees two longs, never node data. Per-round lineage is
-  * truncated with localCheckpoint on the node-sized frames.
+  * trick — a (count, bit_xor(xxhash64)) pair per round, so the
+  * driver sees two longs, never node data — collected by
+  * [[graft.operators.Converge]] DURING each round's localCheckpoint
+  * job (one job per round, not checkpoint + separate aggregate).
   */
 object Scc {
 
@@ -59,12 +60,6 @@ object Scc {
       .unionByName(eRaw.select(col("dst").as("node"))).distinct()
     val e0 = eRaw.where(col("src") =!= col("dst")).distinct().persist()
     e0.count()
-
-    def sig(df: DataFrame, cols: String): (Long, Long) = {
-      val r = df.agg(count(lit(1)).as("n"),
-        coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("h")).head()
-      (r.getLong(0), r.getLong(1))
-    }
 
     var active = allNodes.localCheckpoint()
     var nActive = active.count()
@@ -122,16 +117,15 @@ object Scc {
             greatest(col("color"), coalesce(col("m"), col("color")))
               .as("color"))
       }
-      var color = active.select(col("node"), col("node").as("color"))
-        .localCheckpoint()
-      var cSig = sig(color, "node, color")
+      var (color, cSig) = graft.operators.Converge.checkpointWithSig(
+        active.select(col("node"), col("node").as("color")), "node, color")
       var rounds = 0
       var done = false
       while (!done) {
         rounds += 1
         require(rounds <= maxInner, s"color pass exceeded $maxInner rounds")
-        val next = colorStep(colorStep(color)).localCheckpoint()
-        val nSig = sig(next, "node, color")
+        val (next, nSig) = graft.operators.Converge.checkpointWithSig(
+          colorStep(colorStep(color)), "node, color")
         done = nSig == cSig
         cSig = nSig
         color = next
@@ -154,16 +148,15 @@ object Scc {
           .select(col("src").as("node"), col("color"))
         m.unionByName(newMarks).distinct()
       }
-      var marked = color.where(col("node") === col("color"))
-        .localCheckpoint()
-      var mSig = sig(marked, "node")
+      var (marked, mSig) = graft.operators.Converge.checkpointWithSig(
+        color.where(col("node") === col("color")), "node")
       rounds = 0
       done = false
       while (!done) {
         rounds += 1
         require(rounds <= maxInner, s"mark pass exceeded $maxInner rounds")
-        val next = markStep(markStep(marked)).localCheckpoint()
-        val nSig = sig(next, "node")
+        val (next, nSig) = graft.operators.Converge.checkpointWithSig(
+          markStep(markStep(marked)), "node")
         done = nSig == mSig
         mSig = nSig
         marked = next

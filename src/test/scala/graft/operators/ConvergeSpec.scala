@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The fused (observe-during-checkpoint) signature must be
+  * bit-identical to the two-job form it replaced, and the returned
+  * frame must be the materialized data. */
+class ConvergeSpec extends SparkSpec {
+
+  private def twoJobSig(df: org.apache.spark.sql.DataFrame,
+                        cols: String): (Long, Long) = {
+    val r = df.agg(count(lit(1)).as("n"),
+      coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("h")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("fused signature equals the separate-aggregate signature") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, (i % 7).toLong)).toDF("a", "b")
+    val (ck, sig) = Converge.checkpointWithSig(df, "a, b")
+    assert(sig === twoJobSig(df, "a, b"))
+    assert(ck.count() === 500L)
+    // the checkpointed frame carries the same rows
+    assert(ck.agg(sum(col("a"))).head().getLong(0) === 500L * 501L / 2L)
+  }
+
+  test("empty frame signs as (0, 0) and stays usable") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Long)].toDF("a", "b").where(col("a") > 0)
+    val (ck, sig) = Converge.checkpointWithSig(df, "a")
+    assert(sig === ((0L, 0L)))
+    assert(ck.isEmpty)
+  }
+
+  test("withSig honors a caller-chosen materialization") {
+    import spark.implicits._
+    var called = false
+    val df = (1 to 10).toDF("a")
+    val (ck, sig) = Converge.withSig(df.select(col("a").cast("long").as("a")),
+      "a") { d => called = true; d.localCheckpoint() }
+    assert(called && sig._1 === 10L)
+    assert(ck.count() === 10L)
+  }
+}
