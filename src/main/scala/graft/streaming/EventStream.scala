@@ -103,14 +103,18 @@ object EventStream {
     * types; every events stream goes through here so the grain rule
     * lives in one place. */
   private def eventsStream(spark: SparkSession, sfDir: String,
-                           stageDir: java.nio.file.Path): DataFrame = {
+                           stageDir: java.nio.file.Path,
+                           maxFilesPerTrigger: Option[Int] = None
+                          ): DataFrame = {
     // nanosAsLong only applies when the fixture is nanos-typed; the
     // µs-typed generation arrives TIMESTAMP_NTZ and normalizeEventTs
     // restores the ns-grain LongType either way
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    graft.Tables.normalizeEventTs(
-      spark.readStream.schema(schema).parquet(stageDir.toString))
+    val rd = spark.readStream.schema(schema)
+    val rd2 = maxFilesPerTrigger
+      .fold(rd)(n => rd.option("maxFilesPerTrigger", n.toString))
+    graft.Tables.normalizeEventTs(rd2.parquet(stageDir.toString))
   }
 
   /** Hourly event counts as a stream over the events parquet, executed
@@ -358,6 +362,76 @@ object EventStream {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** Measured state-row probe for the two streaming-dedup shapes —
+    * the audit trail behind "state tracks the watermark window, not
+    * the key history". Runs the SAME dedup plans as
+    * [[dedupStreamAvailableNow]] / [[dedupWithinWatermarkAvailableNow]]
+    * but replays the staged double-delivery as one file per
+    * micro-batch (`maxFilesPerTrigger=1`), so the event-time watermark
+    * actually advances between batches and
+    * `dropDuplicatesWithinWatermark` eviction is OBSERVABLE: with the
+    * production single-batch AvailableNow replay the watermark only
+    * moves at the end and both variants would report identical state.
+    *
+    * Semantics under the split replay: every second-delivery row is
+    * either dropped late (its event time is already behind the
+    * watermark; it cannot produce output) or deduplicated against
+    * still-live state (its key's horizon has not passed), so when each
+    * full delivery lands in one batch (the single-file fixture
+    * staging) output stays exactly-once per event_id for BOTH variants
+    * while the bounded variant's state holds only keys whose
+    * `event time + delay` is ahead of the watermark. When the staged
+    * table is a DIRECTORY of part files NOT ordered by event time (an
+    * amplified dir), one-part-per-batch replay makes even some FIRST
+    * deliveries late — the bounded variant then also drops those rows
+    * entirely, exactly the production cost of a delay bound smaller
+    * than the source's real disorder. The unbounded variant has no
+    * watermark and is immune.
+    *
+    * @param withinWatermark bounded (`dropDuplicatesWithinWatermark`)
+    *                        vs unbounded (`dropDuplicates`) state
+    * @param rocksdb run on the RocksDB state store provider instead
+    *                of the default in-memory (HDFS-backed) one —
+    *                the store choice changes memory residency, never
+    *                row counts or output
+    * @return (output rows, final state rows) — the last reported
+    *         `stateOperators.numRowsTotal`, i.e. post-eviction
+    */
+  def dedupStateProbe(spark: SparkSession, sfDir: String,
+                      withinWatermark: Boolean, rocksdb: Boolean,
+                      delay: String = "1 hour",
+                      queryName: String = "stream_state_probe"
+                     ): (Long, Long) = {
+    val stageDir = stageEvents(sfDir)
+    stageParquetAs(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir, "events_b.parquet")
+    // clone session: provider + shuffle conf scoped to this stream
+    val s = spark.newSession()
+    if (rocksdb) s.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = eventsStream(s, sfDir, stageDir, maxFilesPerTrigger = Some(1))
+    val deduped =
+      if (withinWatermark) base
+        .withColumn("ts_utc", timestamp_micros(graft.Tables.eventTsUs))
+        .withWatermark("ts_utc", delay)
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      else base
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .dropDuplicates("event_id")
+    val q = deduped.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateRows = q.recentProgress.reverseIterator
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsTotal)
+      .nextOption().getOrElse(0L)
+    (s.table(queryName).count(), stateRows)
   }
 
   /** Stream-static enrichment: the streaming fact joined to a static

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.streaming.EventStream
+
+/** The state-bound story behind the streaming-dedup pair, measured:
+  * `dropDuplicates` keeps one state row per key forever (state =
+  * distinct keys), `dropDuplicatesWithinWatermark` keeps only keys
+  * whose event-time horizon is still ahead of the watermark — under
+  * the split two-batch replay the fixture's 30-day span vs the 1-hour
+  * delay makes eviction visible while output stays exactly-once for
+  * both. The RocksDB provider changes memory residency, never counts.
+  */
+class StreamStateProbeSpec extends SparkSpec {
+
+  private lazy val distinctIds =
+    spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id").distinct().count()
+
+  test("unbounded dedup retains every key; watermark bounds state to the horizon") {
+    val (outU, stateU) = EventStream.dedupStateProbe(spark, sf,
+      withinWatermark = false, rocksdb = false, queryName = "probe_spec_u")
+    val (outW, stateW) = EventStream.dedupStateProbe(spark, sf,
+      withinWatermark = true, rocksdb = false, queryName = "probe_spec_w")
+    // both variants emit exactly-once per key
+    assert(outU === distinctIds)
+    assert(outW === distinctIds)
+    // unbounded state = full key history
+    assert(stateU === distinctIds)
+    // bounded state: only keys within ~2x the delay of max event time
+    // survive the batch-2 eviction (30-day span vs 1-hour delay)
+    assert(stateW > 0L && stateW < stateU / 10,
+      s"expected watermark eviction to bound state, got $stateW of $stateU")
+  }
+
+  test("RocksDB provider reproduces the in-memory counts exactly") {
+    val (outR, stateR) = EventStream.dedupStateProbe(spark, sf,
+      withinWatermark = true, rocksdb = true, queryName = "probe_spec_r")
+    val (outM, stateM) = EventStream.dedupStateProbe(spark, sf,
+      withinWatermark = true, rocksdb = false, queryName = "probe_spec_m")
+    assert(outR === outM)
+    assert(stateR === stateM)
+  }
+}
