@@ -1118,6 +1118,32 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_sssp" -> ((s, dir) => {
+      // multi-source BFS distances (graph/Sssp) over the q_pagerank
+      // purchase graph: hop distance from every nation-0 customer —
+      // the seed-expansion audit next to PPR (how many hops until a
+      // seed cohort covers the graph). Exact integer hops at a fixed
+      // 4-hop cap ⇒ the unrolled DuckDB oracle hash-matches the
+      // adaptive frontier loop at any SF (early convergence equals
+      // the full unroll by construction).
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = pairs.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val sources = t(s, dir, "customer")
+        .where(col("c_nationkey") === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+      graft.graph.Sssp.bfsDistances(edges, "a", "b", sources, "seed",
+          maxHops = 4)
+        .orderBy(col("node_id"))
+    }),
+
     "q_scc" -> ((s, dir) => {
       // strongly connected components over the DIRECTED
       // part-succession graph: p1→p2 when p2's lineitem immediately
@@ -5066,6 +5092,8 @@ object SparkEntry {
 
     "q_hits" -> Duck.hitsSql(iters = 3),
 
+    "q_sssp" -> Duck.ssspSql(hops = 4),
+
     // pair support from the per-order self-join; lift through HUGEINT
     // (the DECIMAL(38,0) twin), floor division both sides
     "q_assoc_rules" ->
@@ -7812,6 +7840,31 @@ object SparkEntry {
       * v0 is the degree; each vK+1 is the per-node h-index of
       * neighbors' vK (row_number over values desc, h = max min(v, rn),
       * identical to the Spark window formulation). */
+    /** Unrolled multi-source BFS over the purchase graph — the
+      * Bellman-Ford unroll (union + min per round) equals the
+      * frontier loop exactly for unweighted edges: each round can
+      * only re-derive a node at a ≥ distance, which min discards. */
+    def ssspSql(hops: Int): String = {
+      val steps = (1 to hops).map { k =>
+        s"""v$k AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT node, dist FROM v${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, v.dist + 1 AS dist
+           |    FROM e JOIN v${k - 1} v ON v.node = e.src
+           |  ) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |v0 AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+         |    CAST(0 AS BIGINT) AS dist
+         |  FROM customer WHERE c_nationkey = 0),
+         |$steps
+         |SELECT node AS node_id, dist FROM v$hops ORDER BY node_id""".stripMargin
+    }
+
     def kcoreSql(rounds: Int): String = {
       val steps = (1 to rounds).map { k =>
         s"""v$k AS (SELECT n, max(least(nv, rn)) AS val FROM (

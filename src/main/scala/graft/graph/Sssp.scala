@@ -1,0 +1,89 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source BFS distances (unweighted single/multi-source
+  * shortest paths) — the frontier-expansion member of the iterative
+  * graph family, and the substrate for graph-radius curation metrics
+  * and seed-expansion audits next to PPR.
+  *
+  * Shape: classic level-synchronous BFS. The distance table starts as
+  * the source set at distance 0; each round expands the FRONTIER
+  * (nodes first reached last round) through one equi-join against the
+  * edge table, then anti-joins the running distance table so only
+  * never-seen nodes enter — for unweighted edges a node's first reach
+  * IS its final distance, so no relaxation or min-agg over prior
+  * rounds is needed. Per round: one equi-join (frontier × edges,
+  * partitioned by the join key) + one dedup partial-agg + one
+  * anti-join against O(reached) state. The frontier is materialized
+  * per round via [[graft.operators.Converge.checkpointWithSig]] — the
+  * driver sees two longs (count, hash), never node data, and the
+  * empty-frontier test doubles as the convergence signal in the same
+  * job that truncates lineage.
+  *
+  * Early termination equals the full `maxHops` unroll: an empty
+  * frontier means no further round could add a node, so the output is
+  * EXACTLY "every node reachable within maxHops hops, at its true hop
+  * distance" regardless of where the loop stopped — which is what
+  * lets a fixed-round DuckDB oracle (the q_pagerank/q_kcore unrolled
+  * pattern) hash-match the adaptive loop at any scale.
+  *
+  * Scale: state is O(reached nodes), per-round shuffle is
+  * O(frontier-incident edges) — strictly less than PageRank's
+  * all-edges rounds; a hub's out-edges concentrate on its partition
+  * exactly like any per-node neighborhood aggregate. The result is a
+  * union of ≤ maxHops checkpointed per-round frames (each leaf
+  * materialized, no recompute risk). Rounds are diameter-bounded and
+  * `maxHops`-capped, so the loop cannot run away on an adversarial
+  * graph.
+  *
+  * Edges are taken as DIRECTED (src → dst); callers wanting
+  * undirected reach symmetrize first, as q_pagerank's graph does.
+  * Every source row appears in the output at distance 0 even if
+  * isolated — sources define the seed set, not the graph.
+  */
+object Sssp {
+
+  /** Hop distances from a source set over a directed edge list.
+    *
+    * @param edges   directed edges
+    * @param sources seed nodes (deduplicated; all emitted at dist 0)
+    * @param maxHops inclusive hop cap; nodes farther than this (or
+    *                unreachable) are omitted from the output
+    * @return (node_id, dist) — exact integer hop counts
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: DataFrame, sourceCol: String,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("node"), col(dstCol).as("nxt"))
+      .persist()
+    e.count() // materialize once; every round joins against it
+
+    val seed = sources.select(col(sourceCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    var (frontier, (nFrontier, _)) =
+      graft.operators.Converge.checkpointWithSig(seed, "node")
+    // distance table = union of materialized per-round frontiers;
+    // each leg is a checkpointed RDD, so the growing union is a
+    // read-only scan list, not a growing lineage
+    var dist = frontier
+    var hop = 0
+    while (nFrontier > 0 && hop < maxHops) {
+      hop += 1
+      val expanded = frontier.join(e, "node")
+        .select(col("nxt").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+      val (next, (n, _)) =
+        graft.operators.Converge.checkpointWithSig(expanded, "node")
+      frontier = next
+      nFrontier = n
+      if (n > 0) dist = dist.unionByName(frontier)
+    }
+    val out = dist.select(col("node").as("node_id"), col("dist"))
+    e.unpersist()
+    out
+  }
+}

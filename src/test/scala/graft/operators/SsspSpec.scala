@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.graph.Sssp
+import org.apache.spark.sql.functions._
+
+/** BFS distances vs a serial reference, plus the semantic edges:
+  * multi-source min, directedness, isolated sources at 0, the
+  * maxHops cap, and unreachable-node omission. */
+class SsspSpec extends SparkSpec {
+
+  /** Serial level-synchronous BFS over a directed adjacency list. */
+  private def serialBfs(edges: Seq[(Long, Long)], sources: Set[Long],
+                        maxHops: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var dist = sources.map(_ -> 0L).toMap
+    var frontier = sources
+    var hop = 0L
+    while (frontier.nonEmpty && hop < maxHops) {
+      hop += 1
+      val next = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+        .filterNot(dist.contains)
+      dist ++= next.map(_ -> hop)
+      frontier = next
+    }
+    dist
+  }
+
+  private def run(edges: Seq[(Long, Long)], sources: Seq[Long],
+                  maxHops: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Sssp.bfsDistances(edges.toDF("s", "d"), "s", "d",
+        sources.toDF("src"), "src", maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("matches serial BFS on a branching digraph, randomized") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val sources = Seq.fill(3)(rnd.nextInt(n).toLong).distinct
+      val hops = 1 + rnd.nextInt(5)
+      assert(run(edges, sources, hops) ===
+        serialBfs(edges, sources.toSet, hops), s"trial $trial")
+    }
+  }
+
+  test("multi-source takes the nearest seed; ties keep the min hop") {
+    // 1 -> 2 -> 3 -> 4; sources {1, 4}: node 3 is 2 hops from 1,
+    // node 4 is a source so stays at 0 (never relaxed to 3)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(run(edges, Seq(1L, 4L), 10) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+  }
+
+  test("edges are directed; unreachable nodes are omitted") {
+    val edges = Seq((1L, 2L), (3L, 2L)) // 3 only reaches 2, not vice versa
+    assert(run(edges, Seq(1L), 10) === Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("isolated source appears at distance 0") {
+    val edges = Seq((1L, 2L))
+    assert(run(edges, Seq(99L), 5) === Map(99L -> 0L))
+  }
+
+  test("maxHops caps the expansion; early-converged loop matches full unroll") {
+    val chain = (1L to 8L).sliding(2).map(p => (p(0), p(1))).toSeq
+    assert(run(chain, Seq(1L), 3) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // maxHops far beyond the diameter: identical to the exact answer
+    assert(run(chain, Seq(1L), 100) ===
+      (1L to 8L).map(i => i -> (i - 1)).toMap)
+  }
+
+  test("duplicate sources and duplicate edges collapse") {
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 3L))
+    assert(run(edges, Seq(1L, 1L, 1L), 10) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("cycle terminates at the diameter, not maxHops") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(run(edges, Seq(1L), 1000) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+}
