@@ -3470,10 +3470,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_perplexity_backoff" -> ((s, dir) => {
+      // the production estimator behind the same gate: Jelinek-Mercer
+      // interpolation (λ=0.9 bigram ML + 0.1 add-one unigram backstop)
+      // — sparse bigrams back off to the unigram distribution instead
+      // of drowning in add-one vocabulary mass; same micro-nat
+      // integer discipline, so the oracle hash-matches
+      graft.functions.NgramLm.interpolatedNll(
+        t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_domain_xent" -> ((s, dir) => {
       // D×D cross-domain LM matrix over language: every language's
-      // bigram LM scores every language's text (integer micro-nats) —
-      // the measurement behind DoReMi-style mixture reweighting
+      // INTERPOLATED bigram LM (λ=0.9; unseen-in-domain bigrams back
+      // off to the domain's unigram distribution) scores every
+      // language's text in integer micro-nats — the measurement
+      // behind DoReMi-style mixture reweighting
       graft.functions.NgramLm.crossDomainNll(
         t(s, dir, "documents"), "lang", "text")
         .orderBy(col("train_domain"), col("eval_domain"))
@@ -6795,6 +6809,8 @@ object SparkEntry {
     // mirrors NgramLm.bigramNll (and the streaming twin, whose
     // batches partition the same corpus the LM trains on)
     "q_perplexity" -> perplexityOracleSql,
+
+    "q_perplexity_backoff" -> perplexityBackoffOracleSql,
     "q_stream_perplexity" -> perplexityOracleSql,
 
     // mirrors NgramLm.crossDomainNll / domainMixWeights over lang —
@@ -7454,9 +7470,46 @@ object SparkEntry {
        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Interpolated twin of the perplexity oracle — replays
+    * [[graft.functions.NgramLm.interpolatedNll]] at λ=0.9: the ML
+    * bigram term plus the add-one unigram backstop, with the -ln
+    * computed over the identically-ordered double expression so the
+    * micro-nat rounding agrees bit-for-bit. */
+  private lazy val perplexityBackoffOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
+       |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS p,
+       |         unnest(w[2:len(w)]) AS c
+       |       FROM w WHERE len(w) >= 2),
+       |tok AS (SELECT unnest(w) AS t FROM w),
+       |uni AS (SELECT t AS c, CAST(count(*) AS BIGINT) AS uni_cnt
+       |        FROM tok GROUP BY t),
+       |tt AS (SELECT CAST(count(t) AS BIGINT) AS n_tok,
+       |         count(DISTINCT t) AS v FROM tok),
+       |pd AS (SELECT doc_id, p, c, CAST(count(*) AS BIGINT) AS occ
+       |       FROM bg GROUP BY doc_id, p, c),
+       |wc AS (SELECT *,
+       |  CAST(sum(occ) OVER (PARTITION BY p, c) AS BIGINT) AS big_cnt,
+       |  CAST(sum(occ) OVER (PARTITION BY p) AS BIGINT) AS ctx_cnt
+       |  FROM pd),
+       |sc AS (SELECT doc_id, occ,
+       |  CAST(round(-ln((900000.0 * (CAST(big_cnt AS DOUBLE) / ctx_cnt)
+       |       + 100000.0 * (CAST(uni_cnt + 1 AS DOUBLE) / (n_tok + v)))
+       |       / 1000000.0) * 1000000) AS BIGINT) AS mn
+       |  FROM wc JOIN uni USING (c) CROSS JOIN tt),
+       |agg AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(occ * mn) AS BIGINT) AS nll_micro
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_bigrams, 0) AS n_bigrams,
+       |  coalesce(nll_micro, 0) AS nll_micro
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Shared CTE chain replaying [[graft.functions.NgramLm.crossDomainNll]]
-    * over `lang`: per-domain add-one bigram LMs, every domain scored
-    * under every domain's LM, micro-nat rounding before any sum. */
+    * over `lang`: per-domain INTERPOLATED (λ=0.9) bigram LMs, every
+    * domain scored under every domain's LM, micro-nat rounding before
+    * any sum; an unseen context contributes zero ML mass (not 0/0)
+    * and the unigram backstop is per-domain add-one. */
   private lazy val domainXentCtes: String =
     s"""WITH w AS (SELECT lang AS dom, ${Duck.words("text")} AS w FROM documents),
        |bg0 AS (SELECT dom, unnest(w[1:len(w)-1]) AS p, unnest(w[2:len(w)]) AS c
@@ -7465,17 +7518,26 @@ object SparkEntry {
        |       FROM bg0 GROUP BY dom, p, c),
        |ctx AS (SELECT dom AS dom_t, p, CAST(sum(occ) AS BIGINT) AS ctx_cnt
        |        FROM bg GROUP BY dom, p),
-       |vv AS (SELECT dom AS dom_t, count(DISTINCT t) AS v
-       |       FROM (SELECT dom, unnest(w) AS t FROM w) GROUP BY dom),
+       |dtok AS (SELECT dom AS dom_t, unnest(w) AS t FROM w),
+       |uni AS (SELECT dom_t, t AS c, CAST(count(*) AS BIGINT) AS uni_cnt
+       |        FROM dtok GROUP BY dom_t, t),
+       |vv AS (SELECT dom_t, CAST(count(t) AS BIGINT) AS n_tok,
+       |         count(DISTINCT t) AS v
+       |       FROM dtok GROUP BY dom_t),
        |nd AS (SELECT lang AS dom_e, CAST(count(*) AS BIGINT) AS n_docs
        |       FROM documents GROUP BY lang),
        |doms AS (SELECT DISTINCT dom AS dom_t FROM bg),
        |sc AS (SELECT e.dom AS dom_e, d.dom_t, e.occ,
-       |  CAST(round(ln(CAST(coalesce(cx.ctx_cnt, 0) + vv.v AS DOUBLE) /
-       |       (coalesce(tr.occ, 0) + 1.0)) * 1000000) AS BIGINT) AS mn
+       |  CAST(round(-ln((900000.0 *
+       |         (CASE WHEN cx.ctx_cnt IS NULL THEN 0.0
+       |               ELSE CAST(coalesce(tr.occ, 0) AS DOUBLE) / cx.ctx_cnt END)
+       |       + 100000.0 * (CAST(coalesce(un.uni_cnt, 0) + 1 AS DOUBLE) /
+       |           (vv.n_tok + vv.v)))
+       |       / 1000000.0) * 1000000) AS BIGINT) AS mn
        |  FROM bg e CROSS JOIN doms d
        |  LEFT JOIN bg tr ON tr.dom = d.dom_t AND tr.p = e.p AND tr.c = e.c
        |  LEFT JOIN ctx cx ON cx.dom_t = d.dom_t AND cx.p = e.p
+       |  LEFT JOIN uni un ON un.dom_t = d.dom_t AND un.c = e.c
        |  JOIN vv ON vv.dom_t = d.dom_t),
        |m AS (SELECT dom_t AS train_domain, dom_e AS eval_domain,
        |  CAST(sum(occ) AS BIGINT) AS n_bigrams,

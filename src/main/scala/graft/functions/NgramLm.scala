@@ -84,6 +84,65 @@ object NgramLm {
         coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
   }
 
+  /** Per-document NLL under a Jelinek-Mercer INTERPOLATED bigram
+    * model — the estimator a real CCNet-style perplexity gate uses
+    * instead of add-one (add-one drowns frequent contexts in
+    * vocabulary mass; interpolation backs a sparse bigram off to the
+    * unigram distribution instead):
+    *
+    * `P(c | p) = λ · n(p,c)/n(p,·) + (1−λ) · (n(c)+1)/(N+V)`
+    *
+    * with λ given in ppm (0.9 = 900000), `n(c)` the unigram occurrence
+    * count, `N` total tokens and `V` unigram types — the add-one
+    * unigram backstop keeps every token priced (an unseen-at-scoring
+    * token would otherwise cost infinity; within-corpus it also prices
+    * hapax continuations sanely). Same micro-nat discipline as
+    * [[bigramNll]]: each bigram's `-ln P` rounds to an integer BEFORE
+    * the per-document sum, so hashes are engine-independent.
+    *
+    * Scale shape = [[bigramNll]] plus ONE equi-join of the per-doc
+    * bigram aggregate against the (token, count) unigram table on the
+    * continuation key — co-located, map-side combined, no extra pass
+    * over text; (N, V) is a one-row broadcast. */
+  def interpolatedNll(df: DataFrame, idCol: String, textCol: String,
+                      lambdaPpm: Long = 900000L): DataFrame = {
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000L,
+      s"lambdaPpm must be in [0, 1000000], got $lambdaPpm")
+    val base = graft.operators.Spread.ensure(
+      df.select(col(idCol).as("id"), TextFunctions.words(col(textCol)).as("w")))
+    val bg = base.select(col("id"), explode(expr(bigramsExpr)).as("b"))
+      .select(col("id"), col("b.p").as("p"), col("b.c").as("c"))
+    val perDoc = bg.groupBy(col("id"), col("p"), col("c"))
+      .agg(count(lit(1)).as("occ"))
+    val withCounts = perDoc
+      .withColumn("big_cnt", sum(col("occ")).over(Window.partitionBy(col("p"), col("c"))))
+      .withColumn("ctx_cnt", sum(col("occ")).over(Window.partitionBy(col("p"))))
+    // unigram table + corpus totals from the same tokenize pass
+    // (explode_outer: see bigramNll's scan-pushdown note)
+    val toks = base.select(explode_outer(col("w")).as("t"))
+    val uni = toks.where(col("t").isNotNull)
+      .groupBy(col("t").as("c")).agg(count(lit(1)).as("uni_cnt"))
+    val totals = toks.agg(
+      count(col("t")).as("n_tok"), countDistinct(col("t")).as("V"))
+    val scored = withCounts
+      .join(uni, Seq("c"))
+      .crossJoin(broadcast(totals))
+      .withColumn("mn", round(-log(
+        (lit(lambdaPpm.toDouble) *
+          (col("big_cnt").cast("double") / col("ctx_cnt")) +
+          lit((1000000L - lambdaPpm).toDouble) *
+            ((col("uni_cnt") + lit(1L)).cast("double") /
+              (col("n_tok") + col("V")))) / lit(1000000.0))
+        * lit(1000000.0)).cast("long"))
+    val agg = scored.groupBy(col("id")).agg(
+      sum(col("occ")).as("n_bigrams"),
+      sum(col("occ") * col("mn")).as("nll_micro"))
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
+  }
+
   /** A trained bigram LM as three frames: bigram counts `bg`
     * (p, c, big_cnt), context counts `ctx` (p, ctx_cnt), and the
     * one-row vocabulary size `v` (V). [[bigramNll]] fuses training
@@ -150,8 +209,14 @@ object NgramLm {
       "i -> struct(element_at(w, i + 1) AS p, element_at(w, i + 2) AS c)) " +
       "ELSE array() END"
 
-  /** D×D cross-domain LM matrix: one add-one bigram LM per domain
-    * (source, language, …), every domain's text scored under every
+  /** D×D cross-domain LM matrix: one INTERPOLATED bigram LM per
+    * domain (source, language, …) — the [[interpolatedNll]] estimator,
+    * which matters far more here than within-corpus: a foreign
+    * domain's text is full of bigrams the training domain never saw,
+    * and add-one prices them all at the same vocabulary-mass floor
+    * while interpolation separates "unseen bigram, common word"
+    * (cheap: unigram backstop) from "unseen word entirely" (the true
+    * add-one floor). Every domain's text is scored under every
     * domain's LM — the measurement behind domain-reweighting schemes
     * (DoReMi-style mixture tuning): the diagonal is each domain's
     * self-fit, the off-diagonal says how well domain t's distribution
@@ -168,11 +233,15 @@ object NgramLm {
     * combined); the eval side re-aggregates the same bigrams at
     * (dom, p, c) and fans out ×D via a broadcast of the tiny domain
     * list — total work is D× the corpus bigram types, the inherent
-    * cost of a D×D matrix, all equi-join co-located. Per-domain
-    * vocabulary sizes are a D-row broadcast. No per-domain loop, no
-    * driver-side anything. */
+    * cost of a D×D matrix, all equi-join co-located. The interpolation
+    * adds one equi-join against the per-domain unigram table on the
+    * (domain, continuation) key; per-domain (N, V) totals are a D-row
+    * broadcast. No per-domain loop, no driver-side anything. */
   def crossDomainNll(df: DataFrame, domainCol: String,
-                     textCol: String): DataFrame = {
+                     textCol: String,
+                     lambdaPpm: Long = 900000L): DataFrame = {
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000L,
+      s"lambdaPpm must be in [0, 1000000], got $lambdaPpm")
     val base = graft.operators.Spread.ensure(
       df.select(col(domainCol).as("dom"), TextFunctions.words(col(textCol)).as("w")))
     val bg = base.select(col("dom"), explode(expr(bigramsExpr)).as("b"))
@@ -185,9 +254,15 @@ object NgramLm {
       col("occ").as("big_cnt"))
     val ctx = tc.groupBy(col("dom_t"), col("p"))
       .agg(sum(col("big_cnt")).as("ctx_cnt"))
-    // per-domain unigram-type count (explode_outer: see bigramNll)
-    val v = base.select(col("dom").as("dom_t"), explode_outer(col("w")).as("t"))
-      .groupBy(col("dom_t")).agg(countDistinct(col("t")).as("V"))
+    // per-domain unigram table + (token total, type count) — from the
+    // same tokenize pass (explode_outer: see bigramNll)
+    val domTok = base.select(col("dom").as("dom_t"),
+      explode_outer(col("w")).as("t"))
+    val uni = domTok.where(col("t").isNotNull)
+      .groupBy(col("dom_t"), col("t").as("c"))
+      .agg(count(lit(1)).as("uni_cnt"))
+    val v = domTok.groupBy(col("dom_t"))
+      .agg(count(col("t")).as("n_tok"), countDistinct(col("t")).as("V"))
     val nDocs = df.groupBy(col(domainCol).as("dom_e"))
       .agg(count(lit(1)).as("n_docs"))
     val domains = bg.select(col("dom").as("dom_t")).distinct()
@@ -195,11 +270,18 @@ object NgramLm {
       .crossJoin(broadcast(domains))
       .join(tc, Seq("dom_t", "p", "c"), "left")
       .join(ctx, Seq("dom_t", "p"), "left")
+      .join(uni, Seq("dom_t", "c"), "left")
       .join(broadcast(v), Seq("dom_t"))
-      .withColumn("mn",
-        round(log((coalesce(col("ctx_cnt"), lit(0L)) + col("V")).cast("double") /
-          (coalesce(col("big_cnt"), lit(0L)) + lit(1.0))) * lit(1000000.0))
-          .cast("long"))
+      // unseen context in domain t ⇒ the ML term is zero mass, not 0/0
+      .withColumn("ml", when(col("ctx_cnt").isNull, lit(0.0))
+        .otherwise(coalesce(col("big_cnt"), lit(0L)).cast("double") /
+          col("ctx_cnt")))
+      .withColumn("mn", round(-log(
+        (lit(lambdaPpm.toDouble) * col("ml") +
+          lit((1000000L - lambdaPpm).toDouble) *
+            ((coalesce(col("uni_cnt"), lit(0L)) + lit(1L)).cast("double") /
+              (col("n_tok") + col("V")))) / lit(1000000.0))
+        * lit(1000000.0)).cast("long"))
     scored.groupBy(col("dom_t"), col("dom_e")).agg(
         sum(col("occ")).as("n_bigrams"),
         sum(col("occ") * col("mn")).as("nll_micro"))

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 class CrossDomainLmSpec extends SparkSpec {
   import spark.implicits._
 
-  test("single-domain diagonal equals bigramNll totals") {
+  test("single-domain diagonal equals interpolatedNll totals") {
     val docs = Seq(
       (1L, "en", "the cat sat on the mat"),
       (2L, "en", "the dog sat on the cat"),
@@ -29,7 +29,10 @@ class CrossDomainLmSpec extends SparkSpec {
     val row = m.head
     assert(row.getAs[String]("train_domain") == "en")
     assert(row.getAs[Long]("n_docs") == 5L)
-    val per = NgramLm.bigramNll(docs, "id", "text")
+    // the matrix prices with the interpolated estimator (λ=0.9), so
+    // the one-domain diagonal is exactly the within-corpus
+    // interpolated NLL — not the add-one bigramNll
+    val per = NgramLm.interpolatedNll(docs, "id", "text")
       .agg(sum("n_bigrams"), sum("nll_micro")).head()
     assert(row.getAs[Long]("n_bigrams") == per.getLong(0))
     assert(row.getAs[Long]("nll_micro") == per.getLong(1))

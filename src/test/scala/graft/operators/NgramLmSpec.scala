@@ -102,4 +102,83 @@ class NgramLmSpec extends SparkSpec {
     assert(got(2) === ((3L, 0L, 0L)))
     assert(got(0)._2 === 1L)
   }
+
+  /** Serial reference for the interpolated (Jelinek-Mercer) estimator:
+    * P = λ·n(p,c)/n(p,·) + (1−λ)·(n(c)+1)/(N+V), micro-nat rounding
+    * per bigram before the sum. */
+  private def bruteInterp(docs: Seq[(Long, String)],
+                          lambdaPpm: Long): Map[Long, (Long, Long)] = {
+    def words(t: String): Seq[String] = {
+      val cleaned = t.toLowerCase.replaceAll("[^a-z0-9 ]", " ").trim
+      if (cleaned.isEmpty) Seq.empty else cleaned.split("\\s+").toSeq
+    }
+    val tokenized = docs.map { case (id, t) => id -> words(t) }
+    val toks = tokenized.flatMap(_._2)
+    val nTok = toks.size.toLong
+    val vocab = toks.distinct.size.toLong
+    val uniCnt = toks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val allBigrams = tokenized.flatMap { case (_, w) =>
+      w.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))) }
+    val bigCnt = allBigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ctxCnt = allBigrams.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    tokenized.map { case (id, w) =>
+      val bgs = w.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+      val nll = bgs.map { bg =>
+        val p = (lambdaPpm.toDouble * (bigCnt(bg).toDouble / ctxCnt(bg._1)) +
+          (1000000L - lambdaPpm).toDouble *
+            ((uniCnt(bg._2) + 1L).toDouble / (nTok + vocab))) / 1000000.0
+        math.round(-math.log(p) * 1e6)
+      }.sum
+      id -> (bgs.size.toLong, nll)
+    }.toMap
+  }
+
+  test("interpolated NLL matches the serial reference on a hand corpus") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat"),
+      (3L, "a dog runs fast"),
+      (4L, "the the the"),
+      (5L, "single"),
+      (6L, ""))
+    val expected = bruteInterp(docs, 900000L)
+    val got = NgramLm.interpolatedNll(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    got.foreach { case (id, n, nll) =>
+      assert((n, nll) === expected(id), s"doc $id")
+    }
+  }
+
+  test("interpolation discounts a frequent context's rare continuation " +
+      "less than add-one does") {
+    // "the cat" dominates context "the"; "the zq" appears once. Under
+    // add-one both pay ln((ctx+V)/(big+1)); under interpolation the
+    // rare continuation still gets 0.9·(1/ctx) of ML mass plus the
+    // unigram backstop, so its cost must be FINITE and the common
+    // continuation strictly cheaper.
+    val docs = Seq(
+      (1L, "the cat the cat the cat the cat"),
+      (2L, "the zq")).toDF("doc_id", "text")
+    val rows = NgramLm.interpolatedNll(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    val common = rows(0)._3.toDouble / rows(0)._2
+    val rare = rows(1)._3.toDouble / rows(1)._2
+    assert(common < rare)
+  }
+
+  test("lambda = 1e6 degenerates to pure ML: every in-corpus bigram " +
+      "priced at -ln(n(p,c)/n(p))") {
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    // bigrams: (a,b)x2 (b,a)x2 (a,c)x1; ctx a=3, b=2
+    // NLL = 2·(-ln(2/3)) + 2·(-ln(2/2)) + 1·(-ln(1/3)) in micro-nats
+    val expected = 2L * math.round(-math.log(2.0 / 3.0) * 1e6) +
+      2L * math.round(-math.log(2.0 / 2.0) * 1e6) +
+      math.round(-math.log(1.0 / 3.0) * 1e6)
+    val got = NgramLm.interpolatedNll(docs, "doc_id", "text",
+        lambdaPpm = 1000000L)
+      .as[(Long, Long, Long)].collect().head
+    assert(got._2 === 5L)
+    assert(got._3 === expected)
+  }
 }
