@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * count, NOT the catalog size (TPC-H orders hold ≤ 7 lines → ≤ 21
   * pairs each; a retail basket of 50 items → 1225). It grows
   * linearly in baskets at any corpus size; a pathological mega-basket
-  * (thousands of items) is the one skew case, and the fix is the
-  * usual salting/cap upstream, not a different algorithm. Supports
-  * and the basket total are plain partial-agg counts; the
-  * rule-assembly joins key on single items (broadcastable item
+  * (thousands of items) is the one skew case — [[rulesWithQuarantine]]
+  * makes the guard real: baskets over a size cap are routed to a
+  * quarantine report (the csvScanWithQuarantine idiom) instead of the
+  * pair stage, so one 10⁵-item basket cannot silently emit 5×10⁹
+  * pairs. Supports and the basket total are plain partial-agg counts;
+  * the rule-assembly joins key on single items (broadcastable item
   * table).
   *
   * Exactness: conf_ppm = supp(a,b)·10⁶ div supp(a) in long
@@ -36,6 +38,51 @@ object AssocRules {
     val b = baskets.select(col(basketCol).as("ok"), col(itemCol).as("pk"))
       .distinct().persist()
     b.count() // materialize: items, pairs, and the total all read it
+    rulesFromDistinct(b, minSupport)
+  }
+
+  /** [[rules]] with the mega-basket guard made real: baskets holding
+    * more than `maxBasketSize` DISTINCT items are excluded from the
+    * mining entirely — supports, the basket total, and the pair stage
+    * all see only capped-free baskets — and reported in a quarantine
+    * frame `(basket, n_items, reason)` the pipeline can persist next
+    * to its run log. Rationale: a basket's pair cost is C(n, 2), so a
+    * single 10⁵-item basket would emit 5×10⁹ pair rows — at 100 TB
+    * the guard is the difference between a skew report and a wedged
+    * shuffle stage. On capped-free data the rules output is identical
+    * to [[rules]] and the quarantine is empty, so the oracle contract
+    * is unchanged.
+    *
+    * The size scan is one partial-agg pass over the deduplicated
+    * basket rows; the exclusion is a left-anti join against the
+    * (rare, tiny) oversized set, which AQE broadcasts. */
+  def rulesWithQuarantine(baskets: DataFrame, basketCol: String,
+                          itemCol: String, minSupport: Long,
+                          maxBasketSize: Long): (DataFrame, DataFrame) = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    require(maxBasketSize >= 2,
+      s"maxBasketSize must be >= 2 (pairs need two items): $maxBasketSize")
+    val raw = baskets.select(col(basketCol).as("ok"), col(itemCol).as("pk"))
+      .distinct().persist()
+    raw.count() // one scan: sizes, quarantine, and the kept side
+    val oversized = raw.groupBy(col("ok"))
+      .agg(count(lit(1)).as("n_items"))
+      .where(col("n_items") > maxBasketSize)
+      .persist()
+    val quarantine = oversized
+      .select(col("ok").as("basket"), col("n_items"),
+        lit("basket_exceeds_max_size").as("reason"))
+    val kept = raw.join(oversized.select(col("ok")), Seq("ok"), "left_anti")
+      .persist()
+    kept.count()
+    raw.unpersist()
+    (rulesFromDistinct(kept, minSupport), quarantine)
+  }
+
+  /** Mining core over deduplicated, already-materialized
+    * (ok, pk) basket rows. */
+  private def rulesFromDistinct(b: DataFrame,
+                                minSupport: Long): DataFrame = {
     val items = b.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
     val pairs = b.alias("x").join(b.alias("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))

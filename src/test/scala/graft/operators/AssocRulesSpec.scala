@@ -43,4 +43,47 @@ class AssocRulesSpec extends SparkSpec {
     assert(loose.contains((1L, 3L)) && loose.contains((3L, 1L)))
     spark.catalog.clearCache()
   }
+
+  test("a planted mega-basket is quarantined, not mined") {
+    // plant a 200-item basket next to the 4-basket fixture; cap at 50
+    val mega = (1L to 200L).map(i => (99L, 1000L + i)).toDF("ok", "pk")
+    val (rules, quarantine) = AssocRules.rulesWithQuarantine(
+      baskets.unionByName(mega), "ok", "pk",
+      minSupport = 2L, maxBasketSize = 50L)
+    // exactly one quarantine row, naming the basket, its size, why
+    val q = quarantine.collect()
+    assert(q.length === 1)
+    assert(q.head.getLong(0) === 99L)
+    assert(q.head.getLong(1) === 200L)
+    assert(q.head.getString(2) === "basket_exceeds_max_size")
+    // the mined rules are EXACTLY the capped-free result: none of the
+    // mega-basket's C(200,2)=19900 pairs reached the pair stage, and
+    // supports/N saw only the 4 clean baskets
+    val clean = AssocRules.rules(baskets, "ok", "pk", 2L)
+      .collect().map(_.toSeq).toSet
+    assert(rules.collect().map(_.toSeq).toSet === clean)
+    spark.catalog.clearCache()
+  }
+
+  test("capped-free data: identical rules, empty quarantine") {
+    val (rules, quarantine) = AssocRules.rulesWithQuarantine(
+      baskets, "ok", "pk", minSupport = 2L, maxBasketSize = 50L)
+    assert(quarantine.isEmpty)
+    val direct = AssocRules.rules(baskets, "ok", "pk", 2L)
+      .collect().map(_.toSeq).toSet
+    assert(rules.collect().map(_.toSeq).toSet === direct)
+    spark.catalog.clearCache()
+  }
+
+  test("a basket exactly AT the cap is kept") {
+    val atCap = (1L to 5L).map(i => (50L, 2000L + i)).toDF("ok", "pk")
+    val (rules, quarantine) = AssocRules.rulesWithQuarantine(
+      baskets.unionByName(atCap), "ok", "pk",
+      minSupport = 1L, maxBasketSize = 5L)
+    assert(quarantine.isEmpty)
+    // the at-cap basket's pairs were mined (any (2000+i, 2000+j) rule)
+    val antes = rules.collect().map(_.getLong(0)).toSet
+    assert(antes.exists(_ > 2000L))
+    spark.catalog.clearCache()
+  }
 }
