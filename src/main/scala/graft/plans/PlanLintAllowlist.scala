@@ -21,6 +21,10 @@ object PlanLintAllowlist {
     // r10: every ranked row crosses the broadcast 1-row doc count for
     // the 4-phase floor split (q_token_budget pattern)
     "q_curriculum" -> "unconditioned-nested-loop",
+    // r11: every bigram-type row crosses the broadcast 1-row (N, V)
+    // corpus-totals aggregate for the interpolation backstop
+    // (q_token_budget pattern; q_perplexity's vocab cross twin)
+    "q_perplexity_backoff" -> "unconditioned-nested-loop",
     // r10: the D-row broadcast domain fan-out (eval bigrams × every
     // train LM — the definition of a D×D matrix) plus the D-row
     // per-domain vocabulary broadcast (q_token_budget pattern)
