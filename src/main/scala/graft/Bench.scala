@@ -165,8 +165,9 @@ object Bench {
       // peel loop when the artifact is cold — keep it behind q_scc
       // in the trailing group per the house rule
       "q_scc_condense", "q_coreset",
-      // r11: BFS frontier rounds checkpoint per hop
-      "q_sssp")
+      // r11: BFS frontier rounds checkpoint per hop; weighted
+      // Bellman-Ford rounds likewise
+      "q_sssp", "q_sssp_weighted")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

@@ -1144,6 +1144,33 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_sssp_weighted" -> ((s, dir) => {
+      // weighted twin (graph/Sssp.weightedDistances, bounded
+      // Bellman-Ford): edge cost = cheapest lineitem quantity on the
+      // customer↔supplier link, 3 relaxation rounds — min-cost ≤3-edge
+      // walks from the nation-0 seed cohort; integer weights so the
+      // round-unrolled oracle hash-matches the signature-converged
+      // loop. l_quantity is integral (1-50) so the double→long cast
+      // agrees across engines.
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .agg(min(col("l_quantity")).cast("long").as("w"))
+      val edges = pairs.select(explode(array(
+          struct(col("a"), col("b"), col("w")),
+          struct(col("b").as("a"), col("a").as("b"), col("w")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
+      val sources = t(s, dir, "customer")
+        .where(col("c_nationkey") === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+      graft.graph.Sssp.weightedDistances(edges, "a", "b", "w",
+          sources, "seed", maxRounds = 3)
+        .orderBy(col("node_id"))
+    }),
+
     "q_scc" -> ((s, dir) => {
       // strongly connected components over the DIRECTED
       // part-succession graph: p1→p2 when p2's lineitem immediately
@@ -5108,6 +5135,8 @@ object SparkEntry {
 
     "q_sssp" -> Duck.ssspSql(hops = 4),
 
+    "q_sssp_weighted" -> Duck.ssspWeightedSql(rounds = 3),
+
     // pair support from the per-order self-join; lift through HUGEINT
     // (the DECIMAL(38,0) twin), floor division both sides
     "q_assoc_rules" ->
@@ -7925,6 +7954,31 @@ object SparkEntry {
          |  FROM customer WHERE c_nationkey = 0),
          |$steps
          |SELECT node AS node_id, dist FROM v$hops ORDER BY node_id""".stripMargin
+    }
+
+    /** Weighted twin: bounded Bellman-Ford unroll with the cheapest
+      * per-link lineitem quantity as the edge cost. */
+    def ssspWeightedSql(rounds: Int): String = {
+      val steps = (1 to rounds).map { k =>
+        s"""v$k AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT node, dist FROM v${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, v.dist + e.w AS dist
+           |    FROM e JOIN v${k - 1} v ON v.node = e.src
+           |  ) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b,
+         |    CAST(min(l_quantity) AS BIGINT) AS w
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT a AS src, b AS dst, w FROM pairs
+         |      UNION ALL SELECT b AS src, a AS dst, w FROM pairs),
+         |v0 AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+         |    CAST(0 AS BIGINT) AS dist
+         |  FROM customer WHERE c_nationkey = 0),
+         |$steps
+         |SELECT node AS node_id, dist FROM v$rounds ORDER BY node_id""".stripMargin
     }
 
     def kcoreSql(rounds: Int): String = {

@@ -86,4 +86,58 @@ object Sssp {
     e.unpersist()
     out
   }
+
+  /** Integer-WEIGHTED shortest paths (distributed Bellman-Ford),
+    * bounded rounds: after round k the distance table holds the exact
+    * min-cost walk using ≤ k edges from the nearest source — so a
+    * fixed `maxRounds` unrolls in the oracle like the BFS hop cap,
+    * and the signature-detected early stop (no distance changed ⇒ no
+    * later round can change one either, relaxation being a pure
+    * function of the table) equals the full unroll.
+    *
+    * Where [[bfsDistances]] expands only the frontier (first reach is
+    * final for unweighted edges), weighted relaxation can IMPROVE an
+    * already-reached node, so each round relaxes the full distance
+    * table: one equi-join (dist × edges, partitioned by the join key)
+    * + one min partial-agg — the PageRank communication pattern,
+    * O(reached-incident edges) shuffle per round. State stays
+    * O(reached nodes); rounds are capped, so an adversarial graph
+    * cannot run the loop away. Convergence detection rides each
+    * round's checkpoint via [[graft.operators.Converge]].
+    *
+    * Weights are cast to long; intended nonnegative (a negative
+    * weight keeps the ≤ k-edge semantics but makes "shortest path"
+    * depend on maxRounds under negative cycles).
+    */
+  def weightedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                        weightCol: String,
+                        sources: DataFrame, sourceCol: String,
+                        maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    val e = edges.select(col(srcCol).as("node"), col(dstCol).as("nxt"),
+        col(weightCol).cast("long").as("w"))
+      .persist()
+    e.count()
+    val seed = sources.select(col(sourceCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    var (dist, sig) =
+      graft.operators.Converge.checkpointWithSig(seed, "node, dist")
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val relaxed = dist.join(e, "node")
+        .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val (next, nSig) =
+        graft.operators.Converge.checkpointWithSig(relaxed, "node, dist")
+      done = nSig == sig
+      sig = nSig
+      dist = next
+    }
+    val out = dist.select(col("node").as("node_id"), col("dist"))
+    e.unpersist()
+    out
+  }
 }

@@ -85,4 +85,60 @@ class SsspSpec extends SparkSpec {
     assert(run(edges, Seq(1L), 1000) ===
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
+
+  /** Serial Bellman-Ford capped at `rounds` relaxations: min-cost
+    * walk using ≤ rounds edges — the weightedDistances contract. */
+  private def serialBf(edges: Seq[(Long, Long, Long)], sources: Set[Long],
+                       rounds: Int): Map[Long, Long] = {
+    var dist = sources.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.flatMap { case (s, d, w) =>
+        dist.get(s).map(ds => d -> (ds + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, vs) => n -> vs.map(_._2).min }
+    }
+    dist
+  }
+
+  private def runW(edges: Seq[(Long, Long, Long)], sources: Seq[Long],
+                   rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Sssp.weightedDistances(edges.toDF("s", "d", "w"), "s", "d", "w",
+        sources.toDF("src"), "src", rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("weighted distances match serial Bellman-Ford, randomized") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 25
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+          1L + rnd.nextInt(9)))
+        .filter { case (a, b, _) => a != b }
+      val sources = Seq.fill(2)(rnd.nextInt(n).toLong).distinct
+      val rounds = 1 + rnd.nextInt(4)
+      assert(runW(edges, sources, rounds) ===
+        serialBf(edges, sources.toSet, rounds), s"trial $trial")
+    }
+  }
+
+  test("a cheaper long way round beats the direct heavy edge") {
+    // 1 -> 3 costs 10 direct, but 1 -> 2 -> 3 costs 2 + 3 = 5
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+    assert(runW(edges, Seq(1L), 1) ===
+      Map(1L -> 0L, 2L -> 2L, 3L -> 10L)) // one edge: direct only
+    assert(runW(edges, Seq(1L), 2) ===
+      Map(1L -> 0L, 2L -> 2L, 3L -> 5L))  // two edges: improved
+  }
+
+  test("parallel edges relax at the cheapest weight") {
+    val edges = Seq((1L, 2L, 9L), (1L, 2L, 4L))
+    assert(runW(edges, Seq(1L), 3) === Map(1L -> 0L, 2L -> 4L))
+  }
+
+  test("weighted early convergence equals the capped unroll") {
+    val chain = Seq((1L, 2L, 5L), (2L, 3L, 5L))
+    // converges after 2 rounds; 100 capped rounds must agree
+    assert(runW(chain, Seq(1L), 100) === runW(chain, Seq(1L), 2))
+  }
 }
