@@ -166,8 +166,8 @@ object Bench {
       // in the trailing group per the house rule
       "q_scc_condense", "q_coreset",
       // r11: BFS frontier rounds checkpoint per hop; weighted
-      // Bellman-Ford rounds likewise
-      "q_sssp", "q_sssp_weighted")
+      // Bellman-Ford rounds and the seed-coverage audit likewise
+      "q_sssp", "q_sssp_weighted", "q_seed_expansion")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

@@ -1171,6 +1171,40 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_seed_expansion" -> ((s, dir) => {
+      // the seed-expansion audit the BFS substrate exists for: per-hop
+      // coverage curve of a seed cohort (nation-3 customers) over the
+      // purchase graph — how many nodes each hop adds, the cumulative
+      // reach, and the reached fraction of the graph in exact ppm.
+      // The last row's dist is the cohort's eccentricity within the
+      // hop cap. Isolated seeds count at hop 0 but the ppm denominator
+      // is graph nodes (nodes incident to >= 1 edge).
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = pairs.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val sources = t(s, dir, "customer")
+        .where(col("c_nationkey") === 3)
+        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+      val dists = graft.graph.Sssp.bfsDistances(edges, "a", "b",
+        sources, "seed", maxHops = 6)
+      val total = edges.select(col("a").as("n")).distinct()
+        .agg(count(lit(1)).as("n_graph"))
+      dists.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+        .withColumn("cum_reached", sum(col("n_nodes")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("dist"))))
+        .crossJoin(broadcast(total))
+        .select(col("dist"), col("n_nodes"), col("cum_reached"),
+          expr("cum_reached * 1000000 div n_graph").as("reach_ppm"))
+        .orderBy(col("dist"))
+    }),
+
     "q_scc" -> ((s, dir) => {
       // strongly connected components over the DIRECTED
       // part-succession graph: p1→p2 when p2's lineitem immediately
@@ -5137,6 +5171,8 @@ object SparkEntry {
 
     "q_sssp_weighted" -> Duck.ssspWeightedSql(rounds = 3),
 
+    "q_seed_expansion" -> Duck.seedExpansionSql(hops = 6),
+
     // pair support from the per-order self-join; lift through HUGEINT
     // (the DECIMAL(38,0) twin), floor division both sides
     "q_assoc_rules" ->
@@ -7954,6 +7990,37 @@ object SparkEntry {
          |  FROM customer WHERE c_nationkey = 0),
          |$steps
          |SELECT node AS node_id, dist FROM v$hops ORDER BY node_id""".stripMargin
+    }
+
+    /** Per-hop coverage curve of the nation-3 seed cohort — the BFS
+      * unroll grouped by final distance, cumulative sum, reach ppm
+      * against the graph-node total. */
+    def seedExpansionSql(hops: Int): String = {
+      val steps = (1 to hops).map { k =>
+        s"""v$k AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT node, dist FROM v${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, v.dist + 1 AS dist
+           |    FROM e JOIN v${k - 1} v ON v.node = e.src
+           |  ) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |tot AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_graph FROM e),
+         |v0 AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+         |    CAST(0 AS BIGINT) AS dist
+         |  FROM customer WHERE c_nationkey = 3),
+         |$steps,
+         |g AS (SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+         |      FROM v$hops GROUP BY dist)
+         |SELECT dist, n_nodes,
+         |  CAST(sum(n_nodes) OVER (ORDER BY dist) AS BIGINT) AS cum_reached,
+         |  CAST(sum(n_nodes) OVER (ORDER BY dist) * 1000000 // n_graph
+         |       AS BIGINT) AS reach_ppm
+         |FROM g CROSS JOIN tot ORDER BY dist""".stripMargin
     }
 
     /** Weighted twin: bounded Bellman-Ford unroll with the cheapest

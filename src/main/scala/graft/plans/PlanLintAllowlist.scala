@@ -21,6 +21,10 @@ object PlanLintAllowlist {
     // r10: every ranked row crosses the broadcast 1-row doc count for
     // the 4-phase floor split (q_token_budget pattern)
     "q_curriculum" -> "unconditioned-nested-loop",
+    // r11: the ≤7-row per-hop coverage curve crosses the broadcast
+    // 1-row graph-node total for the reach-ppm denominator
+    // (q_token_budget pattern)
+    "q_seed_expansion" -> "unconditioned-nested-loop",
     // r11: every bigram-type row crosses the broadcast 1-row (N, V)
     // corpus-totals aggregate for the interpolation backstop
     // (q_token_budget pattern; q_perplexity's vocab cross twin)
