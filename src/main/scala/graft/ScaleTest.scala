@@ -32,7 +32,7 @@ object ScaleTest {
     // graph (iterative + join-heavy)
     "q_pagerank", "q_ppr", "q_communities", "q_kcore", "q_triangles",
     "q_link_predict", "q_walks", "q_walk_cooc", "q_hierarchy",
-    "q_graph_stats", "q_hits", "q_scc", "q_sssp",
+    "q_graph_stats", "q_hits", "q_scc", "q_sssp", "q_sssp_weighted",
     // dedup
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_embed", "q_semdedup",
@@ -45,7 +45,8 @@ object ScaleTest {
     "q_knn_brute", "q_knn_ivf", "q_sparse_cosine", "q_principal_dir",
     "q_coreset",
     // text / tokenizer
-    "q_vocab", "q_bpe_train", "q_perplexity", "q_quality_filter",
+    "q_vocab", "q_bpe_train", "q_wordpiece_train", "q_perplexity",
+    "q_perplexity_backoff", "q_quality_filter",
     // r10 additions: cross-domain LM matrix, curation manifest,
     // unigram hard-EM training, learned-cell ANN recall
     "q_domain_xent", "q_mix_manifest", "q_unigram_train",

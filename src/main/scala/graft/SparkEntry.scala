@@ -3699,6 +3699,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_wordpiece_train" -> ((s, dir) => {
+      // WordPiece merge learning (functions/WordPiece): BPE's loop
+      // with the likelihood score cnt(a,b)·10¹² div (cnt(a)·cnt(b))
+      // through DECIMAL(38,0) — exact integer, so the oracle replays
+      // every round — and ##-marked continuation symbols
+      val model = graft.functions.WordPiece.train(
+        graft.functions.WordPiece.wordTypes(t(s, dir, "documents"), "text"),
+        numMerges = 4)
+      graft.functions.WordPiece.mergesDF(s, model).orderBy(col("merge_rank"))
+    }),
+
+    "q_wordpiece_encode" -> ((s, dir) => {
+      // encode path under the learned WordPiece model: Bpe.encodeStats
+      // works unchanged over the ##-marked merged type table (one
+      // join, segmentation per word TYPE)
+      val docs = t(s, dir, "documents")
+      val model = graft.functions.WordPiece.train(
+        graft.functions.WordPiece.wordTypes(docs, "text"), numMerges = 4)
+      graft.functions.Bpe.encodeStats(docs, "doc_id", "text", model.types)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- unigram (SentencePiece-style) tokenizer (functions/Unigram) ----
     "q_unigram_seed" -> ((s, dir) => {
       // candidate-piece seeding: substring counts over the word-type
@@ -7061,6 +7084,36 @@ object SparkEntry {
          |  UNION ALL SELECT 4, a, b, cnt FROM m4)
          |ORDER BY merge_rank""".stripMargin,
 
+    // mirrors WordPiece.train via Duck.wpChain: 4 unrolled
+    // likelihood-scored merge rounds
+    "q_wordpiece_train" ->
+      s"""WITH ${Duck.wpChain(4)}
+         |SELECT CAST(r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+         |  cnt AS pair_count, score AS score_pico FROM (
+         |  SELECT 1 AS r, a, b, cnt, score FROM m1
+         |  UNION ALL SELECT 2, a, b, cnt, score FROM m2
+         |  UNION ALL SELECT 3, a, b, cnt, score FROM m3
+         |  UNION ALL SELECT 4, a, b, cnt, score FROM m4)
+         |ORDER BY merge_rank""".stripMargin,
+
+    // mirrors Bpe.encodeStats under the 4-merge WordPiece model
+    "q_wordpiece_encode" ->
+      s"""WITH ${Duck.wpChain(4)},
+         |tokd AS (SELECT doc_id, unnest(w) AS word FROM w),
+         |sub AS (SELECT doc_id, unnest(t.s) AS sub FROM tokd
+         |        JOIN w4 t ON tokd.word = t.word),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_subwords,
+         |    CAST(count(DISTINCT sub) AS BIGINT) AS n_distinct_sub
+         |  FROM sub GROUP BY doc_id),
+         |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
+         |  FROM tokd GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+         |  coalesce(n_subwords, 0) AS n_subwords,
+         |  coalesce(n_distinct_sub, 0) AS n_distinct_sub
+         |FROM documents d LEFT JOIN nw ON d.doc_id = nw.doc_id
+         |LEFT JOIN ag ON d.doc_id = ag.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     // mirrors Bpe.encodeStats under the same 4-merge model
     "q_bpe_encode" ->
       s"""WITH ${Duck.bpeChain(4)},
@@ -7723,6 +7776,58 @@ object SparkEntry {
            |    OVER (PARTITION BY word ORDER BY i), 0) AS pk FROM k$r),
            |w$r AS (SELECT word, CAST(max(n) AS BIGINT) AS n,
            |    list(CASE WHEN keep = 1 THEN sym || nxt ELSE sym END
+           |      ORDER BY i) AS s
+           |  FROM j$r WHERE pk = 0 GROUP BY word)""".stripMargin
+      }
+      (base +: rs).mkString(",\n")
+    }
+
+    /** [[bpeChain]]'s WordPiece twin: `##`-marked initial symbols,
+      * per-round symbol counts u$r for the likelihood denominator,
+      * argmax by the exact HUGEINT score cnt·10¹² // (ca·cb) with
+      * (score desc, a, b) ties, merged symbol `a || b[3:]` (the
+      * right side of any adjacent pair is a continuation symbol and
+      * always carries `##`). */
+    def wpChain(rounds: Int): String = {
+      val base =
+        s"""w AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+           |tokw AS (SELECT unnest(w) AS word FROM w),
+           |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n,
+           |    list_transform(range(1, len(word) + 1),
+           |      i -> CASE WHEN i = 1 THEN substr(word, i, 1)
+           |           ELSE '##' || substr(word, i, 1) END) AS s
+           |  FROM tokw GROUP BY word)""".stripMargin
+      val rs = (1 to rounds).map { r =>
+        val prev = s"w${r - 1}"
+        s"""p$r AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+           |    SELECT n, unnest(s[1:len(s)-1]) AS a, unnest(s[2:len(s)]) AS b
+           |    FROM $prev WHERE len(s) >= 2) GROUP BY a, b),
+           |u$r AS (SELECT sym, CAST(sum(n) AS BIGINT) AS c FROM (
+           |    SELECT n, unnest(s) AS sym FROM $prev) GROUP BY sym),
+           |m$r AS MATERIALIZED (SELECT p.a, p.b, p.cnt,
+           |    CAST(CAST(p.cnt AS HUGEINT) * 1000000000000 //
+           |      (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS score
+           |  FROM p$r p JOIN u$r ua ON ua.sym = p.a
+           |             JOIN u$r ub ON ub.sym = p.b
+           |  ORDER BY score DESC, p.a, p.b LIMIT 1),
+           |e$r AS (SELECT word, n, s, unnest(generate_series(1, len(s))) AS i
+           |  FROM $prev),
+           |f$r AS (SELECT word, n, i, s[i] AS sym,
+           |    CASE WHEN i < len(s) AND s[i] = (SELECT a FROM m$r)
+           |         AND s[i + 1] = (SELECT b FROM m$r) THEN 1 ELSE 0 END AS mt
+           |  FROM e$r),
+           |g$r AS (SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY i) AS nxt,
+           |    CASE WHEN mt = 1 THEN i - row_number()
+           |      OVER (PARTITION BY word, mt ORDER BY i) ELSE NULL END AS isl
+           |  FROM f$r),
+           |k$r AS (SELECT *, CASE WHEN mt = 1 AND
+           |      (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0
+           |    THEN 1 ELSE 0 END AS keep
+           |  FROM g$r),
+           |j$r AS (SELECT *, coalesce(lag(keep)
+           |    OVER (PARTITION BY word ORDER BY i), 0) AS pk FROM k$r),
+           |w$r AS MATERIALIZED (SELECT word, CAST(max(n) AS BIGINT) AS n,
+           |    list(CASE WHEN keep = 1 THEN sym || nxt[3:] ELSE sym END
            |      ORDER BY i) AS s
            |  FROM j$r WHERE pk = 0 GROUP BY word)""".stripMargin
       }
