@@ -1171,6 +1171,41 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_sssp_incr" -> ((s, dir) => {
+      // incremental BFS maintenance (the saved-index idiom on
+      // distances): distances saved over ¾ of the purchase graph
+      // (orders with o_orderkey % 4 != 0), then the remaining quarter
+      // arrives as a batch and only the improved region re-relaxes.
+      // Gate = EQUIVALENCE: the oracle is the full-graph q_sssp SQL,
+      // so the repair must land row-identical to recomputing BFS
+      // over old ∪ new.
+      def purchaseEdges(ordersFiltered: DataFrame) = {
+        val ls = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val pairs = ordersFiltered
+          .join(ls, col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b"))
+          .distinct()
+        pairs.select(explode(array(
+            struct(col("a"), col("b")),
+            struct(col("b").as("a"), col("a").as("b")))).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+      }
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val oldE = purchaseEdges(orders.where(col("o_orderkey") % 4 =!= 0))
+      val newE = purchaseEdges(orders.where(col("o_orderkey") % 4 === 0))
+      val sources = t(s, dir, "customer")
+        .where(col("c_nationkey") === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+      val saved = graft.graph.Sssp.bfsDistances(oldE, "a", "b",
+        sources, "seed", maxHops = 4)
+      graft.graph.Sssp.bfsDistancesIncremental(oldE, newE, "a", "b",
+          saved, maxHops = 4)
+        .orderBy(col("node_id"))
+    }),
+
     "q_seed_expansion" -> ((s, dir) => {
       // the seed-expansion audit the BFS substrate exists for: per-hop
       // coverage curve of a seed cohort (nation-3 customers) over the
@@ -5193,6 +5228,10 @@ object SparkEntry {
     "q_sssp" -> Duck.ssspSql(hops = 4),
 
     "q_sssp_weighted" -> Duck.ssspWeightedSql(rounds = 3),
+
+    // equivalence gate: the incremental repair must equal the full
+    // 4-hop BFS over the WHOLE purchase graph
+    "q_sssp_incr" -> Duck.ssspSql(hops = 4),
 
     "q_seed_expansion" -> Duck.seedExpansionSql(hops = 6),
 

@@ -87,6 +87,82 @@ object Sssp {
     out
   }
 
+  /** Incremental BFS maintenance — the saved-index pattern
+    * (`minHashIndex`/`srpIndex`/`semDedupIndex`) applied to distances:
+    * given a SAVED distance table from a prior [[bfsDistances]] run
+    * and a batch of NEW edges, recompute only what the batch can
+    * change instead of re-running BFS over the whole graph.
+    *
+    * Edge inserts only ever SHRINK hop distances, so the saved table
+    * is a valid over-approximation: seed the repair frontier with the
+    * new edges' improvements (`dist(u)+1 < dist(v)` or v unreached),
+    * then propagate improvements over the UNION graph with the same
+    * one-equi-join-per-round shape — each round relaxes only the
+    * improved frontier, so per-batch cost is proportional to the
+    * region the batch actually changes, never the corpus. The result
+    * is row-identical to a full [[bfsDistances]] over old ∪ new edges
+    * at the same `maxHops` (the equivalence the oracle and spec gate).
+    *
+    * Unlike [[bfsDistances]]' frontier (first reach = final), a
+    * repair frontier node carries a DIST that may itself be improved
+    * by a later round, so rounds detect improvement against the
+    * running table (the weighted loop's min semantics at weight 1);
+    * rounds are bounded by maxHops + the batch's improvement depth.
+    */
+  def bfsDistancesIncremental(edges: DataFrame, newEdges: DataFrame,
+                              srcCol: String, dstCol: String,
+                              savedDist: DataFrame,
+                              maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("node"), col(dstCol).as("nxt"))
+      .unionByName(
+        newEdges.select(col(srcCol).as("node"), col(dstCol).as("nxt")))
+      .persist()
+    e.count()
+    var (dist, _) = graft.operators.Converge.checkpointWithSig(
+      savedDist.select(col("node_id").as("node"), col("dist")), "node, dist")
+    // repair seeds: improvements the new edges create directly
+    val seed0 = newEdges
+      .select(col(srcCol).as("node"), col(dstCol).as("v"))
+      .join(dist, Seq("node"))
+      .select(col("v").as("node"), (col("dist") + lit(1L)).as("dist"))
+      .where(col("dist") <= maxHops)
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      .join(dist.select(col("node"), col("dist").as("old")),
+        Seq("node"), "left")
+      .where(col("old").isNull || col("dist") < col("old"))
+      .select(col("node"), col("dist"))
+    var (frontier, (nFrontier, _)) =
+      graft.operators.Converge.checkpointWithSig(seed0, "node, dist")
+    var guard = 0
+    while (nFrontier > 0) {
+      guard += 1
+      require(guard <= maxHops + 1,
+        s"incremental repair exceeded ${maxHops + 1} rounds")
+      // fold the frontier's improvements into the table, then relax
+      // one hop outward from the frontier only
+      dist = dist.unionByName(frontier)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      val cand = frontier.join(e, "node")
+        .select(col("nxt").as("node"), (col("dist") + lit(1L)).as("dist"))
+        .where(col("dist") <= maxHops)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val improved = cand
+        .join(dist.select(col("node"), col("dist").as("old")),
+          Seq("node"), "left")
+        .where(col("old").isNull || col("dist") < col("old"))
+        .select(col("node"), col("dist"))
+      val (next, (n, _)) =
+        graft.operators.Converge.checkpointWithSig(improved, "node, dist")
+      frontier = next
+      nFrontier = n
+    }
+    val out = dist.select(col("node").as("node_id"), col("dist"))
+    e.unpersist()
+    out
+  }
+
   /** Integer-WEIGHTED shortest paths (distributed Bellman-Ford),
     * bounded rounds: after round k the distance table holds the exact
     * min-cost walk using ≤ k edges from the nearest source — so a

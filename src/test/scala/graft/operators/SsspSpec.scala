@@ -141,4 +141,56 @@ class SsspSpec extends SparkSpec {
     // converges after 2 rounds; 100 capped rounds must agree
     assert(runW(chain, Seq(1L), 100) === runW(chain, Seq(1L), 2))
   }
+
+  private def runIncr(oldE: Seq[(Long, Long)], newE: Seq[(Long, Long)],
+                      sources: Seq[Long], maxHops: Int): Map[Long, Long] = {
+    import spark.implicits._
+    val saved = Sssp.bfsDistances(oldE.toDF("s", "d"), "s", "d",
+      sources.toDF("src"), "src", maxHops)
+    Sssp.bfsDistancesIncremental(oldE.toDF("s", "d"), newE.toDF("s", "d"),
+        "s", "d", saved, maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("incremental repair equals full recompute over the union, randomized") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 5) {
+      val n = 25
+      val all = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val (oldE, newE) = all.partition(_ => rnd.nextBoolean())
+      val sources = Seq.fill(2)(rnd.nextInt(n).toLong).distinct
+      val hops = 1 + rnd.nextInt(5)
+      assert(runIncr(oldE, newE, sources, hops) ===
+        run(all, sources, hops), s"trial $trial")
+    }
+  }
+
+  test("a batch that improves nothing leaves the table unchanged") {
+    val oldE = Seq((1L, 2L), (2L, 3L))
+    val newE = Seq((1L, 3L)) // dist(3) already 2; 0+1+... no, 1->3 gives 1 < 2: improves!
+    // use a truly non-improving edge instead: 3 -> 2 (2 already at 1)
+    assert(runIncr(oldE, Seq((3L, 2L)), Seq(1L), 5) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("a shortcut batch edge cascades improvements downstream") {
+    // chain 1->2->3->4->5; new edge 1->4 improves 4 (3->1) and 5 (4->2)
+    val oldE = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(runIncr(oldE, Seq((1L, 4L)), Seq(1L), 10) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("a batch edge unlocks nodes the saved run never reached") {
+    val oldE = Seq((1L, 2L), (8L, 9L)) // 8-9 island unreached
+    assert(runIncr(oldE, Seq((2L, 8L)), Seq(1L), 10) ===
+      Map(1L -> 0L, 2L -> 1L, 8L -> 2L, 9L -> 3L))
+  }
+
+  test("incremental respects the hop cap") {
+    val oldE = Seq((1L, 2L))
+    // new chain extends beyond the cap: nodes past maxHops stay out
+    assert(runIncr(oldE, Seq((2L, 3L), (3L, 4L)), Seq(1L), 2) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
 }
