@@ -100,6 +100,44 @@ object SparkEntry {
     * DISTRIBUTED peel passes and hands only the last tail to the
     * sequential endgame (the API default would finish the whole
     * bounded fixture in one driver pass). */
+  /** The q_sssp_incr fixture's SAVED distance table (4-hop BFS from
+    * the nation-0 seeds over the ¾ purchase graph, o_orderkey % 4 !=
+    * 0) — computed at most once per data dir, the sccLabeling
+    * discipline, so the incremental query prices the REPAIR, not a
+    * second full BFS. */
+  private def ssspSavedDistances(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .where(col("o_orderkey") % 4 =!= 0)
+      val sources = t(s, dir, "customer")
+        .where(col("c_nationkey") === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+      graft.graph.Sssp.bfsDistances(purchaseEdgesFrom(s, dir, orders),
+          "a", "b", sources, "seed", maxHops = 4)
+        .write.mode("overwrite").parquet(out)
+    }
+    stagedOnce("sssp_saved_n0_h4_mod4_v1", dir)(
+      d => new java.io.File(d, "_SUCCESS").isFile)(write)
+  }
+
+  /** Symmetrized customer↔supplier purchase edges from a
+    * pre-filtered orders frame (the q_pagerank construction). */
+  private def purchaseEdgesFrom(s: SparkSession, dir: String,
+                                orders: DataFrame): DataFrame = {
+    val ls = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = orders
+      .join(ls, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+    pairs.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+  }
+
   private def sccLabeling(s: SparkSession, dir: String,
                           recompute: Boolean): String = {
     def write(out: String): Unit =
@@ -1173,34 +1211,20 @@ object SparkEntry {
 
     "q_sssp_incr" -> ((s, dir) => {
       // incremental BFS maintenance (the saved-index idiom on
-      // distances): distances saved over ¾ of the purchase graph
-      // (orders with o_orderkey % 4 != 0), then the remaining quarter
-      // arrives as a batch and only the improved region re-relaxes.
-      // Gate = EQUIVALENCE: the oracle is the full-graph q_sssp SQL,
-      // so the repair must land row-identical to recomputing BFS
-      // over old ∪ new.
-      def purchaseEdges(ordersFiltered: DataFrame) = {
-        val ls = t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val pairs = ordersFiltered
-          .join(ls, col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("a"),
-            concat(lit("s"), col("l_suppkey")).as("b"))
-          .distinct()
-        pairs.select(explode(array(
-            struct(col("a"), col("b")),
-            struct(col("b").as("a"), col("a").as("b")))).as("e"))
-          .select(col("e.a").as("a"), col("e.b").as("b"))
-      }
+      // distances): the SAVED distance table over ¾ of the purchase
+      // graph (orders with o_orderkey % 4 != 0; computed at most once
+      // per dir — see ssspSavedDistances, the sccLabeling
+      // discipline), then the remaining quarter arrives as the batch
+      // and only the improved region re-relaxes. Gate = EQUIVALENCE:
+      // the oracle is the full-graph q_sssp SQL, so the repair must
+      // land row-identical to recomputing BFS over old ∪ new.
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
-      val oldE = purchaseEdges(orders.where(col("o_orderkey") % 4 =!= 0))
-      val newE = purchaseEdges(orders.where(col("o_orderkey") % 4 === 0))
-      val sources = t(s, dir, "customer")
-        .where(col("c_nationkey") === 0)
-        .select(concat(lit("c"), col("c_custkey")).as("seed"))
-      val saved = graft.graph.Sssp.bfsDistances(oldE, "a", "b",
-        sources, "seed", maxHops = 4)
+      val oldE = purchaseEdgesFrom(s, dir,
+        orders.where(col("o_orderkey") % 4 =!= 0))
+      val newE = purchaseEdgesFrom(s, dir,
+        orders.where(col("o_orderkey") % 4 === 0))
+      val saved = s.read.parquet(ssspSavedDistances(s, dir))
       graft.graph.Sssp.bfsDistancesIncremental(oldE, newE, "a", "b",
           saved, maxHops = 4)
         .orderBy(col("node_id"))
