@@ -33,6 +33,7 @@ object ScaleTest {
     "q_pagerank", "q_ppr", "q_communities", "q_kcore", "q_triangles",
     "q_link_predict", "q_walks", "q_walk_cooc", "q_hierarchy",
     "q_graph_stats", "q_hits", "q_scc", "q_sssp", "q_sssp_weighted",
+    "q_sssp_incr", "q_seed_expansion",
     // dedup
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_embed", "q_semdedup",
