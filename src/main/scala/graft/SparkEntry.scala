@@ -53,26 +53,12 @@ object SparkEntry {
         .otherwise(greatest(col("item"), col("p_item"))).as("loser"))
   }
 
-  /** Stage-once cache for queries that must first materialize fixture
-    * files (CSV landing zones, PNG media): the staged dir is keyed on
-    * a CONTENT FINGERPRINT — the caller states the formula constants
-    * that determine the staged bytes (counts, dimension formulas,
-    * color seeds) in `tag`, so editing the formula without updating
-    * the adjacent tag string is the only way to serve stale bytes,
-    * and a changed tag automatically lands in a fresh dir (no manual
-    * version bump to forget). `write` runs only when the `done` probe
-    * fails — bench repeats and plan-lint sweeps don't fold
-    * fixture-write time into the measured query or leak a fresh temp
-    * dir per invocation. */
+  /** Stage-once cache ([[graft.control.ArtifactStore]], which owns
+    * the keying/probe/fingerprint contract): local alias for the many
+    * fixture stagers below. */
   private def stagedOnce(tag: String, dir: String)(done: java.io.File => Boolean)
-                        (write: String => Unit): String = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest((tag + "|" + dir).getBytes("UTF-8"))
-    val key = md5.take(8).map(b => f"$b%02x").mkString
-    val d = new java.io.File(sys.props("java.io.tmpdir"), "graft_stage_" + key)
-    if (!d.isDirectory || !done(d)) write(d.getAbsolutePath)
-    d.getAbsolutePath
-  }
+                        (write: String => Unit): String =
+    graft.control.ArtifactStore.resolve(tag, dir)(done)(write)
 
   /** The q_scc part-succession edge list: p1→p2 when p2's lineitem
     * immediately follows p1's within an order, on the bounded
@@ -104,7 +90,10 @@ object SparkEntry {
     * the nation-0 seeds over the ¾ purchase graph, o_orderkey % 4 !=
     * 0) — computed at most once per data dir, the sccLabeling
     * discipline, so the incremental query prices the REPAIR, not a
-    * second full BFS. */
+    * second full BFS. The tag folds in the SOURCE-DATA fingerprint:
+    * regenerated fixture parquet at the same path invalidates the
+    * saved distances (a stale under-approximation would silently
+    * break the monotone-repair invariant). */
   private def ssspSavedDistances(s: SparkSession, dir: String): String = {
     def write(out: String): Unit = {
       val orders = t(s, dir, "orders")
@@ -117,8 +106,11 @@ object SparkEntry {
           "a", "b", sources, "seed", maxHops = 4)
         .write.mode("overwrite").parquet(out)
     }
-    stagedOnce("sssp_saved_n0_h4_mod4_v1", dir)(
-      d => new java.io.File(d, "_SUCCESS").isFile)(write)
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet",
+      s"$dir/customer.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"sssp_saved_n0_h4_mod4_v1:$fp", dir)(write)
   }
 
   /** Symmetrized customer↔supplier purchase edges from a
@@ -144,14 +136,16 @@ object SparkEntry {
       graft.graph.Scc.scc(sccEdges(s, dir), "src", "dst",
           finishNodes = 256L, finishEdges = 2048L)
         .write.mode("overwrite").parquet(out)
-    stagedOnce("scc_label_fn256_fe2048_v1", dir)(d =>
-      !recompute && new java.io.File(d, "_SUCCESS").isFile)(write)
+    // labeling derives from lineitem alone (sccEdges); fingerprint it
+    // so regenerated fixture data never serves a stale labeling
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"scc_label_fn256_fe2048_v1:$fp", dir, refresh = recompute)(write)
   }
 
-  private def countFiles(d: java.io.File, suffix: String): Int = {
-    val l = d.list((_, n) => n.endsWith(suffix))
-    if (l == null) 0 else l.length
-  }
+  private def countFiles(d: java.io.File, suffix: String): Int =
+    graft.control.ArtifactStore.countFiles(d, suffix)
 
   /** 40 genuine single-color PNGs (valid IHDR/IDAT/IEND; dims are a
     * doc_id formula the oracle replays) staged once via the
@@ -1164,16 +1158,8 @@ object SparkEntry {
       // 4-hop cap ⇒ the unrolled DuckDB oracle hash-matches the
       // adaptive frontier loop at any SF (early convergence equals
       // the full unroll by construction).
-      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
-        .distinct()
-      val edges = pairs.select(explode(array(
-          struct(col("a"), col("b")),
-          struct(col("b").as("a"), col("a").as("b")))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val edges = purchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       val sources = t(s, dir, "customer")
         .where(col("c_nationkey") === 0)
         .select(concat(lit("c"), col("c_custkey")).as("seed"))
@@ -1238,16 +1224,8 @@ object SparkEntry {
       // The last row's dist is the cohort's eccentricity within the
       // hop cap. Isolated seeds count at hop 0 but the ppm denominator
       // is graph nodes (nodes incident to >= 1 edge).
-      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
-        .distinct()
-      val edges = pairs.select(explode(array(
-          struct(col("a"), col("b")),
-          struct(col("b").as("a"), col("a").as("b")))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val edges = purchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       val sources = t(s, dir, "customer")
         .where(col("c_nationkey") === 3)
         .select(concat(lit("c"), col("c_custkey")).as("seed"))

@@ -208,7 +208,13 @@ object Sssp {
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       val (next, nSig) =
         graft.operators.Converge.checkpointWithSig(relaxed, "node, dist")
-      done = nSig == sig
+      // the 64-bit signature is probabilistic; a collision here would
+      // silently truncate relaxation, so the match is CONFIRMED with
+      // one exact comparison (both frames are checkpointed and
+      // node-unique; equal counts ride in the signature) — the
+      // duplicateClusters certainty-at-the-match pattern, one extra
+      // tiny job on the terminating round only
+      done = nSig == sig && graft.operators.Converge.sameExact(next, dist)
       sig = nSig
       dist = next
     }

@@ -65,13 +65,23 @@ object AssocRules {
     val raw = baskets.select(col(basketCol).as("ok"), col(itemCol).as("pk"))
       .distinct().persist()
     raw.count() // one scan: sizes, quarantine, and the kept side
+    // oversized is rare-and-tiny by contract, so it is MATERIALIZED
+    // eagerly (localCheckpoint, not persist): the returned quarantine
+    // frame and the anti-join read finished blocks that no eviction
+    // can send recomputing through an unpersisted `raw`, and the
+    // blocks are released by the ContextCleaner once the caller drops
+    // the frame — nothing lingers in the cache registry
     val oversized = raw.groupBy(col("ok"))
       .agg(count(lit(1)).as("n_items"))
       .where(col("n_items") > maxBasketSize)
-      .persist()
+      .localCheckpoint()
     val quarantine = oversized
       .select(col("ok").as("basket"), col("n_items"),
         lit("basket_exceeds_max_size").as("reason"))
+    // kept stays persisted across the mining core's three scans; as
+    // with [[rules]]' basket cache the CALLER owns its lifetime (the
+    // bench clears the cache per query; a long-lived session unpersists
+    // or clears when done with the returned frames)
     val kept = raw.join(oversized.select(col("ok")), Seq("ok"), "left_anti")
       .persist()
     kept.count()

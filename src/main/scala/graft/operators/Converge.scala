@@ -35,14 +35,42 @@ object Converge {
   /** As [[checkpointWithSig]] but letting the caller pick the
     * materialization (reliable `.checkpoint()` for cluster runs,
     * local otherwise) — the observation fires on whichever action
-    * materializes the frame. */
-  def withSig(df: DataFrame, cols: String)
+    * materializes the frame.
+    *
+    * The metric read is DEADLINED: `Observation.get` blocks forever
+    * if `materialize` never actually ran an action on the OBSERVED
+    * frame (a lazy checkpoint, an identity transform, a plan rebuilt
+    * from `df` instead of the observed handle) — an easy API hazard
+    * for future callers — so the wait is bounded and the failure
+    * names the contract instead of hanging the loop. */
+  def withSig(df: DataFrame, cols: String,
+              timeout: scala.concurrent.duration.Duration =
+                scala.concurrent.duration.Duration(60, "s"))
              (materialize: DataFrame => DataFrame): (DataFrame, (Long, Long)) = {
     val obs = Observation()
     val ck = materialize(df.observe(obs,
       count(lit(1)).as("n"),
       coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("h")))
-    val m = obs.getAsJava
-    (ck, (m.get("n").asInstanceOf[Long], m.get("h").asInstanceOf[Long]))
+    val row =
+      try scala.concurrent.Await.result(obs.future, timeout)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            s"Converge.withSig: observation '${obs.name}' not completed " +
+              s"after $timeout — the materialize function must run an " +
+              "action on the OBSERVED frame it is given (e.g. an eager " +
+              "localCheckpoint), not a lazy or rebuilt plan")
+      }
+    (ck, (row.getAs[Long]("n"), row.getAs[Long]("h")))
   }
+
+  /** Exact set-equality confirmation for two same-schema frames whose
+    * probabilistic signatures just matched — the "certainty at the
+    * match" step ([[graft.dedup.Dedup.duplicateClusters]]'s pattern)
+    * priced at ONE extra job, run once per loop, only on the
+    * terminating round: given equal row counts (the count half of the
+    * signature), `a \ b = ∅` under multiset semantics already implies
+    * the multisets are equal. */
+  def sameExact(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.control.ArtifactStore
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The stage-once contract: write runs exactly once while the probe
+  * holds, a failed probe re-writes in place, a changed tag (including
+  * the fingerprint component) lands in a fresh dir — the stale-tag
+  * invalidation the saved-distance/labeling artifacts depend on. */
+class ArtifactStoreSpec extends AnyFunSuite {
+
+  private def freshTag(): String =
+    "artifact-spec-" + java.util.UUID.randomUUID().toString
+
+  test("write runs once; satisfied probe skips the second write") {
+    val tag = freshTag()
+    var writes = 0
+    def stage(): String = ArtifactStore.resolve(tag, "scopeA")(
+      d => new java.io.File(d, "done").isFile) { p =>
+      writes += 1
+      val d = new java.io.File(p)
+      d.mkdirs()
+      java.nio.file.Files.writeString(d.toPath.resolve("done"), "x")
+    }
+    val d1 = stage()
+    val d2 = stage()
+    assert(d1 === d2)
+    assert(writes === 1)
+  }
+
+  test("failed probe (torn write) re-runs the writer in the same dir") {
+    val tag = freshTag()
+    var writes = 0
+    def stage(succeed: Boolean): String = ArtifactStore.resolve(tag, "s")(
+      d => new java.io.File(d, "done").isFile) { p =>
+      writes += 1
+      val d = new java.io.File(p)
+      d.mkdirs()
+      if (succeed)
+        java.nio.file.Files.writeString(d.toPath.resolve("done"), "x")
+    }
+    val d1 = stage(succeed = false) // torn: dir exists, marker missing
+    val d2 = stage(succeed = true)
+    assert(d1 === d2 && writes === 2)
+    assert(stage(succeed = true) === d1 && writes === 2)
+  }
+
+  test("changed tag and changed scope each land in a fresh dir") {
+    val tag = freshTag()
+    def dirOf(t: String, s: String): String =
+      ArtifactStore.resolve(t, s)(_ => true)(_ => ())
+    val base = dirOf(tag, "s1")
+    assert(dirOf(tag + ":fp2", "s1") !== base)
+    assert(dirOf(tag, "s2") !== base)
+    assert(dirOf(tag, "s1") === base)
+  }
+
+  test("parquet(): _SUCCESS gates; refresh forces the writer") {
+    val tag = freshTag()
+    var writes = 0
+    def stage(refresh: Boolean): String =
+      ArtifactStore.parquet(tag, "s", refresh) { p =>
+        writes += 1
+        val d = new java.io.File(p)
+        d.mkdirs()
+        java.nio.file.Files.writeString(d.toPath.resolve("_SUCCESS"), "")
+      }
+    stage(refresh = false)
+    stage(refresh = false)
+    assert(writes === 1)
+    stage(refresh = true) // the q_scc recompute hook
+    assert(writes === 2)
+  }
+
+  test("fingerprint changes when fixture bytes or mtime change") {
+    val dir = java.nio.file.Files.createTempDirectory("artifact-fp")
+    val f = dir.resolve("orders.parquet")
+    java.nio.file.Files.writeString(f, "v1-bytes")
+    val fp1 = ArtifactStore.fingerprint(f.toString)
+    assert(fp1 === ArtifactStore.fingerprint(f.toString)) // stable
+    java.nio.file.Files.writeString(f, "v2-bytes-longer")
+    val fp2 = ArtifactStore.fingerprint(f.toString)
+    assert(fp2 !== fp1)
+    // same size, newer mtime (in-place regeneration) still invalidates
+    java.nio.file.Files.writeString(f, "v3-bytes-longer")
+    f.toFile.setLastModified(f.toFile.lastModified() + 5000)
+    assert(ArtifactStore.fingerprint(f.toString) !== fp2)
+    // directory layout (part files) is covered too
+    val part = dir.resolve("more.parquet")
+    java.nio.file.Files.createDirectory(part)
+    java.nio.file.Files.writeString(part.resolve("part-0.parquet"), "a")
+    val dfp1 = ArtifactStore.fingerprint(part.toString)
+    java.nio.file.Files.writeString(part.resolve("part-1.parquet"), "b")
+    assert(ArtifactStore.fingerprint(part.toString) !== dfp1)
+  }
+}

@@ -42,4 +42,26 @@ class ConvergeSpec extends SparkSpec {
     assert(called && sig._1 === 10L)
     assert(ck.count() === 10L)
   }
+
+  test("withSig fails loudly when materialize never runs an action") {
+    import spark.implicits._
+    val df = (1 to 10).toDF("a").select(col("a").cast("long").as("a"))
+    val e = intercept[IllegalStateException] {
+      // identity "materialization": the observed frame is returned
+      // lazily, no action fires, the observation can never complete —
+      // the guard must fail with the contract named, not hang
+      Converge.withSig(df, "a",
+        scala.concurrent.duration.Duration(2, "s"))(identity)
+    }
+    assert(e.getMessage.contains("action on the OBSERVED frame"))
+  }
+
+  test("sameExact confirms equality and catches a real difference") {
+    import spark.implicits._
+    val a = Seq((1L, 2L), (3L, 4L)).toDF("x", "y").localCheckpoint()
+    val b = Seq((3L, 4L), (1L, 2L)).toDF("x", "y").localCheckpoint()
+    val c = Seq((1L, 2L), (3L, 5L)).toDF("x", "y").localCheckpoint()
+    assert(Converge.sameExact(a, b))
+    assert(!Converge.sameExact(a, c))
+  }
 }
