@@ -31,17 +31,38 @@ package graft.control
   */
 object ArtifactStore {
 
+  private def md5hex(s: String, bytes: Int): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(bytes).map(b => f"$b%02x").mkString
+
   /** Resolve the staged dir for `tag` within `scope` (typically the
     * data dir), running `write` only when `done` reports the staged
-    * content absent or torn. Returns the absolute dir path. */
+    * content absent or torn. Returns the absolute dir path.
+    *
+    * Dir layout `graft_stage_<family>_<key>`: `key` hashes the full
+    * (tag, scope) as before; `family` hashes only the tag's leading
+    * name segment (before the first `:`) plus the scope. A tag change
+    * within the same family — a bumped constant, a regenerated-fixture
+    * [[fingerprint]] — therefore lands in a FRESH key dir, and resolve
+    * deletes the family's now-stale sibling dirs, so regenerations
+    * cannot accumulate orphaned stage dirs in tmpdir unboundedly. */
   def resolve(tag: String, scope: String)(done: java.io.File => Boolean)
              (write: String => Unit): String = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest((tag + "|" + scope).getBytes("UTF-8"))
-    val key = md5.take(8).map(b => f"$b%02x").mkString
-    val d = new java.io.File(sys.props("java.io.tmpdir"), "graft_stage_" + key)
+    val family = md5hex(tag.takeWhile(_ != ':') + "|" + scope, 4)
+    val key = md5hex(tag + "|" + scope, 8)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val d = new java.io.File(tmp, s"graft_stage_${family}_$key")
+    val stale = tmp.listFiles((_, n) =>
+      n.startsWith(s"graft_stage_${family}_") && n != d.getName)
+    if (stale != null) stale.foreach(deleteTree)
     if (!d.isDirectory || !done(d)) write(d.getAbsolutePath)
     d.getAbsolutePath
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteTree)
+    f.delete(): Unit
   }
 
   /** [[resolve]] specialized to parquet artifacts: done = the
@@ -64,25 +85,30 @@ object ArtifactStore {
 
   /** Cheap data fingerprint of fixture paths (plain files or
     * one-level part-file directories, the two parquet layouts):
-    * name + total bytes + newest mtime per path, hashed. Pure
-    * filesystem stats — no Spark job, safe to call on every query
-    * invocation. Regenerating a fixture in place changes its mtime
-    * (and almost always its size), so a derived artifact keyed on
-    * this lands in a fresh staging dir. */
+    * every entry's NAME, SIZE, and MTIME folded into the hash (not
+    * aggregate totals — a regeneration that shuffles bytes between
+    * part files at the same total size, or lands within a coarse
+    * filesystem's mtime granularity on one file, still changes some
+    * per-entry triple). Pure filesystem stats — no Spark job, safe to
+    * call on every query invocation. A MISSING path is an error, not a
+    * stable `name:0:0` hash: a typo'd or non-local fixture path must
+    * not silently disable the staleness invalidation this fingerprint
+    * exists to provide (local-filesystem fixtures are this store's
+    * documented scope; cluster artifacts go through the catalog). */
   def fingerprint(paths: String*): String = {
     val parts = paths.map { p =>
       val f = new java.io.File(p)
+      require(f.exists, s"ArtifactStore.fingerprint: fixture path missing: $p")
       val entries: Seq[java.io.File] =
         if (f.isDirectory) {
           val l = f.listFiles()
           if (l == null) Nil else l.toSeq.sortBy(_.getName)
         } else Seq(f)
-      val bytes = entries.map(_.length()).sum
-      val mtime = (0L +: entries.map(_.lastModified())).max
-      s"${f.getName}:$bytes:$mtime"
+      val detail = entries
+        .map(e => s"${e.getName}=${e.length()}@${e.lastModified()}")
+        .mkString(",")
+      s"${f.getName}:$detail"
     }
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(parts.mkString(";").getBytes("UTF-8"))
-      .take(6).map(b => f"$b%02x").mkString
+    md5hex(parts.mkString(";"), 6)
   }
 }

@@ -42,35 +42,48 @@ object Converge {
     * frame (a lazy checkpoint, an identity transform, a plan rebuilt
     * from `df` instead of the observed handle) — an easy API hazard
     * for future callers — so the wait is bounded and the failure
-    * names the contract instead of hanging the loop. */
+    * names the contract instead of hanging the loop. A driver whose
+    * listener bus genuinely lags past the default 60 s can raise the
+    * deadline fleet-wide via `spark.graft.converge.timeoutSec`
+    * (session conf) without touching call sites. */
   def withSig(df: DataFrame, cols: String,
-              timeout: scala.concurrent.duration.Duration =
-                scala.concurrent.duration.Duration(60, "s"))
+              timeout: scala.concurrent.duration.Duration = null)
              (materialize: DataFrame => DataFrame): (DataFrame, (Long, Long)) = {
+    val deadline =
+      if (timeout != null) timeout
+      else scala.concurrent.duration.Duration(
+        df.sparkSession.conf.get("spark.graft.converge.timeoutSec", "60").toLong,
+        "s")
     val obs = Observation()
     val ck = materialize(df.observe(obs,
       count(lit(1)).as("n"),
       coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("h")))
     val row =
-      try scala.concurrent.Await.result(obs.future, timeout)
+      try scala.concurrent.Await.result(obs.future, deadline)
       catch {
         case _: java.util.concurrent.TimeoutException =>
           throw new IllegalStateException(
             s"Converge.withSig: observation '${obs.name}' not completed " +
-              s"after $timeout — the materialize function must run an " +
-              "action on the OBSERVED frame it is given (e.g. an eager " +
-              "localCheckpoint), not a lazy or rebuilt plan")
+              s"after $deadline — either the materialize function never ran " +
+              "an action on the OBSERVED frame it is given (it must, e.g. " +
+              "an eager localCheckpoint — not a lazy or rebuilt plan), or " +
+              "the driver's listener bus is lagging/dropping events (raise " +
+              "the timeout via spark.graft.converge.timeoutSec)")
       }
     (ck, (row.getAs[Long]("n"), row.getAs[Long]("h")))
   }
 
-  /** Exact set-equality confirmation for two same-schema frames whose
-    * probabilistic signatures just matched — the "certainty at the
-    * match" step ([[graft.dedup.Dedup.duplicateClusters]]'s pattern)
-    * priced at ONE extra job, run once per loop, only on the
-    * terminating round: given equal row counts (the count half of the
-    * signature), `a \ b = ∅` under multiset semantics already implies
-    * the multisets are equal. */
+  /** Exact multiset-equality confirmation for two same-schema frames —
+    * the "certainty at the match" step
+    * ([[graft.dedup.Dedup.duplicateClusters]]'s pattern) run once per
+    * loop, only on the terminating round whose probabilistic
+    * signatures just matched. SELF-CONTAINED equality: one pass
+    * computing `count(a \ b) + count(b \ a)` under multiset
+    * semantics — `a.exceptAll(b).isEmpty` alone would answer true when
+    * `a` is a proper sub-multiset of `b`, silently relying on the
+    * caller having matched row counts first (true at today's call
+    * sites, a trap for tomorrow's). Still one extra job: the two
+    * exceptAlls union into a single action. */
   def sameExact(a: DataFrame, b: DataFrame): Boolean =
-    a.exceptAll(b).isEmpty
+    a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty
 }

@@ -72,6 +72,54 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(writes === 2)
   }
 
+  test("a changed tag deletes the family's now-stale sibling dir") {
+    val fam = freshTag() // no ':' — the whole tag is the family name
+    var dirs = List.empty[String]
+    def stage(fp: String): String =
+      ArtifactStore.resolve(s"$fam:$fp", "s")(_ => false) { p =>
+        dirs ::= p
+        new java.io.File(p).mkdirs()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p).resolve("payload"), fp)
+      }
+    val d1 = stage("fp1")
+    assert(new java.io.File(d1, "payload").isFile)
+    val d2 = stage("fp2") // regenerated fixture → new fingerprint
+    assert(d2 !== d1)
+    assert(!new java.io.File(d1).exists(), // stale sibling swept
+      s"stale stage dir $d1 should have been deleted")
+    // a DIFFERENT family (and a different scope) is never touched
+    val other = ArtifactStore.resolve(freshTag(), "s")(_ => false) { p =>
+      new java.io.File(p).mkdirs(): Unit
+    }
+    stage("fp3")
+    assert(new java.io.File(other).isDirectory)
+  }
+
+  test("fingerprint refuses a missing fixture path") {
+    val missing = "/nonexistent/graft-fp-" + java.util.UUID.randomUUID()
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.fingerprint(missing)
+    }
+    assert(e.getMessage.contains(missing))
+  }
+
+  test("fingerprint sees per-entry layout, not just aggregate totals") {
+    // same TOTAL bytes, same max mtime — bytes merely moved between
+    // part files; the per-entry fold must still notice
+    val dir = java.nio.file.Files.createTempDirectory("artifact-fp-layout")
+    val p0 = dir.resolve("part-0"); val p1 = dir.resolve("part-1")
+    java.nio.file.Files.writeString(p0, "ab")
+    java.nio.file.Files.writeString(p1, "c")
+    val t = 1700000000000L
+    p0.toFile.setLastModified(t); p1.toFile.setLastModified(t)
+    val before = ArtifactStore.fingerprint(dir.toString)
+    java.nio.file.Files.writeString(p0, "a")
+    java.nio.file.Files.writeString(p1, "bc")
+    p0.toFile.setLastModified(t); p1.toFile.setLastModified(t)
+    assert(ArtifactStore.fingerprint(dir.toString) !== before)
+  }
+
   test("fingerprint changes when fixture bytes or mtime change") {
     val dir = java.nio.file.Files.createTempDirectory("artifact-fp")
     val f = dir.resolve("orders.parquet")

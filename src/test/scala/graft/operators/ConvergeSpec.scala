@@ -64,4 +64,14 @@ class ConvergeSpec extends SparkSpec {
     assert(Converge.sameExact(a, b))
     assert(!Converge.sameExact(a, c))
   }
+
+  test("sameExact is self-contained: a proper sub-multiset is NOT equal") {
+    import spark.implicits._
+    val a = Seq((1L, 2L)).toDF("x", "y").localCheckpoint()
+    val b = Seq((1L, 2L), (1L, 2L), (3L, 4L)).toDF("x", "y").localCheckpoint()
+    // a \ b = 0 rows — the one-directional form answered true here,
+    // silently relying on the caller having matched counts first
+    assert(!Converge.sameExact(a, b))
+    assert(!Converge.sameExact(b, a))
+  }
 }
