@@ -153,7 +153,7 @@ object Bench {
       // r9 additions that iterate with localCheckpoint blocks: LPA
       // rounds, BT MM rounds, BPE merge rounds, image CC clusters
       "q_communities", "q_btl_rank", "q_bpe_train", "q_bpe_encode",
-      "q_wordpiece_train", "q_wordpiece_encode",
+      "q_wordpiece_train", "q_wordpiece_encode", "q_wordpiece_infer",
       "q_image_clusters", "q_ppr", "q_walks", "q_walk_cooc",
       // r9 session 4: h-index coreness + power-iteration rounds
       // localCheckpoint too

@@ -3748,13 +3748,38 @@ object SparkEntry {
     }),
 
     "q_wordpiece_encode" -> ((s, dir) => {
-      // encode path under the learned WordPiece model: Bpe.encodeStats
-      // works unchanged over the ##-marked merged type table (one
-      // join, segmentation per word TYPE)
+      // merge-REPLAY encode path under the learned WordPiece model:
+      // Bpe.encodeStats works unchanged over the ##-marked merged type
+      // table (one join, segmentation per word TYPE). NOTE: replay
+      // reproduces training's own segmentation states; canonical
+      // BERT-family inference is maximal munch — q_wordpiece_infer —
+      // and the two can genuinely disagree (WordPieceSpec's
+      // divergence case). Kept as the training-side witness.
       val docs = t(s, dir, "documents")
       val model = graft.functions.WordPiece.train(
         graft.functions.WordPiece.wordTypes(docs, "text"), numMerges = 4)
       graft.functions.Bpe.encodeStats(docs, "doc_id", "text", model.types)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_wordpiece_infer" -> ((s, dir) => {
+      // canonical WordPiece INFERENCE (functions/WordPiece
+      // .maximalMunch): greedy longest-match segmentation of word
+      // TYPES against the FINAL vocabulary (frequency-truncated
+      // alphabet + the 4 learned merges — minCount 890 drops the
+      // fixture's rarest position-split chars so the [UNK] contract is
+      // actually exercised at the gate SF), folded back over per-doc
+      // occurrences with the n_unk_words exposure a curation pipeline
+      // filters on. The oracle replays the munch as a precomputed
+      // longest-match-length table + one recursive cursor chase.
+      val docs = t(s, dir, "documents")
+      val types0 = graft.functions.WordPiece.wordTypes(docs, "text")
+      val model = graft.functions.WordPiece.train(types0, numMerges = 4)
+      val vocab = graft.functions.WordPiece.vocab(types0, model,
+        minCount = 890L)
+      val munched = graft.functions.WordPiece.maximalMunch(types0, vocab)
+      graft.functions.WordPiece.inferStats(docs, "doc_id", "text", munched)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
@@ -7151,6 +7176,65 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
          |  coalesce(n_subwords, 0) AS n_subwords,
          |  coalesce(n_distinct_sub, 0) AS n_distinct_sub
+         |FROM documents d LEFT JOIN nw ON d.doc_id = nw.doc_id
+         |LEFT JOIN ag ON d.doc_id = ag.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors WordPiece.maximalMunch + inferStats: vocab = frequency-
+    // truncated alphabet (minCount 890) + the 4 merged symbols; mm =
+    // longest vocab match length per (word, position); the munch is a
+    // recursive cursor chase over mm (final cursor = len+1 ⇔ fully
+    // segmented, anything less ⇔ the whole word is [UNK])
+    "q_wordpiece_infer" ->
+      s"""WITH RECURSIVE ${Duck.wpChain(4)},
+         |asym AS (SELECT sym, CAST(sum(n) AS BIGINT) AS c FROM (
+         |    SELECT n, unnest(s) AS sym FROM w0) GROUP BY sym),
+         |vocab AS MATERIALIZED (
+         |  SELECT sym AS piece FROM asym WHERE c >= 890
+         |  UNION SELECT a || b[3:] FROM m1
+         |  UNION SELECT a || b[3:] FROM m2
+         |  UNION SELECT a || b[3:] FROM m3
+         |  UNION SELECT a || b[3:] FROM m4),
+         |pos AS (SELECT word, unnest(generate_series(1, len(word))) AS i
+         |  FROM w0),
+         |mm AS MATERIALIZED (SELECT p.word, p.i,
+         |    max(CASE WHEN p.i = 1 THEN len(v.piece)
+         |             ELSE len(v.piece) - 2 END) AS l
+         |  FROM pos p JOIN vocab v ON
+         |    CASE WHEN p.i = 1 THEN v.piece NOT LIKE '##%'
+         |           AND substr(p.word, p.i, len(v.piece)) = v.piece
+         |         ELSE v.piece LIKE '##%' AND len(v.piece) > 2
+         |           AND substr(p.word, p.i, len(v.piece) - 2) = v.piece[3:]
+         |    END
+         |  GROUP BY p.word, p.i),
+         |r AS (SELECT word, 1 AS i FROM w0
+         |  UNION ALL
+         |  SELECT r.word, r.i + mm.l FROM r
+         |  JOIN mm ON mm.word = r.word AND mm.i = r.i),
+         |fin AS (SELECT word, max(i) AS fi FROM r GROUP BY word),
+         |segt AS (SELECT r.word, r.i, mm.l FROM r
+         |  JOIN mm ON mm.word = r.word AND mm.i = r.i),
+         |toks AS (SELECT word, list(CASE WHEN i = 1 THEN substr(word, i, l)
+         |    ELSE '##' || substr(word, i, l) END ORDER BY i) AS s
+         |  FROM segt GROUP BY word),
+         |wseg AS (SELECT f.word,
+         |    CASE WHEN f.fi <= len(f.word) THEN ['[UNK]'] ELSE t.s END AS s,
+         |    f.fi <= len(f.word) AS is_unk
+         |  FROM fin f LEFT JOIN toks t ON t.word = f.word),
+         |tokd AS (SELECT doc_id, unnest(w) AS word FROM w),
+         |sub AS (SELECT doc_id, unnest(ws.s) AS sub FROM tokd
+         |        JOIN wseg ws ON tokd.word = ws.word),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_subwords,
+         |    CAST(count(DISTINCT sub) AS BIGINT) AS n_distinct_sub
+         |  FROM sub GROUP BY doc_id),
+         |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(CASE WHEN ws.is_unk THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_unk_words
+         |  FROM tokd JOIN wseg ws ON tokd.word = ws.word GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+         |  coalesce(n_subwords, 0) AS n_subwords,
+         |  coalesce(n_distinct_sub, 0) AS n_distinct_sub,
+         |  coalesce(n_unk_words, 0) AS n_unk_words
          |FROM documents d LEFT JOIN nw ON d.doc_id = nw.doc_id
          |LEFT JOIN ag ON d.doc_id = ag.doc_id
          |ORDER BY d.doc_id""".stripMargin,

@@ -116,4 +116,129 @@ object WordPiece {
       .select(col("merge_rank").cast("long").as("merge_rank"),
         col("lhs"), col("rhs"), col("pair_count"), col("score_pico"))
   }
+
+  /** Merge-REPLAY segmentation: apply a saved merge list in training
+    * order to a `##`-marked word-type table ([[wordTypes]]' shape) —
+    * the encode path that reproduces training's own segmentation
+    * states. NOTE this is not what BERT-family consumers run at
+    * inference time (that is [[maximalMunch]]); replay and maximal
+    * munch can genuinely disagree — see WordPieceSpec's divergence
+    * case — because a replayed merge consumes symbols that a longer
+    * later-learned vocab entry would have claimed under longest-match.
+    */
+  def applyMerges(types: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(types) { case (cur, (a, b)) =>
+      cur.select(col("word"), col("n"),
+        foldMergeTo(col("s"), a, b, a + b.stripPrefix("##")).as("s"))
+    }
+
+  /** The trained model's FINAL VOCABULARY: the initial alphabet (every
+    * position-1 char and `##`-continuation present in the corpus word
+    * types, occurrence-weighted count ≥ `minCount` — real WordPiece
+    * vocabularies are frequency-truncated, which is what makes the
+    * `[UNK]` path reachable at inference) plus one merged symbol per
+    * learned merge — the artifact a WordPiece consumer actually ships.
+    * Vocabulary-sized control-plane data (the watermark-read
+    * contract), same as the merge table the driver already holds. */
+  def vocab(types0: DataFrame, model: WordPieceModel,
+            minCount: Long = 1L): Seq[String] = {
+    val alphabet = types0
+      .select(explode(col("s")).as("sym"), col("n"))
+      .groupBy(col("sym")).agg(sum(col("n")).as("c"))
+      .where(col("c") >= minCount)
+      .collect().map(_.getString(0))
+    (alphabet ++ model.merges.map { case (_, a, b, _, _) =>
+      a + b.stripPrefix("##")
+    }).distinct.sorted
+  }
+
+  /** Canonical WordPiece INFERENCE: greedy longest-match (maximal
+    * munch) segmentation of word TYPES against the final vocabulary —
+    * what BERT-family tokenizers run at inference time. At each
+    * position take the LONGEST vocab piece matching (position-1 pieces
+    * bare, later positions `##`-prefixed) and advance by its length; a
+    * position with no match makes the WHOLE word `unk` (the `[UNK]`
+    * contract — canonical WordPiece does not emit partial
+    * segmentations).
+    *
+    * Scale shape: one narrow projection over the word-type table —
+    * the vocab is bounded (alphabet + one entry per merge, the same
+    * driver-held control-plane data as the merge table) and inlined as
+    * a constant-folded array literal, the per-position longest-match
+    * lengths come from one `transform`, and the munch itself is one
+    * `aggregate` fold. No UDF, no shuffle, no per-token work (types,
+    * not occurrences); stays inside WholeStageCodegen.
+    *
+    * @return (word, n, s, is_unk) with `s` the munched piece array
+    *         (`[unk]` when is_unk)
+    */
+  def maximalMunch(types: DataFrame, vocabPieces: Seq[String],
+                   unk: String = "[UNK]"): DataFrame = {
+    require(vocabPieces.nonEmpty, "vocab must be non-empty")
+    def lit1(s: String) = "'" + s.replace("'", "''") + "'"
+    val maxLen = vocabPieces.map(_.stripPrefix("##").length).max
+    val vlit = vocabPieces.map(lit1).mkString("array(", ",", ")")
+    // longest vocab match length at each 1-based position (0 = none):
+    // try lengths longest-first; candidate at position 1 is the bare
+    // prefix, later positions carry the ## continuation marker
+    val arms = (maxLen to 1 by -1).map { l =>
+      s"WHEN i + ${l - 1} <= length(word) AND array_contains($vlit, " +
+        s"CASE WHEN i = 1 THEN substring(word, i, $l) " +
+        s"ELSE '##' || substring(word, i, $l) END) THEN $l"
+    }.mkString(" ")
+    val withLens = types.withColumn("mm_len", expr(
+      s"transform(sequence(1, length(word)), i -> CASE $arms ELSE 0 END)"))
+    // the munch: positions before the cursor are skipped; a zero
+    // match length poisons the word to [unk]; otherwise emit the
+    // matched piece and advance the cursor by its length
+    val piece =
+      "CASE WHEN i = 1 THEN substring(word, i, element_at(mm_len, i)) " +
+        "ELSE '##' || substring(word, i, element_at(mm_len, i)) END"
+    withLens.withColumn("mm", expr(
+      s"""aggregate(
+         |  sequence(1, length(word)),
+         |  named_struct('nxt', 1, 'toks', cast(array() as array<string>),
+         |               'unk', false),
+         |  (acc, i) -> CASE
+         |    WHEN acc.unk OR i < acc.nxt THEN acc
+         |    WHEN element_at(mm_len, i) = 0 THEN named_struct(
+         |      'nxt', length(word) + 1,
+         |      'toks', array(${lit1(unk)}), 'unk', true)
+         |    ELSE named_struct(
+         |      'nxt', i + element_at(mm_len, i),
+         |      'toks', concat(acc.toks, array($piece)), 'unk', false)
+         |    END)""".stripMargin))
+      .select(col("word"), col("n"),
+        col("mm.toks").as("s"), col("mm.unk").as("is_unk"))
+  }
+
+  /** Per-document subword statistics under [[maximalMunch]]
+    * segmentation — [[Bpe.encodeStats]]' one-join shape (segmentation
+    * per word TYPE, folded back over occurrences) plus the `[UNK]`
+    * exposure a curation pipeline filters on: n_unk_words counts word
+    * OCCURRENCES the vocab cannot segment. */
+  def inferStats(docs: DataFrame, idCol: String, textCol: String,
+                 munched: DataFrame): DataFrame = {
+    val tok = graft.operators.Spread.ensure(
+      docs.select(col(idCol).as("id"),
+        TextFunctions.words(col(textCol)).as("w")))
+      .select(col("id"), explode_outer(col("w")).as("word"))
+      .where(col("word").isNotNull) // see Bpe.wordTypes: lint-clean explode
+    val typed = tok.join(
+      munched.select(col("word"), col("s"), col("is_unk")), Seq("word"))
+    val sub = typed.select(col("id"), explode(col("s")).as("sub"))
+    val agg = sub.groupBy(col("id")).agg(
+      count(lit(1)).as("n_subwords"),
+      countDistinct(col("sub")).as("n_distinct_sub"))
+    val nw = typed.groupBy(col("id")).agg(
+      count(lit(1)).as("n_words"),
+      sum(when(col("is_unk"), 1L).otherwise(0L)).as("n_unk_words"))
+    docs.select(col(idCol).as("id"))
+      .join(nw, Seq("id"), "left").join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        coalesce(col("n_distinct_sub"), lit(0L)).as("n_distinct_sub"),
+        coalesce(col("n_unk_words"), lit(0L)).as("n_unk_words"))
+  }
 }

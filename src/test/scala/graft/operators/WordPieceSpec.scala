@@ -101,6 +101,99 @@ class WordPieceSpec extends SparkSpec {
     assert((bpe._2, bpe._3) === (("a", "b")))
   }
 
+  /** Serial maximal munch: longest vocab prefix at each position
+    * (##-prefixed past position 1), whole word → [UNK] on any miss. */
+  private def serialMunch(word: String, vocab: Set[String]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val pre = if (i == 0) "" else "##"
+      val l = (word.length - i to 1 by -1)
+        .find(l => vocab.contains(pre + word.substring(i, i + l)))
+        .getOrElse(0)
+      if (l == 0) return Seq("[UNK]")
+      out += pre + word.substring(i, i + l)
+      i += l
+    }
+    out.toSeq
+  }
+
+  test("maximal munch and merge replay genuinely disagree") {
+    // merges in training order: (a,##b)→ab, (##c,##d)→##cd,
+    // (ab,##c)→abc. Replaying them on "abcd" consumes ##c into ##cd
+    // at round 2, so round 3's (ab,##c) never fires → [ab, ##cd].
+    // Maximal munch against the FINAL vocab takes the longest prefix
+    // first → [abc, ##d]. Real BERT consumers run the latter.
+    val merges = Seq(("a", "##b"), ("##c", "##d"), ("ab", "##c"))
+    val vocab = Seq("a", "##b", "##c", "##d", "ab", "##cd", "abc")
+    val types = Seq(("abcd", 1L, Seq("a", "##b", "##c", "##d")))
+      .toDF("word", "n", "s")
+    val replayed = WordPiece.applyMerges(types, merges)
+      .select("s").as[Seq[String]].collect().head
+    val munched = WordPiece.maximalMunch(types, vocab)
+      .select("s").as[Seq[String]].collect().head
+    assert(replayed === Seq("ab", "##cd"))
+    assert(munched === Seq("abc", "##d"))
+    assert(munched === serialMunch("abcd", vocab.toSet))
+    assert(replayed !== munched)
+  }
+
+  test("maximal munch matches the serial reference on random words") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcd"
+    for (trial <- 1 to 3) {
+      val words = Seq.fill(30)(
+        Seq.fill(1 + rnd.nextInt(8))(alphabet(rnd.nextInt(4))).mkString)
+        .distinct
+      // random vocab: a truncated alphabet (c dropped as a root, ##d
+      // dropped as a continuation) + random longer pieces, so both
+      // the UNK path and multi-char matches are exercised
+      val vocab = (Seq("a", "b", "d", "##a", "##b", "##c") ++
+        Seq.fill(12) {
+          val l = 2 + rnd.nextInt(3)
+          val p = Seq.fill(l)(alphabet(rnd.nextInt(4))).mkString
+          if (rnd.nextBoolean()) p else "##" + p
+        }).distinct
+      val types = words.map(w => (w, 1L)).toDF("word", "n")
+      val got = WordPiece.maximalMunch(types, vocab)
+        .select("word", "s", "is_unk")
+        .as[(String, Seq[String], Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      words.foreach { w =>
+        val want = serialMunch(w, vocab.toSet)
+        assert(got(w)._1 === want, s"trial $trial word $w vocab $vocab")
+        assert(got(w)._2 === (want == Seq("[UNK]")), s"unk flag for $w")
+      }
+    }
+  }
+
+  test("frequency-truncated vocab yields [UNK] and inferStats counts it") {
+    val docs = Seq((1L, "aa qz qz"), (2L, "qz qz"), (3L, ""))
+      .toDF("doc_id", "text")
+    val types0 = WordPiece.wordTypes(docs, "text")
+    val model = WordPiece.train(types0, 1)
+    // likelihood prefers the RARE pair: (a,##a) cnt 1 scores 10¹²/1
+    // over (q,##z) cnt 4 at 4·10¹²/16, so the single merge is "aa";
+    // minCount 5 then drops every raw symbol (a/##a count 1, q/##z
+    // count 4), leaving vocab = {the merged "aa"} — "qz" cannot be
+    // segmented while "aa" still can, via the merge
+    val vocab = WordPiece.vocab(types0, model, minCount = 5L)
+    assert(vocab === Seq("aa"))
+    val munched = WordPiece.maximalMunch(types0, vocab)
+    val got = munched.select("word", "s", "is_unk")
+      .as[(String, Seq[String], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("qz") === ((Seq("[UNK]"), true)))
+    assert(got("aa") === ((Seq("aa"), false)))
+    val stats = WordPiece.inferStats(docs, "doc_id", "text", munched)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // doc 1: 3 words, 2 unk occurrences; doc 2: 2 words, 2 unk; doc 3
+    // empty text → all-zero row (the left-join contract)
+    assert(stats.map(r => (r._1, r._2, r._5)) ===
+      Seq((1L, 3L, 2L), (2L, 2L, 2L), (3L, 0L, 0L)))
+  }
+
   test("## algebra: merged continuation symbols keep the prefix") {
     // single word "aaa" -> [a, ##a, ##a]; pair counts: (a,##a)=1,
     // (##a,##a)=1; symbol counts a=1, ##a=2 -> score(a,##a)=1e12/2,
