@@ -3026,6 +3026,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_stream_dedup_ttl" -> ((s, dir) => {
+      // third state-bound dedup shape (streaming/EventStream
+      // .dedupTtlAvailableNow): transformWithState ValueState + TTL —
+      // state tracks the PROCESSING-time redelivery window, the bound
+      // that works when the key space is unbounded and event time is
+      // absent or untrustworthy (where q_stream_dedup_wm's watermark
+      // can't help). Single AvailableNow batch holds both deliveries
+      // inside the TTL ⇒ exactly-once output, the batch-dedup oracle.
+      // (Continuous trigger + processAllAvailable, NOT AvailableNow —
+      // a processing-time TTL horizon makes AvailableNow spin empty
+      // batches until the TTL expires; see dedupTtlProcessAll.)
+      graft.streaming.EventStream.dedupTtlProcessAll(s, dir)
+        .orderBy(col("event_id"))
+    }),
+
     "q_session_native" -> ((s, dir) => {
       // built-in session_window over the event stream; end = last+gap
       graft.streaming.EventStream
@@ -6534,6 +6549,12 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "q_stream_dedup_wm" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    // both deliveries land in one AvailableNow batch, well inside the
+    // TTL ⇒ exactly-once per event_id, same batch-dedup oracle
+    "q_stream_dedup_ttl" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
 

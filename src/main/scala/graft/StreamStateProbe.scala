@@ -41,7 +41,22 @@ object StreamStateProbe {
         f"[state-probe] $label%-18s out=$out%d state=$state%d ($secs%.1f s)")
       s""""$label":{"output_rows":$out,"state_rows":$state,"secs":${f"$secs%.3f"}}"""
     }
-    println(s"""{"sf":"$sfDir",${results.mkString(",")}}""")
+    // the TTL'd shape (q_stream_dedup_ttl): processing-time bound —
+    // a TTL shorter than the inter-batch gap evicts batch-1 keys
+    // before batch 2 commits, so final state tracks the newest
+    // batch's keys even under an unbounded key space
+    val ttlResults = Seq(
+      ("ttl_1ms", java.time.Duration.ofMillis(1)),
+      ("ttl_1h", java.time.Duration.ofHours(1))).map { case (label, ttl) =>
+      val t0 = System.nanoTime()
+      val (out, state) = streaming.EventStream.dedupTtlStateProbe(
+        spark, sfDir, ttl, queryName = s"probe_$label")
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[state-probe] $label%-18s out=$out%d state=$state%d ($secs%.1f s)")
+      s""""$label":{"output_rows":$out,"state_rows":$state,"secs":${f"$secs%.3f"}}"""
+    }
+    println(s"""{"sf":"$sfDir",${(results ++ ttlResults).mkString(",")}}""")
     spark.stop()
   }
 }

@@ -59,7 +59,7 @@ object ArtifactStore {
     d.getAbsolutePath
   }
 
-  private def deleteTree(f: java.io.File): Unit = {
+  private[graft] def deleteTree(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteTree)
     f.delete(): Unit

@@ -163,6 +163,89 @@ object Sssp {
     out
   }
 
+  /** Incremental WEIGHTED shortest-path maintenance —
+    * [[bfsDistancesIncremental]]'s weighted twin, same saved-index
+    * idiom: given a SAVED distance table from a CONVERGED
+    * [[weightedDistances]] run and a batch of NEW edges, repair only
+    * the region the batch improves instead of re-relaxing the whole
+    * graph.
+    *
+    * Correctness rests on NONNEGATIVE weights: edge inserts then only
+    * ever SHRINK shortest-path distances, so the converged saved table
+    * is a valid over-approximation of the union graph's distances.
+    * Seed the repair with the new edges' direct improvements
+    * (`dist(u) + w < dist(v)`, or v unreached), then propagate
+    * improvements over the UNION graph — per round one equi-join of
+    * the improved frontier against the edges + a min partial-agg, so
+    * per-batch cost tracks the improvement region, never the corpus.
+    * At the empty-frontier fixpoint the table IS the converged
+    * full-graph result (min-relaxation is confluent: improvements
+    * commute, and any still-improvable node would still be on the
+    * frontier) — the equivalence the oracle and spec gate.
+    *
+    * A saved table that is NOT converged (e.g. a round-capped
+    * [[weightedDistances]] run that stopped before its fixpoint)
+    * breaks the over-approximation contract the same way a stale
+    * artifact would — the caller owns convergence, which
+    * [[weightedDistances]]' signature-confirmed early stop provides
+    * whenever `maxRounds` clears the graph's relaxation depth.
+    *
+    * @param maxRounds runaway guard on REPAIR rounds (the improvement
+    *                  region's relaxation depth, not the hop cap);
+    *                  breaching it throws rather than truncating
+    */
+  def weightedDistancesIncremental(edges: DataFrame, newEdges: DataFrame,
+                                   srcCol: String, dstCol: String,
+                                   weightCol: String,
+                                   savedDist: DataFrame,
+                                   maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    def shaped(df: DataFrame) =
+      df.select(col(srcCol).as("node"), col(dstCol).as("nxt"),
+        col(weightCol).cast("long").as("w"))
+    val e = shaped(edges).unionByName(shaped(newEdges)).persist()
+    e.count()
+    var (dist, _) = graft.operators.Converge.checkpointWithSig(
+      savedDist.select(col("node_id").as("node"), col("dist")), "node, dist")
+    // repair seeds: improvements the new edges create directly
+    val seed0 = shaped(newEdges)
+      .join(dist, Seq("node"))
+      .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      .join(dist.select(col("node"), col("dist").as("old")),
+        Seq("node"), "left")
+      .where(col("old").isNull || col("dist") < col("old"))
+      .select(col("node"), col("dist"))
+    var (frontier, (nFrontier, _)) =
+      graft.operators.Converge.checkpointWithSig(seed0, "node, dist")
+    var guard = 0
+    while (nFrontier > 0) {
+      guard += 1
+      require(guard <= maxRounds,
+        s"incremental weighted repair exceeded $maxRounds rounds")
+      // fold the frontier's improvements into the table, then relax
+      // one step outward from the improved region only
+      dist = dist.unionByName(frontier)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      val cand = frontier.join(e, "node")
+        .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val improved = cand
+        .join(dist.select(col("node"), col("dist").as("old")),
+          Seq("node"), "left")
+        .where(col("old").isNull || col("dist") < col("old"))
+        .select(col("node"), col("dist"))
+      val (next, (n, _)) =
+        graft.operators.Converge.checkpointWithSig(improved, "node, dist")
+      frontier = next
+      nFrontier = n
+    }
+    val out = dist.select(col("node").as("node_id"), col("dist"))
+    e.unpersist()
+    out
+  }
+
   /** Integer-WEIGHTED shortest paths (distributed Bellman-Ford),
     * bounded rounds: after round k the distance table holds the exact
     * min-cost walk using ≤ k edges from the nearest source — so a

@@ -33,6 +33,33 @@ class StreamStateProbeSpec extends SparkSpec {
       s"expected watermark eviction to bound state, got $stateW of $stateU")
   }
 
+  test("TTL dedup: exactly-once output, eviction bounds state") {
+    // the probe stages an UNBOUNDED-key-space replay: 8 key-disjoint
+    // chunks, each holding its keys' both deliveries, one chunk per
+    // micro-batch — so output is exactly-once for any TTL longer than
+    // one batch, and final state shows the bound. Generous TTL:
+    // nothing expires, state accumulates the full key history.
+    val (outL, stateL) = EventStream.dedupTtlStateProbe(spark, sf,
+      java.time.Duration.ofHours(1), queryName = "probe_spec_ttl_long")
+    assert(outL === distinctIds)
+    assert(stateL === distinctIds)
+    // 1 ms TTL: each batch's keys expire before the next commits —
+    // final state tracks the newest batch (~1/8 of the key space),
+    // not the key history
+    val (outS, stateS) = EventStream.dedupTtlStateProbe(spark, sf,
+      java.time.Duration.ofMillis(1), queryName = "probe_spec_ttl_short")
+    assert(outS === distinctIds)
+    assert(stateS < distinctIds / 4,
+      s"expected TTL eviction to bound state, got $stateS of $distinctIds")
+  }
+
+  test("TTL dedup single-batch gate shape is exactly-once") {
+    val out = EventStream.dedupTtlProcessAll(spark, sf,
+      queryName = "ttl_gate_spec")
+    assert(out.count() === distinctIds)
+    assert(out.select("event_id").distinct().count() === distinctIds)
+  }
+
   test("RocksDB provider reproduces the in-memory counts exactly") {
     val (outR, stateR) = EventStream.dedupStateProbe(spark, sf,
       withinWatermark = true, rocksdb = true, queryName = "probe_spec_r")
