@@ -3032,11 +3032,11 @@ object SparkEntry {
       // state tracks the PROCESSING-time redelivery window, the bound
       // that works when the key space is unbounded and event time is
       // absent or untrustworthy (where q_stream_dedup_wm's watermark
-      // can't help). Single AvailableNow batch holds both deliveries
-      // inside the TTL ⇒ exactly-once output, the batch-dedup oracle.
-      // (Continuous trigger + processAllAvailable, NOT AvailableNow —
-      // a processing-time TTL horizon makes AvailableNow spin empty
-      // batches until the TTL expires; see dedupTtlProcessAll.)
+      // can't help). One micro-batch holds both deliveries inside the
+      // TTL ⇒ exactly-once output, the batch-dedup oracle. The drain
+      // is bounded by the staged row count (drainStagedRows): neither
+      // AvailableNow nor processAllAvailable terminates for TTL'd
+      // transformWithState — see dedupTtlProcessAll's scaladoc.
       graft.streaming.EventStream.dedupTtlProcessAll(s, dir)
         .orderBy(col("event_id"))
     }),
