@@ -109,10 +109,15 @@ object Bench {
       // toRdd.count() executes the FULL physical plan (projections,
       // sorts and all) — df.count() would let Catalyst prune every
       // unused projection and fake the timing of select-only queries
+      // QueryGuard: a hung query times out into the normal error path
+      // (-1 + errors entry) instead of wedging the whole bench run
+      // (round 13: BENCH_r13.json was rc=124 with no JSON line at all)
       val df = try {
-        val d = fn(spark, sfDir)
-        d.queryExecution.toRdd.count()
-        Some(d)
+        QueryGuard.run(spark, name) {
+          val d = fn(spark, sfDir)
+          d.queryExecution.toRdd.count()
+          Some(d)
+        }
       } catch {
         case e: Throwable =>
           lastError(name) = Option(e.getMessage).getOrElse(e.getClass.getName)

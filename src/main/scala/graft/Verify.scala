@@ -21,8 +21,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // QueryGuard: one hung query must cost ONE missing dump, never
+      // the whole round's correctness record (round 13: an unbounded
+      // streaming drain left CORRECTNESS_r13.json literally empty)
+      try QueryGuard.run(spark, name) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
