@@ -173,7 +173,9 @@ object Bench {
       "q_scc_condense", "q_coreset",
       // r11: BFS frontier rounds checkpoint per hop; weighted
       // Bellman-Ford rounds and the seed-coverage audit likewise
-      "q_sssp", "q_sssp_weighted", "q_sssp_incr", "q_seed_expansion")
+      "q_sssp", "q_sssp_weighted", "q_sssp_incr", "q_seed_expansion",
+      // r14: the weighted incremental checkpoints per repair round
+      "q_sssp_weighted_incr")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

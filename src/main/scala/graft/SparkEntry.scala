@@ -113,6 +113,60 @@ object SparkEntry {
       s"sssp_saved_n0_h4_mod4_v1:$fp", dir)(write)
   }
 
+  /** Weighted symmetrized customer↔supplier purchase edges from a
+    * pre-filtered orders frame — q_sssp_weighted's construction: edge
+    * cost = cheapest lineitem quantity on the link WITHIN the given
+    * orders subset. l_quantity is integral (1–50) so the double→long
+    * cast agrees across engines. Splitting orders and unioning the
+    * two subsets' edges yields parallel edges whose min-relaxation
+    * equals the full-subset min weight — what makes the incremental
+    * repair equivalence exact. */
+  private def weightedPurchaseEdgesFrom(s: SparkSession, dir: String,
+                                        orders: DataFrame): DataFrame = {
+    val ls = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+    val pairs = orders
+      .join(ls, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .agg(min(col("l_quantity")).cast("long").as("w"))
+    pairs.select(explode(array(
+        struct(col("a"), col("b"), col("w")),
+        struct(col("b").as("a"), col("a").as("b"), col("w")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
+  }
+
+  /** The q_sssp_weighted_incr fixture's SAVED distance table: a
+    * CONVERGED weightedDistances run (signature-confirmed fixpoint —
+    * maxRounds 32 clears the gate graphs' relaxation depth of 4 with
+    * an 8× margin) from the nation-0 seeds over the ¾ weighted
+    * purchase graph (o_orderkey % 4 != 0). Convergence is the
+    * incremental contract: a round-capped table would break the
+    * over-approximation invariant. Computed at most once per data
+    * dir with the source-data fingerprint folded into the tag (the
+    * ssspSavedDistances discipline), so the incremental query prices
+    * the REPAIR, never a second full relaxation. */
+  private def ssspWeightedSavedDistances(s: SparkSession,
+                                         dir: String): String = {
+    def write(out: String): Unit = {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .where(col("o_orderkey") % 4 =!= 0)
+      val sources = t(s, dir, "customer")
+        .where(col("c_nationkey") === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+      graft.graph.Sssp.weightedDistances(
+          weightedPurchaseEdgesFrom(s, dir, orders),
+          "a", "b", "w", sources, "seed", maxRounds = 32)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet",
+      s"$dir/customer.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"ssspw_saved_n0_conv_mod4_v1:$fp", dir)(write)
+  }
+
   /** Symmetrized customer↔supplier purchase edges from a
     * pre-filtered orders frame (the q_pagerank construction). */
   private def purchaseEdgesFrom(s: SparkSession, dir: String,
@@ -1175,23 +1229,39 @@ object SparkEntry {
       // walks from the nation-0 seed cohort; integer weights so the
       // round-unrolled oracle hash-matches the signature-converged
       // loop. l_quantity is integral (1-50) so the double→long cast
-      // agrees across engines.
-      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val ls = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
-      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
-        .agg(min(col("l_quantity")).cast("long").as("w"))
-      val edges = pairs.select(explode(array(
-          struct(col("a"), col("b"), col("w")),
-          struct(col("b").as("a"), col("a").as("b"), col("w")))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
+      // agrees across engines (weightedPurchaseEdgesFrom).
+      val edges = weightedPurchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       val sources = t(s, dir, "customer")
         .where(col("c_nationkey") === 0)
         .select(concat(lit("c"), col("c_custkey")).as("seed"))
       graft.graph.Sssp.weightedDistances(edges, "a", "b", "w",
           sources, "seed", maxRounds = 3)
+        .orderBy(col("node_id"))
+    }),
+
+    "q_sssp_weighted_incr" -> ((s, dir) => {
+      // incremental WEIGHTED shortest-path maintenance — q_sssp_incr's
+      // weighted twin: the SAVED CONVERGED distance table over ¾ of
+      // the weighted purchase graph (ssspWeightedSavedDistances),
+      // then the remaining quarter arrives as the batch and only the
+      // improved region re-relaxes to the fixpoint. Splitting orders
+      // gives each subset its own per-link min weight; the union's
+      // parallel edges min-relax to the full-graph weight, so the
+      // gate is EQUIVALENCE: the oracle is the full-graph CONVERGED
+      // Bellman-Ford unroll (depth 4 at the gate SFs, unrolled to 8 —
+      // past the fixpoint extra rounds are no-ops, so the margin is
+      // free) and the repair must land row-identical to recomputing
+      // from scratch over old ∪ new.
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val oldE = weightedPurchaseEdgesFrom(s, dir,
+        orders.where(col("o_orderkey") % 4 =!= 0))
+      val newE = weightedPurchaseEdgesFrom(s, dir,
+        orders.where(col("o_orderkey") % 4 === 0))
+      val saved = s.read.parquet(ssspWeightedSavedDistances(s, dir))
+      graft.graph.Sssp.weightedDistancesIncremental(oldE, newE,
+          "a", "b", "w", saved, maxRounds = 32)
         .orderBy(col("node_id"))
     }),
 
@@ -5270,6 +5340,12 @@ object SparkEntry {
     "q_sssp" -> Duck.ssspSql(hops = 4),
 
     "q_sssp_weighted" -> Duck.ssspWeightedSql(rounds = 3),
+
+    // EQUIVALENCE gate: the incremental repair must reproduce the
+    // full-graph CONVERGED result — unroll 8 ≥ the gate graphs'
+    // relaxation depth 4 (measured in DuckDB at sf0.001/sf0.01; past
+    // the fixpoint extra rounds are identity)
+    "q_sssp_weighted_incr" -> Duck.ssspWeightedSql(rounds = 8),
 
     // equivalence gate: the incremental repair must equal the full
     // 4-hop BFS over the WHOLE purchase graph

@@ -193,4 +193,58 @@ class SsspSpec extends SparkSpec {
     assert(runIncr(oldE, Seq((2L, 3L), (3L, 4L)), Seq(1L), 2) ===
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
+
+  /** Weighted incremental: saved table must be CONVERGED (the
+    * contract), so the fixture runs weightedDistances far past the
+    * relaxation depth and lets the signature stop it. */
+  private def runWIncr(oldE: Seq[(Long, Long, Long)],
+                       newE: Seq[(Long, Long, Long)],
+                       sources: Seq[Long]): Map[Long, Long] = {
+    import spark.implicits._
+    val saved = Sssp.weightedDistances(oldE.toDF("s", "d", "w"),
+      "s", "d", "w", sources.toDF("src"), "src", maxRounds = 64)
+    Sssp.weightedDistancesIncremental(oldE.toDF("s", "d", "w"),
+        newE.toDF("s", "d", "w"), "s", "d", "w", saved, maxRounds = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("weighted incremental repair equals converged recompute, randomized") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 5) {
+      val n = 25
+      val all = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+          1L + rnd.nextInt(9)))
+        .filter { case (a, b, _) => a != b }.distinct
+      val (oldE, newE) = all.partition(_ => rnd.nextBoolean())
+      val sources = Seq.fill(2)(rnd.nextInt(n).toLong).distinct
+      assert(runWIncr(oldE, newE, sources) ===
+        runW(all, sources, 64), s"trial $trial")
+    }
+  }
+
+  test("weighted batch: non-improving edge leaves the table unchanged") {
+    val oldE = Seq((1L, 2L, 2L), (2L, 3L, 2L))
+    // 1->3 at cost 9 never beats the existing 4
+    assert(runWIncr(oldE, Seq((1L, 3L, 9L)), Seq(1L)) ===
+      Map(1L -> 0L, 2L -> 2L, 3L -> 4L))
+  }
+
+  test("weighted batch: a cheap shortcut cascades improvements") {
+    // chain 1->2->3->4 at cost 5 each; new 1->3 at 1 improves 3 and 4
+    val oldE = Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 4L, 5L))
+    assert(runWIncr(oldE, Seq((1L, 3L, 1L)), Seq(1L)) ===
+      Map(1L -> 0L, 2L -> 5L, 3L -> 1L, 4L -> 6L))
+  }
+
+  test("weighted batch: unlocks nodes the saved run never reached") {
+    val oldE = Seq((1L, 2L, 3L), (8L, 9L, 2L)) // 8-9 island unreached
+    assert(runWIncr(oldE, Seq((2L, 8L, 4L)), Seq(1L)) ===
+      Map(1L -> 0L, 2L -> 3L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("weighted batch: parallel cheaper edge wins over the saved weight") {
+    val oldE = Seq((1L, 2L, 9L))
+    assert(runWIncr(oldE, Seq((1L, 2L, 4L)), Seq(1L)) ===
+      Map(1L -> 0L, 2L -> 4L))
+  }
 }
