@@ -1312,6 +1312,44 @@ object SparkEntry {
         .orderBy(col("dist"))
     }),
 
+    "q_centrality" -> ((s, dir) => {
+      // pivot-sampled closeness + harmonic centrality (Eppstein–Wang
+      // sampling; graph/Sssp.bfsDistancesPerSource): k = 16 pivots
+      // hash-picked deterministically — customers ordered by the
+      // Knuth multiplicative hash (custkey · 2654435761 mod 2³²,
+      // custkey tie-break), take k — so the oracle replays the
+      // selection verbatim AND k stays FIXED as the corpus grows.
+      // k is the accuracy/cost dial (error ~ 1/√k, work ~ k·O(E)):
+      // production wants 64–256; the gate pins 16 to keep the query
+      // in the heavy-band (~14 s at sf0.1; 64 measured 33 s — the
+      // tagged expansion IS k BFS sweeps, there is no shortcut). A
+      // modulo rule was measured first and rejected: it scales
+      // pivots with the table (405 pivots at sf0.1, 57 s). The sample
+      // rides ONE tagged multi-source BFS over the symmetrized
+      // purchase graph, then per-node exact-ppm integer reductions:
+      // harmonic = Σ floor(10⁶/d), closeness = n·10⁶ div Σd over
+      // the pivots reaching the node within the hop cap. All-integer
+      // so the unrolled oracle hash-matches; state is O(k·V), never
+      // all-pairs.
+      val edges = purchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+      val pivots = t(s, dir, "customer")
+        .select(col("c_custkey"))
+        .orderBy(expr("c_custkey * 2654435761L % 4294967296L"),
+          col("c_custkey"))
+        .limit(16)
+        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+      graft.graph.Sssp.bfsDistancesPerSource(edges, "a", "b",
+          pivots, "seed", maxHops = 4)
+        .where(col("dist") > 0)
+        .groupBy(col("node_id"))
+        .agg(count(lit(1)).as("n_pivots"),
+          sum(expr("1000000 div dist")).cast("long").as("harmonic_ppm"),
+          expr("count(1) * 1000000 div sum(dist)").cast("long")
+            .as("closeness_ppm"))
+        .orderBy(col("node_id"))
+    }),
+
     "q_scc" -> ((s, dir) => {
       // strongly connected components over the DIRECTED
       // part-succession graph: p1→p2 when p2's lineitem immediately
@@ -5347,6 +5385,8 @@ object SparkEntry {
     // the fixpoint extra rounds are identity)
     "q_sssp_weighted_incr" -> Duck.ssspWeightedSql(rounds = 8),
 
+    "q_centrality" -> Duck.centralitySql(hops = 4, k = 16),
+
     // equivalence gate: the incremental repair must equal the full
     // 4-hop BFS over the WHOLE purchase graph
     "q_sssp_incr" -> Duck.ssspSql(hops = 4),
@@ -8348,6 +8388,39 @@ object SparkEntry {
          |  CAST(sum(n_nodes) OVER (ORDER BY dist) * 1000000 // n_graph
          |       AS BIGINT) AS reach_ppm
          |FROM g CROSS JOIN tot ORDER BY dist""".stripMargin
+    }
+
+    /** Pivot-sampled centrality: per-source BFS unroll (state keyed
+      * by (src, node)), then the exact-ppm harmonic/closeness
+      * reductions over pivots reaching each node. Pivots = the k
+      * smallest customers under the Knuth multiplicative hash
+      * (deterministic, corpus-size-independent sample). */
+    def centralitySql(hops: Int, k: Int): String = {
+      val steps = (1 to hops).map { k =>
+        s"""v$k AS (SELECT src, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT src, node, dist FROM v${k - 1}
+           |    UNION ALL
+           |    SELECT v.src, e.dst AS node, v.dist + 1 AS dist
+           |    FROM e JOIN v${k - 1} v ON v.node = e.src
+           |  ) GROUP BY src, node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |p0 AS (SELECT c_custkey FROM customer
+         |  ORDER BY c_custkey * 2654435761 % 4294967296, c_custkey
+         |  LIMIT $k),
+         |v0 AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+         |    'c' || CAST(c_custkey AS VARCHAR) AS node,
+         |    CAST(0 AS BIGINT) AS dist
+         |  FROM p0),
+         |$steps
+         |SELECT node AS node_id, CAST(count(*) AS BIGINT) AS n_pivots,
+         |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm,
+         |  CAST(count(*) * 1000000 // sum(dist) AS BIGINT) AS closeness_ppm
+         |FROM v$hops WHERE dist > 0 GROUP BY node ORDER BY node_id""".stripMargin
     }
 
     /** Weighted twin: bounded Bellman-Ford unroll with the cheapest

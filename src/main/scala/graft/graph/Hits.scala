@@ -45,7 +45,10 @@ object Hits {
 
   /** @param edges directed (srcCol, dstCol)
     * @return (node_id, hub_ppm, auth_ppm) for every node appearing
-    *         as a src or dst, exact after `iters` rounds */
+    *         as a src or dst, exact after `iters` rounds; a
+    *         signature-confirmed unchanged hub table stops the loop
+    *         early with output identical to the full unroll (a round
+    *         is a pure function of the hub table) */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
@@ -71,7 +74,16 @@ object Hits {
 
     var hub = nodes.select(col("node"), lit(Scale).as("hub"))
     var auth: DataFrame = null
-    for (_ <- 0 until iters) {
+    // hub signature from the previous round: a full round is a pure
+    // function of the hub table (auth_k = f(hub_k-1), hub_k =
+    // g(auth_k)), so an unchanged hub (signature match on the hub
+    // half-step's OWN checkpoint job, confirmed exactly once at the
+    // match) fixes both tables — early stop equals the full unroll
+    var sig: (Long, Long) = null
+    var it = 0
+    var done = false
+    while (!done && it < iters) {
+      it += 1
       val rawAuth = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
         .withColumnRenamed("dst", "node")
@@ -82,10 +94,16 @@ object Hits {
       val rawHub = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
         .withColumnRenamed("src", "node")
-      hub = lInfNorm(
-        nodes.join(rawHub, Seq("node"), "left_outer")
-          .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub")),
-        "hub").localCheckpoint()
+      val (nextHub, nSig) = graft.operators.Converge.checkpointWithSig(
+        lInfNorm(
+          nodes.join(rawHub, Seq("node"), "left_outer")
+            .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub")),
+          "hub"),
+        "node, hub")
+      done = sig != null && nSig == sig &&
+        graft.operators.Converge.sameExact(nextHub, hub)
+      sig = nSig
+      hub = nextHub
     }
     nodes.join(hub, Seq("node")).join(auth, Seq("node"))
       .select(col("node").as("node_id"), col("hub").as("hub_ppm"),

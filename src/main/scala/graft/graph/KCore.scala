@@ -29,12 +29,14 @@ import org.apache.spark.sql.functions._
   * state is O(nodes), shuffle is O(edges) partitioned by node. A hub
   * node concentrates its neighbor rows in one partition (same skew
   * profile as any per-node neighborhood aggregate); the h-index
-  * itself is capped by degree, so values only shrink. Rounds are a
-  * fixed small constant: h-index convergence is fast in practice
-  * (diameter-bounded; a handful of rounds on social graphs), and a
-  * caller wanting certified convergence can compare successive
-  * rounds' outputs. Plan depth is bounded by localCheckpoint per
-  * round (same discipline as LabelProp/Dedup iteration).
+  * itself is capped by degree, so values only shrink. Rounds are
+  * capped at a small constant with a signature-confirmed early stop:
+  * a round is a pure function of the value table, so an unchanged
+  * table ends the loop with output identical to the full unroll
+  * (h-index convergence is fast in practice — diameter-bounded, a
+  * handful of rounds on social graphs). Plan depth is bounded by
+  * localCheckpoint per round (same discipline as LabelProp/Dedup
+  * iteration), with the signature riding the checkpoint's own job.
   */
 object KCore {
 
@@ -64,19 +66,33 @@ object KCore {
       .select(col("p.n").as("n"), col("p.m").as("m"))
       .persist()
     sym.count() // materialize once; every round joins against it
-    var vals = sym.groupBy(col("n")).agg(count(lit(1)).as("val"))
+    var (vals, sig) = graft.operators.Converge.checkpointWithSig(
+      sym.groupBy(col("n")).agg(count(lit(1)).as("val")), "n, val")
     val byNode = Window.partitionBy(col("n"))
       .orderBy(col("nv").desc, col("m"))
-    for (_ <- 1 to rounds) {
+    var round = 0
+    var done = false
+    while (!done && round < rounds) {
+      round += 1
       // h = max_i min(v_i, i) over neighbor values sorted descending;
       // the tie order among equal values cannot change the max, the
       // (m) tie-break just keeps the intermediate frame deterministic
-      vals = sym
+      val relaxed = sym
         .join(vals.select(col("n").as("m"), col("val").as("nv")), Seq("m"))
         .withColumn("rn", row_number().over(byNode).cast("long"))
         .groupBy(col("n"))
         .agg(max(least(col("nv"), col("rn"))).as("val"))
-        .localCheckpoint() // bound plan depth across rounds
+      // per-round checkpoint as before, with the convergence signature
+      // riding the SAME materializing job (Converge.observe); a round
+      // is a pure function of the value table, so an unchanged table
+      // (signature match, confirmed exactly once at the match) means
+      // every remaining round is identity — early stop EQUALS the
+      // full unroll, the weightedDistances discipline
+      val (next, nSig) =
+        graft.operators.Converge.checkpointWithSig(relaxed, "n, val")
+      done = nSig == sig && graft.operators.Converge.sameExact(next, vals)
+      sig = nSig
+      vals = next
     }
     val out = vals.select(col("n").as("node_id"), col("val").as("coreness"))
       .localCheckpoint()

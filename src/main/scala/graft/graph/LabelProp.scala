@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   * groupBy(node, label) vote counts (map-side combined), then a
   * groupBy(node) `min_by` argmax — both partial-agg friendly, no
   * window sort, no per-round pass over anything edge-sized beyond the
-  * one join. Iteration count is a small constant (LPA stabilizes in a
-  * handful of rounds); for large counts checkpoint every few rounds
-  * like `Dedup.duplicateClusters`.
+  * one join. The iteration cap is a small constant (LPA stabilizes in
+  * a handful of rounds) with a signature-confirmed early stop: a
+  * synchronous round is a pure function of the label table, so an
+  * unchanged table is a fixpoint and stopping equals the full unroll.
   *
   * `includeSelf = true` (default) is also the standard damping for
   * bipartite graphs, where pure synchronous LPA oscillates
@@ -57,7 +58,18 @@ object LabelProp {
       else e0).persist()
     e.count()
     var labels = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to iters) {
+    // label-table signature from the previous round: a synchronous
+    // round is a pure function of the label table, so an unchanged
+    // table (signature match riding the round's own checkpoint job,
+    // confirmed exactly once at the match) is a fixpoint — early stop
+    // equals the full unroll, which is what keeps the round-unrolled
+    // oracle exact. The per-round localCheckpoint also bounds plan
+    // depth for large caps (the duplicateClusters discipline).
+    var sig: (Long, Long) = null
+    var it = 0
+    var done = false
+    while (!done && it < iters) {
+      it += 1
       val votes = e
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("label"))
@@ -66,18 +78,23 @@ object LabelProp {
       // argmax (count desc, label asc) as a partial-agg-friendly
       // min_by over (-n, label) — the label component makes the
       // ordering key unique, so min_by's tie behavior never engages
-      val next = counts.groupBy(col("node"))
+      val voted = counts.groupBy(col("node"))
         .agg(min_by(col("label"), struct((-col("n")).as("neg_n"),
           col("label").as("l"))).as("label"))
       // a node can receive zero votes only with includeSelf=false and
       // no in-edges; it keeps its own id
-      labels =
-        if (includeSelf) next
-        else nodes.join(next, Seq("node"), "left")
+      val stepped =
+        if (includeSelf) voted
+        else nodes.join(voted, Seq("node"), "left")
           .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      val (next, nSig) =
+        graft.operators.Converge.checkpointWithSig(stepped, "node, label")
+      done = sig != null && nSig == sig &&
+        graft.operators.Converge.sameExact(next, labels)
+      sig = nSig
+      labels = next
     }
     val out = labels.select(col("node").as("node_id"), col("label"))
-      .localCheckpoint()
     e.unpersist()
     nodes.unpersist()
     out

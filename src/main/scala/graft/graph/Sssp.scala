@@ -70,6 +70,17 @@ object Sssp {
     // read-only scan list, not a growing lineage
     var dist = frontier
     var hop = 0
+    // One hop per checkpoint, DELIBERATELY: fusing two hops into one
+    // materializing job (the SCC color/mark trick) was tried in r14
+    // and measured SLOWER (q_sssp 3.7 → 5.5+ s at sf0.1). Inside one
+    // job the second layer's lazy plan references the first layer
+    // three times (the union leg, its expansion source, and its
+    // anti-join guard) with nothing materialized in between, so the
+    // first layer's join+distinct+anti-join re-evaluates per
+    // reference — recompute costs more than the scheduler round-trip
+    // the fusion saves. SCC can fuse because its half-steps are
+    // single-reference; BFS layers are not. (BASELINE.md r14
+    // adjudication.)
     while (nFrontier > 0 && hop < maxHops) {
       hop += 1
       val expanded = frontier.join(e, "node")
@@ -83,6 +94,55 @@ object Sssp {
       if (n > 0) dist = dist.unionByName(frontier)
     }
     val out = dist.select(col("node").as("node_id"), col("dist"))
+    e.unpersist()
+    out
+  }
+
+  /** PER-SOURCE hop distances — the pivot-sampled centrality
+    * substrate (Eppstein–Wang, "Fast approximation of centrality",
+    * J. Graph Algorithms Appl. 8(1), 2004): where [[bfsDistances]]
+    * collapses the seed set to each node's NEAREST source, this keeps
+    * the (source, node) pair, running all k pivots' BFS layers in the
+    * same level-synchronous rounds — one equi-join per round over a
+    * frontier of tagged pairs, never k sequential sweeps.
+    *
+    * Scale: state is O(k · reached) rows and the per-round shuffle is
+    * O(k · frontier-incident edges) — k is the SAMPLE size (a fixed
+    * constant: centrality error decays as 1/√k, so k ≈ 64–256 serves
+    * any corpus), so the pair state is a constant factor over plain
+    * BFS, not a V² all-pairs table. One hop per checkpoint, like
+    * [[bfsDistances]] (see the fusion negative result there), with
+    * the anti-join and frontier keys widened to the (src, node) pair.
+    *
+    * @return (src_id, node_id, dist): every source at dist 0 to
+    *         itself, every (pivot, node) pair within maxHops */
+  def bfsDistancesPerSource(edges: DataFrame, srcCol: String,
+                            dstCol: String, sources: DataFrame,
+                            sourceCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("node"), col(dstCol).as("nxt"))
+      .persist()
+    e.count()
+    val seed = sources.select(col(sourceCol).as("src")).distinct()
+      .select(col("src"), col("src").as("node"), lit(0L).as("dist"))
+    var (frontier, (nFrontier, _)) =
+      graft.operators.Converge.checkpointWithSig(seed, "src, node")
+    var dist = frontier
+    var hop = 0
+    while (nFrontier > 0 && hop < maxHops) {
+      hop += 1
+      val expanded = frontier.select(col("src"), col("node")).join(e, "node")
+        .select(col("src"), col("nxt").as("node")).distinct()
+        .join(dist, Seq("src", "node"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+      val (next, (n, _)) =
+        graft.operators.Converge.checkpointWithSig(expanded, "src, node")
+      frontier = next
+      nFrontier = n
+      if (n > 0) dist = dist.unionByName(frontier)
+    }
+    val out = dist.select(col("src").as("src_id"),
+      col("node").as("node_id"), col("dist"))
     e.unpersist()
     out
   }

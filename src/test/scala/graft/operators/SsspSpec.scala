@@ -247,4 +247,37 @@ class SsspSpec extends SparkSpec {
     assert(runWIncr(oldE, Seq((1L, 2L, 4L)), Seq(1L)) ===
       Map(1L -> 0L, 2L -> 4L))
   }
+
+  private def runPerSource(edges: Seq[(Long, Long)], sources: Seq[Long],
+                           maxHops: Int): Map[(Long, Long), Long] = {
+    import spark.implicits._
+    Sssp.bfsDistancesPerSource(edges.toDF("s", "d"), "s", "d",
+        sources.toDF("src"), "src", maxHops)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+  }
+
+  test("per-source distances match one serial BFS per pivot, randomized") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 5) {
+      val n = 25
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val sources = Seq.fill(3)(rnd.nextInt(n).toLong).distinct
+      val hops = 1 + rnd.nextInt(5)
+      val expected = sources.flatMap { s =>
+        serialBfs(edges, Set(s), hops).map { case (v, d) => (s, v) -> d }
+      }.toMap
+      assert(runPerSource(edges, sources, hops) === expected, s"trial $trial")
+    }
+  }
+
+  test("per-source keeps overlapping reaches separate, unlike bfsDistances") {
+    // 1 and 3 both reach 2: bfsDistances would collapse to min; the
+    // tagged run keeps one row per pivot
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L))
+    assert(runPerSource(edges, Seq(1L, 3L), 4) ===
+      Map((1L, 1L) -> 0L, (3L, 3L) -> 0L, (1L, 2L) -> 1L, (3L, 2L) -> 1L,
+        (1L, 4L) -> 2L, (3L, 4L) -> 2L))
+  }
 }
