@@ -161,13 +161,17 @@ object WordPiece {
     * contract — canonical WordPiece does not emit partial
     * segmentations).
     *
-    * Scale shape: one narrow projection over the word-type table —
-    * the vocab is bounded (alphabet + one entry per merge, the same
-    * driver-held control-plane data as the merge table) and inlined as
-    * a constant-folded array literal, the per-position longest-match
-    * lengths come from one `transform`, and the munch itself is one
-    * `aggregate` fold. No UDF, no shuffle, no per-token work (types,
-    * not occurrences); stays inside WholeStageCodegen.
+    * Scale shape: the munch itself is one `aggregate` fold over a
+    * per-position match-length array, computed by one of two
+    * strategies picked on vocab size ([[InlineVocabMax]]): small
+    * vocabs inline as a constant array literal into a single
+    * `transform` (no joins, no shuffle, pure WholeStageCodegen — the
+    * gate's alphabet+merges vocab); production-sized vocabs (30k+
+    * BERT pieces) switch to a broadcast-join probe
+    * ([[maximalMunchJoin]]) so neither the codegen'd expression
+    * (∝ maxLen·|V| inlined) nor the per-position probe cost (O(|V|)
+    * array scan) grows with the vocabulary. Both paths segment word
+    * TYPES, never occurrences, and return identical rows.
     *
     * @return (word, n, s, is_unk) with `s` the munched piece array
     *         (`[unk]` when is_unk)
@@ -175,22 +179,36 @@ object WordPiece {
   def maximalMunch(types: DataFrame, vocabPieces: Seq[String],
                    unk: String = "[UNK]"): DataFrame = {
     require(vocabPieces.nonEmpty, "vocab must be non-empty")
-    def lit1(s: String) = "'" + s.replace("'", "''") + "'"
-    val maxLen = vocabPieces.map(_.stripPrefix("##").length).max
-    val vlit = vocabPieces.map(lit1).mkString("array(", ",", ")")
-    // longest vocab match length at each 1-based position (0 = none):
-    // try lengths longest-first; candidate at position 1 is the bare
-    // prefix, later positions carry the ## continuation marker
-    val arms = (maxLen to 1 by -1).map { l =>
-      s"WHEN i + ${l - 1} <= length(word) AND array_contains($vlit, " +
-        s"CASE WHEN i = 1 THEN substring(word, i, $l) " +
-        s"ELSE '##' || substring(word, i, $l) END) THEN $l"
-    }.mkString(" ")
-    val withLens = types.withColumn("mm_len", expr(
-      s"transform(sequence(1, length(word)), i -> CASE $arms ELSE 0 END)"))
-    // the munch: positions before the cursor are skipped; a zero
-    // match length poisons the word to [unk]; otherwise emit the
-    // matched piece and advance the cursor by its length
+    if (vocabPieces.size <= InlineVocabMax)
+      maximalMunchInline(types, vocabPieces, unk)
+    else maximalMunchJoin(types, vocabPieces, unk)
+  }
+
+  /** Vocab-size threshold between the two longest-match strategies:
+    * up to here the vocab inlines into the per-position CASE (zero
+    * joins, the fastest plan for the gate's alphabet+merges vocab);
+    * beyond it the codegen'd expression would grow ∝ maxLen·|V| (a
+    * 30k-piece BERT vocab is megabytes of CASE text) and the probe
+    * cost ∝ |V| per position — the broadcast-join path keeps probes
+    * O(1) hash lookups and the plan size constant. */
+  val InlineVocabMax = 512
+
+  /** Spark SQL single-quoted string literal: backslash is the escape
+    * character in Spark's lexer, so it must itself be escaped BEFORE
+    * quoting (a piece containing a backslash would otherwise
+    * mis-parse or swallow the closing quote). */
+  private def lit1(s: String) = "'" + s.flatMap {
+    case '\\' => "\\\\"
+    case '\'' => "\\'"
+    case c => c.toString
+  } + "'"
+
+  /** The shared munch fold over a frame carrying `mm_len` (longest
+    * vocab match length at each 1-based position, 0 = none):
+    * positions before the cursor are skipped; a zero match length
+    * poisons the word to [unk]; otherwise emit the matched piece and
+    * advance the cursor by its length. */
+  private def munchFromLens(withLens: DataFrame, unk: String): DataFrame = {
     val piece =
       "CASE WHEN i = 1 THEN substring(word, i, element_at(mm_len, i)) " +
         "ELSE '##' || substring(word, i, element_at(mm_len, i)) END"
@@ -210,6 +228,62 @@ object WordPiece {
          |    END)""".stripMargin))
       .select(col("word"), col("n"),
         col("mm.toks").as("s"), col("mm.unk").as("is_unk"))
+  }
+
+  private def maximalMunchInline(types: DataFrame, vocabPieces: Seq[String],
+                                 unk: String): DataFrame = {
+    val maxLen = vocabPieces.map(_.stripPrefix("##").length).max
+    val vlit = vocabPieces.map(lit1).mkString("array(", ",", ")")
+    // longest vocab match length at each 1-based position (0 = none):
+    // try lengths longest-first; candidate at position 1 is the bare
+    // prefix, later positions carry the ## continuation marker
+    val arms = (maxLen to 1 by -1).map { l =>
+      s"WHEN i + ${l - 1} <= length(word) AND array_contains($vlit, " +
+        s"CASE WHEN i = 1 THEN substring(word, i, $l) " +
+        s"ELSE '##' || substring(word, i, $l) END) THEN $l"
+    }.mkString(" ")
+    munchFromLens(types.withColumn("mm_len", expr(
+      s"transform(sequence(1, length(word)), i -> CASE $arms ELSE 0 END)")),
+      unk)
+  }
+
+  /** The large-vocab longest-match: explode each word TYPE into its
+    * (position, length) candidate substrings — O(len · maxLen) rows
+    * per type, types not occurrences — and probe them against the
+    * vocab as a BROADCAST hash join (one O(1) lookup per candidate,
+    * vs the inline path's O(|V|) array scan), then fold the max hit
+    * length per position back into the `mm_len` array via a
+    * map_from_entries groupBy. The vocab rides the join as data, so
+    * nothing is inlined into expression text (no parser/codegen
+    * blowup at 30k+ pieces, no literal-escaping surface at all). */
+  private def maximalMunchJoin(types: DataFrame, vocabPieces: Seq[String],
+                               unk: String): DataFrame = {
+    val spark = types.sparkSession
+    import spark.implicits._
+    val maxLen = vocabPieces.map(_.stripPrefix("##").length).max
+    val vocabDf = vocabPieces.toDF("piece")
+    val probes = types.select(col("word"))
+      .withColumn("i", explode(expr("sequence(1, length(word))")))
+      .withColumn("l", explode(expr(
+        s"sequence(1, least($maxLen, length(word) - i + 1))")))
+      .withColumn("piece", expr(
+        "CASE WHEN i = 1 THEN substring(word, i, l) " +
+          "ELSE '##' || substring(word, i, l) END"))
+    val lensMap = probes.join(broadcast(vocabDf), Seq("piece"))
+      .groupBy(col("word"), col("i")).agg(max(col("l")).as("len"))
+      .groupBy(col("word"))
+      .agg(map_from_entries(collect_list(
+        struct(col("i").cast("int").as("k"),
+          col("len").cast("int").as("v")))).as("mm_map"))
+    // words with zero vocab hits have no map row: element_at(null, i)
+    // coalesces to 0 at every position → the [UNK] path
+    munchFromLens(
+      types.join(lensMap, Seq("word"), "left")
+        .withColumn("mm_len", expr(
+          "transform(sequence(1, length(word)), " +
+            "i -> coalesce(element_at(mm_map, i), 0))"))
+        .drop("mm_map"),
+      unk)
   }
 
   /** Per-document subword statistics under [[maximalMunch]]

@@ -643,7 +643,11 @@ object EventStream {
     // history under a generous one.
     val stateRows =
       try {
-        val lastData = drainStagedRows(q, 2L * src.count())
+        // 15 min deadline: the probe also runs at the 10M-event scale
+        // fixture (8 batches × 2.5M rows through RocksDB), where the
+        // gate-sized default would be tight on a loaded box
+        val lastData = drainStagedRows(q, 2L * src.count(),
+          java.time.Duration.ofMinutes(15))
         Option(lastData.stateOperators).toSeq.flatten
           .map(_.numRowsTotal).headOption.getOrElse(0L)
       } finally q.stop()

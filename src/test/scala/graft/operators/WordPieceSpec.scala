@@ -194,6 +194,52 @@ class WordPieceSpec extends SparkSpec {
       Seq((1L, 3L, 2L), (2L, 2L, 2L), (3L, 0L, 0L)))
   }
 
+  test("join-path munch (large vocab) matches inline path and serial") {
+    // a few-thousand-entry vocab forces the broadcast-join strategy
+    // (> InlineVocabMax); equivalence is gated against the serial
+    // reference, which the inline-path tests above already match —
+    // so serial agreement here proves join ≡ inline on this vocab
+    val rnd = new scala.util.Random(31)
+    val alphabet = "abcdef"
+    def randPiece(): String = {
+      val l = 1 + rnd.nextInt(4)
+      val p = Seq.fill(l)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      if (rnd.nextBoolean()) p else "##" + p
+    }
+    // ~3000 distinct pieces incl. tricky literals (quote, backslash)
+    val vocab = (Seq("a'b", "c\\d", "##e'f") ++
+      Seq.fill(4000)(randPiece())).distinct
+    assert(vocab.size > WordPiece.InlineVocabMax)
+    val words = (Seq("a'bcd", "c\\def") ++ Seq.fill(60)(
+      Seq.fill(1 + rnd.nextInt(10))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString)).distinct
+    val types = words.map(w => (w, 1L)).toDF("word", "n")
+    val viaAuto = WordPiece.maximalMunch(types, vocab) // join path
+      .select("word", "s", "is_unk")
+      .as[(String, Seq[String], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    words.foreach { w =>
+      val want = serialMunch(w, vocab.toSet)
+      assert(viaAuto(w)._1 === want, s"word $w")
+      assert(viaAuto(w)._2 === (want == Seq("[UNK]")), s"unk flag for $w")
+    }
+  }
+
+  test("inline-path literal escaping survives quotes and backslashes") {
+    // stays under InlineVocabMax → the CASE-inlined strategy, whose
+    // pieces are injected as SQL string literals (the escaping
+    // surface the join path doesn't have)
+    val vocab = Seq("a'b", "c\\d", "##e'f", "a", "b", "c", "d", "e", "f",
+      "##a", "##b", "##c", "##d", "##e", "##f")
+    val words = Seq("a'bcd", "c\\de", "abe'f", "xyz")
+    val types = words.map(w => (w, 1L)).toDF("word", "n")
+    val got = WordPiece.maximalMunch(types, vocab)
+      .select("word", "s").as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      assert(got(w) === serialMunch(w, vocab.toSet), s"word $w")
+    }
+  }
+
   test("## algebra: merged continuation symbols keep the prefix") {
     // single word "aaa" -> [a, ##a, ##a]; pair counts: (a,##a)=1,
     // (##a,##a)=1; symbol counts a=1, ##a=2 -> score(a,##a)=1e12/2,
