@@ -45,17 +45,33 @@ object ArtifactStore {
     * within the same family — a bumped constant, a regenerated-fixture
     * [[fingerprint]] — therefore lands in a FRESH key dir, and resolve
     * deletes the family's now-stale sibling dirs, so regenerations
-    * cannot accumulate orphaned stage dirs in tmpdir unboundedly. */
+    * cannot accumulate orphaned stage dirs in tmpdir unboundedly.
+    *
+    * Sweep ordering: stale siblings are removed only AFTER the
+    * current dir is known valid (its probe passed, or `write`
+    * returned without throwing). Sweeping first — as this method
+    * originally did — had two failure modes: a `write` that throws
+    * left the family with NEITHER the old nor the new artifact, and a
+    * concurrent JVM sharing java.io.tmpdir that still resolves the
+    * older tag could have its staged artifact deleted mid-read. The
+    * mtime grace window guards the second case's remainder: a sibling
+    * touched recently (an in-flight writer or reader in another
+    * process — bench and `sbt test` do run concurrently on dev boxes)
+    * is spared this pass and collected by a later one. */
   def resolve(tag: String, scope: String)(done: java.io.File => Boolean)
              (write: String => Unit): String = {
     val family = md5hex(tag.takeWhile(_ != ':') + "|" + scope, 4)
     val key = md5hex(tag + "|" + scope, 8)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val d = new java.io.File(tmp, s"graft_stage_${family}_$key")
+    if (!d.isDirectory || !done(d)) write(d.getAbsolutePath)
+    // reaching here means the current dir is valid — safe to sweep
+    val graceMs = 15L * 60 * 1000
+    val now = System.currentTimeMillis()
     val stale = tmp.listFiles((_, n) =>
       n.startsWith(s"graft_stage_${family}_") && n != d.getName)
-    if (stale != null) stale.foreach(deleteTree)
-    if (!d.isDirectory || !done(d)) write(d.getAbsolutePath)
+    if (stale != null)
+      stale.filter(s => now - s.lastModified() > graceMs).foreach(deleteTree)
     d.getAbsolutePath
   }
 

@@ -86,14 +86,47 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(new java.io.File(d1, "payload").isFile)
     val d2 = stage("fp2") // regenerated fixture → new fingerprint
     assert(d2 !== d1)
-    assert(!new java.io.File(d1).exists(), // stale sibling swept
-      s"stale stage dir $d1 should have been deleted")
-    // a DIFFERENT family (and a different scope) is never touched
+    // the just-written sibling sits INSIDE the mtime grace window
+    // (it could be another process's in-flight artifact), so the
+    // sweep spares it this pass...
+    assert(new java.io.File(d1).isDirectory,
+      s"recent sibling $d1 must survive the grace window")
+    // ...and collects it once it ages past the window
+    val old = System.currentTimeMillis() - 16L * 60 * 1000
+    assert(new java.io.File(d1).setLastModified(old))
+    val d3 = stage("fp3")
+    assert(d3 !== d1)
+    assert(!new java.io.File(d1).exists(),
+      s"aged stale stage dir $d1 should have been deleted")
+    // a DIFFERENT family (and a different scope) is never touched,
+    // whatever its age
     val other = ArtifactStore.resolve(freshTag(), "s")(_ => false) { p =>
       new java.io.File(p).mkdirs(): Unit
     }
-    stage("fp3")
+    assert(new java.io.File(other).setLastModified(old))
+    stage("fp4")
     assert(new java.io.File(other).isDirectory)
+  }
+
+  test("a write that throws leaves the family's prior artifact intact") {
+    val fam = freshTag()
+    val d1 = ArtifactStore.resolve(s"$fam:a", "s")(_ => false) { p =>
+      new java.io.File(p).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p).resolve("payload"), "a"): Unit
+    }
+    // age it past the grace window so ONLY the validate-before-sweep
+    // ordering protects it from the failing regeneration below
+    assert(new java.io.File(d1)
+      .setLastModified(System.currentTimeMillis() - 16L * 60 * 1000))
+    val boom = intercept[RuntimeException] {
+      ArtifactStore.resolve(s"$fam:b", "s")(_ => false) { _ =>
+        throw new RuntimeException("torn write")
+      }
+    }
+    assert(boom.getMessage === "torn write")
+    assert(new java.io.File(d1, "payload").isFile,
+      "a failed regeneration must not delete the family's old artifact")
   }
 
   test("fingerprint refuses a missing fixture path") {
