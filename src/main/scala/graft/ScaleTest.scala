@@ -34,6 +34,11 @@ object ScaleTest {
     "q_link_predict", "q_walks", "q_walk_cooc", "q_hierarchy",
     "q_graph_stats", "q_hits", "q_scc", "q_sssp", "q_sssp_weighted",
     "q_sssp_incr", "q_seed_expansion",
+    // r14 additions: weighted incremental repair (saved converged
+    // artifact must be pre-staged on the scaled dir or pass B prices
+    // staging, not repair) and fixed-k pivot centrality (work ∝ k·E,
+    // linear at fixed k)
+    "q_sssp_weighted_incr", "q_centrality",
     // dedup
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_embed", "q_semdedup",
