@@ -175,8 +175,9 @@ object Bench {
       // Bellman-Ford rounds and the seed-coverage audit likewise
       "q_sssp", "q_sssp_weighted", "q_sssp_incr", "q_seed_expansion",
       // r14: the weighted incremental checkpoints per repair round;
-      // centrality's tagged BFS checkpoints per fused hop pair
-      "q_sssp_weighted_incr", "q_centrality")
+      // centrality's tagged BFS and HyperBall's register merges
+      // checkpoint per hop/radius
+      "q_sssp_weighted_incr", "q_centrality", "q_hyperball")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

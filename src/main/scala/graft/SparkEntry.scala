@@ -1350,6 +1350,22 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_hyperball" -> ((s, dir) => {
+      // ALL-nodes centrality in O(radius) passes (graph/HyperBall,
+      // Boldi–Vigna): one 16-register HLL ball sketch per node,
+      // max-merged from out-neighbors per radius — the bounded-state
+      // complement to q_centrality's pivot sampling (every node gets
+      // an estimate; accuracy is the register count, not a sample).
+      // Output: neighborhood-function estimates at radii 0–3 + the
+      // approximate harmonic centrality in exact-ppm arithmetic; all
+      // register/estimator math is integer-or-replayable, so the
+      // fixed-radius oracle unroll hash-matches.
+      val edges = purchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+      graft.graph.HyperBall.harmonicSummary(edges, "a", "b")
+        .orderBy(col("node_id"))
+    }),
+
     "q_scc" -> ((s, dir) => {
       // strongly connected components over the DIRECTED
       // part-succession graph: p1→p2 when p2's lineitem immediately
@@ -5387,6 +5403,8 @@ object SparkEntry {
 
     "q_centrality" -> Duck.centralitySql(hops = 4, k = 16),
 
+    "q_hyperball" -> Duck.hyperballSql(radius = 3),
+
     // equivalence gate: the incremental repair must equal the full
     // 4-hop BFS over the WHOLE purchase graph
     "q_sssp_incr" -> Duck.ssspSql(hops = 4),
@@ -8388,6 +8406,58 @@ object SparkEntry {
          |  CAST(sum(n_nodes) OVER (ORDER BY dist) * 1000000 // n_graph
          |       AS BIGINT) AS reach_ppm
          |FROM g CROSS JOIN tot ORDER BY dist""".stripMargin
+    }
+
+    /** HyperBall: per-node 16-register HLL ball sketches max-merged
+      * along edges per radius, estimated with the q_hll_distinct
+      * register arithmetic at m = 16 (α·m² in HUGEINT floor div,
+      * linear counting below 2.5·m), then the ppm harmonic sum over
+      * the per-radius deltas. */
+    def hyperballSql(radius: Int): String = {
+      val m = 72057594037927936L // 2^56
+      val props = (1 to radius).map { k =>
+        s"""g$k AS (SELECT node, bucket, max(r) AS r FROM (
+           |    SELECT node, bucket, r FROM g${k - 1}
+           |    UNION ALL
+           |    SELECT e.src AS node, v.bucket, v.r
+           |    FROM e JOIN g${k - 1} v ON v.node = e.dst
+           |  ) GROUP BY node, bucket)""".stripMargin
+      }.mkString(",\n")
+      val ests = (0 to radius).map { k =>
+        s"""f$k AS (SELECT spine.node, coalesce(g$k.r, 0) AS r FROM spine
+           |  LEFT JOIN g$k ON spine.node = g$k.node
+           |    AND spine.bucket = g$k.bucket),
+           |s$k AS (SELECT node,
+           |    CAST(sum(1::BIGINT << CAST(57 - r AS INT)) AS BIGINT) AS S,
+           |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS V
+           |  FROM f$k GROUP BY node),
+           |x$k AS (SELECT node, CASE WHEN raw <= 40 AND V > 0
+           |    THEN CAST(round(16 * ln(16.0 / V)) AS BIGINT)
+           |    ELSE raw END AS nf FROM (
+           |  SELECT node, CAST((172288::HUGEINT * (1::HUGEINT << 57)) //
+           |      (1000::HUGEINT * S) AS BIGINT) AS raw, V FROM s$k))""".stripMargin
+      }.mkString(",\n")
+      val nfCols = (0 to radius).map(k => s"x$k.nf AS nf$k").mkString(", ")
+      val harm = (1 to radius)
+        .map(k => s"(x$k.nf - x${k - 1}.nf) * 1000000 // $k")
+        .mkString(" + ")
+      val joins = (1 to radius)
+        .map(k => s"JOIN x$k ON x0.node = x$k.node").mkString(" ")
+      s"""WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |h0 AS (SELECT node, ${hash64("node")} AS h FROM nodes),
+         |g0 AS (SELECT node, h // $m AS bucket,
+         |    CASE WHEN h % $m = 0 THEN 57
+         |         ELSE 57 - length(bin(h % $m)) END AS r FROM h0),
+         |spine AS (SELECT node, unnest(range(0, 16)) AS bucket FROM nodes),
+         |$props,
+         |$ests
+         |SELECT x0.node AS node_id, $nfCols, $harm AS harmonic_ppm
+         |FROM x0 $joins ORDER BY node_id""".stripMargin
     }
 
     /** Pivot-sampled centrality: per-source BFS unroll (state keyed
