@@ -1314,39 +1314,29 @@ object SparkEntry {
 
     "q_centrality" -> ((s, dir) => {
       // pivot-sampled closeness + harmonic centrality (Eppstein–Wang
-      // sampling; graph/Sssp.bfsDistancesPerSource): k = 16 pivots
-      // hash-picked deterministically — customers ordered by the
-      // Knuth multiplicative hash (custkey · 2654435761 mod 2³²,
-      // custkey tie-break), take k — so the oracle replays the
-      // selection verbatim AND k stays FIXED as the corpus grows.
-      // k is the accuracy/cost dial (error ~ 1/√k, work ~ k·O(E)):
-      // production wants 64–256; the gate pins 16 to keep the query
-      // in the heavy-band (~14 s at sf0.1; 64 measured 33 s — the
-      // tagged expansion IS k BFS sweeps, there is no shortcut). A
-      // modulo rule was measured first and rejected: it scales
-      // pivots with the table (405 pivots at sf0.1, 57 s). The sample
-      // rides ONE tagged multi-source BFS over the symmetrized
-      // purchase graph, then per-node exact-ppm integer reductions:
-      // harmonic = Σ floor(10⁶/d), closeness = n·10⁶ div Σd over
-      // the pivots reaching the node within the hop cap. All-integer
-      // so the unrolled oracle hash-matches; state is O(k·V), never
-      // all-pairs.
+      // sampling): k = 64 pivots hash-picked deterministically —
+      // customers ordered by the Knuth multiplicative hash (custkey ·
+      // 2654435761 mod 2³², custkey tie-break), take k — so the
+      // oracle replays the selection verbatim AND k stays FIXED as
+      // the corpus grows (error ~ 1/√k; a modulo rule was measured
+      // first and rejected: pivot count scaled with the table, 405
+      // pivots / 57 s at sf0.1). Computed BIT-PARALLEL
+      // (Sssp.pivotCentralityBitset): the reached-pivot set is one
+      // 64-bit mask per node, so all k sweeps ride one BFS-cost loop
+      // — k=64 here costs what the TAGGED form paid for k=16 (13.8 s;
+      // tagged k=64 was 33 s). Exact-ppm integer reductions
+      // (harmonic = Σ floor(10⁶/d), closeness = n·10⁶ div Σd) match
+      // the per-pair unrolled oracle bit-for-bit.
       val edges = purchaseEdgesFrom(s, dir,
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       val pivots = t(s, dir, "customer")
         .select(col("c_custkey"))
         .orderBy(expr("c_custkey * 2654435761L % 4294967296L"),
           col("c_custkey"))
-        .limit(16)
+        .limit(64)
         .select(concat(lit("c"), col("c_custkey")).as("seed"))
-      graft.graph.Sssp.bfsDistancesPerSource(edges, "a", "b",
+      graft.graph.Sssp.pivotCentralityBitset(edges, "a", "b",
           pivots, "seed", maxHops = 4)
-        .where(col("dist") > 0)
-        .groupBy(col("node_id"))
-        .agg(count(lit(1)).as("n_pivots"),
-          sum(expr("1000000 div dist")).cast("long").as("harmonic_ppm"),
-          expr("count(1) * 1000000 div sum(dist)").cast("long")
-            .as("closeness_ppm"))
         .orderBy(col("node_id"))
     }),
 
@@ -5401,7 +5391,7 @@ object SparkEntry {
     // the fixpoint extra rounds are identity)
     "q_sssp_weighted_incr" -> Duck.ssspWeightedSql(rounds = 8),
 
-    "q_centrality" -> Duck.centralitySql(hops = 4, k = 16),
+    "q_centrality" -> Duck.centralitySql(hops = 4, k = 64),
 
     "q_hyperball" -> Duck.hyperballSql(radius = 3),
 

@@ -147,6 +147,95 @@ object Sssp {
     out
   }
 
+  /** BIT-PARALLEL pivot centrality — the k ≤ 64 fast path over
+    * [[bfsDistancesPerSource]]'s semantics: the set of pivots that
+    * have reached a node rides as one 64-bit MASK per node, so all k
+    * BFS sweeps collapse into a single BFS-cost loop — per hop one
+    * equi-join (edges ⋈ changed masks) + a `bit_or` partial-agg +
+    * one V-row merge, independent of k. Centrality accumulators
+    * update incrementally: bits newly set at hop h are pivots whose
+    * distance IS h (first reach = min dist), contributing
+    * `popcount(newly)` to the reach count, `popcount·h` to Σd, and
+    * `popcount·(10⁶ div h)` to the harmonic sum — exactly the
+    * per-pair reductions of the tagged form, bit-for-bit (the oracle
+    * replays the per-pair unroll). A pivot's own bit is set at init,
+    * which both anchors the sweep and suppresses d>0 self-re-reach,
+    * matching min-dist semantics. Delta propagation: a node whose
+    * mask didn't change last hop contributes exactly what it already
+    * contributed, so only changed masks join — and an empty change
+    * set ends the loop early, equal to the full unroll.
+    *
+    * Scale: state is ONE row per reached node (mask + three longs);
+    * per-hop shuffle is O(frontier-incident edges) — plain BFS cost
+    * for up to 64 pivots, where the tagged form pays k× (measured:
+    * the tagged q_centrality at k=16 cost 13.8 s at sf0.1; this
+    * shape at k=64 costs BFS money). Beyond 64 pivots, run ⌈k/64⌉
+    * mask words (or fall back to the tagged form).
+    *
+    * @return (node_id, n_pivots, harmonic_ppm, closeness_ppm) for
+    *         every node reached by ≥ 1 pivot at dist > 0 */
+  def pivotCentralityBitset(edges: DataFrame, srcCol: String,
+                            dstCol: String, pivots: DataFrame,
+                            pivotCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("node"), col(dstCol).as("nxt"))
+      .persist()
+    e.count()
+    // deterministic bit assignment: pivots ranked by id (the caller
+    // already picked WHICH pivots; bit order only needs determinism)
+    val ranked = pivots.select(col(pivotCol).as("node")).distinct()
+      .withColumn("i", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("node"))) - 1)
+    val k = ranked.count() // control-plane scalar, k ≤ 64 by contract
+    require(k >= 1 && k <= 64, s"bitset centrality needs 1..64 pivots, got $k")
+    val init = ranked.select(col("node"),
+      expr("shiftleft(1L, cast(i as int))").as("mask"),
+      lit(0L).as("np"), lit(0L).as("sd"), lit(0L).as("hp"))
+    var (state, _) = graft.operators.Converge.checkpointWithSig(
+      init, "node, mask, np, sd, hp")
+    var frontier = state.select(col("node"), col("mask"))
+    var nFrontier = k
+    var hop = 0
+    while (nFrontier > 0 && hop < maxHops) {
+      hop += 1
+      val w = 1000000L / hop // the exact-ppm harmonic term at this hop
+      val cand = e.join(frontier, Seq("node"))
+        .groupBy(col("nxt")).agg(expr("bit_or(mask)").as("cand"))
+        .withColumnRenamed("nxt", "node")
+      val updated = state.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          coalesce(col("mask"), lit(0L)).as("old"),
+          coalesce(col("cand"), lit(0L)).as("cand"),
+          coalesce(col("np"), lit(0L)).as("np"),
+          coalesce(col("sd"), lit(0L)).as("sd"),
+          coalesce(col("hp"), lit(0L)).as("hp"))
+        .withColumn("newly", expr("cand & ~old"))
+        .select(col("node"),
+          expr("old | newly").as("mask"),
+          expr("np + bit_count(newly)").as("np"),
+          expr(s"sd + bit_count(newly) * ${hop}L").as("sd"),
+          expr(s"hp + bit_count(newly) * ${w}L").as("hp"),
+          col("newly"))
+      // checkpoint ONCE (updated is referenced by both the next state
+      // and the frontier — two lazy references would re-run the
+      // full-outer join per reference, the r14 fusion lesson); the
+      // frontier is then a filter over the checkpointed rows and its
+      // count one tiny job on materialized data
+      val (next, _) = graft.operators.Converge.checkpointWithSig(
+        updated, "node, mask, np, sd, hp, newly")
+      state = next
+      frontier = next.where(col("newly") =!= 0)
+        .select(col("node"), col("mask"))
+      nFrontier = frontier.count()
+    }
+    val out = state.where(col("np") > 0)
+      .select(col("node").as("node_id"), col("np").as("n_pivots"),
+        col("hp").as("harmonic_ppm"),
+        expr("np * 1000000 div sd").as("closeness_ppm"))
+    e.unpersist()
+    out
+  }
+
   /** Incremental BFS maintenance — the saved-index pattern
     * (`minHashIndex`/`srpIndex`/`semDedupIndex`) applied to distances:
     * given a SAVED distance table from a prior [[bfsDistances]] run

@@ -272,6 +272,53 @@ class SsspSpec extends SparkSpec {
     }
   }
 
+  test("bitset centrality equals the tagged per-source reductions, randomized") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+    val rnd = new scala.util.Random(555)
+    for (trial <- 1 to 4) {
+      val n = 30
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val pivots = Seq.fill(2 + rnd.nextInt(6))(rnd.nextInt(n).toLong).distinct
+      val hops = 1 + rnd.nextInt(5)
+      import spark.implicits._
+      val eDf = edges.toDF("s", "d")
+      val pDf = pivots.toDF("src")
+      val tagged = Sssp.bfsDistancesPerSource(eDf, "s", "d", pDf, "src", hops)
+        .where(col("dist") > 0)
+        .groupBy(col("node_id"))
+        .agg(count(lit(1)).as("n_pivots"),
+          sum(expr("1000000 div dist")).cast("long").as("harmonic_ppm"),
+          expr("count(1) * 1000000 div sum(dist)").cast("long")
+            .as("closeness_ppm"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val bitset = Sssp.pivotCentralityBitset(eDf, "s", "d", pDf, "src", hops)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(bitset === tagged, s"trial $trial hops $hops pivots $pivots")
+    }
+  }
+
+  test("bitset centrality: pivot self-distance is excluded, 64-pivot cap holds") {
+    import spark.implicits._
+    // triangle 1->2->3->1, pivots {1, 3}: node 2 is reached by 1 (d=1)
+    // and 3 (d=2); pivot 1 is reached by 3 (d=1); pivot 3 by 1 (d=2)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val got = Sssp.pivotCentralityBitset(e, "s", "d",
+        Seq(1L, 3L).toDF("src"), "src", 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(2L) === ((2L, 1500000L, (2L * 1000000) / 3)))
+    assert(got(1L) === ((1L, 1000000L, 1000000L)))
+    assert(got(3L) === ((1L, 500000L, 500000L)))
+    val boom = intercept[IllegalArgumentException] {
+      Sssp.pivotCentralityBitset(e, "s", "d",
+        (1L to 65L).toDF("src"), "src", 2).count()
+    }
+    assert(boom.getMessage.contains("1..64"))
+  }
+
   test("per-source keeps overlapping reaches separate, unlike bfsDistances") {
     // 1 and 3 both reach 2: bfsDistances would collapse to min; the
     // tagged run keeps one row per pivot
