@@ -175,9 +175,12 @@ object Bench {
       // Bellman-Ford rounds and the seed-coverage audit likewise
       "q_sssp", "q_sssp_weighted", "q_sssp_incr", "q_seed_expansion",
       // r14: the weighted incremental checkpoints per repair round;
-      // centrality's tagged BFS and HyperBall's register merges
-      // checkpoint per hop/radius
-      "q_sssp_weighted_incr", "q_centrality", "q_hyperball")
+      // centrality's bitset BFS and HyperBall's register merges
+      // checkpoint per hop/radius; q_graph_diameter stages the
+      // HyperBall loop when its saved nf artifact is cold (the
+      // q_scc_condense precedent)
+      "q_sssp_weighted_incr", "q_centrality", "q_hyperball",
+      "q_graph_diameter")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

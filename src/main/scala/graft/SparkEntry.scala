@@ -167,6 +167,26 @@ object SparkEntry {
       s"ssspw_saved_n0_conv_mod4_v1:$fp", dir)(write)
   }
 
+  /** The q_graph_diameter fixture's SAVED neighborhood-function
+    * frame: HyperBall nf estimates at radii 0–3 over the full
+    * purchase graph, staged once per data dir with the source
+    * fingerprint folded into the tag (the ssspSavedDistances
+    * discipline) — the global-metric query prices its aggregate,
+    * not a second propagation (q_hyperball prices that live). */
+  private def hyperballNf(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val edges = purchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+      graft.graph.HyperBall
+        .neighborhoodFunction(edges, "a", "b", maxRadius = 3)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"hyperball_nf_m16_r3_v1:$fp", dir)(write)
+  }
+
   /** Symmetrized customer↔supplier purchase edges from a
     * pre-filtered orders frame (the q_pagerank construction). */
   private def purchaseEdgesFrom(s: SparkSession, dir: String,
@@ -1354,6 +1374,41 @@ object SparkEntry {
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       graft.graph.HyperBall.harmonicSummary(edges, "a", "b")
         .orderBy(col("node_id"))
+    }),
+
+    "q_graph_diameter" -> ((s, dir) => {
+      // HyperANF's headline GLOBAL metrics from the per-node
+      // neighborhood function: N(r) = Σ_v |B(v,r)| estimates per
+      // radius → mean distance (over reachable-within-R pairs, exact
+      // ppm: Σ_r r·ΔN(r)·10⁶ div (N(R)−N(0))) and the 90% effective
+      // diameter (smallest r with 10·N(r) ≥ 9·N(R), integer-exact —
+      // the standard interpolated variant is float; this one
+      // hash-matches). The nf frame is SAVED once per data dir
+      // (ArtifactStore + source fingerprint, the ssspSavedDistances
+      // discipline), so this query prices the AGGREGATE — the
+      // propagation is q_hyperball's job.
+      val nf = s.read.parquet(hyperballNf(s, dir))
+      val byR = nf.groupBy(col("r"))
+        .agg(sum(col("nf_est")).as("n_r"))
+      val stats = byR.agg(
+        max(when(col("r") === 3, col("n_r"))).as("nf_total"),
+        max(when(col("r") === 0, col("n_r"))).as("nf_zero"))
+      val enriched = byR.select(col("r"), col("n_r"),
+        lag(col("n_r"), 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("r")))
+          .as("n_prev"))
+      enriched.crossJoin(broadcast(stats))
+        .agg(
+          max(col("nf_total")).as("nf_total"),
+          max(col("nf_zero")).as("nf_zero"),
+          sum(when(col("r") > 0,
+            col("r") * (col("n_r") - col("n_prev")))).as("wsum"),
+          min(when(col("n_r") * 10 >= col("nf_total") * 9, col("r")))
+            .as("eff_diameter_90"))
+        .select(col("nf_total"), col("nf_zero"),
+          expr("wsum * 1000000 div (nf_total - nf_zero)")
+            .as("avg_dist_ppm"),
+          col("eff_diameter_90"))
     }),
 
     "q_scc" -> ((s, dir) => {
@@ -5395,6 +5450,8 @@ object SparkEntry {
 
     "q_hyperball" -> Duck.hyperballSql(radius = 3),
 
+    "q_graph_diameter" -> Duck.hyperballDiameterSql(radius = 3),
+
     // equivalence gate: the incremental repair must equal the full
     // 4-hop BFS over the WHOLE purchase graph
     "q_sssp_incr" -> Duck.ssspSql(hops = 4),
@@ -8433,7 +8490,14 @@ object SparkEntry {
         .mkString(" + ")
       val joins = (1 to radius)
         .map(k => s"JOIN x$k ON x0.node = x$k.node").mkString(" ")
-      s"""WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+      s"""WITH ${hyperballCtes(m, props, ests)}
+         |SELECT x0.node AS node_id, $nfCols, $harm AS harmonic_ppm
+         |FROM x0 $joins ORDER BY node_id""".stripMargin
+    }
+
+    private def hyperballCtes(m: Long, props: String,
+                              ests: String): String =
+      s"""pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
          |    's' || CAST(l_suppkey AS VARCHAR) AS b
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          |e AS (SELECT a AS src, b AS dst FROM pairs
@@ -8445,9 +8509,53 @@ object SparkEntry {
          |         ELSE 57 - length(bin(h % $m)) END AS r FROM h0),
          |spine AS (SELECT node, unnest(range(0, 16)) AS bucket FROM nodes),
          |$props,
-         |$ests
-         |SELECT x0.node AS node_id, $nfCols, $harm AS harmonic_ppm
-         |FROM x0 $joins ORDER BY node_id""".stripMargin
+         |$ests""".stripMargin
+
+    /** The HyperANF global metrics over the same register unroll:
+      * N(r) = Σ_v nf(v, r), mean distance in exact ppm over the
+      * per-radius deltas, and the integer 90% effective diameter
+      * (smallest r with 10·N(r) ≥ 9·N(R)). */
+    def hyperballDiameterSql(radius: Int): String = {
+      val m = 72057594037927936L // 2^56
+      val props = (1 to radius).map { k =>
+        s"""g$k AS (SELECT node, bucket, max(r) AS r FROM (
+           |    SELECT node, bucket, r FROM g${k - 1}
+           |    UNION ALL
+           |    SELECT e.src AS node, v.bucket, v.r
+           |    FROM e JOIN g${k - 1} v ON v.node = e.dst
+           |  ) GROUP BY node, bucket)""".stripMargin
+      }.mkString(",\n")
+      val ests = (0 to radius).map { k =>
+        s"""f$k AS (SELECT spine.node, coalesce(g$k.r, 0) AS r FROM spine
+           |  LEFT JOIN g$k ON spine.node = g$k.node
+           |    AND spine.bucket = g$k.bucket),
+           |s$k AS (SELECT node,
+           |    CAST(sum(1::BIGINT << CAST(57 - r AS INT)) AS BIGINT) AS S,
+           |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS V
+           |  FROM f$k GROUP BY node),
+           |x$k AS (SELECT node, CASE WHEN raw <= 40 AND V > 0
+           |    THEN CAST(round(16 * ln(16.0 / V)) AS BIGINT)
+           |    ELSE raw END AS nf FROM (
+           |  SELECT node, CAST((172288::HUGEINT * (1::HUGEINT << 57)) //
+           |      (1000::HUGEINT * S) AS BIGINT) AS raw, V FROM s$k))""".stripMargin
+      }.mkString(",\n")
+      val byr = (0 to radius).map(k =>
+        s"SELECT $k AS r, CAST(sum(nf) AS BIGINT) AS n_r FROM x$k")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${hyperballCtes(m, props, ests)},
+         |byr AS ($byr),
+         |en AS (SELECT r, n_r, lag(n_r) OVER (ORDER BY r) AS n_prev
+         |       FROM byr),
+         |st AS (SELECT max(CASE WHEN r = $radius THEN n_r END) AS nf_total,
+         |              max(CASE WHEN r = 0 THEN n_r END) AS nf_zero
+         |       FROM byr)
+         |SELECT CAST(nf_total AS BIGINT) AS nf_total,
+         |  CAST(nf_zero AS BIGINT) AS nf_zero,
+         |  CAST(sum(CASE WHEN r > 0 THEN r * (n_r - n_prev) END) * 1000000
+         |    // (nf_total - nf_zero) AS BIGINT) AS avg_dist_ppm,
+         |  CAST(min(CASE WHEN n_r * 10 >= nf_total * 9 THEN r END)
+         |    AS BIGINT) AS eff_diameter_90
+         |FROM en CROSS JOIN st GROUP BY nf_total, nf_zero""".stripMargin
     }
 
     /** Pivot-sampled centrality: per-source BFS unroll (state keyed

@@ -25,6 +25,10 @@ object PlanLintAllowlist {
     // 1-row graph-node total for the reach-ppm denominator
     // (q_token_budget pattern)
     "q_seed_expansion" -> "unconditioned-nested-loop",
+    // r14: the 4-row per-radius N(r) curve crosses the broadcast
+    // 1-row (nf_total, nf_zero) aggregate for the mean-distance
+    // denominator and the 90% threshold (q_seed_expansion's twin)
+    "q_graph_diameter" -> "unconditioned-nested-loop",
     // r11: every bigram-type row crosses the broadcast 1-row (N, V)
     // corpus-totals aggregate for the interpolation backstop
     // (q_token_budget pattern; q_perplexity's vocab cross twin)
