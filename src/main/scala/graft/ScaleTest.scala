@@ -34,11 +34,13 @@ object ScaleTest {
     "q_link_predict", "q_walks", "q_walk_cooc", "q_hierarchy",
     "q_graph_stats", "q_hits", "q_scc", "q_sssp", "q_sssp_weighted",
     "q_sssp_incr", "q_seed_expansion",
-    // r14 additions: weighted incremental repair (saved converged
-    // artifact must be pre-staged on the scaled dir or pass B prices
-    // staging, not repair) and fixed-k pivot centrality (work ∝ k·E,
-    // linear at fixed k)
-    "q_sssp_weighted_incr", "q_centrality",
+    // r14 additions: weighted incremental repair and the
+    // saved-artifact diameter metrics (pre-stage their artifacts on
+    // the scaled dir or pass B prices staging), bitset pivot
+    // centrality (BFS-cost at k ≤ 64), HyperBall all-nodes
+    // centrality (m·V register state, O(radius) passes)
+    "q_sssp_weighted_incr", "q_centrality", "q_hyperball",
+    "q_graph_diameter",
     // dedup
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_embed", "q_semdedup",
