@@ -42,9 +42,18 @@ object QueryGuard {
 
   /** Gate-runner timeout: generous — the slowest green query at the
     * driver's sf0.1 is ~10 s, so 600 s only ever fires on a genuine
-    * hang, never on a slow box. */
-  def defaultTimeout: java.time.Duration = java.time.Duration.ofSeconds(
-    sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong)
+    * hang, never on a slow box. Parsed ONCE and defensively: a
+    * malformed env value must degrade to the default, not throw
+    * outside the guarded path and zero the whole gate run. */
+  lazy val defaultTimeout: java.time.Duration = java.time.Duration.ofSeconds(
+    sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_SEC") match {
+      case None => 600L
+      case Some(v) => scala.util.Try(v.trim.toLong).filter(_ > 0).getOrElse {
+        System.err.println(
+          s"[QueryGuard] ignoring malformed SPARK_GRAFT_QUERY_TIMEOUT_SEC='$v'; using 600")
+        600L
+      }
+    })
 
   private val invocation = new java.util.concurrent.atomic.AtomicLong()
 
@@ -55,6 +64,13 @@ object QueryGuard {
     // a failed query on later passes (flaky recovery) — those retries
     // must start with a clean slate
     val group = s"graft-guard-$name-${invocation.incrementAndGet()}"
+    // Counted down in the worker's OWN finally, after the body's
+    // finally blocks unwound: a timed-out body that restores shared
+    // session conf on the way out (e.g. a state-store providerClass
+    // toggle) must not race that restore against the NEXT guarded
+    // query's run. fut.isDone is true the moment cancel() returns,
+    // so it cannot serve as the unwind signal.
+    val unwound = new java.util.concurrent.CountDownLatch(1)
     val fut = pool.submit(new java.util.concurrent.Callable[T] {
       def call(): T = {
         // the pool thread lacks the caller's thread-locals: restore
@@ -62,7 +78,10 @@ object QueryGuard {
         SparkSession.setActiveSession(spark)
         spark.sparkContext.setJobGroup(group, s"guarded query $name",
           interruptOnCancel = true)
-        try body finally spark.sparkContext.clearJobGroup()
+        try body finally {
+          spark.sparkContext.clearJobGroup()
+          unwound.countDown()
+        }
       }
     })
     try fut.get(timeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -77,6 +96,11 @@ object QueryGuard {
         // own spec: a 0.5 s timeout fired before the sleep-job was
         // submitted and the follow-up query starved for minutes)
         spark.sparkContext.cancelJobGroupAndFutureJobs(group)
+        // Brief grace for the worker's finally blocks (conf restores,
+        // stream stops) to complete before the caller moves on; a
+        // worker wedged beyond interruption just forfeits the grace —
+        // the guard still returns and the daemon pool replaces it.
+        unwound.await(10, java.util.concurrent.TimeUnit.SECONDS)
         throw new QueryTimeout(name, timeout.toSeconds)
       case e: java.util.concurrent.ExecutionException =>
         // surface the body's own failure as-is for the caller's

@@ -64,16 +64,49 @@ object ArtifactStore {
     val key = md5hex(tag + "|" + scope, 8)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val d = new java.io.File(tmp, s"graft_stage_${family}_$key")
-    if (!d.isDirectory || !done(d)) write(d.getAbsolutePath)
+    if (!d.isDirectory || !done(d)) {
+      // In-flight sentinel: Spark stages parquet under a _temporary
+      // SUBDIR, so a write running longer than the sweep grace may
+      // never refresh the top dir's mtime — another JVM resolving a
+      // newer tag in the same family could then sweep this dir
+      // mid-write. The sentinel (a SIBLING file — inside the dir an
+      // overwrite-mode writer would delete it first thing — dropped
+      // at write start, removed on success) marks the dir as a live
+      // write site; sweeps spare it for a generous writer window. A
+      // writer that CRASHES leaves the sentinel behind, so the
+      // probe-failed re-write path re-enters here and the dir is
+      // refreshed, or once the writer window lapses, collected.
+      val writing = writingSentinel(d)
+      writing.createNewFile(); writing.setLastModified(System.currentTimeMillis())
+      write(d.getAbsolutePath)
+      writing.delete(): Unit
+    }
     // reaching here means the current dir is valid — safe to sweep
     val graceMs = 15L * 60 * 1000
+    val writerGraceMs = 6L * 60 * 60 * 1000
     val now = System.currentTimeMillis()
     val stale = tmp.listFiles((_, n) =>
-      n.startsWith(s"graft_stage_${family}_") && n != d.getName)
+      n.startsWith(s"graft_stage_${family}_") &&
+        n != d.getName && n != writingSentinel(d).getName)
     if (stale != null)
-      stale.filter(s => now - s.lastModified() > graceMs).foreach(deleteTree)
+      stale.filter { s =>
+        if (s.getName.endsWith(writingSuffix))
+          // an orphaned sentinel (its writer crashed): collect only
+          // after its dir is also collectible
+          now - s.lastModified() > writerGraceMs
+        else {
+          val sentinel = writingSentinel(s)
+          val liveWrite =
+            sentinel.isFile && now - sentinel.lastModified() <= writerGraceMs
+          !liveWrite && now - s.lastModified() > graceMs
+        }
+      }.foreach(deleteTree)
     d.getAbsolutePath
   }
+
+  private val writingSuffix = ".writing"
+  private[graft] def writingSentinel(dir: java.io.File): java.io.File =
+    new java.io.File(dir.getParentFile, dir.getName + writingSuffix)
 
   private[graft] def deleteTree(f: java.io.File): Unit = {
     val kids = f.listFiles()

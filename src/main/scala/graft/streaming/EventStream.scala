@@ -465,11 +465,17 @@ object EventStream {
     * stream must fail loudly, never hang the JVM (round-13 lesson:
     * one unbounded drain zeroed the round's Verify, Bench, AND sbt
     * test). */
-  private[streaming] def drainStagedRows(
+  private[graft] def drainStagedRows(
       q: org.apache.spark.sql.streaming.StreamingQuery,
       expectedRows: Long,
       deadline: java.time.Duration = java.time.Duration.ofMinutes(5)
     ): org.apache.spark.sql.streaming.StreamingQueryProgress = {
+    // expectedRows == 0 would skip the loop and return null, and the
+    // call sites dereference the returned progress (state metrics) —
+    // an empty staged fixture must fail with a clear message, not NPE
+    require(expectedRows > 0,
+      s"drainStagedRows: expectedRows must be positive, got $expectedRows " +
+        "(empty staged fixture?)")
     val deadlineNs = System.nanoTime() + deadline.toNanos
     val seen = scala.collection.mutable.Set[Long]() // batchIds counted
     var lastData: org.apache.spark.sql.streaming.StreamingQueryProgress = null

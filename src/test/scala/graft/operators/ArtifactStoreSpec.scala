@@ -108,6 +108,39 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(new java.io.File(other).isDirectory)
   }
 
+  test("a live writing sentinel spares an aged sibling from the sweep") {
+    val fam = freshTag()
+    val d1 = ArtifactStore.resolve(s"$fam:a", "s")(_ => false) { p =>
+      new java.io.File(p).mkdirs(): Unit
+    }
+    // simulate another JVM mid-write in d1: its top-level mtime is
+    // stale (Spark stages under _temporary, so a long write never
+    // refreshes it) but its sibling sentinel is fresh
+    val old = System.currentTimeMillis() - 16L * 60 * 1000
+    assert(new java.io.File(d1).setLastModified(old))
+    val sentinel = ArtifactStore.writingSentinel(new java.io.File(d1))
+    assert(sentinel.createNewFile())
+    try {
+      val d2 = ArtifactStore.resolve(s"$fam:b", "s")(_ => false) { p =>
+        new java.io.File(p).mkdirs(): Unit
+      }
+      assert(d2 !== d1)
+      assert(new java.io.File(d1).isDirectory,
+        s"aged sibling $d1 with a live write sentinel must survive the sweep")
+      // once the sentinel itself ages past the writer window (the
+      // writer crashed), both sentinel and dir are collectible
+      val crashed = System.currentTimeMillis() - 7L * 60 * 60 * 1000
+      assert(sentinel.setLastModified(crashed))
+      ArtifactStore.resolve(s"$fam:c", "s")(_ => false) { p =>
+        new java.io.File(p).mkdirs(): Unit
+      }
+      assert(!new java.io.File(d1).exists(),
+        "a crashed writer's dir should be collected after the writer window")
+      assert(!sentinel.exists(),
+        "a crashed writer's sentinel should be collected with its dir")
+    } finally { sentinel.delete(): Unit }
+  }
+
   test("a write that throws leaves the family's prior artifact intact") {
     val fam = freshTag()
     val d1 = ArtifactStore.resolve(s"$fam:a", "s")(_ => false) { p =>

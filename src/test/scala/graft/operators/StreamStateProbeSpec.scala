@@ -60,6 +60,16 @@ class StreamStateProbeSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() === distinctIds)
   }
 
+  test("drain refuses a non-positive expected-row count") {
+    // expectedRows == 0 used to skip the poll loop and return null,
+    // and callers dereference the returned progress — an empty staged
+    // fixture must fail loudly, not NPE downstream
+    val e = intercept[IllegalArgumentException] {
+      EventStream.drainStagedRows(null, 0L)
+    }
+    assert(e.getMessage.contains("empty staged fixture"))
+  }
+
   test("RocksDB provider reproduces the in-memory counts exactly") {
     val (outR, stateR) = EventStream.dedupStateProbe(spark, sf,
       withinWatermark = true, rocksdb = true, queryName = "probe_spec_r")
