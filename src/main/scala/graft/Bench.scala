@@ -180,7 +180,10 @@ object Bench {
       // HyperBall loop when its saved nf artifact is cold (the
       // q_scc_condense precedent)
       "q_sssp_weighted_incr", "q_centrality", "q_hyperball",
-      "q_graph_diameter")
+      "q_graph_diameter",
+      // r15: the incremental register repair checkpoints per radius
+      // and stages the full propagation when its artifact is cold
+      "q_hyperball_incr")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

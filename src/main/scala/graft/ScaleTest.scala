@@ -41,6 +41,9 @@ object ScaleTest {
     // centrality (m·V register state, O(radius) passes)
     "q_sssp_weighted_incr", "q_centrality", "q_hyperball",
     "q_graph_diameter",
+    // r15: incremental HyperBall repair (saved register artifact —
+    // pre-stage on the scaled dir, the q_sssp_incr discipline)
+    "q_hyperball_incr",
     // dedup
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_embed", "q_semdedup",

@@ -187,6 +187,29 @@ object SparkEntry {
       s"hyperball_nf_m16_r3_v1:$fp", dir)(write)
   }
 
+  /** The q_hyperball_incr fixture's SAVED per-radius register table:
+    * a full radius-3 HyperBall propagation over the ¾ purchase graph
+    * (o_orderkey % 4 != 0), staged once per data dir with the source
+    * fingerprint folded into the tag (the ssspSavedDistances
+    * discipline) and PARTITIONED BY radius so the repair's per-radius
+    * reads prune to one partition. The incremental query then prices
+    * the REPAIR of the remaining quarter, never a second full
+    * propagation. */
+  private def hyperballRegs(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val edges = purchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .where(col("o_orderkey") % 4 =!= 0))
+      graft.graph.HyperBall
+        .registerTable(edges, "a", "b", maxRadius = 3)
+        .write.mode("overwrite").partitionBy("r").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"hyperball_regs_m16_r3_mod4_v1:$fp", dir)(write)
+  }
+
   /** Symmetrized customer↔supplier purchase edges from a
     * pre-filtered orders frame (the q_pagerank construction). */
   private def purchaseEdgesFrom(s: SparkSession, dir: String,
@@ -1374,6 +1397,30 @@ object SparkEntry {
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       graft.graph.HyperBall.harmonicSummary(edges, "a", "b")
         .orderBy(col("node_id"))
+    }),
+
+    "q_hyperball_incr" -> ((s, dir) => {
+      // incremental HyperBall maintenance (the saved-index idiom on
+      // the all-nodes sketch substrate): the SAVED per-radius register
+      // table over ¾ of the purchase graph (orders with o_orderkey %
+      // 4 != 0; staged once per dir — see hyperballRegs), then the
+      // remaining quarter arrives as the batch and only sketches the
+      // batch can grow re-merge — registers only GROW under edge
+      // inserts, so the saved table is a sound under-approximation
+      // and max-merge confluence makes the repair exact. Gate =
+      // EQUIVALENCE: the oracle is q_hyperball's full-graph unroll,
+      // so the repair must land row-identical to re-propagating over
+      // old ∪ new.
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val oldE = purchaseEdgesFrom(s, dir,
+        orders.where(col("o_orderkey") % 4 =!= 0))
+      val newE = purchaseEdgesFrom(s, dir,
+        orders.where(col("o_orderkey") % 4 === 0))
+      val saved = s.read.parquet(hyperballRegs(s, dir))
+      val nf = graft.graph.HyperBall.neighborhoodFunctionIncremental(
+        oldE, newE, "a", "b", saved, maxRadius = 3)
+      graft.graph.HyperBall.harmonicFromNf(nf).orderBy(col("node_id"))
     }),
 
     "q_graph_diameter" -> ((s, dir) => {
@@ -5449,6 +5496,10 @@ object SparkEntry {
     "q_centrality" -> Duck.centralitySql(hops = 4, k = 64),
 
     "q_hyperball" -> Duck.hyperballSql(radius = 3),
+
+    // EQUIVALENCE gate: the incremental register repair must land
+    // row-identical to q_hyperball's full-graph radius-3 unroll
+    "q_hyperball_incr" -> Duck.hyperballSql(radius = 3),
 
     "q_graph_diameter" -> Duck.hyperballDiameterSql(radius = 3),
 

@@ -17,23 +17,23 @@ import org.apache.spark.sql.functions._
   * node in O(maxRadius) passes over the edges.
   *
   * This is the 100-TB centrality algorithm: state is m small
-  * integers per node (m = 16 here — registers, not samples), each
-  * pass is ONE equi-join (edges ⋈ sparse register rows, partitioned
-  * by the join key) + one (node, bucket) max partial-agg, and the
-  * row volume is bounded by m·E per pass regardless of graph
+  * integers per node (m = 16 at the gate — registers, not samples),
+  * each pass is ONE equi-join (edges ⋈ sparse register rows,
+  * partitioned by the join key) + one (node, bucket) max partial-agg,
+  * and the row volume is bounded by m·E per pass regardless of graph
   * diameter or ball sizes — where exact per-source BFS state is
   * O(k·V) pairs for k pivots and all-pairs is V². The trade is
-  * accuracy: HLL standard error 1.04/√m (~26% at m = 16; production
-  * raises m, cost is linear in it) on EVERY node, vs exact distances
-  * on a pivot sample.
+  * accuracy: HLL standard error 1.04/√m (~26% at m = 16, ~13% at the
+  * production m = 64 — `m` is a parameter here, cost linear in it)
+  * on EVERY node, vs exact distances on a pivot sample.
   *
   * Determinism/oracle: registers derive from the house md5-based
   * `hash64` (engine-portable), the merge is a max, and the estimate
   * replays [[graft.sketch.Sketches.hllDistinctByKey]]'s exact
-  * arithmetic at m = 16 — S = Σ 2^(57−r) is an exact long, the raw
+  * arithmetic — S = Σ 2^(maxRank−r) is an exact long, the raw
   * α·m² estimate runs in DECIMAL(38,0) floor division, and the
   * small-range linear-counting branch rounds `m·ln(m/V)` where V's
-  * 16 possible values cannot straddle a rounding boundary — so a
+  * m possible values cannot straddle a rounding boundary — so a
   * fixed-radius DuckDB unroll hash-matches bit for bit.
   *
   * Early stop is the empty delta (see the loop comment): no changed
@@ -43,21 +43,58 @@ import org.apache.spark.sql.functions._
   */
 object HyperBall {
 
-  /** m = 16 registers (p = 4) over hash64's 60-bit space: bucket =
-    * top 4 bits, rho = leading-one rank of the remaining 56 bits
-    * (57 − bin-length; an all-zero remainder ranks 57). */
-  private val TwoPow56 = 72057594037927936L
+  /** Supported register counts and their HLL bias constants α·1000
+    * (Flajolet et al. 2007: α₁₆=0.673, α₃₂=0.697, α₆₄=0.709). The
+    * gate runs m = 16; m = 64 is the production accuracy point
+    * (error 1.04/√m: ~26% vs ~13%). Registers split hash64's 60-bit
+    * space: bucket = top log₂(m) bits, rho = leading-one rank of the
+    * remaining (60−log₂ m) bits — maxRank = 61 − log₂(m); an
+    * all-zero remainder ranks maxRank. */
+  private val Alpha1000 = Map(16 -> 673L, 32 -> 697L, 64 -> 709L)
+
+  private final case class Layout(m: Int) {
+    require(Alpha1000.contains(m), s"unsupported register count m=$m " +
+      s"(supported: ${Alpha1000.keys.toSeq.sorted.mkString(", ")})")
+    val p: Int = 31 - Integer.numberOfLeadingZeros(m)
+    val maxRank: Int = 61 - p
+    val wMod: Long = 1L << (60 - p) // hash remainder modulus
+    val alpha1000: Long = Alpha1000(m)
+    def regCols: Seq[org.apache.spark.sql.Column] =
+      (0 until m).map(b => col(s"r$b"))
+    def regNames: Seq[String] = (0 until m).map(b => s"r$b")
+    def sigCols: String = regNames.mkString("node, ", ", ", "")
+  }
 
   /** Per-node neighborhood-function estimates at every radius
-    * 0..maxRadius: (node, r, nf_est). Sparse register rows — only
-    * buckets a node's ball has touched materialize; the estimate
-    * spine fills the rest with rank 0. */
-  private val M = 16
-  private def regCols = (0 until M).map(b => col(s"r$b"))
-  private def regNames = (0 until M).map(b => s"r$b")
-
+    * 0..maxRadius: (node, r, nf_est). */
   def neighborhoodFunction(edges: DataFrame, srcCol: String,
-                           dstCol: String, maxRadius: Int): DataFrame = {
+                           dstCol: String, maxRadius: Int,
+                           m: Int = 16): DataFrame = {
+    val lay = Layout(m)
+    val perRadius = registerFrames(edges, srcCol, dstCol, maxRadius, lay)
+    perRadius.zipWithIndex.map { case (regs, r) =>
+      estimate(regs, lay).withColumn("r", lit(r.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("node"), col("r"), col("nf_est"))
+  }
+
+  /** The propagation's raw state as one frame — (node, r,
+    * r0..r{m−1}) for every radius 0..maxRadius — the SAVED-ARTIFACT
+    * form [[neighborhoodFunctionIncremental]] repairs from. Persist
+    * it `partitionBy("r")` so per-radius reads prune. */
+  def registerTable(edges: DataFrame, srcCol: String, dstCol: String,
+                    maxRadius: Int, m: Int = 16): DataFrame = {
+    val lay = Layout(m)
+    registerFrames(edges, srcCol, dstCol, maxRadius, lay).zipWithIndex
+      .map { case (regs, r) => regs.withColumn("r", lit(r.toLong)) }
+      .reduce(_ unionByName _)
+  }
+
+  /** The propagation core: columnar register frames per radius
+    * (index r → (node, r0..r{m−1}), each checkpointed). */
+  private def registerFrames(edges: DataFrame, srcCol: String,
+                             dstCol: String, maxRadius: Int,
+                             lay: Layout): Seq[DataFrame] = {
     require(maxRadius >= 0, s"maxRadius must be >= 0, got $maxRadius")
     val e = edges.select(col(srcCol).as("node"), col(dstCol).as("nxt"))
       .distinct().persist()
@@ -73,23 +110,10 @@ object HyperBall {
     // sf0.1 — per-row overhead (hashing, agg machinery) × m dominated.
     // Radius 0: every node's ball is itself — its own hash's bucket
     // carries the rank, every other register is 0.
-    val sigCols = regNames.mkString("node, ", ", ", "")
-    val init = nodes
-      .select(col("node"),
-        graft.functions.TextFunctions.hash64(col("node").cast("string"))
-          .as("h"))
-      .select(col("node"), expr(s"h div ${TwoPow56}L").as("bucket"),
-        col("h").%(TwoPow56).as("w"))
-      .select(col("node") +: (0 until M).map { b =>
-        when(col("bucket") === b,
-          when(col("w") === 0, lit(57))
-            .otherwise(lit(57) - length(expr("bin(w)"))))
-          .otherwise(lit(0)).cast("int").as(s"r$b")
-      }: _*)
     var (regs, _) =
-      graft.operators.Converge.checkpointWithSig(init, sigCols)
-    var estCur = estimate(regs)
-    var out = estCur.withColumn("r", lit(0L))
+      graft.operators.Converge.checkpointWithSig(
+        initRegs(nodes, lay), lay.sigCols)
+    val out = scala.collection.mutable.ArrayBuffer(regs)
     // DELTA propagation (the HyperBall paper's systolic form): only
     // nodes whose sketch CHANGED last radius are pushed through the
     // join — an unchanged neighbor contributes exactly what it
@@ -98,77 +122,214 @@ object HyperBall {
     // as balls saturate. Radius 0's "delta" is every node.
     // Convergence = an empty delta: nothing changed, so no later
     // radius can change anything — the remaining radii emit the
-    // converged estimate, equal to the full unroll.
+    // converged registers, equal to the full unroll.
     var delta = regs
     var nDelta = 1L
-    for (h <- 1 to maxRadius) {
+    for (_ <- 1 to maxRadius) {
       if (nDelta > 0) {
         val prop = e
           .join(delta.withColumnRenamed("node", "nxt"), Seq("nxt"))
-          .select(col("node") +: regCols: _*)
+          .select(col("node") +: lay.regCols: _*)
         val merged = regs.unionByName(prop).groupBy(col("node"))
           .agg(max(col("r0")).as("r0"),
-            (1 until M).map(b => max(col(s"r$b")).as(s"r$b")): _*)
+            (1 until lay.m).map(b => max(col(s"r$b")).as(s"r$b")): _*)
         val (next, _) =
-          graft.operators.Converge.checkpointWithSig(merged, sigCols)
+          graft.operators.Converge.checkpointWithSig(merged, lay.sigCols)
         // registers only grow, so any field inequality = changed
         val changed = next.join(
             regs.select(col("node") +:
-              (0 until M).map(b => col(s"r$b").as(s"p$b")): _*),
+              (0 until lay.m).map(b => col(s"r$b").as(s"p$b")): _*),
             Seq("node"))
-          .where((0 until M).map(b => col(s"r$b") =!= col(s"p$b"))
+          .where((0 until lay.m).map(b => col(s"r$b") =!= col(s"p$b"))
             .reduce(_ || _))
-          .select(col("node") +: regCols: _*)
+          .select(col("node") +: lay.regCols: _*)
         val (nextDelta, (n, _)) =
-          graft.operators.Converge.checkpointWithSig(changed, sigCols)
+          graft.operators.Converge.checkpointWithSig(changed, lay.sigCols)
         regs = next
         delta = nextDelta
         nDelta = n
-        if (nDelta > 0) estCur = estimate(regs)
-        // nDelta == 0 ⇒ regs identical to last radius ⇒ estCur
-        // already holds this and every later radius's estimate
       }
-      out = out.unionByName(estCur.withColumn("r", lit(h.toLong)))
+      out += regs
     }
-    val res = out.select(col("node"), col("r"), col("nf_est"))
     e.unpersist()
-    res
+    out.toSeq
   }
 
-  /** [[graft.sketch.Sketches.hllDistinctByKey]]'s estimator at
-    * m = 16 as a pure projection over the columnar sketch: exact-
-    * integer S = Σ_b 2^(57−r_b), DECIMAL(38,0) raw α_16·m²·2^57 div
-    * (1000·S) with α_16 = 0.673 (673·256 = 172288), linear counting
-    * below raw ≤ 2.5·m = 40. Returns (node, nf_est). */
-  private def estimate(regs: DataFrame): DataFrame = {
-    val sExpr = (0 until M)
-      .map(b => s"shiftleft(1L, cast(57 - r$b as int))").mkString(" + ")
-    val vExpr = (0 until M)
+  /** Radius-0 columnar sketch of a node frame: the node's own hash's
+    * bucket carries its rank, every other register is 0. */
+  private def initRegs(nodes: DataFrame, lay: Layout): DataFrame =
+    nodes
+      .select(col("node"),
+        graft.functions.TextFunctions.hash64(col("node").cast("string"))
+          .as("h"))
+      .select(col("node"), expr(s"h div ${lay.wMod}L").as("bucket"),
+        col("h").%(lay.wMod).as("w"))
+      .select(col("node") +: (0 until lay.m).map { b =>
+        when(col("bucket") === b,
+          when(col("w") === 0, lit(lay.maxRank))
+            .otherwise(lit(lay.maxRank) - length(expr("bin(w)"))))
+          .otherwise(lit(0)).cast("int").as(s"r$b")
+      }: _*)
+
+  /** INCREMENTAL neighborhood-function maintenance — the saved-index
+    * idiom ([[Sssp.bfsDistancesIncremental]], `minHashIndex`) applied
+    * to the all-nodes sketch substrate: given the SAVED per-radius
+    * register table of a prior [[registerTable]] run over `edges` and
+    * a batch of NEW edges, repair only the sketches the batch can
+    * change instead of re-propagating the whole graph.
+    *
+    * Soundness: HLL registers only GROW under edge inserts (a bigger
+    * ball max-merges a superset), so the saved table is a valid
+    * under-approximation of the union graph's registers and max-merge
+    * confluence lets improvements be folded in any order. UNLIKE the
+    * BFS repair, the radius-bounded recurrence has no empty-frontier
+    * fixpoint shortcut: R'_r(v) = R'_{r−1}(v) ⊔ ⨆_{(v,u)} R'_{r−1}(u)
+    * re-reads the new edges at EVERY radius (a changed set that is
+    * empty at radius r can regrow at r+1 through a new edge whose
+    * head's ball grew), so the loop always runs maxRadius rounds —
+    * each pricing one |newEdges|-keyed join against the saved radius
+    * frame plus joins proportional to the changed region, never a
+    * full-graph propagation.
+    *
+    * Per radius r the candidate contributions beyond saved_r(v) are
+    * exactly: (a) full R'_{r−1}(u) through each new edge (v,u) —
+    * split as saved_{r−1}(u) ⊔ changed_{r−1}(u), (b) changed_{r−1}(u)
+    * through EVERY union edge (v,u), and (c) the node's own
+    * changed_{r−1}(v) (balls are monotone in r). Everything else is
+    * ⊆ saved_r(v) by the old run's own recurrence. Nodes introduced
+    * by the batch have no saved rows; they seed changed_0 with their
+    * self-sketch and stay in the changed set at every radius.
+    *
+    * The result is row-identical to a full [[neighborhoodFunction]]
+    * over old ∪ new edges at the same maxRadius and m — the
+    * equivalence the oracle and spec gate.
+    *
+    * @param savedRegs (node, r, r0..r{m−1}) rows covering every
+    *                  radius 0..maxRadius, from [[registerTable]]
+    *                  over `edges` (a table saved at a SMALLER radius
+    *                  breaks the repair contract and is rejected)
+    */
+  def neighborhoodFunctionIncremental(edges: DataFrame,
+                                      newEdges: DataFrame,
+                                      srcCol: String, dstCol: String,
+                                      savedRegs: DataFrame,
+                                      maxRadius: Int,
+                                      m: Int = 16): DataFrame = {
+    val lay = Layout(m)
+    require(maxRadius >= 0, s"maxRadius must be >= 0, got $maxRadius")
+    // cast: a partitionBy("r") artifact reads r back as an inferred
+    // INT partition column even though the writer emitted a long
+    val savedMax =
+      savedRegs.agg(max(col("r").cast("long"))).head().getLong(0)
+    require(savedMax >= maxRadius,
+      s"saved register table covers radii 0..$savedMax, need $maxRadius")
+    def savedAt(r: Int): DataFrame =
+      savedRegs.where(col("r") === r.toLong)
+        .select(col("node") +: lay.regCols: _*)
+    val oldE = edges.select(col(srcCol).as("node"), col(dstCol).as("nxt"))
+      .distinct()
+    // truly-new edges only: a batch edge already present contributes
+    // nothing (its head's sketch is max-folded into saved already)
+    // but would pull full saved sketches through the per-radius join
+    val ne = newEdges
+      .select(col(srcCol).as("node"), col(dstCol).as("nxt")).distinct()
+      .join(oldE, Seq("node", "nxt"), "left_anti").persist()
+    val allE = oldE.unionByName(ne).persist()
+    allE.count(); ne.count()
+    // radius 0: only nodes the batch INTRODUCES differ from saved —
+    // an old node's radius-0 ball is itself regardless of edges
+    val neNodes = ne.select(col("node"))
+      .unionByName(ne.select(col("nxt").as("node"))).distinct()
+    val newNodes = neNodes.join(savedAt(0), Seq("node"), "left_anti")
+    var (changed, (nChanged, _)) = graft.operators.Converge
+      .checkpointWithSig(initRegs(newNodes, lay), lay.sigCols)
+    var out = outputAt(savedAt(0), changed, nChanged, 0, lay)
+    for (r <- 1 to maxRadius) {
+      val viaNew = ne
+        .join(savedAt(r - 1).withColumnRenamed("node", "nxt"), Seq("nxt"))
+        .select(col("node") +: lay.regCols: _*)
+      val viaChanged = allE
+        .join(changed.withColumnRenamed("node", "nxt"), Seq("nxt"))
+        .select(col("node") +: lay.regCols: _*)
+      val cand = viaNew.unionByName(viaChanged).unionByName(changed)
+        .groupBy(col("node"))
+        .agg(max(col("r0")).as("r0"),
+          (1 until lay.m).map(b => max(col(s"r$b")).as(s"r$b")): _*)
+      // genuine change = some candidate register exceeds the saved
+      // radius-r one (absent saved row = all-zero: a new node)
+      val joined = cand.join(
+          savedAt(r).select(col("node") +:
+            (0 until lay.m).map(b => col(s"r$b").as(s"p$b")): _*),
+          Seq("node"), "left")
+      val changedNext = joined
+        .where((0 until lay.m)
+          .map(b => col(s"r$b") > coalesce(col(s"p$b"), lit(0)))
+          .reduce(_ || _))
+        .select(col("node") +: (0 until lay.m).map(b =>
+          greatest(col(s"r$b"), coalesce(col(s"p$b"), lit(0)))
+            .cast("int").as(s"r$b")): _*)
+      val (ck, (n, _)) = graft.operators.Converge
+        .checkpointWithSig(changedNext, lay.sigCols)
+      changed = ck
+      nChanged = n
+      out = out.unionByName(outputAt(savedAt(r), changed, nChanged, r, lay))
+    }
+    // out's legs reference only per-radius checkpoints and the saved
+    // parquet — the persisted edge frames are loop-internal
+    ne.unpersist(); allE.unpersist()
+    out.select(col("node"), col("r"), col("nf_est"))
+  }
+
+  /** Radius-r estimates for the repaired state: saved rows for
+    * unchanged nodes, the changed rows otherwise. The anti-join's
+    * right side is the (small, checkpointed) changed set, skipped
+    * entirely when the radius changed nothing. */
+  private def outputAt(saved: DataFrame, changed: DataFrame,
+                       nChanged: Long, r: Int, lay: Layout): DataFrame = {
+    val state =
+      if (nChanged == 0) saved
+      else saved.join(broadcast(changed.select(col("node"))),
+          Seq("node"), "left_anti")
+        .unionByName(changed)
+    estimate(state, lay).withColumn("r", lit(r.toLong))
+  }
+
+  /** [[graft.sketch.Sketches.hllDistinctByKey]]'s estimator as a pure
+    * projection over the columnar sketch: exact-integer
+    * S = Σ_b 2^(maxRank−r_b), DECIMAL(38,0) raw α_m·m²·2^maxRank div
+    * (1000·S), linear counting below raw ≤ 2.5·m. Returns
+    * (node, nf_est). */
+  private def estimate(regs: DataFrame, lay: Layout): DataFrame = {
+    val sExpr = (0 until lay.m)
+      .map(b => s"shiftleft(1L, cast(${lay.maxRank} - r$b as int))")
+      .mkString(" + ")
+    val vExpr = (0 until lay.m)
       .map(b => s"(case when r$b = 0 then 1 else 0 end)").mkString(" + ")
+    val num = lay.alpha1000 * lay.m * lay.m
     regs
       .select(col("node"), expr(sExpr).as("S"),
         expr(vExpr).cast("long").as("V"))
       .withColumn("raw", expr(
-        "cast(cast(172288 as decimal(38,0)) * cast(shiftleft(1L, 57) as " +
-          "decimal(38,0)) div (cast(1000 as decimal(38,0)) * " +
-          "cast(S as decimal(38,0))) as bigint)"))
+        s"cast(cast($num as decimal(38,0)) * " +
+          s"cast(shiftleft(1L, ${lay.maxRank}) as decimal(38,0)) div " +
+          "(cast(1000 as decimal(38,0)) * cast(S as decimal(38,0))) " +
+          "as bigint)"))
       .select(col("node"),
-        when(col("raw") <= 40 && col("V") > 0,
-          round(lit(16) * log(lit(16.0) / col("V"))).cast("long"))
+        when(col("raw") <= lay.m * 5 / 2 && col("V") > 0,
+          round(lit(lay.m) * log(lit(lay.m.toDouble) / col("V")))
+            .cast("long"))
           .otherwise(col("raw")).as("nf_est"))
   }
 
-  /** The wide per-node summary a curation pipeline consumes:
-    * neighborhood-function estimates at radii 0..3 plus approximate
-    * harmonic centrality Σ_{r≥1} (nf_r − nf_{r−1})·10⁶ div r — the
-    * HyperBall paper's headline metric, here in exact-ppm integer
-    * arithmetic over the (already approximate) nf estimates so the
-    * oracle replays it. Deltas may go slightly negative where the
-    * estimator switches off its linear-counting branch; the signed
-    * truncating div matches across engines. */
-  def harmonicSummary(edges: DataFrame, srcCol: String,
-                      dstCol: String): DataFrame = {
-    val nf = neighborhoodFunction(edges, srcCol, dstCol, maxRadius = 3)
+  /** The wide per-node summary a curation pipeline consumes, from an
+    * nf frame covering radii 0..3: neighborhood-function estimates
+    * plus approximate harmonic centrality Σ_{r≥1} (nf_r − nf_{r−1})
+    * ·10⁶ div r — the HyperBall paper's headline metric, in exact-ppm
+    * integer arithmetic over the (already approximate) nf estimates
+    * so the oracle replays it. Deltas may go slightly negative where
+    * the estimator switches off its linear-counting branch; the
+    * signed truncating div matches across engines. */
+  def harmonicFromNf(nf: DataFrame): DataFrame =
     nf.groupBy(col("node"))
       .agg(
         max(when(col("r") === 0, col("nf_est"))).as("nf0"),
@@ -179,5 +340,9 @@ object HyperBall {
         col("nf0"), col("nf1"), col("nf2"), col("nf3"),
         expr("(nf1 - nf0) * 1000000 div 1 + (nf2 - nf1) * 1000000 div 2" +
           " + (nf3 - nf2) * 1000000 div 3").as("harmonic_ppm"))
-  }
+
+  /** [[harmonicFromNf]] over a fresh radius-3 propagation. */
+  def harmonicSummary(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame =
+    harmonicFromNf(neighborhoodFunction(edges, srcCol, dstCol, maxRadius = 3))
 }

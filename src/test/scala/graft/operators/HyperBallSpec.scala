@@ -19,33 +19,42 @@ class HyperBallSpec extends SparkSpec {
     java.lang.Long.parseLong(hex.take(15), 16)
   }
 
-  /** m=16 HLL estimate over a set of member ids — the same exact
-    * arithmetic as HyperBall.estimate. */
-  private def hllEstimate(members: Set[String]): Long = {
-    val regs = Array.fill(16)(0)
+  /** HLL estimate over a set of member ids — the same exact
+    * arithmetic as HyperBall.estimate, parameterized on the register
+    * count (α·1000 per Flajolet: 673/697/709 for m = 16/32/64). */
+  private def hllEstimate(members: Set[String], m: Int = 16): Long = {
+    val alpha1000 = Map(16 -> 673L, 32 -> 697L, 64 -> 709L)(m)
+    val p = 31 - Integer.numberOfLeadingZeros(m)
+    val maxRank = 61 - p
+    val wMod = 1L << (60 - p)
+    val regs = Array.fill(m)(0)
     members.foreach { v =>
       val h = hash64(v)
-      val bucket = (h >>> 56).toInt // 60-bit hash: div 2^56 = top 4 bits
-      val w = h % 72057594037927936L
-      val rho = if (w == 0) 57 else 57 - java.lang.Long.toBinaryString(w).length
+      val bucket = (h / wMod).toInt
+      val w = h % wMod
+      val rho =
+        if (w == 0) maxRank
+        else maxRank - java.lang.Long.toBinaryString(w).length
       if (rho > regs(bucket)) regs(bucket) = rho
     }
-    val sSum = regs.map(r => 1L << (57 - r)).sum
+    val sSum = regs.map(r => 1L << (maxRank - r)).sum
     val v0 = regs.count(_ == 0)
-    val raw = (BigInt(172288) * (BigInt(1) << 57) / (BigInt(1000) * sSum)).toLong
-    if (raw <= 40 && v0 > 0) math.round(16.0 * math.log(16.0 / v0))
+    val raw = (BigInt(alpha1000 * m * m) * (BigInt(1) << maxRank) /
+      (BigInt(1000) * sSum)).toLong
+    if (raw <= m * 5 / 2 && v0 > 0)
+      math.round(m.toDouble * math.log(m.toDouble / v0))
     else raw
   }
 
   /** Exact ball B(v, r) over directed edges, then the HLL estimate. */
-  private def serialNf(edges: Seq[(String, String)], maxRadius: Int)
-      : Map[(String, Long), Long] = {
+  private def serialNf(edges: Seq[(String, String)], maxRadius: Int,
+                       m: Int = 16): Map[(String, Long), Long] = {
     val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     nodes.flatMap { v =>
       var ball = Set(v)
       (0 to maxRadius).map { r =>
-        val est = hllEstimate(ball)
+        val est = hllEstimate(ball, m)
         ball = ball ++ ball.flatMap(u => adj.getOrElse(u, Seq.empty))
         (v, r.toLong) -> est
       }
@@ -88,6 +97,86 @@ class HyperBallSpec extends SparkSpec {
     (4 to 12).foreach { r =>
       assert(full(("a", r.toLong)) === full(("a", 3L)), s"radius $r")
     }
+  }
+
+  test("m = 64 matches the serial reference at production accuracy") {
+    val rnd = new scala.util.Random(41)
+    val n = 30
+    val edges = Seq.fill(70)(
+      (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+      .filter { case (a, b) => a != b }.distinct
+    val got = HyperBall
+      .neighborhoodFunction(edges.toDF("s", "d"), "s", "d", 3, m = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === serialNf(edges, 3, m = 64))
+  }
+
+  test("unsupported register count is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      HyperBall.neighborhoodFunction(
+        Seq(("a", "b")).toDF("s", "d"), "s", "d", 1, m = 24)
+    }
+    assert(e.getMessage.contains("m=24"))
+  }
+
+  /** Run the incremental repair from a saved registerTable over
+    * `oldEdges` with `newEdges` arriving as the batch; compare to a
+    * full recompute over the union. */
+  private def incrEqualsFull(oldEdges: Seq[(String, String)],
+                             newEdges: Seq[(String, String)],
+                             maxRadius: Int, clue: String): Unit = {
+    val saved = HyperBall.registerTable(
+      oldEdges.toDF("s", "d"), "s", "d", maxRadius)
+    val incr = HyperBall.neighborhoodFunctionIncremental(
+        oldEdges.toDF("s", "d"), newEdges.toDF("s", "d"), "s", "d",
+        saved, maxRadius)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(incr === serialNf((oldEdges ++ newEdges).distinct, maxRadius),
+      clue)
+  }
+
+  test("incremental repair equals full recompute, randomized splits") {
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 4) {
+      val n = 20
+      val edges = Seq.fill(60)(
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+        .filter { case (a, b) => a != b }.distinct
+      val (oldE, newE) = edges.partition(_ => rnd.nextInt(4) > 0)
+      incrEqualsFull(oldE, newE, 1 + rnd.nextInt(3), s"trial $trial")
+    }
+  }
+
+  test("incremental repair handles batch-introduced NEW nodes") {
+    // z/w are unseen by the saved run; x bridges into the old chain
+    val oldE = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    val newE = Seq(("z", "a"), ("d", "w"), ("z", "w"))
+    incrEqualsFull(oldE, newE, 3, "new-node batch")
+  }
+
+  test("incremental repair with an empty batch reproduces the saved run") {
+    val oldE = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "a"))
+    incrEqualsFull(oldE, Seq.empty, 3, "empty batch")
+  }
+
+  test("incremental repair with duplicate batch edges is a no-op repair") {
+    // every batch edge already exists — the anti-join must drop them
+    // and the output must equal the saved run exactly
+    val oldE = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+    incrEqualsFull(oldE, oldE.take(2), 3, "duplicate batch")
+  }
+
+  test("incremental rejects a saved table with too few radii") {
+    val saved = HyperBall.registerTable(
+      Seq(("a", "b")).toDF("s", "d"), "s", "d", maxRadius = 1)
+    val e = intercept[IllegalArgumentException] {
+      HyperBall.neighborhoodFunctionIncremental(
+        Seq(("a", "b")).toDF("s", "d"), Seq(("b", "c")).toDF("s", "d"),
+        "s", "d", saved, maxRadius = 3)
+    }
+    assert(e.getMessage.contains("radii 0..1"))
   }
 
   test("harmonic summary replays the ppm delta formula") {
