@@ -182,8 +182,9 @@ object Bench {
       "q_sssp_weighted_incr", "q_centrality", "q_hyperball",
       "q_graph_diameter",
       // r15: the incremental register repair checkpoints per radius
-      // and stages the full propagation when its artifact is cold
-      "q_hyperball_incr")
+      // and stages the full propagation when its artifact is cold;
+      // the delete repair checkpoints per sweep/re-derive round
+      "q_hyperball_incr", "q_sssp_delete")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

@@ -41,9 +41,10 @@ object ScaleTest {
     // centrality (m·V register state, O(radius) passes)
     "q_sssp_weighted_incr", "q_centrality", "q_hyperball",
     "q_graph_diameter",
-    // r15: incremental HyperBall repair (saved register artifact —
-    // pre-stage on the scaled dir, the q_sssp_incr discipline)
-    "q_hyperball_incr",
+    // r15: incremental HyperBall repair and BFS delete repair (saved
+    // artifacts — pre-stage on the scaled dir, the q_sssp_incr
+    // discipline)
+    "q_hyperball_incr", "q_sssp_delete",
     // dedup
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_embed", "q_semdedup",

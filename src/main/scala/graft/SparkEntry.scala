@@ -187,6 +187,29 @@ object SparkEntry {
       s"hyperball_nf_m16_r3_v1:$fp", dir)(write)
   }
 
+  /** The q_sssp_delete fixture's SAVED distance table: a 4-hop BFS
+    * from the nation-0 seeds over the FULL purchase graph (the delete
+    * query then retracts the mod-5 orders' edges and repairs), staged
+    * once per data dir with the source fingerprint in the tag — the
+    * ssspSavedDistances discipline, full-graph variant. */
+  private def ssspSavedDistancesFull(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val sources = t(s, dir, "customer")
+        .where(col("c_nationkey") === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+      val edges = purchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+      graft.graph.Sssp.bfsDistances(edges, "a", "b", sources, "seed",
+          maxHops = 4)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet",
+      s"$dir/customer.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"sssp_saved_n0_h4_full_v1:$fp", dir)(write)
+  }
+
   /** The q_hyperball_incr fixture's SAVED per-radius register table:
     * a full radius-3 HyperBall propagation over the ¾ purchase graph
     * (o_orderkey % 4 != 0), staged once per data dir with the source
@@ -1396,6 +1419,28 @@ object SparkEntry {
       val edges = purchaseEdgesFrom(s, dir,
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       graft.graph.HyperBall.harmonicSummary(edges, "a", "b")
+        .orderBy(col("node_id"))
+    }),
+
+    "q_sssp_delete" -> ((s, dir) => {
+      // edge-DELETE maintenance (the incremental family's missing
+      // half — the takedown/opt-out shape at the graph layer): the
+      // SAVED full-graph distance table (ssspSavedDistancesFull,
+      // staged once per dir), then the mod-5 orders' edges are
+      // RETRACTED as the batch — the invalidation sweep marks only
+      // distances that depended on a deleted edge, and the re-derive
+      // min-relaxes the marked region from the unaffected boundary
+      // over the pruned graph. Gate = EQUIVALENCE: the oracle runs
+      // the q_sssp BFS unroll over pairs EXCEPT the deleted pairs,
+      // so the repair must land row-identical to a full recompute.
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val allE = purchaseEdgesFrom(s, dir, orders)
+      val delE = purchaseEdgesFrom(s, dir,
+        orders.where(col("o_orderkey") % 5 === 0))
+      val saved = s.read.parquet(ssspSavedDistancesFull(s, dir))
+      graft.graph.Sssp.bfsDistancesDeleted(allE, delE, "a", "b",
+          saved, maxHops = 4)
         .orderBy(col("node_id"))
     }),
 
@@ -5507,6 +5552,10 @@ object SparkEntry {
     // 4-hop BFS over the WHOLE purchase graph
     "q_sssp_incr" -> Duck.ssspSql(hops = 4),
 
+    // EQUIVALENCE gate: the delete repair must reproduce a full BFS
+    // over the graph minus the retracted mod-5 pairs
+    "q_sssp_delete" -> Duck.ssspDeleteSql(hops = 4),
+
     "q_seed_expansion" -> Duck.seedExpansionSql(hops = 6),
 
     // pair support from the per-order self-join; lift through HUGEINT
@@ -8466,6 +8515,40 @@ object SparkEntry {
       s"""WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
          |    's' || CAST(l_suppkey AS VARCHAR) AS b
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |v0 AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+         |    CAST(0 AS BIGINT) AS dist
+         |  FROM customer WHERE c_nationkey = 0),
+         |$steps
+         |SELECT node AS node_id, dist FROM v$hops ORDER BY node_id""".stripMargin
+    }
+
+    /** The q_sssp unroll over the PRUNED purchase graph — all
+      * customer↔supplier pairs EXCEPT those derivable from mod-5
+      * orders (q_sssp_delete's retraction batch). Pair-level EXCEPT
+      * then symmetrize ≡ symmetric-set minus (pairs are typed
+      * c-side/s-side, so symmetrization is injective). */
+    def ssspDeleteSql(hops: Int): String = {
+      val steps = (1 to hops).map { k =>
+        s"""v$k AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT node, dist FROM v${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, v.dist + 1 AS dist
+           |    FROM e JOIN v${k - 1} v ON v.node = e.src
+           |  ) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs_all AS (SELECT DISTINCT
+         |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |pairs_del AS (SELECT DISTINCT
+         |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE o_orderkey % 5 = 0),
+         |pairs AS (SELECT a, b FROM pairs_all
+         |          EXCEPT SELECT a, b FROM pairs_del),
          |e AS (SELECT a AS src, b AS dst FROM pairs
          |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
          |v0 AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node,

@@ -312,6 +312,135 @@ object Sssp {
     out
   }
 
+  /** Edge-DELETE maintenance for BFS distances — the missing half of
+    * the incremental family: [[bfsDistancesIncremental]] handles
+    * inserts (distances only shrink, so the saved table is a sound
+    * over-approximation to improve); deletions can only GROW
+    * distances, which breaks that invariant — what a takedown /
+    * opt-out pipeline needs at the graph layer is the inverse repair.
+    *
+    * Three phases, each bounded by the region the batch can actually
+    * touch (the DRed over-delete/re-derive discipline from
+    * incremental Datalog view maintenance):
+    *
+    *  1. INVALIDATE — mark every node whose saved distance might
+    *     depend on a deleted edge: seed with heads of TIGHT deleted
+    *     edges (d(v) = d(u) + 1 — a non-tight edge was on no shortest
+    *     path and deleting it changes nothing), then propagate along
+    *     tight surviving edges (d(w) = d(x) + 1 with x marked). This
+    *     over-approximates: a marked node may still have an untouched
+    *     shortest path (the re-derive phase rediscovers it). An
+    *     UNMARKED node provably keeps its distance: by induction on
+    *     d, every one of its tight in-edges survives with an unmarked
+    *     tail — and sources (d = 0) can never be marked.
+    *  2. RETRACT — drop the marked rows; the unaffected remainder is
+    *     exact for the pruned graph.
+    *  3. RE-DERIVE — min-relax distances back INTO the marked region
+    *     only, seeded from the unaffected boundary, over the pruned
+    *     graph: per round one equi-join of the improved frontier
+    *     against the edges, candidates filtered to marked targets. A
+    *     marked node that no surviving path reaches within the cap
+    *     drops out — exactly the full recompute's behavior.
+    *
+    * Per-batch cost tracks the invalidation region (its incident
+    * edges, for both the sweep and the repair), never the corpus —
+    * deleting a non-bridge edge in a big graph touches a few rows.
+    * The result is row-identical to a full [[bfsDistances]] over
+    * `edges` minus `deletedEdges` at the same `maxHops` (the
+    * equivalence the oracle and spec gate).
+    *
+    * @param edges        the ORIGINAL directed edge set the saved
+    *                     table was computed over
+    * @param deletedEdges the batch to remove (a row not present in
+    *                     `edges` prunes nothing; at worst it
+    *                     over-marks, which the re-derive repairs)
+    * @param savedDist    (node_id, dist) from [[bfsDistances]] over
+    *                     `edges` at the SAME maxHops
+    */
+  def bfsDistancesDeleted(edges: DataFrame, deletedEdges: DataFrame,
+                          srcCol: String, dstCol: String,
+                          savedDist: DataFrame,
+                          maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val eAll = edges.select(col(srcCol).as("node"), col(dstCol).as("nxt"))
+      .distinct()
+    val del = deletedEdges
+      .select(col(srcCol).as("node"), col(dstCol).as("nxt")).distinct()
+    val e = eAll.join(del, Seq("node", "nxt"), "left_anti").persist()
+    e.count()
+    val (dist0, _) = graft.operators.Converge.checkpointWithSig(
+      savedDist.select(col("node_id").as("node"), col("dist")),
+      "node, dist")
+    // 1. INVALIDATE: tight deleted edges seed the marked set
+    val seedA = del
+      .join(dist0.select(col("node"), col("dist").as("d_src")), Seq("node"))
+      .select(col("nxt").as("node"), (col("d_src") + lit(1L)).as("dist"))
+      .join(dist0, Seq("node", "dist")) // tight: d(v) = d(u) + 1
+      .select(col("node"), col("dist")).distinct()
+    var (frontA, (nFrontA, _)) =
+      graft.operators.Converge.checkpointWithSig(seedA, "node, dist")
+    var marked = frontA
+    var guard = 0
+    while (nFrontA > 0) {
+      guard += 1
+      require(guard <= maxHops + 1,
+        s"invalidation sweep exceeded ${maxHops + 1} rounds")
+      val tight = frontA.join(e, Seq("node"))
+        .select(col("nxt").as("node"), (col("dist") + lit(1L)).as("dist"))
+        .join(dist0, Seq("node", "dist")) // d(w) = d(x) + 1
+        .select(col("node"), col("dist")).distinct()
+        .join(marked.select(col("node")), Seq("node"), "left_anti")
+      val (next, (n, _)) =
+        graft.operators.Converge.checkpointWithSig(tight, "node, dist")
+      frontA = next
+      nFrontA = n
+      if (n > 0) marked = marked.unionByName(frontA).localCheckpoint()
+    }
+    val markedIds = marked.select(col("node"))
+    // 2. RETRACT: the unaffected remainder is exact for the pruned
+    // graph (sources are never marked, so the seed set survives)
+    val keep = dist0.join(markedIds, Seq("node"), "left_anti")
+      .localCheckpoint()
+    // 3. RE-DERIVE: seed the repair from the unaffected boundary,
+    // then min-relax within the marked region only
+    val seedB = keep.join(e, Seq("node"))
+      .select(col("nxt").as("node"), (col("dist") + lit(1L)).as("dist"))
+      .where(col("dist") <= maxHops)
+      .join(markedIds, Seq("node"))
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    var (front, (nFront, _)) =
+      graft.operators.Converge.checkpointWithSig(seedB, "node, dist")
+    var best = front
+    guard = 0
+    while (nFront > 0) {
+      guard += 1
+      require(guard <= maxHops + 1,
+        s"delete repair exceeded ${maxHops + 1} rounds")
+      val cand = front.join(e, Seq("node"))
+        .select(col("nxt").as("node"), (col("dist") + lit(1L)).as("dist"))
+        .where(col("dist") <= maxHops)
+        .join(markedIds, Seq("node"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val improved = cand
+        .join(best.select(col("node"), col("dist").as("old")),
+          Seq("node"), "left")
+        .where(col("old").isNull || col("dist") < col("old"))
+        .select(col("node"), col("dist"))
+      val (next, (n, _)) =
+        graft.operators.Converge.checkpointWithSig(improved, "node, dist")
+      front = next
+      nFront = n
+      if (n > 0)
+        best = best.unionByName(front)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+    }
+    val out = keep.unionByName(best)
+      .select(col("node").as("node_id"), col("dist"))
+    e.unpersist()
+    out
+  }
+
   /** Incremental WEIGHTED shortest-path maintenance —
     * [[bfsDistancesIncremental]]'s weighted twin, same saved-index
     * idiom: given a SAVED distance table from a CONVERGED

@@ -194,6 +194,74 @@ class SsspSpec extends SparkSpec {
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
+  private def runDel(edges: Seq[(Long, Long)], delE: Seq[(Long, Long)],
+                     sources: Seq[Long], maxHops: Int): Map[Long, Long] = {
+    import spark.implicits._
+    val saved = Sssp.bfsDistances(edges.toDF("s", "d"), "s", "d",
+      sources.toDF("src"), "src", maxHops)
+    Sssp.bfsDistancesDeleted(edges.toDF("s", "d"), delE.toDF("s", "d"),
+        "s", "d", saved, maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("delete repair equals full recompute over the pruned graph, randomized") {
+    val rnd = new scala.util.Random(123)
+    for (trial <- 1 to 5) {
+      val n = 25
+      val all = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val delE = all.filter(_ => rnd.nextInt(4) == 0)
+      val sources = Seq.fill(2)(rnd.nextInt(n).toLong).distinct
+      val hops = 1 + rnd.nextInt(5)
+      assert(runDel(all, delE, sources, hops) ===
+        run(all.diff(delE), sources, hops), s"trial $trial")
+    }
+  }
+
+  test("deleting a non-tight edge changes nothing") {
+    // 1->2->3 plus the redundant long way 1->4->3: edge 4->3 reaches
+    // 3 at dist 2 = its existing dist, so it is on no STRICTLY
+    // shorter path... make it genuinely non-tight: 3 is at dist 2,
+    // 4 at dist 1, so 4->3 IS tight (1+1=2). Use 2->4 instead
+    // (d(4)=1 via 1->4, 1+1=2 != 1: non-tight).
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 3L), (2L, 4L))
+    assert(runDel(edges, Seq((2L, 4L)), Seq(1L), 10) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("deleting a bridge cuts the far side off entirely") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(runDel(edges, Seq((2L, 3L)), Seq(1L), 10) ===
+      Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("delete falls back to a longer surviving path") {
+    // 1->2 direct plus detour 1->3->4->2: deleting 1->2 re-derives
+    // 2 at dist 3 via the detour
+    val edges = Seq((1L, 2L), (1L, 3L), (3L, 4L), (4L, 2L), (2L, 5L))
+    assert(runDel(edges, Seq((1L, 2L)), Seq(1L), 10) ===
+      Map(1L -> 0L, 3L -> 1L, 4L -> 2L, 2L -> 3L, 5L -> 4L))
+  }
+
+  test("delete repair respects the hop cap on the re-derived path") {
+    // detour pushes node 2 past the cap: it must drop out
+    val edges = Seq((1L, 2L), (1L, 3L), (3L, 4L), (4L, 2L))
+    assert(runDel(edges, Seq((1L, 2L)), Seq(1L), 2) ===
+      Map(1L -> 0L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("deleting an absent edge leaves the table unchanged") {
+    val edges = Seq((1L, 2L), (2L, 3L))
+    assert(runDel(edges, Seq((7L, 8L), (2L, 1L)), Seq(1L), 10) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("an empty delete batch reproduces the saved table") {
+    val edges = Seq((1L, 2L), (2L, 3L))
+    assert(runDel(edges, Seq.empty, Seq(1L), 10) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
   /** Weighted incremental: saved table must be CONVERGED (the
     * contract), so the fixture runs weightedDistances far past the
     * relaxation depth and lets the signature stop it. */
