@@ -147,30 +147,34 @@ object Sssp {
     out
   }
 
-  /** BIT-PARALLEL pivot centrality — the k ≤ 64 fast path over
+  /** BIT-PARALLEL pivot centrality — the mask-word fast path over
     * [[bfsDistancesPerSource]]'s semantics: the set of pivots that
-    * have reached a node rides as one 64-bit MASK per node, so all k
-    * BFS sweeps collapse into a single BFS-cost loop — per hop one
-    * equi-join (edges ⋈ changed masks) + a `bit_or` partial-agg +
-    * one V-row merge, independent of k. Centrality accumulators
-    * update incrementally: bits newly set at hop h are pivots whose
-    * distance IS h (first reach = min dist), contributing
-    * `popcount(newly)` to the reach count, `popcount·h` to Σd, and
-    * `popcount·(10⁶ div h)` to the harmonic sum — exactly the
-    * per-pair reductions of the tagged form, bit-for-bit (the oracle
-    * replays the per-pair unroll). A pivot's own bit is set at init,
-    * which both anchors the sweep and suppresses d>0 self-re-reach,
-    * matching min-dist semantics. Delta propagation: a node whose
-    * mask didn't change last hop contributes exactly what it already
-    * contributed, so only changed masks join — and an empty change
-    * set ends the loop early, equal to the full unroll.
+    * have reached a node rides as ⌈k/64⌉ 64-bit MASK WORD columns
+    * per node, so all k BFS sweeps collapse into a single BFS-cost
+    * loop — per hop one equi-join (edges ⋈ changed masks) + a
+    * per-word `bit_or` partial-agg + one V-row merge, costing the
+    * word count (a row-width constant), never k sweeps. Centrality
+    * accumulators update incrementally: bits newly set at hop h are
+    * pivots whose distance IS h (first reach = min dist),
+    * contributing `Σ_w popcount(newly_w)` to the reach count,
+    * `popcount·h` to Σd, and `popcount·(10⁶ div h)` to the harmonic
+    * sum — exactly the per-pair reductions of the tagged form,
+    * bit-for-bit (the oracle replays the per-pair unroll). A pivot's
+    * own bit is set at init, which both anchors the sweep and
+    * suppresses d>0 self-re-reach, matching min-dist semantics.
+    * Delta propagation: a node whose mask didn't change last hop
+    * contributes exactly what it already contributed, so only
+    * changed masks join — and an empty change set ends the loop
+    * early, equal to the full unroll.
     *
-    * Scale: state is ONE row per reached node (mask + three longs);
-    * per-hop shuffle is O(frontier-incident edges) — plain BFS cost
-    * for up to 64 pivots, where the tagged form pays k× (measured:
-    * the tagged q_centrality at k=16 cost 13.8 s at sf0.1; this
-    * shape at k=64 costs BFS money). Beyond 64 pivots, run ⌈k/64⌉
-    * mask words (or fall back to the tagged form).
+    * Scale: state is ONE row per reached node (⌈k/64⌉ mask longs +
+    * three accumulator longs); per-hop shuffle is
+    * O(frontier-incident edges · row width) — where the tagged form
+    * pays k separate sweeps (measured near-linear in k: 405→64→16
+    * pivots cost 57→33→14 s at sf0.1; this shape at k=64 costs BFS
+    * money, 6.3 s). Production pivot counts are 256–1024 (error
+    * decays as 1/√k): k=1024 is 16 mask words ≈ 128 bytes/node of
+    * state — still a row-width constant, not a sweep multiplier.
     *
     * @return (node_id, n_pivots, harmonic_ppm, closeness_ppm) for
     *         every node reached by ≥ 1 pivot at dist > 0 */
@@ -186,46 +190,62 @@ object Sssp {
     val ranked = pivots.select(col(pivotCol).as("node")).distinct()
       .withColumn("i", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("node"))) - 1)
-    val k = ranked.count() // control-plane scalar, k ≤ 64 by contract
-    require(k >= 1 && k <= 64, s"bitset centrality needs 1..64 pivots, got $k")
-    val init = ranked.select(col("node"),
-      expr("shiftleft(1L, cast(i as int))").as("mask"),
-      lit(0L).as("np"), lit(0L).as("sd"), lit(0L).as("hp"))
+    val k = ranked.count() // control-plane scalar, k ≤ 1024 by contract
+    require(k >= 1 && k <= 1024,
+      s"bitset centrality needs 1..1024 pivots, got $k")
+    val nw = ((k + 63) / 64).toInt // mask words
+    val ws = 0 until nw
+    def maskCols = ws.map(w => col(s"m$w"))
+    val maskSig = ws.map(w => s"m$w").mkString(", ")
+    // pivot i owns bit (i % 64) of word (i div 64)
+    val init = ranked.select(col("node") +: (ws.map { w =>
+      when(expr("i div 64") === w,
+        expr("shiftleft(1L, cast(i % 64 as int))"))
+        .otherwise(lit(0L)).as(s"m$w")
+    } ++ Seq(lit(0L).as("np"), lit(0L).as("sd"), lit(0L).as("hp"))): _*)
     var (state, _) = graft.operators.Converge.checkpointWithSig(
-      init, "node, mask, np, sd, hp")
-    var frontier = state.select(col("node"), col("mask"))
+      init, s"node, $maskSig, np, sd, hp")
+    var frontier = state.select(col("node") +: maskCols: _*)
     var nFrontier = k
     var hop = 0
     while (nFrontier > 0 && hop < maxHops) {
       hop += 1
-      val w = 1000000L / hop // the exact-ppm harmonic term at this hop
+      val hw = 1000000L / hop // the exact-ppm harmonic term at this hop
       val cand = e.join(frontier, Seq("node"))
-        .groupBy(col("nxt")).agg(expr("bit_or(mask)").as("cand"))
+        .groupBy(col("nxt"))
+        .agg(expr("bit_or(m0)").as("c0"),
+          ws.drop(1).map(w => expr(s"bit_or(m$w)").as(s"c$w")): _*)
         .withColumnRenamed("nxt", "node")
+      val bits = ws.map(w => s"bit_count(n$w)").mkString(" + ")
       val updated = state.join(cand, Seq("node"), "full_outer")
-        .select(col("node"),
-          coalesce(col("mask"), lit(0L)).as("old"),
-          coalesce(col("cand"), lit(0L)).as("cand"),
+        .select(col("node") +: (ws.flatMap(w => Seq(
+            coalesce(col(s"m$w"), lit(0L)).as(s"o$w"),
+            coalesce(col(s"c$w"), lit(0L)).as(s"c$w"))) ++ Seq(
           coalesce(col("np"), lit(0L)).as("np"),
           coalesce(col("sd"), lit(0L)).as("sd"),
-          coalesce(col("hp"), lit(0L)).as("hp"))
-        .withColumn("newly", expr("cand & ~old"))
-        .select(col("node"),
-          expr("old | newly").as("mask"),
-          expr("np + bit_count(newly)").as("np"),
-          expr(s"sd + bit_count(newly) * ${hop}L").as("sd"),
-          expr(s"hp + bit_count(newly) * ${w}L").as("hp"),
-          col("newly"))
+          coalesce(col("hp"), lit(0L)).as("hp"))): _*)
+        .select(col("node") +: (
+          ws.map(w => expr(s"c$w & ~o$w").as(s"n$w")) ++
+            ws.map(w => col(s"o$w")) ++
+            Seq(col("np"), col("sd"), col("hp"))): _*)
+        .select(col("node") +: (
+          ws.map(w => expr(s"o$w | n$w").as(s"m$w")) ++ Seq(
+            expr(s"np + $bits").as("np"),
+            expr(s"sd + ($bits) * ${hop}L").as("sd"),
+            expr(s"hp + ($bits) * ${hw}L").as("hp")) ++
+            ws.map(w => col(s"n$w"))): _*)
       // checkpoint ONCE (updated is referenced by both the next state
       // and the frontier — two lazy references would re-run the
       // full-outer join per reference, the r14 fusion lesson); the
       // frontier is then a filter over the checkpointed rows and its
       // count one tiny job on materialized data
+      val newlySig = ws.map(w => s"n$w").mkString(", ")
       val (next, _) = graft.operators.Converge.checkpointWithSig(
-        updated, "node, mask, np, sd, hp, newly")
+        updated, s"node, $maskSig, np, sd, hp, $newlySig")
       state = next
-      frontier = next.where(col("newly") =!= 0)
-        .select(col("node"), col("mask"))
+      frontier = next
+        .where(ws.map(w => col(s"n$w") =!= 0).reduce(_ || _))
+        .select(col("node") +: maskCols: _*)
       nFrontier = frontier.count()
     }
     val out = state.where(col("np") > 0)

@@ -368,7 +368,7 @@ class SsspSpec extends SparkSpec {
     }
   }
 
-  test("bitset centrality: pivot self-distance is excluded, 64-pivot cap holds") {
+  test("bitset centrality: pivot self-distance is excluded, 1024-pivot cap holds") {
     import spark.implicits._
     // triangle 1->2->3->1, pivots {1, 3}: node 2 is reached by 1 (d=1)
     // and 3 (d=2); pivot 1 is reached by 3 (d=1); pivot 3 by 1 (d=2)
@@ -382,9 +382,45 @@ class SsspSpec extends SparkSpec {
     assert(got(3L) === ((1L, 500000L, 500000L)))
     val boom = intercept[IllegalArgumentException] {
       Sssp.pivotCentralityBitset(e, "s", "d",
-        (1L to 65L).toDF("src"), "src", 2).count()
+        (1L to 1025L).toDF("src"), "src", 2).count()
     }
-    assert(boom.getMessage.contains("1..64"))
+    assert(boom.getMessage.contains("1..1024"))
+  }
+
+  test("bitset centrality past 64 pivots: k=128 equals the tagged form") {
+    // production pivot counts are 256–1024; the mask generalizes to
+    // ⌈k/64⌉ word columns. Prove word-boundary handling at k=128
+    // (2 full words) and k=70 (partial second word) against the
+    // tagged per-source reductions on a graph where every pivot
+    // reaches most nodes.
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+    import spark.implicits._
+    val rnd = new scala.util.Random(808)
+    val n = 160
+    val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+    val chords = Seq.fill(240)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = (ring ++ chords).distinct
+    val eDf = edges.toDF("s", "d")
+    for (k <- Seq(70, 128)) {
+      val pivots = rnd.shuffle((0 until n).toList).take(k).map(_.toLong)
+      val pDf = pivots.toDF("src")
+      val hops = 4
+      val tagged = Sssp.bfsDistancesPerSource(eDf, "s", "d", pDf, "src", hops)
+        .where(col("dist") > 0)
+        .groupBy(col("node_id"))
+        .agg(count(lit(1)).as("n_pivots"),
+          sum(expr("1000000 div dist")).cast("long").as("harmonic_ppm"),
+          expr("count(1) * 1000000 div sum(dist)").cast("long")
+            .as("closeness_ppm"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val bitset = Sssp.pivotCentralityBitset(eDf, "s", "d", pDf, "src", hops)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(bitset === tagged, s"k=$k")
+    }
   }
 
   test("per-source keeps overlapping reaches separate, unlike bfsDistances") {
