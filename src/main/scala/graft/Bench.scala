@@ -184,7 +184,7 @@ object Bench {
       // r15: the incremental register repair checkpoints per radius
       // and stages the full propagation when its artifact is cold;
       // the delete repair checkpoints per sweep/re-derive round
-      "q_hyperball_incr", "q_sssp_delete")
+      "q_hyperball_incr", "q_sssp_delete", "q_sssp_weighted_delete")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc adjudication probes for BASELINE.md — configurations the
+  * gate queries deliberately do NOT run (production constants, path
+  * A/Bs) but whose cost claims must be measured, not asserted. Each
+  * probe times full physical-plan executions (`toRdd.count`, the
+  * [[Bench]] protocol) with min-of-repeats, on the same session
+  * config as Bench, and prints one labeled line per measurement.
+  *
+  * Usage: `runMain graft.MicroBench <probe>` with probe one of:
+  *   - `hyperball_m`  — HyperBall radius-3 propagation at m = 16 / 32
+  *     / 64 registers (gate vs production accuracy; r14 verdict #3)
+  *   - `wordpiece`    — maximal-munch inference: inline vs broadcast-
+  *     join path at the 512-piece threshold, and the join path at a
+  *     BERT-scale 30,522-piece vocab (r14 verdict #5)
+  */
+object MicroBench {
+
+  private def time[A](repeats: Int)(body: => Long): (Double, Long) = {
+    var best = Double.MaxValue
+    var rows = 0L
+    for (_ <- 1 to repeats) {
+      val t0 = System.nanoTime()
+      rows = body
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    (best, rows)
+  }
+
+  private def report(label: String, sec: Double, rows: Long): Unit =
+    println(f"[micro] $label%-28s $sec%8.2f s  rows=$rows")
+
+  def main(args: Array[String]): Unit = {
+    val probe = args.headOption.getOrElse("hyperball_m")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_MICRO_REPEATS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup: session/codegen init must not bill to the first probe
+    Tables.names.foreach(n => Tables(spark, sfDir, n).limit(1).count())
+    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+
+    probe match {
+      case "hyperball_m" => hyperballM(spark, sfDir, repeats)
+      case "wordpiece" => wordpiece(spark, sfDir, repeats)
+      case other => sys.error(s"unknown probe: $other")
+    }
+    spark.stop()
+  }
+
+  /** q_hyperball's exact propagation (full purchase graph, radius 3)
+    * at the gate's m = 16 and the production m = 32 / 64 — prices
+    * whether the columnar layout's cost is linear in the register
+    * width or absorbed by the join/shuffle floor. */
+  private def hyperballM(spark: SparkSession, dir: String,
+                         repeats: Int): Unit = {
+    val edges = SparkEntry.purchaseEdgesFrom(spark, dir,
+      SparkEntry.t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")))
+    for (m <- Seq(16, 32, 64)) {
+      val (sec, rows) = time(repeats) {
+        graft.graph.HyperBall.neighborhoodFunction(edges, "a", "b",
+            maxRadius = 3, m = m)
+          .queryExecution.toRdd.count()
+      }
+      report(s"hyperball nf r=3 m=$m", sec, rows)
+      spark.catalog.clearCache()
+    }
+  }
+
+  /** Maximal-munch inference over the sf documents word types:
+    * (1) inline vs join path on the SAME 512-piece vocab — the
+    * threshold re-check; (2) the join path at a BERT-scale 30,522-
+    * piece vocab, with the probe-row volume and broadcast size the
+    * InlineVocabMax doc asserts. Vocabs are frequency-built from the
+    * corpus itself (single-char pieces force-included so the munch
+    * does real work rather than instantly [UNK]-ing). */
+  private def wordpiece(spark: SparkSession, dir: String,
+                        repeats: Int): Unit = {
+    val docs = SparkEntry.t(spark, dir, "documents")
+    val types = graft.functions.WordPiece.wordTypes(docs, "text")
+      .persist()
+    val nTypes = types.count()
+    println(s"[micro] word types: $nTypes")
+    // candidate pieces with occurrence-weighted counts, capped at the
+    // BERT-ish 12-char subword length
+    val cand = types.select(col("word"), col("n"))
+      .withColumn("i", explode(expr("sequence(1, length(word))")))
+      .withColumn("l", explode(expr(
+        "sequence(1, least(12, length(word) - i + 1))")))
+      .withColumn("piece", expr(
+        "CASE WHEN i = 1 THEN substring(word, i, l) " +
+          "ELSE '##' || substring(word, i, l) END"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("c"))
+      .persist()
+    val singles = cand.where(length(regexp_replace(col("piece"),
+        lit("^##"), lit(""))) === 1)
+      .select(col("piece")).collect().map(_.getString(0)).toSeq
+    val multis = cand.where(length(regexp_replace(col("piece"),
+        lit("^##"), lit(""))) > 1)
+      .orderBy(col("c").desc, col("piece"))
+      .select(col("piece"))
+    def vocabOf(k: Int): Seq[String] =
+      (singles ++ multis.limit(math.max(0, k - singles.size))
+        .collect().map(_.getString(0))).distinct
+    for ((k, paths) <- Seq(
+        512 -> Seq("inline", "join"),
+        30522 -> Seq("join"))) {
+      val vocab = vocabOf(k)
+      val bytes = vocab.map(_.length + 24).sum // rough broadcast size
+      println(s"[micro] vocab k=$k actual=${vocab.size} ~${bytes / 1024} KiB")
+      for (p <- paths) {
+        val (sec, rows) = time(repeats) {
+          val munched = p match {
+            case "inline" => graft.functions.WordPiece
+              .maximalMunchInline(types, vocab, "[UNK]")
+            case _ => graft.functions.WordPiece
+              .maximalMunchJoin(types, vocab, "[UNK]")
+          }
+          munched.queryExecution.toRdd.count()
+        }
+        report(s"munch $p |V|=${vocab.size}", sec, rows)
+        spark.catalog.clearCache()
+      }
+    }
+    // the probe-row volume the join path's doc asserts (types, not
+    // occurrences, ∝ len·maxLen per type)
+    val maxLen = 12
+    val probeRows = types.select(sum(expr(
+      s"aggregate(sequence(1, length(word)), 0L, " +
+        s"(a, i) -> a + least($maxLen, length(word) - i + 1))"))).head().getLong(0)
+    println(s"[micro] join-path probe rows at maxLen=$maxLen: $probeRows")
+    types.unpersist(); cand.unpersist()
+  }
+}

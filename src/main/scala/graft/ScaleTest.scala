@@ -44,7 +44,7 @@ object ScaleTest {
     // r15: incremental HyperBall repair and BFS delete repair (saved
     // artifacts — pre-stage on the scaled dir, the q_sssp_incr
     // discipline)
-    "q_hyperball_incr", "q_sssp_delete",
+    "q_hyperball_incr", "q_sssp_delete", "q_sssp_weighted_delete",
     // dedup
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_embed", "q_semdedup",

@@ -23,7 +23,7 @@ import graft.similarity.Similarity
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
   /** Pairwise preference games from the event stream, shared by the
@@ -210,6 +210,32 @@ object SparkEntry {
       s"sssp_saved_n0_h4_full_v1:$fp", dir)(write)
   }
 
+  /** The q_sssp_weighted_delete fixture's SAVED distance table: a
+    * CONVERGED weightedDistances run over the FULL weighted purchase
+    * graph (maxRounds 32 clears the gate depth of ~4 with an 8×
+    * margin; convergence is the delete-repair phase-2 contract),
+    * staged once per data dir — the ssspSavedDistances discipline,
+    * full-graph weighted variant. */
+  private def ssspWeightedSavedDistancesFull(s: SparkSession,
+                                             dir: String): String = {
+    def write(out: String): Unit = {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val sources = t(s, dir, "customer")
+        .where(col("c_nationkey") === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+      graft.graph.Sssp.weightedDistances(
+          weightedPurchaseEdgesFrom(s, dir, orders),
+          "a", "b", "w", sources, "seed", maxRounds = 32)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet",
+      s"$dir/customer.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"ssspw_saved_n0_conv_full_v1:$fp", dir)(write)
+  }
+
   /** The q_hyperball_incr fixture's SAVED per-radius register table:
     * a full radius-3 HyperBall propagation over the ¾ purchase graph
     * (o_orderkey % 4 != 0), staged once per data dir with the source
@@ -235,8 +261,8 @@ object SparkEntry {
 
   /** Symmetrized customer↔supplier purchase edges from a
     * pre-filtered orders frame (the q_pagerank construction). */
-  private def purchaseEdgesFrom(s: SparkSession, dir: String,
-                                orders: DataFrame): DataFrame = {
+  private[graft] def purchaseEdgesFrom(s: SparkSession, dir: String,
+                                       orders: DataFrame): DataFrame = {
     val ls = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
     val pairs = orders
@@ -1441,6 +1467,33 @@ object SparkEntry {
       val saved = s.read.parquet(ssspSavedDistancesFull(s, dir))
       graft.graph.Sssp.bfsDistancesDeleted(allE, delE, "a", "b",
           saved, maxHops = 4)
+        .orderBy(col("node_id"))
+    }),
+
+    "q_sssp_weighted_delete" -> ((s, dir) => {
+      // edge-DELETE maintenance, WEIGHTED twin (completing the
+      // insert/delete × unweighted/weighted repair matrix): the SAVED
+      // CONVERGED weighted distance table over the full purchase
+      // graph (ssspWeightedSavedDistancesFull), then the mod-5
+      // orders' LINKS are retracted — pair-level deletion, so every
+      // parallel edge between a retracted pair goes and surviving
+      // pairs keep their full-graph min-quantity weight. The weighted
+      // invalidation sweep (tight = d(v) = d(u) + w) marks only
+      // distances that depended on a deleted link; the re-derive
+      // min-relaxes the marked region to its fixpoint over the pruned
+      // graph. Gate = EQUIVALENCE: the oracle runs the weighted
+      // Bellman-Ford unroll over pairs EXCEPT the deleted pairs
+      // (rounds past the pruned graph's fixpoint are no-ops, so the
+      // unroll margin is free) — the repair must land row-identical
+      // to a full converged recompute.
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val allE = weightedPurchaseEdgesFrom(s, dir, orders)
+      val delE = weightedPurchaseEdgesFrom(s, dir,
+        orders.where(col("o_orderkey") % 5 === 0))
+      val saved = s.read.parquet(ssspWeightedSavedDistancesFull(s, dir))
+      graft.graph.Sssp.weightedDistancesDeleted(allE, delE, "a", "b",
+          "w", saved, maxRounds = 32)
         .orderBy(col("node_id"))
     }),
 
@@ -5538,6 +5591,12 @@ object SparkEntry {
     // the fixpoint extra rounds are identity)
     "q_sssp_weighted_incr" -> Duck.ssspWeightedSql(rounds = 8),
 
+    // EQUIVALENCE gate: the weighted delete repair must reproduce a
+    // full CONVERGED weighted relaxation over the pruned graph
+    // (deletion can LENGTHEN shortest paths, so the unroll carries a
+    // deeper margin than the full-graph depth of ~4)
+    "q_sssp_weighted_delete" -> Duck.ssspWeightedDeleteSql(rounds = 10),
+
     "q_centrality" -> Duck.centralitySql(hops = 4, k = 64),
 
     "q_hyperball" -> Duck.hyperballSql(radius = 3),
@@ -8741,6 +8800,42 @@ object SparkEntry {
          |    CAST(min(l_quantity) AS BIGINT) AS w
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
          |  GROUP BY 1, 2),
+         |e AS (SELECT a AS src, b AS dst, w FROM pairs
+         |      UNION ALL SELECT b AS src, a AS dst, w FROM pairs),
+         |v0 AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+         |    CAST(0 AS BIGINT) AS dist
+         |  FROM customer WHERE c_nationkey = 0),
+         |$steps
+         |SELECT node AS node_id, dist FROM v$rounds ORDER BY node_id""".stripMargin
+    }
+
+    /** The weighted unroll over the PRUNED weighted purchase graph —
+      * pairs keep their FULL-graph min-quantity weight, minus the
+      * pairs derivable from mod-5 orders (q_sssp_weighted_delete's
+      * pair-level retraction batch). Rounds past the pruned graph's
+      * relaxation fixpoint are no-ops, so the unroll margin is free. */
+    def ssspWeightedDeleteSql(rounds: Int): String = {
+      val steps = (1 to rounds).map { k =>
+        s"""v$k AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT node, dist FROM v${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, v.dist + e.w AS dist
+           |    FROM e JOIN v${k - 1} v ON v.node = e.src
+           |  ) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs_all AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b,
+         |    CAST(min(l_quantity) AS BIGINT) AS w
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |pairs_del AS (SELECT DISTINCT
+         |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE o_orderkey % 5 = 0),
+         |pairs AS (SELECT a, b, w FROM pairs_all pa
+         |  WHERE NOT EXISTS (SELECT 1 FROM pairs_del pd
+         |                    WHERE pd.a = pa.a AND pd.b = pa.b)),
          |e AS (SELECT a AS src, b AS dst, w FROM pairs
          |      UNION ALL SELECT b AS src, a AS dst, w FROM pairs),
          |v0 AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node,

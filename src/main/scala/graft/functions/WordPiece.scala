@@ -230,8 +230,9 @@ object WordPiece {
         col("mm.toks").as("s"), col("mm.unk").as("is_unk"))
   }
 
-  private def maximalMunchInline(types: DataFrame, vocabPieces: Seq[String],
-                                 unk: String): DataFrame = {
+  private[graft] def maximalMunchInline(types: DataFrame,
+                                        vocabPieces: Seq[String],
+                                        unk: String): DataFrame = {
     val maxLen = vocabPieces.map(_.stripPrefix("##").length).max
     val vlit = vocabPieces.map(lit1).mkString("array(", ",", ")")
     // longest vocab match length at each 1-based position (0 = none):
@@ -256,8 +257,9 @@ object WordPiece {
     * map_from_entries groupBy. The vocab rides the join as data, so
     * nothing is inlined into expression text (no parser/codegen
     * blowup at 30k+ pieces, no literal-escaping surface at all). */
-  private def maximalMunchJoin(types: DataFrame, vocabPieces: Seq[String],
-                               unk: String): DataFrame = {
+  private[graft] def maximalMunchJoin(types: DataFrame,
+                                      vocabPieces: Seq[String],
+                                      unk: String): DataFrame = {
     val spark = types.sparkSession
     import spark.implicits._
     val maxLen = vocabPieces.map(_.stripPrefix("##").length).max

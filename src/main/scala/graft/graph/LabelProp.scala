@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   * groupBy(node) `min_by` argmax — both partial-agg friendly, no
   * window sort, no per-round pass over anything edge-sized beyond the
   * one join. The iteration cap is a small constant (LPA stabilizes in
-  * a handful of rounds) with a signature-confirmed early stop: a
-  * synchronous round is a pure function of the label table, so an
-  * unchanged table is a fixpoint and stopping equals the full unroll.
+  * a handful of rounds) with a signature-confirmed early stop checked
+  * at every SECOND round's checkpoint: a synchronous round is a pure
+  * function of the label table, so state(r) = state(r−2) makes the
+  * orbit periodic with period dividing 2 and the unroll's final state
+  * is determined by parity — catching both fixpoints and the
+  * includeSelf=false bipartite oscillation, still exactly equal to
+  * the full unroll.
   *
   * `includeSelf = true` (default) is also the standard damping for
   * bipartite graphs, where pure synchronous LPA oscillates
@@ -58,20 +62,13 @@ object LabelProp {
       else e0).persist()
     e.count()
     var labels = nodes.select(col("node"), col("node").as("label"))
-    // label-table signature from the previous round: a synchronous
-    // round is a pure function of the label table, so an unchanged
-    // table (signature match riding the round's own checkpoint job,
-    // confirmed exactly once at the match) is a fixpoint — early stop
-    // equals the full unroll, which is what keeps the round-unrolled
-    // oracle exact. The per-round localCheckpoint also bounds plan
-    // depth for large caps (the duplicateClusters discipline).
-    var sig: (Long, Long) = null
-    var it = 0
-    var done = false
-    while (!done && it < iters) {
-      it += 1
+    // One synchronous round as a pure function of the label table —
+    // each round references `labels` exactly ONCE (the join), so a
+    // short lazy chain of rounds cannot blow up the way the
+    // twice-referenced self-vote shape did.
+    def round(cur: DataFrame): DataFrame = {
       val votes = e
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .join(cur.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("label"))
       val counts = votes.groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("n"))
@@ -83,16 +80,43 @@ object LabelProp {
           col("label").as("l"))).as("label"))
       // a node can receive zero votes only with includeSelf=false and
       // no in-edges; it keeps its own id
-      val stepped =
-        if (includeSelf) voted
-        else nodes.join(voted, Seq("node"), "left")
-          .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-      val (next, nSig) =
-        graft.operators.Converge.checkpointWithSig(stepped, "node, label")
-      done = sig != null && nSig == sig &&
-        graft.operators.Converge.sameExact(next, labels)
-      sig = nSig
-      labels = next
+      if (includeSelf) voted
+      else nodes.join(voted, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    }
+    // Checkpoint + signature every SECOND round (r14 claw-back of the
+    // adjudicated +1.75 s per-round-materialization cost — BASELINE
+    // "Loop early-stop adjudication"): plan depth stays bounded at two
+    // lazy rounds, half the materializations, and the stop check
+    // compares checkpoint r against checkpoint r−2. A match means
+    // state(r) = state(r−2); a synchronous round is a pure function of
+    // the table, so from r−2 on the orbit is PERIODIC with period
+    // dividing 2 — the full unroll lands on the state whose parity
+    // matches `iters` (one extra lazy round when iters−r is odd).
+    // This is strictly stronger than the old consecutive-round
+    // fixpoint check: it also terminates the includeSelf=false
+    // bipartite two-coloring oscillation, still exactly equal to the
+    // round-unrolled oracle. Stop lag ≤ 1 round vs per-round checks.
+    var prevSig: (Long, Long) = null
+    var prev: DataFrame = null
+    var it = 0
+    var done = false
+    while (!done && it < iters) {
+      it += 1
+      val stepped = round(labels)
+      if (it % 2 == 0) {
+        val (next, nSig) =
+          graft.operators.Converge.checkpointWithSig(stepped, "node, label")
+        if (prevSig != null && nSig == prevSig &&
+            graft.operators.Converge.sameExact(next, prev)) {
+          labels = if ((iters - it) % 2 == 1) round(next) else next
+          done = true
+        } else {
+          prevSig = nSig
+          prev = next
+          labels = next
+        }
+      } else labels = stepped
     }
     val out = labels.select(col("node").as("node_id"), col("label"))
     e.unpersist()

@@ -461,6 +461,141 @@ object Sssp {
     out
   }
 
+  /** Edge-DELETE maintenance for WEIGHTED shortest paths —
+    * [[bfsDistancesDeleted]]'s weighted twin, completing the
+    * incremental family's delete half (insert/delete × unweighted/
+    * weighted): given a SAVED CONVERGED distance table from
+    * [[weightedDistances]] over `edges` and a batch of LINKS to
+    * retract, repair only the region whose distances depended on a
+    * deleted link — the DRed over-delete/re-derive discipline with
+    * weighted tightness (d(v) = d(u) + w).
+    *
+    * Deletion is at the LINK (node-pair) level — the takedown/opt-out
+    * shape retracts a relationship, so every parallel edge between
+    * the pair goes; a batch pair not present in `edges` prunes
+    * nothing (at worst it over-marks, which the re-derive repairs).
+    *
+    *  1. INVALIDATE — seed with heads of TIGHT deleted edges
+    *     (d(v) = d(u) + w using the ORIGINAL edges' weights on the
+    *     deleted pairs; a non-tight edge was on no shortest path),
+    *     propagate along tight SURVIVING edges. The unmarked-keeps-
+    *     its-distance induction runs on strictly increasing distance
+    *     along tight edges, which is what the POSITIVE-weight
+    *     contract buys (w ≥ 1 — with zero weights a tight cycle, or
+    *     a tight edge into a source, breaks it; enforced with one
+    *     scalar aggregate over the already-persisted edge frame).
+    *  2. RETRACT the marked rows; the remainder is exact for the
+    *     pruned graph (sources are never marked: a tight candidate
+    *     carries dist ≥ 1, a source row carries 0).
+    *  3. RE-DERIVE — min-relax INTO the marked region only, seeded
+    *     from the unaffected boundary, over the pruned graph, to the
+    *     empty-frontier fixpoint (min-relaxation is confluent, so the
+    *     fixpoint equals the full recompute; a marked node no
+    *     surviving path reaches drops out).
+    *
+    * Per-batch cost tracks the invalidation region and its incident
+    * edges, never the corpus. The result is row-identical to a full
+    * CONVERGED [[weightedDistances]] over `edges` minus the deleted
+    * pairs — the equivalence the oracle and spec gate.
+    *
+    * @param savedDist (node_id, dist) from a CONVERGED
+    *                  [[weightedDistances]] over `edges` (a
+    *                  round-capped table breaks the phase-2 exactness
+    *                  the same way it breaks the insert repair)
+    * @param maxRounds runaway guard on the sweep and repair loops
+    *                  (the affected region's relaxation depth);
+    *                  breaching it throws rather than truncating
+    */
+  def weightedDistancesDeleted(edges: DataFrame, deletedEdges: DataFrame,
+                               srcCol: String, dstCol: String,
+                               weightCol: String, savedDist: DataFrame,
+                               maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    val eAll = edges.select(col(srcCol).as("node"), col(dstCol).as("nxt"),
+        col(weightCol).cast("long").as("w"))
+      .distinct()
+    val delPairs = deletedEdges
+      .select(col(srcCol).as("node"), col(dstCol).as("nxt")).distinct()
+    // the retracted rows AS THEY EXIST in the graph (original
+    // weights) — what the tight-seed test must run against
+    val delFull = eAll.join(delPairs, Seq("node", "nxt"), "left_semi")
+      .persist()
+    val e = eAll.join(delPairs, Seq("node", "nxt"), "left_anti").persist()
+    e.count()
+    val minW = eAll.agg(min(col("w"))).head()
+    require(minW.isNullAt(0) || minW.getLong(0) >= 1L,
+      s"weighted delete repair requires positive weights, " +
+        s"found min w = ${minW.getLong(0)}")
+    val (dist0, _) = graft.operators.Converge.checkpointWithSig(
+      savedDist.select(col("node_id").as("node"), col("dist")),
+      "node, dist")
+    // 1. INVALIDATE: heads of tight deleted edges seed the marked set
+    val seedA = delFull
+      .join(dist0.select(col("node"), col("dist").as("d_src")), Seq("node"))
+      .select(col("nxt").as("node"), (col("d_src") + col("w")).as("dist"))
+      .join(dist0, Seq("node", "dist")) // tight: d(v) = d(u) + w
+      .select(col("node"), col("dist")).distinct()
+    var (frontA, (nFrontA, _)) =
+      graft.operators.Converge.checkpointWithSig(seedA, "node, dist")
+    var marked = frontA
+    var guard = 0
+    while (nFrontA > 0) {
+      guard += 1
+      require(guard <= maxRounds,
+        s"invalidation sweep exceeded $maxRounds rounds")
+      val tight = frontA.join(e, Seq("node"))
+        .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
+        .join(dist0, Seq("node", "dist")) // d(x) = d(v) + w
+        .select(col("node"), col("dist")).distinct()
+        .join(marked.select(col("node")), Seq("node"), "left_anti")
+      val (next, (n, _)) =
+        graft.operators.Converge.checkpointWithSig(tight, "node, dist")
+      frontA = next
+      nFrontA = n
+      if (n > 0) marked = marked.unionByName(frontA).localCheckpoint()
+    }
+    val markedIds = marked.select(col("node"))
+    // 2. RETRACT: the unaffected remainder is exact for the pruned graph
+    val keep = dist0.join(markedIds, Seq("node"), "left_anti")
+      .localCheckpoint()
+    // 3. RE-DERIVE: min-relax the marked region from the unaffected
+    // boundary over the pruned graph, to the empty-frontier fixpoint
+    val seedB = keep.join(e, Seq("node"))
+      .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
+      .join(markedIds, Seq("node"))
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    var (front, (nFront, _)) =
+      graft.operators.Converge.checkpointWithSig(seedB, "node, dist")
+    var best = front
+    guard = 0
+    while (nFront > 0) {
+      guard += 1
+      require(guard <= maxRounds,
+        s"delete repair exceeded $maxRounds rounds")
+      val cand = front.join(e, Seq("node"))
+        .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
+        .join(markedIds, Seq("node"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val improved = cand
+        .join(best.select(col("node"), col("dist").as("old")),
+          Seq("node"), "left")
+        .where(col("old").isNull || col("dist") < col("old"))
+        .select(col("node"), col("dist"))
+      val (next, (n, _)) =
+        graft.operators.Converge.checkpointWithSig(improved, "node, dist")
+      front = next
+      nFront = n
+      if (n > 0)
+        best = best.unionByName(front)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+    }
+    val out = keep.unionByName(best)
+      .select(col("node").as("node_id"), col("dist"))
+    delFull.unpersist(); e.unpersist()
+    out
+  }
+
   /** Incremental WEIGHTED shortest-path maintenance —
     * [[bfsDistancesIncremental]]'s weighted twin, same saved-index
     * idiom: given a SAVED distance table from a CONVERGED

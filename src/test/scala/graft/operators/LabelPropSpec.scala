@@ -67,4 +67,53 @@ class LabelPropSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(got === Map("a" -> "a", "b" -> "a"))
   }
+
+  test("periodic early stop equals the full unroll at every parity") {
+    // bipartite 4-cycle without the self-vote damping: pure
+    // synchronous LPA two-coloring oscillates with period 2 forever —
+    // the every-2nd-round stop must detect the cycle and still land on
+    // the state the iters-round unroll would (parity fix), odd and
+    // even caps alike, well past where the stop fires
+    val edges = sym(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    for (iters <- Seq(5, 6, 9, 10)) {
+      val got = LabelProp.propagate(edges.toDF("src", "dst"), "src", "dst",
+          iters = iters, includeSelf = false)
+        .as[(String, String)].collect().toMap
+      assert(got === brute(edges, iters, includeSelf = false), s"iters=$iters")
+    }
+  }
+
+  test("fixpoint early stop equals the full unroll at a large cap") {
+    // a triangle converges to one label in a round or two; a 12-round
+    // cap exercises the checkpoint-vs-checkpoint stop and the
+    // remaining-round parity handling on a true fixpoint
+    val edges = sym(("a", "b"), ("b", "c"), ("a", "c"))
+    for (iters <- Seq(11, 12)) {
+      val got = LabelProp.propagate(edges.toDF("src", "dst"), "src", "dst",
+          iters = iters)
+        .as[(String, String)].collect().toMap
+      assert(got === brute(edges, iters, includeSelf = true), s"iters=$iters")
+    }
+  }
+
+  test("matches the serial reference on randomized graphs at 1..6 rounds") {
+    val rnd = new scala.util.Random(1513)
+    for (trial <- 1 to 4) {
+      val n = 6 + rnd.nextInt(5)
+      val pairs = (1 to (n * 2)).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+      }.filter { case (a, b) => a != b }.distinct
+      if (pairs.nonEmpty) {
+        val edges = sym(pairs: _*)
+        val includeSelf = trial % 2 == 0
+        for (iters <- 1 to 6) {
+          val got = LabelProp.propagate(edges.toDF("src", "dst"),
+              "src", "dst", iters = iters, includeSelf = includeSelf)
+            .as[(String, String)].collect().toMap
+          assert(got === brute(edges, iters, includeSelf),
+            s"trial=$trial iters=$iters includeSelf=$includeSelf")
+        }
+      }
+    }
+  }
 }

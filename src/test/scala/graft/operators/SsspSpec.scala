@@ -316,6 +316,82 @@ class SsspSpec extends SparkSpec {
       Map(1L -> 0L, 2L -> 4L))
   }
 
+  /** Weighted delete: saved table CONVERGED (the contract); deletion
+    * is at the node-pair level (all parallel edges between the pair
+    * go), so the reference recompute prunes by pair too. */
+  private def runWDel(edges: Seq[(Long, Long, Long)],
+                      delPairs: Seq[(Long, Long)],
+                      sources: Seq[Long]): Map[Long, Long] = {
+    import spark.implicits._
+    val saved = Sssp.weightedDistances(edges.toDF("s", "d", "w"),
+      "s", "d", "w", sources.toDF("src"), "src", maxRounds = 64)
+    Sssp.weightedDistancesDeleted(edges.toDF("s", "d", "w"),
+        delPairs.toDF("s", "d"), "s", "d", "w", saved, maxRounds = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("weighted delete repair equals converged recompute on the pruned graph, randomized") {
+    val rnd = new scala.util.Random(31337)
+    for (trial <- 1 to 5) {
+      val n = 25
+      val all = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+          1L + rnd.nextInt(9)))
+        .filter { case (a, b, _) => a != b }.distinct
+      val delPairs = all.map(e => (e._1, e._2)).distinct
+        .filter(_ => rnd.nextInt(4) == 0)
+      val sources = Seq.fill(2)(rnd.nextInt(n).toLong).distinct
+      val pruned = all.filterNot(e => delPairs.contains((e._1, e._2)))
+      assert(runWDel(all, delPairs, sources) ===
+        runW(pruned, sources, 64), s"trial $trial")
+    }
+  }
+
+  test("weighted delete: bridge cut drops the far side") {
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 1L))
+    assert(runWDel(edges, Seq((2L, 3L)), Seq(1L)) ===
+      Map(1L -> 0L, 2L -> 2L))
+  }
+
+  test("weighted delete: falls back to the heavier surviving path") {
+    // direct 1->2 at 1; detour 1->3->2 at 4+4 = 8 survives
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 4L), (3L, 2L, 4L), (2L, 5L, 1L))
+    assert(runWDel(edges, Seq((1L, 2L)), Seq(1L)) ===
+      Map(1L -> 0L, 3L -> 4L, 2L -> 8L, 5L -> 9L))
+  }
+
+  test("weighted delete: a pair retraction removes ALL parallel edges") {
+    // both 1->2 edges (w 1 and w 7) go; only the 1->3->2 detour remains
+    val edges = Seq((1L, 2L, 1L), (1L, 2L, 7L), (1L, 3L, 5L), (3L, 2L, 5L))
+    assert(runWDel(edges, Seq((1L, 2L)), Seq(1L)) ===
+      Map(1L -> 0L, 3L -> 5L, 2L -> 10L))
+  }
+
+  test("weighted delete: non-tight pair and absent pair change nothing") {
+    // 4->3 carries cost 9 against 3's converged dist 4: on no shortest
+    // path; (7, 8) is not in the graph at all
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 2L), (1L, 4L, 1L), (4L, 3L, 9L))
+    assert(runWDel(edges, Seq((4L, 3L), (7L, 8L)), Seq(1L)) ===
+      Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 1L))
+  }
+
+  test("weighted delete: empty batch reproduces the saved table") {
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 3L))
+    assert(runWDel(edges, Seq.empty, Seq(1L)) ===
+      Map(1L -> 0L, 2L -> 3L, 3L -> 6L))
+  }
+
+  test("weighted delete rejects non-positive weights") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 0L), (2L, 3L, 2L)).toDF("s", "d", "w")
+    val saved = Sssp.weightedDistances(edges, "s", "d", "w",
+      Seq(1L).toDF("src"), "src", maxRounds = 8)
+    val boom = intercept[IllegalArgumentException] {
+      Sssp.weightedDistancesDeleted(edges, Seq((2L, 3L)).toDF("s", "d"),
+        "s", "d", "w", saved, maxRounds = 8).count()
+    }
+    assert(boom.getMessage.contains("positive weights"))
+  }
+
   private def runPerSource(edges: Seq[(Long, Long)], sources: Seq[Long],
                            maxHops: Int): Map[(Long, Long), Long] = {
     import spark.implicits._
