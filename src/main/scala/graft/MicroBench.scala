@@ -79,17 +79,29 @@ object MicroBench {
     }
   }
 
-  /** Maximal-munch inference over the sf documents word types:
+  /** Maximal-munch inference at production shape. The gate corpus is
+    * a ~31-word-type synthetic fixture, far too small to price the
+    * vocab-scale story, so this probe SYNTHESIZES a Heaps-law-shaped
+    * word-type table (default 200k types, 6–14 lowercase chars,
+    * deterministic from the row id — types, not occurrences, is what
+    * the munch prices) and measures:
     * (1) inline vs join path on the SAME 512-piece vocab — the
     * threshold re-check; (2) the join path at a BERT-scale 30,522-
     * piece vocab, with the probe-row volume and broadcast size the
     * InlineVocabMax doc asserts. Vocabs are frequency-built from the
-    * corpus itself (single-char pieces force-included so the munch
+    * synthetic corpus (single-char pieces force-included so the munch
     * does real work rather than instantly [UNK]-ing). */
   private def wordpiece(spark: SparkSession, dir: String,
                         repeats: Int): Unit = {
-    val docs = SparkEntry.t(spark, dir, "documents")
-    val types = graft.functions.WordPiece.wordTypes(docs, "text")
+    val nTypesTarget = sys.env.getOrElse("SPARK_GRAFT_WP_TYPES",
+      "200000").toLong
+    val types = spark.range(nTypesTarget)
+      .select(expr(
+        "concat_ws('', transform(sequence(1, 6 + cast(id % 9 as int)), " +
+          "i -> char(ascii('a') + pmod(hash(id, i), 26))))").as("word"),
+        lit(1L).as("n"))
+      .distinct()
+      .repartition(32)
       .persist()
     val nTypes = types.count()
     println(s"[micro] word types: $nTypes")

@@ -45,6 +45,7 @@ object ScaleTest {
     // artifacts — pre-stage on the scaled dir, the q_sssp_incr
     // discipline)
     "q_hyperball_incr", "q_sssp_delete", "q_sssp_weighted_delete",
+    "q_betweenness",
     // dedup
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_embed", "q_semdedup",

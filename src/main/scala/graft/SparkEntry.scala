@@ -1432,6 +1432,34 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_betweenness" -> ((s, dir) => {
+      // pivot-sampled BETWEENNESS (graph/Betweenness, Brandes two-pass
+      // with Brandes–Pich pivot sampling): the flow/broker member of
+      // the centrality family next to q_centrality's harmonic/
+      // closeness and q_hyperball's all-nodes reach — how often a
+      // node lies ON sampled shortest paths, not how near it is.
+      // k = 4 pivots picked by the q_centrality Knuth-hash rule (k
+      // FIXED as the corpus grows — a demo constant like the tagged
+      // form's k=16 was: cost is linear in k, production wants 64+ on
+      // a cluster where the tagged passes amortize), hop cap 4; the
+      // forward pass carries
+      // exact path counts σ, backward pass accumulates dependency in
+      // exact ppm (per-edge ⌊σ_v·(10⁶+δ_w)/σ_w⌋ through
+      // DECIMAL(38,0), then summed) — the oracle replays the same
+      // per-level recurrence bit-for-bit.
+      val edges = purchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+      val pivots = t(s, dir, "customer")
+        .select(col("c_custkey"))
+        .orderBy(expr("c_custkey * 2654435761L % 4294967296L"),
+          col("c_custkey"))
+        .limit(4)
+        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+      graft.graph.Betweenness.sampledBetweenness(edges, "a", "b",
+          pivots, "seed", maxHops = 4)
+        .orderBy(col("node_id"))
+    }),
+
     "q_hyperball" -> ((s, dir) => {
       // ALL-nodes centrality in O(radius) passes (graph/HyperBall,
       // Boldi–Vigna): one 16-register HLL ball sketch per node,
@@ -4435,6 +4463,30 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_triangles_delete" -> ((s, dir) => {
+      // triangles DESTROYED by retracting the orders-1200..1500
+      // co-purchase edges from the orders-<1500 graph
+      // (TriangleDelta.triangleDeltaDeleted, q_triangles_incr's
+      // delete twin): the destroyed set is the common-neighbor
+      // closure of the deleted edges against the ORIGINAL adjacency —
+      // cost ∝ batch·degree, spec-proven equal to the recount
+      // difference over the pruned graph. Note pair-level semantics:
+      // a deleted pair goes even when an order < 1200 also supports
+      // it (the edge SET is distinct pairs), exactly what the oracle
+      // replays.
+      def g(maxOk: Long, minOk: Long = 0L) = {
+        val li = t(s, dir, "lineitem")
+          .where(col("l_orderkey") >= minOk && col("l_orderkey") < maxOk)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        li.alias("x").join(li.alias("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      }
+      graft.graph.TriangleDelta.triangleDeltaDeleted(
+          g(1500L), g(1500L, 1200L), "p1", "p2")
+        .orderBy(col("node_id"))
+    }),
+
     "q_stream_triangles" -> ((s, dir) => {
       // STREAMING triangle counts: arriving co-purchase edge batches
       // pay only TriangleDelta against the accumulated graph; summed
@@ -5598,6 +5650,8 @@ object SparkEntry {
     "q_sssp_weighted_delete" -> Duck.ssspWeightedDeleteSql(rounds = 10),
 
     "q_centrality" -> Duck.centralitySql(hops = 4, k = 64),
+
+    "q_betweenness" -> Duck.betweennessSql(hops = 4, k = 4),
 
     "q_hyperball" -> Duck.hyperballSql(radius = 3),
 
@@ -7747,6 +7801,32 @@ object SparkEntry {
         |FROM (SELECT unnest(t) AS node_id FROM tri) g
         |GROUP BY g.node_id ORDER BY node_id""".stripMargin,
 
+    // the destroyed-closure twin: third corners resolved against the
+    // ORIGINAL <1500 adjacency, deleted pairs = the 1200..1500
+    // window's co-purchase pairs
+    "q_triangles_delete" ->
+      """WITH liF AS (SELECT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey < 1500),
+        |liD AS (SELECT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey >= 1200 AND l_orderkey < 1500),
+        |f AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+        |    greatest(x.pk, y.pk) AS v
+        |  FROM liF x JOIN liF y ON x.ok = y.ok AND x.pk < y.pk),
+        |d AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+        |    greatest(x.pk, y.pk) AS v
+        |  FROM liD x JOIN liD y ON x.ok = y.ok AND x.pk < y.pk),
+        |sym AS (SELECT u AS n, v AS m FROM f
+        |        UNION ALL SELECT v AS n, u AS m FROM f),
+        |cand AS (SELECT d.u, d.v, s.m AS w FROM d
+        |  JOIN sym s ON s.n = d.u
+        |  JOIN f e2 ON e2.u = least(s.m, d.v)
+        |    AND e2.v = greatest(s.m, d.v)
+        |  WHERE s.m <> d.v),
+        |tri AS (SELECT DISTINCT list_sort([u, v, w]) AS t FROM cand)
+        |SELECT g.node_id, CAST(count(*) AS BIGINT) AS delta_triangles
+        |FROM (SELECT unnest(t) AS node_id FROM tri) g
+        |GROUP BY g.node_id ORDER BY node_id""".stripMargin,
+
     // full triangle set of the <1500 graph as distinct sorted triples
     // (the q_triangles_incr chain with an empty "old" graph), corner
     // counts without the zero-fill
@@ -8782,6 +8862,66 @@ object SparkEntry {
          |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm,
          |  CAST(count(*) * 1000000 // sum(dist) AS BIGINT) AS closeness_ppm
          |FROM v$hops WHERE dist > 0 GROUP BY node ORDER BY node_id""".stripMargin
+    }
+
+    /** Sampled-betweenness unroll: the Brandes two-pass recurrence at
+      * `hops` levels over `k` Knuth-hash-picked pivots — per-level
+      * shortest-path counts σ (sum over previous-level in-edges on
+      * the min-dist table), then dependency δ accumulated backward
+      * with the per-edge HUGEINT floor term ⌊σ_v·(10⁶+δ_w)/σ_w⌋,
+      * matching the Spark DECIMAL(38,0) div bit-for-bit. */
+    def betweennessSql(hops: Int, k: Int): String = {
+      val distSteps = (1 to hops).map { h =>
+        s"""v$h AS (SELECT src, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT src, node, dist FROM v${h - 1}
+           |    UNION ALL
+           |    SELECT v.src, e.dst AS node, v.dist + 1 AS dist
+           |    FROM e JOIN v${h - 1} v ON v.node = e.src
+           |  ) GROUP BY src, node)""".stripMargin
+      }.mkString(",\n")
+      val sigSteps = (1 to hops).map { h =>
+        s"""sig$h AS (SELECT s.src, e.dst AS node,
+           |    CAST(sum(s.sig) AS BIGINT) AS sig
+           |  FROM sig${h - 1} s JOIN e ON e.src = s.node
+           |  JOIN v$hops d ON d.src = s.src AND d.node = e.dst
+           |    AND d.dist = $h
+           |  GROUP BY s.src, e.dst)""".stripMargin
+      }.mkString(",\n")
+      val delSteps = (hops - 1 to 0 by -1).map { l =>
+        s"""del$l AS (SELECT v.src, v.node, v.sig,
+           |    CAST(coalesce(sum(
+           |      CAST(v.sig AS HUGEINT) * (1000000 + s.delta) // s.sig
+           |    ), 0) AS BIGINT) AS delta
+           |  FROM sig$l v
+           |  LEFT JOIN (SELECT w.src, e.src AS pred, w.sig, w.delta
+           |             FROM del${l + 1} w JOIN e ON e.dst = w.node) s
+           |    ON s.src = v.src AND s.pred = v.node
+           |  GROUP BY v.src, v.node, v.sig)""".stripMargin
+      }.mkString(",\n")
+      val allDel = (0 to hops).map(l => s"SELECT src, node, delta FROM del$l")
+        .mkString("\n    UNION ALL ")
+      s"""WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |p0 AS (SELECT c_custkey FROM customer
+         |  ORDER BY c_custkey * 2654435761 % 4294967296, c_custkey
+         |  LIMIT $k),
+         |v0 AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+         |    'c' || CAST(c_custkey AS VARCHAR) AS node,
+         |    CAST(0 AS BIGINT) AS dist
+         |  FROM p0),
+         |$distSteps,
+         |sig0 AS (SELECT src, node, CAST(1 AS BIGINT) AS sig FROM v0),
+         |$sigSteps,
+         |del$hops AS (SELECT src, node, sig, CAST(0 AS BIGINT) AS delta
+         |  FROM sig$hops),
+         |$delSteps
+         |SELECT node AS node_id, CAST(sum(delta) AS BIGINT) AS betweenness_ppm
+         |FROM ($allDel)
+         |WHERE node <> src GROUP BY node HAVING sum(delta) > 0
+         |ORDER BY node_id""".stripMargin
     }
 
     /** Weighted twin: bounded Bellman-Ford unroll with the cheapest

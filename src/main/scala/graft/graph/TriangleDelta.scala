@@ -69,4 +69,50 @@ object TriangleDelta {
     full.unpersist(blocking = false)
     out
   }
+
+  /** Per-node counts of triangles DESTROYED by retracting the batch —
+    * [[triangleDelta]]'s delete twin (the takedown/opt-out shape at
+    * the triangle layer): every triangle the retraction destroys
+    * contains at least one deleted-and-present edge, so the destroyed
+    * set is exactly the common-neighbor closures of those edges
+    * against the ORIGINAL adjacency. Cost ∝ |Δ|·avg-degree, never the
+    * old graph's full wedge enumeration. A triangle losing 2 or 3
+    * edges is discovered once per lost edge; the canonical sorted
+    * triple is `distinct`-ed, so each destroyed triangle contributes
+    * exactly 1 to each of its three corners. Returns (node_id,
+    * delta_triangles) with nodes in no destroyed triangle absent —
+    * equals `triangleCounts(old) − triangleCounts(old ∖ batch)`
+    * corner by corner (spec-verified); a batch edge not present in
+    * the graph destroys nothing. All integers → hash-exact. */
+  def triangleDeltaDeleted(oldEdges: DataFrame, batchEdges: DataFrame,
+                           srcCol: String, dstCol: String): DataFrame = {
+    val oldC = canon(oldEdges, srcCol, dstCol).persist()
+    oldC.count()
+    // deleted-and-present edges: a row not in the graph prunes nothing
+    val del = canon(batchEdges, srcCol, dstCol)
+      .join(oldC, Seq("u", "v"), "left_semi")
+    val sym = oldC.select(explode(array(
+        struct(col("u").as("n"), col("v").as("m")),
+        struct(col("v").as("n"), col("u").as("m")))).as("p"))
+      .select(col("p.n").as("n"), col("p.m").as("m"))
+    // third corners in the ORIGINAL graph: neighbors w of u with
+    // (w, v) also an old edge — every destroyed triangle has one of
+    // its deleted edges as (u, v) here
+    val cand = del
+      .join(sym.select(col("n").as("u"), col("m").as("w")), Seq("u"))
+      .where(col("w") =!= col("v"))
+      .join(oldC.select(col("u").as("wu"), col("v").as("wv")),
+        least(col("w"), col("v")) === col("wu") &&
+          greatest(col("w"), col("v")) === col("wv"),
+        "left_semi")
+    val triples = cand.select(
+        array_sort(array(col("u"), col("v"), col("w"))).as("t"))
+      .distinct()
+    val out = triples.select(explode(col("t")).as("node_id"))
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).as("delta_triangles"))
+      .localCheckpoint()
+    oldC.unpersist(blocking = false)
+    out
+  }
 }
