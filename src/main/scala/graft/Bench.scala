@@ -186,8 +186,9 @@ object Bench {
       // the delete repair checkpoints per sweep/re-derive round
       "q_hyperball_incr", "q_sssp_delete", "q_sssp_weighted_delete",
       // betweenness runs two tagged passes with per-hop/per-level
-      // checkpoints — iterative like its centrality siblings
-      "q_betweenness")
+      // checkpoints — iterative like its centrality siblings; the
+      // k-truss peel checkpoints per round
+      "q_betweenness", "q_ktruss")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

@@ -3102,6 +3102,31 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q_pq_adc" -> ((s, dir) => {
+      // product quantization + asymmetric distance computation
+      // (similarity/Quantize PQ block, Jégou et al.): the corpus
+      // compresses to m = 4 one-byte codes per 64-dim vector (16×
+      // over float32, 64× over float64) and the scan runs on CODES —
+      // each query precomputes a 4×16 integer LUT of subvector inner
+      // products and every candidate scores as 4 lookups + an exact
+      // BIGINT sum, vectors never decoded. Codebooks are the seed
+      // codewords (slices of the 16 lowest-id vectors — the
+      // q_knn_ivf_learned discipline, oracle-replayable; KMeans.fit
+      // slots in where no oracle gates). The flat code scan is Q×N by
+      // design (the compressed exhaustive baseline); at corpus scale
+      // it composes with IVF cell restriction (q_knn_ivf's
+      // partitionedKnn) exactly like FAISS's IVF-PQ.
+      val e = t(s, dir, "embeddings")
+      val cb = graft.similarity.Quantize.pqCodebooks(
+        e, "vec_id", "embedding", m = 4, k = 16, dims = 64)
+      val codes = graft.similarity.Quantize.pqEncode(
+        e, "vec_id", "embedding", cb, m = 4, dims = 64)
+      graft.similarity.Quantize.pqAdcTopK(codes,
+          e.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          cb, m = 4, dims = 64, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_knn_ivf_learned" -> ((s, dir) => {
       // the full IVF story: LEARNED coarse cells (deterministic
       // k-means assignment) instead of a given label — index build
@@ -4461,6 +4486,25 @@ object SparkEntry {
       graft.graph.TriangleDelta.triangleDelta(
           g(1200L), g(1500L), "p1", "p2")
         .orderBy(col("node_id"))
+    }),
+
+    "q_ktruss" -> ((s, dir) => {
+      // 4-truss of the bounded co-purchase graph (graph/KTruss,
+      // Cohen's cohesive-subgraph decomposition — the EDGE analog of
+      // q_kcore): iterative support-and-peel, per round one triangle
+      // closure on the shrinking edge set + a support filter, to the
+      // signature-confirmed fixpoint (≡ the oracle's fixed 8-round
+      // unroll: rounds past the fixpoint remove nothing). Every
+      // 4-truss edge participates in ≥ 2 triangles WITHIN the truss —
+      // the tightly-knit-cluster extractor degree-based k-core
+      // over-merges.
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      graft.graph.KTruss.kTruss(pairs, "p1", "p2", k = 4, maxRounds = 8)
+        .orderBy(col("u"), col("v"))
     }),
 
     "q_triangles_delete" -> ((s, dir) => {
@@ -6706,6 +6750,48 @@ object SparkEntry {
         |FROM m ORDER BY query_id""".stripMargin,
 
     // same kmeans CTEs as q_kmeans_assign, probing only the query's cell
+    // PQ + ADC mirror: seed codebooks = slices of the 16 lowest-id
+    // vectors, encode = per-subvector argmax cosine (round 6, ties to
+    // the lowest code), LUT = floor(dot·10⁶ + 0.5) BIGINT, score =
+    // exact integer sum over the m code lookups
+    "q_pq_adc" ->
+      """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |        ORDER BY vec_id LIMIT 16)),
+        |ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
+        |cb AS MATERIALIZED (SELECT ss.sub, seeds.code,
+        |    seeds.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS cw
+        |  FROM seeds CROSS JOIN ss),
+        |subs AS (SELECT p.vec_id, ss.sub,
+        |    p.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS sv
+        |  FROM p CROSS JOIN ss),
+        |sc AS (SELECT vec_id, sub, code,
+        |    round(list_cosine_similarity(sv, cw), 6) AS score
+        |  FROM subs JOIN cb USING (sub)),
+        |codes AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id, sub ORDER BY score DESC, code) AS rn
+        |  FROM sc) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v FROM p WHERE vec_id % 50 = 0),
+        |qsubs AS (SELECT query_id, ss.sub,
+        |    q.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS qv
+        |  FROM q CROSS JOIN ss),
+        |lut AS MATERIALIZED (SELECT query_id, qsubs.sub, cb.code,
+        |    CAST(floor(list_dot_product(qv, cw) * 1000000 + 0.5) AS BIGINT)
+        |      AS lut_u
+        |  FROM qsubs JOIN cb ON cb.sub = qsubs.sub),
+        |scored AS (SELECT l.query_id, c.vec_id AS nbr_id,
+        |    CAST(sum(l.lut_u) AS BIGINT) AS score_u
+        |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+        |  WHERE c.vec_id <> l.query_id GROUP BY 1, 2)
+        |SELECT query_id, nbr_id, score_u, CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score_u DESC, nbr_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
     "q_knn_ivf_learned" -> {
       s"""WITH ${Duck.kmeansAssignCtes(k = 8)},
          |cells AS (SELECT vec_id, cluster_id AS cell FROM a),
@@ -7746,6 +7832,8 @@ object SparkEntry {
     // iterated-h-index coreness: rounds unrolled to match the Spark
     // side's fixed iteration count exactly
     "q_kcore" -> Duck.kcoreSql(rounds = 4),
+
+    "q_ktruss" -> Duck.ktrussSql(k = 4, rounds = 8),
 
     "q_link_predict" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
@@ -8983,6 +9071,34 @@ object SparkEntry {
          |  FROM customer WHERE c_nationkey = 0),
          |$steps
          |SELECT node AS node_id, dist FROM v$rounds ORDER BY node_id""".stripMargin
+    }
+
+    /** k-truss unroll: `rounds` support-and-peel rounds over the
+      * bounded co-purchase graph — per round the common-neighbor
+      * support per surviving edge (the q_triangles closure), then the
+      * < k−2 filter. Rounds past the fixpoint remove nothing, so the
+      * fixed unroll equals the adaptive loop. */
+    def ktrussSql(k: Int, rounds: Int): String = {
+      val steps = (1 to rounds).map { r =>
+        s"""sym${r - 1} AS MATERIALIZED (SELECT u AS n, v AS m FROM e${r - 1}
+           |  UNION ALL SELECT v AS n, u AS m FROM e${r - 1}),
+           |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+           |  LEFT JOIN (SELECT t.u, t.v, count(*) AS sup FROM (
+           |      SELECT a.u, a.v, s.m AS w FROM e${r - 1} a
+           |      JOIN sym${r - 1} s ON s.n = a.u AND s.m <> a.v
+           |      JOIN e${r - 1} b ON b.u = least(s.m, a.v)
+           |        AND b.v = greatest(s.m, a.v)
+           |    ) t GROUP BY t.u, t.v) sp
+           |  ON sp.u = e.u AND sp.v = e.v
+           |  WHERE coalesce(sp.sup, 0) >= ${k - 2})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey < 1500),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS u,
+         |    greatest(x.pk, y.pk) AS v
+         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         |$steps
+         |SELECT u, v FROM e$rounds ORDER BY u, v""".stripMargin
     }
 
     def kcoreSql(rounds: Int): String = {

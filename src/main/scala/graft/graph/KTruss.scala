@@ -1,0 +1,87 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-TRUSS decomposition (Cohen, "Trusses: cohesive subgraphs for
+  * social network analysis", NSA technical report 2008) — the EDGE
+  * analog of [[KCore]]: the k-truss is the maximal subgraph in which
+  * every edge participates in at least k−2 triangles WITHIN the
+  * subgraph. Where k-core keeps nodes with enough neighbors, k-truss
+  * keeps edges with enough mutual reinforcement — the stricter
+  * cohesive-community shape (every k-truss is a (k−1)-core, not vice
+  * versa), the curation-graph tool for extracting tightly-knit
+  * duplicate/citation clusters that degree alone over-merges.
+  *
+  * Shape: iterative support-and-peel to a fixpoint. Per round,
+  * (1) per-edge SUPPORT = common-neighbor count over the CURRENT edge
+  * set — one neighbor expansion join (edge (u,v) × u's neighbors w)
+  * + one semi-join closing (w,v) + one (u,v) count partial-agg, the
+  * [[Triangles]] closure costed on a shrinking graph; (2) edges with
+  * support < k−2 drop. Removing an edge can only LOWER other edges'
+  * support, so peeling is monotone and converges; a synchronous round
+  * is a pure function of the edge set, so the signature-confirmed
+  * early stop (the [[graft.operators.Converge]] discipline) equals
+  * the full `maxRounds` unroll — which is what lets a fixed-round
+  * DuckDB unroll hash-match the adaptive loop. Rounds past the
+  * fixpoint remove nothing on both engines.
+  *
+  * Scale: state is the canonical edge set (shrinking); the per-round
+  * cost is the oriented triangle closure — O(Σ deg(u)) candidate
+  * rows, partial-agg-friendly, no window. Edges are taken as
+  * UNDIRECTED simple edges (canonicalized, deduplicated, self-loops
+  * dropped).
+  */
+object KTruss {
+
+  /** Edges of the k-truss after at most `maxRounds` peel rounds
+    * (signature-stopped at the fixpoint, which equals the full
+    * unroll). Returns canonical (u, v) rows with u < v.
+    *
+    * @param k truss parameter ≥ 2 (k = 2 keeps every edge in a
+    *          triangle-free-tolerant sense: support ≥ 0)
+    */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+             k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    var (e, sig) = graft.operators.Converge.checkpointWithSig(canon, "u, v")
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val sym = e.select(explode(array(
+          struct(col("u").as("n"), col("v").as("m")),
+          struct(col("v").as("n"), col("u").as("m")))).as("p"))
+        .select(col("p.n").as("n"), col("p.m").as("m"))
+      // support(u,v) = |common neighbors of u and v in the current
+      // set|: expand u's neighbors w, close (w,v); each common w
+      // counted once (sym holds each neighbor once — e is distinct)
+      val support = e
+        .join(sym.select(col("n").as("u"), col("m").as("w")), Seq("u"))
+        .where(col("w") =!= col("v"))
+        .join(e.select(col("u").as("wu"), col("v").as("wv")),
+          least(col("w"), col("v")) === col("wu") &&
+            greatest(col("w"), col("v")) === col("wv"),
+          "left_semi")
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+      val kept = e.join(support, Seq("u", "v"), "left")
+        .where(coalesce(col("sup"), lit(0L)) >= (k - 2).toLong)
+        .select(col("u"), col("v"))
+      val (next, nSig) =
+        graft.operators.Converge.checkpointWithSig(kept, "u, v")
+      // signature match CONFIRMED exactly once at the match (the
+      // weightedDistances discipline): an unchanged edge set is a
+      // fixpoint, so stopping equals the full unroll
+      done = nSig == sig && graft.operators.Converge.sameExact(next, e)
+      sig = nSig
+      e = next
+    }
+    e
+  }
+}

@@ -112,6 +112,10 @@ object PlanLintAllowlist {
     // side — identical findings, identical rationale
     "q_ann_recall_probe2" -> "scan-without-pushed-filters",
     "q_ann_recall_probe2" -> "unconditioned-nested-loop",
+    // r15: the same vec_id % 50 query fixture (modulo is not a
+    // parquet-pushable predicate) feeding the PQ LUT side; the code
+    // scan itself is (sub, code)-keyed against the broadcast LUT
+    "q_pq_adc" -> "scan-without-pushed-filters",
     // r7: BM25 crosses each posting with the broadcast 1-row corpus
     // stats (n_docs, total_len) — 1× per row, not |L|·|R|. (In
     // q_hybrid_rrf the same cross sits behind the materialized result

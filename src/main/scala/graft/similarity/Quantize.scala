@@ -50,6 +50,112 @@ object Quantize {
         col("lo"), col("hi"))
   }
 
+  // ---- Product quantization (PQ, Jégou/Douze/Schmid, "Product
+  // quantization for nearest neighbor search", TPAMI 2011) ----------
+  //
+  // Where SQ8 quantizes each DIMENSION independently (m = dims,
+  // 1 byte each), PQ splits the vector into m contiguous SUBVECTORS
+  // and quantizes each against its own k-codeword codebook: m bytes
+  // per vector at k ≤ 256 — 64 dims × 8 bytes → 4 bytes at m = 4.
+  // Search runs on the CODES (asymmetric distance computation, ADC):
+  // a query precomputes one m×k lookup table of subvector inner
+  // products, and every corpus vector scores as m table lookups + a
+  // sum — no corpus vector is ever decoded. That is the 100 TB ANN
+  // shape: the vector corpus compresses ~64×, the scan touches only
+  // (id, sub, code) rows, and the per-query work is a broadcast LUT.
+  //
+  // Determinism contract (the q_knn_ivf_learned discipline):
+  // codebooks are the SEED codewords — the k lowest-id vectors'
+  // subvector slices, KMeans.initCentroids applied per subspace — so
+  // an oracle replays them verbatim (KMeans.fit slots in where no
+  // oracle is needed; the assignment/ADC machinery is identical);
+  // encode assignment is argmax cosine rounded to 6 places, ties to
+  // the lowest code (KMeans.assign semantics, per subvector); LUT
+  // entries are ⌊dot·10⁶ + 0.5⌋ as BIGINT (the SQ8 floor form — no
+  // engine round() tie-break surface), so the ADC score is an exact
+  // INTEGER sum, reduction-order-free.
+
+  /** Seed PQ codebooks: (sub, code, centroid) for sub = 0..m−1 and
+    * code = 0..k−1, where centroid is the sub-th slice of the code-th
+    * lowest-`idCol` vector. Requires dims divisible by m. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, k: Int, dims: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"dims ($dims) must divide into m ($m) subvectors")
+    val subDim = dims / m
+    val seeds = KMeans.initCentroids(corpus, idCol, vecCol, k)
+    seeds.select(col("cluster_id").as("code"),
+        explode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"s -> struct(s AS sub, slice(centroid, s * $subDim + 1, $subDim) " +
+          "AS centroid))")).as("e"))
+      .select(col("e.sub").as("sub"), col("code"), col("e.centroid"))
+  }
+
+  /** PQ-encode the corpus: (id, sub, code) — per subvector the
+    * argmax-cosine codeword (round 6, ties to the lowest code), the
+    * KMeans.assign contract applied per subspace. One corpus pass ×
+    * broadcast(m·k codewords); the codes table is the m-bytes-per-
+    * vector artifact a 100 TB pipeline persists instead of vectors. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, m: Int, dims: Int): DataFrame = {
+    val subDim = dims / m
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val subs = graft.operators.Spread.ensure(
+      corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")))
+      .select(col("id"), explode(expr(s"transform(sequence(0, ${m - 1}), " +
+        s"s -> struct(s AS sub, slice(v, s * $subDim + 1, $subDim) AS sv))"))
+        .as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    val scored = subs.join(broadcast(codebooks), Seq("sub"))
+      .select(col("id"), col("sub"), col("code"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("sv"), col("centroid")), 6).as("score"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("sub"))
+      .orderBy(col("score").desc, col("code"))
+    scored.withColumn("rn", row_number().over(best))
+      .where(col("rn") === 1)
+      .select(col("id"), col("sub"), col("code"))
+  }
+
+  /** ADC top-k over PQ codes: each query precomputes the m×k LUT of
+    * subvector inner products in exact micro-units
+    * (⌊dot·10⁶ + 0.5⌋ as BIGINT), every corpus vector scores as m
+    * lookups + an integer sum (approximate inner product — MIPS), and
+    * the top `k` by (score desc, id asc) return per query, self
+    * excluded. The join is (sub, code)-keyed against the broadcast
+    * LUT — corpus VECTORS are never touched. Returns
+    * (query_id, nbr_id, score_u, rank). */
+  def pqAdcTopK(codes: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, codebooks: DataFrame, m: Int, dims: Int,
+                k: Int): DataFrame = {
+    val subDim = dims / m
+    val dot = "aggregate(zip_with(qv, centroid, (x, y) -> x * y), " +
+      "cast(0 as double), (acc, v) -> acc + v)"
+    val qsubs = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("query_id"),
+        explode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"s -> struct(s AS sub, slice(v, s * $subDim + 1, $subDim) AS qv))"))
+          .as("e"))
+      .select(col("query_id"), col("e.sub").as("sub"), col("e.qv").as("qv"))
+    val lut = qsubs.join(broadcast(codebooks), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        expr(s"cast(floor($dot * 1000000 + 0.5) as bigint)").as("lut_u"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("lut_u")).as("score_u"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_u").desc, col("id"))
+    scored.withColumn("rank", row_number().over(best).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("nbr_id"),
+        col("score_u"), col("rank"))
+  }
+
   /** Per-vector quantization contract: dims, an integer code checksum
     * (position-weighted so permuted codes don't collide), and the
     * worst absolute reconstruction error across dimensions. */

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.graph.KTruss
+
+/** k-truss vs a serial support-and-peel reference, plus the semantic
+  * corners: peel cascades, the k-core/k-truss distinction, k = 2
+  * degeneration, early stop ≡ capped unroll. */
+class KTrussSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def serial(edges: Seq[(Long, Long)], k: Int,
+                     maxRounds: Int): Set[(Long, Long)] = {
+    var e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      round += 1
+      def adj(n: Long) = e.collect {
+        case (a, b) if a == n => b
+        case (a, b) if b == n => a
+      }
+      val next = e.filter { case (u, v) =>
+        (adj(u) intersect adj(v)).size >= k - 2
+      }
+      changed = next != e
+      e = next
+    }
+    e
+  }
+
+  private def run(edges: Seq[(Long, Long)], k: Int,
+                  maxRounds: Int): Set[(Long, Long)] =
+    KTruss.kTruss(edges.toDF("a", "b"), "a", "b", k, maxRounds)
+      .as[(Long, Long)].collect().toSet
+
+  test("a clique survives, its pendant edges peel") {
+    // K4 on 1..4 plus pendant 4-5: every K4 edge has support 2,
+    // the pendant has 0 — 4-truss = the K4
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = k4 :+ ((4L, 5L))
+    assert(run(edges, 4, 8) === k4.toSet)
+  }
+
+  test("peeling cascades: losing one edge collapses the chain") {
+    // two triangles sharing edge (2,3): each edge has support 1,
+    // except (2,3) with support 2 — the 4-truss peel removes the
+    // outer edges first, then (2,3) loses its support and goes too
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(run(edges, 4, 8) === Set.empty)
+    // the 3-truss (support >= 1) keeps everything: every edge is in
+    // at least one triangle
+    assert(run(edges, 3, 8) === edges.toSet)
+  }
+
+  test("k = 2 keeps every edge") {
+    val edges = Seq((1L, 2L), (3L, 4L), (2L, 3L))
+    assert(run(edges, 2, 4) === edges.toSet)
+  }
+
+  test("a 4-cycle is a 2-core but has no 3-truss") {
+    // the classic truss-vs-core separation: every node has degree 2
+    // but no edge closes a triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(run(edges, 3, 4) === Set.empty)
+  }
+
+  test("early stop equals the capped unroll; cap bites identically") {
+    val rnd = new scala.util.Random(901)
+    val n = 14
+    val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    // generous cap: fixpoint well inside — adaptive loop ≡ unroll
+    assert(run(edges, 4, 20) === serial(edges, 4, 20))
+    // tight cap: both sides stop mid-peel at the same round
+    assert(run(edges, 4, 1) === serial(edges, 4, 1))
+    assert(run(edges, 4, 2) === serial(edges, 4, 2))
+  }
+
+  test("matches the serial reference on randomized graphs") {
+    val rnd = new scala.util.Random(424)
+    for (trial <- 1 to 4) {
+      val n = 12 + rnd.nextInt(6)
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val k = 3 + rnd.nextInt(3)
+      assert(run(edges, k, 12) === serial(edges, k, 12),
+        s"trial $trial k=$k")
+    }
+  }
+}

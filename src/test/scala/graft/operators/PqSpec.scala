@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.similarity.Quantize
+import org.apache.spark.sql.functions.col
+
+/** Product quantization: codebook slicing, encode assignment, and the
+  * ADC integer-LUT scan — against serial references running the exact
+  * same arithmetic (integer-component vectors keep every dot product
+  * binary-exact, so the references are bit-deterministic). */
+class PqSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val m = 2
+  private val dims = 4
+  private val subDim = dims / m
+
+  private def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    if (na == 0 || nb == 0) 0.0
+    else BigDecimal(dot / (na * nb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private def dotU(a: Seq[Double], b: Seq[Double]): Long =
+    math.floor(a.zip(b).map { case (x, y) => x * y }.sum * 1000000 + 0.5)
+      .toLong
+
+  test("codebooks are the k lowest-id vectors' slices") {
+    val corpus = Seq(
+      (3L, Seq(1.0, 0.0, 0.0, 2.0)),
+      (1L, Seq(0.0, 1.0, 3.0, 0.0)),
+      (2L, Seq(2.0, 2.0, 0.0, 1.0)),
+      (9L, Seq(5.0, 5.0, 5.0, 5.0))).toDF("id", "v")
+    val cb = Quantize.pqCodebooks(corpus, "id", "v", m, k = 2, dims = dims)
+      .as[(Int, Long, Seq[Double])].collect().toSet
+    // codes 0/1 = vectors of ids 1/2 (the two lowest), sliced in half
+    assert(cb === Set(
+      (0, 0L, Seq(0.0, 1.0)), (1, 0L, Seq(3.0, 0.0)),
+      (0, 1L, Seq(2.0, 2.0)), (1, 1L, Seq(0.0, 1.0))))
+  }
+
+  test("exact codeword concatenations encode to their own codes") {
+    val corpus = Seq(
+      (1L, Seq(0.0, 1.0, 3.0, 0.0)),
+      (2L, Seq(2.0, 2.0, 0.0, 1.0)),
+      // id 5 = sub 0 of id 2 ++ sub 1 of id 1
+      (5L, Seq(2.0, 2.0, 3.0, 0.0))).toDF("id", "v")
+    val cb = Quantize.pqCodebooks(corpus, "id", "v", m, k = 2, dims = dims)
+    val codes = Quantize.pqEncode(corpus, "id", "v", cb, m, dims)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(codes.contains((5L, 0, 1L)))
+    assert(codes.contains((5L, 1, 0L)))
+    // every (id, sub) appears exactly once
+    assert(codes.size === 3 * m)
+  }
+
+  test("encode matches the serial argmax on randomized integer vectors") {
+    val rnd = new scala.util.Random(77)
+    val vecs = (1L to 20L).map(i =>
+      i -> Seq.fill(dims)((rnd.nextInt(9) - 4).toDouble))
+      .filter(_._2.exists(_ != 0.0))
+    val corpus = vecs.toDF("id", "v")
+    val k = 4
+    val cb = Quantize.pqCodebooks(corpus, "id", "v", m, k, dims)
+    val got = Quantize.pqEncode(corpus, "id", "v", cb, m, dims)
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, sub, code) => (id, sub) -> code }.toMap
+    val seeds = vecs.sortBy(_._1).take(k).map(_._2)
+    for ((id, v) <- vecs; s <- 0 until m) {
+      val sv = v.slice(s * subDim, (s + 1) * subDim)
+      val want = seeds.zipWithIndex
+        .map { case (cw, c) =>
+          (c.toLong, cosine(sv, cw.slice(s * subDim, (s + 1) * subDim))) }
+        .minBy { case (c, sc) => (-sc, c) }._1
+      assert(got((id, s)) === want, s"id=$id sub=$s")
+    }
+  }
+
+  test("ADC equals the serial LUT-sum reference and ranks planted clusters") {
+    // two directionally distinct groups (no zero subvectors — a zero
+    // slice encodes to an arbitrary codeword and legitimately inflates
+    // ADC scores, the classic PQ degenerate case): queries near group
+    // A must rank A members first
+    val a = Seq(4.0, 1.0, 1.0, 4.0)
+    val b = Seq(1.0, 4.0, 4.0, 1.0)
+    def jitter(v: Seq[Double], j: Double) = v.map(x => if (x != 0) x + j else x)
+    val corpus = Seq(
+      1L -> a, 2L -> b,
+      3L -> jitter(a, 1.0), 4L -> jitter(a, 2.0),
+      5L -> jitter(b, 1.0), 6L -> jitter(b, 2.0)).toDF("id", "v")
+    val k = 2
+    val cb = Quantize.pqCodebooks(corpus, "id", "v", m, k, dims)
+    val codes = Quantize.pqEncode(corpus, "id", "v", cb, m, dims)
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, sub, code) => (id, sub) -> code }.toMap
+    val queries = Seq(1L -> a).toDF("id", "v")
+    val got = Quantize.pqAdcTopK(
+        Quantize.pqEncode(corpus, "id", "v", cb, m, dims),
+        queries, "id", "v", cb, m, dims, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      .map { case (q, n, s, r) => (q, n) -> ((s, r)) }.toMap
+    // serial: same codebooks (slices of ids 1, 2), same LUT arithmetic
+    val seeds = Seq(a, b)
+    def serialScore(q: Seq[Double], id: Long): Long =
+      (0 until m).map { s =>
+        val qs = q.slice(s * subDim, (s + 1) * subDim)
+        val cw = seeds(codes((id, s)).toInt).slice(s * subDim, (s + 1) * subDim)
+        dotU(qs, cw)
+      }.sum
+    for (n <- Seq(2L, 3L, 4L, 5L, 6L))
+      assert(got((1L, n))._1 === serialScore(a, n), s"nbr=$n")
+    // ranking: the A-cluster members (3, 4 — both encode to code 0)
+    // outrank every B member for the A query
+    val rankOf = got.collect { case ((_, n), (_, r)) => n -> r }.toMap
+    assert(Seq(3L, 4L).map(rankOf).max < Seq(2L, 5L, 6L).map(rankOf).min)
+  }
+
+  test("dims must divide into m subvectors") {
+    val corpus = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
+    val boom = intercept[IllegalArgumentException] {
+      Quantize.pqCodebooks(corpus, "id", "v", m = 2, k = 1, dims = 3)
+    }
+    assert(boom.getMessage.contains("subvectors"))
+  }
+}
