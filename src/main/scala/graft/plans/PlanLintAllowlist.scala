@@ -116,6 +116,11 @@ object PlanLintAllowlist {
     // parquet-pushable predicate) feeding the PQ LUT side; the code
     // scan itself is (sub, code)-keyed against the broadcast LUT
     "q_pq_adc" -> "scan-without-pushed-filters",
+    // r15: the IVF-PQ composition inherits both halves' reviewed
+    // findings — the modulo query fixture and the k-means point ×
+    // broadcast k-row centroid cross (the q_knn_ivf_learned entries)
+    "q_pq_ivf" -> "scan-without-pushed-filters",
+    "q_pq_ivf" -> "unconditioned-nested-loop",
     // r7: BM25 crosses each posting with the broadcast 1-row corpus
     // stats (n_docs, total_len) — 1× per row, not |L|·|R|. (In
     // q_hybrid_rrf the same cross sits behind the materialized result

@@ -129,21 +129,46 @@ object Quantize {
     * (query_id, nbr_id, score_u, rank). */
   def pqAdcTopK(codes: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, codebooks: DataFrame, m: Int, dims: Int,
-                k: Int): DataFrame = {
+                k: Int): DataFrame =
+    adcTopK(codes, queries, idCol, vecCol, None, codebooks, m, dims, k)
+
+  /** Cell-restricted ADC — the IVF-PQ composition (the FAISS serving
+    * shape): `codes` carries a coarse-cell column (any partitioner —
+    * here KMeans.assign cells), each query scans only codes in ITS
+    * cell, and the scored join is (sub, code, cell)-keyed against the
+    * broadcast LUT — candidates drop from N to ~N/cells while the
+    * per-candidate cost stays m integer lookups. Queries must carry
+    * the same cell column (assign them with the same centroids). The
+    * single-cell restriction inherits IVF's recall trade
+    * (multi-probe = union the query's top-n cells before calling, the
+    * assignTopN lever). */
+  def pqAdcTopKByCell(codes: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, cellCol: String, codebooks: DataFrame,
+                      m: Int, dims: Int, k: Int): DataFrame =
+    adcTopK(codes, queries, idCol, vecCol, Some(cellCol), codebooks,
+      m, dims, k)
+
+  private def adcTopK(codes: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, cellCol: Option[String],
+                      codebooks: DataFrame, m: Int, dims: Int,
+                      k: Int): DataFrame = {
     val subDim = dims / m
     val dot = "aggregate(zip_with(qv, centroid, (x, y) -> x * y), " +
       "cast(0 as double), (acc, v) -> acc + v)"
-    val qsubs = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .select(col("query_id"),
+    val cellCols = cellCol.toSeq.map(col)
+    val qsubs = queries.select(col(idCol).as("query_id") +: cellCols :+
+        col(vecCol).cast("array<double>").as("v"): _*)
+      .select(col("query_id") +: cellCols :+
         explode(expr(s"transform(sequence(0, ${m - 1}), " +
           s"s -> struct(s AS sub, slice(v, s * $subDim + 1, $subDim) AS qv))"))
-          .as("e"))
-      .select(col("query_id"), col("e.sub").as("sub"), col("e.qv").as("qv"))
+          .as("e"): _*)
+      .select(col("query_id") +: cellCols :+ col("e.sub").as("sub") :+
+        col("e.qv").as("qv"): _*)
     val lut = qsubs.join(broadcast(codebooks), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("code"),
-        expr(s"cast(floor($dot * 1000000 + 0.5) as bigint)").as("lut_u"))
-    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .select(col("query_id") +: cellCols :+ col("sub") :+ col("code") :+
+        expr(s"cast(floor($dot * 1000000 + 0.5) as bigint)").as("lut_u"): _*)
+    val joinKeys = Seq("sub", "code") ++ cellCol
+    val scored = codes.join(broadcast(lut), joinKeys)
       .where(col("id") =!= col("query_id"))
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("lut_u")).as("score_u"))

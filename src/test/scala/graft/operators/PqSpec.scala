@@ -119,6 +119,32 @@ class PqSpec extends SparkSpec {
     assert(Seq(3L, 4L).map(rankOf).max < Seq(2L, 5L, 6L).map(rankOf).min)
   }
 
+  test("cell-restricted ADC scans only the query's cell") {
+    val a = Seq(4.0, 1.0, 1.0, 4.0)
+    val b = Seq(1.0, 4.0, 4.0, 1.0)
+    val corpus = Seq(1L -> a, 2L -> b,
+      3L -> a.map(_ + 1), 4L -> b.map(_ + 1)).toDF("id", "v")
+    val cb = Quantize.pqCodebooks(corpus, "id", "v", m, k = 2, dims = dims)
+    // hand-assigned cells: odd ids cell 0, even ids cell 1
+    val cells = Seq(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L)
+      .toDF("id", "cell")
+    val codes = Quantize.pqEncode(corpus, "id", "v", cb, m, dims)
+      .join(cells, Seq("id"))
+    val queries = Seq(1L -> a).toDF("id", "v").join(cells, Seq("id"))
+    val got = Quantize.pqAdcTopKByCell(codes, queries, "id", "v", "cell",
+        cb, m, dims, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // only id 3 shares query 1's cell (and the query itself is out)
+    assert(got.map(_._2) === Seq(3L))
+    // the restricted score equals the flat scan's for the same pair
+    val flat = Quantize.pqAdcTopK(
+        Quantize.pqEncode(corpus, "id", "v", cb, m, dims),
+        Seq(1L -> a).toDF("id", "v"), "id", "v", cb, m, dims, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(got.head._3 === flat(3L))
+  }
+
   test("dims must divide into m subvectors") {
     val corpus = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
     val boom = intercept[IllegalArgumentException] {
