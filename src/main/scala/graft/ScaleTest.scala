@@ -45,7 +45,7 @@ object ScaleTest {
     // artifacts — pre-stage on the scaled dir, the q_sssp_incr
     // discipline)
     "q_hyperball_incr", "q_sssp_delete", "q_sssp_weighted_delete",
-    "q_betweenness", "q_ktruss",
+    "q_betweenness", "q_ktruss", "q_trussness",
     // dedup
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_embed", "q_semdedup",
@@ -81,7 +81,7 @@ object ScaleTest {
     * amplified dir is a drop-in sfDir, not to demonstrate scaling. */
   val capped: Set[String] = Set("q_sessionize", "q_knn_brute",
     "q_graph_stats", "q_triangles", "q_kcore", "q_link_predict",
-    "q_walks", "q_walk_cooc", "q_scc", "q_ktruss")
+    "q_walks", "q_walk_cooc", "q_scc", "q_ktruss", "q_trussness")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet

@@ -4534,6 +4534,24 @@ object SparkEntry {
         .orderBy(col("u"), col("v"))
     }),
 
+    "q_trussness" -> ((s, dir) => {
+      // per-edge TRUSSNESS over the bounded co-purchase graph —
+      // q_kcore's coreness story at the EDGE grain: nested peeling on
+      // the monotone chain (k+1)-truss ⊆ k-truss, each level peeling
+      // from the previous level's survivors (never the full graph),
+      // capped at maxK = 8 (co-purchase cliques grade by order size;
+      // an edge alive in the 8-truss reports 8 — the capped contract
+      // the unrolled oracle replays level by level).
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      graft.graph.KTruss.trussness(pairs, "p1", "p2",
+          maxK = 8, maxRounds = 8)
+        .orderBy(col("u"), col("v"))
+    }),
+
     "q_triangles_delete" -> ((s, dir) => {
       // triangles DESTROYED by retracting the orders-1200..1500
       // co-purchase edges from the orders-<1500 graph
@@ -7906,6 +7924,8 @@ object SparkEntry {
 
     "q_ktruss" -> Duck.ktrussSql(k = 4, rounds = 8),
 
+    "q_trussness" -> Duck.trussnessSql(maxK = 8, rounds = 8),
+
     "q_link_predict" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem WHERE l_orderkey < 1500),
@@ -9170,6 +9190,44 @@ object SparkEntry {
          |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
          |$steps
          |SELECT u, v FROM e$rounds ORDER BY u, v""".stripMargin
+    }
+
+    /** Trussness unroll: levels 3..maxK run [[ktrussSql]]'s
+      * support-and-peel chain SEQUENTIALLY, each level starting from
+      * the previous level's final edge set (the monotone nesting);
+      * trussness = the deepest level an edge survived, 2 at the
+      * floor. */
+    def trussnessSql(maxK: Int, rounds: Int): String = {
+      def level(k: Int): String = {
+        val start = if (k == 3) "e0" else s"k${k - 1}r$rounds"
+        (1 to rounds).map { r =>
+          val src = if (r == 1) start else s"k${k}r${r - 1}"
+          s"""k${k}s$r AS MATERIALIZED (SELECT u AS n, v AS m FROM $src
+             |  UNION ALL SELECT v AS n, u AS m FROM $src),
+             |k${k}r$r AS MATERIALIZED (SELECT e.u, e.v FROM $src e
+             |  LEFT JOIN (SELECT t.u, t.v, count(*) AS sup FROM (
+             |      SELECT a.u, a.v, s.m AS w FROM $src a
+             |      JOIN k${k}s$r s ON s.n = a.u AND s.m <> a.v
+             |      JOIN $src b ON b.u = least(s.m, a.v)
+             |        AND b.v = greatest(s.m, a.v)
+             |    ) t GROUP BY t.u, t.v) sp
+             |  ON sp.u = e.u AND sp.v = e.v
+             |  WHERE coalesce(sp.sup, 0) >= ${k - 2})""".stripMargin
+        }.mkString(",\n")
+      }
+      val levels = (3 to maxK).map(level).mkString(",\n")
+      val unions = (s"SELECT u, v, CAST(2 AS BIGINT) AS t FROM e0" +:
+        (3 to maxK).map(k =>
+          s"SELECT u, v, CAST($k AS BIGINT) AS t FROM k${k}r$rounds"))
+        .mkString("\n    UNION ALL ")
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey < 1500),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS u,
+         |    greatest(x.pk, y.pk) AS v
+         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         |$levels
+         |SELECT u, v, CAST(max(t) AS BIGINT) AS trussness
+         |FROM ($unions) GROUP BY u, v ORDER BY u, v""".stripMargin
     }
 
     def kcoreSql(rounds: Int): String = {

@@ -84,4 +84,34 @@ object KTruss {
     }
     e
   }
+
+  /** TRUSSNESS decomposition — the per-edge analog of coreness: each
+    * edge's trussness is the maximum k for which it survives in the
+    * k-truss (2 for an edge in no triangle), capped at `maxK` (an
+    * edge still alive in the maxK-truss reports maxK — the capped
+    * contract an unrolled oracle replays). Computed by NESTED peeling
+    * on the monotone chain (k+1)-truss ⊆ k-truss: level k peels from
+    * level k−1's survivor set, never from the full graph, so the
+    * total work is Σ over levels of a shrinking closure. Returns
+    * (u, v, trussness) for every canonical input edge. */
+  def trussness(edges: DataFrame, srcCol: String, dstCol: String,
+                maxK: Int, maxRounds: Int): DataFrame = {
+    require(maxK >= 2, s"maxK must be >= 2, got $maxK")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    var cur = canon
+    var levels = Seq(canon.withColumn("t", lit(2L)))
+    for (k <- 3 to maxK) {
+      cur = kTruss(cur, "u", "v", k, maxRounds)
+      levels :+= cur.withColumn("t", lit(k.toLong))
+    }
+    // an edge's trussness = the deepest level it survived; the level
+    // frames are checkpointed by the peel, so the union is a scan list
+    levels.reduce(_ unionByName _)
+      .groupBy(col("u"), col("v"))
+      .agg(max(col("t")).as("trussness"))
+  }
 }

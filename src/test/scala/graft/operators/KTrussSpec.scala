@@ -79,6 +79,49 @@ class KTrussSpec extends SparkSpec {
     assert(run(edges, 4, 2) === serial(edges, 4, 2))
   }
 
+  private def serialTrussness(edges: Seq[(Long, Long)], maxK: Int,
+                              maxRounds: Int): Map[(Long, Long), Long] = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val t = scala.collection.mutable.Map[(Long, Long), Long]()
+    canon.foreach(e => t(e) = 2L)
+    var cur = canon.toSet
+    for (k <- 3 to maxK) {
+      cur = serial(cur.toSeq, k, maxRounds)
+      cur.foreach(e => t(e) = k.toLong)
+    }
+    t.toMap
+  }
+
+  test("trussness equals the nested serial peel, cliques grade by size") {
+    // K4 ∪ shared-edge triangle ∪ pendant: K4 edges truss 4, the
+    // triangle's 3, the pendant 2
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+    val got = KTruss.trussness(edges.toDF("a", "b"), "a", "b",
+        maxK = 6, maxRounds = 8)
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, v, t) => (u, v) -> t }.toMap
+    assert(got === serialTrussness(edges, 6, 8))
+    assert(k4.forall(e => got(e) === 4L))
+    assert(got((4L, 5L)) === 3L && got((5L, 6L)) === 3L)
+    assert(got((6L, 7L)) === 2L)
+  }
+
+  test("trussness matches the nested serial peel on randomized graphs") {
+    val rnd = new scala.util.Random(515)
+    for (trial <- 1 to 3) {
+      val n = 12
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val got = KTruss.trussness(edges.toDF("a", "b"), "a", "b",
+          maxK = 7, maxRounds = 10)
+        .as[(Long, Long, Long)].collect()
+        .map { case (u, v, t) => (u, v) -> t }.toMap
+      assert(got === serialTrussness(edges, 7, 10), s"trial $trial")
+    }
+  }
+
   test("matches the serial reference on randomized graphs") {
     val rnd = new scala.util.Random(424)
     for (trial <- 1 to 4) {
