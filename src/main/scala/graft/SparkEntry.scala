@@ -3989,6 +3989,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_perplexity_kn" -> ((s, dir) => {
+      // the estimator ladder's top rung: interpolated KNESER–NEY
+      // (functions/NgramLm.kneserNeyNll, D = 0.75) — sparse bigrams
+      // back off to the CONTINUATION probability (distinct-context
+      // counts), not the unigram frequency, so fixed collocates stop
+      // being priced as cheap continuations everywhere; same
+      // micro-nat integer discipline, so the oracle hash-matches.
+      graft.functions.NgramLm.kneserNeyNll(
+        t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_domain_xent" -> ((s, dir) => {
       // D×D cross-domain LM matrix over language: every language's
       // INTERPOLATED bigram LM (λ=0.9; unseen-in-domain bigrams back
@@ -7555,6 +7568,7 @@ object SparkEntry {
     "q_perplexity" -> perplexityOracleSql,
 
     "q_perplexity_backoff" -> perplexityBackoffOracleSql,
+    "q_perplexity_kn" -> perplexityKnOracleSql,
     "q_stream_perplexity" -> perplexityOracleSql,
 
     // mirrors NgramLm.crossDomainNll / domainMixWeights over lang —
@@ -8359,6 +8373,40 @@ object SparkEntry {
        |       + 100000.0 * (CAST(uni_cnt + 1 AS DOUBLE) / (n_tok + v)))
        |       / 1000000.0) * 1000000) AS BIGINT) AS mn
        |  FROM wc JOIN uni USING (c) CROSS JOIN tt),
+       |agg AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(occ * mn) AS BIGINT) AS nll_micro
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_bigrams, 0) AS n_bigrams,
+       |  coalesce(nll_micro, 0) AS nll_micro
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Mirrors [[graft.functions.NgramLm.kneserNeyNll]] at D = 0.75 —
+    * the double formula operand-for-operand (discounted ML term +
+    * continuation backoff over distinct-type counts), micro-nat
+    * rounding before the per-document sum. */
+  private lazy val perplexityKnOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, ${Duck.words("text")} AS w FROM documents),
+       |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS p,
+       |         unnest(w[2:len(w)]) AS c
+       |       FROM w WHERE len(w) >= 2),
+       |pd AS (SELECT doc_id, p, c, CAST(count(*) AS BIGINT) AS occ
+       |       FROM bg GROUP BY doc_id, p, c),
+       |ty AS (SELECT p, c, CAST(sum(occ) AS BIGINT) AS big_cnt
+       |       FROM pd GROUP BY p, c),
+       |fwd AS (SELECT p, CAST(count(*) AS BIGINT) AS n1_fwd,
+       |          CAST(sum(big_cnt) AS BIGINT) AS ctx_cnt
+       |        FROM ty GROUP BY p),
+       |bwd AS (SELECT c, CAST(count(*) AS BIGINT) AS n1_bwd
+       |        FROM ty GROUP BY c),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_types FROM ty),
+       |sc AS (SELECT doc_id, occ,
+       |  CAST(round(-ln((greatest(CAST(big_cnt AS DOUBLE) - 0.75, 0.0)
+       |       + (0.75 * n1_fwd) * (CAST(n1_bwd AS DOUBLE) / tot_types))
+       |       / ctx_cnt) * 1000000) AS BIGINT) AS mn
+       |  FROM pd JOIN ty USING (p, c) JOIN fwd USING (p)
+       |  JOIN bwd USING (c) CROSS JOIN tot),
        |agg AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
        |  CAST(sum(occ * mn) AS BIGINT) AS nll_micro
        |  FROM sc GROUP BY doc_id)

@@ -143,6 +143,72 @@ object NgramLm {
         coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
   }
 
+  /** Per-document NLL under an interpolated KNESER–NEY bigram model —
+    * the tokenizer/LM family's production smoother (Kneser & Ney 1995;
+    * Chen & Goodman 1998's interpolated form), completing the
+    * estimator ladder add-one → Jelinek-Mercer → KN. Where JM backs a
+    * sparse bigram off to the unigram FREQUENCY, KN backs off to the
+    * CONTINUATION probability — how many distinct contexts a word
+    * follows — which is what stops high-frequency-but-fixed collocates
+    * ("Francisco", seen almost only after "San") from being priced as
+    * cheap continuations everywhere:
+    *
+    * `P(c | p) = max(n(p,c) − D, 0)/n(p,·)
+    *             + (D/n(p,·)) · N1+(p,·) · N1+(·,c)/N1+(·,·)`
+    *
+    * with D the absolute discount in ppm (750000 = 0.75, the
+    * Chen–Goodman-recommended region), N1+(p,·)/N1+(·,c) the distinct
+    * continuation/context type counts and N1+(·,·) the total bigram
+    * type count. Self-trained scoring means every scored bigram
+    * exists in the corpus, so N1+(·,c) ≥ 1 and P > 0 always. Same
+    * micro-nat discipline as [[bigramNll]]: each bigram's `-ln P`
+    * rounds to an integer BEFORE the per-document sum — the double
+    * formula is mirrored operand-for-operand by the oracle.
+    *
+    * Scale shape: [[bigramNll]]'s tokenize+explode pass and
+    * (id, p, c) partial-agg, plus one (p, c) type-level aggregate
+    * (distinct-type statistics cannot ride a window sum over the
+    * per-doc frame) and three co-located equi-joins back onto the
+    * per-doc rows (keys p, c, (p,c) — the type tables are vocabulary-
+    * sized); N1+(·,·) is a one-row broadcast. */
+  def kneserNeyNll(df: DataFrame, idCol: String, textCol: String,
+                   discountPpm: Long = 750000L): DataFrame = {
+    require(discountPpm > 0 && discountPpm < 1000000L,
+      s"discountPpm must be in (0, 1000000), got $discountPpm")
+    val d = discountPpm.toDouble / 1000000.0
+    val base = graft.operators.Spread.ensure(
+      df.select(col(idCol).as("id"), TextFunctions.words(col(textCol)).as("w")))
+    val bg = base.select(col("id"), explode(expr(bigramsExpr)).as("b"))
+      .select(col("id"), col("b.p").as("p"), col("b.c").as("c"))
+    val perDoc = bg.groupBy(col("id"), col("p"), col("c"))
+      .agg(count(lit(1)).as("occ"))
+    // corpus bigram TYPE table: counts for the discounted ML term,
+    // row counts per p / per c for the continuation statistics
+    val types = perDoc.groupBy(col("p"), col("c"))
+      .agg(sum(col("occ")).as("big_cnt"))
+    val fwd = types.groupBy(col("p"))
+      .agg(count(lit(1)).as("n1_fwd"), sum(col("big_cnt")).as("ctx_cnt"))
+    val bwd = types.groupBy(col("c")).agg(count(lit(1)).as("n1_bwd"))
+    val tot = types.agg(count(lit(1)).as("tot_types"))
+    val scored = perDoc
+      .join(types, Seq("p", "c"))
+      .join(fwd, Seq("p"))
+      .join(bwd, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .withColumn("mn", round(-log(
+        (greatest(col("big_cnt").cast("double") - lit(d), lit(0.0)) +
+          (lit(d) * col("n1_fwd")) *
+            (col("n1_bwd").cast("double") / col("tot_types"))) /
+          col("ctx_cnt")) * lit(1000000.0)).cast("long"))
+    val agg = scored.groupBy(col("id")).agg(
+      sum(col("occ")).as("n_bigrams"),
+      sum(col("occ") * col("mn")).as("nll_micro"))
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
+  }
+
   /** A trained bigram LM as three frames: bigram counts `bg`
     * (p, c, big_cnt), context counts `ctx` (p, ctx_cnt), and the
     * one-row vocabulary size `v` (V). [[bigramNll]] fuses training

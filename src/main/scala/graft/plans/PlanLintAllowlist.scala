@@ -33,6 +33,9 @@ object PlanLintAllowlist {
     // corpus-totals aggregate for the interpolation backstop
     // (q_token_budget pattern; q_perplexity's vocab cross twin)
     "q_perplexity_backoff" -> "unconditioned-nested-loop",
+    // r15: the same 1-row broadcast cross — KN's N1+(·,·) total-type
+    // count against every bigram-type row (the backoff twin above)
+    "q_perplexity_kn" -> "unconditioned-nested-loop",
     // r10: the D-row broadcast domain fan-out (eval bigrams × every
     // train LM — the definition of a D×D matrix) plus the D-row
     // per-domain vocabulary broadcast (q_token_budget pattern)
