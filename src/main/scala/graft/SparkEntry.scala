@@ -3127,6 +3127,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_pq_audit" -> ((s, dir) => {
+      // PQ quantization contract (q_vec_quantize's PQ twin): the
+      // per-subvector assignment score IS the reconstruction cosine,
+      // so the audit is the encode plan with the score retained —
+      // per vector the sub count, the position-weighted code
+      // checksum, and the WORST subvector-to-codeword similarity (a
+      // selection over round-6 values, no float sums) — the error
+      // bound a 100 TB pipeline persists next to the codes.
+      val e = t(s, dir, "embeddings")
+      val cb = graft.similarity.Quantize.pqCodebooks(
+        e, "vec_id", "embedding", m = 4, k = 16, dims = 64)
+      graft.similarity.Quantize.pqAuditStats(
+          e, "vec_id", "embedding", cb, m = 4, dims = 64)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
     "q_pq_ivf" -> ((s, dir) => {
       // the IVF-PQ composition (the FAISS serving shape, both halves
       // already gated separately — q_knn_ivf_learned's coarse cells +
@@ -6849,6 +6866,33 @@ object SparkEntry {
         |    (PARTITION BY query_id ORDER BY score_u DESC, nbr_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // PQ audit: the encode chain with the assignment score kept —
+    // min over round-6 cosines + the position-weighted code checksum
+    "q_pq_audit" ->
+      """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |        ORDER BY vec_id LIMIT 16)),
+        |ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
+        |cb AS MATERIALIZED (SELECT ss.sub, seeds.code,
+        |    seeds.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS cw
+        |  FROM seeds CROSS JOIN ss),
+        |subs AS (SELECT p.vec_id, ss.sub,
+        |    p.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS sv
+        |  FROM p CROSS JOIN ss),
+        |sc AS (SELECT vec_id, sub, code,
+        |    round(list_cosine_similarity(sv, cw), 6) AS score
+        |  FROM subs JOIN cb USING (sub)),
+        |best AS (SELECT vec_id, sub, code, score FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id, sub ORDER BY score DESC, code) AS rn
+        |  FROM sc) t WHERE rn = 1)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_subs,
+        |  CAST(sum(code * (sub + 1)) AS BIGINT) AS code_sum,
+        |  min(score) AS min_sim
+        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // IVF-PQ composition: the learned-cell assignment CTEs + the PQ
     // chain, with the scored join additionally cell-keyed

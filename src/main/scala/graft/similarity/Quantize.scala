@@ -181,6 +181,42 @@ object Quantize {
         col("score_u"), col("rank"))
   }
 
+  /** Per-vector PQ quantization contract — [[auditStats]]' PQ twin,
+    * the quality bound a pipeline persists next to the codes: the
+    * assignment score of each subvector against its chosen codeword
+    * IS the reconstruction similarity (argmax cosine, round 6), so
+    * the audit is the encode plan with the score retained. Returns
+    * (id, n_subs, code_sum, min_sim): sub count, the position-
+    * weighted integer code checksum (permuted codes don't collide),
+    * and the WORST subvector-to-codeword cosine — a selection over
+    * round-6 values, order-free and oracle-replayable (no float
+    * sums). */
+  def pqAuditStats(corpus: DataFrame, idCol: String, vecCol: String,
+                   codebooks: DataFrame, m: Int, dims: Int): DataFrame = {
+    val subDim = dims / m
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val subs = graft.operators.Spread.ensure(
+      corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")))
+      .select(col("id"), explode(expr(s"transform(sequence(0, ${m - 1}), " +
+        s"s -> struct(s AS sub, slice(v, s * $subDim + 1, $subDim) AS sv))"))
+        .as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    val scored = subs.join(broadcast(codebooks), Seq("sub"))
+      .select(col("id"), col("sub"), col("code"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("sv"), col("centroid")), 6).as("score"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("sub"))
+      .orderBy(col("score").desc, col("code"))
+    scored.withColumn("rn", row_number().over(best))
+      .where(col("rn") === 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_subs"),
+        sum(col("code") * (col("sub") + 1)).as("code_sum"),
+        min(col("score")).as("min_sim"))
+  }
+
   /** Per-vector quantization contract: dims, an integer code checksum
     * (position-weighted so permuted codes don't collide), and the
     * worst absolute reconstruction error across dimensions. */

@@ -145,6 +145,27 @@ class PqSpec extends SparkSpec {
     assert(got.head._3 === flat(3L))
   }
 
+  test("audit reports the worst subvector fit and the code checksum") {
+    // id 5 concatenates exact codewords: every sub scores cosine 1.0;
+    // id 9 is off-axis, so its worst subvector fit is < 1
+    val corpus = Seq(
+      (1L, Seq(0.0, 1.0, 3.0, 0.0)),
+      (2L, Seq(2.0, 2.0, 0.0, 1.0)),
+      (5L, Seq(2.0, 2.0, 3.0, 0.0)),
+      (9L, Seq(5.0, 1.0, 1.0, 5.0))).toDF("id", "v")
+    val cb = Quantize.pqCodebooks(corpus, "id", "v", m, k = 2, dims = dims)
+    val got = Quantize.pqAuditStats(corpus, "id", "v", cb, m, dims)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // codes of id 5: sub0 -> code 1, sub1 -> code 0 (spec above) →
+    // checksum 1·1 + 0·2 = 1; perfect fit on both subs
+    assert(got(5L) === ((2L, 1L, 1.0)))
+    assert(got(9L)._1 === 2L)
+    assert(got(9L)._3 < 1.0)
+    // every corpus vector is audited
+    assert(got.keySet === Set(1L, 2L, 5L, 9L))
+  }
+
   test("dims must divide into m subvectors") {
     val corpus = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
     val boom = intercept[IllegalArgumentException] {
