@@ -188,7 +188,10 @@ object Bench {
       // betweenness runs two tagged passes with per-hop/per-level
       // checkpoints — iterative like its centrality siblings; the
       // k-truss peel checkpoints per round
-      "q_betweenness", "q_ktruss", "q_trussness")
+      "q_betweenness", "q_ktruss", "q_trussness",
+      // r16: the m=64 production-accuracy HyperBall tier checkpoints
+      // per radius like q_hyperball
+      "q_hyperball64")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

@@ -1476,6 +1476,21 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_hyperball64" -> ((s, dir) => {
+      // q_hyperball at the PRODUCTION register count: m = 64 is the
+      // accuracy tier a real curation run ships (±1.04/√64 ≈ 13% rse
+      // vs m = 16's 26%), priced at ~1.5× the m = 16 propagation
+      // (BASELINE r15 hyperball_m probe — per-radius cost is
+      // join-dominated, register width is second-order). Same
+      // exact-integer estimator, so the oracle generalizes
+      // mechanically (maxRank 55, α·1000 = 709, linear counting
+      // below raw ≤ 160); q_hyperball's m = 16 gate is untouched.
+      val edges = purchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+      graft.graph.HyperBall.harmonicSummary(edges, "a", "b", m = 64)
+        .orderBy(col("node_id"))
+    }),
+
     "q_sssp_delete" -> ((s, dir) => {
       // edge-DELETE maintenance (the incremental family's missing
       // half — the takedown/opt-out shape at the graph layer): the
@@ -5774,6 +5789,10 @@ object SparkEntry {
 
     "q_hyperball" -> Duck.hyperballSql(radius = 3),
 
+    // the m = 64 production-accuracy tier: the same unroll with
+    // Layout(64)'s constants (maxRank 55, α·1000 = 709, lc ≤ 160)
+    "q_hyperball64" -> Duck.hyperballSql(radius = 3, mRegs = 64),
+
     // EQUIVALENCE gate: the incremental register repair must land
     // row-identical to q_hyperball's full-graph radius-3 unroll
     "q_hyperball_incr" -> Duck.hyperballSql(radius = 3),
@@ -9004,9 +9023,23 @@ object SparkEntry {
       * register arithmetic at m = 16 (α·m² in HUGEINT floor div,
       * linear counting below 2.5·m), then the ppm harmonic sum over
       * the per-radius deltas. */
-    def hyperballSql(radius: Int): String = {
-      val m = 72057594037927936L // 2^56
-      val props = (1 to radius).map { k =>
+    def hyperballSql(radius: Int, mRegs: Int = 16): String = {
+      val props = hyperballProps(radius)
+      val ests = hyperballEsts(radius, mRegs)
+      val nfCols = (0 to radius).map(k => s"x$k.nf AS nf$k").mkString(", ")
+      val harm = (1 to radius)
+        .map(k => s"(x$k.nf - x${k - 1}.nf) * 1000000 // $k")
+        .mkString(" + ")
+      val joins = (1 to radius)
+        .map(k => s"JOIN x$k ON x0.node = x$k.node").mkString(" ")
+      s"""WITH ${hyperballCtes(mRegs, props, ests)}
+         |SELECT x0.node AS node_id, $nfCols, $harm AS harmonic_ppm
+         |FROM x0 $joins ORDER BY node_id""".stripMargin
+    }
+
+    /** Max-propagation rounds — register-count independent. */
+    private def hyperballProps(radius: Int): String =
+      (1 to radius).map { k =>
         s"""g$k AS (SELECT node, bucket, max(r) AS r FROM (
            |    SELECT node, bucket, r FROM g${k - 1}
            |    UNION ALL
@@ -9014,33 +9047,37 @@ object SparkEntry {
            |    FROM e JOIN g${k - 1} v ON v.node = e.dst
            |  ) GROUP BY node, bucket)""".stripMargin
       }.mkString(",\n")
-      val ests = (0 to radius).map { k =>
+
+    /** Per-radius estimator CTEs at register count `mRegs`, mirroring
+      * HyperBall.Layout: maxRank = 61−log₂(m), α·1000 from the
+      * Flajolet table, linear counting below raw ≤ 2.5·m. */
+    private def hyperballEsts(radius: Int, mRegs: Int): String = {
+      val p = 31 - Integer.numberOfLeadingZeros(mRegs)
+      val maxRank = 61 - p
+      val alpha1000 = Map(16 -> 673L, 32 -> 697L, 64 -> 709L)(mRegs)
+      val num = alpha1000 * mRegs * mRegs
+      val lcMax = mRegs * 5 / 2
+      (0 to radius).map { k =>
         s"""f$k AS (SELECT spine.node, coalesce(g$k.r, 0) AS r FROM spine
            |  LEFT JOIN g$k ON spine.node = g$k.node
            |    AND spine.bucket = g$k.bucket),
            |s$k AS (SELECT node,
-           |    CAST(sum(1::BIGINT << CAST(57 - r AS INT)) AS BIGINT) AS S,
+           |    CAST(sum(1::BIGINT << CAST($maxRank - r AS INT)) AS BIGINT) AS S,
            |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS V
            |  FROM f$k GROUP BY node),
-           |x$k AS (SELECT node, CASE WHEN raw <= 40 AND V > 0
-           |    THEN CAST(round(16 * ln(16.0 / V)) AS BIGINT)
+           |x$k AS (SELECT node, CASE WHEN raw <= $lcMax AND V > 0
+           |    THEN CAST(round($mRegs * ln($mRegs.0 / V)) AS BIGINT)
            |    ELSE raw END AS nf FROM (
-           |  SELECT node, CAST((172288::HUGEINT * (1::HUGEINT << 57)) //
+           |  SELECT node, CAST(($num::HUGEINT * (1::HUGEINT << $maxRank)) //
            |      (1000::HUGEINT * S) AS BIGINT) AS raw, V FROM s$k))""".stripMargin
       }.mkString(",\n")
-      val nfCols = (0 to radius).map(k => s"x$k.nf AS nf$k").mkString(", ")
-      val harm = (1 to radius)
-        .map(k => s"(x$k.nf - x${k - 1}.nf) * 1000000 // $k")
-        .mkString(" + ")
-      val joins = (1 to radius)
-        .map(k => s"JOIN x$k ON x0.node = x$k.node").mkString(" ")
-      s"""WITH ${hyperballCtes(m, props, ests)}
-         |SELECT x0.node AS node_id, $nfCols, $harm AS harmonic_ppm
-         |FROM x0 $joins ORDER BY node_id""".stripMargin
     }
 
-    private def hyperballCtes(m: Long, props: String,
-                              ests: String): String =
+    private def hyperballCtes(mRegs: Int, props: String,
+                              ests: String): String = {
+      val p = 31 - Integer.numberOfLeadingZeros(mRegs)
+      val maxRank = 61 - p
+      val wMod = 1L << (60 - p) // hash remainder modulus
       s"""pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
          |    's' || CAST(l_suppkey AS VARCHAR) AS b
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
@@ -9048,45 +9085,25 @@ object SparkEntry {
          |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
          |nodes AS (SELECT DISTINCT src AS node FROM e),
          |h0 AS (SELECT node, ${hash64("node")} AS h FROM nodes),
-         |g0 AS (SELECT node, h // $m AS bucket,
-         |    CASE WHEN h % $m = 0 THEN 57
-         |         ELSE 57 - length(bin(h % $m)) END AS r FROM h0),
-         |spine AS (SELECT node, unnest(range(0, 16)) AS bucket FROM nodes),
+         |g0 AS (SELECT node, h // $wMod AS bucket,
+         |    CASE WHEN h % $wMod = 0 THEN $maxRank
+         |         ELSE $maxRank - length(bin(h % $wMod)) END AS r FROM h0),
+         |spine AS (SELECT node, unnest(range(0, $mRegs)) AS bucket FROM nodes),
          |$props,
          |$ests""".stripMargin
+    }
 
     /** The HyperANF global metrics over the same register unroll:
       * N(r) = Σ_v nf(v, r), mean distance in exact ppm over the
       * per-radius deltas, and the integer 90% effective diameter
       * (smallest r with 10·N(r) ≥ 9·N(R)). */
     def hyperballDiameterSql(radius: Int): String = {
-      val m = 72057594037927936L // 2^56
-      val props = (1 to radius).map { k =>
-        s"""g$k AS (SELECT node, bucket, max(r) AS r FROM (
-           |    SELECT node, bucket, r FROM g${k - 1}
-           |    UNION ALL
-           |    SELECT e.src AS node, v.bucket, v.r
-           |    FROM e JOIN g${k - 1} v ON v.node = e.dst
-           |  ) GROUP BY node, bucket)""".stripMargin
-      }.mkString(",\n")
-      val ests = (0 to radius).map { k =>
-        s"""f$k AS (SELECT spine.node, coalesce(g$k.r, 0) AS r FROM spine
-           |  LEFT JOIN g$k ON spine.node = g$k.node
-           |    AND spine.bucket = g$k.bucket),
-           |s$k AS (SELECT node,
-           |    CAST(sum(1::BIGINT << CAST(57 - r AS INT)) AS BIGINT) AS S,
-           |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS V
-           |  FROM f$k GROUP BY node),
-           |x$k AS (SELECT node, CASE WHEN raw <= 40 AND V > 0
-           |    THEN CAST(round(16 * ln(16.0 / V)) AS BIGINT)
-           |    ELSE raw END AS nf FROM (
-           |  SELECT node, CAST((172288::HUGEINT * (1::HUGEINT << 57)) //
-           |      (1000::HUGEINT * S) AS BIGINT) AS raw, V FROM s$k))""".stripMargin
-      }.mkString(",\n")
+      val props = hyperballProps(radius)
+      val ests = hyperballEsts(radius, mRegs = 16)
       val byr = (0 to radius).map(k =>
         s"SELECT $k AS r, CAST(sum(nf) AS BIGINT) AS n_r FROM x$k")
         .mkString("\n  UNION ALL ")
-      s"""WITH ${hyperballCtes(m, props, ests)},
+      s"""WITH ${hyperballCtes(16, props, ests)},
          |byr AS ($byr),
          |en AS (SELECT r, n_r, lag(n_r) OVER (ORDER BY r) AS n_prev
          |       FROM byr),
@@ -9224,10 +9241,18 @@ object SparkEntry {
       * pairs keep their FULL-graph min-quantity weight, minus the
       * pairs derivable from mod-5 orders (q_sssp_weighted_delete's
       * pair-level retraction batch). Rounds past the pruned graph's
-      * relaxation fixpoint are no-ops, so the unroll margin is free. */
+      * relaxation fixpoint are no-ops, so the unroll margin is free —
+      * and the final select ASSERTS the fixpoint (v_rounds = v_rounds−1,
+      * reachable deletions can only LENGTHEN paths): a deeper fixture
+      * fails loudly with a raise-rounds message instead of a silent
+      * equivalence-gate mismatch against the fully-converged repair. */
     def ssspWeightedDeleteSql(rounds: Int): String = {
+      // MATERIALIZED: the fixpoint-assert CTE reads v_rounds and
+      // v_rounds−1 a second time — un-materialized, DuckDB would
+      // re-evaluate the whole unroll chain per reference and exhaust
+      // file descriptors on the parquet (the q_ktruss lesson)
       val steps = (1 to rounds).map { k =>
-        s"""v$k AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        s"""v$k AS MATERIALIZED (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
            |    SELECT node, dist FROM v${k - 1}
            |    UNION ALL
            |    SELECT e.dst AS node, v.dist + e.w AS dist
@@ -9252,8 +9277,14 @@ object SparkEntry {
          |v0 AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node,
          |    CAST(0 AS BIGINT) AS dist
          |  FROM customer WHERE c_nationkey = 0),
-         |$steps
-         |SELECT node AS node_id, dist FROM v$rounds ORDER BY node_id""".stripMargin
+         |$steps,
+         |fx AS (SELECT count(*) AS n FROM
+         |  ((SELECT * FROM v$rounds) EXCEPT (SELECT * FROM v${rounds - 1})))
+         |SELECT node AS node_id,
+         |  CAST(CASE WHEN (SELECT n FROM fx) = 0 THEN dist
+         |    ELSE error('pruned unroll not at fixpoint: raise rounds')
+         |  END AS BIGINT) AS dist
+         |FROM v$rounds ORDER BY node_id""".stripMargin
     }
 
     /** k-truss unroll: `rounds` support-and-peel rounds over the

@@ -280,17 +280,30 @@ object HyperBall {
     out.select(col("node"), col("r"), col("nf_est"))
   }
 
+  /** Past this many changed nodes the [[outputAt]] anti-join stops
+    * hinting broadcast: the small-batch repair contract usually keeps
+    * the changed set tiny, but a batch that perturbs most of the
+    * graph would otherwise force a near-full-node-set broadcast onto
+    * the driver. 1M ids ≈ 8 MB — comfortably broadcastable; above,
+    * the shuffled anti-join is the safe plan. A var only as a test
+    * seam (HyperBallSpec drives the shuffled path by zeroing it). */
+  private[graft] var broadcastChangedMax = 1000000L
+
   /** Radius-r estimates for the repaired state: saved rows for
     * unchanged nodes, the changed rows otherwise. The anti-join's
     * right side is the (small, checkpointed) changed set, skipped
-    * entirely when the radius changed nothing. */
+    * entirely when the radius changed nothing and broadcast only
+    * while it stays under [[BroadcastChangedMax]]. */
   private def outputAt(saved: DataFrame, changed: DataFrame,
                        nChanged: Long, r: Int, lay: Layout): DataFrame = {
     val state =
       if (nChanged == 0) saved
-      else saved.join(broadcast(changed.select(col("node"))),
-          Seq("node"), "left_anti")
-        .unionByName(changed)
+      else {
+        val ids = changed.select(col("node"))
+        val right =
+          if (nChanged <= broadcastChangedMax) broadcast(ids) else ids
+        saved.join(right, Seq("node"), "left_anti").unionByName(changed)
+      }
     estimate(state, lay).withColumn("r", lit(r.toLong))
   }
 
@@ -341,8 +354,12 @@ object HyperBall {
         expr("(nf1 - nf0) * 1000000 div 1 + (nf2 - nf1) * 1000000 div 2" +
           " + (nf3 - nf2) * 1000000 div 3").as("harmonic_ppm"))
 
-  /** [[harmonicFromNf]] over a fresh radius-3 propagation. */
+  /** [[harmonicFromNf]] over a fresh radius-3 propagation. `m` is the
+    * register count (16 = the cheap gate default, 64 = the production
+    * ±13% accuracy tier — priced at ~1.5× the m=16 propagation, see
+    * BASELINE r15's hyperball_m probe). */
   def harmonicSummary(edges: DataFrame, srcCol: String,
-                      dstCol: String): DataFrame =
-    harmonicFromNf(neighborhoodFunction(edges, srcCol, dstCol, maxRadius = 3))
+                      dstCol: String, m: Int = 16): DataFrame =
+    harmonicFromNf(
+      neighborhoodFunction(edges, srcCol, dstCol, maxRadius = 3, m = m))
 }

@@ -102,14 +102,19 @@ object KTruss {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-    var cur = canon
-    var levels = Seq(canon.withColumn("t", lit(2L)))
+    // checkpoint the canonical set once: level 2 is read by both the
+    // first peel and the final union, and an un-materialized canon
+    // would re-run the least/greatest/distinct scan for each
+    val (canonCk, _) =
+      graft.operators.Converge.checkpointWithSig(canon, "u, v")
+    var cur = canonCk
+    var levels = Seq(canonCk.withColumn("t", lit(2L)))
     for (k <- 3 to maxK) {
       cur = kTruss(cur, "u", "v", k, maxRounds)
       levels :+= cur.withColumn("t", lit(k.toLong))
     }
-    // an edge's trussness = the deepest level it survived; the level
-    // frames are checkpointed by the peel, so the union is a scan list
+    // an edge's trussness = the deepest level it survived; every
+    // level frame is a checkpoint, so the union is a scan list
     levels.reduce(_ unionByName _)
       .groupBy(col("u"), col("v"))
       .agg(max(col("t")).as("trussness"))

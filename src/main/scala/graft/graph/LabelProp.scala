@@ -101,6 +101,11 @@ object LabelProp {
     var prev: DataFrame = null
     var it = 0
     var done = false
+    // tracks whether `labels` is a materialized checkpoint; a lazy
+    // tail (odd iters, or the parity-fix round after the stop) must
+    // be checkpointed BEFORE e/nodes unpersist, or the caller's
+    // action re-derives the edge prep uncached
+    var materialized = false
     while (!done && it < iters) {
       it += 1
       val stepped = round(labels)
@@ -109,15 +114,21 @@ object LabelProp {
           graft.operators.Converge.checkpointWithSig(stepped, "node, label")
         if (prevSig != null && nSig == prevSig &&
             graft.operators.Converge.sameExact(next, prev)) {
-          labels = if ((iters - it) % 2 == 1) round(next) else next
+          val odd = (iters - it) % 2 == 1
+          labels = if (odd) round(next) else next
+          materialized = !odd
           done = true
         } else {
           prevSig = nSig
           prev = next
           labels = next
+          materialized = true
         }
-      } else labels = stepped
+      } else { labels = stepped; materialized = false }
     }
+    if (!materialized)
+      labels = graft.operators.Converge
+        .checkpointWithSig(labels, "node, label")._1
     val out = labels.select(col("node").as("node_id"), col("label"))
     e.unpersist()
     nodes.unpersist()

@@ -521,79 +521,83 @@ object Sssp {
     val delFull = eAll.join(delPairs, Seq("node", "nxt"), "left_semi")
       .persist()
     val e = eAll.join(delPairs, Seq("node", "nxt"), "left_anti").persist()
-    e.count()
-    val minW = eAll.agg(min(col("w"))).head()
-    require(minW.isNullAt(0) || minW.getLong(0) >= 1L,
-      s"weighted delete repair requires positive weights, " +
-        s"found min w = ${minW.getLong(0)}")
-    val (dist0, _) = graft.operators.Converge.checkpointWithSig(
-      savedDist.select(col("node_id").as("node"), col("dist")),
-      "node, dist")
-    // 1. INVALIDATE: heads of tight deleted edges seed the marked set
-    val seedA = delFull
-      .join(dist0.select(col("node"), col("dist").as("d_src")), Seq("node"))
-      .select(col("nxt").as("node"), (col("d_src") + col("w")).as("dist"))
-      .join(dist0, Seq("node", "dist")) // tight: d(v) = d(u) + w
-      .select(col("node"), col("dist")).distinct()
-    var (frontA, (nFrontA, _)) =
-      graft.operators.Converge.checkpointWithSig(seedA, "node, dist")
-    var marked = frontA
-    var guard = 0
-    while (nFrontA > 0) {
-      guard += 1
-      require(guard <= maxRounds,
-        s"invalidation sweep exceeded $maxRounds rounds")
-      val tight = frontA.join(e, Seq("node"))
-        .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
-        .join(dist0, Seq("node", "dist")) // d(x) = d(v) + w
+    // try/finally: the weight-contract require and the per-loop round
+    // guards THROW — without the finally both frames stay cached for
+    // the session on those paths (the normal exit unpersists the same
+    // two, so the finally is the only change)
+    try {
+      e.count()
+      val minW = eAll.agg(min(col("w"))).head()
+      require(minW.isNullAt(0) || minW.getLong(0) >= 1L,
+        s"weighted delete repair requires positive weights, " +
+          s"found min w = ${minW.getLong(0)}")
+      val (dist0, _) = graft.operators.Converge.checkpointWithSig(
+        savedDist.select(col("node_id").as("node"), col("dist")),
+        "node, dist")
+      // 1. INVALIDATE: heads of tight deleted edges seed the marked set
+      val seedA = delFull
+        .join(dist0.select(col("node"), col("dist").as("d_src")), Seq("node"))
+        .select(col("nxt").as("node"), (col("d_src") + col("w")).as("dist"))
+        .join(dist0, Seq("node", "dist")) // tight: d(v) = d(u) + w
         .select(col("node"), col("dist")).distinct()
-        .join(marked.select(col("node")), Seq("node"), "left_anti")
-      val (next, (n, _)) =
-        graft.operators.Converge.checkpointWithSig(tight, "node, dist")
-      frontA = next
-      nFrontA = n
-      if (n > 0) marked = marked.unionByName(frontA).localCheckpoint()
-    }
-    val markedIds = marked.select(col("node"))
-    // 2. RETRACT: the unaffected remainder is exact for the pruned graph
-    val keep = dist0.join(markedIds, Seq("node"), "left_anti")
-      .localCheckpoint()
-    // 3. RE-DERIVE: min-relax the marked region from the unaffected
-    // boundary over the pruned graph, to the empty-frontier fixpoint
-    val seedB = keep.join(e, Seq("node"))
-      .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
-      .join(markedIds, Seq("node"))
-      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-    var (front, (nFront, _)) =
-      graft.operators.Converge.checkpointWithSig(seedB, "node, dist")
-    var best = front
-    guard = 0
-    while (nFront > 0) {
-      guard += 1
-      require(guard <= maxRounds,
-        s"delete repair exceeded $maxRounds rounds")
-      val cand = front.join(e, Seq("node"))
+      var (frontA, (nFrontA, _)) =
+        graft.operators.Converge.checkpointWithSig(seedA, "node, dist")
+      var marked = frontA
+      var guard = 0
+      while (nFrontA > 0) {
+        guard += 1
+        require(guard <= maxRounds,
+          s"invalidation sweep exceeded $maxRounds rounds")
+        val tight = frontA.join(e, Seq("node"))
+          .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
+          .join(dist0, Seq("node", "dist")) // d(x) = d(v) + w
+          .select(col("node"), col("dist")).distinct()
+          .join(marked.select(col("node")), Seq("node"), "left_anti")
+        val (next, (n, _)) =
+          graft.operators.Converge.checkpointWithSig(tight, "node, dist")
+        frontA = next
+        nFrontA = n
+        if (n > 0) marked = marked.unionByName(frontA).localCheckpoint()
+      }
+      val markedIds = marked.select(col("node"))
+      // 2. RETRACT: the unaffected remainder is exact for the pruned graph
+      val keep = dist0.join(markedIds, Seq("node"), "left_anti")
+        .localCheckpoint()
+      // 3. RE-DERIVE: min-relax the marked region from the unaffected
+      // boundary over the pruned graph, to the empty-frontier fixpoint
+      val seedB = keep.join(e, Seq("node"))
         .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
         .join(markedIds, Seq("node"))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      val improved = cand
-        .join(best.select(col("node"), col("dist").as("old")),
-          Seq("node"), "left")
-        .where(col("old").isNull || col("dist") < col("old"))
-        .select(col("node"), col("dist"))
-      val (next, (n, _)) =
-        graft.operators.Converge.checkpointWithSig(improved, "node, dist")
-      front = next
-      nFront = n
-      if (n > 0)
-        best = best.unionByName(front)
+      var (front, (nFront, _)) =
+        graft.operators.Converge.checkpointWithSig(seedB, "node, dist")
+      var best = front
+      guard = 0
+      while (nFront > 0) {
+        guard += 1
+        require(guard <= maxRounds,
+          s"delete repair exceeded $maxRounds rounds")
+        val cand = front.join(e, Seq("node"))
+          .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
+          .join(markedIds, Seq("node"))
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-          .localCheckpoint()
-    }
-    val out = keep.unionByName(best)
-      .select(col("node").as("node_id"), col("dist"))
-    delFull.unpersist(); e.unpersist()
-    out
+        val improved = cand
+          .join(best.select(col("node"), col("dist").as("old")),
+            Seq("node"), "left")
+          .where(col("old").isNull || col("dist") < col("old"))
+          .select(col("node"), col("dist"))
+        val (next, (n, _)) =
+          graft.operators.Converge.checkpointWithSig(improved, "node, dist")
+        front = next
+        nFront = n
+        if (n > 0)
+          best = best.unionByName(front)
+            .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+            .localCheckpoint()
+      }
+      keep.unionByName(best)
+        .select(col("node").as("node_id"), col("dist"))
+    } finally { delFull.unpersist(); e.unpersist() }
   }
 
   /** Incremental WEIGHTED shortest-path maintenance —

@@ -168,6 +168,18 @@ class HyperBallSpec extends SparkSpec {
     incrEqualsFull(oldE, oldE.take(2), 3, "duplicate batch")
   }
 
+  test("incremental repair with a graph-sized batch: shuffled anti-join path") {
+    // a batch that perturbs (nearly) every node exceeds the broadcast
+    // threshold in production; drive the shuffled-anti-join branch by
+    // zeroing the seam and prove the result is path-independent
+    val oldE = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val newE = Seq(("e", "a"), ("c", "a"), ("b", "e"), ("a", "d"))
+    val saved = HyperBall.broadcastChangedMax
+    HyperBall.broadcastChangedMax = 0L
+    try incrEqualsFull(oldE, newE, 3, "graph-sized batch, shuffled path")
+    finally HyperBall.broadcastChangedMax = saved
+  }
+
   test("incremental rejects a saved table with too few radii") {
     val saved = HyperBall.registerTable(
       Seq(("a", "b")).toDF("s", "d"), "s", "d", maxRadius = 1)
