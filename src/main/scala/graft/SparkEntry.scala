@@ -3186,6 +3186,38 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_pq_ivf_probe2" -> ((s, dir) => {
+      // MULTI-PROBE IVF-PQ — q_pq_ivf's recall lever, completing the
+      // flat/1-probe/2-probe curve (the q_knn_ivf_probe2 precedent at
+      // the PQ layer): each query scans the union of its top-2 coarse
+      // cells via assignTopN — only QUERY rows replicate (2 cell rows
+      // per query feeding 2 LUT sets), the codes table stays
+      // single-cell and the scored join stays (sub, code, cell)-keyed
+      // against the broadcast LUT, so candidates are ~2N/cells at m
+      // integer lookups each. A candidate lives in exactly one cell,
+      // so the union is disjoint — no dedup stage needed.
+      val e = t(s, dir, "embeddings")
+      val centroids = graft.similarity.KMeans
+        .initCentroids(e, "vec_id", "embedding", k = 8)
+      val cells = graft.similarity.KMeans
+        .assign(e, centroids, "vec_id", "embedding")
+        .select(col("id"), col("cluster_id").as("cell"))
+      val cb = graft.similarity.Quantize.pqCodebooks(
+        e, "vec_id", "embedding", m = 4, k = 16, dims = 64)
+      val codes = graft.similarity.Quantize.pqEncode(
+          e, "vec_id", "embedding", cb, m = 4, dims = 64)
+        .join(cells, Seq("id"))
+      val probes = graft.similarity.KMeans
+        .assignTopN(e.where(col("vec_id") % 50 === 0), centroids,
+          "vec_id", "embedding", n = 2)
+        .select(col("id").as("vec_id"), col("cluster_id").as("cell"))
+      val queries = e.where(col("vec_id") % 50 === 0)
+        .join(probes, Seq("vec_id"))
+      graft.similarity.Quantize.pqAdcTopKByCell(codes, queries,
+          "vec_id", "embedding", "cell", cb, m = 4, dims = 64, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_knn_ivf_learned" -> ((s, dir) => {
       // the full IVF story: LEARNED coarse cells (deterministic
       // k-means assignment) instead of a given label — index build
@@ -6937,6 +6969,55 @@ object SparkEntry {
          |  FROM psc) t WHERE rn = 1),
          |q AS (SELECT p.vec_id AS query_id, v, cell FROM p
          |  JOIN cells USING (vec_id) WHERE vec_id % 50 = 0),
+         |qsubs AS (SELECT query_id, cell, ss.sub,
+         |    q.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS qv
+         |  FROM q CROSS JOIN ss),
+         |lut AS MATERIALIZED (SELECT query_id, cell, qsubs.sub, cb.code,
+         |    CAST(floor(list_dot_product(qv, cw) * 1000000 + 0.5) AS BIGINT)
+         |      AS lut_u
+         |  FROM qsubs JOIN cb ON cb.sub = qsubs.sub),
+         |scored AS (SELECT l.query_id, c.vec_id AS nbr_id,
+         |    CAST(sum(l.lut_u) AS BIGINT) AS score_u
+         |  FROM codes c
+         |  JOIN cells cl ON cl.vec_id = c.vec_id
+         |  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         |    AND l.cell = cl.cell
+         |  WHERE c.vec_id <> l.query_id GROUP BY 1, 2)
+         |SELECT query_id, nbr_id, score_u, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score_u DESC, nbr_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // multi-probe IVF-PQ: the q_pq_ivf chain with the query's TOP-2
+    // coarse cells (the q_ann_recall_probe2 probe CTE) feeding the
+    // cell-keyed LUT join
+    "q_pq_ivf_probe2" ->
+      s"""WITH ${Duck.kmeansAssignCtes(k = 8)},
+         |cells AS MATERIALIZED (SELECT vec_id, cluster_id AS cell FROM a),
+         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |        ORDER BY vec_id LIMIT 16)),
+         |ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |cb AS MATERIALIZED (SELECT ss.sub, seeds.code,
+         |    seeds.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS cw
+         |  FROM seeds CROSS JOIN ss),
+         |subs AS (SELECT p.vec_id, ss.sub,
+         |    p.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS sv
+         |  FROM p CROSS JOIN ss),
+         |psc AS (SELECT vec_id, sub, code,
+         |    round(list_cosine_similarity(sv, cw), 6) AS score
+         |  FROM subs JOIN cb USING (sub)),
+         |codes AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id, sub ORDER BY score DESC, code) AS rn
+         |  FROM psc) t WHERE rn = 1),
+         |pr AS (SELECT vec_id AS query_id, cluster_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, cluster_id) AS rn FROM sc) t
+         |  WHERE rn <= 2 AND vec_id % 50 = 0),
+         |q AS (SELECT pr.query_id, v, pr.cell FROM pr
+         |  JOIN p ON p.vec_id = pr.query_id),
          |qsubs AS (SELECT query_id, cell, ss.sub,
          |    q.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS qv
          |  FROM q CROSS JOIN ss),

@@ -145,6 +145,31 @@ class PqSpec extends SparkSpec {
     assert(got.head._3 === flat(3L))
   }
 
+  test("multi-probe: a 2-cell query row set scans the cells' union") {
+    val a = Seq(4.0, 1.0, 1.0, 4.0)
+    val b = Seq(1.0, 4.0, 4.0, 1.0)
+    val corpus = Seq(1L -> a, 2L -> b,
+      3L -> a.map(_ + 1), 4L -> b.map(_ + 1)).toDF("id", "v")
+    val cb = Quantize.pqCodebooks(corpus, "id", "v", m, k = 2, dims = dims)
+    val cells = Seq(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L)
+      .toDF("id", "cell")
+    val codes = Quantize.pqEncode(corpus, "id", "v", cb, m, dims)
+      .join(cells, Seq("id"))
+    // query 1 probes BOTH cells: two (id, cell) rows, one vector
+    val queries = Seq((1L, a, 0L), (1L, a, 1L)).toDF("id", "v", "cell")
+    val got = Quantize.pqAdcTopKByCell(codes, queries, "id", "v", "cell",
+        cb, m, dims, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // probing every cell = the flat scan, row for row (each candidate
+    // lives in exactly one cell, so the union is disjoint)
+    val flat = Quantize.pqAdcTopK(
+        Quantize.pqEncode(corpus, "id", "v", cb, m, dims),
+        Seq(1L -> a).toDF("id", "v"), "id", "v", cb, m, dims, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.toSet === flat.toSet)
+    assert(got.map(_._2).toSet === Set(2L, 3L, 4L))
+  }
+
   test("audit reports the worst subvector fit and the code checksum") {
     // id 5 concatenates exact codewords: every sub scores cosine 1.0;
     // id 9 is off-axis, so its worst subvector fit is < 1
