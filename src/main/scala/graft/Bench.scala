@@ -190,8 +190,10 @@ object Bench {
       // k-truss peel checkpoints per round
       "q_betweenness", "q_ktruss", "q_trussness",
       // r16: the m=64 production-accuracy HyperBall tier checkpoints
-      // per radius like q_hyperball
-      "q_hyperball64")
+      // per radius like q_hyperball; PQ training holds a persisted
+      // subvector frame across Lloyd rounds with per-round
+      // checkpoints like q_kmeans_update
+      "q_hyperball64", "q_pq_train")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

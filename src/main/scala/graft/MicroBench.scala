@@ -54,6 +54,7 @@ object MicroBench {
     probe match {
       case "hyperball_m" => hyperballM(spark, sfDir, repeats)
       case "wordpiece" => wordpiece(spark, sfDir, repeats)
+      case "pq_train" => pqTrain(spark, sfDir)
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
@@ -75,6 +76,42 @@ object MicroBench {
           .queryExecution.toRdd.count()
       }
       report(s"hyperball nf r=3 m=$m", sec, rows)
+      spark.catalog.clearCache()
+    }
+  }
+
+  /** Trained-vs-seed PQ quality curve (r15 verdict #1's BASELINE
+    * row): for iters = 0 (seed) / 1 / 2 / 4 Lloyd rounds, the
+    * training wall time, the pqAuditStats quantization-error
+    * distribution (mean and worst per-vector min subvector-to-
+    * codeword cosine), and mean recall@3 of the trained flat ADC
+    * scan vs the exact brute-force top-3 — the audit operator as the
+    * measuring stick for what training buys. m = 4 × k = 16 over
+    * 64 dims, the gate configuration. */
+  private def pqTrain(spark: SparkSession, dir: String): Unit = {
+    import graft.similarity.{Quantize, Similarity}
+    val e = SparkEntry.t(spark, dir, "embeddings")
+    val qs = e.where(col("vec_id") % 50 === 0)
+    val exact = Similarity
+      .bruteForceKnn(e, qs, "vec_id", "embedding", k = 3).localCheckpoint()
+    for (iters <- Seq(0, 1, 2, 4)) {
+      val t0 = System.nanoTime()
+      val cb = Quantize.pqCodebooksTrained(e, "vec_id", "embedding",
+        m = 4, k = 16, dims = 64, iters = iters)
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      val audit = Quantize
+        .pqAuditStats(e, "vec_id", "embedding", cb, m = 4, dims = 64)
+        .agg(avg(col("min_sim")).as("mean"), min(col("min_sim")).as("worst"))
+        .head()
+      val codes = Quantize.pqEncode(e, "vec_id", "embedding", cb,
+        m = 4, dims = 64)
+      val recall = Similarity.recallAtK(
+          Quantize.pqAdcTopK(codes, qs, "vec_id", "embedding", cb,
+            m = 4, dims = 64, k = 3), exact)
+        .agg(avg(col("recall_ppm"))).head().getDouble(0)
+      println(f"[micro] pq iters=$iters%-2d train=$trainSec%6.2f s  " +
+        f"min_sim mean=${audit.getDouble(0)}%8.6f " +
+        f"worst=${audit.getDouble(1)}%9.6f  recall@3=${recall / 10000}%6.2f%%")
       spark.catalog.clearCache()
     }
   }

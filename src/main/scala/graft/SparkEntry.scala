@@ -3142,6 +3142,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_pq_train" -> ((s, dir) => {
+      // TRAINED product quantization (similarity/Quantize
+      // .pqCodebooksTrained): two Lloyd rounds refine the seed
+      // codebooks per subspace — the step that turns the PQ family
+      // from deterministic-demo codebooks into the production
+      // quantizer. Gated the q_ann_recall way: recall@3 of the
+      // trained-codebook flat ADC scan against the exact brute-force
+      // top-3 over the same query set, exact floor-divided ppm — the
+      // measurement that decides m/k/iters BEFORE a 100 TB corpus
+      // re-encodes. The oracle replays the full chain (both Lloyd
+      // rounds in fixed-point, the encode, the integer LUT scan, the
+      // recall join), so the training arithmetic itself is
+      // hash-gated, not just the headline number. Trained-vs-seed
+      // quantization error: BASELINE r16's pq_train audit row.
+      val e = t(s, dir, "embeddings")
+      val cb = graft.similarity.Quantize.pqCodebooksTrained(
+        e, "vec_id", "embedding", m = 4, k = 16, dims = 64, iters = 2)
+      val codes = graft.similarity.Quantize.pqEncode(
+        e, "vec_id", "embedding", cb, m = 4, dims = 64)
+      val qs = e.where(col("vec_id") % 50 === 0)
+      Similarity.recallAtK(
+          graft.similarity.Quantize.pqAdcTopK(codes, qs,
+            "vec_id", "embedding", cb, m = 4, dims = 64, k = 3),
+          Similarity.bruteForceKnn(e, qs, "vec_id", "embedding", k = 3))
+        .orderBy(col("query_id"))
+    }),
+
     "q_pq_audit" -> ((s, dir) => {
       // PQ quantization contract (q_vec_quantize's PQ twin): the
       // per-subvector assignment score IS the reconstruction cosine,
@@ -6918,6 +6945,10 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
+    // trained-PQ recall: two unrolled fixed-point Lloyd rounds per
+    // subspace, the trained-codebook ADC scan, recall vs brute force
+    "q_pq_train" -> Duck.pqTrainRecallSql(iters = 2, k = 3),
+
     // PQ audit: the encode chain with the assignment score kept —
     // min over round-6 cosines + the position-weighted code checksum
     "q_pq_audit" ->
@@ -9687,6 +9718,95 @@ object SparkEntry {
          |  CASE WHEN ${hash64("CAST(rep AS VARCHAR)")} % 1000000 < $holdoutPpm
          |       THEN 'holdout' ELSE 'train' END AS split
          |FROM r2 ORDER BY doc_id""".stripMargin
+
+    /** Trained-PQ recall mirror of `Quantize.pqCodebooksTrained` +
+      * `pqAdcTopK` + `Similarity.recallAtK`: `iters` unrolled Lloyd
+      * rounds per subspace (assignment = argmax round-6 cosine ties
+      * to the lowest code; update = 2^-20 fixed-point integer mean
+      * rounded to 6, dead codewords keeping their previous centroid),
+      * then the integer-LUT ADC scan with the trained codebooks, then
+      * recall@`k` against the exact brute-force top-`k` in exact
+      * floor-divided ppm. m = 4 subspaces × 16 codes over 64 dims,
+      * queries = vec_id % 50. */
+    def pqTrainRecallSql(iters: Int, k: Int): String = {
+      val scale = 1L << 20
+      val rounds = (1 to iters).map { i =>
+        s"""sc$i AS (SELECT vec_id, sub, sv, code,
+           |    round(list_cosine_similarity(sv, cw), 6) AS score
+           |  FROM subs JOIN cb${i - 1} USING (sub)),
+           |a$i AS (SELECT sub, code, sv FROM (
+           |  SELECT *, row_number() OVER
+           |    (PARTITION BY vec_id, sub ORDER BY score DESC, code) AS rn
+           |  FROM sc$i) t WHERE rn = 1),
+           |mm$i AS (SELECT sub, code, d,
+           |    round(CAST(sum(CAST(floor(sv[d] * $scale) AS BIGINT)) AS BIGINT)
+           |      / (count(*) * $scale.0), 6) AS mean
+           |  FROM a$i CROSS JOIN range(1, 17) t(d)
+           |  GROUP BY sub, code, d),
+           |u$i AS (SELECT sub, code, list(mean ORDER BY d) AS cw
+           |  FROM mm$i GROUP BY sub, code),
+           |cb$i AS MATERIALIZED (SELECT cb${i - 1}.sub, cb${i - 1}.code,
+           |    coalesce(u$i.cw, cb${i - 1}.cw) AS cw
+           |  FROM cb${i - 1} LEFT JOIN u$i
+           |    ON u$i.sub = cb${i - 1}.sub AND u$i.code = cb${i - 1}.code)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |        ORDER BY vec_id LIMIT 16)),
+         |ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |cb0 AS MATERIALIZED (SELECT ss.sub, seeds.code,
+         |    seeds.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS cw
+         |  FROM seeds CROSS JOIN ss),
+         |subs AS MATERIALIZED (SELECT p.vec_id, ss.sub,
+         |    p.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS sv
+         |  FROM p CROSS JOIN ss),
+         |$rounds,
+         |esc AS (SELECT vec_id, sub, code,
+         |    round(list_cosine_similarity(sv, cw), 6) AS score
+         |  FROM subs JOIN cb$iters USING (sub)),
+         |codes AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id, sub ORDER BY score DESC, code) AS rn
+         |  FROM esc) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v FROM p WHERE vec_id % 50 = 0),
+         |qsubs AS (SELECT query_id, ss.sub,
+         |    q.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS qv
+         |  FROM q CROSS JOIN ss),
+         |lut AS MATERIALIZED (SELECT query_id, qsubs.sub, cb.code,
+         |    CAST(floor(list_dot_product(qv, cw) * 1000000 + 0.5) AS BIGINT)
+         |      AS lut_u
+         |  FROM qsubs JOIN cb$iters cb ON cb.sub = qsubs.sub),
+         |scored AS (SELECT l.query_id, c.vec_id AS nbr_id,
+         |    CAST(sum(l.lut_u) AS BIGINT) AS score_u
+         |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         |  WHERE c.vec_id <> l.query_id GROUP BY 1, 2),
+         |apx AS (SELECT query_id, nbr_id FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score_u DESC, nbr_id) AS rank
+         |  FROM scored) t WHERE rank <= $k),
+         |bsc AS (SELECT query_id, p.vec_id AS nbr_id,
+         |  round(list_cosine_similarity(qv, p.v), 6) AS score
+         |  FROM (SELECT query_id, v AS qv FROM q) qq
+         |  JOIN p ON p.vec_id <> query_id),
+         |bt AS (SELECT query_id, nbr_id FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+         |  FROM bsc) t WHERE rank <= $k),
+         |h AS (SELECT bt.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         |      FROM bt JOIN apx ON bt.query_id = apx.query_id
+         |        AND bt.nbr_id = apx.nbr_id
+         |      GROUP BY bt.query_id),
+         |ee AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM bt GROUP BY query_id)
+         |SELECT ee.query_id AS query_id, n_exact,
+         |  coalesce(n_hit, 0) AS n_hit,
+         |  (1000000 * coalesce(n_hit, 0)) // n_exact AS recall_ppm
+         |FROM ee LEFT JOIN h ON ee.query_id = h.query_id
+         |ORDER BY ee.query_id""".stripMargin
+    }
 
     /** Spherical k-means assignment mirror of `KMeans.assign` with
       * `KMeans.initCentroids` seeds (the k lowest vec_ids): CTEs

@@ -91,6 +91,81 @@ object Quantize {
       .select(col("e.sub").as("sub"), col("code"), col("e.centroid"))
   }
 
+  /** Lloyd-REFINED PQ codebooks — the production quantizer over the
+    * [[pqCodebooks]] seed (Jégou et al. §III train k-means per
+    * subspace): all m subspaces refine in the SAME jobs over one
+    * exploded (id, sub, sv) frame, so an iteration costs one corpus
+    * pass × broadcast(m·k codewords) for the assignment plus one
+    * (sub, code, dim)-keyed partial-agg for the update — never m
+    * sequential fits. Codewords that attract no members keep their
+    * previous centroid (deterministic, and the standard dead-centroid
+    * fallback at this scale).
+    *
+    * Determinism is the [[KMeans.lloydMeansLong]] contract applied
+    * per subspace: assignment = argmax cosine rounded to 6, ties to
+    * the lowest code; update components quantize to 2^-`scaleBits`
+    * fixed point BEFORE summing (integer sums are exact and
+    * order-independent) and the mean rounds to 6 — bit-stable under
+    * any partial-agg schedule and replayable by an unrolled oracle,
+    * which is what lets the trained-recall gate hash-match. */
+  def pqCodebooksTrained(corpus: DataFrame, idCol: String, vecCol: String,
+                         m: Int, k: Int, dims: Int, iters: Int,
+                         scaleBits: Int = 20): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    val subDim = dims / m
+    val scale = 1L << scaleBits
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val subs = graft.operators.Spread.ensure(
+      corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")))
+      .select(col("id"), explode(expr(s"transform(sequence(0, ${m - 1}), " +
+        s"s -> struct(s AS sub, slice(v, s * $subDim + 1, $subDim) AS sv))"))
+        .as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .persist()
+    subs.count() // iters+0 reads per round; materialize once
+    var cb = pqCodebooks(corpus, idCol, vecCol, m, k, dims)
+      .localCheckpoint() // m·k tiny rows; truncate per-round lineage
+    try {
+      for (_ <- 0 until iters) {
+        // ASSIGN, carrying sv through the window so the update needs
+        // no second corpus join
+        val scored = subs.join(broadcast(cb), Seq("sub"))
+          .select(col("id"), col("sub"), col("code"), col("sv"),
+            round(call_function(graft.expressions.GraftFunctions.Cosine,
+              col("sv"), col("centroid")), 6).as("score"))
+        val best = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id"), col("sub"))
+          .orderBy(col("score").desc, col("code"))
+        val assigned = scored.withColumn("rn", row_number().over(best))
+          .where(col("rn") === 1)
+          .select(col("sub"), col("code"), col("sv"))
+        // UPDATE: exact fixed-point mean per (sub, code, dim) —
+        // shuffle key cardinality m·k·subDim, map-side partials
+        val means = assigned
+          .select(col("sub"), col("code"), posexplode(col("sv")))
+          .select(col("sub"), col("code"), col("pos").as("dim"),
+            floor(col("col") * scale).cast("long").as("q"))
+          .groupBy(col("sub"), col("code"), col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"))
+          .select(col("sub"), col("code"), col("dim"),
+            round(col("qsum").cast("double") / (col("n") * scale), 6)
+              .as("mean"))
+        val upd = means.groupBy(col("sub"), col("code"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
+            .as("dm"))
+          .select(col("sub"), col("code"),
+            expr("transform(dm, x -> x.mean)").as("centroid"))
+        cb = cb.select(col("sub"), col("code"), col("centroid").as("prev"))
+          .join(upd, Seq("sub", "code"), "left")
+          .select(col("sub"), col("code"),
+            coalesce(col("centroid"), col("prev")).as("centroid"))
+          .localCheckpoint()
+      }
+      cb
+    } finally subs.unpersist()
+  }
+
   /** PQ-encode the corpus: (id, sub, code) — per subvector the
     * argmax-cosine codeword (round 6, ties to the lowest code), the
     * KMeans.assign contract applied per subspace. One corpus pass ×

@@ -145,6 +145,83 @@ class PqSpec extends SparkSpec {
     assert(got.head._3 === flat(3L))
   }
 
+  /** Serial Lloyd round with the exact pqCodebooksTrained arithmetic:
+    * argmax round-6 cosine (ties lowest code), 2^-20 fixed-point
+    * integer mean rounded to 6, dead codewords keep their centroid. */
+  private def serialLloydRound(subs: Seq[(Long, Int, Seq[Double])],
+                               cb: Map[(Int, Long), Seq[Double]])
+      : Map[(Int, Long), Seq[Double]] = {
+    val scale = 1L << 20
+    val assigned = subs.map { case (_, sub, sv) =>
+      val best = cb.keys.filter(_._1 == sub).toSeq
+        .map { key => (cosine(sv, cb(key)), key._2) }
+        .maxBy { case (s, code) => (s, -code) }._2
+      (sub, best, sv)
+    }
+    cb.map { case ((sub, code), prev) =>
+      val members = assigned.collect {
+        case (s, c, sv) if s == sub && c == code => sv
+      }
+      val cw =
+        if (members.isEmpty) prev
+        else prev.indices.map { d =>
+          val qsum = members.map(sv => math.floor(sv(d) * scale).toLong).sum
+          BigDecimal(qsum.toDouble / (members.size * scale))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      (sub, code) -> cw
+    }
+  }
+
+  test("trained codebooks match the serial fixed-point Lloyd reference") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 12L).map(id =>
+      id -> Seq.fill(dims)(rnd.nextInt(9) - 4.0)).toDF("id", "v")
+    val rows = corpus.as[(Long, Seq[Double])].collect().toSeq
+    val subsSer = rows.flatMap { case (id, v) =>
+      (0 until m).map(s => (id, s, v.slice(s * subDim, (s + 1) * subDim)))
+    }
+    var cbSer = rows.sortBy(_._1).take(2).zipWithIndex.flatMap {
+      case ((_, v), code) => (0 until m).map(s =>
+        (s, code.toLong) -> v.slice(s * subDim, (s + 1) * subDim))
+    }.toMap
+    for (_ <- 0 until 2) cbSer = serialLloydRound(subsSer, cbSer)
+    val got = Quantize.pqCodebooksTrained(corpus, "id", "v", m, k = 2,
+        dims = dims, iters = 2)
+      .as[(Int, Long, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === cbSer)
+  }
+
+  test("trained codebooks with zero iterations are the seed codebooks") {
+    val corpus = Seq(
+      (1L, Seq(0.0, 1.0, 3.0, 0.0)),
+      (2L, Seq(2.0, 2.0, 0.0, 1.0)),
+      (3L, Seq(1.0, 0.0, 0.0, 2.0))).toDF("id", "v")
+    val seed = Quantize.pqCodebooks(corpus, "id", "v", m, k = 2, dims = dims)
+      .as[(Int, Long, Seq[Double])].collect().toSet
+    val trained = Quantize.pqCodebooksTrained(corpus, "id", "v", m, k = 2,
+        dims = dims, iters = 0)
+      .as[(Int, Long, Seq[Double])].collect().toSet
+    assert(trained === seed)
+  }
+
+  test("dead codewords keep their previous centroid across rounds") {
+    // two identical far-out vectors dominate both codewords' seeds;
+    // code 1's seed (id 2's slices) attracts nothing once code 0 wins
+    // every argmax tie, so it must survive training unchanged
+    val a = Seq(1.0, 1.0, 1.0, 1.0)
+    val corpus = Seq(1L -> a, 2L -> a, 3L -> a).toDF("id", "v")
+    val seed = Quantize.pqCodebooks(corpus, "id", "v", m, k = 2, dims = dims)
+      .as[(Int, Long, Seq[Double])].collect()
+      .collect { case (sub, 1L, cw) => sub -> cw }.toMap
+    val trained = Quantize.pqCodebooksTrained(corpus, "id", "v", m, k = 2,
+        dims = dims, iters = 2)
+      .as[(Int, Long, Seq[Double])].collect()
+      .collect { case (sub, 1L, cw) => sub -> cw }.toMap
+    assert(trained === seed)
+  }
+
   test("multi-probe: a 2-cell query row set scans the cells' union") {
     val a = Seq(4.0, 1.0, 1.0, 4.0)
     val b = Seq(1.0, 4.0, 4.0, 1.0)
