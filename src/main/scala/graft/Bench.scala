@@ -192,8 +192,10 @@ object Bench {
       // r16: the m=64 production-accuracy HyperBall tier checkpoints
       // per radius like q_hyperball; PQ training holds a persisted
       // subvector frame across Lloyd rounds with per-round
-      // checkpoints like q_kmeans_update
-      "q_hyperball64", "q_pq_train")
+      // checkpoints like q_kmeans_update; the warm-start resume
+      // stages the saved-schedule artifact when cold and checkpoints
+      // its result like q_pagerank
+      "q_hyperball64", "q_pq_train", "q_pagerank_incr")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

@@ -55,6 +55,7 @@ object MicroBench {
       case "hyperball_m" => hyperballM(spark, sfDir, repeats)
       case "wordpiece" => wordpiece(spark, sfDir, repeats)
       case "pq_train" => pqTrain(spark, sfDir)
+      case "pagerank_warm" => pagerankWarm(spark, sfDir)
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
@@ -114,6 +115,57 @@ object MicroBench {
         f"worst=${audit.getDouble(1)}%9.6f  recall@3=${recall / 10000}%6.2f%%")
       spark.catalog.clearCache()
     }
+  }
+
+  /** Rounds-to-reconverge, warm vs cold (r15 verdict #3's BASELINE
+    * row): after the mod-4 edge batch lands, how many exact-ppm
+    * rounds until the rank vector settles (per-round max |Δpr| in
+    * ppm), resuming from the ¾-graph artifact vs restarting from
+    * uniform — the claim the warm start exists to cash. Also times
+    * the gate-shaped runs (resume 2 rounds vs cold 3 rounds). */
+  private def pagerankWarm(spark: SparkSession, dir: String): Unit = {
+    import graft.graph.PageRank
+    val orders = SparkEntry.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val full = SparkEntry.purchaseEdgesFrom(spark, dir, orders)
+      .localCheckpoint()
+    val old = SparkEntry.purchaseEdgesFrom(spark, dir,
+      orders.where(col("o_orderkey") % 4 =!= 0))
+    val saved = PageRank.pageRank(old, "a", "b", iters = 8)
+    def deltaCurve(start: DataFrame, rounds: Int): Seq[Long] = {
+      var cur = start
+      (1 to rounds).map { _ =>
+        val next = PageRank.pageRankResume(full, "a", "b", cur, iters = 1)
+        val d = next
+          .join(cur.select(col("node_id"), col("pr_ppm").as("prev")),
+            Seq("node_id"), "left")
+          .agg(max(abs(col("pr_ppm") - coalesce(col("prev"),
+            lit(1000000L))))).head().getLong(0)
+        cur = next
+        d
+      }
+    }
+    val uniform = full.select(col("a").as("node_id")).distinct()
+      .withColumn("pr_ppm", lit(1000000L))
+    val warm = deltaCurve(saved, 8)
+    val cold = deltaCurve(uniform, 8)
+    println(s"[micro] pagerank warm max|dpr| per round: "
+      + warm.mkString(", "))
+    println(s"[micro] pagerank cold max|dpr| per round: "
+      + cold.mkString(", "))
+    for (tol <- Seq(10000L, 1000L, 100L)) {
+      def firstAt(c: Seq[Long]) = c.indexWhere(_ <= tol) match {
+        case -1 => s">${c.size}"; case i => (i + 1).toString
+      }
+      println(s"[micro] rounds to max|dpr| <= $tol ppm: " +
+        s"warm=${firstAt(warm)} cold=${firstAt(cold)}")
+    }
+    val (wSec, _) = time(2)(PageRank.pageRankResume(full, "a", "b",
+      saved, iters = 2).queryExecution.toRdd.count())
+    val (cSec, _) = time(2)(PageRank.pageRank(full, "a", "b", iters = 3)
+      .queryExecution.toRdd.count())
+    report("pagerank resume 2r", wSec, 0)
+    report("pagerank cold 3r", cSec, 0)
   }
 
   /** Maximal-munch inference at production shape. The gate corpus is

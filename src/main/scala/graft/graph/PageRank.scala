@@ -87,8 +87,73 @@ object PageRank {
         edCount > safeNodes && nodes.count() > safeNodes
       }
     }
+    val pr0 = nodes.select(col("node"), lit(Scale).as("pr_ppm"))
+    // materialize the (one-row-per-node) result, then release the two
+    // iteration caches — a long-lived session running many queries
+    // must not accumulate cached blocks (localCheckpoint keeps the
+    // result readable after the unpersist)
+    val out = iterate(ed, nodes, pr0, iters, dampingPpm, useWide)
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** WARM-START PageRank — resume the exact ppm iteration from a
+    * SAVED rank vector for `iters` more rounds over the (possibly
+    * grown) edge table: the rank family's member of the saved-index
+    * repair matrix. After an edge batch, a pipeline resumes from the
+    * converged artifact instead of re-running the full schedule from
+    * uniform — rounds-to-reconverge tracks the batch's perturbation,
+    * not the graph's mixing time (measured in BASELINE r16's
+    * pagerank_warm probe). Nodes the batch introduces (absent from
+    * `savedRanks`) seed at the uniform init value SCALE, exactly as a
+    * cold start would seed them.
+    *
+    * Contract is TRAJECTORY-exact, not fixpoint-exact: resuming over
+    * an UNCHANGED graph continues the cold trajectory verbatim
+    * (resume(g, pageRank(g, i), j) = pageRank(g, i+j) — the spec-
+    * proven identity, and what makes the staged-artifact oracle
+    * replayable as one longer unroll). Equality of CONVERGED warm and
+    * cold runs after a batch is deliberately NOT the contract: the
+    * floor-ppm map admits adjacent fixpoints (on a 2-cycle with
+    * d = 0.85, both t = 10⁶ and t = 10⁶ − 1 satisfy
+    * t = 150000 + ⌊0.85·t⌋), so two trajectories may legitimately
+    * settle 1 ppm apart — a property of exact integer PageRank
+    * itself, not of the warm start. */
+  def pageRankResume(edges: DataFrame, srcCol: String, dstCol: String,
+                     savedRanks: DataFrame, iters: Int,
+                     dampingPpm: Long = 850000L,
+                     wide: Option[Boolean] = None): DataFrame = {
+    require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= Scale)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg, Seq("src")).persist()
+    val edCount = ed.count()
+    val nodes = ed.select(col("src").as("node")).distinct().persist()
+    val useWide = wide.getOrElse {
+      dampingPpm > 0 && {
+        val safeNodes = Long.MaxValue / (dampingPpm * Scale)
+        edCount > safeNodes && nodes.count() > safeNodes
+      }
+    }
+    val pr0 = nodes
+      .join(savedRanks.select(col("node_id").as("node"), col("pr_ppm")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("pr_ppm"), lit(Scale)).as("pr_ppm"))
+    val out = iterate(ed, nodes, pr0, iters, dampingPpm, useWide)
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** The shared iteration: `iters` exact ppm rounds from `pr0` over
+    * the degree-annotated (persisted) edge table. */
+  private def iterate(ed: DataFrame, nodes: DataFrame, pr0: DataFrame,
+                      iters: Int, dampingPpm: Long,
+                      useWide: Boolean): DataFrame = {
     val base = lit(Scale - dampingPpm)
-    var pr = nodes.select(col("node"), lit(Scale).as("pr_ppm"))
+    var pr = pr0
     // deliberately NOT broadcast(pr) per round: an explicit broadcast
     // collects eagerly, so round k's broadcast re-executes rounds
     // 1..k-1 — measured quadratic blowup. Left lazy, all rounds fuse
@@ -115,15 +180,8 @@ object PageRank {
         .join(agg.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"), (base + damped).as("pr_ppm"))
     }
-    // materialize the (one-row-per-node) result, then release the two
-    // iteration caches — a long-lived session running many queries
-    // must not accumulate cached blocks (localCheckpoint keeps the
-    // result readable after the unpersist)
-    val out = pr.select(col("node").as("node_id"), col("pr_ppm"))
+    pr.select(col("node").as("node_id"), col("pr_ppm"))
       .localCheckpoint()
-    ed.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    out
   }
 
   /** Personalized PageRank: restart mass flows to a SEED set instead

@@ -44,6 +44,55 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert((2L to 6L).map(pr).distinct.size === 1)
   }
 
+  test("resume over an unchanged graph continues the cold trajectory") {
+    import spark.implicits._
+    // the trajectory-exact contract: resume(g, pr(g, i), j) = pr(g, i+j)
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 12
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+        .toDF("src", "dst")
+      val i = 1 + rnd.nextInt(3)
+      val j = 1 + rnd.nextInt(3)
+      val saved = PageRank.pageRank(edges, "src", "dst", iters = i)
+      val warm = PageRank.pageRankResume(edges, "src", "dst", saved, iters = j)
+        .orderBy("node_id").as[(Long, Long)].collect().toSeq
+      val cold = PageRank.pageRank(edges, "src", "dst", iters = i + j)
+        .orderBy("node_id").as[(Long, Long)].collect().toSeq
+      assert(warm === cold, s"trial $trial (i=$i, j=$j)")
+    }
+  }
+
+  test("resume with an empty saved vector is a cold start") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val empty = Seq.empty[(Long, Long)].toDF("node_id", "pr_ppm")
+    val warm = PageRank.pageRankResume(edges, "src", "dst", empty, iters = 2)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    val cold = PageRank.pageRank(edges, "src", "dst", iters = 2)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(warm === cold)
+  }
+
+  test("batch-new nodes seed at the uniform init: hand-computed round") {
+    import spark.implicits._
+    // path 1–2–3; saved covers only {1, 2} (node 3 arrives with the
+    // batch), so pr0 = (575000, 1850000, 1000000)
+    // contribs: 1→2: 575000; 2→{1,3}: 925000 each; 3→2: 1000000
+    // p(1) = 150000 + ⌊.85·925000⌋  = 936250
+    // p(2) = 150000 + ⌊.85·1575000⌋ = 1488750
+    // p(3) = 150000 + ⌊.85·925000⌋  = 936250
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val saved = Seq((1L, 575000L), (2L, 1850000L)).toDF("node_id", "pr_ppm")
+    val got = PageRank.pageRankResume(edges, "src", "dst", saved, iters = 1)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 936250L), (2L, 1488750L), (3L, 936250L)))
+  }
+
   test("personalized restart matches hand-computed seed fixed point") {
     import spark.implicits._
     // path 1–2–3, seed {1}: p0 = (1e6, 0, 0)
