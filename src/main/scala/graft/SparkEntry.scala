@@ -259,6 +259,30 @@ object SparkEntry {
       s"hyperball_regs_m16_r3_mod4_v1:$fp", dir)(write)
   }
 
+  /** The q_ktruss_incr fixture's SAVED 4-truss: the full peel of the
+    * ¾ bounded co-purchase graph (l_orderkey < 1500 and % 4 != 0),
+    * staged once per data dir with the source fingerprint in the tag
+    * (the ssspSavedDistances discipline). maxRounds 16 clears the
+    * gate graph's peel depth (≤ 8) with margin — a capped,
+    * non-fixpoint table would break the containment invariant the
+    * repair rests on. */
+  private def ktrussSaved(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 1500 && col("l_orderkey") % 4 =!= 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      graft.graph.KTruss.kTruss(pairs, "p1", "p2", k = 4, maxRounds = 16)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"ktruss_saved_k4_lt1500_mod4_v1:$fp", dir)(write)
+  }
+
   /** The q_pagerank_incr fixture's SAVED rank vector: a 3-round
     * exact-ppm PageRank over the ¾ purchase graph (o_orderkey % 4
     * != 0), staged once per data dir with the source fingerprint
@@ -4678,6 +4702,32 @@ object SparkEntry {
         .orderBy(col("u"), col("v"))
     }),
 
+    "q_ktruss_incr" -> ((s, dir) => {
+      // INCREMENTAL truss maintenance (KTruss.kTrussIncremental,
+      // completing the repair matrix at the truss fixpoint): the
+      // SAVED ¾-graph 4-truss (ktrussSaved, staged once per dir),
+      // then the mod-4 orders' co-purchase edges arrive as the batch
+      // — region expansion walks triangle-connectivity out from the
+      // batch through PEELED edges only, and the re-peel scores just
+      // the region against the truss ∪ region adjacency (saved truss
+      // edges can never peel under inserts). Gate = EQUIVALENCE: the
+      // oracle is q_ktruss's full-graph 8-round unroll, so the
+      // repair must land row-identical to a full recompute.
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      def pairsOf(f: DataFrame): DataFrame =
+        f.alias("x").join(f.alias("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      val oldPairs = pairsOf(li.where(col("ok") % 4 =!= 0))
+      val newPairs = pairsOf(li.where(col("ok") % 4 === 0))
+      val saved = s.read.parquet(ktrussSaved(s, dir))
+      graft.graph.KTruss.kTrussIncremental(oldPairs, newPairs,
+          "p1", "p2", saved, k = 4,
+          maxExpandRounds = 32, maxPeelRounds = 32)
+        .orderBy(col("u"), col("v"))
+    }),
+
     "q_trussness" -> ((s, dir) => {
       // per-edge TRUSSNESS over the bounded co-purchase graph —
       // q_kcore's coreness story at the EDGE grain: nested peeling on
@@ -8158,6 +8208,11 @@ object SparkEntry {
     "q_kcore" -> Duck.kcoreSql(rounds = 4),
 
     "q_ktruss" -> Duck.ktrussSql(k = 4, rounds = 8),
+
+    // EQUIVALENCE gate: the insert repair must reproduce the full
+    // 4-truss of the union graph — q_ktruss's own unroll verbatim
+    // (the batch split is internal to the Spark side)
+    "q_ktruss_incr" -> Duck.ktrussSql(k = 4, rounds = 8),
 
     "q_trussness" -> Duck.trussnessSql(maxK = 8, rounds = 8),
 

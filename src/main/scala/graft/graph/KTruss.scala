@@ -85,6 +85,148 @@ object KTruss {
     e
   }
 
+  /** INCREMENTAL k-truss maintenance under an edge-INSERT batch —
+    * the truss family's entry in the saved-index repair matrix. Given
+    * the SAVED k-truss T of the old graph and a batch B of new edges,
+    * repair to the exact k-truss of old ∪ B without re-peeling the
+    * whole graph, in two phases:
+    *
+    * 1. EXPAND — the affected region. Inserts only GROW the truss
+    *    (T stays: its within-T supports are untouched), and every
+    *    NEWLY-admitted edge is triangle-connected to a batch edge
+    *    through other newly-admitted edges: if some set X of admitted
+    *    non-T edges had all their supporting triangles inside T ∪ X
+    *    with no batch edge reachable, T ∪ X would be a
+    *    k-truss-satisfying subgraph of the OLD graph — contradicting
+    *    T's maximality. So the candidate closure seeds at the
+    *    truly-new batch edges and, frontier-style, adds any PEELED
+    *    old edge sharing a triangle (in the union graph) with a
+    *    region edge — per round one neighbor-expansion join from the
+    *    frontier, never a full-graph pass.
+    *
+    * 2. PEEL the region only. Peeling T ∪ region from any superset
+    *    of the true truss converges to the true truss ([[kTruss]]'s
+    *    decreasing fixpoint), and by induction no T edge is ever
+    *    removed (the current set always contains T, so a T edge's
+    *    support never drops below its within-T support ≥ k−2) — so
+    *    each round computes support for REGION edges alone against
+    *    the T ∪ region adjacency, with the same synchronous-round /
+    *    signature-stop semantics as the full peel. Per-batch cost
+    *    tracks the region, not the corpus — the DRed shape
+    *    [[graft.graph.TriangleDelta]] uses for triangle counts,
+    *    lifted to the truss fixpoint.
+    *
+    * Both loops THROW on bound breach rather than truncate (the
+    * delete-repair discipline). Result is row-identical to
+    * `kTruss(old ∪ B)` — the equivalence the oracle and spec gate.
+    *
+    * @param savedTruss canonical (u, v) rows from [[kTruss]] over
+    *                   `edges` at the same `k` (a stale or
+    *                   different-k table breaks the containment
+    *                   invariant both phases rest on)
+    */
+  def kTrussIncremental(edges: DataFrame, newEdges: DataFrame,
+                        srcCol: String, dstCol: String,
+                        savedTruss: DataFrame, k: Int,
+                        maxExpandRounds: Int,
+                        maxPeelRounds: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(maxExpandRounds >= 1 && maxPeelRounds >= 1,
+      s"round caps must be >= 1, got $maxExpandRounds/$maxPeelRounds")
+    def canon(df: DataFrame, s: String, d: String): DataFrame = df
+      .select(least(col(s), col(d)).as("u"),
+        greatest(col(s), col(d)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val oldE = canon(edges, srcCol, dstCol)
+    val (truss, _) = graft.operators.Converge.checkpointWithSig(
+      savedTruss.select(col("u"), col("v")), "u, v")
+    // truly-new edges only: a batch edge already present changes no
+    // triangle and would seed a spurious region
+    val (ne, (nNew, _)) = graft.operators.Converge.checkpointWithSig(
+      canon(newEdges, srcCol, dstCol)
+        .join(oldE, Seq("u", "v"), "left_anti"), "u, v")
+    if (nNew == 0) return truss
+    val (all, _) = graft.operators.Converge.checkpointWithSig(
+      oldE.unionByName(ne), "u, v")
+    val (peeled, _) = graft.operators.Converge.checkpointWithSig(
+      oldE.join(truss, Seq("u", "v"), "left_anti"), "u, v")
+    val sym = all.select(explode(array(
+        struct(col("u").as("n"), col("v").as("m")),
+        struct(col("v").as("n"), col("u").as("m")))).as("p"))
+      .select(col("p.n").as("n"), col("p.m").as("m"))
+    // 1. EXPAND: frontier-style triangle-connectivity closure over
+    // the peeled set, seeded at the batch
+    var frontier = ne
+    var nFrontier = nNew
+    var region = ne
+    var round = 0
+    while (nFrontier > 0) {
+      round += 1
+      require(round <= maxExpandRounds,
+        s"region expansion exceeded $maxExpandRounds rounds")
+      // triangles containing a frontier edge (u,v): common neighbors
+      // w of u and v in the union graph (one neighbor expansion +
+      // one closing semi-join, the kTruss support shape seeded small)
+      val tri = frontier
+        .join(sym.select(col("n").as("u"), col("m").as("w")), Seq("u"))
+        .where(col("w") =!= col("v"))
+        .join(all.select(col("u").as("wu"), col("v").as("wv")),
+          least(col("w"), col("v")) === col("wu") &&
+            greatest(col("w"), col("v")) === col("wv"),
+          "left_semi")
+      val others = tri
+        .select(least(col("u"), col("w")).as("u"),
+          greatest(col("u"), col("w")).as("v"))
+        .unionByName(tri.select(least(col("v"), col("w")).as("u"),
+          greatest(col("v"), col("w")).as("v")))
+        .distinct()
+      val fresh = others
+        .join(peeled, Seq("u", "v"), "left_semi")
+        .join(region, Seq("u", "v"), "left_anti")
+      val (ck, (n, _)) =
+        graft.operators.Converge.checkpointWithSig(fresh, "u, v")
+      frontier = ck
+      nFrontier = n
+      if (n > 0)
+        region = graft.operators.Converge
+          .checkpointWithSig(region.unionByName(ck), "u, v")._1
+    }
+    // 2. PEEL the region against the T ∪ region adjacency; T edges
+    // are kept by the containment invariant, never re-scored
+    var (cur, sig) =
+      graft.operators.Converge.checkpointWithSig(region, "u, v")
+    round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      require(round <= maxPeelRounds,
+        s"region peel exceeded $maxPeelRounds rounds")
+      val curAll = truss.unionByName(cur)
+      val symCur = curAll.select(explode(array(
+          struct(col("u").as("n"), col("v").as("m")),
+          struct(col("v").as("n"), col("u").as("m")))).as("p"))
+        .select(col("p.n").as("n"), col("p.m").as("m"))
+      val support = cur
+        .join(symCur.select(col("n").as("u"), col("m").as("w")), Seq("u"))
+        .where(col("w") =!= col("v"))
+        .join(curAll.select(col("u").as("wu"), col("v").as("wv")),
+          least(col("w"), col("v")) === col("wu") &&
+            greatest(col("w"), col("v")) === col("wv"),
+          "left_semi")
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+      val kept = cur.join(support, Seq("u", "v"), "left")
+        .where(coalesce(col("sup"), lit(0L)) >= (k - 2).toLong)
+        .select(col("u"), col("v"))
+      val (next, nSig) =
+        graft.operators.Converge.checkpointWithSig(kept, "u, v")
+      done = nSig == sig && graft.operators.Converge.sameExact(next, cur)
+      sig = nSig
+      cur = next
+    }
+    truss.unionByName(cur)
+  }
+
   /** TRUSSNESS decomposition — the per-edge analog of coreness: each
     * edge's trussness is the maximum k for which it survives in the
     * k-truss (2 for an edge in no triangle), capped at `maxK` (an

@@ -122,6 +122,63 @@ class KTrussSpec extends SparkSpec {
     }
   }
 
+  /** Run the incremental repair from a saved kTruss over `oldE` with
+    * `newE` arriving as the batch; compare to a full recompute. */
+  private def incrEqualsFull(oldE: Seq[(Long, Long)],
+                             newE: Seq[(Long, Long)], k: Int,
+                             clue: String): Unit = {
+    val saved = KTruss.kTruss(oldE.toDF("a", "b"), "a", "b", k,
+      maxRounds = 16)
+    val got = KTruss.kTrussIncremental(oldE.toDF("a", "b"),
+        newE.toDF("a", "b"), "a", "b", saved, k,
+        maxExpandRounds = 16, maxPeelRounds = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(got === serial(oldE ++ newE, k, 16), clue)
+  }
+
+  test("incremental repair: a batch edge completes a clique") {
+    // K4 minus edge (1,2): nothing survives the 4-truss peel; the
+    // batch adds (1,2), the whole K4 must come back — every revived
+    // edge was PEELED in the old graph (the cascade-revival shape)
+    val old = (for { a <- 1L to 4L; b <- 1L to 4L if a < b }
+      yield (a, b)).filterNot(_ == (1L, 2L))
+    incrEqualsFull(old, Seq((1L, 2L)), k = 4, "clique completion")
+  }
+
+  test("incremental repair: revival cascades beyond the batch's triangles") {
+    // two K4s sharing edge (3,4), each missing one edge: the batch
+    // completes only the FIRST K4, whose revival restores (3,4)'s
+    // support but not the second K4's missing edge — region expansion
+    // must cross into the first clique and stop there
+    val k4a = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val k4b = for { a <- 3L to 6L; b <- 3L to 6L if a < b } yield (a, b)
+    val old = (k4a ++ k4b).distinct
+      .filterNot(e => e == (1L, 2L) || e == (5L, 6L))
+    val saved = KTruss.kTruss(old.toDF("a", "b"), "a", "b", 4, 16)
+    assert(saved.count() === 0)
+    incrEqualsFull(old, Seq((1L, 2L)), k = 4, "partial cascade")
+  }
+
+  test("incremental repair: empty and duplicate batches are no-ops") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val old = k4 :+ ((4L, 5L))
+    incrEqualsFull(old, Seq.empty, k = 4, "empty batch")
+    incrEqualsFull(old, old.take(3), k = 4, "duplicate batch")
+  }
+
+  test("incremental repair equals full recompute on randomized splits") {
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 4) {
+      val n = 10
+      val edges = Seq.fill(40)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val (oldE, newE) = edges.partition(_ => rnd.nextInt(4) > 0)
+      incrEqualsFull(oldE, newE, k = 3 + rnd.nextInt(2), s"trial $trial")
+    }
+  }
+
   test("matches the serial reference on randomized graphs") {
     val rnd = new scala.util.Random(424)
     for (trial <- 1 to 4) {
