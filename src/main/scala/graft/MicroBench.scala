@@ -56,6 +56,7 @@ object MicroBench {
       case "wordpiece" => wordpiece(spark, sfDir, repeats)
       case "pq_train" => pqTrain(spark, sfDir)
       case "pagerank_warm" => pagerankWarm(spark, sfDir)
+      case "richdocs" => richdocs(spark, sfDir, repeats)
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
@@ -166,6 +167,74 @@ object MicroBench {
       .queryExecution.toRdd.count())
     report("pagerank resume 2r", wSec, 0)
     report("pagerank cold 3r", cSec, 0)
+  }
+
+  /** Text family at production type richness (r15 verdict #8): the
+    * same three operators the gate prices on the ~31-type sf0.1
+    * fixture — quality scoring (the q_text_stats projection),
+    * Kneser–Ney bigram scoring, and WordPiece join-path inference at
+    * a 512-piece corpus-built vocab — run against BOTH the fixture
+    * and the STAGED [[RichDocs]] table (100k docs, 200k-type
+    * Zipf-ish pool), so the per-TYPE cost curve is a recorded bench
+    * row instead of an ad-hoc synthesis per probe run. */
+  private def richdocs(spark: SparkSession, dir: String,
+                       repeats: Int): Unit = {
+    import graft.functions.TextFunctions._
+    val rich = spark.read.parquet(RichDocs.stage(spark))
+    val fixture = SparkEntry.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    for ((name, docs) <- Seq("fixture" -> fixture, "rich" -> rich)) {
+      val d = graft.operators.Spread.ensure(
+        docs.select(col("doc_id"), col("text"))).localCheckpoint()
+      val nTypes = d.select(explode(words(col("text"))).as("w"))
+        .agg(countDistinct(col("w"))).head().getLong(0)
+      println(s"[micro] $name: ${d.count()} docs, $nTypes word types")
+      val (qSec, qRows) = time(repeats) {
+        val w = d.withColumn("w", words(col("text")))
+        val toks = size(col("w"))
+        val praw = punctRatio(col("text"))
+        val sraw = stopwordRatioFromWords(col("w"))
+        w.select(col("doc_id"), toks.as("token_count"),
+            round(praw, 6).as("punct_ratio"),
+            round(sraw, 6).as("stopword_ratio"))
+          .queryExecution.toRdd.count()
+      }
+      report(s"quality [$name]", qSec, qRows)
+      val (kSec, kRows) = time(repeats) {
+        graft.functions.NgramLm.kneserNeyNll(d, "doc_id", "text")
+          .queryExecution.toRdd.count()
+      }
+      report(s"kneser-ney [$name]", kSec, kRows)
+      // 512-piece vocab built from THIS corpus's types (the r15
+      // wordpiece-probe recipe), munched over the distinct types —
+      // types, not occurrences, is what the munch prices
+      val types = d.select(explode(words(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val cand = types
+        .withColumn("i", explode(expr("sequence(1, length(word))")))
+        .withColumn("l", explode(expr(
+          "sequence(1, least(12, length(word) - i + 1))")))
+        .withColumn("piece", expr(
+          "CASE WHEN i = 1 THEN substring(word, i, l) " +
+            "ELSE '##' || substring(word, i, l) END"))
+        .groupBy(col("piece")).agg(sum(col("n")).as("c"))
+        .localCheckpoint()
+      val singles = cand.where(length(regexp_replace(col("piece"),
+          lit("^##"), lit(""))) === 1)
+        .select(col("piece")).collect().map(_.getString(0)).toSeq
+      val vocab = (singles ++ cand.where(
+          length(regexp_replace(col("piece"), lit("^##"), lit(""))) > 1)
+        .orderBy(col("c").desc, col("piece"))
+        .limit(math.max(0, 512 - singles.size))
+        .collect().map(_.getString(0))).distinct
+      val (wSec, wRows) = time(repeats) {
+        graft.functions.WordPiece.maximalMunchJoin(types, vocab, "[UNK]")
+          .queryExecution.toRdd.count()
+      }
+      report(s"wordpiece 512 [$name]", wSec, wRows)
+      spark.catalog.clearCache()
+    }
   }
 
   /** Maximal-munch inference at production shape. The gate corpus is
