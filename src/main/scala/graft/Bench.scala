@@ -196,9 +196,9 @@ object Bench {
       // stages the saved-schedule artifact when cold and checkpoints
       // its result like q_pagerank
       "q_hyperball64", "q_pq_train", "q_pagerank_incr",
-      // r16: the truss repair checkpoints per expansion/peel round
-      // and stages the saved-truss artifact when cold
-      "q_ktruss_incr")
+      // r16: the truss repairs checkpoint per expansion/peel round
+      // and stage their saved artifacts when cold
+      "q_ktruss_incr", "q_trussness_incr")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

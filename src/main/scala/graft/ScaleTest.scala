@@ -81,7 +81,8 @@ object ScaleTest {
     * amplified dir is a drop-in sfDir, not to demonstrate scaling. */
   val capped: Set[String] = Set("q_sessionize", "q_knn_brute",
     "q_graph_stats", "q_triangles", "q_kcore", "q_link_predict",
-    "q_walks", "q_walk_cooc", "q_scc", "q_ktruss", "q_trussness")
+    "q_walks", "q_walk_cooc", "q_scc", "q_ktruss", "q_trussness",
+    "q_ktruss_incr", "q_trussness_incr")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet

@@ -283,6 +283,29 @@ object SparkEntry {
       s"ktruss_saved_k4_lt1500_mod4_v1:$fp", dir)(write)
   }
 
+  /** The q_trussness_incr fixture's SAVED decomposition: trussness
+    * of the 19/20 bounded co-purchase graph at maxK = 8 (every old level
+    * in one table — the nested chain IS the artifact), staged once
+    * per data dir with the source fingerprint in the tag. maxRounds
+    * 16 clears the per-level peel depth with margin. */
+  private def trussnessSaved(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 1500 && col("l_orderkey") % 20 =!= 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      graft.graph.KTruss.trussness(pairs, "p1", "p2",
+          maxK = 8, maxRounds = 16)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"trussness_saved_k8_lt1500_mod20_v1:$fp", dir)(write)
+  }
+
   /** The q_pagerank_incr fixture's SAVED rank vector: a 3-round
     * exact-ppm PageRank over the ¾ purchase graph (o_orderkey % 4
     * != 0), staged once per data dir with the source fingerprint
@@ -3309,6 +3332,43 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_pq_residual" -> ((s, dir) => {
+      // RESIDUAL IVF-PQ — the paper's actual IVFADC serving scheme
+      // (Quantize.residuals, Jégou et al. §IV): corpus vectors
+      // quantize their residual x − c(x) against the coarse cell, so
+      // the m·k code budget describes the within-cell distribution
+      // instead of re-describing the partition; queries probe their
+      // cell with a LUT of QUERY-residual × codeword inner products
+      // (score_u ≈ ⟨q − c, x − c⟩ in exact micro-units — the MIPS
+      // analog of the paper's L2 residual distance). Codebooks seed
+      // from the 16 lowest NON-coarse ids: the coarse seeds' own
+      // residuals are exactly zero, and a zero codeword is the one
+      // degeneracy whose tie-break differs across engines (see the
+      // residuals doc). Scan stays (sub, code, cell)-keyed, codes
+      // only — the full 100 TB composition: coarse partition + 64×
+      // residual compression + integer ADC.
+      val e = t(s, dir, "embeddings")
+      val centroids = graft.similarity.KMeans
+        .initCentroids(e, "vec_id", "embedding", k = 8)
+      val cells = graft.similarity.KMeans
+        .assign(e, centroids, "vec_id", "embedding")
+        .select(col("id"), col("cluster_id").as("cell"))
+      val res = graft.similarity.Quantize.residuals(
+        e, "vec_id", "embedding", cells, centroids)
+      val coarseIds = e.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("id"))
+      val cb = graft.similarity.Quantize.pqCodebooks(
+        res.join(coarseIds, Seq("id"), "left_anti"), "id", "rv",
+        m = 4, k = 16, dims = 64)
+      val codes = graft.similarity.Quantize.pqEncode(
+          res, "id", "rv", cb, m = 4, dims = 64)
+        .join(cells, Seq("id"))
+      val queries = res.where(col("id") % 50 === 0)
+      graft.similarity.Quantize.pqAdcTopKByCell(codes, queries,
+          "id", "rv", "cell", cb, m = 4, dims = 64, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_knn_ivf_learned" -> ((s, dir) => {
       // the full IVF story: LEARNED coarse cells (deterministic
       // k-means assignment) instead of a given label — index build
@@ -4743,6 +4803,32 @@ object SparkEntry {
         .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
       graft.graph.KTruss.trussness(pairs, "p1", "p2",
           maxK = 8, maxRounds = 8)
+        .orderBy(col("u"), col("v"))
+    }),
+
+    "q_trussness_incr" -> ((s, dir) => {
+      // INCREMENTAL trussness (KTruss.trussnessIncremental): the
+      // saved 19/20-graph decomposition repairs level by level as a
+      // CHAIN against a 5% batch (the genuinely-incremental shape —
+      // q_ktruss_incr prices the heavy quarter-batch single level):
+      // level k's batch is what level k−1's repair admitted, its
+      // saved truss is the old table's trussness ≥ k slice — so the
+      // full decomposition updates in Σ region-bounded repairs.
+      // Gate = EQUIVALENCE: the oracle is q_trussness's full-graph
+      // nested unroll, so the chained repair must land row-identical
+      // to a cold decomposition of the union graph.
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      def pairsOf(f: DataFrame): DataFrame =
+        f.alias("x").join(f.alias("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      val oldPairs = pairsOf(li.where(col("ok") % 20 =!= 0))
+      val newPairs = pairsOf(li.where(col("ok") % 20 === 0))
+      val saved = s.read.parquet(trussnessSaved(s, dir))
+      graft.graph.KTruss.trussnessIncremental(oldPairs, newPairs,
+          "p1", "p2", saved, maxK = 8,
+          maxExpandRounds = 8, maxPeelRounds = 32)
         .orderBy(col("u"), col("v"))
     }),
 
@@ -7041,6 +7127,58 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
+    // residual IVF-PQ: the q_pq_ivf chain with residual vectors
+    // (x − coarse centroid) feeding the codebooks, encode, and LUT;
+    // PQ seeds skip the 8 coarse ids (their residuals are zero)
+    "q_pq_residual" ->
+      s"""WITH ${Duck.kmeansAssignCtes(k = 8)},
+         |cells AS MATERIALIZED (SELECT vec_id, cluster_id AS cell FROM a),
+         |res AS MATERIALIZED (SELECT p.vec_id, cell,
+         |    list_transform(list_zip(v, centroid), x -> x[1] - x[2]) AS rv
+         |  FROM p JOIN cells USING (vec_id)
+         |  JOIN c ON c.cluster_id = cells.cell),
+         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         |    rv
+         |  FROM (SELECT vec_id, rv FROM res
+         |        WHERE vec_id NOT IN (SELECT vec_id FROM embeddings
+         |                             ORDER BY vec_id LIMIT 8)
+         |        ORDER BY vec_id LIMIT 16)),
+         |ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |cb AS MATERIALIZED (SELECT ss.sub, seeds.code,
+         |    seeds.rv[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS cw
+         |  FROM seeds CROSS JOIN ss),
+         |subs AS (SELECT res.vec_id, ss.sub,
+         |    res.rv[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS sv
+         |  FROM res CROSS JOIN ss),
+         |psc AS (SELECT vec_id, sub, code,
+         |    round(list_cosine_similarity(sv, cw), 6) AS score
+         |  FROM subs JOIN cb USING (sub)),
+         |codes AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id, sub ORDER BY score DESC, code) AS rn
+         |  FROM psc) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, rv, cell FROM res
+         |  WHERE vec_id % 50 = 0),
+         |qsubs AS (SELECT query_id, cell, ss.sub,
+         |    q.rv[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS qv
+         |  FROM q CROSS JOIN ss),
+         |lut AS MATERIALIZED (SELECT query_id, cell, qsubs.sub, cb.code,
+         |    CAST(floor(list_dot_product(qv, cw) * 1000000 + 0.5) AS BIGINT)
+         |      AS lut_u
+         |  FROM qsubs JOIN cb ON cb.sub = qsubs.sub),
+         |scored AS (SELECT l.query_id, cd.vec_id AS nbr_id,
+         |    CAST(sum(l.lut_u) AS BIGINT) AS score_u
+         |  FROM codes cd
+         |  JOIN cells cl ON cl.vec_id = cd.vec_id
+         |  JOIN lut l ON l.sub = cd.sub AND l.code = cd.code
+         |    AND l.cell = cl.cell
+         |  WHERE cd.vec_id <> l.query_id GROUP BY 1, 2)
+         |SELECT query_id, nbr_id, score_u, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score_u DESC, nbr_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
     // trained-PQ recall: two unrolled fixed-point Lloyd rounds per
     // subspace, the trained-codebook ADC scan, recall vs brute force
     "q_pq_train" -> Duck.pqTrainRecallSql(iters = 2, k = 3),
@@ -8215,6 +8353,10 @@ object SparkEntry {
     "q_ktruss_incr" -> Duck.ktrussSql(k = 4, rounds = 8),
 
     "q_trussness" -> Duck.trussnessSql(maxK = 8, rounds = 8),
+
+    // EQUIVALENCE gate: the chained level repair must reproduce the
+    // full decomposition of the union graph — q_trussness's unroll
+    "q_trussness_incr" -> Duck.trussnessSql(maxK = 8, rounds = 8),
 
     "q_link_predict" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk

@@ -116,9 +116,15 @@ object KTruss {
     *    [[graft.graph.TriangleDelta]] uses for triangle counts,
     *    lifted to the truss fixpoint.
     *
-    * Both loops THROW on bound breach rather than truncate (the
-    * delete-repair discipline). Result is row-identical to
-    * `kTruss(old ∪ B)` — the equivalence the oracle and spec gate.
+    * The PEEL loop THROWS on bound breach rather than truncate (the
+    * delete-repair discipline: stopping early would emit a
+    * non-truss). The EXPANSION loop instead FALLS BACK to the full
+    * sound region (all peeled edges + batch) past its budget —
+    * expansion is an optimization, and any superset of the true
+    * closure peels to the same fixpoint, so a huge-cascade batch
+    * degrades to ≈ one full recompute instead of failing. Result is
+    * row-identical to `kTruss(old ∪ B)` either way — the equivalence
+    * the oracle and spec gate.
     *
     * @param savedTruss canonical (u, v) rows from [[kTruss]] over
     *                   `edges` at the same `k` (a stale or
@@ -156,15 +162,28 @@ object KTruss {
         struct(col("v").as("n"), col("u").as("m")))).as("p"))
       .select(col("p.n").as("n"), col("p.m").as("m"))
     // 1. EXPAND: frontier-style triangle-connectivity closure over
-    // the peeled set, seeded at the batch
+    // the peeled set, seeded at the batch. The closure is an
+    // OPTIMIZATION, not a correctness gate — any region ⊇ the true
+    // closure is sound (the peel fixes the rest) — so a closure that
+    // out-lives its round budget (a batch so large its cascade spans
+    // the peeled set one slow frontier at a time) FALLS BACK to the
+    // full sound region (every peeled edge + the batch): the repair
+    // then degrades gracefully to restricted-peel-over-everything
+    // (≈ one full recompute) instead of burning budget rounds or
+    // throwing on what is merely a lost optimization.
     var frontier = ne
     var nFrontier = nNew
     var region = ne
     var round = 0
+    var fellBack = false
     while (nFrontier > 0) {
       round += 1
-      require(round <= maxExpandRounds,
-        s"region expansion exceeded $maxExpandRounds rounds")
+      if (round > maxExpandRounds) {
+        region = graft.operators.Converge.checkpointWithSig(
+          peeled.unionByName(ne), "u, v")._1
+        nFrontier = 0
+        fellBack = true
+      } else {
       // triangles containing a frontier edge (u,v): common neighbors
       // w of u and v in the union graph (one neighbor expansion +
       // one closing semi-join, the kTruss support shape seeded small)
@@ -191,7 +210,11 @@ object KTruss {
       if (n > 0)
         region = graft.operators.Converge
           .checkpointWithSig(region.unionByName(ck), "u, v")._1
+      }
     }
+    if (fellBack)
+      System.err.println("[ktruss] region expansion exceeded " +
+        s"$maxExpandRounds rounds; fell back to the full peeled region")
     // 2. PEEL the region against the T ∪ region adjacency; T edges
     // are kept by the containment invariant, never re-scored
     var (cur, sig) =
@@ -257,6 +280,64 @@ object KTruss {
     }
     // an edge's trussness = the deepest level it survived; every
     // level frame is a checkpoint, so the union is a scan list
+    levels.reduce(_ unionByName _)
+      .groupBy(col("u"), col("v"))
+      .agg(max(col("t")).as("trussness"))
+  }
+
+  /** INCREMENTAL trussness maintenance under an edge-INSERT batch —
+    * [[kTrussIncremental]] lifted to the full decomposition. The
+    * saved trussness table IS every old level at once (the nested
+    * chain: old k-truss = rows with trussness ≥ k), and inserts are
+    * level-monotone (each repaired level contains the old level), so
+    * the levels repair as a CHAIN: level k's batch is exactly what
+    * level k−1's repair ADMITTED beyond the old level
+    * (cur_{k−1} ∖ old_{k−1}), its saved truss is the old level-k
+    * slice, and [[kTrussIncremental]]'s contract holds at every rung
+    * because old-level-(k−1) is precisely the graph the old level-k
+    * truss was peeled from. Total work is Σ over levels of a
+    * region-bounded repair — a quiet level (empty batch) short-
+    * circuits to its saved slice for free. Result is row-identical
+    * to [[trussness]] over old ∪ batch at the same `maxK`.
+    *
+    * @param savedTrussness (u, v, trussness) from [[trussness]] over
+    *                       `edges` at the SAME maxK (a different cap
+    *                       mis-slices every level above it)
+    */
+  def trussnessIncremental(edges: DataFrame, newEdges: DataFrame,
+                           srcCol: String, dstCol: String,
+                           savedTrussness: DataFrame, maxK: Int,
+                           maxExpandRounds: Int,
+                           maxPeelRounds: Int): DataFrame = {
+    require(maxK >= 2, s"maxK must be >= 2, got $maxK")
+    def canon(df: DataFrame, s: String, d: String): DataFrame = df
+      .select(least(col(s), col(d)).as("u"),
+        greatest(col(s), col(d)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val (oldL2, _) = graft.operators.Converge.checkpointWithSig(
+      canon(edges, srcCol, dstCol), "u, v")
+    val (ne, (nNew, _)) = graft.operators.Converge.checkpointWithSig(
+      canon(newEdges, srcCol, dstCol)
+        .join(oldL2, Seq("u", "v"), "left_anti"), "u, v")
+    val (saved, _) = graft.operators.Converge.checkpointWithSig(
+      savedTrussness.select(col("u"), col("v"), col("trussness")),
+      "u, v, trussness")
+    if (nNew == 0) return saved
+    var oldLevel = oldL2
+    var curLevel = oldL2.unionByName(ne)
+    var levels = Seq(curLevel.withColumn("t", lit(2L)))
+    for (k <- 3 to maxK) {
+      val savedK = saved.where(col("trussness") >= k.toLong)
+        .select(col("u"), col("v"))
+      val batchK = curLevel.join(oldLevel, Seq("u", "v"), "left_anti")
+      val nextLevel = kTrussIncremental(oldLevel, batchK, "u", "v",
+        savedK, k, maxExpandRounds, maxPeelRounds)
+      levels :+= nextLevel.withColumn("t", lit(k.toLong))
+      oldLevel = graft.operators.Converge
+        .checkpointWithSig(savedK, "u, v")._1
+      curLevel = nextLevel
+    }
     levels.reduce(_ unionByName _)
       .groupBy(col("u"), col("v"))
       .agg(max(col("t")).as("trussness"))

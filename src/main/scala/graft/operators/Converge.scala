@@ -28,9 +28,21 @@ object Converge {
 
   /** Materialize `df` via eager localCheckpoint and return it with
     * its (count, xor-hash-of-`cols`) signature, in ONE job.
+    *
+    * The checkpoint's INHERITED statistics are sanitized past a cap
+    * ([[org.apache.spark.sql.execution.GraftCheckpointStats]]):
+    * localCheckpoint preserves the origin plan's sizeInBytes, and a
+    * loop whose round joins the previous checkpoint k times grows
+    * that BigInt's digit count k× PER ROUND — after a few dozen
+    * generations the driver spends minutes in BigInteger multiplies
+    * on every stats read (the r16 q_trussness_incr diagnosis:
+    * 100+ s peel rounds over 600-row frames, all driver-side).
+    * Frames with sane estimates pass through untouched.
     * @param cols SQL column list fed to `xxhash64(...)` */
-  def checkpointWithSig(df: DataFrame, cols: String): (DataFrame, (Long, Long)) =
-    withSig(df, cols)(_.localCheckpoint())
+  def checkpointWithSig(df: DataFrame, cols: String): (DataFrame, (Long, Long)) = {
+    val (ck, sig) = withSig(df, cols)(_.localCheckpoint())
+    (org.apache.spark.sql.execution.GraftCheckpointStats.sanitize(ck), sig)
+  }
 
   /** As [[checkpointWithSig]] but letting the caller pick the
     * materialization (reliable `.checkpoint()` for cluster runs,

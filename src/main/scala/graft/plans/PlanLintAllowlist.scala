@@ -124,6 +124,16 @@ object PlanLintAllowlist {
     // broadcast k-row centroid cross (the q_knn_ivf_learned entries)
     "q_pq_ivf" -> "scan-without-pushed-filters",
     "q_pq_ivf" -> "unconditioned-nested-loop",
+    // r16: multi-probe and residual IVF-PQ run the q_pq_ivf chain
+    // (same modulo query fixture, same point × broadcast k-row
+    // centroid cross — assignTopN / residual subtraction add no new
+    // join shapes); trained PQ adds the Lloyd rounds, whose only
+    // cross is the subvector × broadcast m·k-codeword scoring
+    "q_pq_ivf_probe2" -> "scan-without-pushed-filters",
+    "q_pq_ivf_probe2" -> "unconditioned-nested-loop",
+    "q_pq_residual" -> "scan-without-pushed-filters",
+    "q_pq_residual" -> "unconditioned-nested-loop",
+    "q_pq_train" -> "scan-without-pushed-filters",
     // r7: BM25 crosses each posting with the broadcast 1-row corpus
     // stats (n_docs, total_len) — 1× per row, not |L|·|R|. (In
     // q_hybrid_rrf the same cross sits behind the materialized result

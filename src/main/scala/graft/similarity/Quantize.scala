@@ -256,6 +256,33 @@ object Quantize {
         col("score_u"), col("rank"))
   }
 
+  /** Coarse-cell RESIDUALS — the IVFADC composition's encode input
+    * (Jégou et al. §IV: quantize x − c(x), not x, so the PQ codebook
+    * spends its 2^bits on the WITHIN-cell distribution instead of
+    * re-describing the coarse partition; at a fixed code budget the
+    * residual energy is what's left after the coarse quantizer, so
+    * reconstruction error drops without touching the scan shape).
+    * One corpus pass × broadcast(coarse centroids): (id, cell, rv).
+    *
+    * Degeneracy contract: a vector that IS a coarse centroid has an
+    * exactly-zero residual. Zero subvectors score every codeword at
+    * the SAME constant (house cosine defines 0 on a zero norm;
+    * DuckDB's defines −1 — constant either way), so the argmax
+    * tie-breaks to code 0 identically on both engines — but a zero
+    * CODEWORD meeting a nonzero subvector scores 0 vs −1 and
+    * diverges, which is why [[pqCodebooksTrained]]/[[pqCodebooks]]
+    * seeds for residual corpora must EXCLUDE the coarse-seed ids
+    * (their residuals are the zero vectors). */
+  def residuals(corpus: DataFrame, idCol: String, vecCol: String,
+                cells: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .join(cells, Seq("id"))
+      .join(broadcast(centroids
+        .select(col("cluster_id").as("cell"), col("centroid"))), Seq("cell"))
+      .select(col("id"), col("cell"),
+        zip_with(col("v"), col("centroid"), (x, c) => x - c).as("rv"))
+
   /** Per-vector PQ quantization contract — [[auditStats]]' PQ twin,
     * the quality bound a pipeline persists next to the codes: the
     * assignment score of each subvector against its chosen codeword

@@ -159,6 +159,22 @@ class KTrussSpec extends SparkSpec {
     incrEqualsFull(old, Seq((1L, 2L)), k = 4, "partial cascade")
   }
 
+  test("expansion budget exhaustion falls back to the full region") {
+    // the cascade construct needs ≥ 2 expansion rounds; a 1-round
+    // budget must fall back to peeled ∪ batch and still land on the
+    // exact truss (the fallback is a sound over-approximation)
+    val k4a = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val k4b = for { a <- 3L to 6L; b <- 3L to 6L if a < b } yield (a, b)
+    val old = (k4a ++ k4b).distinct
+      .filterNot(e => e == (1L, 2L) || e == (5L, 6L))
+    val saved = KTruss.kTruss(old.toDF("a", "b"), "a", "b", 4, 16)
+    val got = KTruss.kTrussIncremental(old.toDF("a", "b"),
+        Seq((1L, 2L)).toDF("a", "b"), "a", "b", saved, 4,
+        maxExpandRounds = 1, maxPeelRounds = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(got === serial(old :+ ((1L, 2L)), 4, 16))
+  }
+
   test("incremental repair: empty and duplicate batches are no-ops") {
     val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
     val old = k4 :+ ((4L, 5L))
@@ -176,6 +192,44 @@ class KTrussSpec extends SparkSpec {
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
       val (oldE, newE) = edges.partition(_ => rnd.nextInt(4) > 0)
       incrEqualsFull(oldE, newE, k = 3 + rnd.nextInt(2), s"trial $trial")
+    }
+  }
+
+  test("incremental trussness equals the cold decomposition") {
+    // the two-K4 construct: the batch completes the first K4 and
+    // lifts the shared edge's level, leaving the second K4 partial
+    val k4a = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val k4b = for { a <- 3L to 6L; b <- 3L to 6L if a < b } yield (a, b)
+    val old = (k4a ++ k4b).distinct
+      .filterNot(e => e == (1L, 2L) || e == (5L, 6L))
+    val saved = KTruss.trussness(old.toDF("a", "b"), "a", "b",
+      maxK = 5, maxRounds = 16)
+    val got = KTruss.trussnessIncremental(old.toDF("a", "b"),
+        Seq((1L, 2L)).toDF("a", "b"), "a", "b", saved, maxK = 5,
+        maxExpandRounds = 16, maxPeelRounds = 16)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === serialTrussness(old :+ ((1L, 2L)), 5, 16))
+  }
+
+  test("incremental trussness equals the cold decomposition, randomized") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val n = 9
+      val edges = Seq.fill(34)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val (oldE, newE) = edges.partition(_ => rnd.nextInt(4) > 0)
+      val saved = KTruss.trussness(oldE.toDF("a", "b"), "a", "b",
+        maxK = 5, maxRounds = 16)
+      val got = KTruss.trussnessIncremental(oldE.toDF("a", "b"),
+          newE.toDF("a", "b"), "a", "b", saved, maxK = 5,
+          maxExpandRounds = 16, maxPeelRounds = 16)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === serialTrussness(oldE ++ newE, 5, 16),
+        s"trial $trial")
     }
   }
 

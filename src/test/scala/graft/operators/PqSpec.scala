@@ -247,6 +247,34 @@ class PqSpec extends SparkSpec {
     assert(got.map(_._2).toSet === Set(2L, 3L, 4L))
   }
 
+  test("residuals subtract the cell centroid; zero residuals code to 0") {
+    val c0 = Seq(1.0, 0.0, 0.0, 0.0)
+    val c1 = Seq(0.0, 1.0, 0.0, 0.0)
+    val centroids = Seq((0L, c0), (1L, c1)).toDF("cluster_id", "centroid")
+    val corpus = Seq(
+      1L -> c0, // exactly its centroid: residual = 0
+      2L -> Seq(0.25, 1.5, -0.5, 2.0),
+      3L -> Seq(2.0, 0.5, 1.0, -1.0)).toDF("id", "v")
+    val cells = Seq(1L -> 0L, 2L -> 1L, 3L -> 0L).toDF("id", "cell")
+    val res = Quantize.residuals(corpus, "id", "v", cells, centroids)
+      .as[(Long, Long, Seq[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(res(1L) === Seq(0.0, 0.0, 0.0, 0.0))
+    assert(res(2L) === Seq(0.25, 0.5, -0.5, 2.0))
+    assert(res(3L) === Seq(1.0, 0.5, 1.0, -1.0))
+    // PQ over the residual frame, seeds excluding the exact-centroid
+    // vector (the q_pq_residual construction): the zero residual
+    // scores every codeword at the same constant, so every subvector
+    // tie-breaks to code 0 — the cross-engine degeneracy contract
+    val resDf = Quantize.residuals(corpus, "id", "v", cells, centroids)
+      .select(col("id"), col("rv"))
+    val cb = Quantize.pqCodebooks(resDf.where(col("id") =!= 1L),
+      "id", "rv", m, k = 2, dims = dims)
+    val codes = Quantize.pqEncode(resDf, "id", "rv", cb, m, dims)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(codes.filter(_._1 == 1L) === Set((1L, 0, 0L), (1L, 1, 0L)))
+  }
+
   test("audit reports the worst subvector fit and the code checksum") {
     // id 5 concatenates exact codewords: every sub scores cosine 1.0;
     // id 9 is off-axis, so its worst subvector fit is < 1
