@@ -82,7 +82,7 @@ object ScaleTest {
   val capped: Set[String] = Set("q_sessionize", "q_knn_brute",
     "q_graph_stats", "q_triangles", "q_kcore", "q_link_predict",
     "q_walks", "q_walk_cooc", "q_scc", "q_ktruss", "q_trussness",
-    "q_ktruss_incr", "q_trussness_incr")
+    "q_ktruss_incr", "q_trussness_incr", "q_ktruss_delete")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet

@@ -283,6 +283,28 @@ object SparkEntry {
       s"ktruss_saved_k4_lt1500_mod4_v1:$fp", dir)(write)
   }
 
+  /** The q_ktruss_delete fixture's SAVED 4-truss: the full peel of
+    * the WHOLE bounded co-purchase graph (l_orderkey < 1500), staged
+    * once per data dir — the delete query then retracts the mod-5
+    * orders' pairs and repairs. maxRounds 16 clears the peel depth
+    * with margin (a capped table breaks the truss identity the
+    * repair rests on). */
+  private def ktrussSavedFull(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      graft.graph.KTruss.kTruss(pairs, "p1", "p2", k = 4, maxRounds = 16)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"ktruss_saved_k4_lt1500_full_v1:$fp", dir)(write)
+  }
+
   /** The q_trussness_incr fixture's SAVED decomposition: trussness
     * of the 19/20 bounded co-purchase graph at maxK = 8 (every old level
     * in one table — the nested chain IS the artifact), staged once
@@ -4806,6 +4828,31 @@ object SparkEntry {
         .orderBy(col("u"), col("v"))
     }),
 
+    "q_ktruss_delete" -> ((s, dir) => {
+      // edge-DELETE truss maintenance (KTruss.kTrussDeleted,
+      // completing insert+delete at the truss fixpoint): the SAVED
+      // full-graph 4-truss, then the mod-5 orders' co-purchase pairs
+      // are RETRACTED — truss(G∖D) = truss(T∖D), so the repair never
+      // touches the non-truss remainder, and the peel cascade is
+      // confined to the triangle-connected region of the deletions
+      // within T. Gate = EQUIVALENCE: the oracle peels the PRUNED
+      // graph from scratch, so the repair must land row-identical to
+      // a full recompute.
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      def pairsOf(f: DataFrame): DataFrame =
+        f.alias("x").join(f.alias("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      val allPairs = pairsOf(li)
+      val delPairs = pairsOf(li.where(col("ok") % 5 === 0))
+      val saved = s.read.parquet(ktrussSavedFull(s, dir))
+      graft.graph.KTruss.kTrussDeleted(allPairs, delPairs,
+          "p1", "p2", saved, k = 4,
+          maxExpandRounds = 8, maxPeelRounds = 32)
+        .orderBy(col("u"), col("v"))
+    }),
+
     "q_trussness_incr" -> ((s, dir) => {
       // INCREMENTAL trussness (KTruss.trussnessIncremental): the
       // saved 19/20-graph decomposition repairs level by level as a
@@ -8352,6 +8399,11 @@ object SparkEntry {
     // (the batch split is internal to the Spark side)
     "q_ktruss_incr" -> Duck.ktrussSql(k = 4, rounds = 8),
 
+    // EQUIVALENCE gate: the delete repair must reproduce the full
+    // peel of the PRUNED graph (mod-5 pairs retracted)
+    "q_ktruss_delete" -> Duck.ktrussSql(k = 4, rounds = 8,
+      delMod = Some(5)),
+
     "q_trussness" -> Duck.trussnessSql(maxK = 8, rounds = 8),
 
     // EQUIVALENCE gate: the chained level repair must reproduce the
@@ -9647,7 +9699,11 @@ object SparkEntry {
       * support per surviving edge (the q_triangles closure), then the
       * < k−2 filter. Rounds past the fixpoint remove nothing, so the
       * fixed unroll equals the adaptive loop. */
-    def ktrussSql(k: Int, rounds: Int): String = {
+    /** @param delMod Some(m) prunes, at the PAIR level, every
+      *               co-purchase edge derivable from an order with
+      *               ok % m = 0 before peeling — the
+      *               q_ktruss_delete retraction batch */
+    def ktrussSql(k: Int, rounds: Int, delMod: Option[Int] = None): String = {
       val steps = (1 to rounds).map { r =>
         s"""sym${r - 1} AS MATERIALIZED (SELECT u AS n, v AS m FROM e${r - 1}
            |  UNION ALL SELECT v AS n, u AS m FROM e${r - 1}),
@@ -9661,11 +9717,28 @@ object SparkEntry {
            |  ON sp.u = e.u AND sp.v = e.v
            |  WHERE coalesce(sp.sup, 0) >= ${k - 2})""".stripMargin
       }.mkString(",\n")
+      val e0 = delMod match {
+        case None =>
+          s"""e0 AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS u,
+             |    greatest(x.pk, y.pk) AS v
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)"""
+            .stripMargin
+        case Some(m) =>
+          s"""e_raw AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+             |    greatest(x.pk, y.pk) AS v
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+             |e_del AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+             |    greatest(x.pk, y.pk) AS v
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             |  WHERE x.ok % $m = 0),
+             |e0 AS MATERIALIZED (SELECT u, v FROM e_raw er
+             |  WHERE NOT EXISTS (SELECT 1 FROM e_del ed
+             |                    WHERE ed.u = er.u AND ed.v = er.v))"""
+            .stripMargin
+      }
       s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
          |  FROM lineitem WHERE l_orderkey < 1500),
-         |e0 AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS u,
-         |    greatest(x.pk, y.pk) AS v
-         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         |$e0,
          |$steps
          |SELECT u, v FROM e$rounds ORDER BY u, v""".stripMargin
     }

@@ -250,6 +250,141 @@ object KTruss {
     truss.unionByName(cur)
   }
 
+  /** k-truss maintenance under an edge-DELETE batch —
+    * [[kTrussIncremental]]'s retraction twin, completing
+    * insert+delete at the truss fixpoint (the takedown/opt-out shape
+    * the BFS and triangle families already cover). The key identity:
+    * truss(G ∖ D) = truss(T ∖ D) where T is the saved truss — the
+    * pruned graph's truss is contained in T (deleting edges never
+    * adds truss membership) and in G ∖ D, hence in T ∖ D, and
+    * maximality closes both inclusions — so the repair NEVER touches
+    * the non-truss remainder of the graph.
+    *
+    * Within T ∖ D, the peel cascade is confined to the AFFECTED
+    * REGION: an edge's support (always counted within the current
+    * surviving set) can only drop when one of its triangles loses a
+    * member, so every peeled edge is triangle-connected (within T)
+    * to a deleted edge through other affected edges — the mirror of
+    * the insert expansion's maximality argument. Phase 1 walks that
+    * closure frontier-style from the deleted edges; phase 2 peels
+    * the region alone against the stable ∪ region adjacency (stable
+    * = T ∖ D ∖ region keeps its full within-T support by closure).
+    * Expansion past its budget falls back to the full sound region
+    * (all of T ∖ D); the peel throws on bound breach. Result is
+    * row-identical to `kTruss(G ∖ D)` — the equivalence the oracle
+    * and spec gate.
+    *
+    * @param savedTruss canonical (u, v) rows from [[kTruss]] over
+    *                   `edges` at the same `k`
+    */
+  def kTrussDeleted(edges: DataFrame, deletedEdges: DataFrame,
+                    srcCol: String, dstCol: String,
+                    savedTruss: DataFrame, k: Int,
+                    maxExpandRounds: Int,
+                    maxPeelRounds: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(maxExpandRounds >= 1 && maxPeelRounds >= 1,
+      s"round caps must be >= 1, got $maxExpandRounds/$maxPeelRounds")
+    def canon(df: DataFrame, s: String, d: String): DataFrame = df
+      .select(least(col(s), col(d)).as("u"),
+        greatest(col(s), col(d)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val (truss, _) = graft.operators.Converge.checkpointWithSig(
+      savedTruss.select(col("u"), col("v")), "u, v")
+    // only deletions INSIDE the truss matter: a pruned non-truss
+    // edge was already absent from T, so T ∖ D = T and nothing moves
+    val (del, (nDel, _)) = graft.operators.Converge.checkpointWithSig(
+      canon(deletedEdges, srcCol, dstCol)
+        .join(truss, Seq("u", "v"), "left_semi"), "u, v")
+    if (nDel == 0) return truss
+    val (tRem, _) = graft.operators.Converge.checkpointWithSig(
+      truss.join(del, Seq("u", "v"), "left_anti"), "u, v")
+    // T's symmetric adjacency — the closure walks triangles of the
+    // SAVED truss (an over-approximation of every evolving set)
+    val symT = truss.select(explode(array(
+        struct(col("u").as("n"), col("v").as("m")),
+        struct(col("v").as("n"), col("u").as("m")))).as("p"))
+      .select(col("p.n").as("n"), col("p.m").as("m"))
+    def triOthers(frontier: DataFrame): DataFrame = {
+      val tri = frontier
+        .join(symT.select(col("n").as("u"), col("m").as("w")), Seq("u"))
+        .where(col("w") =!= col("v"))
+        .join(truss.select(col("u").as("wu"), col("v").as("wv")),
+          least(col("w"), col("v")) === col("wu") &&
+            greatest(col("w"), col("v")) === col("wv"),
+          "left_semi")
+      tri.select(least(col("u"), col("w")).as("u"),
+          greatest(col("u"), col("w")).as("v"))
+        .unionByName(tri.select(least(col("v"), col("w")).as("u"),
+          greatest(col("v"), col("w")).as("v")))
+        .distinct()
+    }
+    // 1. EXPAND from the deleted edges through surviving truss edges
+    var (frontier, (nFrontier, _)) =
+      graft.operators.Converge.checkpointWithSig(
+        triOthers(del).join(tRem, Seq("u", "v"), "left_semi"), "u, v")
+    var region = frontier
+    var round = 0
+    var fellBack = false
+    while (nFrontier > 0) {
+      round += 1
+      if (round > maxExpandRounds) {
+        region = tRem
+        nFrontier = 0
+        fellBack = true
+      } else {
+        val fresh = triOthers(frontier)
+          .join(tRem, Seq("u", "v"), "left_semi")
+          .join(region, Seq("u", "v"), "left_anti")
+        val (ck, (n, _)) =
+          graft.operators.Converge.checkpointWithSig(fresh, "u, v")
+        frontier = ck
+        nFrontier = n
+        if (n > 0)
+          region = graft.operators.Converge
+            .checkpointWithSig(region.unionByName(ck), "u, v")._1
+      }
+    }
+    if (fellBack)
+      System.err.println("[ktruss] delete-region expansion exceeded " +
+        s"$maxExpandRounds rounds; fell back to the full surviving truss")
+    // 2. PEEL the region against the stable ∪ region adjacency
+    // (del edges excluded by construction: both sides come from tRem)
+    val stable = tRem.join(region, Seq("u", "v"), "left_anti")
+    var (cur, sig) =
+      graft.operators.Converge.checkpointWithSig(region, "u, v")
+    round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      require(round <= maxPeelRounds,
+        s"delete-region peel exceeded $maxPeelRounds rounds")
+      val curAll = stable.unionByName(cur)
+      val symCur = curAll.select(explode(array(
+          struct(col("u").as("n"), col("v").as("m")),
+          struct(col("v").as("n"), col("u").as("m")))).as("p"))
+        .select(col("p.n").as("n"), col("p.m").as("m"))
+      val support = cur
+        .join(symCur.select(col("n").as("u"), col("m").as("w")), Seq("u"))
+        .where(col("w") =!= col("v"))
+        .join(curAll.select(col("u").as("wu"), col("v").as("wv")),
+          least(col("w"), col("v")) === col("wu") &&
+            greatest(col("w"), col("v")) === col("wv"),
+          "left_semi")
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+      val kept = cur.join(support, Seq("u", "v"), "left")
+        .where(coalesce(col("sup"), lit(0L)) >= (k - 2).toLong)
+        .select(col("u"), col("v"))
+      val (next, nSig) =
+        graft.operators.Converge.checkpointWithSig(kept, "u, v")
+      done = nSig == sig && graft.operators.Converge.sameExact(next, cur)
+      sig = nSig
+      cur = next
+    }
+    stable.unionByName(cur)
+  }
+
   /** TRUSSNESS decomposition — the per-edge analog of coreness: each
     * edge's trussness is the maximum k for which it survives in the
     * k-truss (2 for an edge in no triangle), capped at `maxK` (an

@@ -195,6 +195,69 @@ class KTrussSpec extends SparkSpec {
     }
   }
 
+  /** Run the delete repair from a saved kTruss over `oldE` with
+    * `delE` retracted; compare to a full recompute on the pruned
+    * graph. */
+  private def delEqualsFull(oldE: Seq[(Long, Long)],
+                            delE: Seq[(Long, Long)], k: Int,
+                            clue: String,
+                            maxExpand: Int = 16): Unit = {
+    val saved = KTruss.kTruss(oldE.toDF("a", "b"), "a", "b", k,
+      maxRounds = 16)
+    val got = KTruss.kTrussDeleted(oldE.toDF("a", "b"),
+        delE.toDF("a", "b"), "a", "b", saved, k,
+        maxExpandRounds = maxExpand, maxPeelRounds = 16)
+      .as[(Long, Long)].collect().toSet
+    val delSet = delE.map { case (a, b) =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    assert(got === serial(oldE.filterNot(delSet), k, 16), clue)
+  }
+
+  test("delete repair: retracting a clique edge collapses the truss") {
+    // K4 + pendant: the 4-truss is the K4; deleting one K4 edge
+    // drops every K4 edge's support below 2 — full cascade to empty
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    delEqualsFull(k4 :+ ((4L, 5L)), Seq((1L, 2L)), k = 4, "collapse")
+  }
+
+  test("delete repair: the cascade stops at a reinforced core") {
+    // two K4s sharing edge (3,4) plus edge (1,5)-(2,6)? keep simple:
+    // a K5 with a pendant K4 sharing edge (4,5): deleting a K4-only
+    // edge must collapse the K4's private edges but leave the K5
+    // (each K5 edge has support 3 within the K5) intact
+    val k5 = for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)
+    val k4 = for { a <- 4L to 7L; b <- 4L to 7L if a < b } yield (a, b)
+    val g = (k5 ++ k4).distinct
+    delEqualsFull(g, Seq((6L, 7L)), k = 4, "reinforced core survives")
+  }
+
+  test("delete repair: non-truss and absent deletions are no-ops") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val g = k4 :+ ((4L, 5L))
+    delEqualsFull(g, Seq((4L, 5L)), k = 4, "non-truss deletion")
+    delEqualsFull(g, Seq((8L, 9L)), k = 4, "absent deletion")
+    delEqualsFull(g, Seq.empty, k = 4, "empty batch")
+  }
+
+  test("delete repair: expansion budget exhaustion falls back soundly") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    delEqualsFull(k4 :+ ((4L, 5L)), Seq((1L, 2L)), k = 4,
+      "fallback", maxExpand = 1)
+  }
+
+  test("delete repair equals full recompute on randomized splits") {
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 4) {
+      val n = 10
+      val edges = Seq.fill(42)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val delE = edges.filter(_ => rnd.nextInt(5) == 0)
+      delEqualsFull(edges, delE, k = 3 + rnd.nextInt(2), s"trial $trial")
+    }
+  }
+
   test("incremental trussness equals the cold decomposition") {
     // the two-K4 construct: the batch completes the first K4 and
     // lifts the shared edge's level, leaving the second K4 partial
