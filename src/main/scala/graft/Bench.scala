@@ -198,7 +198,9 @@ object Bench {
       "q_hyperball64", "q_pq_train", "q_pagerank_incr",
       // r16: the truss repairs checkpoint per expansion/peel round
       // and stage their saved artifacts when cold
-      "q_ktruss_incr", "q_trussness_incr", "q_ktruss_delete")
+      "q_ktruss_incr", "q_trussness_incr", "q_ktruss_delete",
+      // r16: the PQ index append stages its saved code table when cold
+      "q_pq_incr")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

@@ -283,6 +283,28 @@ object SparkEntry {
       s"ktruss_saved_k4_lt1500_mod4_v1:$fp", dir)(write)
   }
 
+  /** The q_pq_incr fixture's SAVED PQ code table: the ¾ corpus
+    * (vec_id % 4 != 0) encoded against codebooks seeded from that
+    * same ¾ corpus, staged once per data dir. The codebooks are the
+    * INDEX's fixed vocabulary — batches encode against them verbatim
+    * (re-deriving them from the ¾ corpus is deterministic and
+    * m·k-tiny), so the code table is append-only: the 100 TB corpus
+    * is never re-encoded. */
+  private def pqSavedCodes(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val e34 = t(s, dir, "embeddings").where(col("vec_id") % 4 =!= 0)
+      val cb = graft.similarity.Quantize.pqCodebooks(
+        e34, "vec_id", "embedding", m = 4, k = 16, dims = 64)
+      graft.similarity.Quantize.pqEncode(
+          e34, "vec_id", "embedding", cb, m = 4, dims = 64)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/embeddings.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"pq_codes_m4k16_mod4_v1:$fp", dir)(write)
+  }
+
   /** The q_ktruss_delete fixture's SAVED 4-truss: the full peel of
     * the WHOLE bounded co-purchase graph (l_orderkey < 1500), staged
     * once per data dir — the delete query then retracts the mod-5
@@ -3246,6 +3268,30 @@ object SparkEntry {
       val codes = graft.similarity.Quantize.pqEncode(
         e, "vec_id", "embedding", cb, m = 4, dims = 64)
       graft.similarity.Quantize.pqAdcTopK(codes,
+          e.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          cb, m = 4, dims = 64, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_pq_incr" -> ((s, dir) => {
+      // INCREMENTAL PQ index maintenance — the saved-index idiom at
+      // the code-table layer: the ¾-corpus codes are a staged
+      // artifact (pqSavedCodes), the arriving quarter encodes
+      // against the INDEX's fixed codebooks (one batch pass ×
+      // broadcast m·k codewords — the corpus is never re-encoded),
+      // and the ADC scan runs over saved ∪ batch codes. Per-row
+      // encoding is pure, so the union is row-identical to a full
+      // re-encode — the equivalence the oracle gates (its seeds are
+      // the ¾ corpus's 16 lowest ids, the index's frozen vocabulary).
+      val e = t(s, dir, "embeddings")
+      val e34 = e.where(col("vec_id") % 4 =!= 0)
+      val cb = graft.similarity.Quantize.pqCodebooks(
+        e34, "vec_id", "embedding", m = 4, k = 16, dims = 64)
+      val saved = s.read.parquet(pqSavedCodes(s, dir))
+      val batch = graft.similarity.Quantize.pqEncode(
+        e.where(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        cb, m = 4, dims = 64)
+      graft.similarity.Quantize.pqAdcTopK(saved.unionByName(batch),
           e.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
           cb, m = 4, dims = 64, k = 3)
         .orderBy(col("query_id"), col("rank"))
@@ -7142,6 +7188,48 @@ object SparkEntry {
         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |        ORDER BY vec_id LIMIT 16)),
+        |ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
+        |cb AS MATERIALIZED (SELECT ss.sub, seeds.code,
+        |    seeds.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS cw
+        |  FROM seeds CROSS JOIN ss),
+        |subs AS (SELECT p.vec_id, ss.sub,
+        |    p.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS sv
+        |  FROM p CROSS JOIN ss),
+        |sc AS (SELECT vec_id, sub, code,
+        |    round(list_cosine_similarity(sv, cw), 6) AS score
+        |  FROM subs JOIN cb USING (sub)),
+        |codes AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id, sub ORDER BY score DESC, code) AS rn
+        |  FROM sc) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v FROM p WHERE vec_id % 50 = 0),
+        |qsubs AS (SELECT query_id, ss.sub,
+        |    q.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS qv
+        |  FROM q CROSS JOIN ss),
+        |lut AS MATERIALIZED (SELECT query_id, qsubs.sub, cb.code,
+        |    CAST(floor(list_dot_product(qv, cw) * 1000000 + 0.5) AS BIGINT)
+        |      AS lut_u
+        |  FROM qsubs JOIN cb ON cb.sub = qsubs.sub),
+        |scored AS (SELECT l.query_id, c.vec_id AS nbr_id,
+        |    CAST(sum(l.lut_u) AS BIGINT) AS score_u
+        |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+        |  WHERE c.vec_id <> l.query_id GROUP BY 1, 2)
+        |SELECT query_id, nbr_id, score_u, CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score_u DESC, nbr_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // incremental PQ index: the q_pq_adc chain with the codebook
+    // seeds frozen to the ¾ corpus's 16 lowest ids (the saved
+    // index's vocabulary); per-row encoding is pure, so the full
+    // re-encode here equals the Spark side's saved ∪ batch union
+    "q_pq_incr" ->
+      """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |        WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 16)),
         |ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
         |cb AS MATERIALIZED (SELECT ss.sub, seeds.code,
         |    seeds.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS cw

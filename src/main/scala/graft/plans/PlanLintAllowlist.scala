@@ -134,6 +134,9 @@ object PlanLintAllowlist {
     "q_pq_residual" -> "scan-without-pushed-filters",
     "q_pq_residual" -> "unconditioned-nested-loop",
     "q_pq_train" -> "scan-without-pushed-filters",
+    // r16: the incremental index runs the q_pq_adc chain with a
+    // mod-4 seed filter (modulo is not parquet-pushable)
+    "q_pq_incr" -> "scan-without-pushed-filters",
     // r7: BM25 crosses each posting with the broadcast 1-row corpus
     // stats (n_docs, total_len) — 1× per row, not |L|·|R|. (In
     // q_hybrid_rrf the same cross sits behind the materialized result
