@@ -199,6 +199,7 @@ object Bench {
       // r16: the truss repairs checkpoint per expansion/peel round
       // and stage their saved artifacts when cold
       "q_ktruss_incr", "q_trussness_incr", "q_ktruss_delete",
+      "q_pagerank_delete",
       // r16: the PQ index append stages its saved code table when cold
       "q_pq_incr")
     // within the trailing group, q_pagerank goes FIRST: it is the one

@@ -370,6 +370,23 @@ object SparkEntry {
       s"pagerank_saved_i3_mod4_v1:$fp", dir)(write)
   }
 
+  /** The q_pagerank_delete fixture's SAVED rank vector: a 3-round
+    * exact-ppm PageRank over the FULL purchase graph, staged once per
+    * data dir — the delete query then retracts the mod-5 orders'
+    * pairs and resumes over the pruned graph. */
+  private def pagerankSavedRanksFull(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val edges = purchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+      graft.graph.PageRank.pageRank(edges, "a", "b", iters = 3)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"pagerank_saved_i3_full_v1:$fp", dir)(write)
+  }
+
   /** Symmetrized customer↔supplier purchase edges from a
     * pre-filtered orders frame (the q_pagerank construction). */
   private[graft] def purchaseEdgesFrom(s: SparkSession, dir: String,
@@ -1422,6 +1439,36 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"))
       val edges = purchaseEdgesFrom(s, dir, orders)
       val saved = s.read.parquet(pagerankSavedRanks(s, dir))
+      graft.graph.PageRank.pageRankResume(edges, "a", "b", saved,
+          iters = 2)
+        .orderBy(col("node_id"))
+    }),
+
+    "q_pagerank_delete" -> ((s, dir) => {
+      // rank maintenance under edge DELETES — the warm start's
+      // retraction twin (no separate operator needed: the resume is
+      // trajectory-defined over WHATEVER edge set it is given, and
+      // the floor-ppm adjacent-fixpoint argument applies identically)
+      // — resume the exact ppm iteration from the FULL-graph
+      // artifact for 2 rounds over the graph with the mod-5 orders'
+      // pairs RETRACTED at the pair level. Nodes that lose every
+      // edge drop from the rank table (rank is defined over the
+      // graph's nodes); the oracle replays the same composition.
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      def pairsOf(o: DataFrame): DataFrame =
+        o.join(ls, col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b"))
+          .distinct()
+      val pairs = pairsOf(oc)
+        .join(pairsOf(oc.where(col("o_orderkey") % 5 === 0)),
+          Seq("a", "b"), "left_anti")
+      val edges = pairs.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val saved = s.read.parquet(pagerankSavedRanksFull(s, dir))
       graft.graph.PageRank.pageRankResume(edges, "a", "b", saved,
           iters = 2)
         .orderBy(col("node_id"))
@@ -6099,6 +6146,11 @@ object SparkEntry {
     "q_pagerank_incr" -> Duck.pagerankResumeSql(savedIters = 3,
       resumeIters = 2),
 
+    // the retraction twin: 3 rounds over the FULL graph (the staged
+    // artifact), then 2 over the graph with the mod-5 pairs retracted
+    "q_pagerank_delete" -> Duck.pagerankResumeSql(savedIters = 3,
+      resumeIters = 2, savedPredicate = "1 = 1", resumeDelMod = Some(5)),
+
     "q_hits" -> Duck.hitsSql(iters = 3),
 
     "q_sssp" -> Duck.ssspSql(hops = 4),
@@ -10130,7 +10182,16 @@ object SparkEntry {
       * FULL graph from that vector, with nodes absent from the
       * artifact coalesced to the uniform init — the exact
       * trajectory the warm start runs. */
-    def pagerankResumeSql(savedIters: Int, resumeIters: Int): String = {
+    /** @param savedPredicate SQL filter on the SAVED graph's orders
+      *                       (the artifact's edge set)
+      * @param resumePredicate pair-level filter on the RESUME graph:
+      *                       None = the full pair set (insert shape);
+      *                       Some(sql) keeps pairs where `sql` holds
+      *                       over the per-pair derivation (delete
+      *                       shape — the NOT EXISTS retraction) */
+    def pagerankResumeSql(savedIters: Int, resumeIters: Int,
+                          savedPredicate: String = "o_orderkey % 4 <> 0",
+                          resumeDelMod: Option[Int] = None): String = {
       def rounds(e: String, deg: String, pfx: String, start: String,
                  n: Int): String =
         (1 to n).map { k =>
@@ -10146,11 +10207,33 @@ object SparkEntry {
              |  FROM $deg d LEFT JOIN ${pfx}c$k c ON d.src = c.node)"""
             .stripMargin
         }.mkString(",\n")
+      val resumePairs = resumeDelMod match {
+        case None =>
+          """pairs AS MATERIALIZED (SELECT DISTINCT
+            |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+            |    's' || CAST(l_suppkey AS VARCHAR) AS b
+            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)"""
+            .stripMargin
+        case Some(m) =>
+          s"""pairs_all AS (SELECT DISTINCT
+             |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+             |    's' || CAST(l_suppkey AS VARCHAR) AS b
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |pairs_del AS (SELECT DISTINCT
+             |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+             |    's' || CAST(l_suppkey AS VARCHAR) AS b
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE o_orderkey % $m = 0),
+             |pairs AS MATERIALIZED (SELECT a, b FROM pairs_all pa
+             |  WHERE NOT EXISTS (SELECT 1 FROM pairs_del pd
+             |                    WHERE pd.a = pa.a AND pd.b = pa.b))"""
+            .stripMargin
+      }
       s"""WITH pairs_old AS MATERIALIZED (SELECT DISTINCT
          |    'c' || CAST(o_custkey AS VARCHAR) AS a,
          |    's' || CAST(l_suppkey AS VARCHAR) AS b
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-         |  WHERE o_orderkey % 4 <> 0),
+         |  WHERE $savedPredicate),
          |eo AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs_old
          |      UNION ALL SELECT b AS src, a AS dst FROM pairs_old),
          |dego AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM eo
@@ -10158,10 +10241,7 @@ object SparkEntry {
          |op0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr
          |  FROM dego),
          |${rounds("eo", "dego", "o", "op0", savedIters)},
-         |pairs AS MATERIALIZED (SELECT DISTINCT
-         |    'c' || CAST(o_custkey AS VARCHAR) AS a,
-         |    's' || CAST(l_suppkey AS VARCHAR) AS b
-         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |$resumePairs,
          |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
          |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
          |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e

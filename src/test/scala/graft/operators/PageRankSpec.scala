@@ -93,6 +93,21 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq((1L, 936250L), (2L, 1488750L), (3L, 936250L)))
   }
 
+  test("resume over a pruned graph drops vanished nodes: hand-computed") {
+    import spark.implicits._
+    // saved over path 1–2–3 (one cold round); resume after pruning
+    // every edge touching 3: nodes = {1, 2}, node 3 leaves the table
+    // contribs: 1→2: 575000 whole; 2→1: 1850000 whole
+    // p(1) = 150000 + ⌊.85·1850000⌋ = 1722500
+    // p(2) = 150000 + ⌊.85·575000⌋  =  638750
+    val pruned = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val saved = Seq((1L, 575000L), (2L, 1850000L), (3L, 575000L))
+      .toDF("node_id", "pr_ppm")
+    val got = PageRank.pageRankResume(pruned, "src", "dst", saved, iters = 1)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1722500L), (2L, 638750L)))
+  }
+
   test("personalized restart matches hand-computed seed fixed point") {
     import spark.implicits._
     // path 1–2–3, seed {1}: p0 = (1e6, 0, 0)
