@@ -289,20 +289,39 @@ object SparkEntry {
     * INDEX's fixed vocabulary — batches encode against them verbatim
     * (re-deriving them from the ¾ corpus is deterministic and
     * m·k-tiny), so the code table is append-only: the 100 TB corpus
-    * is never re-encoded. */
+    * is never re-encoded.
+    *
+    * Encode-drift probe (r16 advice #3): the artifact tag
+    * fingerprints the INPUT parquet, not the operator code, so a
+    * future change to pqCodebooks/pqEncode arithmetic would silently
+    * union fresh codes from one vocabulary with staged codes from
+    * another. Every access therefore re-encodes a 16-vector probe
+    * (the ¾ corpus's lowest ids) with TODAY's arithmetic and asserts
+    * it matches the staged rows — a 64-row exact comparison that
+    * turns silent vocabulary skew into a loud failure naming the
+    * stale tag. */
   private def pqSavedCodes(s: SparkSession, dir: String): String = {
-    def write(out: String): Unit = {
-      val e34 = t(s, dir, "embeddings").where(col("vec_id") % 4 =!= 0)
-      val cb = graft.similarity.Quantize.pqCodebooks(
-        e34, "vec_id", "embedding", m = 4, k = 16, dims = 64)
+    val tag = "pq_codes_m4k16_mod4_v1"
+    def e34 = t(s, dir, "embeddings").where(col("vec_id") % 4 =!= 0)
+    def cb = graft.similarity.Quantize.pqCodebooks(
+      e34, "vec_id", "embedding", m = 4, k = 16, dims = 64)
+    def write(out: String): Unit =
       graft.similarity.Quantize.pqEncode(
           e34, "vec_id", "embedding", cb, m = 4, dims = 64)
         .write.mode("overwrite").parquet(out)
-    }
     val fp = graft.control.ArtifactStore.fingerprint(
       s"$dir/embeddings.parquet")
-    graft.control.ArtifactStore.parquet(
-      s"pq_codes_m4k16_mod4_v1:$fp", dir)(write)
+    val path = graft.control.ArtifactStore.parquet(s"$tag:$fp", dir)(write)
+    val probe = graft.similarity.Quantize.pqEncode(
+      e34.orderBy(col("vec_id")).limit(16), "vec_id", "embedding",
+      cb, m = 4, dims = 64)
+    val savedProbe = s.read.parquet(path)
+      .join(probe.select(col("id")).distinct(), Seq("id"), "left_semi")
+    require(graft.operators.Converge.sameExact(probe, savedProbe),
+      s"staged PQ codes '$tag' no longer match pqEncode's arithmetic " +
+        "on the 16-vector probe — the encode/codebook operators " +
+        "changed without restaging; delete the artifact or bump the tag")
+    path
   }
 
   /** The q_ktruss_delete fixture's SAVED 4-truss: the full peel of
@@ -3306,16 +3325,21 @@ object SparkEntry {
       // codewords (slices of the 16 lowest-id vectors — the
       // q_knn_ivf_learned discipline, oracle-replayable; KMeans.fit
       // slots in where no oracle gates). The flat code scan is Q×N by
-      // design (the compressed exhaustive baseline); at corpus scale
-      // it composes with IVF cell restriction (q_knn_ivf's
-      // partitionedKnn) exactly like FAISS's IVF-PQ.
+      // design (the compressed exhaustive baseline) with Q a FIXED
+      // deterministic sample (the 100 lowest ids — constant under
+      // ScaleData's interleaved remap), so the evaluation tracks the
+      // corpus LINEARLY; at corpus scale the scan composes with IVF
+      // cell restriction (q_pq_ivf's pqAdcTopKByCell) exactly like
+      // FAISS's IVF-PQ. (r16 verdict #1: the old vec_id % 50 query
+      // set grew WITH the corpus, making the evaluation join
+      // quadratic-in-factor — 344× at 100×.)
       val e = t(s, dir, "embeddings")
       val cb = graft.similarity.Quantize.pqCodebooks(
         e, "vec_id", "embedding", m = 4, k = 16, dims = 64)
       val codes = graft.similarity.Quantize.pqEncode(
         e, "vec_id", "embedding", cb, m = 4, dims = 64)
       graft.similarity.Quantize.pqAdcTopK(codes,
-          e.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          e.where(col("vec_id") < 100), "vec_id", "embedding",
           cb, m = 4, dims = 64, k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -3339,7 +3363,7 @@ object SparkEntry {
         e.where(col("vec_id") % 4 === 0), "vec_id", "embedding",
         cb, m = 4, dims = 64)
       graft.similarity.Quantize.pqAdcTopK(saved.unionByName(batch),
-          e.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          e.where(col("vec_id") < 100), "vec_id", "embedding",
           cb, m = 4, dims = 64, k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -3363,7 +3387,10 @@ object SparkEntry {
         e, "vec_id", "embedding", m = 4, k = 16, dims = 64, iters = 2)
       val codes = graft.similarity.Quantize.pqEncode(
         e, "vec_id", "embedding", cb, m = 4, dims = 64)
-      val qs = e.where(col("vec_id") % 50 === 0)
+      // fixed-COUNT query sample (r16 verdict #1): the evaluation
+      // join (and its brute-force baseline) stays Q·N with Q
+      // constant — linear in the corpus, the plan you'd run at 100×
+      val qs = e.where(col("vec_id") < 100)
       Similarity.recallAtK(
           graft.similarity.Quantize.pqAdcTopK(codes, qs,
             "vec_id", "embedding", cb, m = 4, dims = 64, k = 3),
@@ -7254,7 +7281,7 @@ object SparkEntry {
         |  SELECT *, row_number() OVER
         |    (PARTITION BY vec_id, sub ORDER BY score DESC, code) AS rn
         |  FROM sc) t WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, v FROM p WHERE vec_id % 50 = 0),
+        |q AS (SELECT vec_id AS query_id, v FROM p WHERE vec_id < 100),
         |qsubs AS (SELECT query_id, ss.sub,
         |    q.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS qv
         |  FROM q CROSS JOIN ss),
@@ -7296,7 +7323,7 @@ object SparkEntry {
         |  SELECT *, row_number() OVER
         |    (PARTITION BY vec_id, sub ORDER BY score DESC, code) AS rn
         |  FROM sc) t WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, v FROM p WHERE vec_id % 50 = 0),
+        |q AS (SELECT vec_id AS query_id, v FROM p WHERE vec_id < 100),
         |qsubs AS (SELECT query_id, ss.sub,
         |    q.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS qv
         |  FROM q CROSS JOIN ss),
@@ -10261,7 +10288,7 @@ object SparkEntry {
       * then the integer-LUT ADC scan with the trained codebooks, then
       * recall@`k` against the exact brute-force top-`k` in exact
       * floor-divided ppm. m = 4 subspaces × 16 codes over 64 dims,
-      * queries = vec_id % 50. */
+      * queries = the fixed vec_id < 100 sample. */
     def pqTrainRecallSql(iters: Int, k: Int): String = {
       val scale = 1L << 20
       val rounds = (1 to iters).map { i =>
@@ -10305,7 +10332,7 @@ object SparkEntry {
          |  SELECT *, row_number() OVER
          |    (PARTITION BY vec_id, sub ORDER BY score DESC, code) AS rn
          |  FROM esc) t WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, v FROM p WHERE vec_id % 50 = 0),
+         |q AS (SELECT vec_id AS query_id, v FROM p WHERE vec_id < 100),
          |qsubs AS (SELECT query_id, ss.sub,
          |    q.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS qv
          |  FROM q CROSS JOIN ss),
