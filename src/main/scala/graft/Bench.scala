@@ -201,7 +201,13 @@ object Bench {
       "q_ktruss_incr", "q_trussness_incr", "q_ktruss_delete",
       "q_pagerank_delete",
       // r16: the PQ index append stages its saved code table when cold
-      "q_pq_incr")
+      "q_pq_incr",
+      // r17: trained IVFADC holds the persisted residual-subvector
+      // frame across its Lloyd round like q_pq_train; the graph warm
+      // starts stage their saved artifacts when cold and checkpoint
+      // per round like their r16 PageRank siblings
+      "q_pq_ivfadc", "q_kcore_incr", "q_kcore_delete", "q_hits_incr",
+      "q_communities_incr")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

@@ -3511,6 +3511,52 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_pq_ivfadc" -> ((s, dir) => {
+      // TRAINED IVFADC END-TO-END — the production index of Jégou et
+      // al. §IV with every lever engaged at once, each half already
+      // gated separately: coarse cells (q_knn_ivf_learned) +
+      // RESIDUAL encoding (q_pq_residual) + Lloyd-TRAINED residual
+      // codebooks (q_pq_train's pqCodebooksTrained, 1 fixed-point
+      // round) + MULTI-PROBE serving (q_pq_ivf_probe2's assignTopN).
+      // Each query probes its top-2 coarse cells with a PER-PROBE
+      // residual LUT — the LUT for probe cell c scores ⟨q − c, x − c⟩
+      // exactly as the paper's ADC does, so residuals() doubles as
+      // the query-side constructor by passing the PROBES frame as the
+      // cell assignment. Candidates stay disjoint across probes (a
+      // code row lives in exactly one cell), queries are the fixed
+      // 100-lowest-ids sample (linear evaluation under scale-up), and
+      // PQ seeds exclude the coarse ids (zero-residual degeneracy,
+      // see residuals()). The oracle replays the WHOLE chain: coarse
+      // assign, residuals, the unrolled Lloyd round, encode, per-
+      // probe LUT, cell-keyed integer scan.
+      val e = t(s, dir, "embeddings")
+      val centroids = graft.similarity.KMeans
+        .initCentroids(e, "vec_id", "embedding", k = 8)
+      val cells = graft.similarity.KMeans
+        .assign(e, centroids, "vec_id", "embedding")
+        .select(col("id"), col("cluster_id").as("cell"))
+      val res = graft.similarity.Quantize.residuals(
+        e, "vec_id", "embedding", cells, centroids)
+      val coarseIds = e.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("id"))
+      val cb = graft.similarity.Quantize.pqCodebooksTrained(
+        res.join(coarseIds, Seq("id"), "left_anti"), "id", "rv",
+        m = 4, k = 16, dims = 64, iters = 1)
+      val codes = graft.similarity.Quantize.pqEncode(
+          res, "id", "rv", cb, m = 4, dims = 64)
+        .join(cells, Seq("id"))
+      val probes = graft.similarity.KMeans
+        .assignTopN(e.where(col("vec_id") < 100), centroids,
+          "vec_id", "embedding", n = 2)
+        .select(col("id"), col("cluster_id").as("cell"))
+      val qres = graft.similarity.Quantize.residuals(
+        e.where(col("vec_id") < 100), "vec_id", "embedding",
+        probes, centroids)
+      graft.similarity.Quantize.pqAdcTopKByCell(codes, qres,
+          "id", "rv", "cell", cb, m = 4, dims = 64, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_knn_ivf_learned" -> ((s, dir) => {
       // the full IVF story: LEARNED coarse cells (deterministic
       // k-means assignment) instead of a given label — index build
@@ -7397,6 +7443,11 @@ object SparkEntry {
     // subspace, the trained-codebook ADC scan, recall vs brute force
     "q_pq_train" -> Duck.pqTrainRecallSql(iters = 2, k = 3),
 
+    // trained IVFADC end-to-end: coarse assign + residuals + one
+    // unrolled Lloyd round on non-coarse residuals + multi-probe
+    // per-probe-residual LUT scan (Jégou et al. §IV)
+    "q_pq_ivfadc" -> Duck.pqIvfadcSql(iters = 1, k = 3, queryMax = 100),
+
     // PQ audit: the encode chain with the assignment score kept —
     // min over round-6 cosines + the position-weighted code checksum
     "q_pq_audit" ->
@@ -10280,21 +10331,18 @@ object SparkEntry {
          |ORDER BY node_id""".stripMargin
     }
 
-    /** Trained-PQ recall mirror of `Quantize.pqCodebooksTrained` +
-      * `pqAdcTopK` + `Similarity.recallAtK`: `iters` unrolled Lloyd
-      * rounds per subspace (assignment = argmax round-6 cosine ties
-      * to the lowest code; update = 2^-20 fixed-point integer mean
-      * rounded to 6, dead codewords keeping their previous centroid),
-      * then the integer-LUT ADC scan with the trained codebooks, then
-      * recall@`k` against the exact brute-force top-`k` in exact
-      * floor-divided ppm. m = 4 subspaces × 16 codes over 64 dims,
-      * queries = the fixed vec_id < 100 sample. */
-    def pqTrainRecallSql(iters: Int, k: Int): String = {
+    /** The unrolled fixed-point Lloyd rounds shared by the trained-PQ
+      * oracles — `pqCodebooksTrained`'s contract in SQL: round i
+      * assigns `trainSubs` (vec_id, sub, sv) rows against cb{i−1}
+      * (argmax round-6 cosine, ties to the lowest code) and emits
+      * cb{i} as the 2^-20 fixed-point per-(sub, code, dim) mean
+      * rounded to 6, dead codewords keeping their previous centroid. */
+    private def pqLloydRoundCtes(iters: Int, trainSubs: String): String = {
       val scale = 1L << 20
-      val rounds = (1 to iters).map { i =>
+      (1 to iters).map { i =>
         s"""sc$i AS (SELECT vec_id, sub, sv, code,
            |    round(list_cosine_similarity(sv, cw), 6) AS score
-           |  FROM subs JOIN cb${i - 1} USING (sub)),
+           |  FROM $trainSubs JOIN cb${i - 1} USING (sub)),
            |a$i AS (SELECT sub, code, sv FROM (
            |  SELECT *, row_number() OVER
            |    (PARTITION BY vec_id, sub ORDER BY score DESC, code) AS rn
@@ -10312,6 +10360,16 @@ object SparkEntry {
            |    ON u$i.sub = cb${i - 1}.sub AND u$i.code = cb${i - 1}.code)"""
           .stripMargin
       }.mkString(",\n")
+    }
+    /** Trained-PQ recall mirror of `Quantize.pqCodebooksTrained` +
+      * `pqAdcTopK` + `Similarity.recallAtK`: `iters` unrolled Lloyd
+      * rounds per subspace ([[pqLloydRoundCtes]]), then the
+      * integer-LUT ADC scan with the trained codebooks, then
+      * recall@`k` against the exact brute-force top-`k` in exact
+      * floor-divided ppm. m = 4 subspaces × 16 codes over 64 dims,
+      * queries = the fixed vec_id < 100 sample. */
+    def pqTrainRecallSql(iters: Int, k: Int): String = {
+      val rounds = pqLloydRoundCtes(iters, "subs")
       s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
          |  FROM embeddings),
          |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
@@ -10368,6 +10426,74 @@ object SparkEntry {
          |FROM ee LEFT JOIN h ON ee.query_id = h.query_id
          |ORDER BY ee.query_id""".stripMargin
     }
+
+    /** Trained-IVFADC mirror of the q_pq_ivfadc chain: coarse
+      * assignment ([[kmeansAssignCtes]]), corpus residuals, `iters`
+      * unrolled Lloyd rounds over the NON-coarse residual subvectors
+      * ([[pqLloydRoundCtes]] on `tsubs` — the Spark side trains on
+      * `res.join(coarseIds, left_anti)`), encode of ALL residuals
+      * against the trained codebooks, then the multi-probe cell-keyed
+      * integer ADC scan with a PER-PROBE query-residual LUT
+      * (⟨q − c, x − c⟩ per probed cell c). */
+    def pqIvfadcSql(iters: Int, k: Int, queryMax: Int): String =
+      s"""WITH ${kmeansAssignCtes(k = 8)},
+         |cells AS MATERIALIZED (SELECT vec_id, cluster_id AS cell FROM a),
+         |res AS MATERIALIZED (SELECT p.vec_id, cell,
+         |    list_transform(list_zip(v, centroid), x -> x[1] - x[2]) AS rv
+         |  FROM p JOIN cells USING (vec_id)
+         |  JOIN c ON c.cluster_id = cells.cell),
+         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv
+         |  FROM (SELECT vec_id, rv FROM res
+         |        WHERE vec_id NOT IN (SELECT vec_id FROM embeddings
+         |                             ORDER BY vec_id LIMIT 8)
+         |        ORDER BY vec_id LIMIT 16)),
+         |ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |cb0 AS MATERIALIZED (SELECT ss.sub, seeds.code,
+         |    seeds.rv[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS cw
+         |  FROM seeds CROSS JOIN ss),
+         |tsubs AS MATERIALIZED (SELECT res.vec_id, ss.sub,
+         |    res.rv[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS sv
+         |  FROM res CROSS JOIN ss
+         |  WHERE res.vec_id NOT IN (SELECT vec_id FROM embeddings
+         |                           ORDER BY vec_id LIMIT 8)),
+         |${pqLloydRoundCtes(iters, "tsubs")},
+         |subs AS (SELECT res.vec_id, ss.sub,
+         |    res.rv[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS sv
+         |  FROM res CROSS JOIN ss),
+         |esc AS (SELECT vec_id, sub, code,
+         |    round(list_cosine_similarity(sv, cw), 6) AS score
+         |  FROM subs JOIN cb$iters USING (sub)),
+         |codes AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id, sub ORDER BY score DESC, code) AS rn
+         |  FROM esc) t WHERE rn = 1),
+         |pr AS (SELECT vec_id AS query_id, cluster_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, cluster_id) AS rn FROM sc) t
+         |  WHERE rn <= 2 AND vec_id < $queryMax),
+         |qr AS (SELECT pr.query_id, pr.cell,
+         |    list_transform(list_zip(p.v, c.centroid), x -> x[1] - x[2]) AS rv
+         |  FROM pr JOIN p ON p.vec_id = pr.query_id
+         |  JOIN c ON c.cluster_id = pr.cell),
+         |qsubs AS (SELECT query_id, cell, ss.sub,
+         |    qr.rv[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS qv
+         |  FROM qr CROSS JOIN ss),
+         |lut AS MATERIALIZED (SELECT query_id, cell, qsubs.sub, cb.code,
+         |    CAST(floor(list_dot_product(qv, cw) * 1000000 + 0.5) AS BIGINT)
+         |      AS lut_u
+         |  FROM qsubs JOIN cb$iters cb ON cb.sub = qsubs.sub),
+         |scored AS (SELECT l.query_id, cd.vec_id AS nbr_id,
+         |    CAST(sum(l.lut_u) AS BIGINT) AS score_u
+         |  FROM codes cd
+         |  JOIN cells cl ON cl.vec_id = cd.vec_id
+         |  JOIN lut l ON l.sub = cd.sub AND l.code = cd.code
+         |    AND l.cell = cl.cell
+         |  WHERE cd.vec_id <> l.query_id GROUP BY 1, 2)
+         |SELECT query_id, nbr_id, score_u, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score_u DESC, nbr_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
     /** Spherical k-means assignment mirror of `KMeans.assign` with
       * `KMeans.initCentroids` seeds (the k lowest vec_ids): CTEs
