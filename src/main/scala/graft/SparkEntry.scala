@@ -283,6 +283,49 @@ object SparkEntry {
       s"ktruss_saved_k4_lt1500_mod4_v1:$fp", dir)(write)
   }
 
+  /** The q_kcore_incr fixture's SAVED decomposition: 4 h-index
+    * rounds (the q_kcore schedule) over the ¾ co-purchase graph,
+    * staged once per data dir — the warm-start query resumes from it
+    * over the full graph with the batch's edge count as the coreness
+    * slack (see KCore.corenessResume's sandwich argument). */
+  private def kcoreSaved(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 1500 && col("l_orderkey") % 4 =!= 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      graft.graph.KCore.corenessHIndex(pairs, "p1", "p2", rounds = 4)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"kcore_saved_r4_lt1500_mod4_v1:$fp", dir)(write)
+  }
+
+  /** The q_kcore_delete fixture's SAVED decomposition: 4 h-index
+    * rounds over the FULL bounded co-purchase graph — the delete
+    * query retracts the mod-5 orders' pairs and resumes with slack 0
+    * (deletes only lower coreness, so the artifact itself is the
+    * upper bound the sandwich needs). */
+  private def kcoreSavedFull(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      graft.graph.KCore.corenessHIndex(pairs, "p1", "p2", rounds = 4)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"kcore_saved_r4_lt1500_full_v1:$fp", dir)(write)
+  }
+
   /** The q_pq_incr fixture's SAVED PQ code table: the ¾ corpus
     * (vec_id % 4 != 0) encoded against codebooks seeded from that
     * same ¾ corpus, staged once per data dir. The codebooks are the
@@ -4728,6 +4771,67 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_kcore_incr" -> ((s, dir) => {
+      // INCREMENTAL coreness maintenance (KCore.corenessResume — the
+      // core family's entry in the saved-index repair matrix): the
+      // SAVED ¾-graph decomposition (kcoreSaved), then the mod-4
+      // orders' co-purchase edges arrive as the batch. The warm
+      // start is min(newDegree, saved + |batch|) — sandwiched
+      // between the new coreness (a fixpoint of the monotone h-index
+      // map) and the degree, so it converges to the exact cold
+      // decomposition; 2 rounds instead of the cold schedule's 4
+      // because the start is already ≈coreness everywhere the batch
+      // didn't touch. Contract is TRAJECTORY-exact like
+      // q_pagerank_incr: the oracle unrolls the saved 4 rounds, the
+      // slack-lifted warm init (slack = the batch's canonical edge
+      // count, a scalar subquery on its side), and the 2 resume
+      // rounds verbatim.
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      def pairsOf(f: DataFrame): DataFrame =
+        f.alias("x").join(f.alias("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      def canon(p: DataFrame): DataFrame =
+        p.select(least(col("p1"), col("p2")).as("u"),
+            greatest(col("p1"), col("p2")).as("v"))
+          .where(col("u") =!= col("v")).distinct()
+      val oldPairs = pairsOf(li.where(col("ok") % 4 =!= 0))
+      val allPairs = pairsOf(li)
+      val slack = canon(allPairs)
+        .join(canon(oldPairs), Seq("u", "v"), "left_anti").count()
+      val saved = s.read.parquet(kcoreSaved(s, dir))
+      graft.graph.KCore.corenessResume(allPairs, "p1", "p2", saved,
+          slack, rounds = 2)
+        .orderBy(col("node_id"))
+    }),
+
+    "q_kcore_delete" -> ((s, dir) => {
+      // coreness maintenance under edge DELETES — the warm start's
+      // retraction twin: deletes only LOWER coreness, so the saved
+      // FULL-graph decomposition is itself the upper bound the
+      // sandwich needs (slack 0) and min(newDegree, saved) seeds the
+      // resume over the graph with the mod-5 orders' pairs retracted
+      // at the pair level. Same trajectory-exact contract.
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      def pairsOf(f: DataFrame): DataFrame =
+        f.alias("x").join(f.alias("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      def canon(p: DataFrame): DataFrame =
+        p.select(least(col("p1"), col("p2")).as("u"),
+            greatest(col("p1"), col("p2")).as("v"))
+          .where(col("u") =!= col("v")).distinct()
+      val kept = canon(pairsOf(li))
+        .join(canon(pairsOf(li.where(col("ok") % 5 === 0))),
+          Seq("u", "v"), "left_anti")
+      val saved = s.read.parquet(kcoreSavedFull(s, dir))
+      graft.graph.KCore.corenessResume(kept, "u", "v", saved,
+          slack = 0L, rounds = 2)
+        .orderBy(col("node_id"))
+    }),
+
     "q_link_predict" -> ((s, dir) => {
       // link prediction over the same bounded co-purchase graph:
       // common-neighbor + Jaccard scores for non-adjacent
@@ -8610,6 +8714,16 @@ object SparkEntry {
     // side's fixed iteration count exactly
     "q_kcore" -> Duck.kcoreSql(rounds = 4),
 
+    // warm-start coreness: 4 unrolled saved rounds on the ¾ graph,
+    // the slack-lifted init, 2 resume rounds on the full graph
+    "q_kcore_incr" -> Duck.kcoreResumeSql(savedRounds = 4,
+      resumeRounds = 2),
+
+    // the delete twin: full-graph artifact, mod-5 pair retraction,
+    // slack 0 (deletes only lower coreness)
+    "q_kcore_delete" -> Duck.kcoreResumeSql(savedRounds = 4,
+      resumeRounds = 2, savedPredicate = "TRUE", deleteMod = Some(5)),
+
     "q_ktruss" -> Duck.ktrussSql(k = 4, rounds = 8),
 
     // EQUIVALENCE gate: the insert repair must reproduce the full
@@ -10020,6 +10134,79 @@ object SparkEntry {
          |$steps
          |SELECT n AS node_id, CAST(val AS BIGINT) AS coreness
          |FROM v$rounds ORDER BY node_id""".stripMargin
+    }
+
+    /** Warm-start coreness mirror of `KCore.corenessResume` over the
+      * staged artifact: `savedRounds` unrolled h-index rounds from
+      * the degree over the `savedPredicate`-filtered co-purchase
+      * graph (replaying the kcoreSaved artifact), then the
+      * slack-lifted warm init min(deg', saved + slack) — slack = the
+      * batch's canonical edge count as a scalar subquery for the
+      * insert shape, 0 for the delete shape (`deleteMod` retracts
+      * the mod-m orders' pairs at the pair level) — then
+      * `resumeRounds` rounds over the new graph. */
+    def kcoreResumeSql(savedRounds: Int, resumeRounds: Int,
+                       savedPredicate: String = "l_orderkey % 4 <> 0",
+                       deleteMod: Option[Int] = None): String = {
+      def hRounds(sym: String, pfx: String, start: String,
+                  n: Int): String =
+        (1 to n).map { k =>
+          val prev = if (k == 1) start else s"${pfx}v${k - 1}"
+          s"""${pfx}v$k AS (SELECT n, max(least(nv, rn)) AS val FROM (
+             |    SELECT s.n, vm.val AS nv,
+             |      row_number() OVER (PARTITION BY s.n
+             |        ORDER BY vm.val DESC, s.m) AS rn
+             |    FROM $sym s JOIN $prev vm ON vm.n = s.m)
+             |  GROUP BY n)""".stripMargin
+        }.mkString(",\n")
+      val newEdges = deleteMod match {
+        case None =>
+          """e AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS u,
+            |    greatest(x.pk, y.pk) AS v
+            |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)"""
+            .stripMargin
+        case Some(m) =>
+          s"""e_all AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+             |    greatest(x.pk, y.pk) AS v
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+             |e_del AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+             |    greatest(x.pk, y.pk) AS v
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             |  WHERE x.ok % $m = 0),
+             |e AS MATERIALIZED (SELECT u, v FROM e_all
+             |  WHERE NOT EXISTS (SELECT 1 FROM e_del d
+             |                    WHERE d.u = e_all.u AND d.v = e_all.v))"""
+            .stripMargin
+      }
+      val slackExpr = deleteMod match {
+        case None =>
+          "(SELECT count(*) FROM e WHERE NOT EXISTS " +
+            "(SELECT 1 FROM eo WHERE eo.u = e.u AND eo.v = e.v))"
+        case Some(_) => "0"
+      }
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey < 1500),
+         |lio AS (SELECT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey < 1500 AND ($savedPredicate)),
+         |eo AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS u,
+         |    greatest(x.pk, y.pk) AS v
+         |  FROM lio x JOIN lio y ON x.ok = y.ok AND x.pk < y.pk),
+         |symo AS (SELECT u AS n, v AS m FROM eo
+         |         UNION ALL SELECT v AS n, u AS m FROM eo),
+         |ov0 AS (SELECT n, CAST(count(*) AS BIGINT) AS val
+         |  FROM symo GROUP BY n),
+         |${hRounds("symo", "o", "ov0", savedRounds)},
+         |$newEdges,
+         |sym AS (SELECT u AS n, v AS m FROM e
+         |        UNION ALL SELECT v AS n, u AS m FROM e),
+         |dg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+         |  FROM sym GROUP BY n),
+         |wv0 AS (SELECT dg.n,
+         |    least(dg.deg, coalesce(sv.val + $slackExpr, dg.deg)) AS val
+         |  FROM dg LEFT JOIN ov$savedRounds sv ON sv.n = dg.n),
+         |${hRounds("sym", "w", "wv0", resumeRounds)}
+         |SELECT n AS node_id, CAST(val AS BIGINT) AS coreness
+         |FROM wv$resumeRounds ORDER BY node_id""".stripMargin
     }
 
     /** Cohen's kappa between documents.lang and the stopword lang-id

@@ -53,8 +53,73 @@ object KCore {
   def corenessHIndex(edges: DataFrame, srcCol: String, dstCol: String,
                      rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    // canonicalize (dedup + drop self-loops), then symmetrize so each
-    // node sees its full neighborhood under one groupBy key
+    val sym = prepSym(edges, srcCol, dstCol)
+    val out = iterate(sym,
+      sym.groupBy(col("n")).agg(count(lit(1)).as("val")), rounds)
+    sym.unpersist()
+    out
+  }
+
+  /** WARM-START coreness — resume the h-index iteration from a SAVED
+    * decomposition after an edge batch: the core family's member of
+    * the saved-index repair matrix (insert AND delete in one
+    * operator, like PageRank's resume).
+    *
+    * Soundness is the MONOTONE-SANDWICH argument, documented here
+    * because it is what makes one warm start cover both directions:
+    * the neighborhood-h-index map H is componentwise monotone
+    * (x ≤ y ⇒ H(x) ≤ H(y)), coreness is its fixed point (Lü et al.
+    * Thm 1), and the cold iteration H^t(deg) descends to coreness.
+    * Any start x with core(G') ≤ x ≤ deg(G') is therefore squeezed:
+    * core = H^t(core) ≤ H^t(x) ≤ H^t(deg) → core, so the warm
+    * iteration converges to the EXACT same decomposition. The start
+    * used is x = min(deg'(n), saved(n) + slack):
+    *   - deg' is always an upper bound of new coreness;
+    *   - inserting one edge raises any node's coreness by AT MOST 1
+    *     (the classic maintenance theorem), so after a batch of b
+    *     inserts, saved + b ≥ core_old + b ≥ core_new — pass
+    *     `slack` = the batch's edge count (an any-round h-index
+    *     artifact works: every round's value is ≥ coreness);
+    *   - deleting edges only LOWERS coreness, so a delete batch
+    *     resumes with `slack` = 0.
+    * Nodes absent from `savedCoreness` (introduced by the batch)
+    * start cold at their degree.
+    *
+    * The gate contract is TRAJECTORY-exact like pageRankResume: a
+    * fixed `rounds` from the staged artifact is replayed verbatim by
+    * the unrolled oracle; the equivalence to the cold decomposition
+    * at convergence is the spec-proven sandwich above. Warm value:
+    * the start is already ≈coreness everywhere the batch didn't
+    * touch, so rounds-to-converge tracks the PERTURBATION, not the
+    * graph's h-index depth.
+    *
+    * @param savedCoreness (node_id, coreness) from a prior
+    *                      [[corenessHIndex]]/[[corenessResume]] run
+    * @param slack         upper bound on coreness GROWTH since the
+    *                      artifact: # inserted edges (0 for deletes) */
+  def corenessResume(edges: DataFrame, srcCol: String, dstCol: String,
+                     savedCoreness: DataFrame, slack: Long,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    val sym = prepSym(edges, srcCol, dstCol)
+    val deg = sym.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val v0 = deg
+      .join(savedCoreness.select(col("node_id").as("n"), col("coreness")),
+        Seq("n"), "left")
+      .select(col("n"),
+        least(col("deg"), coalesce(col("coreness") + slack, col("deg")))
+          .as("val"))
+    val out = iterate(sym, v0, rounds)
+    sym.unpersist()
+    out
+  }
+
+  /** Canonicalize (dedup + drop self-loops) and symmetrize so each
+    * node sees its full neighborhood under one groupBy key; persisted
+    * and materialized once — every round joins against it. */
+  private def prepSym(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
@@ -65,9 +130,19 @@ object KCore {
         struct(col("v").as("n"), col("u").as("m")))).as("p"))
       .select(col("p.n").as("n"), col("p.m").as("m"))
       .persist()
-    sym.count() // materialize once; every round joins against it
-    var (vals, sig) = graft.operators.Converge.checkpointWithSig(
-      sym.groupBy(col("n")).agg(count(lit(1)).as("val")), "n, val")
+    sym.count()
+    sym
+  }
+
+  /** The shared h-index loop from an arbitrary start `v0`
+    * (n, val) — `rounds` rounds with the signature-confirmed early
+    * stop (a round is a pure function of the value table, so an
+    * unchanged table means every remaining round is identity: early
+    * stop EQUALS the full unroll, the weightedDistances discipline). */
+  private def iterate(sym: DataFrame, v0: DataFrame,
+                      rounds: Int): DataFrame = {
+    var (vals, sig) =
+      graft.operators.Converge.checkpointWithSig(v0, "n, val")
     val byNode = Window.partitionBy(col("n"))
       .orderBy(col("nv").desc, col("m"))
     var round = 0
@@ -82,21 +157,15 @@ object KCore {
         .withColumn("rn", row_number().over(byNode).cast("long"))
         .groupBy(col("n"))
         .agg(max(least(col("nv"), col("rn"))).as("val"))
-      // per-round checkpoint as before, with the convergence signature
-      // riding the SAME materializing job (Converge.observe); a round
-      // is a pure function of the value table, so an unchanged table
-      // (signature match, confirmed exactly once at the match) means
-      // every remaining round is identity — early stop EQUALS the
-      // full unroll, the weightedDistances discipline
+      // per-round checkpoint with the convergence signature riding
+      // the SAME materializing job (Converge.observe)
       val (next, nSig) =
         graft.operators.Converge.checkpointWithSig(relaxed, "n, val")
       done = nSig == sig && graft.operators.Converge.sameExact(next, vals)
       sig = nSig
       vals = next
     }
-    val out = vals.select(col("n").as("node_id"), col("val").as("coreness"))
+    vals.select(col("n").as("node_id"), col("val").as("coreness"))
       .localCheckpoint()
-    sym.unpersist()
-    out
   }
 }

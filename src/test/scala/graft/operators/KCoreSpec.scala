@@ -50,4 +50,65 @@ class KCoreSpec extends AnyFunSuite with SparkSpec {
       .orderBy("node_id").as[(Long, Long)].collect().toSeq
     assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
+
+  private def core(edges: Seq[(Long, Long)], rounds: Int = 20) = {
+    import spark.implicits._
+    KCore.corenessHIndex(edges.toDF("a", "b"), "a", "b", rounds)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+  }
+
+  private def resume(edges: Seq[(Long, Long)], saved: Seq[(Long, Long)],
+                     slack: Long, rounds: Int = 20) = {
+    import spark.implicits._
+    KCore.corenessResume(edges.toDF("a", "b"),
+        "a", "b", saved.toDF("node_id", "coreness"), slack, rounds)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+  }
+
+  test("insert resume converges to the cold decomposition (sandwich)") {
+    // old: 4-clique {1..4} + pendant path 4-5-6; batch closes
+    // {4,5,6,7} into a second clique — coreness of 5,6 RISES 1 → 3
+    val clique = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val old = clique ++ Seq((4L, 5L), (5L, 6L))
+    val batch = Seq((4L, 6L), (4L, 7L), (5L, 7L), (6L, 7L))
+    val warm = resume(old ++ batch, core(old), slack = batch.size)
+    assert(warm === core(old ++ batch))
+    // node 7 is batch-new: absent from the artifact, seeds at degree
+    assert(warm.find(_._1 == 7L).map(_._2) === Some(3L))
+  }
+
+  test("delete resume (slack 0) converges to the cold decomposition") {
+    val clique = for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)
+    val old = clique ++ Seq((5L, 6L), (6L, 7L))
+    // retract two clique edges: coreness drops 4 → 3 on the clique
+    val kept = old.filterNot(e => e == (1L, 2L) || e == (3L, 4L))
+    assert(resume(kept, core(old), slack = 0L) === core(kept))
+  }
+
+  test("resume over an unchanged graph from the converged artifact " +
+      "is a fixpoint") {
+    val ring = (1L to 10L).map(i => (i, i % 10 + 1))
+    val saved = core(ring)
+    assert(resume(ring, saved, slack = 0L, rounds = 1) === saved)
+  }
+
+  test("randomized insert and delete batches match the cold peel") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val all = (for {
+        a <- 1L to n; b <- 1L to n
+        if a < b && rnd.nextInt(100) < 18
+      } yield (a, b)).toSeq
+      val (old, batch) = all.partition(_ => rnd.nextInt(100) < 75)
+      if (old.nonEmpty && batch.nonEmpty) {
+        // insert direction: old + batch, slack = |batch|
+        assert(resume(all, core(old), slack = batch.size) === core(all),
+          s"insert trial $trial")
+        // delete direction: all − batch, slack = 0
+        assert(resume(old, core(all), slack = 0L) === core(old),
+          s"delete trial $trial")
+      }
+    }
+  }
 }
