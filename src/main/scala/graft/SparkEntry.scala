@@ -432,6 +432,30 @@ object SparkEntry {
       s"pagerank_saved_i3_mod4_v1:$fp", dir)(write)
   }
 
+  /** The q_hits_incr fixture's SAVED hub/authority table: a 3-round
+    * exact L∞-normalized HITS over the ¾ directed purchase graph
+    * (o_orderkey % 4 != 0), staged once per data dir. A full HITS
+    * round is a pure function of the HUB table, so the resume needs
+    * only the artifact's hub_ppm column. */
+  private def hitsSaved(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val oc = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .where(col("o_orderkey") % 4 =!= 0)
+      val ls = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+      graft.graph.Hits.hits(pairs, "a", "b", iters = 3)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"hits_saved_i3_mod4_v1:$fp", dir)(write)
+  }
+
   /** The q_pagerank_delete fixture's SAVED rank vector: a 3-round
     * exact-ppm PageRank over the FULL purchase graph, staged once per
     * data dir — the delete query then retracts the mod-5 orders'
@@ -1912,6 +1936,28 @@ object SparkEntry {
         .select(concat(lit("c"), col("o_custkey")).as("a"),
           concat(lit("s"), col("l_suppkey")).as("b"))
       graft.graph.Hits.hits(pairs, "a", "b", iters = 3)
+        .transform(graft.operators.Spread.smallSort(_, col("node_id")))
+    }),
+
+    "q_hits_incr" -> ((s, dir) => {
+      // WARM-START HITS (Hits.hitsResume — the hub/authority pair's
+      // entry in the saved-index repair matrix, r16 verdict #4):
+      // resume the exact L∞-normalized integer iteration from the
+      // staged ¾-graph artifact's hub vector for 2 rounds over the
+      // FULL purchase graph; nodes the remaining quarter introduces
+      // seed at the uniform init. Trajectory-exact like
+      // q_pagerank_incr (a round is a pure function of the hub
+      // table; converged warm ≡ converged cold is NOT gateable in
+      // floor arithmetic), so the oracle replays the composition: 3
+      // unrolled rounds over the mod-4 graph, then 2 over the full
+      // graph from that vector.
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+      val saved = s.read.parquet(hitsSaved(s, dir))
+      graft.graph.Hits.hitsResume(pairs, "a", "b", saved, iters = 2)
         .transform(graft.operators.Spread.smallSort(_, col("node_id")))
     }),
 
@@ -6330,6 +6376,10 @@ object SparkEntry {
 
     "q_hits" -> Duck.hitsSql(iters = 3),
 
+    // warm-start HITS: 3 unrolled saved rounds on the mod-4 graph,
+    // then 2 resume rounds on the full graph from that hub vector
+    "q_hits_incr" -> Duck.hitsResumeSql(savedIters = 3, resumeIters = 2),
+
     "q_sssp" -> Duck.ssspSql(hops = 4),
 
     "q_sssp_weighted" -> Duck.ssspWeightedSql(rounds = 3),
@@ -10733,21 +10783,34 @@ object SparkEntry {
       * over the directed customer→supplier purchase graph: per round
       * an auth half-step (sum of in-neighbor hubs, zero-filled,
       * `·SCALE // max`) then the hub half-step symmetrically. */
-    def hitsSql(iters: Int): String = {
-      val rounds = (1 to iters).map { r =>
-        s"""ra$r AS (SELECT p.b AS node, CAST(sum(h${r - 1}.s) AS BIGINT) AS s
-           |  FROM pairs p JOIN h${r - 1} ON h${r - 1}.node = p.a GROUP BY p.b),
-           |za$r AS (SELECT n.node, coalesce(ra$r.s, 0) AS s
-           |  FROM n LEFT JOIN ra$r ON ra$r.node = n.node),
-           |a$r AS (SELECT node, CAST(s * 1000000 // (SELECT max(s) FROM za$r)
-           |    AS BIGINT) AS s FROM za$r),
-           |rh$r AS (SELECT p.a AS node, CAST(sum(a$r.s) AS BIGINT) AS s
-           |  FROM pairs p JOIN a$r ON a$r.node = p.b GROUP BY p.a),
-           |zh$r AS (SELECT n.node, coalesce(rh$r.s, 0) AS s
-           |  FROM n LEFT JOIN rh$r ON rh$r.node = n.node),
-           |h$r AS (SELECT node, CAST(s * 1000000 // (SELECT max(s) FROM zh$r)
-           |    AS BIGINT) AS s FROM zh$r)""".stripMargin
+    /** One HITS auth+hub round per entry — the `hitsSql` unroll body
+      * parameterized over the edge/node CTE names and a prefix so the
+      * resume oracle can run a saved phase and a warm phase in one
+      * query (the pagerankResumeSql discipline). Round r reads
+      * `${pfx}h${r−1}` (or `start` at r = 1) and emits `${pfx}a$r` /
+      * `${pfx}h$r`. */
+    private def hitsRoundCtes(pairs: String, n: String, pfx: String,
+                              start: String, iters: Int): String =
+      (1 to iters).map { r =>
+        val prev = if (r == 1) start else s"${pfx}h${r - 1}"
+        s"""${pfx}ra$r AS (SELECT p.b AS node, CAST(sum($prev.s) AS BIGINT) AS s
+           |  FROM $pairs p JOIN $prev ON $prev.node = p.a GROUP BY p.b),
+           |${pfx}za$r AS MATERIALIZED (SELECT $n.node, coalesce(${pfx}ra$r.s, 0) AS s
+           |  FROM $n LEFT JOIN ${pfx}ra$r ON ${pfx}ra$r.node = $n.node),
+           |${pfx}a$r AS MATERIALIZED (SELECT node,
+           |    CAST(s * 1000000 // (SELECT max(s) FROM ${pfx}za$r)
+           |    AS BIGINT) AS s FROM ${pfx}za$r),
+           |${pfx}rh$r AS (SELECT p.a AS node, CAST(sum(${pfx}a$r.s) AS BIGINT) AS s
+           |  FROM $pairs p JOIN ${pfx}a$r ON ${pfx}a$r.node = p.b GROUP BY p.a),
+           |${pfx}zh$r AS MATERIALIZED (SELECT $n.node, coalesce(${pfx}rh$r.s, 0) AS s
+           |  FROM $n LEFT JOIN ${pfx}rh$r ON ${pfx}rh$r.node = $n.node),
+           |${pfx}h$r AS MATERIALIZED (SELECT node,
+           |    CAST(s * 1000000 // (SELECT max(s) FROM ${pfx}zh$r)
+           |    AS BIGINT) AS s FROM ${pfx}zh$r)""".stripMargin
       }.mkString(",\n")
+
+    def hitsSql(iters: Int): String = {
+      val rounds = hitsRoundCtes("pairs", "n", "", "h0", iters)
       s"""WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
          |    's' || CAST(l_suppkey AS VARCHAR) AS b
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
@@ -10759,6 +10822,40 @@ object SparkEntry {
          |       JOIN a$iters ON a$iters.node = n.node
          |ORDER BY node_id""".stripMargin
     }
+
+    /** Warm-start HITS mirror of `Hits.hitsResume` over the staged
+      * artifact: `savedIters` unrolled rounds from uniform over the
+      * `savedPredicate`-filtered purchase graph (replaying
+      * `hitsSaved`), then `resumeIters` rounds over the FULL graph
+      * from that hub vector, nodes absent from the artifact coalesced
+      * to the uniform init — the exact trajectory the warm start
+      * runs. */
+    def hitsResumeSql(savedIters: Int, resumeIters: Int,
+                      savedPredicate: String = "o_orderkey % 4 <> 0"): String =
+      s"""WITH pairs_old AS MATERIALIZED (SELECT DISTINCT
+         |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE $savedPredicate),
+         |no AS MATERIALIZED (SELECT a AS node FROM pairs_old
+         |       UNION SELECT b AS node FROM pairs_old),
+         |oh0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM no),
+         |${hitsRoundCtes("pairs_old", "no", "o", "oh0", savedIters)},
+         |pairs AS MATERIALIZED (SELECT DISTINCT
+         |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |n AS MATERIALIZED (SELECT a AS node FROM pairs
+         |       UNION SELECT b AS node FROM pairs),
+         |wh0 AS (SELECT n.node,
+         |    CAST(coalesce(oh$savedIters.s, 1000000) AS BIGINT) AS s
+         |  FROM n LEFT JOIN oh$savedIters ON oh$savedIters.node = n.node),
+         |${hitsRoundCtes("pairs", "n", "w", "wh0", resumeIters)}
+         |SELECT n.node AS node_id, wh$resumeIters.s AS hub_ppm,
+         |  wa$resumeIters.s AS auth_ppm
+         |FROM n JOIN wh$resumeIters ON wh$resumeIters.node = n.node
+         |       JOIN wa$resumeIters ON wa$resumeIters.node = n.node
+         |ORDER BY node_id""".stripMargin
 
     /** Shared SemDeDup verdict tail over any assignment CTE chain
       * ending in `a(vec_id, cluster_id, …)` with corpus vectors in

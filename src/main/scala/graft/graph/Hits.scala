@@ -51,14 +51,52 @@ object Hits {
     *         is a pure function of the hub table) */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1: $iters")
+    val (e, nodes) = prep(edges, srcCol, dstCol)
+    iterate(e, nodes, nodes.select(col("node"), lit(Scale).as("hub")),
+      iters)
+  }
+
+  /** WARM-START HITS — resume the exact L∞-normalized iteration from
+    * a SAVED hub vector for `iters` more rounds over the (possibly
+    * changed) edge table: [[PageRank.pageRankResume]]'s discipline at
+    * the hub/authority pair. A full round is a pure function of the
+    * HUB table (auth_k = f(hub_{k−1}), hub_k = g(auth_k)), so saving
+    * only the hub column suffices and the trajectory identity
+    * resume(g, hits(g, i), j) = hits(g, i+j) holds verbatim on an
+    * unchanged graph — the spec-proven contract, and what makes the
+    * staged-artifact oracle replayable as one longer unroll. Nodes
+    * the batch introduces (absent from `savedHubs`) seed at the
+    * uniform init SCALE, exactly as a cold start would. Equality of
+    * CONVERGED warm and cold runs after a batch is deliberately NOT
+    * the contract: the floor-normalized integer map admits adjacent
+    * fixpoints exactly like PageRank's ppm arithmetic.
+    *
+    * @param savedHubs (node_id, hub_ppm, …) from a prior [[hits]] run */
+  def hitsResume(edges: DataFrame, srcCol: String, dstCol: String,
+                 savedHubs: DataFrame, iters: Int): DataFrame = {
+    val (e, nodes) = prep(edges, srcCol, dstCol)
+    val hub0 = nodes
+      .join(savedHubs.select(col("node_id").as("node"), col("hub_ppm")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub_ppm"), lit(Scale)).as("hub"))
+    iterate(e, nodes, hub0, iters)
+  }
+
+  private def prep(edges: DataFrame, srcCol: String,
+                   dstCol: String): (DataFrame, DataFrame) = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist()
     e.count() // materialize before the per-round joins fan out
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().persist()
+    (e, nodes)
+  }
 
+  /** The shared iteration: `iters` exact rounds from `hub0`. */
+  private def iterate(e: DataFrame, nodes: DataFrame, hub0: DataFrame,
+                      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
     // score·SCALE div max(score), with max attached as a broadcast
     // 1-row frame (scores are non-negative; an all-zero frame would
     // mean an empty edge set, excluded by construction). The multiply
@@ -72,7 +110,7 @@ object Hits {
             .as(c))
     }
 
-    var hub = nodes.select(col("node"), lit(Scale).as("hub"))
+    var hub = hub0
     var auth: DataFrame = null
     // hub signature from the previous round: a full round is a pure
     // function of the hub table (auth_k = f(hub_k-1), hub_k =

@@ -58,4 +58,38 @@ class HitsSpec extends SparkSpec {
     assert(got.map(_._3).max === Hits.Scale)
     spark.catalog.clearCache()
   }
+
+  test("trajectory identity: resume(g, hits(g, i), j) = hits(g, i+j)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val edges = (0 until 90)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+    val saved = Hits.hits(edges, "src", "dst", iters = 2)
+    val warm = Hits.hitsResume(edges, "src", "dst", saved, iters = 2)
+      .orderBy("node_id").collect().toSeq
+    val cold = Hits.hits(edges, "src", "dst", iters = 4)
+      .orderBy("node_id").collect().toSeq
+    assert(warm === cold)
+    spark.catalog.clearCache()
+  }
+
+  test("resume seeds batch-new nodes at SCALE (cold init)") {
+    import spark.implicits._
+    val old = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val saved = Hits.hits(old, "src", "dst", iters = 2)
+    // node 9 only exists in the grown graph — its hub seed must be
+    // the uniform SCALE, i.e. the result equals resuming from the
+    // saved vector explicitly extended with (9, SCALE)
+    val grown = Seq((1L, 2L), (2L, 3L), (9L, 2L)).toDF("src", "dst")
+    val warm = Hits.hitsResume(grown, "src", "dst", saved, iters = 1)
+      .orderBy("node_id").collect().toSeq
+    val extended = saved.select(col("node_id"), col("hub_ppm"))
+      .unionByName(Seq((9L, Hits.Scale)).toDF("node_id", "hub_ppm"))
+    val want = Hits.hitsResume(grown, "src", "dst",
+        extended, iters = 1)
+      .orderBy("node_id").collect().toSeq
+    assert(warm === want)
+    spark.catalog.clearCache()
+  }
 }
