@@ -456,6 +456,24 @@ object SparkEntry {
       s"hits_saved_i3_mod4_v1:$fp", dir)(write)
   }
 
+  /** The q_communities_incr fixture's SAVED labeling: a 3-round
+    * deterministic synchronous LPA over the ¾ undirected purchase
+    * graph (o_orderkey % 4 != 0), staged once per data dir — the
+    * warm-start query resumes from it over the full graph. */
+  private def lpaSaved(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val pairs = purchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .where(col("o_orderkey") % 4 =!= 0))
+      graft.graph.LabelProp.propagate(pairs, "a", "b", iters = 3)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"lpa_saved_i3_mod4_v1:$fp", dir)(write)
+  }
+
   /** The q_pagerank_delete fixture's SAVED rank vector: a 3-round
     * exact-ppm PageRank over the FULL purchase graph, staged once per
     * data dir — the delete query then retracts the mod-5 orders'
@@ -4535,6 +4553,25 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_communities_incr" -> ((s, dir) => {
+      // WARM-START communities (LabelProp.resume — the community
+      // family's entry in the saved-index repair matrix, r16 verdict
+      // #7): resume the deterministic synchronous LPA from the
+      // staged ¾-graph labeling (lpaSaved) for 2 rounds over the
+      // FULL purchase graph; nodes the remaining quarter introduces
+      // seed at their own id. Contract is TRAJECTORY-exact (LPA's
+      // argmax map from different starts may settle in different,
+      // both-valid labelings — the adjacent-fixpoint caveat in
+      // community form), so the oracle replays the composition: 3
+      // unrolled rounds over the mod-4 graph, then 2 over the full
+      // graph from that labeling.
+      val edges = purchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+      val saved = s.read.parquet(lpaSaved(s, dir))
+      graft.graph.LabelProp.resume(edges, "a", "b", saved, iters = 2)
+        .orderBy(col("node_id"))
+    }),
+
     "q_ppr" -> ((s, dir) => {
       // personalized PageRank: restart mass pinned to the %100
       // customer seed set over the same purchase graph — rank
@@ -8436,6 +8473,11 @@ object SparkEntry {
         |  WHERE rn = 1)
         |SELECT node AS node_id, label FROM l3 ORDER BY node_id""".stripMargin,
 
+    // warm-start LPA: 3 unrolled saved rounds on the mod-4 graph,
+    // then 2 resume rounds on the full graph from that labeling
+    "q_communities_incr" -> Duck.lpaResumeSql(savedIters = 3,
+      resumeIters = 2),
+
     // mirrors PageRank.personalizedPageRank: 3 unrolled rounds, seed-
     // pinned restart base, same ppm floor arithmetic as q_pagerank
     "q_ppr" ->
@@ -10855,6 +10897,57 @@ object SparkEntry {
          |  wa$resumeIters.s AS auth_ppm
          |FROM n JOIN wh$resumeIters ON wh$resumeIters.node = n.node
          |       JOIN wa$resumeIters ON wa$resumeIters.node = n.node
+         |ORDER BY node_id""".stripMargin
+
+    /** One synchronous LPA round per entry — q_communities' unroll
+      * body parameterized over the (symmetrized) edge CTE name and a
+      * prefix: votes = in-neighbor labels + the self-vote, argmax
+      * (count desc, label asc). Round r reads `${pfx}l${r−1}` (or
+      * `start` at r = 1) and emits `${pfx}l$r`. */
+    private def lpaRoundCtes(e: String, pfx: String, start: String,
+                             iters: Int): String =
+      (1 to iters).map { r =>
+        val prev = if (r == 1) start else s"${pfx}l${r - 1}"
+        s"""${pfx}v$r AS (SELECT $e.dst AS node, l.label
+           |  FROM $e JOIN $prev l ON $e.src = l.node
+           |  UNION ALL SELECT node, label FROM $prev),
+           |${pfx}c$r AS (SELECT node, label, count(*) AS cnt
+           |  FROM ${pfx}v$r GROUP BY node, label),
+           |${pfx}l$r AS MATERIALIZED (SELECT node, label FROM (
+           |  SELECT node, label, row_number() OVER
+           |    (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+           |  FROM ${pfx}c$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+
+    /** Warm-start LPA mirror of `LabelProp.resume` over the staged
+      * artifact: `savedIters` unrolled rounds from own-id labels over
+      * the `savedPredicate`-filtered purchase graph (replaying
+      * `lpaSaved`), then `resumeIters` rounds over the FULL graph
+      * from that labeling, nodes absent from the artifact coalesced
+      * to their own id. */
+    def lpaResumeSql(savedIters: Int, resumeIters: Int,
+                     savedPredicate: String = "o_orderkey % 4 <> 0"): String =
+      s"""WITH pairs_old AS MATERIALIZED (SELECT DISTINCT
+         |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE $savedPredicate),
+         |eo AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs_old
+         |      UNION ALL SELECT b AS src, a AS dst FROM pairs_old),
+         |no AS (SELECT DISTINCT src AS node FROM eo),
+         |ol0 AS (SELECT node, node AS label FROM no),
+         |${lpaRoundCtes("eo", "o", "ol0", savedIters)},
+         |pairs AS MATERIALIZED (SELECT DISTINCT
+         |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+         |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |wl0 AS (SELECT n.node, coalesce(sv.label, n.node) AS label
+         |  FROM n LEFT JOIN ol$savedIters sv ON sv.node = n.node),
+         |${lpaRoundCtes("e", "w", "wl0", resumeIters)}
+         |SELECT node AS node_id, label FROM wl$resumeIters
          |ORDER BY node_id""".stripMargin
 
     /** Shared SemDeDup verdict tail over any assignment CTE chain

@@ -44,7 +44,34 @@ object LabelProp {
     * @return (node_id, label): the community label after `iters`
     *         rounds; isolated label-sinks keep their own id */
   def propagate(edges: DataFrame, srcCol: String, dstCol: String,
-                iters: Int, includeSelf: Boolean = true): DataFrame = {
+                iters: Int, includeSelf: Boolean = true): DataFrame =
+    run(edges, srcCol, dstCol, None, iters, includeSelf)
+
+  /** WARM-START LPA — resume the synchronous propagation from a
+    * SAVED labeling after an edge batch: the community family's
+    * member of the saved-index repair matrix. A synchronous round is
+    * a pure function of the label table, so the trajectory identity
+    * resume(g, propagate(g, i), j) = propagate(g, i+j) holds verbatim
+    * on an unchanged graph (the spec-proven contract, replayable by
+    * the oracle as one longer unroll). Nodes the batch introduces
+    * (absent from `savedLabels`) seed at their own id, exactly as a
+    * cold start would. The contract is TRAJECTORY-exact, not
+    * converged-equivalence: LPA's argmax map from two different
+    * starts may legitimately settle in different (both valid)
+    * labelings — the PageRank adjacent-fixpoint caveat in community
+    * form — so what a pipeline relies on is that resuming from the
+    * converged artifact re-stabilizes in rounds tracking the BATCH's
+    * perturbation, not the graph's mixing time.
+    *
+    * @param savedLabels (node_id, label) from a prior run */
+  def resume(edges: DataFrame, srcCol: String, dstCol: String,
+             savedLabels: DataFrame, iters: Int,
+             includeSelf: Boolean = true): DataFrame =
+    run(edges, srcCol, dstCol, Some(savedLabels), iters, includeSelf)
+
+  private def run(edges: DataFrame, srcCol: String, dstCol: String,
+                  saved: Option[DataFrame], iters: Int,
+                  includeSelf: Boolean): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e0.select(col("src").as("node"))
@@ -61,7 +88,14 @@ object LabelProp {
           col("node").as("dst")))
       else e0).persist()
     e.count()
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    var labels = saved match {
+      case None => nodes.select(col("node"), col("node").as("label"))
+      case Some(sv) => nodes
+        .join(sv.select(col("node_id").as("node"), col("label")),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("label"), col("node")).as("label"))
+    }
     // One synchronous round as a pure function of the label table —
     // each round references `labels` exactly ONCE (the join), so a
     // short lazy chain of rounds cannot blow up the way the

@@ -116,4 +116,38 @@ class LabelPropSpec extends SparkSpec {
       }
     }
   }
+
+  test("trajectory identity: resume(g, propagate(g, i), j) = " +
+      "propagate(g, i+j)") {
+    val rnd = new scala.util.Random(99)
+    val pairs = (1 to 30).map { _ =>
+      (s"n${rnd.nextInt(12)}", s"n${rnd.nextInt(12)}")
+    }.filter { case (a, b) => a != b }.distinct
+    val edges = sym(pairs: _*).toDF("src", "dst")
+    for (includeSelf <- Seq(true, false)) {
+      val saved = LabelProp.propagate(edges, "src", "dst", iters = 2,
+        includeSelf = includeSelf)
+      val warm = LabelProp.resume(edges, "src", "dst", saved, iters = 2,
+          includeSelf = includeSelf)
+        .orderBy("node_id").as[(String, String)].collect().toSeq
+      val cold = LabelProp.propagate(edges, "src", "dst", iters = 4,
+          includeSelf = includeSelf)
+        .orderBy("node_id").as[(String, String)].collect().toSeq
+      assert(warm === cold, s"includeSelf=$includeSelf")
+    }
+  }
+
+  test("resume seeds batch-new nodes at their own id") {
+    val old = sym(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val saved = LabelProp.propagate(old, "src", "dst", iters = 3)
+    // grown graph adds an isolated-from-the-artifact pair (p, q):
+    // their first warm round must behave exactly like a cold start's
+    val grown = sym(("a", "b"), ("b", "c"), ("a", "c"), ("p", "q"))
+      .toDF("src", "dst")
+    val warm = LabelProp.resume(grown, "src", "dst", saved, iters = 2)
+      .orderBy("node_id").as[(String, String)].collect().toMap
+    assert(warm("p") === "p" && warm("q") === "p")
+    // and the artifact's community is undisturbed
+    assert(Seq("a", "b", "c").map(warm) === Seq("a", "a", "a"))
+  }
 }
