@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Ad-hoc adjudication probes for BASELINE.md — configurations the
   * gate queries deliberately do NOT run (production constants, path
@@ -95,7 +96,7 @@ object MicroBench {
     val e = SparkEntry.t(spark, dir, "embeddings")
     val qs = e.where(col("vec_id") % 50 === 0)
     val exact = Similarity
-      .bruteForceKnn(e, qs, "vec_id", "embedding", k = 3).localCheckpoint()
+      .bruteForceKnn(e, qs, "vec_id", "embedding", k = 3).sanitizedCheckpoint()
     for (iters <- Seq(0, 1, 2, 4)) {
       val t0 = System.nanoTime()
       val cb = Quantize.pqCodebooksTrained(e, "vec_id", "embedding",
@@ -129,7 +130,7 @@ object MicroBench {
     val orders = SparkEntry.t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val full = SparkEntry.purchaseEdgesFrom(spark, dir, orders)
-      .localCheckpoint()
+      .sanitizedCheckpoint()
     val old = SparkEntry.purchaseEdgesFrom(spark, dir,
       orders.where(col("o_orderkey") % 4 =!= 0))
     val saved = PageRank.pageRank(old, "a", "b", iters = 8)
@@ -185,7 +186,7 @@ object MicroBench {
       .select(col("doc_id"), col("text"))
     for ((name, docs) <- Seq("fixture" -> fixture, "rich" -> rich)) {
       val d = graft.operators.Spread.ensure(
-        docs.select(col("doc_id"), col("text"))).localCheckpoint()
+        docs.select(col("doc_id"), col("text"))).sanitizedCheckpoint()
       val nTypes = d.select(explode(words(col("text"))).as("w"))
         .agg(countDistinct(col("w"))).head().getLong(0)
       println(s"[micro] $name: ${d.count()} docs, $nTypes word types")
@@ -210,7 +211,7 @@ object MicroBench {
       // types, not occurrences, is what the munch prices
       val types = d.select(explode(words(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .sanitizedCheckpoint()
       val cand = types
         .withColumn("i", explode(expr("sequence(1, length(word))")))
         .withColumn("l", explode(expr(
@@ -219,7 +220,7 @@ object MicroBench {
           "CASE WHEN i = 1 THEN substring(word, i, l) " +
             "ELSE '##' || substring(word, i, l) END"))
         .groupBy(col("piece")).agg(sum(col("n")).as("c"))
-        .localCheckpoint()
+        .sanitizedCheckpoint()
       val singles = cand.where(length(regexp_replace(col("piece"),
           lit("^##"), lit(""))) === 1)
         .select(col("piece")).collect().map(_.getString(0)).toSeq

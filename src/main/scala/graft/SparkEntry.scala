@@ -8,6 +8,7 @@ import graft.dedup.Dedup
 import graft.functions.TextFunctions
 import graft.operators.{Flatten, Merge, NestedColumns, SchemaOps, Windows}
 import graft.similarity.Similarity
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql`.
@@ -5021,7 +5022,7 @@ object SparkEntry {
             col("text")))
         .select(col("source"), col("lang"),
           tokenCount(col("text")).cast("long").as("tk"))
-        .localCheckpoint()
+        .sanitizedCheckpoint()
       graft.validate.Balance.giniPpm(docs, col("source"), col("tk"))
         .select(lit("source").as("dimension"), col("n_domains"),
           col("total"), col("gini_ppm"))

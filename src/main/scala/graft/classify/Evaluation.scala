@@ -2,6 +2,7 @@ package graft.classify
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Classifier evaluation in exact ppm fixed point: per-class
   * precision / recall / F1 from a scored (label, prediction) frame —
@@ -25,7 +26,7 @@ object Evaluation {
     val cells = df.select(label.as("l"), pred.as("p"))
       .where(col("l").isNotNull && col("p").isNotNull)
       .groupBy(col("l"), col("p")).agg(count(lit(1)).as("c"))
-      .localCheckpoint() // |classes|² cells; everything below is tiny
+      .sanitizedCheckpoint() // |classes|² cells; everything below is tiny
     val classes = cells.select(col("l").as("clazz"))
       .unionByName(cells.select(col("p").as("clazz"))).distinct()
     val byTrue = cells.groupBy(col("l").as("clazz"))

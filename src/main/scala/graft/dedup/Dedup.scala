@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.operators.Spread
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Document deduplication operators for training-data pipelines:
   * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
@@ -531,7 +532,7 @@ object Dedup {
     // executor-local checkpoints (fast, fine for single-JVM runs).
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else df.sanitizedCheckpoint()
 
     // ONE materialization of the (possibly expensive) pairs lineage;
     // edge list and node universe both read the checkpoint. Canonical

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Inter-annotator agreement for label-curation pipelines: when two
   * labelers (human raters, heuristic labeling functions, model
@@ -43,7 +44,7 @@ object Agreement {
     // die here against checkpointed attributes nothing can push past.
     val pairs = df.select(a.as("la"), b.as("lb"))
       .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .sanitizedCheckpoint()
       .where(col("la").isNotNull && col("lb").isNotNull)
     // contingency margins: row sums per a-label × column sums per
     // b-label give pe; the diagonal gives po. Everything below is

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Distributed byte-pair-encoding tokenizer training — the
   * vocabulary-learning step of an LLM data pipeline, run over the
@@ -68,7 +69,7 @@ object Bpe {
   def train(types0: DataFrame, numMerges: Int): BpeModel = {
     require(numMerges >= 1, "numMerges must be at least 1")
     var cur = types0.select(col("word"), col("n"), col("s"))
-      .localCheckpoint()
+      .sanitizedCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var r = 1
@@ -89,7 +90,7 @@ object Bpe {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, a, b, cnt))
         cur = cur.select(col("word"), col("n"),
-          foldMerge(col("s"), a, b).as("s")).localCheckpoint()
+          foldMerge(col("s"), a, b).as("s")).sanitizedCheckpoint()
         r += 1
       }
     }

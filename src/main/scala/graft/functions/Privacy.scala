@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Privacy transforms for training-data preparation, complementing
   * pattern-based removal (`TextFunctions.redactPii`): keyed
@@ -118,7 +119,7 @@ object Privacy {
       val n = hit.count()
       keys = lvl.nextKeyCol match {
         case Some(nk) => hit.select(col(nk).as("__k")).distinct()
-          .localCheckpoint() // sever before the parent cache releases
+          .sanitizedCheckpoint() // sever before the parent cache releases
         case None => keys
       }
       hit.unpersist(blocking = false)

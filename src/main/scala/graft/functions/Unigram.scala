@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Distributed unigram-LM (SentencePiece-style) tokenizer training —
   * the second of the two real-world subword trainers ([[Bpe]] is the
@@ -132,7 +133,7 @@ object Unigram {
             seedSize: Int = 4000): UnigramModel = {
     require(vocabSize >= 1 && rounds >= 1)
     val spark = types.sparkSession
-    val typesCk = types.select(col("word"), col("n")).localCheckpoint()
+    val typesCk = types.select(col("word"), col("n")).sanitizedCheckpoint()
     val seed = seedVocab(typesCk, maxPieceLen, seedSize)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       .sortBy(_._1)

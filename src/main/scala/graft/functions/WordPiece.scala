@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Distributed WordPiece tokenizer training — the third member of the
   * tokenizer triad next to [[Bpe]] (frequency-scored merges) and
@@ -68,7 +69,7 @@ object WordPiece {
   def train(types0: DataFrame, numMerges: Int): WordPieceModel = {
     require(numMerges >= 1, "numMerges must be at least 1")
     var cur = types0.select(col("word"), col("n"), col("s"))
-      .localCheckpoint()
+      .sanitizedCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long)]
     var r = 1
@@ -101,7 +102,7 @@ object WordPiece {
         merges += ((r, a, b, row.getAs[Long]("cnt"),
           row.getAs[Long]("score_pico")))
         cur = cur.select(col("word"), col("n"),
-          foldMergeTo(col("s"), a, b, merged).as("s")).localCheckpoint()
+          foldMergeTo(col("s"), a, b, merged).as("s")).sanitizedCheckpoint()
         r += 1
       }
     }

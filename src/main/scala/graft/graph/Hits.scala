@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** HITS hubs & authorities over a DIRECTED edge table, in exact
   * fixed-point arithmetic — the link-analysis companion to
@@ -128,7 +129,7 @@ object Hits {
       auth = lInfNorm(
         nodes.join(rawAuth, Seq("node"), "left_outer")
           .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth")),
-        "auth").localCheckpoint()
+        "auth").sanitizedCheckpoint()
       val rawHub = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
         .withColumnRenamed("src", "node")

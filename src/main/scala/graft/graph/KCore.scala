@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Coreness (k-core decomposition) via iterated neighborhood
   * h-indices — the distributed-friendly formulation of Lü et al.,
@@ -166,6 +167,6 @@ object KCore {
       vals = next
     }
     vals.select(col("n").as("node_id"), col("val").as("coreness"))
-      .localCheckpoint()
+      .sanitizedCheckpoint()
   }
 }

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** PageRank over an edge table, in EXACT fixed-point arithmetic.
   *
@@ -181,7 +182,7 @@ object PageRank {
         .select(col("node"), (base + damped).as("pr_ppm"))
     }
     pr.select(col("node").as("node_id"), col("pr_ppm"))
-      .localCheckpoint()
+      .sanitizedCheckpoint()
   }
 
   /** Personalized PageRank: restart mass flows to a SEED set instead
@@ -231,7 +232,7 @@ object PageRank {
             .as("pr_ppm"))
     }
     val out = pr.select(col("node").as("node_id"), col("pr_ppm"))
-      .localCheckpoint()
+      .sanitizedCheckpoint()
     ed.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out

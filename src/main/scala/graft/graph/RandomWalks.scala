@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Deterministic random-walk corpus generation — the DeepWalk /
   * node2vec front end: emit `walksPerNode` walks of `len` steps from
@@ -40,7 +41,7 @@ object RandomWalks {
         .as("w"))
       .select(concat(col("node"), lit("#"), col("w")).as("walk_id"),
         col("node").as("cur"))
-      .localCheckpoint()
+      .sanitizedCheckpoint()
     val positions = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     positions += frontier.select(col("walk_id"), lit(0).as("step"),
       col("cur").as("node"))
@@ -52,7 +53,7 @@ object RandomWalks {
             lit(s":$t:"), col("dst"))).as("h"))
       frontier = cand.groupBy(col("walk_id"))
         .agg(min_by(col("dst"), struct(col("h"), col("dst"))).as("cur"))
-        .localCheckpoint()
+        .sanitizedCheckpoint()
       positions += frontier.select(col("walk_id"), lit(t).as("step"),
         col("cur").as("node"))
     }

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Strongly connected components of a DIRECTED graph via iterative
   * coloring (the Orzan/FB-coloring family — the published scalable
@@ -61,7 +62,7 @@ object Scc {
     val e0 = eRaw.where(col("src") =!= col("dst")).distinct().persist()
     e0.count()
 
-    var active = allNodes.localCheckpoint()
+    var active = allNodes.sanitizedCheckpoint()
     var nActive = active.count()
     var parts = List.empty[DataFrame]
     var outer = 0
@@ -166,7 +167,7 @@ object Scc {
         col("color").as("scc_id"))
       val nextActive = active
         .join(marked.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint()
+        .sanitizedCheckpoint()
       ea.unpersist(blocking = false)
       eColored.unpersist(blocking = false)
       active = nextActive

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Multi-source BFS distances (unweighted single/multi-source
   * shortest paths) — the frontier-expansion member of the iterative
@@ -312,7 +313,7 @@ object Sssp {
       // one hop outward from the frontier only
       dist = dist.unionByName(frontier)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .sanitizedCheckpoint()
       val cand = frontier.join(e, "node")
         .select(col("nxt").as("node"), (col("dist") + lit(1L)).as("dist"))
         .where(col("dist") <= maxHops)
@@ -414,13 +415,13 @@ object Sssp {
         graft.operators.Converge.checkpointWithSig(tight, "node, dist")
       frontA = next
       nFrontA = n
-      if (n > 0) marked = marked.unionByName(frontA).localCheckpoint()
+      if (n > 0) marked = marked.unionByName(frontA).sanitizedCheckpoint()
     }
     val markedIds = marked.select(col("node"))
     // 2. RETRACT: the unaffected remainder is exact for the pruned
     // graph (sources are never marked, so the seed set survives)
     val keep = dist0.join(markedIds, Seq("node"), "left_anti")
-      .localCheckpoint()
+      .sanitizedCheckpoint()
     // 3. RE-DERIVE: seed the repair from the unaffected boundary,
     // then min-relax within the marked region only
     val seedB = keep.join(e, Seq("node"))
@@ -453,7 +454,7 @@ object Sssp {
       if (n > 0)
         best = best.unionByName(front)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-          .localCheckpoint()
+          .sanitizedCheckpoint()
     }
     val out = keep.unionByName(best)
       .select(col("node").as("node_id"), col("dist"))
@@ -557,12 +558,12 @@ object Sssp {
           graft.operators.Converge.checkpointWithSig(tight, "node, dist")
         frontA = next
         nFrontA = n
-        if (n > 0) marked = marked.unionByName(frontA).localCheckpoint()
+        if (n > 0) marked = marked.unionByName(frontA).sanitizedCheckpoint()
       }
       val markedIds = marked.select(col("node"))
       // 2. RETRACT: the unaffected remainder is exact for the pruned graph
       val keep = dist0.join(markedIds, Seq("node"), "left_anti")
-        .localCheckpoint()
+        .sanitizedCheckpoint()
       // 3. RE-DERIVE: min-relax the marked region from the unaffected
       // boundary over the pruned graph, to the empty-frontier fixpoint
       val seedB = keep.join(e, Seq("node"))
@@ -593,7 +594,7 @@ object Sssp {
         if (n > 0)
           best = best.unionByName(front)
             .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-            .localCheckpoint()
+            .sanitizedCheckpoint()
       }
       keep.unionByName(best)
         .select(col("node").as("node_id"), col("dist"))
@@ -664,7 +665,7 @@ object Sssp {
       // one step outward from the improved region only
       dist = dist.unionByName(frontier)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .sanitizedCheckpoint()
       val cand = frontier.join(e, "node")
         .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))

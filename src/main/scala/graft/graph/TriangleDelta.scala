@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Incremental triangle maintenance: when a batch of edges lands on
   * an existing graph, recounting every triangle (q_triangles) pays
@@ -64,7 +65,7 @@ object TriangleDelta {
     val out = triples.select(explode(col("t")).as("node_id"))
       .groupBy(col("node_id"))
       .agg(count(lit(1)).as("delta_triangles"))
-      .localCheckpoint()
+      .sanitizedCheckpoint()
     oldC.unpersist(blocking = false)
     full.unpersist(blocking = false)
     out
@@ -111,7 +112,7 @@ object TriangleDelta {
     val out = triples.select(explode(col("t")).as("node_id"))
       .groupBy(col("node_id"))
       .agg(count(lit(1)).as("delta_triangles"))
-      .localCheckpoint()
+      .sanitizedCheckpoint()
     oldC.unpersist(blocking = false)
     out
   }

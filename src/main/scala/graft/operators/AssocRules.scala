@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Pairwise market-basket association rules — support, confidence,
   * lift — in exact ppm integer arithmetic.
@@ -74,7 +75,7 @@ object AssocRules {
     val oversized = raw.groupBy(col("ok"))
       .agg(count(lit(1)).as("n_items"))
       .where(col("n_items") > maxBasketSize)
-      .localCheckpoint()
+      .sanitizedCheckpoint()
     val quarantine = oversized
       .select(col("ok").as("basket"), col("n_items"),
         lit("basket_exceeds_max_size").as("reason"))

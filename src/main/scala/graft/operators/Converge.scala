@@ -85,6 +85,25 @@ object Converge {
     (ck, (row.getAs[Long]("n"), row.getAs[Long]("h")))
   }
 
+  /** The house checkpoint form — `df.sanitizedCheckpoint()` is an
+    * eager localCheckpoint routed through the stats sanitizer
+    * ([[org.apache.spark.sql.execution.GraftCheckpointStats]]).
+    * Bare `.localCheckpoint()` is BANNED outside this file
+    * (CheckpointConventionSpec greps for it): a single-join loop
+    * over a bare checkpoint only grows the inherited sizeInBytes
+    * linearly (harmless), but the next multiplicative loop someone
+    * writes over that frame re-arms the r16 BigInteger stats bomb —
+    * the convention makes every checkpoint in the repo immune
+    * instead of auditing loop shapes. Frames with sane estimates
+    * pass through byte-identical, so adopting the form changes no
+    * plan and no hash. */
+  implicit class SanitizedCheckpoint(private val df: DataFrame)
+      extends AnyVal {
+    def sanitizedCheckpoint(): DataFrame =
+      org.apache.spark.sql.execution.GraftCheckpointStats
+        .sanitize(df.localCheckpoint())
+  }
+
   /** Exact multiset-equality confirmation for two same-schema frames —
     * the "certainty at the match" step
     * ([[graft.dedup.Dedup.duplicateClusters]]'s pattern) run once per

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Ancestor closure of a parent-pointer hierarchy — the `WITH
   * RECURSIVE` query Spark SQL doesn't have, shaped for scale: org
@@ -33,7 +34,7 @@ object Hierarchy {
                       parentCol: String, maxRounds: Int = 40): DataFrame = {
     var reach = edges.select(col(childCol).as("node"),
         col(parentCol).as("anc"), lit(1L).as("depth"))
-      .localCheckpoint()
+      .sanitizedCheckpoint()
     var n = reach.count()
     var converged = false
     var round = 0
@@ -46,7 +47,7 @@ object Hierarchy {
       val next = reach.unionByName(stepped)
         .groupBy(col("node"), col("anc"))
         .agg(min(col("depth")).as("depth"))
-        .localCheckpoint()
+        .sanitizedCheckpoint()
       val m = next.count()
       converged = m == n
       n = m

@@ -9,6 +9,7 @@ import graft.classify.Classifier
 import graft.control.Control.{JobResult, JobSpec, RunLog, RunLogEntry}
 import graft.operators.{Flatten, Merge, SchemaOps}
 import graft.sources.{PagedSource, Sources}
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** End-to-end pipelines (SURVEY §3): the reference's flagship
   * metadata-driven API ingestion (§3.1), re-expressed as in-process
@@ -185,7 +186,7 @@ object Pipelines {
         // exactly once — without this the status join below would
         // re-execute every copy a second time (copies stay idempotent
         // via overwrite=true for task retries/speculation)
-        .localCheckpoint()
+        .sanitizedCheckpoint()
       val nCopied = copied.count()
 
       // 6. status upsert + overwrite the control table (stage+rename)

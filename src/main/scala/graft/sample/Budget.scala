@@ -2,6 +2,7 @@ package graft.sample
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Token-budget mixture planning: given per-domain token counts, a
   * target mixture, and a total token budget, compute how many tokens
@@ -63,7 +64,7 @@ object Budget {
       .select(domainCol.as("domain"), tokens.as("tk"))
       .groupBy(col("domain")).agg(sum(col("tk")).as("tokens"))
       .where(col("tokens") > 0)
-      .localCheckpoint() // tiny plan table, re-read every round
+      .sanitizedCheckpoint() // tiny plan table, re-read every round
     val perDomain = sized
       .join(broadcast(targets.toDF("domain", "target_ppm")), Seq("domain"))
     val budget = perDomain
@@ -72,7 +73,7 @@ object Budget {
       .crossJoin(sized.agg(sum(col("tokens")).as("tt")))
       .select(col("domain"), col("tokens"), col("target_ppm"),
         expr(s"(tt * $budgetPpmOfTotal) div 1000000").as("budget"))
-    var alloc = budget.withColumn("alloc", lit(0L)).localCheckpoint()
+    var alloc = budget.withColumn("alloc", lit(0L)).sanitizedCheckpoint()
     for (round <- 1 to rounds) {
       val scal = alloc.agg(
         sum(when(col("alloc") < col("tokens"), col("target_ppm"))
@@ -90,7 +91,7 @@ object Budget {
             when(col("alloc") < col("tokens") && col("tw") > 0, grant)
               .otherwise(0L))
             .as("alloc"))
-        .localCheckpoint()
+        .sanitizedCheckpoint()
     }
     alloc.select(col("domain"), col("tokens"), col("target_ppm"),
       col("alloc").as("alloc_tokens"),
@@ -111,7 +112,7 @@ object Budget {
       .where(col("tokens") > 0)
       // |domains| rows feed BOTH the total and the plan join —
       // materialize once so the corpus is scanned a single time
-      .localCheckpoint()
+      .sanitizedCheckpoint()
     val total = perDomain.agg(sum(col("tokens")).as("total_tokens"))
     val tgt = broadcast(targets.toDF("domain", "target_ppm"))
     perDomain

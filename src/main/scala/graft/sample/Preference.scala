@@ -2,6 +2,7 @@ package graft.sample
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Bradley-Terry preference ranking in EXACT fixed-point arithmetic —
   * the pairwise-comparison scorer of an RLHF / preference-data
@@ -69,7 +70,7 @@ object Preference {
     val out = wins.join(s, Seq("i"))
       .select(col("i").as("item"), col("n_games"), col("W").as("n_wins"),
         col("s_ppm"))
-      .localCheckpoint()
+      .sanitizedCheckpoint()
     m.unpersist()
     wins.unpersist()
     out

@@ -2,6 +2,7 @@ package graft.similarity
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Greedy k-center (farthest-point / Gonzalez) coreset selection over
   * an embedding column — the diversity-sampling primitive of data
@@ -52,7 +53,7 @@ object Coreset {
     val seedId = seedRow.get(0)
     var chosen = List[(Any, Option[Long])]((seedId, None))
     var mind = p.select(col("id"), col("v"),
-      distTo(seedRow.getSeq[Double](1).toArray).as("d")).localCheckpoint()
+      distTo(seedRow.getSeq[Double](1).toArray).as("d")).sanitizedCheckpoint()
     var covered = false
     for (_ <- 2 to k if !covered) {
       val far = mind.orderBy(col("d").desc, col("id")).limit(1).head()
@@ -61,7 +62,7 @@ object Coreset {
         chosen ::= (far.get(0), Some(far.getLong(2)))
         mind = mind.select(col("id"), col("v"),
           least(col("d"), distTo(far.getSeq[Double](1).toArray)).as("d"))
-          .localCheckpoint()
+          .sanitizedCheckpoint()
       }
     }
     p.unpersist(blocking = false)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Spread
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Distributed spherical k-means over an embedding column (cosine
   * assignment — the metric the rest of the similarity stack uses, and
@@ -83,7 +84,7 @@ object KMeans {
     graft.expressions.GraftFunctions.register(points.sparkSession)
     // k tiny rows read three times (coarse subset, routing, scoring):
     // checkpoint once so the seed scan doesn't recompute per use
-    val cents = centroids.localCheckpoint()
+    val cents = centroids.sanitizedCheckpoint()
     val coarse = cents.where(col("cluster_id") < coarseK)
       .select(col("cluster_id").as("coarse_id"), col("centroid").as("cv"))
     val cos = (a: String, b: String) => round(call_function(
@@ -228,7 +229,7 @@ object KMeans {
       // localCheckpoint: k tiny rows, truncates the per-round lineage
       // so plan depth doesn't grow with iterations
       centroids = meansToCentroids(
-        lloydMeansLong(df, centroids, idCol, vecCol)).localCheckpoint()
+        lloydMeansLong(df, centroids, idCol, vecCol)).sanitizedCheckpoint()
     }
     centroids
   }

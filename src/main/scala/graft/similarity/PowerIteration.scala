@@ -2,6 +2,7 @@ package graft.similarity
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Dominant principal direction of a quantized embedding corpus by
   * power iteration, in EXACT fixed point — distributed linear algebra
@@ -55,10 +56,10 @@ object PowerIteration {
       x = y.crossJoin(m) // 1-row scalar
         .select(col("da").as("dim"), expr("(1000000 * y) div m")
           .cast("decimal(38,0)").as("v"))
-        .localCheckpoint() // bound plan depth per round
+        .sanitizedCheckpoint() // bound plan depth per round
     }
     val out = x.select(col("dim"), col("v").cast("long").as("component_ppm"))
-      .localCheckpoint()
+      .sanitizedCheckpoint()
     g.unpersist(blocking = false)
     out
   }

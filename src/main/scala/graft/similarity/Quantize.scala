@@ -2,6 +2,7 @@ package graft.similarity
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Scalar quantization (SQ8-style) of an embedding column: each
   * dimension gets a corpus-wide [min, max] range and every value maps
@@ -125,7 +126,7 @@ object Quantize {
       .persist()
     subs.count() // iters+0 reads per round; materialize once
     var cb = pqCodebooks(corpus, idCol, vecCol, m, k, dims)
-      .localCheckpoint() // m·k tiny rows; truncate per-round lineage
+      .sanitizedCheckpoint() // m·k tiny rows; truncate per-round lineage
     try {
       for (_ <- 0 until iters) {
         // ASSIGN, carrying sv through the window so the update needs
@@ -160,7 +161,7 @@ object Quantize {
           .join(upd, Seq("sub", "code"), "left")
           .select(col("sub"), col("code"),
             coalesce(col("centroid"), col("prev")).as("centroid"))
-          .localCheckpoint()
+          .sanitizedCheckpoint()
       }
       cb
     } finally subs.unpersist()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.SchemaOps
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** S10: paginated-source accumulation — the reference's most-used
   * extraction shape: fetch page, parse JSON, union-accumulate, repeat
@@ -140,7 +141,7 @@ object PagedSource {
             acc = acc.unionByName(SchemaOps.alignTo(parsed, target))
             pagesSinceCheckpoint += 1
             if (pagesSinceCheckpoint >= checkpointEvery) {
-              acc = acc.localCheckpoint()
+              acc = acc.sanitizedCheckpoint()
               pagesSinceCheckpoint = 0
             }
           }

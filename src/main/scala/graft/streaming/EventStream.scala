@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import graft.operators.Converge.SanitizedCheckpoint
 
 /** Structured Streaming layer (SURVEY §2.12 + §7 stretch): the
   * reference is batch-incremental only; here the same incremental
@@ -1131,7 +1132,7 @@ object EventStream {
         index.foreach { idx =>
           parts ::= graft.dedup.SrpDedup
             .srpPairsAgainstIndex(bIdx, idx, threshold)
-            .localCheckpoint() // eager: decouple from the batch caches
+            .sanitizedCheckpoint() // eager: decouple from the batch caches
         }
         index = Some(index.fold(bIdx)(_.unionByName(bIdx)))
         ()
@@ -1189,7 +1190,7 @@ object EventStream {
         index.foreach { idx =>
           parts ::= graft.dedup.Dedup
             .minHashPairsAgainstIndex(bIdx, idx, numHashes, bands, threshold)
-            .localCheckpoint() // eager: decouple from the batch caches
+            .sanitizedCheckpoint() // eager: decouple from the batch caches
         }
         index = Some(index.fold(bIdx)(_.unionByName(bIdx)))
         ()
@@ -1237,7 +1238,7 @@ object EventStream {
         val enriched = graft.operators.PitJoin.pitJoin(fact(batch), dim,
             Seq("o_custkey"), "od", "valid_from", "valid_to",
             Seq("segment"))
-          .localCheckpoint() // eager: result outlives the batch plan
+          .sanitizedCheckpoint() // eager: result outlives the batch plan
         lock.synchronized { parts ::= enriched }
         ()
       }
@@ -1276,7 +1277,7 @@ object EventStream {
         val scored = graft.dedup.Decontaminate
           .contaminationScores(batch, bench, "doc_id", "text", "text",
             k = k)
-          .localCheckpoint() // eager: result outlives the batch plan
+          .sanitizedCheckpoint() // eager: result outlives the batch plan
         lock.synchronized { parts ::= scored }
         ()
       }
@@ -1321,7 +1322,7 @@ object EventStream {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val scored = NgramLm.scoreAgainstLm(batch, "doc_id", "text", lm)
-          .localCheckpoint() // eager: result outlives the batch plan
+          .sanitizedCheckpoint() // eager: result outlives the batch plan
         lock.synchronized { parts ::= scored }
         ()
       }
@@ -1366,7 +1367,7 @@ object EventStream {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val feats = Multimodal.pixelFeatures(toMedia(batch))
-          .toDF().localCheckpoint() // eager: outlives the batch plan
+          .toDF().sanitizedCheckpoint() // eager: outlives the batch plan
         lock.synchronized { parts ::= feats }
         ()
       }
@@ -1529,7 +1530,7 @@ object EventStream {
             .triangleDelta(acc, batch, "p1", "p2") // eager (checkpointed)
           parts ::= delta
           acc = acc.unionByName(batch.select(col("p1"), col("p2")))
-            .localCheckpoint() // sever from the micro-batch source
+            .sanitizedCheckpoint() // sever from the micro-batch source
         }
         ()
       }
