@@ -54,6 +54,7 @@ object MicroBench {
 
     probe match {
       case "hyperball_m" => hyperballM(spark, sfDir, repeats)
+      case "hyperball_shuffled" => hyperballShuffled(spark, sfDir, repeats)
       case "wordpiece" => wordpiece(spark, sfDir, repeats)
       case "pq_train" => pqTrain(spark, sfDir)
       case "pagerank_warm" => pagerankWarm(spark, sfDir)
@@ -79,6 +80,38 @@ object MicroBench {
           .queryExecution.toRdd.count()
       }
       report(s"hyperball nf r=3 m=$m", sec, rows)
+      spark.catalog.clearCache()
+    }
+  }
+
+  /** Prices the repair anti-join's two plans on a GRAPH-SIZED changed
+    * set (r16 verdict #8): the q_hyperball_incr fixture's quarter
+    * batch perturbs most sketches, so forcing broadcastChangedMax = 0
+    * runs the exact shuffled-anti-join plan a production batch past
+    * the 1M-changed threshold would take, against the default
+    * broadcast-hinted plan on identical data. Outputs are
+    * path-independent by construction (spec-gated); this measures the
+    * cost delta the guard trades. */
+  private def hyperballShuffled(spark: SparkSession, dir: String,
+                                repeats: Int): Unit = {
+    val orders = SparkEntry.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val oldE = SparkEntry.purchaseEdgesFrom(spark, dir,
+      orders.where(col("o_orderkey") % 4 =!= 0))
+    val newE = SparkEntry.purchaseEdgesFrom(spark, dir,
+      orders.where(col("o_orderkey") % 4 === 0))
+    val saved = graft.graph.HyperBall.registerTable(oldE, "a", "b",
+      maxRadius = 3).sanitizedCheckpoint()
+    for ((label, threshold) <- Seq(
+        ("broadcast (default)", graft.graph.HyperBall.DefaultBroadcastChangedMax),
+        ("shuffled (forced)", 0L))) {
+      val (sec, rows) = time(repeats) {
+        graft.graph.HyperBall.neighborhoodFunctionIncremental(
+            oldE, newE, "a", "b", saved, maxRadius = 3,
+            broadcastChangedMax = threshold)
+          .queryExecution.toRdd.count()
+      }
+      report(s"hyperball repair $label", sec, rows)
       spark.catalog.clearCache()
     }
   }

@@ -214,7 +214,9 @@ object HyperBall {
                                       srcCol: String, dstCol: String,
                                       savedRegs: DataFrame,
                                       maxRadius: Int,
-                                      m: Int = 16): DataFrame = {
+                                      m: Int = 16,
+                                      broadcastChangedMax: Long =
+                                        DefaultBroadcastChangedMax): DataFrame = {
     val lay = Layout(m)
     require(maxRadius >= 0, s"maxRadius must be >= 0, got $maxRadius")
     // cast: a partitionBy("r") artifact reads r back as an inferred
@@ -243,7 +245,8 @@ object HyperBall {
     val newNodes = neNodes.join(savedAt(0), Seq("node"), "left_anti")
     var (changed, (nChanged, _)) = graft.operators.Converge
       .checkpointWithSig(initRegs(newNodes, lay), lay.sigCols)
-    var out = outputAt(savedAt(0), changed, nChanged, 0, lay)
+    var out = outputAt(savedAt(0), changed, nChanged, 0, lay,
+      broadcastChangedMax)
     for (r <- 1 to maxRadius) {
       val viaNew = ne
         .join(savedAt(r - 1).withColumnRenamed("node", "nxt"), Seq("nxt"))
@@ -272,7 +275,9 @@ object HyperBall {
         .checkpointWithSig(changedNext, lay.sigCols)
       changed = ck
       nChanged = n
-      out = out.unionByName(outputAt(savedAt(r), changed, nChanged, r, lay))
+      out = out.unionByName(
+        outputAt(savedAt(r), changed, nChanged, r, lay,
+          broadcastChangedMax))
     }
     // out's legs reference only per-radius checkpoints and the saved
     // parquet — the persisted edge frames are loop-internal
@@ -280,22 +285,27 @@ object HyperBall {
     out.select(col("node"), col("r"), col("nf_est"))
   }
 
-  /** Past this many changed nodes the [[outputAt]] anti-join stops
-    * hinting broadcast: the small-batch repair contract usually keeps
-    * the changed set tiny, but a batch that perturbs most of the
-    * graph would otherwise force a near-full-node-set broadcast onto
-    * the driver. 1M ids ≈ 8 MB — comfortably broadcastable; above,
-    * the shuffled anti-join is the safe plan. A var only as a test
-    * seam (HyperBallSpec drives the shuffled path by zeroing it). */
-  private[graft] var broadcastChangedMax = 1000000L
+  /** Default for `broadcastChangedMax`: past this many changed nodes
+    * the [[outputAt]] anti-join stops hinting broadcast. The
+    * small-batch repair contract usually keeps the changed set tiny,
+    * but a batch that perturbs most of the graph would otherwise
+    * force a near-full-node-set broadcast onto the driver. 1M ids
+    * ≈ 8 MB — comfortably broadcastable; above, the shuffled
+    * anti-join is the safe plan. Callers (and the spec/bench probes)
+    * pass their own threshold through the
+    * [[neighborhoodFunctionIncremental]] parameter — this was a
+    * mutable JVM-global seam in r16, which raced with any concurrent
+    * HyperBall repair in the same session (r16 advice #1). */
+  val DefaultBroadcastChangedMax = 1000000L
 
   /** Radius-r estimates for the repaired state: saved rows for
     * unchanged nodes, the changed rows otherwise. The anti-join's
     * right side is the (small, checkpointed) changed set, skipped
     * entirely when the radius changed nothing and broadcast only
-    * while it stays under [[BroadcastChangedMax]]. */
+    * while it stays under `broadcastChangedMax`. */
   private def outputAt(saved: DataFrame, changed: DataFrame,
-                       nChanged: Long, r: Int, lay: Layout): DataFrame = {
+                       nChanged: Long, r: Int, lay: Layout,
+                       broadcastChangedMax: Long): DataFrame = {
     val state =
       if (nChanged == 0) saved
       else {

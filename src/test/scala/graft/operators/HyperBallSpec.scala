@@ -125,12 +125,14 @@ class HyperBallSpec extends SparkSpec {
     * full recompute over the union. */
   private def incrEqualsFull(oldEdges: Seq[(String, String)],
                              newEdges: Seq[(String, String)],
-                             maxRadius: Int, clue: String): Unit = {
+                             maxRadius: Int, clue: String,
+                             broadcastChangedMax: Long =
+                               HyperBall.DefaultBroadcastChangedMax): Unit = {
     val saved = HyperBall.registerTable(
       oldEdges.toDF("s", "d"), "s", "d", maxRadius)
     val incr = HyperBall.neighborhoodFunctionIncremental(
         oldEdges.toDF("s", "d"), newEdges.toDF("s", "d"), "s", "d",
-        saved, maxRadius)
+        saved, maxRadius, broadcastChangedMax = broadcastChangedMax)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(incr === serialNf((oldEdges ++ newEdges).distinct, maxRadius),
@@ -174,10 +176,8 @@ class HyperBallSpec extends SparkSpec {
     // zeroing the seam and prove the result is path-independent
     val oldE = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
     val newE = Seq(("e", "a"), ("c", "a"), ("b", "e"), ("a", "d"))
-    val saved = HyperBall.broadcastChangedMax
-    HyperBall.broadcastChangedMax = 0L
-    try incrEqualsFull(oldE, newE, 3, "graph-sized batch, shuffled path")
-    finally HyperBall.broadcastChangedMax = saved
+    incrEqualsFull(oldE, newE, 3, "graph-sized batch, shuffled path",
+      broadcastChangedMax = 0L)
   }
 
   test("incremental rejects a saved table with too few radii") {
