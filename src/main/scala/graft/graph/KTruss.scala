@@ -176,11 +176,20 @@ object KTruss {
     var region = ne
     var round = 0
     var fellBack = false
+    // raised on fallback: a full-region peel can legitimately need
+    // more rounds than the caller's region-tuned maxPeelRounds (r16
+    // advice #4 — the "graceful" fallback could still throw in the
+    // peel). Each non-final peel round removes at least one edge, so
+    // the region's edge count (free: it IS the fallback checkpoint's
+    // signature count) is a sound runaway guard for that path.
+    var fallbackPeelBound = 0L
     while (nFrontier > 0) {
       round += 1
       if (round > maxExpandRounds) {
-        region = graft.operators.Converge.checkpointWithSig(
-          peeled.unionByName(ne), "u, v")._1
+        val (ck, (nRegion, _)) = graft.operators.Converge.checkpointWithSig(
+          peeled.unionByName(ne), "u, v")
+        region = ck
+        fallbackPeelBound = nRegion + 1
         nFrontier = 0
         fellBack = true
       } else {
@@ -220,11 +229,12 @@ object KTruss {
     var (cur, sig) =
       graft.operators.Converge.checkpointWithSig(region, "u, v")
     round = 0
+    val peelBound = math.max(maxPeelRounds.toLong, fallbackPeelBound)
     var done = false
     while (!done) {
       round += 1
-      require(round <= maxPeelRounds,
-        s"region peel exceeded $maxPeelRounds rounds")
+      require(round <= peelBound,
+        s"region peel exceeded $peelBound rounds")
       val curAll = truss.unionByName(cur)
       val symCur = curAll.select(explode(array(
           struct(col("u").as("n"), col("v").as("m")),

@@ -175,6 +175,26 @@ class KTrussSpec extends SparkSpec {
     assert(got === serial(old :+ ((1L, 2L)), 4, 16))
   }
 
+  test("fallback raises the peel bound to the region size " +
+      "(region-tuned maxPeelRounds must not throw)") {
+    // a triangle staircase peels one rung per round at k = 4, so the
+    // full-region peel needs ~n rounds; with the expansion budget
+    // forced to fall back AND maxPeelRounds = 1 (a caller budget
+    // tuned for a small region), the repair must still complete via
+    // the region-size bound instead of throwing on the documented
+    // graceful path
+    val stairs = (1L to 8L).sliding(3).flatMap { w =>
+      Seq((w(0), w(1)), (w(0), w(2)), (w(1), w(2)))
+    }.toSeq.distinct
+    val old = stairs.filterNot(_ == ((1L, 2L)))
+    val saved = KTruss.kTruss(old.toDF("a", "b"), "a", "b", 4, 32)
+    val got = KTruss.kTrussIncremental(old.toDF("a", "b"),
+        Seq((1L, 2L)).toDF("a", "b"), "a", "b", saved, 4,
+        maxExpandRounds = 1, maxPeelRounds = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(got === serial(old :+ ((1L, 2L)), 4, 32))
+  }
+
   test("incremental repair: empty and duplicate batches are no-ops") {
     val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
     val old = k4 :+ ((4L, 5L))
