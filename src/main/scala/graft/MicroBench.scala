@@ -55,6 +55,7 @@ object MicroBench {
     probe match {
       case "hyperball_m" => hyperballM(spark, sfDir, repeats)
       case "hyperball_shuffled" => hyperballShuffled(spark, sfDir, repeats)
+      case "ktruss_uncapped" => ktrussUncapped(spark, sfDir)
       case "wordpiece" => wordpiece(spark, sfDir, repeats)
       case "pq_train" => pqTrain(spark, sfDir)
       case "pagerank_warm" => pagerankWarm(spark, sfDir)
@@ -114,6 +115,52 @@ object MicroBench {
       report(s"hyperball repair $label", sec, rows)
       spark.catalog.clearCache()
     }
+  }
+
+  /** UNCAPPED truss repairs (r16 verdict #6): every truss gate runs
+    * on the l_orderkey < 1500 capped fixture, which the scale
+    * amplifier keeps constant-size by construction — so the repairs'
+    * cost at real batch/graph ratios was unpriced. This probe drives
+    * insert and delete repair on the FULL co-purchase graph of the
+    * given SF dir (sf0.01 ≈ 116k edges, sf0.1 ≈ 1.2M — a genuine
+    * 10.3× growth), staging the saved truss artifacts inline (timed
+    * separately: staging is the cold full peel, the cost the repair
+    * exists to avoid). */
+  private def ktrussUncapped(spark: SparkSession, dir: String): Unit = {
+    import graft.graph.KTruss
+    val li = SparkEntry.t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    def pairsOf(f: DataFrame): DataFrame =
+      f.alias("x").join(f.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+    val oldPairs = pairsOf(li.where(col("ok") % 4 =!= 0))
+    val allPairs = pairsOf(li)
+    def timed[A](label: String)(body: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = body.sanitizedCheckpoint()
+      val rows = out.count()
+      report(label, (System.nanoTime() - t0) / 1e9, rows)
+      out
+    }
+    val saved34 = timed("stage: full peel 3/4 graph") {
+      KTruss.kTruss(oldPairs, "p1", "p2", k = 4, maxRounds = 64)
+    }
+    timed("insert repair (1/4 batch)") {
+      KTruss.kTrussIncremental(oldPairs,
+        pairsOf(li.where(col("ok") % 4 === 0)), "p1", "p2",
+        saved34, k = 4, maxExpandRounds = 32, maxPeelRounds = 64)
+    }
+    spark.catalog.clearCache()
+    val savedFull = timed("stage: full peel whole graph") {
+      KTruss.kTruss(allPairs, "p1", "p2", k = 4, maxRounds = 64)
+    }
+    timed("delete repair (mod-5 batch)") {
+      KTruss.kTrussDeleted(allPairs,
+        pairsOf(li.where(col("ok") % 5 === 0)), "p1", "p2",
+        savedFull, k = 4, maxExpandRounds = 32, maxPeelRounds = 64)
+    }
+    spark.catalog.clearCache()
   }
 
   /** Trained-vs-seed PQ quality curve (r15 verdict #1's BASELINE
