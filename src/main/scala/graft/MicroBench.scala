@@ -56,6 +56,7 @@ object MicroBench {
       case "hyperball_m" => hyperballM(spark, sfDir, repeats)
       case "hyperball_shuffled" => hyperballShuffled(spark, sfDir, repeats)
       case "ktruss_uncapped" => ktrussUncapped(spark, sfDir)
+      case "pq_ivfadc" => pqIvfadc(spark, sfDir)
       case "wordpiece" => wordpiece(spark, sfDir, repeats)
       case "pq_train" => pqTrain(spark, sfDir)
       case "pagerank_warm" => pagerankWarm(spark, sfDir)
@@ -159,6 +160,61 @@ object MicroBench {
       KTruss.kTrussDeleted(allPairs,
         pairsOf(li.where(col("ok") % 5 === 0)), "p1", "p2",
         savedFull, k = 4, maxExpandRounds = 32, maxPeelRounds = 64)
+    }
+    spark.catalog.clearCache()
+  }
+
+  /** Recall curve for the trained-IVFADC composition (r16 verdict
+    * #2's BASELINE row): recall@3 vs exact brute force on the fixed
+    * 100-lowest-ids query set for (a) plain IVF-PQ at 1 and 2 probes
+    * (codebooks on RAW vectors — the q_pq_ivf/probe2 shape) and (b)
+    * residual IVFADC at 1 and 2 probes with 1-round-trained residual
+    * codebooks (the q_pq_ivfadc shape) — what residual encoding +
+    * training buy at the same m·k code budget. */
+  private def pqIvfadc(spark: SparkSession, dir: String): Unit = {
+    import graft.similarity.{KMeans, Quantize, Similarity}
+    val e = SparkEntry.t(spark, dir, "embeddings")
+    val qs = e.where(col("vec_id") < 100)
+    val exact = Similarity
+      .bruteForceKnn(e, qs, "vec_id", "embedding", k = 3)
+      .sanitizedCheckpoint()
+    val centroids = KMeans.initCentroids(e, "vec_id", "embedding", k = 8)
+    val cells = KMeans.assign(e, centroids, "vec_id", "embedding")
+      .select(col("id"), col("cluster_id").as("cell"))
+    def probesOf(n: Int) = KMeans
+      .assignTopN(qs, centroids, "vec_id", "embedding", n = n)
+      .select(col("id"), col("cluster_id").as("cell"))
+    def meanRecall(topk: DataFrame): Double =
+      Similarity.recallAtK(topk, exact)
+        .agg(avg(col("recall_ppm"))).head().getDouble(0) / 10000
+    // (a) plain IVF-PQ: raw-vector seed codebooks, cell-keyed scan
+    val cbRaw = Quantize.pqCodebooks(e, "vec_id", "embedding",
+      m = 4, k = 16, dims = 64)
+    val codesRaw = Quantize.pqEncode(e, "vec_id", "embedding", cbRaw,
+      m = 4, dims = 64).join(cells, Seq("id"))
+    for (np <- Seq(1, 2)) {
+      val queries = qs.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        .join(probesOf(np), Seq("id"))
+      val r = meanRecall(Quantize.pqAdcTopKByCell(codesRaw, queries,
+        "id", "v", "cell", cbRaw, m = 4, dims = 64, k = 3))
+      println(f"[micro] ivf-pq raw seed nprobe=$np recall@3=$r%6.2f%%")
+    }
+    // (b) residual IVFADC, trained residual codebooks (gate shape)
+    val res = Quantize.residuals(e, "vec_id", "embedding", cells, centroids)
+    val coarseIds = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("id"))
+    val cbRes = Quantize.pqCodebooksTrained(
+      res.join(coarseIds, Seq("id"), "left_anti"), "id", "rv",
+      m = 4, k = 16, dims = 64, iters = 1)
+    val codesRes = Quantize.pqEncode(res, "id", "rv", cbRes,
+      m = 4, dims = 64).join(cells, Seq("id"))
+    for (np <- Seq(1, 2)) {
+      val qres = Quantize.residuals(qs, "vec_id", "embedding",
+        probesOf(np), centroids)
+      val r = meanRecall(Quantize.pqAdcTopKByCell(codesRes, qres,
+        "id", "rv", "cell", cbRes, m = 4, dims = 64, k = 3))
+      println(f"[micro] ivfadc residual+train nprobe=$np recall@3=$r%6.2f%%")
     }
     spark.catalog.clearCache()
   }
