@@ -210,11 +210,21 @@ object MicroBench {
     val codesRes = Quantize.pqEncode(res, "id", "rv", cbRes,
       m = 4, dims = 64).join(cells, Seq("id"))
     for (np <- Seq(1, 2)) {
+      // UNCORRECTED residual LUT (the q_pq_residual shape): ranks by
+      // ⟨q − c, x − c⟩, which drops the cross-cell ⟨q, c⟩ term — kept
+      // on the curve as the measured argument for the bias
       val qres = Quantize.residuals(qs, "vec_id", "embedding",
         probesOf(np), centroids)
-      val r = meanRecall(Quantize.pqAdcTopKByCell(codesRes, qres,
+      val r0 = meanRecall(Quantize.pqAdcTopKByCell(codesRes, qres,
         "id", "rv", "cell", cbRes, m = 4, dims = 64, k = 3))
-      println(f"[micro] ivfadc residual+train nprobe=$np recall@3=$r%6.2f%%")
+      println(f"[micro] ivfadc res (no bias) nprobe=$np recall@3=$r0%6.2f%%")
+      // CORRECTED (the q_pq_ivfadc gate shape): ⟨q, c⟩ + raw-q LUT
+      val qcells = qs.select(col("vec_id"), col("embedding"))
+        .join(probesOf(np).withColumnRenamed("id", "vec_id"), Seq("vec_id"))
+      val r1 = meanRecall(Quantize.pqIvfAdcTopK(codesRes, qcells,
+        "vec_id", "embedding", "cell", centroids, cbRes,
+        m = 4, dims = 64, k = 3))
+      println(f"[micro] ivfadc res+bias    nprobe=$np recall@3=$r1%6.2f%%")
     }
     spark.catalog.clearCache()
   }

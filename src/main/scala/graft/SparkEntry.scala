@@ -3626,17 +3626,21 @@ object SparkEntry {
       // RESIDUAL encoding (q_pq_residual) + Lloyd-TRAINED residual
       // codebooks (q_pq_train's pqCodebooksTrained, 1 fixed-point
       // round) + MULTI-PROBE serving (q_pq_ivf_probe2's assignTopN).
-      // Each query probes its top-2 coarse cells with a PER-PROBE
-      // residual LUT — the LUT for probe cell c scores ⟨q − c, x − c⟩
-      // exactly as the paper's ADC does, so residuals() doubles as
-      // the query-side constructor by passing the PROBES frame as the
-      // cell assignment. Candidates stay disjoint across probes (a
-      // code row lives in exactly one cell), queries are the fixed
+      // Each query probes its top-2 coarse cells and scores the TRUE
+      // reconstructed inner product ⟨q, c + r̂⟩ = ⟨q, c⟩ + Σ LUT —
+      // LUT entries are RAW query subvectors × residual codewords,
+      // plus the per-(query, cell) ⟨q, c⟩ bias (Quantize.pqIvfAdcTopK;
+      // the bias is what makes scores comparable ACROSS probed cells
+      // — the plain residual LUT of q_pq_residual drops it, which is
+      // fine within one cell but mis-ranks under multi-probe:
+      // measured on the fixture it scores BELOW raw-seed IVF-PQ,
+      // MicroBench pq_ivfadc). Candidates stay disjoint across probes
+      // (a code row lives in exactly one cell), queries are the fixed
       // 100-lowest-ids sample (linear evaluation under scale-up), and
       // PQ seeds exclude the coarse ids (zero-residual degeneracy,
       // see residuals()). The oracle replays the WHOLE chain: coarse
-      // assign, residuals, the unrolled Lloyd round, encode, per-
-      // probe LUT, cell-keyed integer scan.
+      // assign, residuals, the unrolled Lloyd round, encode, raw-
+      // query LUT + bias, cell-keyed integer scan.
       val e = t(s, dir, "embeddings")
       val centroids = graft.similarity.KMeans
         .initCentroids(e, "vec_id", "embedding", k = 8)
@@ -3656,12 +3660,13 @@ object SparkEntry {
       val probes = graft.similarity.KMeans
         .assignTopN(e.where(col("vec_id") < 100), centroids,
           "vec_id", "embedding", n = 2)
-        .select(col("id"), col("cluster_id").as("cell"))
-      val qres = graft.similarity.Quantize.residuals(
-        e.where(col("vec_id") < 100), "vec_id", "embedding",
-        probes, centroids)
-      graft.similarity.Quantize.pqAdcTopKByCell(codes, qres,
-          "id", "rv", "cell", cb, m = 4, dims = 64, k = 3)
+        .select(col("id").as("vec_id"), col("cluster_id").as("cell"))
+      val qcells = e.where(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+        .join(probes, Seq("vec_id"))
+      graft.similarity.Quantize.pqIvfAdcTopK(codes, qcells,
+          "vec_id", "embedding", "cell", centroids, cb,
+          m = 4, dims = 64, k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -10713,8 +10718,9 @@ object SparkEntry {
       * ([[pqLloydRoundCtes]] on `tsubs` — the Spark side trains on
       * `res.join(coarseIds, left_anti)`), encode of ALL residuals
       * against the trained codebooks, then the multi-probe cell-keyed
-      * integer ADC scan with a PER-PROBE query-residual LUT
-      * (⟨q − c, x − c⟩ per probed cell c). */
+      * integer ADC scan of the TRUE reconstructed inner product:
+      * RAW-query-subvector LUT plus the per-(query, cell) ⟨q, c⟩
+      * bias (`Quantize.pqIvfAdcTopK`). */
     def pqIvfadcSql(iters: Int, k: Int, queryMax: Int): String =
       s"""WITH ${kmeansAssignCtes(k = 8)},
          |cells AS MATERIALIZED (SELECT vec_id, cluster_id AS cell FROM a),
@@ -10751,28 +10757,33 @@ object SparkEntry {
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY score DESC, cluster_id) AS rn FROM sc) t
          |  WHERE rn <= 2 AND vec_id < $queryMax),
-         |qr AS (SELECT pr.query_id, pr.cell,
-         |    list_transform(list_zip(p.v, c.centroid), x -> x[1] - x[2]) AS rv
+         |qcb AS (SELECT pr.query_id, pr.cell,
+         |    CAST(floor(list_dot_product(p.v, c.centroid) * 1000000 + 0.5)
+         |      AS BIGINT) AS qc_u
          |  FROM pr JOIN p ON p.vec_id = pr.query_id
          |  JOIN c ON c.cluster_id = pr.cell),
-         |qsubs AS (SELECT query_id, cell, ss.sub,
-         |    qr.rv[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS qv
-         |  FROM qr CROSS JOIN ss),
+         |qsubs AS (SELECT pr.query_id, pr.cell, ss.sub,
+         |    p.v[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS qv
+         |  FROM pr JOIN p ON p.vec_id = pr.query_id CROSS JOIN ss),
          |lut AS MATERIALIZED (SELECT query_id, cell, qsubs.sub, cb.code,
          |    CAST(floor(list_dot_product(qv, cw) * 1000000 + 0.5) AS BIGINT)
          |      AS lut_u
          |  FROM qsubs JOIN cb$iters cb ON cb.sub = qsubs.sub),
-         |scored AS (SELECT l.query_id, cd.vec_id AS nbr_id,
-         |    CAST(sum(l.lut_u) AS BIGINT) AS score_u
+         |scored AS (SELECT l.query_id, cd.vec_id AS nbr_id, l.cell,
+         |    CAST(sum(l.lut_u) AS BIGINT) AS res_u
          |  FROM codes cd
          |  JOIN cells cl ON cl.vec_id = cd.vec_id
          |  JOIN lut l ON l.sub = cd.sub AND l.code = cd.code
          |    AND l.cell = cl.cell
-         |  WHERE cd.vec_id <> l.query_id GROUP BY 1, 2)
+         |  WHERE cd.vec_id <> l.query_id GROUP BY 1, 2, 3),
+         |fin AS (SELECT s.query_id, s.nbr_id,
+         |    CAST(s.res_u + qcb.qc_u AS BIGINT) AS score_u
+         |  FROM scored s JOIN qcb ON qcb.query_id = s.query_id
+         |    AND qcb.cell = s.cell)
          |SELECT query_id, nbr_id, score_u, CAST(rank AS BIGINT) AS rank
          |FROM (SELECT *, row_number() OVER
          |    (PARTITION BY query_id ORDER BY score_u DESC, nbr_id) AS rank
-         |  FROM scored) t
+         |  FROM fin) t
          |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
     /** Spherical k-means assignment mirror of `KMeans.assign` with

@@ -224,6 +224,63 @@ object Quantize {
     adcTopK(codes, queries, idCol, vecCol, Some(cellCol), codebooks,
       m, dims, k)
 
+  /** TRUE MIPS-IVFADC scan — the residual composition with the
+    * cross-cell correction the plain residual LUT lacks. Ranking by
+    * ⟨q − c, x − c⟩ (what [[pqAdcTopKByCell]] over residual frames
+    * computes) drops the per-candidate ⟨q, c⟩ term of
+    * ⟨q, x⟩ = ⟨q, c⟩ + ⟨q, x − c⟩, which is constant within one cell
+    * but VARIES across probed cells — measured on the fixture it
+    * ranks residual codes BELOW raw-seed IVF-PQ (MicroBench
+    * pq_ivfadc, r17). This scan scores the reconstructed inner
+    * product exactly: LUT entries are ⟨q_sub, residual codeword⟩
+    * from the RAW query subvectors, and each candidate adds its
+    * cell's ⌊⟨q, c⟩·10⁶ + 0.5⌋ bias — both exact BIGINT terms, so
+    * scores are comparable across probes and the oracle replays them
+    * verbatim. `queries` carries one row per (query, probed cell)
+    * with the RAW vector; `codes` carries the residual-encoded
+    * corpus with its cell. */
+  def pqIvfAdcTopK(codes: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, cellCol: String, centroids: DataFrame,
+                   codebooks: DataFrame, m: Int, dims: Int,
+                   k: Int): DataFrame = {
+    val subDim = dims / m
+    val dot = "aggregate(zip_with(qv, centroid, (x, y) -> x * y), " +
+      "cast(0 as double), (acc, v) -> acc + v)"
+    val q = queries.select(col(idCol).as("query_id"), col(cellCol),
+      col(vecCol).cast("array<double>").as("v"))
+    // per-(query, probed cell) bias: ⌊⟨q, c⟩·10⁶ + 0.5⌋
+    val qc = q.join(broadcast(centroids
+        .select(col("cluster_id").as(cellCol), col("centroid"))), Seq(cellCol))
+      .select(col("query_id"), col(cellCol),
+        expr("cast(floor(aggregate(zip_with(v, centroid, " +
+          "(x, y) -> x * y), cast(0 as double), (acc, w) -> acc + w) " +
+          "* 1000000 + 0.5) as bigint)").as("qc_u"))
+    val qsubs = q
+      .select(col("query_id"), col(cellCol),
+        explode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"s -> struct(s AS sub, slice(v, s * $subDim + 1, $subDim) AS qv))"))
+          .as("e"))
+      .select(col("query_id"), col(cellCol), col("e.sub").as("sub"),
+        col("e.qv").as("qv"))
+    val lut = qsubs.join(broadcast(codebooks), Seq("sub"))
+      .select(col("query_id"), col(cellCol), col("sub"), col("code"),
+        expr(s"cast(floor($dot * 1000000 + 0.5) as bigint)").as("lut_u"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code", cellCol))
+      .where(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id"), col(cellCol))
+      .agg(sum(col("lut_u")).as("res_u"))
+      .join(broadcast(qc), Seq("query_id", cellCol))
+      .select(col("query_id"), col("id"),
+        (col("res_u") + col("qc_u")).as("score_u"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_u").desc, col("id"))
+    scored.withColumn("rank", row_number().over(best).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("nbr_id"),
+        col("score_u"), col("rank"))
+  }
+
   private def adcTopK(codes: DataFrame, queries: DataFrame, idCol: String,
                       vecCol: String, cellCol: Option[String],
                       codebooks: DataFrame, m: Int, dims: Int,
