@@ -115,10 +115,9 @@ object PlanLintAllowlist {
     // side — identical findings, identical rationale
     "q_ann_recall_probe2" -> "scan-without-pushed-filters",
     "q_ann_recall_probe2" -> "unconditioned-nested-loop",
-    // r15: the same vec_id % 50 query fixture (modulo is not a
-    // parquet-pushable predicate) feeding the PQ LUT side; the code
-    // scan itself is (sub, code)-keyed against the broadcast LUT
-    "q_pq_adc" -> "scan-without-pushed-filters",
+    // (q_pq_adc's r15 scan-without-pushed-filters entry went stale in
+    // r17: the fixed vec_id < 100 query sample PUSHES to parquet,
+    // unlike the old % 50 fixture — same for q_pq_train's)
     // r15: the IVF-PQ composition inherits both halves' reviewed
     // findings — the modulo query fixture and the k-means point ×
     // broadcast k-row centroid cross (the q_knn_ivf_learned entries)
@@ -133,7 +132,6 @@ object PlanLintAllowlist {
     "q_pq_ivf_probe2" -> "unconditioned-nested-loop",
     "q_pq_residual" -> "scan-without-pushed-filters",
     "q_pq_residual" -> "unconditioned-nested-loop",
-    "q_pq_train" -> "scan-without-pushed-filters",
     // r16: the incremental index runs the q_pq_adc chain with a
     // mod-4 seed filter (modulo is not parquet-pushable)
     "q_pq_incr" -> "scan-without-pushed-filters",
@@ -207,6 +205,15 @@ object PlanLintAllowlist {
     // r10: smallSort of the 1.6k-node hub/authority report (the
     // in-loop score frames are checkpoint-truncated, report-sized)
     "q_hits" -> "single-partition-exchange",
+    // r17: the warm start's smallSort of the same report (identical
+    // shape to q_hits — the saved-artifact join adds no exchange)
+    "q_hits_incr" -> "single-partition-exchange",
+    // r17: the q_pq_ivf/residual centroid cross at the IVFADC
+    // composition — every vector crosses the broadcast 8-row coarse
+    // centroid frame for assignment (k× per row, not |L|·|R|); the
+    // fixed vec_id < 100 query filter PUSHES, so the family's usual
+    // scan-without-pushed-filters entry does not recur here
+    "q_pq_ivfadc" -> "unconditioned-nested-loop",
     // r10: every rule row crosses the broadcast 1-row basket-count
     // aggregate (q_token_budget pattern) + smallSort of the rule
     // report (one row per recurring pair direction)
