@@ -457,6 +457,43 @@ object SparkEntry {
       s"hits_saved_i3_mod4_v1:$fp", dir)(write)
   }
 
+  /** The q_hits_delete fixture's SAVED hub table: a 3-round HITS
+    * over the FULL directed purchase graph — the delete query
+    * retracts the mod-5 orders' pairs and resumes. */
+  private def hitsSavedFull(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val oc = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+      graft.graph.Hits.hits(pairs, "a", "b", iters = 3)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"hits_saved_i3_full_v1:$fp", dir)(write)
+  }
+
+  /** The q_communities_delete fixture's SAVED labeling: a 3-round
+    * LPA over the FULL undirected purchase graph — the delete query
+    * retracts the mod-5 orders' pairs and resumes. */
+  private def lpaSavedFull(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val pairs = purchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+      graft.graph.LabelProp.propagate(pairs, "a", "b", iters = 3)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"lpa_saved_i3_full_v1:$fp", dir)(write)
+  }
+
   /** The q_communities_incr fixture's SAVED labeling: a 3-round
     * deterministic synchronous LPA over the ¾ undirected purchase
     * graph (o_orderkey % 4 != 0), staged once per data dir — the
@@ -1976,6 +2013,29 @@ object SparkEntry {
         .select(concat(lit("c"), col("o_custkey")).as("a"),
           concat(lit("s"), col("l_suppkey")).as("b"))
       val saved = s.read.parquet(hitsSaved(s, dir))
+      graft.graph.Hits.hitsResume(pairs, "a", "b", saved, iters = 2)
+        .transform(graft.operators.Spread.smallSort(_, col("node_id")))
+    }),
+
+    "q_hits_delete" -> ((s, dir) => {
+      // hub/authority maintenance under edge DELETES — the warm
+      // start's retraction twin (no separate operator: the resume is
+      // trajectory-defined over WHATEVER edge set it is given, the
+      // q_pagerank_delete argument at the HITS pair): resume from
+      // the FULL-graph hub artifact for 2 rounds over the graph with
+      // the mod-5 orders' pairs retracted at the pair level. Nodes
+      // that lose every edge drop from the score table.
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      def pairsOf(o: DataFrame): DataFrame =
+        o.join(ls, col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b"))
+          .distinct()
+      val pairs = pairsOf(oc)
+        .join(pairsOf(oc.where(col("o_orderkey") % 5 === 0)),
+          Seq("a", "b"), "left_anti")
+      val saved = s.read.parquet(hitsSavedFull(s, dir))
       graft.graph.Hits.hitsResume(pairs, "a", "b", saved, iters = 2)
         .transform(graft.operators.Spread.smallSort(_, col("node_id")))
     }),
@@ -4578,6 +4638,31 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_communities_delete" -> ((s, dir) => {
+      // community maintenance under edge DELETES — LabelProp.resume
+      // is trajectory-defined over whatever edge set it is given
+      // (the q_pagerank_delete argument in community form): resume
+      // from the FULL-graph labeling for 2 rounds over the graph
+      // with the mod-5 orders' pairs retracted at the pair level.
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      def pairsOf(o: DataFrame): DataFrame =
+        o.join(ls, col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b"))
+          .distinct()
+      val pairs = pairsOf(oc)
+        .join(pairsOf(oc.where(col("o_orderkey") % 5 === 0)),
+          Seq("a", "b"), "left_anti")
+      val edges = pairs.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val saved = s.read.parquet(lpaSavedFull(s, dir))
+      graft.graph.LabelProp.resume(edges, "a", "b", saved, iters = 2)
+        .orderBy(col("node_id"))
+    }),
+
     "q_ppr" -> ((s, dir) => {
       // personalized PageRank: restart mass pinned to the %100
       // customer seed set over the same purchase graph — rank
@@ -6422,6 +6507,10 @@ object SparkEntry {
     // warm-start HITS: 3 unrolled saved rounds on the mod-4 graph,
     // then 2 resume rounds on the full graph from that hub vector
     "q_hits_incr" -> Duck.hitsResumeSql(savedIters = 3, resumeIters = 2),
+
+    // the delete twin: full-graph hub artifact, mod-5 pair retraction
+    "q_hits_delete" -> Duck.hitsResumeSql(savedIters = 3,
+      resumeIters = 2, savedPredicate = "1 = 1", resumeDelMod = Some(5)),
 
     "q_sssp" -> Duck.ssspSql(hops = 4),
 
@@ -8483,6 +8572,10 @@ object SparkEntry {
     // then 2 resume rounds on the full graph from that labeling
     "q_communities_incr" -> Duck.lpaResumeSql(savedIters = 3,
       resumeIters = 2),
+
+    // the delete twin: full-graph labeling, mod-5 pair retraction
+    "q_communities_delete" -> Duck.lpaResumeSql(savedIters = 3,
+      resumeIters = 2, savedPredicate = "1 = 1", resumeDelMod = Some(5)),
 
     // mirrors PageRank.personalizedPageRank: 3 unrolled rounds, seed-
     // pinned restart base, same ppm floor arithmetic as q_pagerank
@@ -10885,7 +10978,30 @@ object SparkEntry {
       * to the uniform init — the exact trajectory the warm start
       * runs. */
     def hitsResumeSql(savedIters: Int, resumeIters: Int,
-                      savedPredicate: String = "o_orderkey % 4 <> 0"): String =
+                      savedPredicate: String = "o_orderkey % 4 <> 0",
+                      resumeDelMod: Option[Int] = None): String = {
+      val resumePairs = resumeDelMod match {
+        case None =>
+          """pairs AS MATERIALIZED (SELECT DISTINCT
+            |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+            |    's' || CAST(l_suppkey AS VARCHAR) AS b
+            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)"""
+            .stripMargin
+        case Some(m) =>
+          s"""pairs_all AS (SELECT DISTINCT
+             |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+             |    's' || CAST(l_suppkey AS VARCHAR) AS b
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |pairs_del AS (SELECT DISTINCT
+             |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+             |    's' || CAST(l_suppkey AS VARCHAR) AS b
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE o_orderkey % $m = 0),
+             |pairs AS MATERIALIZED (SELECT a, b FROM pairs_all pa
+             |  WHERE NOT EXISTS (SELECT 1 FROM pairs_del pd
+             |                    WHERE pd.a = pa.a AND pd.b = pa.b))"""
+            .stripMargin
+      }
       s"""WITH pairs_old AS MATERIALIZED (SELECT DISTINCT
          |    'c' || CAST(o_custkey AS VARCHAR) AS a,
          |    's' || CAST(l_suppkey AS VARCHAR) AS b
@@ -10895,10 +11011,7 @@ object SparkEntry {
          |       UNION SELECT b AS node FROM pairs_old),
          |oh0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM no),
          |${hitsRoundCtes("pairs_old", "no", "o", "oh0", savedIters)},
-         |pairs AS MATERIALIZED (SELECT DISTINCT
-         |    'c' || CAST(o_custkey AS VARCHAR) AS a,
-         |    's' || CAST(l_suppkey AS VARCHAR) AS b
-         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |$resumePairs,
          |n AS MATERIALIZED (SELECT a AS node FROM pairs
          |       UNION SELECT b AS node FROM pairs),
          |wh0 AS (SELECT n.node,
@@ -10910,6 +11023,7 @@ object SparkEntry {
          |FROM n JOIN wh$resumeIters ON wh$resumeIters.node = n.node
          |       JOIN wa$resumeIters ON wa$resumeIters.node = n.node
          |ORDER BY node_id""".stripMargin
+    }
 
     /** One synchronous LPA round per entry — q_communities' unroll
       * body parameterized over the (symmetrized) edge CTE name and a
@@ -10938,7 +11052,30 @@ object SparkEntry {
       * from that labeling, nodes absent from the artifact coalesced
       * to their own id. */
     def lpaResumeSql(savedIters: Int, resumeIters: Int,
-                     savedPredicate: String = "o_orderkey % 4 <> 0"): String =
+                     savedPredicate: String = "o_orderkey % 4 <> 0",
+                     resumeDelMod: Option[Int] = None): String = {
+      val resumePairs = resumeDelMod match {
+        case None =>
+          """pairs AS MATERIALIZED (SELECT DISTINCT
+            |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+            |    's' || CAST(l_suppkey AS VARCHAR) AS b
+            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)"""
+            .stripMargin
+        case Some(m) =>
+          s"""pairs_all AS (SELECT DISTINCT
+             |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+             |    's' || CAST(l_suppkey AS VARCHAR) AS b
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |pairs_del AS (SELECT DISTINCT
+             |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+             |    's' || CAST(l_suppkey AS VARCHAR) AS b
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE o_orderkey % $m = 0),
+             |pairs AS MATERIALIZED (SELECT a, b FROM pairs_all pa
+             |  WHERE NOT EXISTS (SELECT 1 FROM pairs_del pd
+             |                    WHERE pd.a = pa.a AND pd.b = pa.b))"""
+            .stripMargin
+      }
       s"""WITH pairs_old AS MATERIALIZED (SELECT DISTINCT
          |    'c' || CAST(o_custkey AS VARCHAR) AS a,
          |    's' || CAST(l_suppkey AS VARCHAR) AS b
@@ -10949,10 +11086,7 @@ object SparkEntry {
          |no AS (SELECT DISTINCT src AS node FROM eo),
          |ol0 AS (SELECT node, node AS label FROM no),
          |${lpaRoundCtes("eo", "o", "ol0", savedIters)},
-         |pairs AS MATERIALIZED (SELECT DISTINCT
-         |    'c' || CAST(o_custkey AS VARCHAR) AS a,
-         |    's' || CAST(l_suppkey AS VARCHAR) AS b
-         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |$resumePairs,
          |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
          |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
          |n AS (SELECT DISTINCT src AS node FROM e),
@@ -10961,6 +11095,7 @@ object SparkEntry {
          |${lpaRoundCtes("e", "w", "wl0", resumeIters)}
          |SELECT node AS node_id, label FROM wl$resumeIters
          |ORDER BY node_id""".stripMargin
+    }
 
     /** Shared SemDeDup verdict tail over any assignment CTE chain
       * ending in `a(vec_id, cluster_id, …)` with corpus vectors in
