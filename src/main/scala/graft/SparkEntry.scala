@@ -3730,6 +3730,39 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_ann_mrl" -> ((s, dir) => {
+      // TRUNCATE-THEN-RERANK ANN (Similarity.truncatedRerankKnn, the
+      // Matryoshka funnel, Kusupati et al. 2022): the shortlist scan
+      // runs on the FIRST 16 of 64 dims (4× less to store and scan —
+      // at 100 TB the truncated index is its own, much smaller,
+      // table), then only the top-20 candidates per query pay the
+      // full-width exact cosine. Both cuts deterministic (round-6,
+      // ties to the lowest id); queries are the fixed 100-lowest-ids
+      // sample. The oracle replays both stages.
+      val e = t(s, dir, "embeddings")
+      Similarity.truncatedRerankKnn(e, e.where(col("vec_id") < 100),
+          "vec_id", "embedding", dPrefix = 16, candidates = 20, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_vec_bq" -> ((s, dir) => {
+      // BINARY quantization serving (Quantize.bqEncode/bqRerankTopK):
+      // 1 bit per dimension packed into two 32-bit words (8 bytes per
+      // 64-dim vector, 32× over float32 — the most compressed point
+      // on the q_vec_quantize/q_pq_adc curve), hamming shortlist
+      // (xor + bit_count on the packed words, no floats touched) of
+      // the top-20 per query, exact cosine rerank to top-3. The
+      // sign-pattern/angle monotonicity is the SimHash argument
+      // already gated at the dedup layer (q_dedup_simhash); this
+      // gates the SERVING composition: encode → integer scan →
+      // rerank, all oracle-replayed.
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Quantize.bqRerankTopK(e,
+          e.where(col("vec_id") < 100), "vec_id", "embedding",
+          dims = 64, candidates = 20, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_knn_ivf_learned" -> ((s, dir) => {
       // the full IVF story: LEARNED coarse cells (deterministic
       // k-means assignment) instead of a given label — index build
@@ -7728,6 +7761,66 @@ object SparkEntry {
     // trained-PQ recall: two unrolled fixed-point Lloyd rounds per
     // subspace, the trained-codebook ADC scan, recall vs brute force
     "q_pq_train" -> Duck.pqTrainRecallSql(iters = 2, k = 3),
+
+    // Matryoshka funnel: 16-dim prefix shortlist (top-20), exact
+    // full-width rerank — both cuts deterministic
+    "q_ann_mrl" ->
+      """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM p
+        |      WHERE vec_id < 100),
+        |coarse AS (SELECT query_id, p.vec_id AS nbr_id, qv, p.v AS nv,
+        |    round(list_cosine_similarity(qv[1:16], p.v[1:16]), 6) AS tscore
+        |  FROM q JOIN p ON p.vec_id <> query_id),
+        |sl AS (SELECT query_id, nbr_id, qv, nv FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY tscore DESC, nbr_id) AS crank
+        |  FROM coarse) t WHERE crank <= 20),
+        |rr AS (SELECT query_id, nbr_id,
+        |    round(list_cosine_similarity(qv, nv), 6) AS score FROM sl)
+        |SELECT query_id, nbr_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+        |  FROM rr) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // binary quantization: sign bits packed into two 32-bit words
+    // (exploded per-bit sum — value-identical to the Spark side's
+    // zip_with/aggregate projection), hamming shortlist, exact rerank
+    "q_vec_bq" ->
+      """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |bits AS (SELECT vec_id, i,
+        |    CASE WHEN v[CAST(i + 1 AS INT)] > 0 THEN 1 ELSE 0 END AS b
+        |  FROM p CROSS JOIN range(0, 64) t(i)),
+        |codes AS MATERIALIZED (SELECT vec_id,
+        |    CAST(sum(CASE WHEN i < 32 AND b = 1
+        |             THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS b0,
+        |    CAST(sum(CASE WHEN i >= 32 AND b = 1
+        |             THEN (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS b1
+        |  FROM bits GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, b0 AS qb0, b1 AS qb1
+        |      FROM codes WHERE vec_id < 100),
+        |ham AS (SELECT query_id, c.vec_id AS nbr_id,
+        |    CAST(bit_count(xor(c.b0, qb0)) + bit_count(xor(c.b1, qb1))
+        |      AS BIGINT) AS hamming
+        |  FROM codes c JOIN q ON c.vec_id <> query_id),
+        |sl AS (SELECT query_id, nbr_id, hamming FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY hamming, nbr_id) AS crank
+        |  FROM ham) t WHERE crank <= 20),
+        |rr AS (SELECT s.query_id, s.nbr_id, s.hamming,
+        |    round(list_cosine_similarity(qp.v, np.v), 6) AS score
+        |  FROM sl s JOIN p qp ON qp.vec_id = s.query_id
+        |  JOIN p np ON np.vec_id = s.nbr_id)
+        |SELECT query_id, nbr_id, hamming, score,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+        |  FROM rr) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // trained IVFADC end-to-end: coarse assign + residuals + one
     // unrolled Lloyd round on non-coarse residuals + multi-probe

@@ -206,8 +206,10 @@ object PlanLintAllowlist {
     // in-loop score frames are checkpoint-truncated, report-sized)
     "q_hits" -> "single-partition-exchange",
     // r17: the warm start's smallSort of the same report (identical
-    // shape to q_hits — the saved-artifact join adds no exchange)
+    // shape to q_hits — the saved-artifact join adds no exchange);
+    // the delete twin is the same plan over the retracted pair set
     "q_hits_incr" -> "single-partition-exchange",
+    "q_hits_delete" -> "single-partition-exchange",
     // r17: the q_pq_ivf/residual centroid cross at the IVFADC
     // composition — every vector crosses the broadcast 8-row coarse
     // centroid frame for assignment (k× per row, not |L|·|R|); the

@@ -314,6 +314,83 @@ object Quantize {
         col("score_u"), col("rank"))
   }
 
+  /** BINARY quantization (sign bits packed into 32-bit words) — the
+    * most aggressive point on the compression curve: 1 bit per
+    * dimension, 64 dims → 8 bytes (32× over float32, 8× over PQ's
+    * m = 4 bytes... per 4× fewer distinctions). For unit-norm
+    * embeddings, Hamming distance between sign patterns is a
+    * monotone proxy for angular distance (the SimHash argument —
+    * P[sign differs] = θ/π per dim), so the serving shape is
+    * hamming-shortlist-then-exact-rerank: the scan touches ONLY the
+    * two packed words per candidate (xor + bit_count, no floats),
+    * and `candidates` rows per query pay the full-width cosine.
+    * Packing is a pure projection — no shuffle, no explode: word w
+    * is an exact integer sum of distinct powers 2^i over dims
+    * [32w, 32w+32), each < 2^32, computed with the zip_with/aggregate
+    * form the ADC LUT already uses.
+    *
+    * Returns (id, b0, b1); dims ≤ 64 (one or two words — the gate
+    * corpus is 64-dim; wider vectors would generalize the word list).
+    */
+  def bqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"dims must be in [1, 64]: $dims")
+    corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .select(col("id") +: (0 until 2).map { w =>
+        val lo = 32 * w
+        val len = math.max(0, math.min(32, dims - lo))
+        (if (len == 0) lit(0L)
+         else expr(s"aggregate(zip_with(slice(v, ${lo + 1}, $len), " +
+           s"sequence(0, ${len - 1}), " +
+           "(x, i) -> IF(x > 0, shiftleft(1L, cast(i AS int)), 0L)), " +
+           "0L, (a, b) -> a + b)")).as(s"b$w")
+      }: _*)
+  }
+
+  /** Hamming-shortlist + exact-rerank top-k over [[bqEncode]] codes:
+    * every (query, candidate) pair costs two xors + two bit_counts
+    * on the packed words; the `candidates` best per query (hamming
+    * ASC, ties to the lowest id — a deterministic cut) join back to
+    * the float vectors for the exact round-6 cosine rerank. Returns
+    * (query_id, nbr_id, hamming, score, rank). */
+  def bqRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, dims: Int, candidates: Int,
+                   k: Int): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val c = graft.operators.Spread.ensure(
+      corpus.select(col(idCol).as("nbr_id"),
+        col(vecCol).cast("array<double>").as("nv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val ccodes = bqEncode(c, "nbr_id", "nv", dims)
+      .withColumnRenamed("id", "nbr_id")
+    val qcodes = bqEncode(q, "query_id", "qv", dims)
+      .select(col("id").as("query_id"), col("b0").as("qb0"),
+        col("b1").as("qb1"))
+    val ham = ccodes.join(broadcast(qcodes),
+        col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        expr("bit_count(b0 ^ qb0) + bit_count(b1 ^ qb1)")
+          .cast("long").as("hamming"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("nbr_id"))
+    val shortlist = ham.withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= candidates)
+      .select(col("query_id"), col("nbr_id"), col("hamming"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    shortlist.join(c, Seq("nbr_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"), col("hamming"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("qv"), col("nv")), 6).as("score"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Coarse-cell RESIDUALS — the IVFADC composition's encode input
     * (Jégou et al. §IV: quantize x − c(x), not x, so the PQ codebook
     * spends its 2^bits on the WITHIN-cell distribution instead of

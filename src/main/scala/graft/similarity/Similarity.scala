@@ -50,6 +50,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** TRUNCATE-THEN-RERANK top-k — the Matryoshka serving pattern
+    * (Kusupati et al., "Matryoshka Representation Learning", NeurIPS
+    * 2022 §4: MRL-trained embeddings keep most of their signal in a
+    * PREFIX of the dimensions, so the shortlist scan runs on the
+    * first `dPrefix` dims and only `candidates` rows per query pay
+    * the full-dimension similarity). At 100 TB this is the
+    * funnel-retrieval shape even without MRL training: the truncated
+    * corpus is dims/dPrefix× smaller to store AND scan, the rerank
+    * is Q·C full-width — both stages brute-force-exact over their
+    * inputs, so the whole operator is deterministic (round-6 cosine,
+    * ties to the lowest id at BOTH cuts) and oracle-replayable.
+    * Returns (query_id, nbr_id, score, rank) — `score` is the exact
+    * FULL-width cosine. */
+  def truncatedRerankKnn(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, dPrefix: Int,
+                         candidates: Int, k: Int): DataFrame = {
+    require(dPrefix >= 1 && candidates >= k,
+      s"need dPrefix >= 1 and candidates >= k: $dPrefix, $candidates, $k")
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val c = Spread.ensure(corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("nv")))
+      .select(col("nbr_id"), col("nv"),
+        slice(col("nv"), 1, dPrefix).as("ntv"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"), col("qv"),
+        slice(col("qv"), 1, dPrefix).as("qtv"))
+    // stage 1: prefix-width shortlist (deterministic cut)
+    val coarse = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("qv"), col("nbr_id"), col("nv"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("qtv"), col("ntv")), 6).as("tscore"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("tscore").desc, col("nbr_id"))
+    val shortlist = coarse.withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= candidates)
+    // stage 2: exact full-width rerank of the C survivors
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    shortlist
+      .select(col("query_id"), col("nbr_id"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("qv"), col("nv")), 6).as("score"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** IVF-style top-k: only corpus rows in the same coarse cell as the
     * query are scored. `cellCol` is the precomputed cluster label. */
   def partitionedKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
