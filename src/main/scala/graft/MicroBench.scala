@@ -226,6 +226,15 @@ object MicroBench {
         m = 4, dims = 64, k = 3))
       println(f"[micro] ivfadc res+bias    nprobe=$np recall@3=$r1%6.2f%%")
     }
+    // the funnel family at the same query set — what the 4×-smaller
+    // prefix index (MRL) and the 32×-smaller sign index (BQ) recover
+    // with a 20-candidate exact rerank
+    val rMrl = meanRecall(Similarity.truncatedRerankKnn(e, qs,
+      "vec_id", "embedding", dPrefix = 16, candidates = 20, k = 3))
+    println(f"[micro] mrl 16-dim funnel C=20  recall@3=$rMrl%6.2f%%")
+    val rBq = meanRecall(Quantize.bqRerankTopK(e, qs, "vec_id",
+      "embedding", dims = 64, candidates = 20, k = 3))
+    println(f"[micro] bq hamming funnel C=20  recall@3=$rBq%6.2f%%")
     spark.catalog.clearCache()
   }
 
