@@ -413,6 +413,27 @@ object SparkEntry {
       s"trussness_saved_k8_lt1500_mod20_v1:$fp", dir)(write)
   }
 
+  /** The q_trussness_delete fixture's SAVED decomposition: trussness
+    * of the FULL bounded co-purchase graph at maxK = 8 — the delete
+    * query retracts the mod-20 orders' pairs and repairs each level
+    * independently from its slice. */
+  private def trussnessSavedFull(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.alias("x").join(li.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      graft.graph.KTruss.trussness(pairs, "p1", "p2",
+          maxK = 8, maxRounds = 16)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"trussness_saved_k8_lt1500_full_v1:$fp", dir)(write)
+  }
+
   /** The q_pagerank_incr fixture's SAVED rank vector: a 3-round
     * exact-ppm PageRank over the ¾ purchase graph (o_orderkey % 4
     * != 0), staged once per data dir with the source fingerprint
@@ -5356,6 +5377,29 @@ object SparkEntry {
         .orderBy(col("u"), col("v"))
     }),
 
+    "q_trussness_delete" -> ((s, dir) => {
+      // trussness maintenance under edge DELETES
+      // (KTruss.trussnessDeleted — the decomposition repair's
+      // retraction twin, completing the matrix): the saved FULL-graph
+      // decomposition, the mod-20 orders' pairs retracted at the
+      // pair level, each level repaired INDEPENDENTLY from its own
+      // slice via truss_k(G ∖ D) = truss_k(T_k ∖ D) — deletes never
+      // add membership, so unlike the insert side no level feeds the
+      // next. Gate = EQUIVALENCE: the oracle is the full nested
+      // unroll over the pruned pair set.
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      def pairsOf(f: DataFrame): DataFrame =
+        f.alias("x").join(f.alias("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      val saved = s.read.parquet(trussnessSavedFull(s, dir))
+      graft.graph.KTruss.trussnessDeleted(pairsOf(li),
+          pairsOf(li.where(col("ok") % 20 === 0)), "p1", "p2",
+          saved, maxK = 8, maxExpandRounds = 8, maxPeelRounds = 32)
+        .orderBy(col("u"), col("v"))
+    }),
+
     "q_triangles_delete" -> ((s, dir) => {
       // triangles DESTROYED by retracting the orders-1200..1500
       // co-purchase edges from the orders-<1500 graph
@@ -9026,6 +9070,11 @@ object SparkEntry {
     // full decomposition of the union graph — q_trussness's unroll
     "q_trussness_incr" -> Duck.trussnessSql(maxK = 8, rounds = 8),
 
+    // the decomposition delete twin: the same nested unroll over the
+    // mod-20-retracted pair set
+    "q_trussness_delete" -> Duck.trussnessSql(maxK = 8, rounds = 8,
+      deleteMod = Some(20)),
+
     "q_link_predict" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem WHERE l_orderkey < 1500),
@@ -10364,7 +10413,8 @@ object SparkEntry {
       * the previous level's final edge set (the monotone nesting);
       * trussness = the deepest level an edge survived, 2 at the
       * floor. */
-    def trussnessSql(maxK: Int, rounds: Int): String = {
+    def trussnessSql(maxK: Int, rounds: Int,
+                     deleteMod: Option[Int] = None): String = {
       def level(k: Int): String = {
         val start = if (k == 3) "e0" else s"k${k - 1}r$rounds"
         (1 to rounds).map { r =>
@@ -10387,11 +10437,28 @@ object SparkEntry {
         (3 to maxK).map(k =>
           s"SELECT u, v, CAST($k AS BIGINT) AS t FROM k${k}r$rounds"))
         .mkString("\n    UNION ALL ")
+      val e0 = deleteMod match {
+        case None =>
+          """e0 AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS u,
+            |    greatest(x.pk, y.pk) AS v
+            |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)"""
+            .stripMargin
+        case Some(m) =>
+          s"""e_all AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+             |    greatest(x.pk, y.pk) AS v
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+             |e_del AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+             |    greatest(x.pk, y.pk) AS v
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             |  WHERE x.ok % $m = 0),
+             |e0 AS MATERIALIZED (SELECT u, v FROM e_all
+             |  WHERE NOT EXISTS (SELECT 1 FROM e_del d
+             |                    WHERE d.u = e_all.u AND d.v = e_all.v))"""
+            .stripMargin
+      }
       s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
          |  FROM lineitem WHERE l_orderkey < 1500),
-         |e0 AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS u,
-         |    greatest(x.pk, y.pk) AS v
-         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         |$e0,
          |$levels
          |SELECT u, v, CAST(max(t) AS BIGINT) AS trussness
          |FROM ($unions) GROUP BY u, v ORDER BY u, v""".stripMargin

@@ -308,7 +308,7 @@ object KTruss {
       canon(deletedEdges, srcCol, dstCol)
         .join(truss, Seq("u", "v"), "left_semi"), "u, v")
     if (nDel == 0) return truss
-    val (tRem, _) = graft.operators.Converge.checkpointWithSig(
+    val (tRem, (nRem, _)) = graft.operators.Converge.checkpointWithSig(
       truss.join(del, Seq("u", "v"), "left_anti"), "u, v")
     // T's symmetric adjacency — the closure walks triangles of the
     // SAVED truss (an over-approximation of every evolving set)
@@ -337,10 +337,17 @@ object KTruss {
     var region = frontier
     var round = 0
     var fellBack = false
+    // raised on fallback (the insert repair's r16-advice fix,
+    // mirrored): a full-tRem peel can need more rounds than the
+    // caller's region-tuned bound; each non-final round removes at
+    // least one edge, so the surviving-truss edge count (free from
+    // the tRem checkpoint's signature) is the sound runaway guard
+    var fallbackPeelBound = 0L
     while (nFrontier > 0) {
       round += 1
       if (round > maxExpandRounds) {
         region = tRem
+        fallbackPeelBound = nRem + 1
         nFrontier = 0
         fellBack = true
       } else {
@@ -365,11 +372,12 @@ object KTruss {
     var (cur, sig) =
       graft.operators.Converge.checkpointWithSig(region, "u, v")
     round = 0
+    val peelBound = math.max(maxPeelRounds.toLong, fallbackPeelBound)
     var done = false
     while (!done) {
       round += 1
-      require(round <= maxPeelRounds,
-        s"delete-region peel exceeded $maxPeelRounds rounds")
+      require(round <= peelBound,
+        s"delete-region peel exceeded $peelBound rounds")
       val curAll = stable.unionByName(cur)
       val symCur = curAll.select(explode(array(
           struct(col("u").as("n"), col("v").as("m")),
@@ -482,6 +490,57 @@ object KTruss {
       oldLevel = graft.operators.Converge
         .checkpointWithSig(savedK, "u, v")._1
       curLevel = nextLevel
+    }
+    levels.reduce(_ unionByName _)
+      .groupBy(col("u"), col("v"))
+      .agg(max(col("t")).as("trussness"))
+  }
+
+  /** Trussness maintenance under an edge-DELETE batch —
+    * [[trussnessIncremental]]'s retraction twin, completing the
+    * decomposition repair matrix. Unlike the insert side, the levels
+    * need NO chain: the containment identity
+    * truss_k(G ∖ D) = truss_k(T_k ∖ D) holds at every level
+    * independently (deletes never ADD membership, so each repaired
+    * level is already confined to its own saved slice — what the
+    * insert chain threads from level k−1 is exactly what deletes
+    * cannot produce), so each level is one region-bounded
+    * [[kTrussDeleted]] over its slice and a quiet slice (no deleted
+    * edge inside it) short-circuits for free. Result is
+    * row-identical to [[trussness]] over `edges` ∖ D at the same
+    * `maxK`.
+    *
+    * @param savedTrussness (u, v, trussness) from [[trussness]] over
+    *                       `edges` at the SAME maxK */
+  def trussnessDeleted(edges: DataFrame, deletedEdges: DataFrame,
+                       srcCol: String, dstCol: String,
+                       savedTrussness: DataFrame, maxK: Int,
+                       maxExpandRounds: Int,
+                       maxPeelRounds: Int): DataFrame = {
+    require(maxK >= 2, s"maxK must be >= 2, got $maxK")
+    def canon(df: DataFrame, s: String, d: String): DataFrame = df
+      .select(least(col(s), col(d)).as("u"),
+        greatest(col(s), col(d)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val (oldL2, _) = graft.operators.Converge.checkpointWithSig(
+      canon(edges, srcCol, dstCol), "u, v")
+    val (del, (nDel, _)) = graft.operators.Converge.checkpointWithSig(
+      canon(deletedEdges, srcCol, dstCol)
+        .join(oldL2, Seq("u", "v"), "left_semi"), "u, v")
+    val (saved, _) = graft.operators.Converge.checkpointWithSig(
+      savedTrussness.select(col("u"), col("v"), col("trussness")),
+      "u, v, trussness")
+    if (nDel == 0) return saved
+    val (newL2, _) = graft.operators.Converge.checkpointWithSig(
+      oldL2.join(del, Seq("u", "v"), "left_anti"), "u, v")
+    var levels = Seq(newL2.withColumn("t", lit(2L)))
+    for (k <- 3 to maxK) {
+      val savedK = saved.where(col("trussness") >= k.toLong)
+        .select(col("u"), col("v"))
+      val nextLevel = kTrussDeleted(oldL2, del, "u", "v",
+        savedK, k, maxExpandRounds, maxPeelRounds)
+      levels :+= nextLevel.withColumn("t", lit(k.toLong))
     }
     levels.reduce(_ unionByName _)
       .groupBy(col("u"), col("v"))

@@ -316,6 +316,44 @@ class KTrussSpec extends SparkSpec {
     }
   }
 
+  test("deleted trussness equals the cold decomposition") {
+    // retracting a K4 edge collapses its level-4 slice while the
+    // second K4's slice is independently untouched
+    val k4a = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val k4b = for { a <- 5L to 8L; b <- 5L to 8L if a < b } yield (a, b)
+    val old = (k4a ++ k4b :+ ((4L, 5L))).distinct
+    val saved = KTruss.trussness(old.toDF("a", "b"), "a", "b",
+      maxK = 5, maxRounds = 16)
+    val got = KTruss.trussnessDeleted(old.toDF("a", "b"),
+        Seq((1L, 2L)).toDF("a", "b"), "a", "b", saved, maxK = 5,
+        maxExpandRounds = 16, maxPeelRounds = 16)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === serialTrussness(old.filterNot(_ == ((1L, 2L))), 5, 16))
+  }
+
+  test("deleted trussness equals the cold decomposition, randomized") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 3) {
+      val n = 9
+      val edges = Seq.fill(34)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val (kept, dropped) = edges.partition(_ => rnd.nextInt(4) > 0)
+      if (dropped.nonEmpty) {
+        val saved = KTruss.trussness(edges.toDF("a", "b"), "a", "b",
+          maxK = 5, maxRounds = 16)
+        val got = KTruss.trussnessDeleted(edges.toDF("a", "b"),
+            dropped.toDF("a", "b"), "a", "b", saved, maxK = 5,
+            maxExpandRounds = 16, maxPeelRounds = 16)
+          .as[(Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        assert(got === serialTrussness(kept, 5, 16), s"trial $trial")
+      }
+    }
+  }
+
   test("matches the serial reference on randomized graphs") {
     val rnd = new scala.util.Random(424)
     for (trial <- 1 to 4) {
