@@ -454,6 +454,28 @@ object SparkEntry {
       s"pagerank_saved_i3_mod4_v1:$fp", dir)(write)
   }
 
+  /** The q_ppr_incr fixture's SAVED personalized-rank vector: a
+    * 3-round seed-pinned exact-ppm PPR over the ¾ purchase graph
+    * (the seed set derives from the FULL orders table — seeds are a
+    * property of the query, not of the graph snapshot). */
+  private def pprSaved(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val oc = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = purchaseEdgesFrom(s, dir,
+        oc.where(col("o_orderkey") % 4 =!= 0))
+      val seeds = oc.where(col("o_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+      graft.graph.PageRank.personalizedPageRank(edges, "a", "b", seeds,
+          iters = 3)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"ppr_saved_i3_mod4_v1:$fp", dir)(write)
+  }
+
   /** The q_hits_incr fixture's SAVED hub/authority table: a 3-round
     * exact L∞-normalized HITS over the ¾ directed purchase graph
     * (o_orderkey % 4 != 0), staged once per data dir. A full HITS
@@ -1584,6 +1606,30 @@ object SparkEntry {
           struct(col("b").as("a"), col("a").as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
       graft.graph.PageRank.pageRank(edges, "a", "b", iters = 3)
+        .orderBy(col("node_id"))
+    }),
+
+    "q_pagerank_weighted" -> ((s, dir) => {
+      // WEIGHTED PageRank (PageRank.pageRankWeighted): rank mass
+      // flows proportionally to purchase MULTIPLICITY — the edge
+      // weight is the distinct-order count linking the customer and
+      // supplier, so a 40-order relationship pushes 40× the rank of
+      // a one-off (the weighted-SSSP precedent at the rank family).
+      // Exact ppm with multiply-before-floor-divide per edge; the
+      // unrolled oracle replays the weighted arithmetic verbatim.
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val wpairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"), col("o_orderkey"))
+        .distinct()
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      val edges = wpairs.select(explode(array(
+          struct(col("a"), col("b"), col("w")),
+          struct(col("b").as("a"), col("a").as("b"), col("w")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
+      graft.graph.PageRank.pageRankWeighted(edges, "a", "b", "w",
+          iters = 3)
         .orderBy(col("node_id"))
     }),
 
@@ -4739,6 +4785,27 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_ppr_incr" -> ((s, dir) => {
+      // WARM-START personalized PageRank
+      // (PageRank.personalizedPageRankResume): resume the seed-pinned
+      // exact-ppm iteration from the staged ¾-graph vector for 2
+      // rounds over the FULL purchase graph — the restart base stays
+      // pinned to the SAME %100 customer seed set (the base is part
+      // of the map, not the state), and nodes the remaining quarter
+      // introduces seed at the cold init (SCALE for seeds, 0
+      // otherwise). Trajectory-exact like q_pagerank_incr; the
+      // oracle replays the composition with the seed-pinned base in
+      // both phases.
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val edges = purchaseEdgesFrom(s, dir, oc)
+      val seeds = oc.where(col("o_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+      val saved = s.read.parquet(pprSaved(s, dir))
+      graft.graph.PageRank.personalizedPageRankResume(edges, "a", "b",
+          seeds, saved, iters = 2)
+        .orderBy(col("node_id"))
+    }),
+
     "q_walks" -> ((s, dir) => {
       // DeepWalk front end: 2 deterministic seeded-hash walks of 4
       // steps from every node of the bounded co-purchase graph — the
@@ -6571,6 +6638,11 @@ object SparkEntry {
     // warm-start trajectory replay: 3 unrolled rounds over the mod-4
     // graph (the staged artifact), then 2 over the full graph from
     // that vector with batch-new nodes at the uniform init
+    // mirrors PageRank.pageRankWeighted: 3 unrolled rounds over the
+    // multiplicity-weighted symmetric purchase graph, exact ppm with
+    // per-edge multiply-before-floor-divide
+    "q_pagerank_weighted" -> Duck.pagerankWeightedSql(iters = 3),
+
     "q_pagerank_incr" -> Duck.pagerankResumeSql(savedIters = 3,
       resumeIters = 2),
 
@@ -8750,6 +8822,10 @@ object SparkEntry {
         |SELECT node AS node_id, pr AS pr_ppm FROM p3
         |ORDER BY node_id""".stripMargin,
 
+    // warm-start PPR: 3 unrolled seed-pinned rounds on the mod-4
+    // graph, then 2 resume rounds on the full graph from that vector
+    "q_ppr_incr" -> Duck.pprResumeSql(savedIters = 3, resumeIters = 2),
+
     // mirrors RandomWalks.walks via Duck.walkSql
     "q_walks" -> Duck.walkSql(walksPerNode = 2, len = 4, seed = "w42"),
 
@@ -10805,6 +10881,99 @@ object SparkEntry {
       *                       Some(sql) keeps pairs where `sql` holds
       *                       over the per-pair derivation (delete
       *                       shape — the NOT EXISTS retraction) */
+    /** Warm-start PPR mirror of `PageRank.personalizedPageRankResume`
+      * over the staged artifact: `savedIters` unrolled seed-pinned
+      * rounds from the cold init over the mod-4 purchase graph, then
+      * `resumeIters` rounds over the FULL graph from that vector,
+      * absent nodes coalesced to the cold init (seed ? 10^6 : 0).
+      * The seed set derives from the FULL orders table in both
+      * phases. */
+    def pprResumeSql(savedIters: Int, resumeIters: Int,
+                     savedPredicate: String = "o_orderkey % 4 <> 0"): String = {
+      def rounds(e: String, deg: String, n: String, pfx: String,
+                 start: String, cnt: Int): String =
+        (1 to cnt).map { k =>
+          val prev = if (k == 1) start else s"${pfx}p${k - 1}"
+          s"""${pfx}c$k AS (SELECT e.dst AS node,
+             |    CAST(sum(p.pr // d.outdeg) AS BIGINT) AS s
+             |  FROM $e e JOIN $deg d ON e.src = d.src
+             |  JOIN $prev p ON e.src = p.node
+             |  GROUP BY e.dst),
+             |${pfx}p$k AS (SELECT n.node,
+             |  CAST((CASE WHEN n.is_seed THEN 150000 ELSE 0 END)
+             |    + (850000 * coalesce(c.s, 0)) // 1000000 AS BIGINT) AS pr
+             |  FROM $n n LEFT JOIN ${pfx}c$k c ON n.node = c.node)"""
+            .stripMargin
+        }.mkString(",\n")
+      s"""WITH sd AS MATERIALIZED (SELECT DISTINCT
+         |    'c' || CAST(o_custkey AS VARCHAR) AS node
+         |  FROM orders WHERE o_custkey % 100 = 0),
+         |pairs_old AS MATERIALIZED (SELECT DISTINCT
+         |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE $savedPredicate),
+         |eo AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs_old
+         |      UNION ALL SELECT b AS src, a AS dst FROM pairs_old),
+         |dego AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM eo
+         |  GROUP BY src),
+         |no AS MATERIALIZED (SELECT d.src AS node,
+         |    (sd.node IS NOT NULL) AS is_seed
+         |  FROM dego d LEFT JOIN sd ON d.src = sd.node),
+         |op0 AS (SELECT node, CASE WHEN is_seed THEN CAST(1000000 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS pr FROM no),
+         |${rounds("eo", "dego", "no", "o", "op0", savedIters)},
+         |pairs AS MATERIALIZED (SELECT DISTINCT
+         |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+         |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e
+         |  GROUP BY src),
+         |n AS MATERIALIZED (SELECT d.src AS node,
+         |    (sd.node IS NOT NULL) AS is_seed
+         |  FROM deg d LEFT JOIN sd ON d.src = sd.node),
+         |wp0 AS (SELECT n.node, CAST(coalesce(sv.pr,
+         |    CASE WHEN n.is_seed THEN 1000000 ELSE 0 END) AS BIGINT) AS pr
+         |  FROM n LEFT JOIN op$savedIters sv ON n.node = sv.node),
+         |${rounds("e", "deg", "n", "w", "wp0", resumeIters)}
+         |SELECT node AS node_id, pr AS pr_ppm FROM wp$resumeIters
+         |ORDER BY node_id""".stripMargin
+    }
+
+    /** Weighted-PageRank mirror of `PageRank.pageRankWeighted` over
+      * the multiplicity-weighted symmetric purchase graph: per round
+      * the per-edge contribution is ⌊pr·w / W(src)⌋ summed by dst,
+      * then the usual ppm damping floor. */
+    def pagerankWeightedSql(iters: Int): String = {
+      val rounds = (1 to iters).map { k =>
+        val prev = if (k == 1) "p0" else s"p${k - 1}"
+        s"""c$k AS (SELECT e.dst AS node,
+           |    CAST(sum((p.pr * e.w) // d.wsum) AS BIGINT) AS s
+           |  FROM e JOIN d ON e.src = d.src JOIN $prev p ON e.src = p.node
+           |  GROUP BY e.dst),
+           |p$k AS (SELECT d.src AS node,
+           |  CAST(150000 + (850000 * coalesce(c$k.s, 0)) // 1000000
+           |    AS BIGINT) AS pr
+           |  FROM d LEFT JOIN c$k ON d.src = c$k.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wp AS MATERIALIZED (SELECT a, b,
+         |    CAST(count(*) AS BIGINT) AS w FROM (
+         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |      's' || CAST(l_suppkey AS VARCHAR) AS b, o_orderkey
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey) t
+         |  GROUP BY a, b),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM wp
+         |      UNION ALL SELECT b AS src, a AS dst, w FROM wp),
+         |d AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+         |  FROM e GROUP BY src),
+         |p0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM d),
+         |$rounds
+         |SELECT node AS node_id, pr AS pr_ppm FROM p$iters
+         |ORDER BY node_id""".stripMargin
+    }
+
     def pagerankResumeSql(savedIters: Int, resumeIters: Int,
                           savedPredicate: String = "o_orderkey % 4 <> 0",
                           resumeDelMod: Option[Int] = None): String = {

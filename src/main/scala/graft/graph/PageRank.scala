@@ -148,6 +148,53 @@ object PageRank {
     out
   }
 
+  /** WEIGHTED PageRank — rank mass flows proportionally to integer
+    * edge weights instead of uniformly over out-edges:
+    * pr(v) = (1−d) + d·Σ_{u→v} ⌊pr(u)·w(u,v) / W(u)⌋ with
+    * W(u) = Σ w(u,·), the multiplicity-aware variant (a customer who
+    * bought from a supplier 40 times pushes 40× the rank of a
+    * one-off link — the natural purchase-graph semantics, and the
+    * [[graft.graph.Sssp]] weightedDistances precedent at the rank
+    * family). All arithmetic stays exact integer ppm: the per-edge
+    * contribution multiplies BEFORE the floor division
+    * (pr·w div W — exact, order-free), so the long bound tightens
+    * from pr ≤ n·SCALE to pr·w_max < 2⁶³: fine to w_max ≈ 9.2×10⁵ at
+    * the ~10⁷-node narrow-path ceiling, far above any per-pair order
+    * multiplicity; wider graphs widen exactly like [[pageRank]].
+    * Same per-round shape: one equi-join + one map-combined groupBy.
+    *
+    * @param wCol integer weight column ≥ 1 on `edges` */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, iters: Int,
+                       dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= Scale)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w"))
+    val wsum = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val ed = e.join(wsum, Seq("src")).persist()
+    ed.count()
+    val nodes = ed.select(col("src").as("node")).distinct().persist()
+    nodes.count()
+    val base = lit(Scale - dampingPpm)
+    var pr = nodes.select(col("node"), lit(Scale).as("pr_ppm"))
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst"), expr("(pr_ppm * w) div wsum").as("c"))
+      val agg = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      pr = nodes
+        .join(agg.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (base + expr(s"($dampingPpm * coalesce(s, 0L)) div $Scale"))
+            .as("pr_ppm"))
+    }
+    val out = pr.select(col("node").as("node_id"), col("pr_ppm"))
+      .sanitizedCheckpoint()
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** The shared iteration: `iters` exact ppm rounds from `pr0` over
     * the degree-annotated (persisted) edge table. */
   private def iterate(ed: DataFrame, nodes: DataFrame, pr0: DataFrame,
@@ -203,7 +250,27 @@ object PageRank {
     * @param seeds one column of node ids (same values as `srcCol`) */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, iters: Int,
-                           dampingPpm: Long = 850000L): DataFrame = {
+                           dampingPpm: Long = 850000L): DataFrame =
+    pprRun(edges, srcCol, dstCol, seeds, None, iters, dampingPpm)
+
+  /** WARM-START personalized PageRank — resume the seed-pinned exact
+    * ppm iteration from a SAVED vector over the (possibly changed)
+    * edge table: [[pageRankResume]]'s discipline with the restart
+    * base still pinned to the SEED set (pass the same seeds — the
+    * base is part of the map, not of the state). Trajectory-exact
+    * like its uniform sibling (and with the same adjacent-fixpoint
+    * caveat); nodes the batch introduces seed at the cold init
+    * (SCALE for seeds, 0 otherwise). */
+  def personalizedPageRankResume(edges: DataFrame, srcCol: String,
+                                 dstCol: String, seeds: DataFrame,
+                                 savedRanks: DataFrame, iters: Int,
+                                 dampingPpm: Long = 850000L): DataFrame =
+    pprRun(edges, srcCol, dstCol, seeds, Some(savedRanks), iters,
+      dampingPpm)
+
+  private def pprRun(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: DataFrame, saved: Option[DataFrame],
+                     iters: Int, dampingPpm: Long): DataFrame = {
     require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= Scale)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -218,8 +285,15 @@ object PageRank {
       .persist()
     nodes.count()
     val base = when(col("is_seed"), lit(Scale - dampingPpm)).otherwise(lit(0L))
-    var pr = nodes.select(col("node"),
-      when(col("is_seed"), lit(Scale)).otherwise(lit(0L)).as("pr_ppm"))
+    val coldInit = when(col("is_seed"), lit(Scale)).otherwise(lit(0L))
+    var pr = saved match {
+      case None => nodes.select(col("node"), coldInit.as("pr_ppm"))
+      case Some(sv) => nodes
+        .join(sv.select(col("node_id").as("node"),
+          col("pr_ppm").as("saved_pr")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("saved_pr"), coldInit).as("pr_ppm"))
+    }
     for (_ <- 1 to iters) {
       val contrib = ed
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))

@@ -142,6 +142,38 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
       uniform(1L).toDouble / uniform(6L))
   }
 
+  test("personalized resume continues the cold trajectory and seeds " +
+      "new nodes cold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 60)
+      .map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+    val seeds = Seq(1L, 7L).map(Tuple1(_)).toDF("node")
+    // trajectory identity: resume(g, ppr(g, 2), 1) = ppr(g, 3)
+    val saved = PageRank.personalizedPageRank(edges, "src", "dst",
+      seeds, iters = 2)
+    val warm = PageRank.personalizedPageRankResume(edges, "src", "dst",
+        seeds, saved, iters = 1)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    val cold = PageRank.personalizedPageRank(edges, "src", "dst",
+        seeds, iters = 3)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(warm === cold)
+    // batch-new nodes seed at the cold init: extending the artifact
+    // with the cold values for the new nodes changes nothing
+    val grown = edges.union(Seq((99L, 1L), (1L, 99L)).toDF("src", "dst"))
+    val w1 = PageRank.personalizedPageRankResume(grown, "src", "dst",
+        seeds, saved, iters = 1)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    val extended = saved.unionByName(
+      Seq((99L, 0L)).toDF("node_id", "pr_ppm"))
+    val w2 = PageRank.personalizedPageRankResume(grown, "src", "dst",
+        seeds, extended, iters = 1)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(w1 === w2)
+  }
+
   test("forced wide (DECIMAL) arithmetic matches the long path exactly") {
     import spark.implicits._
     val edges = (1L to 40L).flatMap(i =>
