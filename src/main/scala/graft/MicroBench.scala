@@ -56,6 +56,7 @@ object MicroBench {
       case "hyperball_m" => hyperballM(spark, sfDir, repeats)
       case "hyperball_shuffled" => hyperballShuffled(spark, sfDir, repeats)
       case "ktruss_uncapped" => ktrussUncapped(spark, sfDir)
+      case "kcore_uncapped" => kcoreUncapped(spark, sfDir)
       case "pq_ivfadc" => pqIvfadc(spark, sfDir)
       case "wordpiece" => wordpiece(spark, sfDir, repeats)
       case "pq_train" => pqTrain(spark, sfDir)
@@ -82,6 +83,56 @@ object MicroBench {
           .queryExecution.toRdd.count()
       }
       report(s"hyperball nf r=3 m=$m", sec, rows)
+      spark.catalog.clearCache()
+    }
+  }
+
+  /** UNCAPPED coreness maintenance (the ktruss_uncapped discipline at
+    * the node grain): cold convergence vs warm resume on the FULL
+    * co-purchase graph of the given SF dir, both run to their
+    * signature-confirmed fixpoint under a generous cap — what the
+    * monotone-sandwich warm start actually buys at a real
+    * quarter-batch ratio is the difference between descending from
+    * the degree and descending from ≈coreness. */
+  private def kcoreUncapped(spark: SparkSession, dir: String): Unit = {
+    import graft.graph.KCore
+    val li = SparkEntry.t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    def pairsOf(f: DataFrame): DataFrame =
+      f.alias("x").join(f.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+    def canon(p: DataFrame): DataFrame =
+      p.select(least(col("p1"), col("p2")).as("u"),
+          greatest(col("p1"), col("p2")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    val allPairs = pairsOf(li)
+    def timed(label: String)(body: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = body.sanitizedCheckpoint()
+      val rows = out.count()
+      report(label, (System.nanoTime() - t0) / 1e9, rows)
+      out
+    }
+    timed("cold full coreness (cap 20)") {
+      KCore.corenessHIndex(allPairs, "p1", "p2", rounds = 20)
+    }
+    spark.catalog.clearCache()
+    // two batch ratios: the quarter batch makes the GLOBAL slack
+    // graph-sized (saved + slack ≥ deg everywhere — the warm start
+    // legitimately degenerates toward cold), the 1% batch is the
+    // maintenance regime the operator exists for
+    for (m <- Seq(4, 100)) {
+      val oldPairs = pairsOf(li.where(col("ok") % m =!= 0))
+      val saved = timed(s"stage: coreness sans mod-$m") {
+        KCore.corenessHIndex(oldPairs, "p1", "p2", rounds = 20)
+      }
+      val slack = canon(allPairs)
+        .join(canon(oldPairs), Seq("u", "v"), "left_anti").count()
+      timed(s"warm resume mod-$m (slack=$slack)") {
+        KCore.corenessResume(allPairs, "p1", "p2", saved, slack,
+          rounds = 20)
+      }
       spark.catalog.clearCache()
     }
   }
