@@ -286,6 +286,9 @@ object MicroBench {
     val rBq = meanRecall(Quantize.bqRerankTopK(e, qs, "vec_id",
       "embedding", dims = 64, candidates = 20, k = 3))
     println(f"[micro] bq hamming funnel C=20  recall@3=$rBq%6.2f%%")
+    val rSq = meanRecall(Quantize.sq8AdcTopK(e, qs, "vec_id",
+      "embedding", dims = 64, levels = 256, candidates = 20, k = 3))
+    println(f"[micro] sq8 adc funnel C=20    recall@3=$rSq%6.2f%%")
     spark.catalog.clearCache()
   }
 

@@ -3830,6 +3830,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_vec_sq_adc" -> ((s, dir) => {
+      // SQ8 ASYMMETRIC scan (Quantize.sq8AdcTopK — q_vec_quantize's
+      // serving twin, completing the BQ/PQ/SQ8 triad): the corpus
+      // scans as per-dim integer codes (8 bytes → 1 byte per dim),
+      // each query becomes an integer weight vector
+      // ⌊q_d·step_d·10⁶ + 0.5⌋, and the candidate score is the exact
+      // integer Σ w·code — rank-equivalent to ⟨q, dequant(x)⟩ within
+      // a query (the dropped Σ q·lo term is per-query constant).
+      // Top-20 shortlist, exact cosine rerank, fixed 100-id queries.
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Quantize.sq8AdcTopK(e,
+          e.where(col("vec_id") < 100), "vec_id", "embedding",
+          dims = 64, levels = 256, candidates = 20, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_knn_ivf_learned" -> ((s, dir) => {
       // the full IVF story: LEARNED coarse cells (deterministic
       // k-means assignment) instead of a given label — index build
@@ -7933,6 +7949,44 @@ object SparkEntry {
         |  JOIN p np ON np.vec_id = s.nbr_id)
         |SELECT query_id, nbr_id, hamming, score,
         |  CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+        |  FROM rr) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // SQ8 asymmetric scan: per-dim ranges, integer codes, integer
+    // query weights, exact-sum shortlist, exact cosine rerank
+    "q_vec_sq_adc" ->
+      """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |rg AS MATERIALIZED (SELECT i AS dim,
+        |    min(v[CAST(i + 1 AS INT)]) AS lo,
+        |    max(v[CAST(i + 1 AS INT)]) AS hi
+        |  FROM p CROSS JOIN range(0, 64) t(i) GROUP BY i),
+        |codes AS MATERIALIZED (SELECT vec_id, dim,
+        |    CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor((v[CAST(dim + 1 AS INT)] - lo)
+        |           / (hi - lo) * 255 + 0.5) AS BIGINT) END AS code
+        |  FROM p CROSS JOIN rg),
+        |qw AS MATERIALIZED (SELECT vec_id AS query_id, dim,
+        |    CAST(floor(v[CAST(dim + 1 AS INT)] *
+        |      (CASE WHEN hi = lo THEN 0.0 ELSE (hi - lo) / 255 END)
+        |      * 1000000 + 0.5) AS BIGINT) AS w
+        |  FROM p CROSS JOIN rg WHERE vec_id < 100),
+        |scored AS (SELECT q.query_id, c.vec_id AS nbr_id,
+        |    CAST(sum(c.code * q.w) AS BIGINT) AS sq_u
+        |  FROM codes c JOIN qw q ON c.dim = q.dim
+        |    AND c.vec_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |sl AS (SELECT query_id, nbr_id, sq_u FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sq_u DESC, nbr_id) AS crank
+        |  FROM scored) t WHERE crank <= 20),
+        |rr AS (SELECT s.query_id, s.nbr_id, s.sq_u,
+        |    round(list_cosine_similarity(qp.v, np.v), 6) AS score
+        |  FROM sl s JOIN p qp ON qp.vec_id = s.query_id
+        |  JOIN p np ON np.vec_id = s.nbr_id)
+        |SELECT query_id, nbr_id, sq_u, score, CAST(rank AS BIGINT) AS rank
         |FROM (SELECT *, row_number() OVER
         |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
         |  FROM rr) t

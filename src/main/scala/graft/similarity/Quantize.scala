@@ -314,6 +314,74 @@ object Quantize {
         col("score_u"), col("rank"))
   }
 
+  /** SQ8 ASYMMETRIC scan — the [[encode]] quantizer's serving shape,
+    * completing the compression/serving triad (BQ 32× / PQ 16× /
+    * SQ8 8×): corpus vectors are their per-dim integer codes (1 byte
+    * per dim, packed here as a bigint array projection — no shuffle,
+    * no explode), and each query becomes a per-dim integer WEIGHT
+    * vector w_d = ⌊q_d·step_d·10⁶ + 0.5⌋, so the candidate score
+    * Σ w_d·code_d is an exact integer proxy of
+    * ⟨q, dequant(x)⟩ − Σ q_d·lo_d (the dropped term is constant per
+    * query — rank-equivalent within a query, the asymmetric-distance
+    * argument of the PQ LUT at the scalar grain). The top
+    * `candidates` per query (score desc, ties to the lowest id) then
+    * pay the exact full-width cosine. Returns
+    * (query_id, nbr_id, sq_u, score, rank). */
+  def sq8AdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, dims: Int, levels: Int,
+                 candidates: Int, k: Int): DataFrame = {
+    require(levels >= 2 && candidates >= k,
+      s"need levels >= 2 and candidates >= k: $levels, $candidates, $k")
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val c = graft.operators.Spread.ensure(
+      corpus.select(col(idCol).as("nbr_id"),
+        col(vecCol).cast("array<double>").as("nv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    // per-dim [lo, hi] as two broadcast 1-row arrays (dim-sorted)
+    val arrs = dimRanges(c, "nv").groupBy().agg(
+      expr("transform(array_sort(collect_list(struct(dim, lo))), " +
+        "x -> x.lo)").as("los"),
+      expr("transform(array_sort(collect_list(struct(dim, hi))), " +
+        "x -> x.hi)").as("his"))
+    val lv = levels - 1
+    val codes = c.crossJoin(broadcast(arrs))
+      .select(col("nbr_id"), col("nv"),
+        expr(s"transform(sequence(0, ${dims - 1}), " +
+          "d -> IF(his[d] = los[d], 0L, " +
+          s"cast(floor((nv[d] - los[d]) / " +
+          s"(his[d] - los[d]) * $lv + 0.5) as bigint)))")
+          .as("codes"))
+    val qw = q.crossJoin(broadcast(arrs))
+      .select(col("query_id"), col("qv"),
+        expr(s"transform(sequence(0, ${dims - 1}), " +
+          "d -> cast(floor(qv[d] * " +
+          "(CASE WHEN his[d] = los[d] THEN cast(0.0 as double) " +
+          s"ELSE (his[d] - los[d]) / $lv END) " +
+          "* 1000000 + 0.5) as bigint))").as("w"))
+    val scored = codes.select(col("nbr_id"), col("codes"))
+      .join(broadcast(qw.select(col("query_id"), col("w"))),
+        col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        expr("aggregate(zip_with(codes, w, (c, x) -> c * x), 0L, " +
+          "(a, b) -> a + b)").as("sq_u"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sq_u").desc, col("nbr_id"))
+    val shortlist = scored.withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= candidates)
+      .select(col("query_id"), col("nbr_id"), col("sq_u"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    shortlist.join(c, Seq("nbr_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"), col("sq_u"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("qv"), col("nv")), 6).as("score"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** BINARY quantization (sign bits packed into 32-bit words) — the
     * most aggressive point on the compression curve: 1 bit per
     * dimension, 64 dims → 8 bytes (32× over float32, 8× over PQ's
