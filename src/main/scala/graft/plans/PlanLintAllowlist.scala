@@ -216,6 +216,12 @@ object PlanLintAllowlist {
     // fixed vec_id < 100 query filter PUSHES, so the family's usual
     // scan-without-pushed-filters entry does not recur here
     "q_pq_ivfadc" -> "unconditioned-nested-loop",
+    // r17: SQ8 ADC crosses every vector with the broadcast 1-row
+    // per-dim ranges-arrays frame (the q_token_budget pattern), and
+    // the dimRanges posexplode infers a size() guard parquet can
+    // never push (the documented r9 generate-inference class)
+    "q_vec_sq_adc" -> "unconditioned-nested-loop",
+    "q_vec_sq_adc" -> "scan-without-pushed-filters",
     // r10: every rule row crosses the broadcast 1-row basket-count
     // aggregate (q_token_budget pattern) + smallSort of the rule
     // report (one row per recurring pair direction)
