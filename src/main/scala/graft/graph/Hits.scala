@@ -53,8 +53,9 @@ object Hits {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int): DataFrame = {
     val (e, nodes) = prep(edges, srcCol, dstCol)
-    iterate(e, nodes, nodes.select(col("node"), lit(Scale).as("hub")),
-      iters)
+    finish(e, nodes,
+      iterate(e, nodes, nodes.select(col("node"), lit(Scale).as("hub")),
+        iters))
   }
 
   /** WARM-START HITS — resume the exact L∞-normalized iteration from
@@ -80,7 +81,19 @@ object Hits {
       .join(savedHubs.select(col("node_id").as("node"), col("hub_ppm")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("hub_ppm"), lit(Scale)).as("hub"))
-    iterate(e, nodes, hub0, iters)
+    // the cold init is all-SCALE so lInfNorm's "max > 0" invariant
+    // holds by construction; a WARM init inherits the artifact, and a
+    // resumed edge set whose every node was a pure sink in the saved
+    // run (hub_ppm 0 everywhere) would feed the first half-step an
+    // all-zero vector — the div would NULL-propagate silently. Fail
+    // loudly instead: such an artifact carries no usable direction
+    // and the caller should cold-start.
+    val hubMax = hub0.agg(max(col("hub"))).head()
+    require(!hubMax.isNullAt(0) && hubMax.getLong(0) > 0L,
+      "hitsResume: the saved hub vector is all-zero on this edge set " +
+        "(every resumed node was a pure sink in the artifact) — the " +
+        "warm start has no direction to resume; run hits() cold instead")
+    finish(e, nodes, iterate(e, nodes, hub0, iters))
   }
 
   private def prep(edges: DataFrame, srcCol: String,
@@ -92,6 +105,19 @@ object Hits {
       .unionByName(e.select(col("dst").as("node")))
       .distinct().persist()
     (e, nodes)
+  }
+
+  /** Materialize the (one-row-per-node) result, then release the two
+    * iteration caches — the PageRank/LabelProp/KCore house
+    * convention: a long-lived session running many HITS gates must
+    * not accumulate cached edge/node blocks (the checkpoint keeps the
+    * result readable after the unpersist). */
+  private def finish(e: DataFrame, nodes: DataFrame,
+                     out: DataFrame): DataFrame = {
+    val result = out.sanitizedCheckpoint()
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    result
   }
 
   /** The shared iteration: `iters` exact rounds from `hub0`. */

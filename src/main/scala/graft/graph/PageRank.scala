@@ -163,30 +163,98 @@ object PageRank {
     * multiplicity; wider graphs widen exactly like [[pageRank]].
     * Same per-round shape: one equi-join + one map-combined groupBy.
     *
-    * @param wCol integer weight column ≥ 1 on `edges` */
+    * @param wCol integer weight column ≥ 1 on `edges`
+    * @param wide Some(b) forces the DECIMAL(38,0) arithmetic on/off;
+    *             None (default) probes max(w) and the node count and
+    *             widens exactly when the long per-edge multiply
+    *             (pr·w, pr bounded by n·SCALE) or the damping
+    *             multiply could overflow — the [[pageRank]] probe
+    *             with the weight folded into the bound, so
+    *             out-of-range graphs widen instead of silently
+    *             wrapping */
   def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
                        wCol: String, iters: Int,
-                       dampingPpm: Long = 850000L): DataFrame = {
+                       dampingPpm: Long = 850000L,
+                       wide: Option[Boolean] = None): DataFrame =
+    weightedRun(edges, srcCol, dstCol, wCol, None, iters, dampingPpm, wide)
+
+  /** WARM-START weighted PageRank — [[pageRankResume]]'s discipline
+    * at the weighted map: resume the exact multiply-before-floor
+    * iteration from a SAVED rank vector for `iters` more rounds over
+    * the (possibly changed) weighted edge table. Trajectory-exact
+    * with the same adjacent-fixpoint caveat as the uniform pair;
+    * nodes the batch introduces seed at the uniform init SCALE.
+    * Weight changes ride for free: W(u) and every w re-derive from
+    * the edge table each call, so an edge whose multiplicity grew
+    * simply contributes at its new proportion from round one. */
+  def pageRankWeightedResume(edges: DataFrame, srcCol: String,
+                             dstCol: String, wCol: String,
+                             savedRanks: DataFrame, iters: Int,
+                             dampingPpm: Long = 850000L,
+                             wide: Option[Boolean] = None): DataFrame =
+    weightedRun(edges, srcCol, dstCol, wCol, Some(savedRanks), iters,
+      dampingPpm, wide)
+
+  private def weightedRun(edges: DataFrame, srcCol: String, dstCol: String,
+                          wCol: String, saved: Option[DataFrame],
+                          iters: Int, dampingPpm: Long,
+                          wide: Option[Boolean]): DataFrame = {
     require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= Scale)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w"))
     val wsum = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     val ed = e.join(wsum, Seq("src")).persist()
-    ed.count()
+    val edCount = ed.count()
     val nodes = ed.select(col("src").as("node")).distinct().persist()
     nodes.count()
+    // overflow probe (the pageRank discipline, weight-aware): pr is
+    // bounded by n·SCALE (hub worst case), so the per-edge multiply
+    // pr·w wraps iff n·SCALE·max(w) ≥ 2⁶³ and the damping multiply
+    // iff n·SCALE·dampingPpm does. One 1-row agg over the persisted
+    // edge table prices max(w); edCount bounds n from above.
+    // Threshold arithmetic runs in BigInt driver-side (max(w) itself
+    // may be large enough that maxW·SCALE wraps a long).
+    val useWide = wide.getOrElse {
+      val maxW = math.max(1L,
+        ed.agg(max(col("w"))).head().getLong(0))
+      val mult = BigInt(math.max(maxW, dampingPpm)) * Scale
+      val safeNodes = BigInt(Long.MaxValue) / mult
+      BigInt(edCount) > safeNodes &&
+        BigInt(nodes.count()) > safeNodes
+    }
     val base = lit(Scale - dampingPpm)
-    var pr = nodes.select(col("node"), lit(Scale).as("pr_ppm"))
+    val coldInit = lit(Scale)
+    var pr = saved match {
+      case None => nodes.select(col("node"), coldInit.as("pr_ppm"))
+      case Some(sv) => nodes
+        .join(sv.select(col("node_id").as("node"),
+          col("pr_ppm").as("saved_pr")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("saved_pr"), coldInit).as("pr_ppm"))
+    }
     for (_ <- 1 to iters) {
+      // wide: the per-edge multiply AND the damping multiply run in
+      // DECIMAL(38,0) — `div` is integral divide on decimals too
+      // (returns BIGINT), so floor semantics match the long path
+      // exactly for the non-negative values here
       val contrib = ed
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst"), expr("(pr_ppm * w) div wsum").as("c"))
-      val agg = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst"),
+          (if (useWide)
+             expr("cast((cast(pr_ppm as decimal(38,0)) * w) div wsum " +
+               "as bigint)")
+           else expr("(pr_ppm * w) div wsum")).as("c"))
+      val agg = contrib.groupBy(col("dst")).agg(
+        (if (useWide) sum(col("c").cast("decimal(38,0)"))
+         else sum(col("c"))).as("s"))
+      val damped =
+        if (useWide) expr(
+          s"cast(($dampingPpm * coalesce(s, cast(0 as decimal(38,0)))) " +
+            s"div $Scale as bigint)")
+        else expr(s"($dampingPpm * coalesce(s, 0L)) div $Scale")
       pr = nodes
         .join(agg.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (base + expr(s"($dampingPpm * coalesce(s, 0L)) div $Scale"))
-            .as("pr_ppm"))
+        .select(col("node"), (base + damped).as("pr_ppm"))
     }
     val out = pr.select(col("node").as("node_id"), col("pr_ppm"))
       .sanitizedCheckpoint()

@@ -71,25 +71,31 @@ object Similarity {
     graft.expressions.GraftFunctions.register(corpus.sparkSession)
     val c = Spread.ensure(corpus.select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("nv")))
-      .select(col("nbr_id"), col("nv"),
-        slice(col("nv"), 1, dPrefix).as("ntv"))
     val q = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .select(col("query_id"), col("qv"),
-        slice(col("qv"), 1, dPrefix).as("qtv"))
-    // stage 1: prefix-width shortlist (deterministic cut)
-    val coarse = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
-      .select(col("query_id"), col("qv"), col("nbr_id"), col("nv"),
+      col(vecCol).cast("array<double>").as("qv"))
+    // stage 1: prefix-width shortlist (deterministic cut). The Q×N
+    // frame carries ONLY (query_id, nbr_id, truncated score) — the
+    // funnel's whole point is that the wide scan touches dPrefix of
+    // the dims, so the full-width vectors must not ride through its
+    // window shuffle (they re-join below for the C survivors only,
+    // the bqRerankTopK/sq8AdcTopK discipline).
+    val coarse = c
+      .select(col("nbr_id"), slice(col("nv"), 1, dPrefix).as("ntv"))
+      .join(broadcast(q.select(col("query_id"),
+          slice(col("qv"), 1, dPrefix).as("qtv"))),
+        col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
         round(call_function(graft.expressions.GraftFunctions.Cosine,
           col("qtv"), col("ntv")), 6).as("tscore"))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("tscore").desc, col("nbr_id"))
     val shortlist = coarse.withColumn("crank", row_number().over(wc))
       .where(col("crank") <= candidates)
+      .select(col("query_id"), col("nbr_id"))
     // stage 2: exact full-width rerank of the C survivors
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("nbr_id"))
-    shortlist
+    shortlist.join(c, Seq("nbr_id")).join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("nbr_id"),
         round(call_function(graft.expressions.GraftFunctions.Cosine,
           col("qv"), col("nv")), 6).as("score"))

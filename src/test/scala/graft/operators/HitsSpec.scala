@@ -92,4 +92,21 @@ class HitsSpec extends SparkSpec {
     assert(warm === want)
     spark.catalog.clearCache()
   }
+
+  test("resume fails loudly when the saved hub vector is all-zero on " +
+      "the resumed edge set") {
+    import spark.implicits._
+    // every node of the resumed graph was a pure sink in the
+    // artifact (hub 0), so the warm init carries no direction — the
+    // guard must throw instead of letting lInfNorm's max-0 division
+    // NULL-propagate silently
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val saved = Seq((1L, 0L), (2L, 0L), (3L, 0L))
+      .toDF("node_id", "hub_ppm")
+    val ex = intercept[IllegalArgumentException] {
+      Hits.hitsResume(edges, "src", "dst", saved, iters = 1)
+    }
+    assert(ex.getMessage.contains("all-zero"))
+    spark.catalog.clearCache()
+  }
 }

@@ -185,6 +185,74 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(wide === narrow)
   }
 
+  test("weighted resume over an unchanged graph continues the cold " +
+      "trajectory") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(50)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong,
+        1L + rnd.nextInt(5)))
+      .filter { case (a, b, _) => a != b }
+      .flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }.distinct
+      .toDF("src", "dst", "w")
+    val saved = PageRank.pageRankWeighted(edges, "src", "dst", "w",
+      iters = 2)
+    val warm = PageRank.pageRankWeightedResume(edges, "src", "dst", "w",
+        saved, iters = 1)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    val cold = PageRank.pageRankWeighted(edges, "src", "dst", "w",
+        iters = 3)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(warm === cold)
+    // batch-new nodes seed at the uniform init: extending the artifact
+    // with SCALE rows for the new nodes changes nothing
+    val grown = edges.union(Seq((99L, 1L, 2L), (1L, 99L, 2L))
+      .toDF("src", "dst", "w"))
+    val w1 = PageRank.pageRankWeightedResume(grown, "src", "dst", "w",
+        saved, iters = 1)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    val w2 = PageRank.pageRankWeightedResume(grown, "src", "dst", "w",
+        saved.unionByName(Seq((99L, 1000000L)).toDF("node_id", "pr_ppm")),
+        iters = 1)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(w1 === w2)
+  }
+
+  test("weighted forced wide (DECIMAL) arithmetic matches the long " +
+      "path exactly") {
+    import spark.implicits._
+    val edges = (1L to 30L).flatMap(i =>
+      Seq((i, i % 30 + 1, 1L + i % 4), (i % 30 + 1, i, 1L + i % 4)))
+      .toDF("src", "dst", "w")
+    val narrow = PageRank.pageRankWeighted(edges, "src", "dst", "w", 3,
+        wide = Some(false))
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    val wide = PageRank.pageRankWeighted(edges, "src", "dst", "w", 3,
+        wide = Some(true))
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(wide === narrow)
+  }
+
+  test("weighted auto-probe widens when pr·w overflows a long and " +
+      "stays exact") {
+    import spark.implicits._
+    // edge 1→0 carries w = 10¹³: the narrow per-edge multiply
+    // pr·w = 10⁶·10¹³ = 10¹⁹ > Long.Max would wrap, and the probe
+    // (max(w)·SCALE pushes safeNodes to 0 < node count) must route
+    // the round through DECIMAL and land the exact fixed point:
+    //   contrib 1→0 = ⌊10⁶·10¹³ / 10¹³⌋ = 10⁶ (wsum(1) = w)
+    //   pr(0) = 150000 + ⌊.85·(10⁶ + 9·10⁶)⌋ = 8650000
+    //   pr(1) = 150000 + ⌊.85·10⁶⌋ = 1000000 (0→1); pr(i≥2) = 150000
+    val big = 10000000000000L
+    val edges = (Seq((1L, 0L, big), (0L, 1L, 1L)) ++
+        (2L to 10L).map(i => (i, 0L, 1L)))
+      .toDF("src", "dst", "w")
+    val got = PageRank.pageRankWeighted(edges, "src", "dst", "w",
+        iters = 1)
+      .where($"node_id".isin(0L, 1L, 2L))
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 8650000L), (1L, 1000000L), (2L, 150000L)))
+  }
+
   test("auto-probe widens past the long overflow bound and stays exact") {
     // 12M leaves → one hub: round-1 mass into the hub is 1.2e13 ppm,
     // so damping·s = 8.5e5 · 1.2e13 ≈ 1.02e19 > Long.Max — long
