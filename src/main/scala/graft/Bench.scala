@@ -208,7 +208,10 @@ object Bench {
       // per round like their r16 PageRank siblings
       "q_pq_ivfadc", "q_kcore_incr", "q_kcore_delete", "q_hits_incr",
       "q_communities_incr", "q_hits_delete", "q_communities_delete",
-      "q_trussness_delete", "q_pagerank_weighted", "q_ppr_incr")
+      "q_trussness_delete", "q_pagerank_weighted", "q_ppr_incr",
+      // r18: the clusterable-mixture IVFADC twin holds the same
+      // persisted residual frame + Lloyd round as q_pq_ivfadc
+      "q_pq_ivfadc_mix")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

@@ -57,7 +57,8 @@ object MicroBench {
       case "hyperball_shuffled" => hyperballShuffled(spark, sfDir, repeats)
       case "ktruss_uncapped" => ktrussUncapped(spark, sfDir)
       case "kcore_uncapped" => kcoreUncapped(spark, sfDir)
-      case "pq_ivfadc" => pqIvfadc(spark, sfDir)
+      case "pq_ivfadc" => pqIvfadc(spark, sfDir, mix = false)
+      case "pq_ivfadc_mix" => pqIvfadc(spark, sfDir, mix = true)
       case "wordpiece" => wordpiece(spark, sfDir, repeats)
       case "pq_train" => pqTrain(spark, sfDir)
       case "pagerank_warm" => pagerankWarm(spark, sfDir)
@@ -221,10 +222,18 @@ object MicroBench {
     * (codebooks on RAW vectors — the q_pq_ivf/probe2 shape) and (b)
     * residual IVFADC at 1 and 2 probes with 1-round-trained residual
     * codebooks (the q_pq_ivfadc shape) — what residual encoding +
-    * training buy at the same m·k code budget. */
-  private def pqIvfadc(spark: SparkSession, dir: String): Unit = {
-    import graft.similarity.{KMeans, Quantize, Similarity}
-    val e = SparkEntry.t(spark, dir, "embeddings")
+    * training buy at the same m·k code budget. `mix = true` re-runs
+    * the identical curve on the CLUSTERABLE mixture corpus
+    * ([[graft.similarity.MixtureEmbeddings]], r17 verdict #1): the
+    * base fixture's near-uniform unit vectors are the one geometry
+    * where coarse cells remove no energy, so this probe on the
+    * mixture is where the residual>raw prediction is testable. */
+  private def pqIvfadc(spark: SparkSession, dir: String,
+                       mix: Boolean): Unit = {
+    import graft.similarity.{KMeans, MixtureEmbeddings, Quantize, Similarity}
+    val base = SparkEntry.t(spark, dir, "embeddings")
+    val e = (if (mix) MixtureEmbeddings.table(base, "vec_id", "embedding")
+             else base).sanitizedCheckpoint()
     val qs = e.where(col("vec_id") < 100)
     val exact = Similarity
       .bruteForceKnn(e, qs, "vec_id", "embedding", k = 3)

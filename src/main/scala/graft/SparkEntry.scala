@@ -379,6 +379,40 @@ object SparkEntry {
     path
   }
 
+  /** The q_pq_ivfadc serving chain over an arbitrary (vec_id,
+    * embedding) corpus — coarse cells, residual encoding, one-round
+    * Lloyd-trained residual codebooks seeded off the non-coarse ids,
+    * top-2 multi-probe, bias-corrected integer ADC — shared by the
+    * uniform-fixture gate and its clusterable-mixture twin. */
+  private def ivfadcChain(e: DataFrame): DataFrame = {
+    val centroids = graft.similarity.KMeans
+      .initCentroids(e, "vec_id", "embedding", k = 8)
+    val cells = graft.similarity.KMeans
+      .assign(e, centroids, "vec_id", "embedding")
+      .select(col("id"), col("cluster_id").as("cell"))
+    val res = graft.similarity.Quantize.residuals(
+      e, "vec_id", "embedding", cells, centroids)
+    val coarseIds = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("id"))
+    val cb = graft.similarity.Quantize.pqCodebooksTrained(
+      res.join(coarseIds, Seq("id"), "left_anti"), "id", "rv",
+      m = 4, k = 16, dims = 64, iters = 1)
+    val codes = graft.similarity.Quantize.pqEncode(
+        res, "id", "rv", cb, m = 4, dims = 64)
+      .join(cells, Seq("id"))
+    val probes = graft.similarity.KMeans
+      .assignTopN(e.where(col("vec_id") < 100), centroids,
+        "vec_id", "embedding", n = 2)
+      .select(col("id").as("vec_id"), col("cluster_id").as("cell"))
+    val qcells = e.where(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+      .join(probes, Seq("vec_id"))
+    graft.similarity.Quantize.pqIvfAdcTopK(codes, qcells,
+        "vec_id", "embedding", "cell", centroids, cb,
+        m = 4, dims = 64, k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The q_ktruss_delete fixture's SAVED 4-truss: the full peel of
     * the WHOLE bounded co-purchase graph (l_orderkey < 1500), staged
     * once per data dir — the delete query then retracts the mod-5
@@ -3779,33 +3813,34 @@ object SparkEntry {
       // see residuals()). The oracle replays the WHOLE chain: coarse
       // assign, residuals, the unrolled Lloyd round, encode, raw-
       // query LUT + bias, cell-keyed integer scan.
-      val e = t(s, dir, "embeddings")
-      val centroids = graft.similarity.KMeans
-        .initCentroids(e, "vec_id", "embedding", k = 8)
-      val cells = graft.similarity.KMeans
-        .assign(e, centroids, "vec_id", "embedding")
-        .select(col("id"), col("cluster_id").as("cell"))
-      val res = graft.similarity.Quantize.residuals(
-        e, "vec_id", "embedding", cells, centroids)
-      val coarseIds = e.orderBy(col("vec_id")).limit(8)
-        .select(col("vec_id").as("id"))
-      val cb = graft.similarity.Quantize.pqCodebooksTrained(
-        res.join(coarseIds, Seq("id"), "left_anti"), "id", "rv",
-        m = 4, k = 16, dims = 64, iters = 1)
-      val codes = graft.similarity.Quantize.pqEncode(
-          res, "id", "rv", cb, m = 4, dims = 64)
-        .join(cells, Seq("id"))
-      val probes = graft.similarity.KMeans
-        .assignTopN(e.where(col("vec_id") < 100), centroids,
-          "vec_id", "embedding", n = 2)
-        .select(col("id").as("vec_id"), col("cluster_id").as("cell"))
-      val qcells = e.where(col("vec_id") < 100)
-        .select(col("vec_id"), col("embedding"))
-        .join(probes, Seq("vec_id"))
-      graft.similarity.Quantize.pqIvfAdcTopK(codes, qcells,
-          "vec_id", "embedding", "cell", centroids, cb,
-          m = 4, dims = 64, k = 3)
-        .orderBy(col("query_id"), col("rank"))
+      ivfadcChain(t(s, dir, "embeddings"))
+    }),
+
+    "q_pq_ivfadc_mix" -> ((s, dir) => {
+      // TRAINED IVFADC ON CLUSTERABLE GEOMETRY — the exact
+      // q_pq_ivfadc chain re-run on the mixture-model corpus
+      // (MixtureEmbeddings: planted coarse centers + a per-subspace
+      // atom vocabulary + 1/16 noise). The base fixture's
+      // near-uniform unit vectors are the one regime where coarse
+      // cells remove NO energy (residual energy 1.64 vs 1.0,
+      // BASELINE r17) so residual codes measured BELOW raw there;
+      // on this corpus the residual table is exactly atom + noise
+      // and the trained codebooks recover the atom vocabulary —
+      // recall@3 49% vs raw-seed IVF-PQ 8% at the same m·k budget
+      // and nprobe=2 at sf0.1 (76% vs 20% at sf0.01; MicroBench
+      // pq_ivfadc_mix), the Jégou et al. §IV prediction, inverted
+      // from the uniform fixture; dropping the ⟨q, c⟩ bias costs
+      // 15 points at 2 probes. The
+      // oracle replays the mixture derivation inline (binary-exact
+      // grid constants, identical expression tree) and then the
+      // whole IVFADC chain over it. The mixture projection inlines
+      // the 8×64 + 16×64 constant matrices into its expression tree,
+      // so it is checkpointed once here — every chain stage then
+      // reads the materialized 2-column table instead of replaying
+      // (and re-planning) the literal-heavy projection.
+      ivfadcChain(graft.similarity.MixtureEmbeddings.table(
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .sanitizedCheckpoint())
     }),
 
     "q_ann_mrl" -> ((s, dir) => {
@@ -8008,6 +8043,9 @@ object SparkEntry {
     // per-probe-residual LUT scan (Jégou et al. §IV)
     "q_pq_ivfadc" -> Duck.pqIvfadcSql(iters = 1, k = 3, queryMax = 100),
 
+    "q_pq_ivfadc_mix" -> Duck.pqIvfadcSql(iters = 1, k = 3, queryMax = 100,
+      pBody = Some(graft.similarity.MixtureEmbeddings.duckBody)),
+
     // PQ audit: the encode chain with the assignment score kept —
     // min over round-6 cosines + the position-weighted code checksum
     "q_pq_audit" ->
@@ -11207,9 +11245,12 @@ object SparkEntry {
       * against the trained codebooks, then the multi-probe cell-keyed
       * integer ADC scan of the TRUE reconstructed inner product:
       * RAW-query-subvector LUT plus the per-(query, cell) ⟨q, c⟩
-      * bias (`Quantize.pqIvfAdcTopK`). */
-    def pqIvfadcSql(iters: Int, k: Int, queryMax: Int): String =
-      s"""WITH ${kmeansAssignCtes(k = 8)},
+      * bias (`Quantize.pqIvfAdcTopK`). `pBody` swaps in an alternate
+      * corpus (the clusterable mixture); the coarse-seed exclusions
+      * read from `p`, which is the embeddings id set either way. */
+    def pqIvfadcSql(iters: Int, k: Int, queryMax: Int,
+                    pBody: Option[String] = None): String =
+      s"""WITH ${kmeansAssignCtes(k = 8, pBody)},
          |cells AS MATERIALIZED (SELECT vec_id, cluster_id AS cell FROM a),
          |res AS MATERIALIZED (SELECT p.vec_id, cell,
          |    list_transform(list_zip(v, centroid), x -> x[1] - x[2]) AS rv
@@ -11217,7 +11258,7 @@ object SparkEntry {
          |  JOIN c ON c.cluster_id = cells.cell),
          |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv
          |  FROM (SELECT vec_id, rv FROM res
-         |        WHERE vec_id NOT IN (SELECT vec_id FROM embeddings
+         |        WHERE vec_id NOT IN (SELECT vec_id FROM p
          |                             ORDER BY vec_id LIMIT 8)
          |        ORDER BY vec_id LIMIT 16)),
          |ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
@@ -11227,7 +11268,7 @@ object SparkEntry {
          |tsubs AS MATERIALIZED (SELECT res.vec_id, ss.sub,
          |    res.rv[ss.sub * 16 + 1 : ss.sub * 16 + 16] AS sv
          |  FROM res CROSS JOIN ss
-         |  WHERE res.vec_id NOT IN (SELECT vec_id FROM embeddings
+         |  WHERE res.vec_id NOT IN (SELECT vec_id FROM p
          |                           ORDER BY vec_id LIMIT 8)),
          |${pqLloydRoundCtes(iters, "tsubs")},
          |subs AS (SELECT res.vec_id, ss.sub,

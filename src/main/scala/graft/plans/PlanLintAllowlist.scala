@@ -216,6 +216,11 @@ object PlanLintAllowlist {
     // fixed vec_id < 100 query filter PUSHES, so the family's usual
     // scan-without-pushed-filters entry does not recur here
     "q_pq_ivfadc" -> "unconditioned-nested-loop",
+    // r18: the identical chain over the checkpointed clusterable
+    // mixture — same broadcast 8-row coarse-centroid cross (k× per
+    // row, not |L|·|R|); the corpus projection needs every row so
+    // there is no filter to push beneath the checkpoint
+    "q_pq_ivfadc_mix" -> "unconditioned-nested-loop",
     // r17: SQ8 ADC crosses every vector with the broadcast 1-row
     // per-dim ranges-arrays frame (the q_token_budget pattern), and
     // the dimRanges posexplode infers a size() guard parquet can

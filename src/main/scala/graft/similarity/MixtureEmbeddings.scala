@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   * so a codebook trained on RESIDUALS can recover the atoms while
   * one trained on raw vectors spends its 16 codewords re-describing
   * the 8 coarse centers (norm ~4.6). Measured at the gate shape
-  * (m = 4, k = 16, 2-probe): raw-seed IVF-PQ ~8% recall@3 vs
-  * residual IVFADC ~50% — the paper's prediction, inverted from the
-  * uniform fixture.
+  * (m = 4, k = 16, 2-probe): raw-seed IVF-PQ 8% recall@3 vs
+  * residual IVFADC 49% at sf0.1 (20% vs 76% at sf0.01) — the
+  * paper's prediction, inverted from the uniform fixture; dropping
+  * the ⟨q, c⟩ bias costs the residual path 15 points at 2 probes
+  * (MicroBench pq_ivfadc_mix, BASELINE r18).
   *
   * Cross-engine determinism contract: every constant is a multiple
   * of 2⁻¹² (binary-EXACT doubles whose decimal strings round-trip
