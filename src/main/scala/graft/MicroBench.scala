@@ -59,6 +59,7 @@ object MicroBench {
       case "kcore_uncapped" => kcoreUncapped(spark, sfDir)
       case "pq_ivfadc" => pqIvfadc(spark, sfDir, mix = false)
       case "pq_ivfadc_mix" => pqIvfadc(spark, sfDir, mix = true)
+      case "sq8_ivf" => sq8Ivf(spark, sfDir)
       case "wordpiece" => wordpiece(spark, sfDir, repeats)
       case "pq_train" => pqTrain(spark, sfDir)
       case "pagerank_warm" => pagerankWarm(spark, sfDir)
@@ -298,6 +299,59 @@ object MicroBench {
     val rSq = meanRecall(Quantize.sq8AdcTopK(e, qs, "vec_id",
       "embedding", dims = 64, levels = 256, candidates = 20, k = 3))
     println(f"[micro] sq8 adc funnel C=20    recall@3=$rSq%6.2f%%")
+    spark.catalog.clearCache()
+  }
+
+  /** Recall-vs-nprobe curve for the IVF×SQ8 composition on the
+    * clusterable mixture (r17 verdict #2's BASELINE row): what the
+    * cell restriction costs in recall@3 and buys in scanned-candidate
+    * fraction, against the flat Q×N SQ8 scan as the 100%-scan
+    * reference. Also prints the mean scanned fraction per query —
+    * the ~nprobe/cells claim, measured. */
+  private def sq8Ivf(spark: SparkSession, dir: String): Unit = {
+    import graft.similarity.{KMeans, MixtureEmbeddings, Quantize, Similarity}
+    val e = MixtureEmbeddings.table(
+        SparkEntry.t(spark, dir, "embeddings"), "vec_id", "embedding")
+      .sanitizedCheckpoint()
+    val n = e.count()
+    val qs = e.where(col("vec_id") < 100)
+    val exact = Similarity
+      .bruteForceKnn(e, qs, "vec_id", "embedding", k = 3)
+      .sanitizedCheckpoint()
+    def meanRecall(topk: DataFrame): Double =
+      Similarity.recallAtK(topk, exact)
+        .agg(avg(col("recall_ppm"))).head().getDouble(0) / 10000
+    val centroids = KMeans.initCentroids(e, "vec_id", "embedding", k = 8)
+    val cells = KMeans.assign(e, centroids, "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("cluster_id").as("cell"))
+    val corpus = e.join(cells, Seq("vec_id")).sanitizedCheckpoint()
+    val cellSizes = corpus.groupBy(col("cell")).count()
+      .sanitizedCheckpoint()
+    val (flatSec, _) = time(2)(Quantize.sq8AdcTopK(e, qs,
+      "vec_id", "embedding", dims = 64, levels = 256,
+      candidates = 20, k = 3).queryExecution.toRdd.count())
+    val rFlat = meanRecall(Quantize.sq8AdcTopK(e, qs, "vec_id",
+      "embedding", dims = 64, levels = 256, candidates = 20, k = 3))
+    println(f"[micro] sq8 flat scan          $flatSec%6.2f s  " +
+      f"recall@3=$rFlat%6.2f%%  scan=100.00%%")
+    for (np <- Seq(1, 2, 4)) {
+      val probes = KMeans.assignTopN(qs, centroids,
+          "vec_id", "embedding", n = np)
+        .select(col("id").as("vec_id"), col("cluster_id").as("cell"))
+      val queries = qs.join(probes, Seq("vec_id"))
+      // scanned fraction: candidates in probed cells / corpus
+      val frac = probes.join(cellSizes, Seq("cell"))
+        .groupBy(col("vec_id")).agg(sum(col("count")).as("cand"))
+        .agg(avg(col("cand"))).head().getDouble(0) / n * 100
+      val (sec, _) = time(2)(Quantize.sq8AdcTopKByCell(corpus, queries,
+        "vec_id", "embedding", "cell", dims = 64, levels = 256,
+        candidates = 20, k = 3).queryExecution.toRdd.count())
+      val r = meanRecall(Quantize.sq8AdcTopKByCell(corpus, queries,
+        "vec_id", "embedding", "cell", dims = 64, levels = 256,
+        candidates = 20, k = 3))
+      println(f"[micro] sq8 ivf nprobe=$np      $sec%6.2f s  " +
+        f"recall@3=$r%6.2f%%  scan=$frac%6.2f%%")
+    }
     spark.catalog.clearCache()
   }
 

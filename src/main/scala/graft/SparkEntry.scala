@@ -3892,6 +3892,42 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_vec_sq_ivf" -> ((s, dir) => {
+      // IVF×SQ8 — the frontier's best-recall member composed with
+      // coarse cells (Quantize.sq8AdcTopKByCell, the FAISS IVF-SQ
+      // shape): r17 adjudicated the flat Q×N SQ8 scan as the correct
+      // compressed brute baseline but NOT the 100 TB serving shape;
+      // here the code table carries its coarse cell, each query
+      // probes its top-2 cells (assignTopN), and the scored join is
+      // an equi-join on cell against the broadcast weight frame —
+      // the scan touches ~nprobe/cells of the corpus. Run on the
+      // CLUSTERABLE mixture (where cells are real): recall@3 94% at
+      // nprobe=2 vs the flat scan's 94% with a quarter of the scan
+      // (MicroBench sq8_ivf, BASELINE r18). Global ranges (the
+      // trained quantizer), top-20 shortlist, exact cosine rerank,
+      // fixed 100-id queries; the oracle replays mixture, coarse
+      // assign, probes, codes, weights, and both cuts.
+      val e = graft.similarity.MixtureEmbeddings.table(
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .sanitizedCheckpoint()
+      val centroids = graft.similarity.KMeans
+        .initCentroids(e, "vec_id", "embedding", k = 8)
+      val cells = graft.similarity.KMeans
+        .assign(e, centroids, "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("cluster_id").as("cell"))
+      val corpus = e.join(cells, Seq("vec_id"))
+      val probes = graft.similarity.KMeans
+        .assignTopN(e.where(col("vec_id") < 100), centroids,
+          "vec_id", "embedding", n = 2)
+        .select(col("id").as("vec_id"), col("cluster_id").as("cell"))
+      val queries = e.where(col("vec_id") < 100)
+        .join(probes, Seq("vec_id"))
+      graft.similarity.Quantize.sq8AdcTopKByCell(corpus, queries,
+          "vec_id", "embedding", "cell",
+          dims = 64, levels = 256, candidates = 20, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_knn_ivf_learned" -> ((s, dir) => {
       // the full IVF story: LEARNED coarse cells (deterministic
       // k-means assignment) instead of a given label — index build
@@ -8046,6 +8082,13 @@ object SparkEntry {
     "q_pq_ivfadc_mix" -> Duck.pqIvfadcSql(iters = 1, k = 3, queryMax = 100,
       pBody = Some(graft.similarity.MixtureEmbeddings.duckBody)),
 
+    // IVF×SQ8 on the clusterable mixture: coarse assign, global
+    // ranges, cell-tagged codes, 2-probe cell-keyed integer scan,
+    // shortlist + exact rerank
+    "q_vec_sq_ivf" -> Duck.sq8IvfSql(queryMax = 100, nprobe = 2,
+      candidates = 20, k = 3, levels = 256,
+      pBody = Some(graft.similarity.MixtureEmbeddings.duckBody)),
+
     // PQ audit: the encode chain with the assignment score kept —
     // min over round-6 cosines + the position-weighted code checksum
     "q_pq_audit" ->
@@ -11313,6 +11356,55 @@ object SparkEntry {
          |    (PARTITION BY query_id ORDER BY score_u DESC, nbr_id) AS rank
          |  FROM fin) t
          |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+    /** IVF×SQ8 mirror of the q_vec_sq_ivf chain
+      * (`Quantize.sq8AdcTopKByCell`): coarse assignment
+      * ([[kmeansAssignCtes]], mixture corpus via `pBody`), GLOBAL
+      * per-dim ranges, cell-tagged integer codes, top-`nprobe`
+      * probed cells per query, integer weights, the cell-keyed
+      * Σ w·code scan, `candidates` shortlist, exact cosine rerank. */
+    def sq8IvfSql(queryMax: Int, nprobe: Int, candidates: Int, k: Int,
+                  levels: Int, pBody: Option[String] = None): String = {
+      val lv = levels - 1
+      s"""WITH ${kmeansAssignCtes(k = 8, pBody)},
+         |cells AS MATERIALIZED (SELECT vec_id, cluster_id AS cell FROM a),
+         |rg AS MATERIALIZED (SELECT i AS dim,
+         |    min(v[CAST(i + 1 AS INT)]) AS lo,
+         |    max(v[CAST(i + 1 AS INT)]) AS hi
+         |  FROM p CROSS JOIN range(0, 64) t(i) GROUP BY i),
+         |codes AS MATERIALIZED (SELECT vec_id, cell, dim,
+         |    CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(floor((v[CAST(dim + 1 AS INT)] - lo)
+         |           / (hi - lo) * $lv + 0.5) AS BIGINT) END AS code
+         |  FROM p JOIN cells USING (vec_id) CROSS JOIN rg),
+         |pr AS (SELECT vec_id AS query_id, cluster_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, cluster_id) AS rn FROM sc) t
+         |  WHERE rn <= $nprobe AND vec_id < $queryMax),
+         |qw AS MATERIALIZED (SELECT pr.query_id, pr.cell, rg.dim,
+         |    CAST(floor(p.v[CAST(rg.dim + 1 AS INT)] *
+         |      (CASE WHEN hi = lo THEN 0.0 ELSE (hi - lo) / $lv END)
+         |      * 1000000 + 0.5) AS BIGINT) AS w
+         |  FROM pr JOIN p ON p.vec_id = pr.query_id CROSS JOIN rg),
+         |scored AS (SELECT q.query_id, c.vec_id AS nbr_id,
+         |    CAST(sum(c.code * q.w) AS BIGINT) AS sq_u
+         |  FROM codes c JOIN qw q ON c.dim = q.dim AND c.cell = q.cell
+         |    AND c.vec_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |sl AS (SELECT query_id, nbr_id, sq_u FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sq_u DESC, nbr_id) AS crank
+         |  FROM scored) t WHERE crank <= $candidates),
+         |rr AS (SELECT s.query_id, s.nbr_id, s.sq_u,
+         |    round(list_cosine_similarity(qp.v, np.v), 6) AS score
+         |  FROM sl s JOIN p qp ON qp.vec_id = s.query_id
+         |  JOIN p np ON np.vec_id = s.nbr_id)
+         |SELECT query_id, nbr_id, sq_u, score, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+         |  FROM rr) t
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    }
 
     /** Spherical k-means assignment mirror of `KMeans.assign` with
       * `KMeans.initCentroids` seeds (the k lowest vec_ids): CTEs

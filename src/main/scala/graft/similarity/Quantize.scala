@@ -382,6 +382,84 @@ object Quantize {
       .where(col("rank") <= k)
   }
 
+  /** Cell-restricted SQ8 scan — the IVF×SQ composition (the FAISS
+    * IVF-SQ serving shape, and [[pqAdcTopKByCell]]'s scalar twin):
+    * the corpus quantizes against GLOBAL per-dim ranges (the trained
+    * quantizer — appended cells reuse it), carries its coarse cell,
+    * and each query scans ONLY the cells it probes. The scored join
+    * is an equi-join on the cell key against the broadcast
+    * (query, probed cell, weight-vector) frame — candidates drop
+    * from N to ~nprobe·N/cells while the per-candidate cost stays
+    * one integer zip_with — which is what turns the r17 flat Q×N
+    * funnel into the 100 TB serving shape: at 1000 executors the
+    * code table partitions by cell and a query touches nprobe
+    * partitions, never the corpus. Probe rows for one query are
+    * distinct cells and a code row lives in exactly one cell, so
+    * the per-query candidate union is disjoint — no dedup stage.
+    * Shortlist cut and exact full-width rerank are the
+    * [[sq8AdcTopK]] contract verbatim.
+    *
+    * `corpus` carries (idCol, vecCol, cellCol); `queries` carries
+    * one row per (query, probed cell) with the RAW vector. Returns
+    * (query_id, nbr_id, sq_u, score, rank). */
+  def sq8AdcTopKByCell(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, cellCol: String,
+                       dims: Int, levels: Int, candidates: Int,
+                       k: Int): DataFrame = {
+    require(levels >= 2 && candidates >= k,
+      s"need levels >= 2 and candidates >= k: $levels, $candidates, $k")
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val c = graft.operators.Spread.ensure(
+      corpus.select(col(idCol).as("nbr_id"), col(cellCol).as("cell"),
+        col(vecCol).cast("array<double>").as("nv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(cellCol).as("cell"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val arrs = dimRanges(c, "nv").groupBy().agg(
+      expr("transform(array_sort(collect_list(struct(dim, lo))), " +
+        "x -> x.lo)").as("los"),
+      expr("transform(array_sort(collect_list(struct(dim, hi))), " +
+        "x -> x.hi)").as("his"))
+    val lv = levels - 1
+    val codes = c.crossJoin(broadcast(arrs))
+      .select(col("nbr_id"), col("cell"),
+        expr(s"transform(sequence(0, ${dims - 1}), " +
+          "d -> IF(his[d] = los[d], 0L, " +
+          s"cast(floor((nv[d] - los[d]) / " +
+          s"(his[d] - los[d]) * $lv + 0.5) as bigint)))")
+          .as("codes"))
+    val qw = q.crossJoin(broadcast(arrs))
+      .select(col("query_id"), col("cell"),
+        expr(s"transform(sequence(0, ${dims - 1}), " +
+          "d -> cast(floor(qv[d] * " +
+          "(CASE WHEN his[d] = los[d] THEN cast(0.0 as double) " +
+          s"ELSE (his[d] - los[d]) / $lv END) " +
+          "* 1000000 + 0.5) as bigint))").as("w"))
+    val scored = codes.join(broadcast(qw), Seq("cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        expr("aggregate(zip_with(codes, w, (c, x) -> c * x), 0L, " +
+          "(a, b) -> a + b)").as("sq_u"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sq_u").desc, col("nbr_id"))
+    val shortlist = scored.withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= candidates)
+      .select(col("query_id"), col("nbr_id"), col("sq_u"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    shortlist
+      .join(c.select(col("nbr_id"), col("nv")), Seq("nbr_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))
+        .dropDuplicates("query_id")), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"), col("sq_u"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("qv"), col("nv")), 6).as("score"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** BINARY quantization (sign bits packed into 32-bit words) — the
     * most aggressive point on the compression curve: 1 bit per
     * dimension, 64 dims → 8 bytes (32× over float32, 8× over PQ's

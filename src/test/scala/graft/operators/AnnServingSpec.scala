@@ -80,6 +80,53 @@ class AnnServingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("sq8AdcTopKByCell with one cell and full probes equals the " +
+      "flat sq8AdcTopK scan") {
+    // the IVF composition's degenerate case: every corpus vector in
+    // cell 0 and every query probing cell 0 makes the cell-keyed
+    // scan candidate-identical to the flat Q×N scan, so shortlist,
+    // integer scores, and rerank must match row for row
+    val e = vecs(40, 16, 31L)
+    val q = e.where(col("vec_id") < 5)
+    val corpus = e.withColumn("cell", lit(0))
+    val probes = q.withColumn("cell", lit(0))
+    val got = Quantize.sq8AdcTopKByCell(corpus, probes,
+        "vec_id", "embedding", "cell",
+        dims = 16, levels = 256, candidates = 10, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val want = Quantize.sq8AdcTopK(e, q, "vec_id", "embedding",
+        dims = 16, levels = 256, candidates = 10, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got === want)
+  }
+
+  test("sq8AdcTopKByCell restricts candidates to the probed cells") {
+    // two planted cells; each query probes only its own cell, so no
+    // cross-cell id may appear among its candidates even when the
+    // shortlist is wide open
+    val e = vecs(30, 8, 41L)
+    val corpus = e.withColumn("cell",
+      (col("vec_id") % 2).cast("int"))
+    val probes = corpus.where(col("vec_id") < 4)
+    val got = Quantize.sq8AdcTopKByCell(corpus, probes,
+        "vec_id", "embedding", "cell",
+        dims = 8, levels = 256, candidates = 29, k = 29)
+    val crossCell = got.where(
+      col("query_id") % 2 =!= col("nbr_id") % 2).count()
+    assert(crossCell === 0L)
+    // and within the probed cell the rerank is exact brute force
+    val want = Similarity.bruteForceKnn(
+        e.where(col("vec_id") % 2 === 0),
+        e.where(col("vec_id") < 4 && col("vec_id") % 2 === 0),
+        "vec_id", "embedding", k = 14)
+      .select("query_id", "nbr_id", "score")
+      .orderBy("query_id", "nbr_id").collect().toSeq
+    val gotEven = got.where(col("query_id") % 2 === 0)
+      .select("query_id", "nbr_id", "score")
+      .orderBy("query_id", "nbr_id").collect().toSeq
+    assert(gotEven === want)
+  }
+
   test("bq hamming of a vector against its own negation is dims") {
     val v = Array.tabulate(64)(i => if (i % 3 == 0) 1.0 else -1.0)
     val e = Seq((1L, v.toSeq), (2L, v.map(-_).toSeq))
