@@ -210,8 +210,11 @@ object Bench {
       "q_communities_incr", "q_hits_delete", "q_communities_delete",
       "q_trussness_delete", "q_pagerank_weighted", "q_ppr_incr",
       // r18: the clusterable-mixture IVFADC twin holds the same
-      // persisted residual frame + Lloyd round as q_pq_ivfadc
-      "q_pq_ivfadc_mix")
+      // persisted residual frame + Lloyd round as q_pq_ivfadc; the
+      // rank-family completions stage artifacts when cold and
+      // checkpoint per round like their r16/r17 siblings
+      "q_pq_ivfadc_mix", "q_ppr_delete", "q_pagerank_weighted_incr",
+      "q_pagerank_weighted_delete")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

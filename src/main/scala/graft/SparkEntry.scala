@@ -617,6 +617,88 @@ object SparkEntry {
       s"pagerank_saved_i3_full_v1:$fp", dir)(write)
   }
 
+  /** Multiplicity-WEIGHTED symmetrized purchase edges from a
+    * pre-filtered orders frame (the q_pagerank_weighted
+    * construction): w = the distinct-order count linking the
+    * customer and supplier under the given orders subset, so a
+    * filtered snapshot decrements weights and drops pairs whose
+    * count reaches zero — the multiplicity-level retraction the
+    * weighted delete twin prices. */
+  private[graft] def multiplicityPurchaseEdgesFrom(s: SparkSession,
+                                                   dir: String,
+                                                   orders: DataFrame): DataFrame = {
+    val ls = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val wpairs = orders
+      .join(ls, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"), col("o_orderkey"))
+      .distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    wpairs.select(explode(array(
+        struct(col("a"), col("b"), col("w")),
+        struct(col("b").as("a"), col("a").as("b"), col("w")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
+  }
+
+  /** The q_pagerank_weighted_incr fixture's SAVED rank vector: a
+    * 3-round exact-ppm WEIGHTED PageRank over the ¾ purchase graph
+    * with weights counted under the same subset, staged once per
+    * data dir (the pagerankSavedRanks discipline at the weighted
+    * map). */
+  private def pagerankWeightedSaved(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val edges = multiplicityPurchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .where(col("o_orderkey") % 4 =!= 0))
+      graft.graph.PageRank.pageRankWeighted(edges, "a", "b", "w", iters = 3)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"pagerank_w_saved_i3_mod4_v1:$fp", dir)(write)
+  }
+
+  /** The q_pagerank_weighted_delete fixture's SAVED rank vector: the
+    * 3-round weighted run over the FULL graph — the delete query
+    * then re-derives weights under the mod-5-retracted orders subset
+    * and resumes. */
+  private def pagerankWeightedSavedFull(s: SparkSession,
+                                        dir: String): String = {
+    def write(out: String): Unit = {
+      val edges = multiplicityPurchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+      graft.graph.PageRank.pageRankWeighted(edges, "a", "b", "w", iters = 3)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"pagerank_w_saved_i3_full_v1:$fp", dir)(write)
+  }
+
+  /** The q_ppr_delete fixture's SAVED personalized-rank vector: the
+    * 3-round seed-pinned run over the FULL purchase graph (seeds
+    * from the full orders table, as always — the base is part of
+    * the map, not the graph snapshot). */
+  private def pprSavedFull(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val oc = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = purchaseEdgesFrom(s, dir, oc)
+      val seeds = oc.where(col("o_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+      graft.graph.PageRank.personalizedPageRank(edges, "a", "b", seeds,
+          iters = 3)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"ppr_saved_i3_full_v1:$fp", dir)(write)
+  }
+
   /** Symmetrized customer↔supplier purchase edges from a
     * pre-filtered orders frame (the q_pagerank construction). */
   private[graft] def purchaseEdgesFrom(s: SparkSession, dir: String,
@@ -1662,19 +1744,48 @@ object SparkEntry {
       // a one-off (the weighted-SSSP precedent at the rank family).
       // Exact ppm with multiply-before-floor-divide per edge; the
       // unrolled oracle replays the weighted arithmetic verbatim.
-      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val wpairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"), col("o_orderkey"))
-        .distinct()
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-      val edges = wpairs.select(explode(array(
-          struct(col("a"), col("b"), col("w")),
-          struct(col("b").as("a"), col("a").as("b"), col("w")))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
+      val edges = multiplicityPurchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       graft.graph.PageRank.pageRankWeighted(edges, "a", "b", "w",
           iters = 3)
+        .orderBy(col("node_id"))
+    }),
+
+    "q_pagerank_weighted_incr" -> ((s, dir) => {
+      // WARM-START weighted PageRank — q_pagerank_incr's contract at
+      // the weighted map (PageRank.pageRankWeightedResume): resume
+      // the exact multiply-before-floor iteration from the staged
+      // ¾-graph weighted artifact for 2 rounds over the FULL
+      // weighted graph. Weight GROWTH rides for free: W(u) and every
+      // w re-derive from the edge table, so a pair whose
+      // multiplicity the remaining quarter raises contributes at its
+      // new proportion from round one; batch-new nodes seed at the
+      // uniform init. Trajectory-exact; the oracle replays both
+      // phases with their own weight derivations.
+      val edges = multiplicityPurchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+      val saved = s.read.parquet(pagerankWeightedSaved(s, dir))
+      graft.graph.PageRank.pageRankWeightedResume(edges, "a", "b", "w",
+          saved, iters = 2)
+        .orderBy(col("node_id"))
+    }),
+
+    "q_pagerank_weighted_delete" -> ((s, dir) => {
+      // weighted rank maintenance under edge deletes — the
+      // MULTIPLICITY-level retraction (richer than the uniform
+      // twin's pair-level one): dropping the mod-5 orders DECREMENTS
+      // the distinct-order weight of every pair they supported and
+      // removes pairs whose count reaches zero, and because the
+      // resume re-derives W(u) and w from the edge table each call,
+      // the decremented proportions apply from round one with no
+      // delta machinery. Resume 2 rounds from the FULL-graph
+      // weighted artifact over the re-weighted graph.
+      val edges = multiplicityPurchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .where(col("o_orderkey") % 5 =!= 0))
+      val saved = s.read.parquet(pagerankWeightedSavedFull(s, dir))
+      graft.graph.PageRank.pageRankWeightedResume(edges, "a", "b", "w",
+          saved, iters = 2)
         .orderBy(col("node_id"))
     }),
 
@@ -4904,6 +5015,37 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_ppr_delete" -> ((s, dir) => {
+      // personalized-rank maintenance under edge DELETES — the
+      // q_pagerank_delete retraction (pair-level NOT EXISTS on the
+      // mod-5 orders' pairs) at the seed-pinned map: resume 2 rounds
+      // from the FULL-graph PPR artifact over the pruned graph. The
+      // restart base stays pinned to the %100 customer seed set
+      // (seeds are a property of the query, not the snapshot); nodes
+      // that lose every edge drop from the rank table. Completes the
+      // rank family's repair matrix in both directions.
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      def pairsOf(o: DataFrame): DataFrame =
+        o.join(ls, col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b"))
+          .distinct()
+      val pairs = pairsOf(oc)
+        .join(pairsOf(oc.where(col("o_orderkey") % 5 === 0)),
+          Seq("a", "b"), "left_anti")
+      val edges = pairs.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val seeds = oc.where(col("o_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+      val saved = s.read.parquet(pprSavedFull(s, dir))
+      graft.graph.PageRank.personalizedPageRankResume(edges, "a", "b",
+          seeds, saved, iters = 2)
+        .orderBy(col("node_id"))
+    }),
+
     "q_walks" -> ((s, dir) => {
       // DeepWalk front end: 2 deterministic seeded-hash walks of 4
       // steps from every node of the bounded co-purchase graph — the
@@ -6740,6 +6882,17 @@ object SparkEntry {
     // multiplicity-weighted symmetric purchase graph, exact ppm with
     // per-edge multiply-before-floor-divide
     "q_pagerank_weighted" -> Duck.pagerankWeightedSql(iters = 3),
+
+    // weighted warm start: 3 saved weighted rounds on the mod-4
+    // subset's weights, 2 resumed rounds on the full graph's
+    "q_pagerank_weighted_incr" -> Duck.pagerankWeightedResumeSql(
+      savedIters = 3, resumeIters = 2),
+
+    // weighted delete: weights re-derived under the mod-5-retracted
+    // orders subset (multiplicity-level retraction)
+    "q_pagerank_weighted_delete" -> Duck.pagerankWeightedResumeSql(
+      savedIters = 3, resumeIters = 2,
+      savedPredicate = "TRUE", resumePredicate = "o_orderkey % 5 <> 0"),
 
     "q_pagerank_incr" -> Duck.pagerankResumeSql(savedIters = 3,
       resumeIters = 2),
@@ -8972,6 +9125,11 @@ object SparkEntry {
     // graph, then 2 resume rounds on the full graph from that vector
     "q_ppr_incr" -> Duck.pprResumeSql(savedIters = 3, resumeIters = 2),
 
+    // seed-pinned delete twin: full-graph saved phase, pair-level
+    // mod-5 retraction on the resume graph
+    "q_ppr_delete" -> Duck.pprResumeSql(savedIters = 3, resumeIters = 2,
+      savedPredicate = "TRUE", resumeDelMod = Some(5)),
+
     // mirrors RandomWalks.walks via Duck.walkSql
     "q_walks" -> Duck.walkSql(walksPerNode = 2, len = 4, seed = "w42"),
 
@@ -11033,9 +11191,12 @@ object SparkEntry {
       * `resumeIters` rounds over the FULL graph from that vector,
       * absent nodes coalesced to the cold init (seed ? 10^6 : 0).
       * The seed set derives from the FULL orders table in both
-      * phases. */
+      * phases. `resumeDelMod` switches the resume graph to the
+      * pair-level mod-m retraction (the pagerankResumeSql delete
+      * shape). */
     def pprResumeSql(savedIters: Int, resumeIters: Int,
-                     savedPredicate: String = "o_orderkey % 4 <> 0"): String = {
+                     savedPredicate: String = "o_orderkey % 4 <> 0",
+                     resumeDelMod: Option[Int] = None): String = {
       def rounds(e: String, deg: String, n: String, pfx: String,
                  start: String, cnt: Int): String =
         (1 to cnt).map { k =>
@@ -11069,10 +11230,28 @@ object SparkEntry {
          |op0 AS (SELECT node, CASE WHEN is_seed THEN CAST(1000000 AS BIGINT)
          |    ELSE CAST(0 AS BIGINT) END AS pr FROM no),
          |${rounds("eo", "dego", "no", "o", "op0", savedIters)},
-         |pairs AS MATERIALIZED (SELECT DISTINCT
-         |    'c' || CAST(o_custkey AS VARCHAR) AS a,
-         |    's' || CAST(l_suppkey AS VARCHAR) AS b
-         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |${resumeDelMod match {
+             case None =>
+               """pairs AS MATERIALIZED (SELECT DISTINCT
+                 |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+                 |    's' || CAST(l_suppkey AS VARCHAR) AS b
+                 |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)"""
+                 .stripMargin
+             case Some(m) =>
+               s"""pairs_all AS (SELECT DISTINCT
+                  |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  |    's' || CAST(l_suppkey AS VARCHAR) AS b
+                  |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+                  |pairs_del AS (SELECT DISTINCT
+                  |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  |    's' || CAST(l_suppkey AS VARCHAR) AS b
+                  |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                  |  WHERE o_orderkey % $m = 0),
+                  |pairs AS MATERIALIZED (SELECT a, b FROM pairs_all pa
+                  |  WHERE NOT EXISTS (SELECT 1 FROM pairs_del pd
+                  |                    WHERE pd.a = pa.a AND pd.b = pa.b))"""
+                 .stripMargin
+           }},
          |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
          |      UNION ALL SELECT b AS src, a AS dst FROM pairs),
          |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e
@@ -11117,6 +11296,57 @@ object SparkEntry {
          |p0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM d),
          |$rounds
          |SELECT node AS node_id, pr AS pr_ppm FROM p$iters
+         |ORDER BY node_id""".stripMargin
+    }
+
+    /** Warm-start WEIGHTED-PageRank mirror of
+      * `PageRank.pageRankWeightedResume`: `savedIters` unrolled
+      * weighted ppm rounds from uniform with weights counted under
+      * `savedPredicate`'s orders subset, then `resumeIters` rounds
+      * with weights RE-derived under `resumePredicate`'s subset
+      * (TRUE = the full graph, the incr shape; a mod-m exclusion =
+      * the multiplicity-level delete shape), absent nodes coalesced
+      * to uniform. */
+    def pagerankWeightedResumeSql(savedIters: Int, resumeIters: Int,
+                                  savedPredicate: String =
+                                    "o_orderkey % 4 <> 0",
+                                  resumePredicate: String =
+                                    "TRUE"): String = {
+      def wgraph(pfx: String, predicate: String): String =
+        s"""${pfx}wp AS MATERIALIZED (SELECT a, b,
+           |    CAST(count(*) AS BIGINT) AS w FROM (
+           |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+           |      's' || CAST(l_suppkey AS VARCHAR) AS b, o_orderkey
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |  WHERE $predicate) t
+           |  GROUP BY a, b),
+           |${pfx}e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM ${pfx}wp
+           |      UNION ALL SELECT b AS src, a AS dst, w FROM ${pfx}wp),
+           |${pfx}d AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+           |  FROM ${pfx}e GROUP BY src)""".stripMargin
+      def rounds(pfx: String, start: String, cnt: Int): String =
+        (1 to cnt).map { k =>
+          val prev = if (k == 1) start else s"${pfx}p${k - 1}"
+          s"""${pfx}c$k AS (SELECT e.dst AS node,
+             |    CAST(sum((p.pr * e.w) // d.wsum) AS BIGINT) AS s
+             |  FROM ${pfx}e e JOIN ${pfx}d d ON e.src = d.src
+             |  JOIN $prev p ON e.src = p.node
+             |  GROUP BY e.dst),
+             |${pfx}p$k AS (SELECT d.src AS node,
+             |  CAST(150000 + (850000 * coalesce(c.s, 0)) // 1000000
+             |    AS BIGINT) AS pr
+             |  FROM ${pfx}d d LEFT JOIN ${pfx}c$k c ON d.src = c.node)"""
+            .stripMargin
+        }.mkString(",\n")
+      s"""WITH ${wgraph("o", savedPredicate)},
+         |op0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr
+         |  FROM od),
+         |${rounds("o", "op0", savedIters)},
+         |${wgraph("r", resumePredicate)},
+         |rp0 AS (SELECT d.src AS node, coalesce(sv.pr, 1000000) AS pr
+         |  FROM rd d LEFT JOIN op$savedIters sv ON d.src = sv.node),
+         |${rounds("r", "rp0", resumeIters)}
+         |SELECT node AS node_id, pr AS pr_ppm FROM rp$resumeIters
          |ORDER BY node_id""".stripMargin
     }
 
