@@ -214,7 +214,11 @@ object Bench {
       // rank-family completions stage artifacts when cold and
       // checkpoint per round like their r16/r17 siblings
       "q_pq_ivfadc_mix", "q_ppr_delete", "q_pagerank_weighted_incr",
-      "q_pagerank_weighted_delete")
+      "q_pagerank_weighted_delete",
+      // r18: the planner gates run whichever truss route the counts
+      // pick — repair and cold peel both checkpoint per round and
+      // stage artifacts when cold
+      "q_ktruss_auto_ins", "q_ktruss_auto_del")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

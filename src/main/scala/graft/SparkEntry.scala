@@ -5658,6 +5658,56 @@ object SparkEntry {
         .orderBy(col("u"), col("v"))
     }),
 
+    "q_ktruss_auto_ins" -> ((s, dir) => {
+      // REPAIR-VS-RECOMPUTE PLANNER, insert side
+      // (MaintenancePolicy.kTrussAuto): r17 measured the truss
+      // envelope (insert repair 1.6× cheaper at a ¼ batch, delete
+      // repair SLOWER at 20%) — this gate runs the decision as an
+      // operator. Two distinct-edge counts price the batch/base
+      // ratio; the mod-4 batch (~25% < the 40% insert window) routes
+      // to the region repair, and the decision rides the output as a
+      // `choice` column. EQUIVALENCE gate: whichever route wins, the
+      // result is the union graph's 4-truss (q_ktruss's own unroll),
+      // so the policy can change cost but never results; the oracle
+      // replays the count arithmetic for the choice column.
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      def pairsOf(f: DataFrame): DataFrame =
+        f.alias("x").join(f.alias("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      val oldPairs = pairsOf(li.where(col("ok") % 4 =!= 0))
+      val newPairs = pairsOf(li.where(col("ok") % 4 === 0))
+      val saved = s.read.parquet(ktrussSaved(s, dir))
+      graft.graph.MaintenancePolicy.kTrussAuto(oldPairs, newPairs,
+          "p1", "p2", "insert", saved, k = 4,
+          maxExpandRounds = 32, maxPeelRounds = 32)
+        .orderBy(col("u"), col("v"))
+    }),
+
+    "q_ktruss_auto_del" -> ((s, dir) => {
+      // the planner's delete side: the mod-5 batch (~20% of the
+      // graph's distinct pairs) sits ABOVE the 5% delete window —
+      // exactly the regime r17 measured the delete repair LOSING to
+      // a cold peel — so the policy routes to the recompute of
+      // base ∖ batch and logs `recompute`. Same equivalence
+      // contract: the output is the pruned graph's 4-truss either
+      // way (q_ktruss_delete's oracle + the replayed decision).
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      def pairsOf(f: DataFrame): DataFrame =
+        f.alias("x").join(f.alias("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      val allPairs = pairsOf(li)
+      val delPairs = pairsOf(li.where(col("ok") % 5 === 0))
+      val saved = s.read.parquet(ktrussSavedFull(s, dir))
+      graft.graph.MaintenancePolicy.kTrussAuto(allPairs, delPairs,
+          "p1", "p2", "delete", saved, k = 4,
+          maxExpandRounds = 8, maxPeelRounds = 32)
+        .orderBy(col("u"), col("v"))
+    }),
+
     "q_trussness_incr" -> ((s, dir) => {
       // INCREMENTAL trussness (KTruss.trussnessIncremental): the
       // saved 19/20-graph decomposition repairs level by level as a
@@ -9444,6 +9494,16 @@ object SparkEntry {
     "q_ktruss_delete" -> Duck.ktrussSql(k = 4, rounds = 8,
       delMod = Some(5)),
 
+    // planner gates: the union/pruned truss unroll + the replayed
+    // count-ratio decision (insert window 400000 ppm, delete 50000)
+    "q_ktruss_auto_ins" -> Duck.ktrussAutoSql(k = 4, rounds = 8,
+      batchMod = 4, delete = false,
+      thresholdPpm = graft.graph.MaintenancePolicy.InsertRepairMaxPpm),
+
+    "q_ktruss_auto_del" -> Duck.ktrussAutoSql(k = 4, rounds = 8,
+      batchMod = 5, delete = true,
+      thresholdPpm = graft.graph.MaintenancePolicy.DeleteRepairMaxPpm),
+
     "q_trussness" -> Duck.trussnessSql(maxK = 8, rounds = 8),
 
     // EQUIVALENCE gate: the chained level repair must reproduce the
@@ -10786,6 +10846,36 @@ object SparkEntry {
          |$e0,
          |$steps
          |SELECT u, v FROM e$rounds ORDER BY u, v""".stripMargin
+    }
+
+    /** Planner mirror of `MaintenancePolicy.kTrussAuto` over the
+      * bounded co-purchase graph: the truss body is [[ktrussSql]]
+      * verbatim (the equivalence contract — repair and recompute
+      * land identically, so ONE unroll serves both routes), plus the
+      * replayed decision: distinct batch/base edge counts, floor-ppm
+      * ratio, `choice` = repair iff ratio ≤ `thresholdPpm`. `delete`
+      * switches base to the full pair set and the truss to the
+      * pruned graph's. */
+    def ktrussAutoSql(k: Int, rounds: Int, batchMod: Int,
+                      delete: Boolean, thresholdPpm: Long): String = {
+      val core = ktrussSql(k, rounds,
+        delMod = if (delete) Some(batchMod) else None)
+      val tail = s"SELECT u, v FROM e$rounds ORDER BY u, v"
+      require(core.endsWith(tail), "ktrussSql tail drifted")
+      def cnt(pred: String): String =
+        s"""(SELECT count(*) FROM (SELECT DISTINCT least(x.pk, y.pk),
+           |    greatest(x.pk, y.pk) FROM li x
+           |    JOIN li y ON x.ok = y.ok AND x.pk < y.pk $pred) t)"""
+          .stripMargin
+      val batchCnt = cnt(s"WHERE x.ok % $batchMod = 0")
+      val baseCnt =
+        if (delete) cnt("") else cnt(s"WHERE x.ok % $batchMod <> 0")
+      core.dropRight(tail.length).stripSuffix("\n") + ",\n" +
+        s"""dec AS (SELECT CASE WHEN (1000000 * $batchCnt)
+           |    // $baseCnt <= $thresholdPpm
+           |  THEN 'repair' ELSE 'recompute' END AS choice)
+           |SELECT u, v, choice FROM e$rounds CROSS JOIN dec
+           |ORDER BY u, v""".stripMargin
     }
 
     /** Trussness unroll: levels 3..maxK run [[ktrussSql]]'s
