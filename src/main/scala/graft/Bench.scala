@@ -217,8 +217,10 @@ object Bench {
       "q_pagerank_weighted_delete",
       // r18: the planner gates run whichever truss route the counts
       // pick — repair and cold peel both checkpoint per round and
-      // stage artifacts when cold
-      "q_ktruss_auto_ins", "q_ktruss_auto_del")
+      // stage artifacts when cold; the SQ8/BQ index appends stage
+      // their code/word/range artifacts when cold like q_pq_incr
+      "q_ktruss_auto_ins", "q_ktruss_auto_del",
+      "q_vec_sq_incr", "q_vec_bq_incr")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

@@ -379,6 +379,79 @@ object SparkEntry {
     path
   }
 
+  /** The q_vec_sq_incr index's TRAINED-range artifact: the ¾ corpus's
+    * per-dim (los, his) grid, staged once per data dir — appended
+    * batches encode against this frozen grid (re-deriving ranges
+    * would silently re-grid every stored code). */
+  private def sq8SavedRanges(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit =
+      graft.similarity.Quantize.sq8RangeArrays(
+          t(s, dir, "embeddings").where(col("vec_id") % 4 =!= 0),
+          "vec_id", "embedding")
+        .write.mode("overwrite").parquet(out)
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/embeddings.parquet")
+    graft.control.ArtifactStore.parquet(s"sq8_ranges_mod4_v1:$fp", dir)(write)
+  }
+
+  /** The q_vec_sq_incr fixture's SAVED code table: the ¾ corpus
+    * encoded against the staged grid, with the pqSavedCodes
+    * encode-drift probe (16-vector exact re-encode per artifact,
+    * memoized per tag:fingerprint). */
+  private def sq8SavedCodes(s: SparkSession, dir: String): String = {
+    val tag = "sq8_codes_mod4_v1"
+    def e34 = t(s, dir, "embeddings").where(col("vec_id") % 4 =!= 0)
+    def arrs = s.read.parquet(sq8SavedRanges(s, dir))
+    def write(out: String): Unit =
+      graft.similarity.Quantize.sq8EncodeAgainst(e34, "vec_id",
+          "embedding", arrs, dims = 64, levels = 256)
+        .write.mode("overwrite").parquet(out)
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/embeddings.parquet")
+    val path = graft.control.ArtifactStore.parquet(s"$tag:$fp", dir)(write)
+    if (!verifiedDriftProbes.contains(s"$tag:$fp")) {
+      val probe = graft.similarity.Quantize.sq8EncodeAgainst(
+        e34.orderBy(col("vec_id")).limit(16), "vec_id", "embedding",
+        arrs, dims = 64, levels = 256)
+      val savedProbe = s.read.parquet(path)
+        .join(probe.select(col("id")).distinct(), Seq("id"), "left_semi")
+      require(graft.operators.Converge.sameExact(probe, savedProbe),
+        s"staged SQ8 codes '$tag' no longer match sq8EncodeAgainst's " +
+          "arithmetic on the 16-vector probe — the quantizer changed " +
+          "without restaging; delete the artifact or bump the tag")
+      verifiedDriftProbes.add(s"$tag:$fp")
+    }
+    path
+  }
+
+  /** The q_vec_bq_incr fixture's SAVED packed-word table: bqEncode
+    * of the ¾ corpus (BQ has no trained state, so the index IS the
+    * words), same drift-probe discipline. */
+  private def bqSavedWords(s: SparkSession, dir: String): String = {
+    val tag = "bq_words_mod4_v1"
+    def e34 = t(s, dir, "embeddings").where(col("vec_id") % 4 =!= 0)
+    def write(out: String): Unit =
+      graft.similarity.Quantize.bqEncode(e34, "vec_id", "embedding",
+          dims = 64)
+        .write.mode("overwrite").parquet(out)
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/embeddings.parquet")
+    val path = graft.control.ArtifactStore.parquet(s"$tag:$fp", dir)(write)
+    if (!verifiedDriftProbes.contains(s"$tag:$fp")) {
+      val probe = graft.similarity.Quantize.bqEncode(
+        e34.orderBy(col("vec_id")).limit(16), "vec_id", "embedding",
+        dims = 64)
+      val savedProbe = s.read.parquet(path)
+        .join(probe.select(col("id")).distinct(), Seq("id"), "left_semi")
+      require(graft.operators.Converge.sameExact(probe, savedProbe),
+        s"staged BQ words '$tag' no longer match bqEncode's arithmetic " +
+          "on the 16-vector probe — the packer changed without " +
+          "restaging; delete the artifact or bump the tag")
+      verifiedDriftProbes.add(s"$tag:$fp")
+    }
+    path
+  }
+
   /** The q_pq_ivfadc serving chain over an arbitrary (vec_id,
     * embedding) corpus — coarse cells, residual encoding, one-round
     * Lloyd-trained residual codebooks seeded off the non-coarse ids,
@@ -4036,6 +4109,51 @@ object SparkEntry {
       graft.similarity.Quantize.sq8AdcTopKByCell(corpus, queries,
           "vec_id", "embedding", "cell",
           dims = 64, levels = 256, candidates = 20, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_vec_sq_incr" -> ((s, dir) => {
+      // INCREMENTAL SQ8 index maintenance — the q_pq_incr discipline
+      // at the scalar quantizer: the index is the staged ¾-corpus
+      // code table PLUS the trained per-dim range grid
+      // (sq8SavedRanges/sq8SavedCodes, drift-probed); the arriving
+      // quarter encodes against the FROZEN grid in one batch pass ×
+      // the broadcast 1-row ranges (values outside the trained range
+      // CLAMP — the scalar quantizer's saturation, and the one spot
+      // the append differs from a full retrain), and serving scans
+      // saved ∪ batch codes with weights from the same grid. The
+      // oracle replays the composition: ¾-ranges, clamped whole-
+      // corpus encode (row-identical to the union — per-row encoding
+      // is pure), weight vectors, integer scan, exact rerank.
+      val e = t(s, dir, "embeddings")
+      val arrs = s.read.parquet(sq8SavedRanges(s, dir))
+      val saved = s.read.parquet(sq8SavedCodes(s, dir))
+      val batch = graft.similarity.Quantize.sq8EncodeAgainst(
+        e.where(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        arrs, dims = 64, levels = 256)
+      graft.similarity.Quantize.sq8AdcTopKFromIndex(
+          saved.unionByName(batch), arrs, e,
+          e.where(col("vec_id") < 100), "vec_id", "embedding",
+          dims = 64, levels = 256, candidates = 20, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_vec_bq_incr" -> ((s, dir) => {
+      // INCREMENTAL BQ index maintenance: BQ has no trained state
+      // (sign bits only), so the index is the staged ¾-corpus packed
+      // words (bqSavedWords, drift-probed) and the append is encode
+      // the quarter + union — row-identical to a full re-encode
+      // (pure projection), which is the EQUIVALENCE the oracle gates
+      // (q_vec_bq's own replay). Serving reads the words table;
+      // only the 20-candidate rerank touches float vectors.
+      val e = t(s, dir, "embeddings")
+      val saved = s.read.parquet(bqSavedWords(s, dir))
+      val batch = graft.similarity.Quantize.bqEncode(
+        e.where(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        dims = 64)
+      graft.similarity.Quantize.bqRerankTopKFromCodes(
+          saved.unionByName(batch), e, e.where(col("vec_id") < 100),
+          "vec_id", "embedding", dims = 64, candidates = 20, k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -8204,40 +8322,20 @@ object SparkEntry {
     // binary quantization: sign bits packed into two 32-bit words
     // (exploded per-bit sum — value-identical to the Spark side's
     // zip_with/aggregate projection), hamming shortlist, exact rerank
-    "q_vec_bq" ->
-      """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        |bits AS (SELECT vec_id, i,
-        |    CASE WHEN v[CAST(i + 1 AS INT)] > 0 THEN 1 ELSE 0 END AS b
-        |  FROM p CROSS JOIN range(0, 64) t(i)),
-        |codes AS MATERIALIZED (SELECT vec_id,
-        |    CAST(sum(CASE WHEN i < 32 AND b = 1
-        |             THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)
-        |      AS BIGINT) AS b0,
-        |    CAST(sum(CASE WHEN i >= 32 AND b = 1
-        |             THEN (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END)
-        |      AS BIGINT) AS b1
-        |  FROM bits GROUP BY vec_id),
-        |q AS (SELECT vec_id AS query_id, b0 AS qb0, b1 AS qb1
-        |      FROM codes WHERE vec_id < 100),
-        |ham AS (SELECT query_id, c.vec_id AS nbr_id,
-        |    CAST(bit_count(xor(c.b0, qb0)) + bit_count(xor(c.b1, qb1))
-        |      AS BIGINT) AS hamming
-        |  FROM codes c JOIN q ON c.vec_id <> query_id),
-        |sl AS (SELECT query_id, nbr_id, hamming FROM (
-        |  SELECT *, row_number() OVER
-        |    (PARTITION BY query_id ORDER BY hamming, nbr_id) AS crank
-        |  FROM ham) t WHERE crank <= 20),
-        |rr AS (SELECT s.query_id, s.nbr_id, s.hamming,
-        |    round(list_cosine_similarity(qp.v, np.v), 6) AS score
-        |  FROM sl s JOIN p qp ON qp.vec_id = s.query_id
-        |  JOIN p np ON np.vec_id = s.nbr_id)
-        |SELECT query_id, nbr_id, hamming, score,
-        |  CAST(rank AS BIGINT) AS rank
-        |FROM (SELECT *, row_number() OVER
-        |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
-        |  FROM rr) t
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_vec_bq" -> Duck.bqFunnelSql,
+
+    // EQUIVALENCE gate: the packed-word append (saved ¾ words ∪
+    // batch words) is row-identical to a full re-encode — q_vec_bq's
+    // own replay serves as the oracle
+    "q_vec_bq_incr" -> Duck.bqFunnelSql,
+
+    // SQ8 index append: ranges trained on the ¾ corpus, the whole
+    // corpus coded against that frozen grid with clamping (pure
+    // per-row encode = the Spark side's saved ∪ batch union),
+    // weights from the same grid, integer scan, exact rerank
+    "q_vec_sq_incr" -> Duck.sq8IncrSql(trainPredicate =
+      "vec_id % 4 <> 0", queryMax = 100, candidates = 20, k = 3,
+      levels = 256),
 
     // SQ8 asymmetric scan: per-dim ranges, integer codes, integer
     // query weights, exact-sum shortlist, exact cosine rerank
@@ -11676,6 +11774,93 @@ object SparkEntry {
          |    (PARTITION BY query_id ORDER BY score_u DESC, nbr_id) AS rank
          |  FROM fin) t
          |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+    /** BQ hamming-funnel mirror of `Quantize.bqRerankTopK` — shared
+      * by q_vec_bq and q_vec_bq_incr (the packed-word append is
+      * row-identical to a full re-encode, so one replay gates
+      * both). */
+    val bqFunnelSql: String =
+      """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |bits AS (SELECT vec_id, i,
+        |    CASE WHEN v[CAST(i + 1 AS INT)] > 0 THEN 1 ELSE 0 END AS b
+        |  FROM p CROSS JOIN range(0, 64) t(i)),
+        |codes AS MATERIALIZED (SELECT vec_id,
+        |    CAST(sum(CASE WHEN i < 32 AND b = 1
+        |             THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS b0,
+        |    CAST(sum(CASE WHEN i >= 32 AND b = 1
+        |             THEN (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS b1
+        |  FROM bits GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, b0 AS qb0, b1 AS qb1
+        |      FROM codes WHERE vec_id < 100),
+        |ham AS (SELECT query_id, c.vec_id AS nbr_id,
+        |    CAST(bit_count(xor(c.b0, qb0)) + bit_count(xor(c.b1, qb1))
+        |      AS BIGINT) AS hamming
+        |  FROM codes c JOIN q ON c.vec_id <> query_id),
+        |sl AS (SELECT query_id, nbr_id, hamming FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY hamming, nbr_id) AS crank
+        |  FROM ham) t WHERE crank <= 20),
+        |rr AS (SELECT s.query_id, s.nbr_id, s.hamming,
+        |    round(list_cosine_similarity(qp.v, np.v), 6) AS score
+        |  FROM sl s JOIN p qp ON qp.vec_id = s.query_id
+        |  JOIN p np ON np.vec_id = s.nbr_id)
+        |SELECT query_id, nbr_id, hamming, score,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+        |  FROM rr) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+    /** SQ8 index-append mirror of the q_vec_sq_incr chain
+      * (`Quantize.sq8EncodeAgainst` + `sq8AdcTopKFromIndex`): ranges
+      * TRAINED on the `trainPredicate` subset, the whole corpus coded
+      * against that frozen grid with greatest/least CLAMPING (per-row
+      * encoding is pure, so this equals the Spark side's
+      * saved ∪ batch union), weights from the same grid, integer
+      * scan, exact rerank. */
+    def sq8IncrSql(trainPredicate: String, queryMax: Int,
+                   candidates: Int, k: Int, levels: Int): String = {
+      val lv = levels - 1
+      s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |rg AS MATERIALIZED (SELECT i AS dim,
+         |    min(v[CAST(i + 1 AS INT)]) AS lo,
+         |    max(v[CAST(i + 1 AS INT)]) AS hi
+         |  FROM p CROSS JOIN range(0, 64) t(i)
+         |  WHERE $trainPredicate GROUP BY i),
+         |codes AS MATERIALIZED (SELECT vec_id, dim,
+         |    CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+         |         ELSE greatest(CAST(0 AS BIGINT), least(CAST($lv AS BIGINT),
+         |           CAST(floor((v[CAST(dim + 1 AS INT)] - lo)
+         |             / (hi - lo) * $lv + 0.5) AS BIGINT))) END AS code
+         |  FROM p CROSS JOIN rg),
+         |qw AS MATERIALIZED (SELECT vec_id AS query_id, dim,
+         |    CAST(floor(v[CAST(dim + 1 AS INT)] *
+         |      (CASE WHEN hi = lo THEN 0.0 ELSE (hi - lo) / $lv END)
+         |      * 1000000 + 0.5) AS BIGINT) AS w
+         |  FROM p CROSS JOIN rg WHERE vec_id < $queryMax),
+         |scored AS (SELECT q.query_id, c.vec_id AS nbr_id,
+         |    CAST(sum(c.code * q.w) AS BIGINT) AS sq_u
+         |  FROM codes c JOIN qw q ON c.dim = q.dim
+         |    AND c.vec_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |sl AS (SELECT query_id, nbr_id, sq_u FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY sq_u DESC, nbr_id) AS crank
+         |  FROM scored) t WHERE crank <= $candidates),
+         |rr AS (SELECT s.query_id, s.nbr_id, s.sq_u,
+         |    round(list_cosine_similarity(qp.v, np.v), 6) AS score
+         |  FROM sl s JOIN p qp ON qp.vec_id = s.query_id
+         |  JOIN p np ON np.vec_id = s.nbr_id)
+         |SELECT query_id, nbr_id, sq_u, score, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+         |  FROM rr) t
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    }
 
     /** IVF×SQ8 mirror of the q_vec_sq_ivf chain
       * (`Quantize.sq8AdcTopKByCell`): coarse assignment

@@ -382,6 +382,95 @@ object Quantize {
       .where(col("rank") <= k)
   }
 
+  /** The SQ8 index's TRAINED-range artifact: one row of dim-sorted
+    * (los, his) arrays over the given corpus — what a 100 TB
+    * pipeline persists next to the code table so appended batches
+    * encode against the index's FROZEN grid instead of re-scanning
+    * the corpus for min/max (re-deriving ranges would silently
+    * re-grid every stored code). */
+  def sq8RangeArrays(corpus: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    dimRanges(c, "v").groupBy().agg(
+      expr("transform(array_sort(collect_list(struct(dim, lo))), " +
+        "x -> x.lo)").as("los"),
+      expr("transform(array_sort(collect_list(struct(dim, hi))), " +
+        "x -> x.hi)").as("his"))
+  }
+
+  /** Encode against a GIVEN ranges frame ([[sq8RangeArrays]]) — the
+    * index-append path: one batch pass × the broadcast 1-row grid,
+    * values outside the trained range CLAMP to the grid's ends
+    * (the standard scalar-quantizer saturation; for in-range values
+    * the expression is [[sq8AdcTopK]]'s encode unchanged). Returns
+    * (id, codes). */
+  def sq8EncodeAgainst(batch: DataFrame, idCol: String, vecCol: String,
+                       arrs: DataFrame, dims: Int,
+                       levels: Int): DataFrame = {
+    require(levels >= 2, s"levels must be >= 2: $levels")
+    val lv = levels - 1
+    batch.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(arrs))
+      .select(col("id"),
+        expr(s"transform(sequence(0, ${dims - 1}), " +
+          "d -> IF(his[d] = los[d], 0L, " +
+          s"greatest(0L, least(cast($lv as bigint), " +
+          s"cast(floor((v[d] - los[d]) / " +
+          s"(his[d] - los[d]) * $lv + 0.5) as bigint)))))")
+          .as("codes"))
+  }
+
+  /** The [[sq8AdcTopK]] funnel over a PREBUILT index — saved codes
+    * plus the trained ranges, so serving after an append touches the
+    * batch pass only, never the corpus: weights derive from the
+    * index's frozen grid, the scan reads the (id, codes) table, and
+    * the exact rerank joins the shortlist back to `vectors`. Same
+    * cuts, same returns (query_id, nbr_id, sq_u, score, rank). */
+  def sq8AdcTopKFromIndex(codes: DataFrame, arrs: DataFrame,
+                          vectors: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, dims: Int,
+                          levels: Int, candidates: Int,
+                          k: Int): DataFrame = {
+    require(levels >= 2 && candidates >= k,
+      s"need levels >= 2 and candidates >= k: $levels, $candidates, $k")
+    graft.expressions.GraftFunctions.register(codes.sparkSession)
+    val lv = levels - 1
+    val c = graft.operators.Spread.ensure(
+      vectors.select(col(idCol).as("nbr_id"),
+        col(vecCol).cast("array<double>").as("nv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val qw = q.crossJoin(broadcast(arrs))
+      .select(col("query_id"),
+        expr(s"transform(sequence(0, ${dims - 1}), " +
+          "d -> cast(floor(qv[d] * " +
+          "(CASE WHEN his[d] = los[d] THEN cast(0.0 as double) " +
+          s"ELSE (his[d] - los[d]) / $lv END) " +
+          "* 1000000 + 0.5) as bigint))").as("w"))
+    val scored = codes.select(col("id").as("nbr_id"), col("codes"))
+      .join(broadcast(qw), col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        expr("aggregate(zip_with(codes, w, (c, x) -> c * x), 0L, " +
+          "(a, b) -> a + b)").as("sq_u"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sq_u").desc, col("nbr_id"))
+    val shortlist = scored.withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= candidates)
+      .select(col("query_id"), col("nbr_id"), col("sq_u"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    shortlist.join(c, Seq("nbr_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"), col("sq_u"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("qv"), col("nv")), 6).as("score"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Cell-restricted SQ8 scan — the IVF×SQ composition (the FAISS
     * IVF-SQ serving shape, and [[pqAdcTopKByCell]]'s scalar twin):
     * the corpus quantizes against GLOBAL per-dim ranges (the trained
@@ -503,15 +592,30 @@ object Quantize {
   def bqRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, dims: Int, candidates: Int,
                    k: Int): DataFrame = {
-    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
-    graft.expressions.GraftFunctions.register(corpus.sparkSession)
     val c = graft.operators.Spread.ensure(
       corpus.select(col(idCol).as("nbr_id"),
         col(vecCol).cast("array<double>").as("nv")))
+    bqRerankTopKFromCodes(bqEncode(c, "nbr_id", "nv", dims),
+      corpus, queries, idCol, vecCol, dims, candidates, k)
+  }
+
+  /** The [[bqRerankTopK]] funnel over a PREBUILT packed-word table
+    * ([[bqEncode]]'s (id, b0, b1)) — the index-append path: BQ has
+    * no trained state (sign bits only), so maintenance is encode the
+    * batch + union the words, and serving reads the saved table;
+    * the exact rerank joins the shortlist back to `vectors`. */
+  def bqRerankTopKFromCodes(codes: DataFrame, vectors: DataFrame,
+                            queries: DataFrame, idCol: String,
+                            vecCol: String, dims: Int, candidates: Int,
+                            k: Int): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    graft.expressions.GraftFunctions.register(vectors.sparkSession)
+    val c = graft.operators.Spread.ensure(
+      vectors.select(col(idCol).as("nbr_id"),
+        col(vecCol).cast("array<double>").as("nv")))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-    val ccodes = bqEncode(c, "nbr_id", "nv", dims)
-      .withColumnRenamed("id", "nbr_id")
+    val ccodes = codes.withColumnRenamed("id", "nbr_id")
     val qcodes = bqEncode(q, "query_id", "qv", dims)
       .select(col("id").as("query_id"), col("b0").as("qb0"),
         col("b1").as("qb1"))

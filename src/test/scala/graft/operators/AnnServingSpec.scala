@@ -127,6 +127,53 @@ class AnnServingSpec extends SparkSpec {
     assert(gotEven === want)
   }
 
+  test("sq8EncodeAgainst clamps out-of-range values to the grid ends " +
+      "and matches the in-range grid exactly") {
+    // train the grid on rows whose dims span [0, 10]; the batch row
+    // carries -5 and 25 -> codes 0 and 255
+    val train = Seq((0L, Seq(0.0, 10.0)), (1L, Seq(10.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val arrs = Quantize.sq8RangeArrays(train, "vec_id", "embedding")
+    val batch = Seq((2L, Seq(-5.0, 25.0)), (3L, Seq(5.0, 10.0)))
+      .toDF("vec_id", "embedding")
+    val got = Quantize.sq8EncodeAgainst(batch, "vec_id", "embedding",
+        arrs, dims = 2, levels = 256)
+      .orderBy("id").as[(Long, Seq[Long])].collect().toSeq
+    // in-range: floor(5/10*255+0.5)=128, floor(10/10*255+0.5)=255
+    assert(got === Seq((2L, Seq(0L, 255L)), (3L, Seq(128L, 255L))))
+  }
+
+  test("sq8AdcTopKFromIndex over a fresh full-corpus index equals " +
+      "the flat sq8AdcTopK scan") {
+    val e = vecs(40, 16, 51L)
+    val q = e.where(col("vec_id") < 5)
+    val arrs = Quantize.sq8RangeArrays(e, "vec_id", "embedding")
+    val codes = Quantize.sq8EncodeAgainst(e, "vec_id", "embedding",
+      arrs, dims = 16, levels = 256)
+    val got = Quantize.sq8AdcTopKFromIndex(codes, arrs, e, q,
+        "vec_id", "embedding", dims = 16, levels = 256,
+        candidates = 10, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val want = Quantize.sq8AdcTopK(e, q, "vec_id", "embedding",
+        dims = 16, levels = 256, candidates = 10, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got === want)
+  }
+
+  test("bqRerankTopKFromCodes over a fresh full-corpus word table " +
+      "equals bqRerankTopK") {
+    val e = vecs(40, 64, 61L)
+    val q = e.where(col("vec_id") < 5)
+    val codes = Quantize.bqEncode(e, "vec_id", "embedding", dims = 64)
+    val got = Quantize.bqRerankTopKFromCodes(codes, e, q,
+        "vec_id", "embedding", dims = 64, candidates = 10, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val want = Quantize.bqRerankTopK(e, q, "vec_id", "embedding",
+        dims = 64, candidates = 10, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got === want)
+  }
+
   test("bq hamming of a vector against its own negation is dims") {
     val v = Array.tabulate(64)(i => if (i % 3 == 0) 1.0 else -1.0)
     val e = Seq((1L, v.toSeq), (2L, v.map(-_).toSeq))
