@@ -321,28 +321,42 @@ object HyperBall {
     * projection over the columnar sketch: exact-integer
     * S = Σ_b 2^(maxRank−r_b), DECIMAL(38,0) raw α_m·m²·2^maxRank div
     * (1000·S), linear counting below raw ≤ 2.5·m. Returns
-    * (node, nf_est). */
-  private def estimate(regs: DataFrame, lay: Layout): DataFrame = {
+    * (node, nf_est), plus any `carry` columns passed through. */
+  private def estimate(regs: DataFrame, lay: Layout,
+                       carry: Seq[String] = Nil): DataFrame = {
     val sExpr = (0 until lay.m)
       .map(b => s"shiftleft(1L, cast(${lay.maxRank} - r$b as int))")
       .mkString(" + ")
     val vExpr = (0 until lay.m)
       .map(b => s"(case when r$b = 0 then 1 else 0 end)").mkString(" + ")
     val num = lay.alpha1000 * lay.m * lay.m
+    val carried = carry.map(col)
     regs
-      .select(col("node"), expr(sExpr).as("S"),
-        expr(vExpr).cast("long").as("V"))
+      .select(col("node") +: carried :+ expr(sExpr).as("S") :+
+        expr(vExpr).cast("long").as("V"): _*)
       .withColumn("raw", expr(
         s"cast(cast($num as decimal(38,0)) * " +
           s"cast(shiftleft(1L, ${lay.maxRank}) as decimal(38,0)) div " +
           "(cast(1000 as decimal(38,0)) * cast(S as decimal(38,0))) " +
           "as bigint)"))
-      .select(col("node"),
+      .select(col("node") +: carried :+
         when(col("raw") <= lay.m * 5 / 2 && col("V") > 0,
           round(lit(lay.m) * log(lit(lay.m.toDouble) / col("V")))
             .cast("long"))
-          .otherwise(col("raw")).as("nf_est"))
+          .otherwise(col("raw")).as("nf_est"): _*)
   }
+
+  /** Estimates from a SAVED register table ([[registerTable]]'s
+    * frame): the estimator is a pure per-row projection, so serving
+    * from the staged artifact is one scan — the r18 dedup of the
+    * HyperBall family's shared sketch-build: stage the propagation
+    * once, let the nf/harmonic consumers read it. Returns
+    * (node, r, nf_est) — [[neighborhoodFunction]]'s frame exactly,
+    * row-identical to a fresh propagation by max-merge determinism. */
+  def neighborhoodFunctionFromRegisters(regs: DataFrame,
+                                        m: Int = 16): DataFrame =
+    estimate(regs, Layout(m), carry = Seq("r"))
+      .select(col("node"), col("r"), col("nf_est"))
 
   /** The wide per-node summary a curation pipeline consumes, from an
     * nf frame covering radii 0..3: neighborhood-function estimates

@@ -191,6 +191,27 @@ class HyperBallSpec extends SparkSpec {
     assert(e.getMessage.contains("radii 0..1"))
   }
 
+  test("nf from a saved register table is row-identical to a fresh " +
+      "propagation (the shared-artifact serving contract)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("b", "d")).toDF("s", "d")
+    val regs = HyperBall.registerTable(edges, "s", "d", maxRadius = 3)
+    val fromRegs = HyperBall.neighborhoodFunctionFromRegisters(regs)
+      .orderBy("node", "r").collect().toSeq
+    val fresh = HyperBall.neighborhoodFunction(edges, "s", "d",
+        maxRadius = 3)
+      .orderBy("node", "r").collect().toSeq
+    assert(fromRegs === fresh)
+    // and the harmonic summary composes identically
+    val gotSummary = HyperBall.harmonicFromNf(
+        HyperBall.neighborhoodFunctionFromRegisters(regs))
+      .orderBy("node_id").collect().toSeq
+    val wantSummary = HyperBall.harmonicSummary(edges, "s", "d")
+      .orderBy("node_id").collect().toSeq
+    assert(gotSummary === wantSummary)
+    spark.catalog.clearCache()
+  }
+
   test("harmonic summary replays the ppm delta formula") {
     val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "a"))
     val nf = serialNf(edges, 3)
