@@ -202,26 +202,36 @@ object PageRank {
     require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= Scale)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w"))
-    val wsum = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    val ed = e.join(wsum, Seq("src")).persist()
-    val edCount = ed.count()
-    val nodes = ed.select(col("src").as("node")).distinct().persist()
+    // one edge pass builds BOTH the per-source weight sum the
+    // iteration divides by and the per-source max weight the
+    // overflow probe needs — the probe then reads this node-sized
+    // frame, never the edge table (an extra max() pass over the
+    // persisted edge frame measured ~1.5× the whole gate at 10×,
+    // SCALETEST_r18 A/B)
+    val wagg = e.groupBy(col("src"))
+      .agg(sum(col("w")).as("wsum"), max(col("w")).as("wmax"))
+      .persist()
+    val nodeCount = wagg.count()
+    val ed = e.join(wagg.select(col("src"), col("wsum")), Seq("src"))
+      .persist()
+    ed.count()
+    val nodes = wagg.select(col("src").as("node")).persist()
     nodes.count()
     // overflow probe (the pageRank discipline, weight-aware): pr is
     // bounded by n·SCALE (hub worst case), so the per-edge multiply
     // pr·w wraps iff n·SCALE·max(w) ≥ 2⁶³ and the damping multiply
-    // iff n·SCALE·dampingPpm does. One 1-row agg over the persisted
-    // edge table prices max(w); edCount bounds n from above.
-    // Threshold arithmetic runs in BigInt driver-side (max(w) itself
-    // may be large enough that maxW·SCALE wraps a long).
+    // iff n·SCALE·dampingPpm does. One 1-row agg over the node-sized
+    // wagg frame prices max(w). Threshold arithmetic runs in BigInt
+    // driver-side (max(w) itself may be large enough that maxW·SCALE
+    // wraps a long).
     val useWide = wide.getOrElse {
       val maxW = math.max(1L,
-        ed.agg(max(col("w"))).head().getLong(0))
+        wagg.agg(max(col("wmax"))).head().getLong(0))
       val mult = BigInt(math.max(maxW, dampingPpm)) * Scale
       val safeNodes = BigInt(Long.MaxValue) / mult
-      BigInt(edCount) > safeNodes &&
-        BigInt(nodes.count()) > safeNodes
+      BigInt(nodeCount) > safeNodes
     }
+    wagg.unpersist(blocking = false)
     val base = lit(Scale - dampingPpm)
     val coldInit = lit(Scale)
     var pr = saved match {

@@ -227,6 +227,22 @@ object PlanLintAllowlist {
     // never push (the documented r9 generate-inference class)
     "q_vec_sq_adc" -> "unconditioned-nested-loop",
     "q_vec_sq_adc" -> "scan-without-pushed-filters",
+    // r18: the IVF×SQ8 composition keeps q_vec_sq_adc's broadcast
+    // 1-row ranges cross (and the 8-row centroid assignment cross);
+    // its SCORED join is the cell equi-join — the nested loop here
+    // is only the k-row/1-row broadcast frames
+    "q_vec_sq_ivf" -> "unconditioned-nested-loop",
+    // r18: the SQ8 index append crosses the batch with the broadcast
+    // 1-row saved-ranges frame and scans against the broadcast
+    // per-query weight frame (q_vec_sq_adc's reviewed shapes over
+    // the staged artifact); the mod-4 batch filter is the documented
+    // unpushable-mod class
+    "q_vec_sq_incr" -> "unconditioned-nested-loop",
+    "q_vec_sq_incr" -> "scan-without-pushed-filters",
+    // r18: the BQ append's mod-4 batch filter — same unpushable-mod
+    // class; the hamming scan itself is the reviewed broadcast
+    // qcodes join
+    "q_vec_bq_incr" -> "scan-without-pushed-filters",
     // r10: every rule row crosses the broadcast 1-row basket-count
     // aggregate (q_token_budget pattern) + smallSort of the rule
     // report (one row per recurring pair direction)
