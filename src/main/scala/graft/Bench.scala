@@ -220,7 +220,10 @@ object Bench {
       // stage artifacts when cold; the SQ8/BQ index appends stage
       // their code/word/range artifacts when cold like q_pq_incr
       "q_ktruss_auto_ins", "q_ktruss_auto_del",
-      "q_vec_sq_incr", "q_vec_bq_incr")
+      "q_vec_sq_incr", "q_vec_bq_incr",
+      // r18: the trickle repair checkpoints per expansion hop and
+      // region round, and stages its converged artifact when cold
+      "q_kcore_trickle")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

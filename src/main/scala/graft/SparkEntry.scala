@@ -346,6 +346,32 @@ object SparkEntry {
       s"kcore_saved_r4_lt1500_full_v1:$fp", dir)(write)
   }
 
+  /** The q_kcore_trickle fixture's SAVED decomposition: the CONVERGED
+    * coreness (rounds = 32 with the signature early stop — the
+    * trickle operator's pinned boundary is only exact against a
+    * converged artifact, the ssspSavedDistances contract) of the
+    * bounded co-purchase graph MINUS the trickle order's pairs. */
+  private def kcoreTrickleSaved(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val bok = li.groupBy(col("ok"))
+        .agg(countDistinct(col("pk")).as("np"))
+        .where(col("np") >= 2).agg(max(col("ok")).as("bok"))
+      val old = li.join(broadcast(bok), col("ok") === col("bok"),
+        "left_anti")
+      val pairs = old.alias("x").join(old.alias("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      graft.graph.KCore.corenessHIndex(pairs, "p1", "p2", rounds = 32)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"kcore_saved_conv_lt1500_trickle_v1:$fp", dir)(write)
+  }
+
   /** The q_pq_incr fixture's SAVED PQ code table: the ¾ corpus
     * (vec_id % 4 != 0) encoded against codebooks seeded from that
     * same ¾ corpus, staged once per data dir. The codebooks are the
@@ -5509,6 +5535,46 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_kcore_trickle" -> ((s, dir) => {
+      // TRICKLE-batch coreness repair (KCore.corenessTrickle — the
+      // r17-named upgrade path past the sandwich resume, whose
+      // global slack makes warm ≈ cold beyond a few edges): the
+      // batch is ONE order's co-purchase pairs (the max orderkey
+      // < 1500 with ≥ 2 parts — a handful of edges), the saved
+      // artifact is the CONVERGED decomposition of the graph without
+      // that order, and the repair grows the certified region from
+      // the batch endpoints (crossing-rule closure, the batched
+      // Sarıyüce subcore) then iterates the h-index map on the
+      // region with the boundary pinned — per-round work ∝ the
+      // region's incident edges, never the graph. Gate =
+      // EQUIVALENCE: the oracle peels the full new graph cold to a
+      // 24-round converged unroll, so the region repair must land
+      // row-identical to the global decomposition (the frozen-
+      // boundary squeeze guarantees it; the K4-minus-edge and
+      // pendant-completion counterexamples are spec-pinned).
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1500)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      def pairsOf(f: DataFrame): DataFrame =
+        f.alias("x").join(f.alias("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      val bok = li.groupBy(col("ok"))
+        .agg(countDistinct(col("pk")).as("np"))
+        .where(col("np") >= 2).agg(max(col("ok")).as("bok"))
+      val batch = pairsOf(li.join(broadcast(bok),
+          col("ok") === col("bok")))
+        .select(least(col("p1"), col("p2")).as("u"),
+          greatest(col("p1"), col("p2")).as("v"))
+        .distinct()
+      val slack = batch.count()
+      val endpoints = batch.select(col("u").as("n"))
+        .unionByName(batch.select(col("v").as("n"))).distinct()
+      val saved = s.read.parquet(kcoreTrickleSaved(s, dir))
+      graft.graph.KCore.corenessTrickle(pairsOf(li), "p1", "p2",
+          saved, endpoints, slack, rounds = 32, expandRounds = 32)
+        .orderBy(col("node_id"))
+    }),
+
     "q_link_predict" -> ((s, dir) => {
       // link prediction over the same bounded co-purchase graph:
       // common-neighbor + Jaccard scores for non-adjacent
@@ -9594,6 +9660,12 @@ object SparkEntry {
     // side's fixed iteration count exactly
     "q_kcore" -> Duck.kcoreSql(rounds = 4),
 
+    // EQUIVALENCE gate: the certified-region trickle repair must
+    // reproduce the CONVERGED cold decomposition of the new graph —
+    // 24 materialized rounds clear the sf0.01 fixture's measured
+    // depth (~20, the densest SF) with margin
+    "q_kcore_trickle" -> Duck.kcoreSql(rounds = 24, materialized = true),
+
     // warm-start coreness: 4 unrolled saved rounds on the ¾ graph,
     // the slack-lifted init, 2 resume rounds on the full graph
     "q_kcore_incr" -> Duck.kcoreResumeSql(savedRounds = 4,
@@ -11056,9 +11128,13 @@ object SparkEntry {
          |FROM ($unions) GROUP BY u, v ORDER BY u, v""".stripMargin
     }
 
-    def kcoreSql(rounds: Int): String = {
+    def kcoreSql(rounds: Int, materialized: Boolean = false): String = {
+      // deep unrolls (the q_kcore_trickle 24-round convergence
+      // margin) need MATERIALIZED rounds or DuckDB's inliner blows
+      // up; the shallow fixed-round gates keep their historical text
+      val mat = if (materialized) " MATERIALIZED" else ""
       val steps = (1 to rounds).map { k =>
-        s"""v$k AS (SELECT n, max(least(nv, rn)) AS val FROM (
+        s"""v$k AS$mat (SELECT n, max(least(nv, rn)) AS val FROM (
            |    SELECT s.n, vm.val AS nv,
            |      row_number() OVER (PARTITION BY s.n
            |        ORDER BY vm.val DESC, s.m) AS rn

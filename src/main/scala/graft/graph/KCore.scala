@@ -116,6 +116,162 @@ object KCore {
     out
   }
 
+  /** TRICKLE-batch coreness repair — the named upgrade path past the
+    * sandwich resume (BASELINE r17): [[corenessResume]]'s slack is
+    * necessarily GLOBAL (per-node tightenings are provably false —
+    * the K4-minus-edge insert raises NON-incident coreness), so for
+    * any batch the warm start lifts EVERY node by b and the first
+    * round touches the whole graph — warm ≈ cold beyond a few edges.
+    * This operator instead bounds the WORK to a certified REGION:
+    *
+    *  1. REGION CLOSURE (the Sarıyüce-style subcore generalized to a
+    *     batch): changed coreness propagates only along
+    *     threshold-crossing neighbors. If x's coreness rises at some
+    *     step, a neighbor y crossed the (core_step(x)+1) threshold:
+    *     its pre-crossing value was ≤ core_step(x) and its
+    *     post-crossing value ≥ core_step(x)+1. Every intermediate
+    *     value sits within [saved, saved + b] (b single-edge
+    *     inserts, +1 each) and core_step(x) ∈ [saved(x),
+    *     saved(x) + b], so the crossing neighbor's SAVED value obeys
+    *     the two-sided band saved(x) + 1 − b ≤ saved(y) ≤
+    *     saved(x) + b — the b = 1 case is exactly the classic
+    *     subcore's equal-coreness walk. Deletes mirror (values drift
+    *     down by ≤ b; same band). The closure of the batch endpoints
+    *     under |saved(y) − saved(x)| ≤ b therefore contains every
+    *     node whose coreness can change — grown here by frontier
+    *     expansion, one semi-join per hop. The band is what keeps
+    *     the region subcore-sized: without the lower side, a
+    *     low-coreness endpoint would pull in its whole component.
+    *  2. PINNED-BOUNDARY ITERATION: nodes outside the region hold
+    *     their saved coreness; region nodes start at the sandwich
+    *     init min(deg′, saved + slack) and iterate the h-index map
+    *     restricted to the region. Frozen-coordinate squeeze: with
+    *     R ⊇ {changed}, outside values equal the true new coreness,
+    *     so core = H_R^t(core) ≤ H_R^t(v0) ≤ H^t(deg′) → core — the
+    *     restricted trajectory is sandwiched by the cold one and
+    *     converges to the EXACT decomposition.
+    *
+    * Per-round cost is the region's incident edges, not the graph —
+    * the trickle win. The artifact must be CONVERGED coreness (the
+    * ssspSavedDistances contract): the pinned boundary is only exact
+    * if saved IS the old fixed point. Insert-only or delete-only
+    * batches (`slack` > 0 selects the insert rule; 0 the delete
+    * rule with deletedEndpoints seeded too).
+    *
+    * @param batchEndpoints 1-column frame of the batch edges' (new
+    *                       graph) endpoint nodes, both directions'
+    *                       deleted endpoints for a delete batch
+    * @param slack          # batch edges for inserts; 0 for deletes
+    * @param deleteSlack    # batch edges for deletes (the region
+    *                       rule's drift bound; ignored for inserts) */
+  def corenessTrickle(edges: DataFrame, srcCol: String, dstCol: String,
+                      savedCoreness: DataFrame, batchEndpoints: DataFrame,
+                      slack: Long, rounds: Int, expandRounds: Int,
+                      deleteSlack: Long = 0L): DataFrame = {
+    require(rounds >= 0 && expandRounds >= 1,
+      s"need rounds >= 0 and expandRounds >= 1: $rounds, $expandRounds")
+    require(slack >= 0 && deleteSlack >= 0,
+      s"slacks must be >= 0: $slack, $deleteSlack")
+    val sym = prepSym(edges, srcCol, dstCol)
+    val deg = sym.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // saved* — batch-new nodes (absent from the artifact) carry 0:
+    // they "rose from nothing", so every neighbor passes the insert
+    // rule against them, which is exactly the soundness we need
+    val savedStar = deg
+      .join(savedCoreness.select(col("node_id").as("n"), col("coreness")),
+        Seq("n"), "left")
+      .select(col("n"), col("deg"),
+        coalesce(col("coreness"), lit(0L)).as("sv"))
+      .persist()
+    savedStar.count()
+    val drift = if (slack > 0) slack else deleteSlack
+    // region closure: frontier expansion under the crossing rule
+    var region = batchEndpoints.toDF("n").distinct()
+      .join(savedStar.select(col("n")), Seq("n"), "left_semi")
+      .sanitizedCheckpoint()
+    var done = false
+    var hops = 0
+    while (!done && hops < expandRounds) {
+      hops += 1
+      val joined = sym
+        .join(region.select(col("n").as("m")), Seq("m"), "left_semi")
+        .join(savedStar.select(col("n"), col("sv")), Seq("n"))
+        .join(broadcast(savedStar.select(col("n").as("m"), col("sv").as("msv"))
+          .join(region.select(col("n").as("m")), Seq("m"), "left_semi")),
+          Seq("m"))
+      val eligible = joined
+        .where(col("msv") <= col("sv") + drift &&
+          col("msv") >= col("sv") - drift)
+      val grown = region.unionByName(eligible.select(col("n")))
+        .distinct().sanitizedCheckpoint()
+      done = grown.count() == region.count()
+      region = grown
+    }
+    require(done,
+      s"corenessTrickle: region closure did not converge within " +
+        s"$expandRounds hops — widen expandRounds or fall back to " +
+        "corenessResume")
+    // pinned-boundary iteration, REGION-sized per round: outside
+    // neighbors never change, so their contribution to a region
+    // node's neighborhood resolves ONCE into a static edge frame;
+    // each round then joins only the region-incident live edges
+    // against the region-sized value table — work ∝ the region,
+    // never the graph
+    val symR = sym.join(region, Seq("n"), "left_semi").persist()
+    symR.count()
+    val regionM = region.select(col("n").as("m"))
+    val symIn = symR.join(regionM, Seq("m"), "left_semi").persist()
+    symIn.count()
+    val symOutStatic = symR.join(regionM, Seq("m"), "left_anti")
+      .join(savedStar.select(col("n").as("m"), col("sv").as("nv")),
+        Seq("m"))
+      .select(col("n"), col("m"), col("nv"))
+      .sanitizedCheckpoint()
+    val outside = savedStar
+      .join(region, Seq("n"), "left_anti")
+      .select(col("n"), col("sv").as("val"))
+      .sanitizedCheckpoint()
+    var (valsR, sig) = graft.operators.Converge.checkpointWithSig(
+      savedStar.join(region, Seq("n"), "left_semi")
+        .select(col("n"),
+          least(col("deg"), col("sv") + slack).as("val")),
+      "n, val")
+    val byNode = Window.partitionBy(col("n"))
+      .orderBy(col("nv").desc, col("m"))
+    var round = 0
+    var iterDone = false
+    while (!iterDone && round < rounds) {
+      round += 1
+      val live = symIn
+        .join(valsR.select(col("n").as("m"), col("val").as("nv")),
+          Seq("m"))
+        .select(col("n"), col("m"), col("nv"))
+      val relaxedR = live.unionByName(symOutStatic)
+        .withColumn("rn", row_number().over(byNode).cast("long"))
+        .groupBy(col("n"))
+        .agg(max(least(col("nv"), col("rn"))).as("val"))
+      val (next, nSig) =
+        graft.operators.Converge.checkpointWithSig(relaxedR, "n, val")
+      iterDone = nSig == sig && graft.operators.Converge.sameExact(next, valsR)
+      sig = nSig
+      valsR = next
+    }
+    // the contract is EXACT equivalence with the cold decomposition
+    // (the frozen-boundary squeeze kills every spurious fixed point),
+    // which only holds at convergence — a truncated trajectory is a
+    // different, weaker object, so fail loudly instead
+    require(iterDone,
+      s"corenessTrickle: region iteration did not converge within " +
+        s"$rounds rounds — raise rounds or fall back to corenessResume")
+    savedStar.unpersist(blocking = false)
+    symR.unpersist(blocking = false)
+    symIn.unpersist(blocking = false)
+    sym.unpersist(blocking = false)
+    valsR.unionByName(outside)
+      .select(col("n").as("node_id"), col("val").as("coreness"))
+      .sanitizedCheckpoint()
+  }
+
   /** Canonicalize (dedup + drop self-loops) and symmetrize so each
     * node sees its full neighborhood under one groupBy key; persisted
     * and materialized once — every round joins against it. */

@@ -111,4 +111,91 @@ class KCoreSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("trickle insert repairs the K4-minus-edge case exactly (the " +
+      "non-incident growth that breaks naive regions)") {
+    import spark.implicits._
+    // K4 minus {3,4}: all coreness 2. Insert {3,4}: all rise to 3 —
+    // including 1 and 2, NOT incident to the batch edge. The region
+    // closure must pull them in through the crossing rule.
+    val old = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    val saved = KCore.corenessHIndex(old, "a", "b", rounds = 8)
+    val grown = old.union(Seq((3L, 4L)).toDF("a", "b"))
+    val got = KCore.corenessTrickle(grown, "a", "b", saved,
+        Seq(3L, 4L).toDF("n"), slack = 1L, rounds = 8, expandRounds = 8)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    spark.catalog.clearCache()
+  }
+
+  test("trickle batch insert: two edges completing K4 from a pendant " +
+      "(per-edge subcores computed on old coreness would miss it)") {
+    import spark.implicits._
+    // triangle {1,2,3} (coreness 2) + pendant 4–1 (coreness 1).
+    // Insert (4,2) and (4,3): K4, all coreness 3. Each edge's
+    // single-edge subcore on OLD coreness is just {4} — the ±b drift
+    // in the batch rule is what captures 1, 2, 3.
+    val old = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L)).toDF("a", "b")
+    val saved = KCore.corenessHIndex(old, "a", "b", rounds = 8)
+    val grown = old.union(Seq((4L, 2L), (4L, 3L)).toDF("a", "b"))
+    val got = KCore.corenessTrickle(grown, "a", "b", saved,
+        Seq(4L, 2L, 3L).toDF("n"), slack = 2L, rounds = 8,
+        expandRounds = 8)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    spark.catalog.clearCache()
+  }
+
+  test("trickle delete repairs the K4 edge retraction exactly") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    val saved = KCore.corenessHIndex(k4, "a", "b", rounds = 8)
+    val pruned = k4.where(!($"a" === 3L && $"b" === 4L))
+    val got = KCore.corenessTrickle(pruned, "a", "b", saved,
+        Seq(3L, 4L).toDF("n"), slack = 0L, rounds = 8,
+        expandRounds = 8, deleteSlack = 1L)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (2L, 2L), (3L, 2L), (4L, 2L)))
+    spark.catalog.clearCache()
+  }
+
+  test("trickle equals the converged cold decomposition on random " +
+      "graphs with random small batches, both directions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1818)
+    for (trial <- 1 to 3) {
+      val all = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val batch = all.take(3)
+      val old = all.drop(3)
+      // INSERT: saved on old, batch arrives
+      val savedIns = KCore.corenessHIndex(old.toDF("a", "b"), "a", "b",
+        rounds = 16)
+      val cold = KCore.corenessHIndex(all.toDF("a", "b"), "a", "b",
+          rounds = 16)
+        .orderBy("node_id").as[(Long, Long)].collect().toSeq
+      val gotIns = KCore.corenessTrickle(all.toDF("a", "b"), "a", "b",
+          savedIns, batch.flatMap(e => Seq(e._1, e._2)).toDF("n"),
+          slack = batch.size.toLong, rounds = 16, expandRounds = 32)
+        .orderBy("node_id").as[(Long, Long)].collect().toSeq
+      assert(gotIns === cold, s"insert trial $trial")
+      // DELETE: saved on all, batch retracts
+      val savedAll = KCore.corenessHIndex(all.toDF("a", "b"), "a", "b",
+        rounds = 16)
+      val coldOld = KCore.corenessHIndex(old.toDF("a", "b"), "a", "b",
+          rounds = 16)
+        .orderBy("node_id").as[(Long, Long)].collect().toSeq
+      val gotDel = KCore.corenessTrickle(old.toDF("a", "b"), "a", "b",
+          savedAll, batch.flatMap(e => Seq(e._1, e._2)).toDF("n"),
+          slack = 0L, rounds = 16, expandRounds = 32,
+          deleteSlack = batch.size.toLong)
+        .orderBy("node_id").as[(Long, Long)].collect().toSeq
+      assert(gotDel === coldOld, s"delete trial $trial")
+      spark.catalog.clearCache()
+    }
+  }
 }
