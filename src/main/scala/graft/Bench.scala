@@ -222,8 +222,11 @@ object Bench {
       "q_ktruss_auto_ins", "q_ktruss_auto_del",
       "q_vec_sq_incr", "q_vec_bq_incr",
       // r18: the trickle repair checkpoints per expansion hop and
-      // region round, and stages its converged artifact when cold
-      "q_kcore_trickle")
+      // region round, and stages its converged artifact when cold;
+      // the mixture ByCell funnels checkpoint the literal-heavy
+      // mixture projection up front
+      "q_kcore_trickle", "q_vec_sq_ivf", "q_vec_bq_ivf",
+      "q_ann_mrl_ivf")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

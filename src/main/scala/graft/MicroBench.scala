@@ -428,6 +428,16 @@ object MicroBench {
         candidates = 20, k = 3))
       println(f"[micro] sq8 ivf nprobe=$np      $sec%6.2f s  " +
         f"recall@3=$r%6.2f%%  scan=$frac%6.2f%%")
+      // the sibling ByCell funnels at the same probes — what the
+      // cell restriction costs each index family on this corpus
+      val rBq = meanRecall(Quantize.bqRerankTopKByCell(corpus, queries,
+        "vec_id", "embedding", "cell", dims = 64, candidates = 20,
+        k = 3))
+      println(f"[micro] bq  ivf nprobe=$np      recall@3=$rBq%6.2f%%")
+      val rMrl = meanRecall(Similarity.truncatedRerankKnnByCell(
+        corpus, queries, "vec_id", "embedding", "cell", dPrefix = 16,
+        candidates = 20, k = 3))
+      println(f"[micro] mrl ivf nprobe=$np      recall@3=$rMrl%6.2f%%")
     }
     spark.catalog.clearCache()
   }

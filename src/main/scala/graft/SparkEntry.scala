@@ -497,6 +497,30 @@ object SparkEntry {
     path
   }
 
+  /** The cell-restricted funnel gates' shared scaffold: the
+    * checkpointed clusterable mixture with coarse cells attached,
+    * and the fixed 100-lowest-ids queries with their top-2 probed
+    * cells — (corpus, queries) for the SQ8/BQ/MRL ByCell family. */
+  private def mixtureIvfFrames(s: SparkSession,
+                               dir: String): (DataFrame, DataFrame) = {
+    val e = graft.similarity.MixtureEmbeddings.table(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      .sanitizedCheckpoint()
+    val centroids = graft.similarity.KMeans
+      .initCentroids(e, "vec_id", "embedding", k = 8)
+    val cells = graft.similarity.KMeans
+      .assign(e, centroids, "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("cluster_id").as("cell"))
+    val corpus = e.join(cells, Seq("vec_id"))
+    val probes = graft.similarity.KMeans
+      .assignTopN(e.where(col("vec_id") < 100), centroids,
+        "vec_id", "embedding", n = 2)
+      .select(col("id").as("vec_id"), col("cluster_id").as("cell"))
+    val queries = e.where(col("vec_id") < 100)
+      .join(probes, Seq("vec_id"))
+    (corpus, queries)
+  }
+
   /** The q_pq_ivfadc serving chain over an arbitrary (vec_id,
     * embedding) corpus — coarse cells, residual encoding, one-round
     * Lloyd-trained residual codebooks seeded off the non-coarse ids,
@@ -4141,24 +4165,40 @@ object SparkEntry {
       // trained quantizer), top-20 shortlist, exact cosine rerank,
       // fixed 100-id queries; the oracle replays mixture, coarse
       // assign, probes, codes, weights, and both cuts.
-      val e = graft.similarity.MixtureEmbeddings.table(
-          t(s, dir, "embeddings"), "vec_id", "embedding")
-        .sanitizedCheckpoint()
-      val centroids = graft.similarity.KMeans
-        .initCentroids(e, "vec_id", "embedding", k = 8)
-      val cells = graft.similarity.KMeans
-        .assign(e, centroids, "vec_id", "embedding")
-        .select(col("id").as("vec_id"), col("cluster_id").as("cell"))
-      val corpus = e.join(cells, Seq("vec_id"))
-      val probes = graft.similarity.KMeans
-        .assignTopN(e.where(col("vec_id") < 100), centroids,
-          "vec_id", "embedding", n = 2)
-        .select(col("id").as("vec_id"), col("cluster_id").as("cell"))
-      val queries = e.where(col("vec_id") < 100)
-        .join(probes, Seq("vec_id"))
+      val (corpus, queries) = mixtureIvfFrames(s, dir)
       graft.similarity.Quantize.sq8AdcTopKByCell(corpus, queries,
           "vec_id", "embedding", "cell",
           dims = 64, levels = 256, candidates = 20, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_vec_bq_ivf" -> ((s, dir) => {
+      // BQ×IVF (Quantize.bqRerankTopKByCell): the 32×-packed word
+      // table carries its coarse cell and the hamming scan becomes a
+      // cell equi-join — with q_vec_sq_ivf and q_ann_mrl_ivf this
+      // closes the r17 structural caveat: EVERY funnel member now
+      // has the cell-restricted 100 TB serving shape the PQ side
+      // pioneered (pqAdcTopKByCell). Clusterable mixture, top-2
+      // probes, top-20 hamming shortlist, exact rerank; the oracle
+      // replays mixture, assign, packing, probes, cell-keyed
+      // hamming, and both cuts.
+      val (corpus, queries) = mixtureIvfFrames(s, dir)
+      graft.similarity.Quantize.bqRerankTopKByCell(corpus, queries,
+          "vec_id", "embedding", "cell",
+          dims = 64, candidates = 20, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_ann_mrl_ivf" -> ((s, dir) => {
+      // MRL×IVF (Similarity.truncatedRerankKnnByCell): the 16-dim
+      // prefix index composed with coarse cells — the two
+      // multiplicative reductions stack (4× narrower rows AND
+      // ~nprobe/cells of them scanned). Same mixture/probe/cut
+      // contract as its BQ/SQ8 siblings.
+      val (corpus, queries) = mixtureIvfFrames(s, dir)
+      Similarity.truncatedRerankKnnByCell(corpus, queries,
+          "vec_id", "embedding", "cell",
+          dPrefix = 16, candidates = 20, k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -8480,6 +8520,16 @@ object SparkEntry {
       candidates = 20, k = 3, levels = 256,
       pBody = Some(graft.similarity.MixtureEmbeddings.duckBody)),
 
+    // BQ×IVF and MRL×IVF on the same clustered corpus — the cell
+    // equi-join completes the ByCell family across all four funnels
+    "q_vec_bq_ivf" -> Duck.bqIvfSql(queryMax = 100, nprobe = 2,
+      candidates = 20, k = 3,
+      pBody = Some(graft.similarity.MixtureEmbeddings.duckBody)),
+
+    "q_ann_mrl_ivf" -> Duck.mrlIvfSql(queryMax = 100, nprobe = 2,
+      dPrefix = 16, candidates = 20, k = 3,
+      pBody = Some(graft.similarity.MixtureEmbeddings.duckBody)),
+
     // PQ audit: the encode chain with the assignment score kept —
     // min over round-6 cosines + the position-weighted code checksum
     "q_pq_audit" ->
@@ -11961,6 +12011,89 @@ object SparkEntry {
          |  FROM rr) t
          |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
     }
+
+    /** BQ×IVF mirror of the q_vec_bq_ivf chain
+      * (`Quantize.bqRerankTopKByCell`): coarse assignment over the
+      * `pBody` corpus, per-bit word packing, top-`nprobe` probed
+      * cells, the cell-keyed hamming scan, `candidates` shortlist,
+      * exact cosine rerank. */
+    def bqIvfSql(queryMax: Int, nprobe: Int, candidates: Int, k: Int,
+                 pBody: Option[String] = None): String =
+      s"""WITH ${kmeansAssignCtes(k = 8, pBody)},
+         |cells AS MATERIALIZED (SELECT vec_id, cluster_id AS cell FROM a),
+         |bits AS (SELECT vec_id, i,
+         |    CASE WHEN v[CAST(i + 1 AS INT)] > 0 THEN 1 ELSE 0 END AS b
+         |  FROM p CROSS JOIN range(0, 64) t(i)),
+         |codes AS MATERIALIZED (SELECT vec_id,
+         |    CAST(sum(CASE WHEN i < 32 AND b = 1
+         |             THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)
+         |      AS BIGINT) AS b0,
+         |    CAST(sum(CASE WHEN i >= 32 AND b = 1
+         |             THEN (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END)
+         |      AS BIGINT) AS b1
+         |  FROM bits GROUP BY vec_id),
+         |pr AS (SELECT vec_id AS query_id, cluster_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, cluster_id) AS rn FROM sc) t
+         |  WHERE rn <= $nprobe AND vec_id < $queryMax),
+         |qc AS (SELECT pr.query_id, pr.cell, codes.b0 AS qb0,
+         |    codes.b1 AS qb1
+         |  FROM pr JOIN codes ON codes.vec_id = pr.query_id),
+         |ham AS (SELECT qc.query_id, c.vec_id AS nbr_id,
+         |    CAST(bit_count(xor(c.b0, qb0)) + bit_count(xor(c.b1, qb1))
+         |      AS BIGINT) AS hamming
+         |  FROM codes c JOIN cells cl ON cl.vec_id = c.vec_id
+         |  JOIN qc ON qc.cell = cl.cell AND c.vec_id <> qc.query_id),
+         |sl AS (SELECT query_id, nbr_id, hamming FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY hamming, nbr_id) AS crank
+         |  FROM ham) t WHERE crank <= $candidates),
+         |rr AS (SELECT s.query_id, s.nbr_id, s.hamming,
+         |    round(list_cosine_similarity(qp.v, np.v), 6) AS score
+         |  FROM sl s JOIN p qp ON qp.vec_id = s.query_id
+         |  JOIN p np ON np.vec_id = s.nbr_id)
+         |SELECT query_id, nbr_id, hamming, score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+         |  FROM rr) t
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+    /** MRL×IVF mirror of the q_ann_mrl_ivf chain
+      * (`Similarity.truncatedRerankKnnByCell`): coarse assignment,
+      * top-`nprobe` probed cells, the cell-keyed prefix-cosine scan
+      * (first `dPrefix` dims), `candidates` shortlist, exact
+      * full-width rerank. */
+    def mrlIvfSql(queryMax: Int, nprobe: Int, dPrefix: Int,
+                  candidates: Int, k: Int,
+                  pBody: Option[String] = None): String =
+      s"""WITH ${kmeansAssignCtes(k = 8, pBody)},
+         |cells AS MATERIALIZED (SELECT vec_id, cluster_id AS cell FROM a),
+         |pr AS (SELECT vec_id AS query_id, cluster_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, cluster_id) AS rn FROM sc) t
+         |  WHERE rn <= $nprobe AND vec_id < $queryMax),
+         |tq AS (SELECT pr.query_id, pr.cell,
+         |    p.v[1:$dPrefix] AS qtv
+         |  FROM pr JOIN p ON p.vec_id = pr.query_id),
+         |coarse AS (SELECT tq.query_id, p.vec_id AS nbr_id,
+         |    round(list_cosine_similarity(tq.qtv, p.v[1:$dPrefix]), 6)
+         |      AS tscore
+         |  FROM p JOIN cells cl USING (vec_id)
+         |  JOIN tq ON tq.cell = cl.cell AND p.vec_id <> tq.query_id),
+         |sl AS (SELECT query_id, nbr_id FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY tscore DESC, nbr_id) AS crank
+         |  FROM coarse) t WHERE crank <= $candidates),
+         |rr AS (SELECT s.query_id, s.nbr_id,
+         |    round(list_cosine_similarity(qp.v, np.v), 6) AS score
+         |  FROM sl s JOIN p qp ON qp.vec_id = s.query_id
+         |  JOIN p np ON np.vec_id = s.nbr_id)
+         |SELECT query_id, nbr_id, score, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rank
+         |  FROM rr) t
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
     /** IVF×SQ8 mirror of the q_vec_sq_ivf chain
       * (`Quantize.sq8AdcTopKByCell`): coarse assignment

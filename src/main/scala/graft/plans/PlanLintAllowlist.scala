@@ -232,6 +232,10 @@ object PlanLintAllowlist {
     // its SCORED join is the cell equi-join — the nested loop here
     // is only the k-row/1-row broadcast frames
     "q_vec_sq_ivf" -> "unconditioned-nested-loop",
+    // r18: the BQ/MRL ByCell siblings keep only the 8-row centroid
+    // assignment cross — their scored joins are the cell equi-join
+    "q_vec_bq_ivf" -> "unconditioned-nested-loop",
+    "q_ann_mrl_ivf" -> "unconditioned-nested-loop",
     // r18: the SQ8 index append crosses the batch with the broadcast
     // 1-row saved-ranges frame and scans against the broadcast
     // per-query weight frame (q_vec_sq_adc's reviewed shapes over

@@ -641,6 +641,61 @@ object Quantize {
       .where(col("rank") <= k)
   }
 
+  /** Cell-restricted BQ funnel — [[bqRerankTopK]] composed with IVF
+    * cells (completing the cell-restricted serving family: PQ
+    * [[pqAdcTopKByCell]], SQ8 [[sq8AdcTopKByCell]], MRL
+    * `Similarity.truncatedRerankKnnByCell`, and now the 32× packed
+    * words): the word table carries its coarse cell and the hamming
+    * scan is an EQUI-join on the cell key against the broadcast
+    * (query, probed cell, query words) frame — 8 bytes per candidate
+    * touched, and only ~nprobe/cells of the candidates at all.
+    * Cuts and the exact rerank are the flat funnel's contract.
+    * `corpus` carries (idCol, vecCol, cellCol); `queries` one row
+    * per (query, probed cell). */
+  def bqRerankTopKByCell(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, cellCol: String,
+                         dims: Int, candidates: Int, k: Int): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val c = graft.operators.Spread.ensure(
+      corpus.select(col(idCol).as("nbr_id"), col(cellCol).as("cell"),
+        col(vecCol).cast("array<double>").as("nv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(cellCol).as("cell"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val ccodes = bqEncode(c, "nbr_id", "nv", dims)
+      .withColumnRenamed("id", "nbr_id")
+      .join(c.select(col("nbr_id"), col("cell")), Seq("nbr_id"))
+    val qcodes = bqEncode(q.dropDuplicates("query_id"),
+        "query_id", "qv", dims)
+      .select(col("id").as("query_id"), col("b0").as("qb0"),
+        col("b1").as("qb1"))
+      .join(q.select(col("query_id"), col("cell")), Seq("query_id"))
+    val ham = ccodes.join(broadcast(qcodes), Seq("cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        expr("bit_count(b0 ^ qb0) + bit_count(b1 ^ qb1)")
+          .cast("long").as("hamming"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("nbr_id"))
+    val shortlist = ham.withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= candidates)
+      .select(col("query_id"), col("nbr_id"), col("hamming"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    shortlist
+      .join(c.select(col("nbr_id"), col("nv")), Seq("nbr_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))
+        .dropDuplicates("query_id")), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"), col("hamming"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("qv"), col("nv")), 6).as("score"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Coarse-cell RESIDUALS — the IVFADC composition's encode input
     * (Jégou et al. §IV: quantize x − c(x), not x, so the PQ codebook
     * spends its 2^bits on the WITHIN-cell distribution instead of

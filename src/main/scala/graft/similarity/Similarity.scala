@@ -103,6 +103,59 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Cell-restricted Matryoshka funnel — [[truncatedRerankKnn]]
+    * composed with IVF cells (the `sq8AdcTopKByCell` shape at the
+    * prefix index): the truncated corpus carries its coarse cell and
+    * the stage-1 scan is an EQUI-join on the cell key against the
+    * broadcast (query, probed cell, prefix) frame — the prefix index
+    * is dims/dPrefix× smaller AND the scan touches only
+    * ~nprobe/cells of it, the two multiplicative reductions a 100 TB
+    * serving tier stacks. Probe rows per query are distinct cells
+    * and a corpus row lives in one cell, so candidates stay disjoint;
+    * both cuts and the exact full-width rerank are the flat funnel's
+    * contract verbatim. `corpus` carries (idCol, vecCol, cellCol);
+    * `queries` one row per (query, probed cell) with the RAW
+    * vector. */
+  def truncatedRerankKnnByCell(corpus: DataFrame, queries: DataFrame,
+                               idCol: String, vecCol: String,
+                               cellCol: String, dPrefix: Int,
+                               candidates: Int, k: Int): DataFrame = {
+    require(dPrefix >= 1 && candidates >= k,
+      s"need dPrefix >= 1 and candidates >= k: $dPrefix, $candidates, $k")
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val c = Spread.ensure(corpus.select(col(idCol).as("nbr_id"),
+      col(cellCol).as("cell"),
+      col(vecCol).cast("array<double>").as("nv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(cellCol).as("cell"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val coarse = c
+      .select(col("nbr_id"), col("cell"),
+        slice(col("nv"), 1, dPrefix).as("ntv"))
+      .join(broadcast(q.select(col("query_id"), col("cell"),
+          slice(col("qv"), 1, dPrefix).as("qtv"))), Seq("cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("qtv"), col("ntv")), 6).as("tscore"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("tscore").desc, col("nbr_id"))
+    val shortlist = coarse.withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= candidates)
+      .select(col("query_id"), col("nbr_id"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    shortlist
+      .join(c.select(col("nbr_id"), col("nv")), Seq("nbr_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))
+        .dropDuplicates("query_id")), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(call_function(graft.expressions.GraftFunctions.Cosine,
+          col("qv"), col("nv")), 6).as("score"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** IVF-style top-k: only corpus rows in the same coarse cell as the
     * query are scored. `cellCol` is the precomputed cluster label. */
   def partitionedKnn(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -174,6 +174,50 @@ class AnnServingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("bqRerankTopKByCell with one cell and full probes equals the " +
+      "flat bqRerankTopK funnel") {
+    val e = vecs(40, 64, 71L)
+    val q = e.where(col("vec_id") < 5)
+    val got = Quantize.bqRerankTopKByCell(e.withColumn("cell", lit(0)),
+        q.withColumn("cell", lit(0)), "vec_id", "embedding", "cell",
+        dims = 64, candidates = 10, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val want = Quantize.bqRerankTopK(e, q, "vec_id", "embedding",
+        dims = 64, candidates = 10, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got === want)
+  }
+
+  test("truncatedRerankKnnByCell with one cell and full probes equals " +
+      "the flat truncated funnel") {
+    val e = vecs(40, 16, 81L)
+    val q = e.where(col("vec_id") < 5)
+    val got = Similarity.truncatedRerankKnnByCell(
+        e.withColumn("cell", lit(0)), q.withColumn("cell", lit(0)),
+        "vec_id", "embedding", "cell", dPrefix = 4, candidates = 10,
+        k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val want = Similarity.truncatedRerankKnn(e, q, "vec_id", "embedding",
+        dPrefix = 4, candidates = 10, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got === want)
+  }
+
+  test("the ByCell funnels restrict candidates to the probed cells") {
+    val e = vecs(30, 16, 91L)
+    val corpus = e.withColumn("cell", (col("vec_id") % 2).cast("int"))
+    val probes = corpus.where(col("vec_id") < 4)
+    val bq = Quantize.bqRerankTopKByCell(corpus, probes,
+      "vec_id", "embedding", "cell", dims = 16, candidates = 29, k = 29)
+    assert(bq.where(col("query_id") % 2 =!= col("nbr_id") % 2)
+      .count() === 0L)
+    val mrl = Similarity.truncatedRerankKnnByCell(corpus, probes,
+      "vec_id", "embedding", "cell", dPrefix = 4, candidates = 29,
+      k = 29)
+    assert(mrl.where(col("query_id") % 2 =!= col("nbr_id") % 2)
+      .count() === 0L)
+  }
+
   test("bq hamming of a vector against its own negation is dims") {
     val v = Array.tabulate(64)(i => if (i % 3 == 0) 1.0 else -1.0)
     val e = Seq((1L, v.toSeq), (2L, v.map(-_).toSeq))
