@@ -226,7 +226,10 @@ object Bench {
       // the mixture ByCell funnels checkpoint the literal-heavy
       // mixture projection up front
       "q_kcore_trickle", "q_vec_sq_ivf", "q_vec_bq_ivf",
-      "q_ann_mrl_ivf")
+      "q_ann_mrl_ivf",
+      // r18: the weighted-personalized rank members stage artifacts
+      // when cold and checkpoint like their family siblings
+      "q_ppr_weighted", "q_ppr_weighted_incr", "q_ppr_weighted_delete")
     // within the trailing group, q_pagerank goes FIRST: it is the one
     // query measurably sensitive to iterative predecessors (r8/r9
     // adjudication in BASELINE.md — running it after the other seven

@@ -841,6 +841,46 @@ object SparkEntry {
       s"ppr_saved_i3_full_v1:$fp", dir)(write)
   }
 
+  /** The q_ppr_weighted_incr fixture's SAVED vector: 3 seed-pinned
+    * WEIGHTED rounds over the ¾ graph with weights counted under the
+    * same subset (seeds from the full orders table, as always). */
+  private def pprWeightedSaved(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val oc = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = multiplicityPurchaseEdgesFrom(s, dir,
+        oc.where(col("o_orderkey") % 4 =!= 0))
+      val seeds = oc.where(col("o_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+      graft.graph.PageRank.personalizedPageRankWeighted(edges, "a", "b",
+          "w", seeds, iters = 3)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"pprw_saved_i3_mod4_v1:$fp", dir)(write)
+  }
+
+  /** The q_ppr_weighted_delete fixture's SAVED vector: the 3-round
+    * seed-pinned weighted run over the FULL graph. */
+  private def pprWeightedSavedFull(s: SparkSession, dir: String): String = {
+    def write(out: String): Unit = {
+      val oc = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = multiplicityPurchaseEdgesFrom(s, dir, oc)
+      val seeds = oc.where(col("o_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+      graft.graph.PageRank.personalizedPageRankWeighted(edges, "a", "b",
+          "w", seeds, iters = 3)
+        .write.mode("overwrite").parquet(out)
+    }
+    val fp = graft.control.ArtifactStore.fingerprint(
+      s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    graft.control.ArtifactStore.parquet(
+      s"pprw_saved_i3_full_v1:$fp", dir)(write)
+  }
+
   /** Symmetrized customer↔supplier purchase edges from a
     * pre-filtered orders frame (the q_pagerank construction). */
   private[graft] def purchaseEdgesFrom(s: SparkSession, dir: String,
@@ -5254,6 +5294,57 @@ object SparkEntry {
         .orderBy(col("node_id"))
     }),
 
+    "q_ppr_weighted" -> ((s, dir) => {
+      // WEIGHTED personalized PageRank
+      // (PageRank.personalizedPageRankWeighted) — the rank matrix's
+      // last cold corner: restart mass pinned to the %100 customer
+      // seed cohort AND per-edge flow proportional to purchase
+      // multiplicity. Exact seed-pinned multiply-before-floor ppm;
+      // the unrolled oracle replays the weighted seed rounds
+      // verbatim.
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val edges = multiplicityPurchaseEdgesFrom(s, dir, oc)
+      val seeds = oc.where(col("o_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+      graft.graph.PageRank.personalizedPageRankWeighted(edges, "a", "b",
+          "w", seeds, iters = 3)
+        .orderBy(col("node_id"))
+    }),
+
+    "q_ppr_weighted_incr" -> ((s, dir) => {
+      // warm start for the weighted-personalized member: resume 2
+      // seed-pinned weighted rounds from the ¾-graph artifact over
+      // the full weighted graph — weight growth and the pinned base
+      // compose exactly as in their separate gates.
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val edges = multiplicityPurchaseEdgesFrom(s, dir, oc)
+      val seeds = oc.where(col("o_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+      val saved = s.read.parquet(pprWeightedSaved(s, dir))
+      graft.graph.PageRank.personalizedPageRankWeightedResume(edges,
+          "a", "b", "w", seeds, saved, iters = 2)
+        .orderBy(col("node_id"))
+    }),
+
+    "q_ppr_weighted_delete" -> ((s, dir) => {
+      // delete twin at the multiplicity level (the
+      // q_pagerank_weighted_delete retraction with the seed-pinned
+      // base): weights re-derive under the mod-5-pruned orders
+      // subset, pairs reaching zero count vanish, and the resume
+      // runs 2 rounds from the full-graph weighted artifact.
+      // Completes the rank-family matrix: 3 members × 3 modes, all
+      // gated.
+      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val edges = multiplicityPurchaseEdgesFrom(s, dir,
+        oc.where(col("o_orderkey") % 5 =!= 0))
+      val seeds = oc.where(col("o_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+      val saved = s.read.parquet(pprWeightedSavedFull(s, dir))
+      graft.graph.PageRank.personalizedPageRankWeightedResume(edges,
+          "a", "b", "w", seeds, saved, iters = 2)
+        .orderBy(col("node_id"))
+    }),
+
     "q_walks" -> ((s, dir) => {
       // DeepWalk front end: 2 deterministic seeded-hash walks of 4
       // steps from every node of the bounded co-purchase graph — the
@@ -9418,6 +9509,18 @@ object SparkEntry {
     "q_ppr_delete" -> Duck.pprResumeSql(savedIters = 3, resumeIters = 2,
       savedPredicate = "TRUE", resumeDelMod = Some(5)),
 
+    // the weighted-personalized corner: cold single-phase replay,
+    // then the warm/delete twins with their own weight derivations
+    "q_ppr_weighted" -> Duck.pprWeightedSql(savedIters = 0,
+      resumeIters = 3),
+
+    "q_ppr_weighted_incr" -> Duck.pprWeightedSql(savedIters = 3,
+      resumeIters = 2),
+
+    "q_ppr_weighted_delete" -> Duck.pprWeightedSql(savedIters = 3,
+      resumeIters = 2, savedPredicate = "TRUE",
+      resumePredicate = "o_orderkey % 5 <> 0"),
+
     // mirrors RandomWalks.walks via Duck.walkSql
     "q_walks" -> Duck.walkSql(walksPerNode = 2, len = 4, seed = "w42"),
 
@@ -11686,6 +11789,74 @@ object SparkEntry {
          |${rounds("r", "rp0", resumeIters)}
          |SELECT node AS node_id, pr AS pr_ppm FROM rp$resumeIters
          |ORDER BY node_id""".stripMargin
+    }
+
+    /** WEIGHTED seed-pinned PageRank mirror of
+      * `PageRank.personalizedPageRankWeighted(Resume)`: the
+      * pagerankWeightedResumeSql weighted-graph phases with the
+      * pprResumeSql seed base — `savedIters` = 0 collapses to the
+      * cold single-phase replay (the resume phase starts at the
+      * seed-pinned cold init). */
+    def pprWeightedSql(savedIters: Int, resumeIters: Int,
+                       savedPredicate: String = "o_orderkey % 4 <> 0",
+                       resumePredicate: String = "TRUE"): String = {
+      def wgraph(pfx: String, predicate: String): String =
+        s"""${pfx}wp AS MATERIALIZED (SELECT a, b,
+           |    CAST(count(*) AS BIGINT) AS w FROM (
+           |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+           |      's' || CAST(l_suppkey AS VARCHAR) AS b, o_orderkey
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |  WHERE $predicate) t
+           |  GROUP BY a, b),
+           |${pfx}e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM ${pfx}wp
+           |      UNION ALL SELECT b AS src, a AS dst, w FROM ${pfx}wp),
+           |${pfx}d AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+           |  FROM ${pfx}e GROUP BY src),
+           |${pfx}nd AS MATERIALIZED (SELECT d.src AS node,
+           |    (sd.node IS NOT NULL) AS is_seed
+           |  FROM ${pfx}d d LEFT JOIN sd ON d.src = sd.node)"""
+          .stripMargin
+      def rounds(pfx: String, start: String, cnt: Int): String =
+        (1 to cnt).map { k =>
+          val prev = if (k == 1) start else s"${pfx}p${k - 1}"
+          s"""${pfx}c$k AS (SELECT e.dst AS node,
+             |    CAST(sum((p.pr * e.w) // d.wsum) AS BIGINT) AS s
+             |  FROM ${pfx}e e JOIN ${pfx}d d ON e.src = d.src
+             |  JOIN $prev p ON e.src = p.node
+             |  GROUP BY e.dst),
+             |${pfx}p$k AS (SELECT n.node,
+             |  CAST((CASE WHEN n.is_seed THEN 150000 ELSE 0 END)
+             |    + (850000 * coalesce(c.s, 0)) // 1000000 AS BIGINT) AS pr
+             |  FROM ${pfx}nd n LEFT JOIN ${pfx}c$k c ON n.node = c.node)"""
+            .stripMargin
+        }.mkString(",\n")
+      val seedCte =
+        """sd AS MATERIALIZED (SELECT DISTINCT
+          |    'c' || CAST(o_custkey AS VARCHAR) AS node
+          |  FROM orders WHERE o_custkey % 100 = 0)""".stripMargin
+      if (savedIters == 0)
+        s"""WITH $seedCte,
+           |${wgraph("r", resumePredicate)},
+           |rp0 AS (SELECT node, CASE WHEN is_seed
+           |    THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pr
+           |  FROM rnd),
+           |${rounds("r", "rp0", resumeIters)}
+           |SELECT node AS node_id, pr AS pr_ppm FROM rp$resumeIters
+           |ORDER BY node_id""".stripMargin
+      else
+        s"""WITH $seedCte,
+           |${wgraph("o", savedPredicate)},
+           |op0 AS (SELECT node, CASE WHEN is_seed
+           |    THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pr
+           |  FROM ond),
+           |${rounds("o", "op0", savedIters)},
+           |${wgraph("r", resumePredicate)},
+           |rp0 AS (SELECT n.node, CAST(coalesce(sv.pr,
+           |    CASE WHEN n.is_seed THEN 1000000 ELSE 0 END) AS BIGINT) AS pr
+           |  FROM rnd n LEFT JOIN op$savedIters sv ON n.node = sv.node),
+           |${rounds("r", "rp0", resumeIters)}
+           |SELECT node AS node_id, pr AS pr_ppm FROM rp$resumeIters
+           |ORDER BY node_id""".stripMargin
     }
 
     def pagerankResumeSql(savedIters: Int, resumeIters: Int,

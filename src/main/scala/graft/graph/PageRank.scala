@@ -346,6 +346,104 @@ object PageRank {
     pprRun(edges, srcCol, dstCol, seeds, Some(savedRanks), iters,
       dampingPpm)
 
+  /** WEIGHTED personalized PageRank — the rank matrix's last corner
+    * (uniform/weighted × global/personalized): mass flows
+    * proportionally to edge weight AND restarts onto the seed set.
+    * [[pageRankWeighted]]'s exact multiply-before-floor arithmetic
+    * with [[personalizedPageRank]]'s seed-pinned base/init; the same
+    * node-sized overflow probe widens to DECIMAL(38,0) when
+    * n·SCALE·max(w) could wrap (seed mass ≤ total mass, so the
+    * uniform bound covers the personalized case). */
+  def personalizedPageRankWeighted(edges: DataFrame, srcCol: String,
+                                   dstCol: String, wCol: String,
+                                   seeds: DataFrame, iters: Int,
+                                   dampingPpm: Long = 850000L,
+                                   wide: Option[Boolean] = None): DataFrame =
+    pprWeightedRun(edges, srcCol, dstCol, wCol, seeds, None, iters,
+      dampingPpm, wide)
+
+  /** Warm start for [[personalizedPageRankWeighted]] —
+    * [[pageRankWeightedResume]]'s discipline with the restart base
+    * pinned to the seed set; weight changes ride for free (W(u), w
+    * re-derive per call), absent nodes seed at the cold init. */
+  def personalizedPageRankWeightedResume(edges: DataFrame, srcCol: String,
+                                         dstCol: String, wCol: String,
+                                         seeds: DataFrame,
+                                         savedRanks: DataFrame, iters: Int,
+                                         dampingPpm: Long = 850000L,
+                                         wide: Option[Boolean] = None
+                                        ): DataFrame =
+    pprWeightedRun(edges, srcCol, dstCol, wCol, seeds, Some(savedRanks),
+      iters, dampingPpm, wide)
+
+  private def pprWeightedRun(edges: DataFrame, srcCol: String,
+                             dstCol: String, wCol: String,
+                             seeds: DataFrame, saved: Option[DataFrame],
+                             iters: Int, dampingPpm: Long,
+                             wide: Option[Boolean]): DataFrame = {
+    require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= Scale)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w"))
+    val wagg = e.groupBy(col("src"))
+      .agg(sum(col("w")).as("wsum"), max(col("w")).as("wmax"))
+      .persist()
+    val nodeCount = wagg.count()
+    val ed = e.join(wagg.select(col("src"), col("wsum")), Seq("src"))
+      .persist()
+    ed.count()
+    val seedFlag = seeds.select(col(seeds.columns.head).as("node"))
+      .distinct().withColumn("is_seed", lit(true))
+    val nodes = wagg.select(col("src").as("node"))
+      .join(seedFlag, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .persist()
+    nodes.count()
+    val useWide = wide.getOrElse {
+      val maxW = math.max(1L,
+        wagg.agg(max(col("wmax"))).head().getLong(0))
+      val mult = BigInt(math.max(maxW, dampingPpm)) * Scale
+      BigInt(nodeCount) > BigInt(Long.MaxValue) / mult
+    }
+    wagg.unpersist(blocking = false)
+    val base = when(col("is_seed"), lit(Scale - dampingPpm))
+      .otherwise(lit(0L))
+    val coldInit = when(col("is_seed"), lit(Scale)).otherwise(lit(0L))
+    var pr = saved match {
+      case None => nodes.select(col("node"), coldInit.as("pr_ppm"))
+      case Some(sv) => nodes
+        .join(sv.select(col("node_id").as("node"),
+          col("pr_ppm").as("saved_pr")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("saved_pr"), coldInit).as("pr_ppm"))
+    }
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst"),
+          (if (useWide)
+             expr("cast((cast(pr_ppm as decimal(38,0)) * w) div wsum " +
+               "as bigint)")
+           else expr("(pr_ppm * w) div wsum")).as("c"))
+      val agg = contrib.groupBy(col("dst")).agg(
+        (if (useWide) sum(col("c").cast("decimal(38,0)"))
+         else sum(col("c"))).as("s"))
+      val damped =
+        if (useWide) expr(
+          s"cast(($dampingPpm * coalesce(s, cast(0 as decimal(38,0)))) " +
+            s"div $Scale as bigint)")
+        else expr(s"($dampingPpm * coalesce(s, 0L)) div $Scale")
+      pr = nodes
+        .join(agg.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), col("is_seed"), (base + damped).as("pr_ppm"))
+    }
+    val out = pr.select(col("node").as("node_id"), col("pr_ppm"))
+      .sanitizedCheckpoint()
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   private def pprRun(edges: DataFrame, srcCol: String, dstCol: String,
                      seeds: DataFrame, saved: Option[DataFrame],
                      iters: Int, dampingPpm: Long): DataFrame = {

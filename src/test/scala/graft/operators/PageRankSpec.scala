@@ -217,6 +217,33 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(w1 === w2)
   }
 
+  test("weighted personalized resume continues the cold trajectory " +
+      "and pins the seed base") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(60)((rnd.nextInt(14).toLong, rnd.nextInt(14).toLong,
+        1L + rnd.nextInt(4)))
+      .filter { case (a, b, _) => a != b }
+      .flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }.distinct
+      .toDF("src", "dst", "w")
+    val seeds = Seq(0L, 3L, 7L).toDF("node")
+    val saved = PageRank.personalizedPageRankWeighted(edges, "src", "dst",
+      "w", seeds, iters = 2)
+    val warm = PageRank.personalizedPageRankWeightedResume(edges, "src",
+        "dst", "w", seeds, saved, iters = 1)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    val cold = PageRank.personalizedPageRankWeighted(edges, "src", "dst",
+        "w", seeds, iters = 3)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(warm === cold)
+    // a non-seed node with no seed-reachable mass holds rank 0; the
+    // seeds' restart base is always present
+    val ranks = cold.toMap
+    Seq(0L, 3L, 7L).foreach(s =>
+      assert(ranks.get(s).forall(_ >= 150000L), s"seed $s base"))
+    spark.catalog.clearCache()
+  }
+
   test("weighted forced wide (DECIMAL) arithmetic matches the long " +
       "path exactly") {
     import spark.implicits._
