@@ -65,6 +65,8 @@ object MicroBench {
       case "pq_train" => pqTrain(spark, sfDir)
       case "pagerank_warm" => pagerankWarm(spark, sfDir)
       case "richdocs" => richdocs(spark, sfDir, repeats)
+      case "rankphases" => rankPhases(spark, sfDir, repeats)
+      case "longkeys" => longKeys(spark, sfDir, repeats)
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
@@ -164,6 +166,157 @@ object MicroBench {
       KCore.corenessResume(allPairs, "p1", "p2", trickleSaved, b,
         rounds = 64)
     }
+    spark.catalog.clearCache()
+  }
+
+  /** Phase decomposition of the rank-family queries (r18 optimization
+    * round, guide §1): how much of q_pagerank / q_hits is SUBSTRATE
+    * (the orders⋈lineitem purchase-graph build + distinct + degree
+    * annotation) vs the ppm iteration itself — the split that decides
+    * whether to optimize the loop or the prep. Each phase is a full
+    * physical-plan execution (toRdd.count), min-of-repeats. */
+  private def rankPhases(spark: SparkSession, dir: String,
+                         repeats: Int): Unit = {
+    val oc = SparkEntry.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val ls = SparkEntry.t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    def pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+    def edges = pairs.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val (tPairs, nPairs) = time(repeats)(pairs.queryExecution.toRdd.count())
+    report("pairs join+distinct", tPairs, nPairs)
+    val (tEdges, nEdges) = time(repeats)(edges.queryExecution.toRdd.count())
+    report("edges (sym explode)", tEdges, nEdges)
+    // PageRank prep replica: degree annotate + persist + node distinct
+    val (tPrep, nPrep) = time(repeats) {
+      val e = edges.select(col("a").as("src"), col("b").as("dst"))
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val ed = e.join(deg, Seq("src")).persist()
+      val n = ed.count()
+      val nodes = ed.select(col("src").as("node")).distinct().persist()
+      nodes.count()
+      ed.unpersist(blocking = false); nodes.unpersist(blocking = false)
+      n
+    }
+    report("pagerank prep (ed+nodes)", tPrep, nPrep)
+    val (tPr, nPr) = time(repeats) {
+      graft.graph.PageRank.pageRank(edges, "a", "b", iters = 3)
+        .queryExecution.toRdd.count()
+    }
+    report("pageRank 3 iters (full)", tPr, nPr)
+    spark.catalog.clearCache()
+    val (tPrSorted, _) = time(repeats) {
+      graft.graph.PageRank.pageRank(edges, "a", "b", iters = 3)
+        .orderBy(col("node_id")).queryExecution.toRdd.count()
+    }
+    report("pageRank + orderBy", tPrSorted, nPr)
+    spark.catalog.clearCache()
+    // HITS: directed pairs, no symmetrize
+    def hitsPairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+    val (tHp, nHp) = time(repeats) {
+      val e = hitsPairs.select(col("a").as("src"), col("b").as("dst"))
+        .distinct().persist()
+      val n = e.count()
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+      nodes.count()
+      e.unpersist(blocking = false); nodes.unpersist(blocking = false)
+      n
+    }
+    report("hits prep (e+nodes)", tHp, nHp)
+    val (tHits, nHits) = time(repeats) {
+      graft.graph.Hits.hits(hitsPairs, "a", "b", iters = 3)
+        .queryExecution.toRdd.count()
+    }
+    report("hits 3 iters (full)", tHits, nHits)
+    spark.catalog.clearCache()
+  }
+
+  /** A/B: the purchase-graph rank pipeline on STRING node ids
+    * ("c123"/"s45", the current gate shape) vs LONG ids
+    * (2·custkey / 2·suppkey+1, bijective) with the string id rebuilt
+    * by one final projection — prices the guide §2.3 "narrower
+    * types" lever across the whole substrate+loop path before any
+    * query is touched. Rank values are partition-order-free exact
+    * integers, so the two paths must agree bit-for-bit after the
+    * rebuild (asserted here). */
+  private def longKeys(spark: SparkSession, dir: String,
+                       repeats: Int): Unit = {
+    val oc = SparkEntry.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val ls = SparkEntry.t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    def strEdges = {
+      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      pairs.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+    }
+    def longEdges = {
+      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2L).as("a"),
+          (col("l_suppkey") * 2L + 1L).as("b"))
+        .distinct()
+      pairs.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+    }
+    def rebuilt(pr: DataFrame): DataFrame = pr.select(
+      when(col("node_id") % 2 === 0,
+        concat(lit("c"), expr("node_id div 2")))
+        .otherwise(concat(lit("s"), expr("node_id div 2")))
+        .as("node_id"),
+      col("pr_ppm"))
+    val (tStr, nStr) = time(repeats) {
+      graft.graph.PageRank.pageRank(strEdges, "a", "b", iters = 3)
+        .queryExecution.toRdd.count()
+    }
+    report("pageRank string keys", tStr, nStr)
+    spark.catalog.clearCache()
+    val (tLong, nLong) = time(repeats) {
+      rebuilt(graft.graph.PageRank.pageRank(longEdges, "a", "b", iters = 3))
+        .queryExecution.toRdd.count()
+    }
+    report("pageRank long keys+rebuild", tLong, nLong)
+    spark.catalog.clearCache()
+    // exactness: the two paths must be row-identical after rebuild
+    val a = graft.graph.PageRank.pageRank(strEdges, "a", "b", iters = 3)
+    val b = rebuilt(
+      graft.graph.PageRank.pageRank(longEdges, "a", "b", iters = 3))
+    val diff = a.exceptAll(b).unionAll(b.exceptAll(a)).count()
+    println(s"[micro] longkeys exact-diff rows = $diff (must be 0)")
+    spark.catalog.clearCache()
+    // same A/B at the BFS substrate (q_sssp shape, nation-0 seeds)
+    val srcStr = SparkEntry.t(spark, dir, "customer")
+      .where(col("c_nationkey") === 0)
+      .select(concat(lit("c"), col("c_custkey")).as("seed"))
+    val srcLong = SparkEntry.t(spark, dir, "customer")
+      .where(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2L).as("seed"))
+    val (tBs, nBs) = time(repeats) {
+      graft.graph.Sssp.bfsDistances(strEdges, "a", "b", srcStr, "seed",
+        maxHops = 4).queryExecution.toRdd.count()
+    }
+    report("bfs string keys", tBs, nBs)
+    spark.catalog.clearCache()
+    val (tBl, nBl) = time(repeats) {
+      graft.graph.Sssp.bfsDistances(longEdges, "a", "b", srcLong, "seed",
+        maxHops = 4).queryExecution.toRdd.count()
+    }
+    report("bfs long keys", tBl, nBl)
     spark.catalog.clearCache()
   }
 

@@ -898,6 +898,88 @@ object SparkEntry {
       .select(col("e.a").as("a"), col("e.b").as("b"))
   }
 
+  // ---- LONG node keys for the rank/BFS substrate (r18 optimization,
+  // guide §2.3 "narrower types") -----------------------------------------
+  //
+  // The purchase-graph queries keyed every join/aggregate on STRING
+  // node ids ("c<custkey>"/"s<suppkey>"). Ids are pure equi-join keys
+  // for the PageRank/PPR/HITS/SSSP/centrality/betweenness family — no
+  // operator in that family orders, hashes or otherwise inspects the
+  // id value — so the bijection node = 2·custkey (customers) /
+  // 2·suppkey+1 (suppliers) computes the identical result on long
+  // keys, and one final projection rebuilds the gate's string id.
+  // Measured (MicroBench longkeys, sf0.1, min-of-2): BFS 5.48→3.54 s,
+  // PageRank 4.83→4.28 s, exact-diff 0 rows. At 100 TB the same
+  // change shrinks every shuffle of the loop by the id-width ratio.
+  // NOT applied where the id value is semantic: LabelProp (labels are
+  // ids, min/max-ordered), SCC (max-id coloring), HyperBall (hashes
+  // the id string into registers), k-core/truss (canonical least/
+  // greatest orientation) — see OPTIMIZATION_r18.md.
+
+  /** Rebuild the gate's "c…"/"s…" string id from the long key —
+    * the inverse of the 2k / 2k+1 bijection, one output projection. */
+  private def longNodeToId(name: String): org.apache.spark.sql.Column =
+    when(col(name) % 2 === 0, concat(lit("c"), expr(s"$name div 2")))
+      .otherwise(concat(lit("s"), expr(s"$name div 2")))
+
+  /** Translate a SAVED string-keyed artifact id ("c123"/"s45") to the
+    * long key — artifacts stay in their staged v1 string format (no
+    * re-stage), warm-start queries pay one projection at read. */
+  private def nodeIdToLong(name: String): org.apache.spark.sql.Column =
+    when(substring(col(name), 1, 1) === "c",
+      expr(s"cast(substring($name, 2) as bigint) * 2"))
+      .otherwise(expr(s"cast(substring($name, 2) as bigint) * 2 + 1"))
+
+  /** [[purchaseEdgesFrom]] on long node keys. */
+  private def purchaseEdgesLongFrom(s: SparkSession, dir: String,
+                                    orders: DataFrame): DataFrame = {
+    val ls = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = orders
+      .join(ls, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2L).as("a"),
+        (col("l_suppkey") * 2L + 1L).as("b"))
+      .distinct()
+    pairs.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+  }
+
+  /** [[weightedPurchaseEdgesFrom]] on long node keys. */
+  private def weightedPurchaseEdgesLongFrom(s: SparkSession, dir: String,
+                                            orders: DataFrame): DataFrame = {
+    val ls = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+    val pairs = orders
+      .join(ls, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2L).as("a"),
+        (col("l_suppkey") * 2L + 1L).as("b"))
+      .agg(min(col("l_quantity")).cast("long").as("w"))
+    pairs.select(explode(array(
+        struct(col("a"), col("b"), col("w")),
+        struct(col("b").as("a"), col("a").as("b"), col("w")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
+  }
+
+  /** [[multiplicityPurchaseEdgesFrom]] on long node keys. */
+  private def multiplicityPurchaseEdgesLongFrom(s: SparkSession,
+                                                dir: String,
+                                                orders: DataFrame): DataFrame = {
+    val ls = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val wpairs = orders
+      .join(ls, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2L).as("a"),
+        (col("l_suppkey") * 2L + 1L).as("b"), col("o_orderkey"))
+      .distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    wpairs.select(explode(array(
+        struct(col("a"), col("b"), col("w")),
+        struct(col("b").as("a"), col("a").as("b"), col("w")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
+  }
+
   private def sccLabeling(s: SparkSession, dir: String,
                           recompute: Boolean): String = {
     def write(out: String): Unit =
@@ -1901,20 +1983,15 @@ object SparkEntry {
       // integer arithmetic is the only way an iterative rank can
       // hash-match an independent engine (float PR drifts per
       // reduction order)
-      val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
-        .distinct()
-      // symmetrize in ONE pass: union(pairs, pairs.swapped) executes
-      // the join+distinct pipeline twice; explode emits both
-      // directions from each row
-      val edges = pairs.select(explode(array(
-          struct(col("a"), col("b")),
-          struct(col("b").as("a"), col("a").as("b")))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
+      // long node keys (guide §2.3, r18 optimization): rank ids are
+      // pure equi-join keys, so the 2k/2k+1 bijection computes the
+      // identical exact-ppm ranks; the final projection rebuilds the
+      // gate's string id (output and oracle unchanged). Symmetrize in
+      // ONE pass: explode emits both directions from each row.
+      val edges = purchaseEdgesLongFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       graft.graph.PageRank.pageRank(edges, "a", "b", iters = 3)
+        .select(longNodeToId("node_id").as("node_id"), col("pr_ppm"))
         .orderBy(col("node_id"))
     }),
 
@@ -1926,10 +2003,12 @@ object SparkEntry {
       // a one-off (the weighted-SSSP precedent at the rank family).
       // Exact ppm with multiply-before-floor-divide per edge; the
       // unrolled oracle replays the weighted arithmetic verbatim.
-      val edges = multiplicityPurchaseEdgesFrom(s, dir,
+      // long node keys (the q_pagerank rationale; weights untouched)
+      val edges = multiplicityPurchaseEdgesLongFrom(s, dir,
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       graft.graph.PageRank.pageRankWeighted(edges, "a", "b", "w",
           iters = 3)
+        .select(longNodeToId("node_id").as("node_id"), col("pr_ppm"))
         .orderBy(col("node_id"))
     }),
 
@@ -1944,11 +2023,15 @@ object SparkEntry {
       // new proportion from round one; batch-new nodes seed at the
       // uniform init. Trajectory-exact; the oracle replays both
       // phases with their own weight derivations.
-      val edges = multiplicityPurchaseEdgesFrom(s, dir,
+      // long node keys (the q_pagerank rationale); staged v1 artifact
+      // translated at read
+      val edges = multiplicityPurchaseEdgesLongFrom(s, dir,
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       val saved = s.read.parquet(pagerankWeightedSaved(s, dir))
+        .select(nodeIdToLong("node_id").as("node_id"), col("pr_ppm"))
       graft.graph.PageRank.pageRankWeightedResume(edges, "a", "b", "w",
           saved, iters = 2)
+        .select(longNodeToId("node_id").as("node_id"), col("pr_ppm"))
         .orderBy(col("node_id"))
     }),
 
@@ -1962,12 +2045,16 @@ object SparkEntry {
       // the decremented proportions apply from round one with no
       // delta machinery. Resume 2 rounds from the FULL-graph
       // weighted artifact over the re-weighted graph.
-      val edges = multiplicityPurchaseEdgesFrom(s, dir,
+      // long node keys (the q_pagerank rationale); staged v1 artifact
+      // translated at read
+      val edges = multiplicityPurchaseEdgesLongFrom(s, dir,
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
           .where(col("o_orderkey") % 5 =!= 0))
       val saved = s.read.parquet(pagerankWeightedSavedFull(s, dir))
+        .select(nodeIdToLong("node_id").as("node_id"), col("pr_ppm"))
       graft.graph.PageRank.pageRankWeightedResume(edges, "a", "b", "w",
           saved, iters = 2)
+        .select(longNodeToId("node_id").as("node_id"), col("pr_ppm"))
         .orderBy(col("node_id"))
     }),
 
@@ -1982,12 +2069,16 @@ object SparkEntry {
       // cold is NOT gateable in floor-ppm arithmetic), so the oracle
       // replays the exact composition: 3 unrolled rounds over the
       // mod-4 graph, then 2 over the full graph from that vector.
+      // long node keys (the q_pagerank rationale); the staged v1
+      // artifact keeps string ids — translated at read
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
-      val edges = purchaseEdgesFrom(s, dir, orders)
+      val edges = purchaseEdgesLongFrom(s, dir, orders)
       val saved = s.read.parquet(pagerankSavedRanks(s, dir))
+        .select(nodeIdToLong("node_id").as("node_id"), col("pr_ppm"))
       graft.graph.PageRank.pageRankResume(edges, "a", "b", saved,
           iters = 2)
+        .select(longNodeToId("node_id").as("node_id"), col("pr_ppm"))
         .orderBy(col("node_id"))
     }),
 
@@ -2001,12 +2092,14 @@ object SparkEntry {
       // pairs RETRACTED at the pair level. Nodes that lose every
       // edge drop from the rank table (rank is defined over the
       // graph's nodes); the oracle replays the same composition.
+      // long node keys (the q_pagerank rationale); the pair-level
+      // retraction anti-join now compares long pairs
       val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       def pairsOf(o: DataFrame): DataFrame =
         o.join(ls, col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("a"),
-            concat(lit("s"), col("l_suppkey")).as("b"))
+          .select((col("o_custkey") * 2L).as("a"),
+            (col("l_suppkey") * 2L + 1L).as("b"))
           .distinct()
       val pairs = pairsOf(oc)
         .join(pairsOf(oc.where(col("o_orderkey") % 5 === 0)),
@@ -2016,8 +2109,10 @@ object SparkEntry {
           struct(col("b").as("a"), col("a").as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
       val saved = s.read.parquet(pagerankSavedRanksFull(s, dir))
+        .select(nodeIdToLong("node_id").as("node_id"), col("pr_ppm"))
       graft.graph.PageRank.pageRankResume(edges, "a", "b", saved,
           iters = 2)
+        .select(longNodeToId("node_id").as("node_id"), col("pr_ppm"))
         .orderBy(col("node_id"))
     }),
 
@@ -2029,13 +2124,18 @@ object SparkEntry {
       // 4-hop cap ⇒ the unrolled DuckDB oracle hash-matches the
       // adaptive frontier loop at any SF (early convergence equals
       // the full unroll by construction).
-      val edges = purchaseEdgesFrom(s, dir,
+      // long node keys (guide §2.3): ids are pure equi-join keys in
+      // BFS, so the 2k/2k+1 bijection computes identical hops; one
+      // final projection rebuilds the gate's string id (output and
+      // oracle unchanged — r18 optimization, see longNodeToId)
+      val edges = purchaseEdgesLongFrom(s, dir,
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       val sources = t(s, dir, "customer")
         .where(col("c_nationkey") === 0)
-        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+        .select((col("c_custkey") * 2L).as("seed"))
       graft.graph.Sssp.bfsDistances(edges, "a", "b", sources, "seed",
           maxHops = 4)
+        .select(longNodeToId("node_id").as("node_id"), col("dist"))
         .orderBy(col("node_id"))
     }),
 
@@ -2047,13 +2147,15 @@ object SparkEntry {
       // round-unrolled oracle hash-matches the signature-converged
       // loop. l_quantity is integral (1-50) so the double→long cast
       // agrees across engines (weightedPurchaseEdgesFrom).
-      val edges = weightedPurchaseEdgesFrom(s, dir,
+      // long node keys (the q_sssp rationale; weights untouched)
+      val edges = weightedPurchaseEdgesLongFrom(s, dir,
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       val sources = t(s, dir, "customer")
         .where(col("c_nationkey") === 0)
-        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+        .select((col("c_custkey") * 2L).as("seed"))
       graft.graph.Sssp.weightedDistances(edges, "a", "b", "w",
           sources, "seed", maxRounds = 3)
+        .select(longNodeToId("node_id").as("node_id"), col("dist"))
         .orderBy(col("node_id"))
     }),
 
@@ -2070,15 +2172,19 @@ object SparkEntry {
       // past the fixpoint extra rounds are no-ops, so the margin is
       // free) and the repair must land row-identical to recomputing
       // from scratch over old ∪ new.
+      // long node keys (the q_sssp rationale); the staged v1 artifact
+      // keeps its string ids — one projection translates it at read
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
-      val oldE = weightedPurchaseEdgesFrom(s, dir,
+      val oldE = weightedPurchaseEdgesLongFrom(s, dir,
         orders.where(col("o_orderkey") % 4 =!= 0))
-      val newE = weightedPurchaseEdgesFrom(s, dir,
+      val newE = weightedPurchaseEdgesLongFrom(s, dir,
         orders.where(col("o_orderkey") % 4 === 0))
       val saved = s.read.parquet(ssspWeightedSavedDistances(s, dir))
+        .select(nodeIdToLong("node_id").as("node_id"), col("dist"))
       graft.graph.Sssp.weightedDistancesIncremental(oldE, newE,
           "a", "b", "w", saved, maxRounds = 32)
+        .select(longNodeToId("node_id").as("node_id"), col("dist"))
         .orderBy(col("node_id"))
     }),
 
@@ -2091,15 +2197,19 @@ object SparkEntry {
       // and only the improved region re-relaxes. Gate = EQUIVALENCE:
       // the oracle is the full-graph q_sssp SQL, so the repair must
       // land row-identical to recomputing BFS over old ∪ new.
+      // long node keys (the q_sssp rationale); staged artifact
+      // translated at read, output id rebuilt at the end
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
-      val oldE = purchaseEdgesFrom(s, dir,
+      val oldE = purchaseEdgesLongFrom(s, dir,
         orders.where(col("o_orderkey") % 4 =!= 0))
-      val newE = purchaseEdgesFrom(s, dir,
+      val newE = purchaseEdgesLongFrom(s, dir,
         orders.where(col("o_orderkey") % 4 === 0))
       val saved = s.read.parquet(ssspSavedDistances(s, dir))
+        .select(nodeIdToLong("node_id").as("node_id"), col("dist"))
       graft.graph.Sssp.bfsDistancesIncremental(oldE, newE, "a", "b",
           saved, maxHops = 4)
+        .select(longNodeToId("node_id").as("node_id"), col("dist"))
         .orderBy(col("node_id"))
     }),
 
@@ -2111,11 +2221,14 @@ object SparkEntry {
       // The last row's dist is the cohort's eccentricity within the
       // hop cap. Isolated seeds count at hop 0 but the ppm denominator
       // is graph nodes (nodes incident to >= 1 edge).
-      val edges = purchaseEdgesFrom(s, dir,
+      // long node keys (the q_sssp rationale): the output is hop
+      // aggregates — node ids never leave the operator, so no
+      // rebuild projection is even needed here
+      val edges = purchaseEdgesLongFrom(s, dir,
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       val sources = t(s, dir, "customer")
         .where(col("c_nationkey") === 3)
-        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+        .select((col("c_custkey") * 2L).as("seed"))
       val dists = graft.graph.Sssp.bfsDistances(edges, "a", "b",
         sources, "seed", maxHops = 6)
       val total = edges.select(col("a").as("n")).distinct()
@@ -2144,16 +2257,23 @@ object SparkEntry {
       // tagged k=64 was 33 s). Exact-ppm integer reductions
       // (harmonic = Σ floor(10⁶/d), closeness = n·10⁶ div Σd) match
       // the per-pair unrolled oracle bit-for-bit.
-      val edges = purchaseEdgesFrom(s, dir,
+      // long node keys (the q_sssp rationale): pivot SELECTION stays
+      // on the Knuth custkey hash (unchanged); only the node-id
+      // representation narrows. Bit ASSIGNMENT order changes with the
+      // id order, but every output column is a popcount aggregate over
+      // the full mask — bit-order-invariant, oracle unchanged.
+      val edges = purchaseEdgesLongFrom(s, dir,
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       val pivots = t(s, dir, "customer")
         .select(col("c_custkey"))
         .orderBy(expr("c_custkey * 2654435761L % 4294967296L"),
           col("c_custkey"))
         .limit(64)
-        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+        .select((col("c_custkey") * 2L).as("seed"))
       graft.graph.Sssp.pivotCentralityBitset(edges, "a", "b",
           pivots, "seed", maxHops = 4)
+        .select(longNodeToId("node_id").as("node_id"), col("n_pivots"),
+          col("harmonic_ppm"), col("closeness_ppm"))
         .orderBy(col("node_id"))
     }),
 
@@ -2172,16 +2292,22 @@ object SparkEntry {
       // exact ppm (per-edge ⌊σ_v·(10⁶+δ_w)/σ_w⌋ through
       // DECIMAL(38,0), then summed) — the oracle replays the same
       // per-level recurrence bit-for-bit.
-      val edges = purchaseEdgesFrom(s, dir,
+      // long node keys (the q_sssp rationale): σ/δ are per-(src,node)
+      // VALUES under equi-joins only — bijection-invariant; pivot
+      // selection stays on the Knuth custkey hash. Output id rebuilt
+      // by the final projection, oracle unchanged.
+      val edges = purchaseEdgesLongFrom(s, dir,
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       val pivots = t(s, dir, "customer")
         .select(col("c_custkey"))
         .orderBy(expr("c_custkey * 2654435761L % 4294967296L"),
           col("c_custkey"))
         .limit(4)
-        .select(concat(lit("c"), col("c_custkey")).as("seed"))
+        .select((col("c_custkey") * 2L).as("seed"))
       graft.graph.Betweenness.sampledBetweenness(edges, "a", "b",
           pivots, "seed", maxHops = 4)
+        .select(longNodeToId("node_id").as("node_id"),
+          col("betweenness_ppm"))
         .orderBy(col("node_id"))
     }),
 
@@ -2232,14 +2358,18 @@ object SparkEntry {
       // over the pruned graph. Gate = EQUIVALENCE: the oracle runs
       // the q_sssp BFS unroll over pairs EXCEPT the deleted pairs,
       // so the repair must land row-identical to a full recompute.
+      // long node keys (the q_sssp rationale); staged artifact
+      // translated at read, output id rebuilt at the end
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
-      val allE = purchaseEdgesFrom(s, dir, orders)
-      val delE = purchaseEdgesFrom(s, dir,
+      val allE = purchaseEdgesLongFrom(s, dir, orders)
+      val delE = purchaseEdgesLongFrom(s, dir,
         orders.where(col("o_orderkey") % 5 === 0))
       val saved = s.read.parquet(ssspSavedDistancesFull(s, dir))
+        .select(nodeIdToLong("node_id").as("node_id"), col("dist"))
       graft.graph.Sssp.bfsDistancesDeleted(allE, delE, "a", "b",
           saved, maxHops = 4)
+        .select(longNodeToId("node_id").as("node_id"), col("dist"))
         .orderBy(col("node_id"))
     }),
 
@@ -2259,14 +2389,18 @@ object SparkEntry {
       // (rounds past the pruned graph's fixpoint are no-ops, so the
       // unroll margin is free) — the repair must land row-identical
       // to a full converged recompute.
+      // long node keys (the q_sssp rationale); staged artifact
+      // translated at read, output id rebuilt at the end
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
-      val allE = weightedPurchaseEdgesFrom(s, dir, orders)
-      val delE = weightedPurchaseEdgesFrom(s, dir,
+      val allE = weightedPurchaseEdgesLongFrom(s, dir, orders)
+      val delE = weightedPurchaseEdgesLongFrom(s, dir,
         orders.where(col("o_orderkey") % 5 === 0))
       val saved = s.read.parquet(ssspWeightedSavedDistancesFull(s, dir))
+        .select(nodeIdToLong("node_id").as("node_id"), col("dist"))
       graft.graph.Sssp.weightedDistancesDeleted(allE, delE, "a", "b",
           "w", saved, maxRounds = 32)
+        .select(longNodeToId("node_id").as("node_id"), col("dist"))
         .orderBy(col("node_id"))
     }),
 
@@ -2396,12 +2530,16 @@ object SparkEntry {
       // broadly). Exact L∞-normalized integer fixed point (see
       // graph/Hits.scala) — the only iterative formulation an
       // independent engine can hash-match.
+      // long node keys (the q_pagerank rationale): L∞ normalization
+      // maxes SCORES, never ids — bijection-invariant
       val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+        .select((col("o_custkey") * 2L).as("a"),
+          (col("l_suppkey") * 2L + 1L).as("b"))
       graft.graph.Hits.hits(pairs, "a", "b", iters = 3)
+        .select(longNodeToId("node_id").as("node_id"), col("hub_ppm"),
+          col("auth_ppm"))
         .transform(graft.operators.Spread.smallSort(_, col("node_id")))
     }),
 
@@ -2417,13 +2555,18 @@ object SparkEntry {
       // floor arithmetic), so the oracle replays the composition: 3
       // unrolled rounds over the mod-4 graph, then 2 over the full
       // graph from that vector.
+      // long node keys (the q_hits rationale); staged v1 artifact
+      // translated at read
       val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+        .select((col("o_custkey") * 2L).as("a"),
+          (col("l_suppkey") * 2L + 1L).as("b"))
       val saved = s.read.parquet(hitsSaved(s, dir))
+        .select(nodeIdToLong("node_id").as("node_id"), col("hub_ppm"))
       graft.graph.Hits.hitsResume(pairs, "a", "b", saved, iters = 2)
+        .select(longNodeToId("node_id").as("node_id"), col("hub_ppm"),
+          col("auth_ppm"))
         .transform(graft.operators.Spread.smallSort(_, col("node_id")))
     }),
 
@@ -2435,18 +2578,23 @@ object SparkEntry {
       // the FULL-graph hub artifact for 2 rounds over the graph with
       // the mod-5 orders' pairs retracted at the pair level. Nodes
       // that lose every edge drop from the score table.
+      // long node keys (the q_hits rationale); retraction anti-join
+      // on long pairs, staged v1 artifact translated at read
       val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       def pairsOf(o: DataFrame): DataFrame =
         o.join(ls, col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("a"),
-            concat(lit("s"), col("l_suppkey")).as("b"))
+          .select((col("o_custkey") * 2L).as("a"),
+            (col("l_suppkey") * 2L + 1L).as("b"))
           .distinct()
       val pairs = pairsOf(oc)
         .join(pairsOf(oc.where(col("o_orderkey") % 5 === 0)),
           Seq("a", "b"), "left_anti")
       val saved = s.read.parquet(hitsSavedFull(s, dir))
+        .select(nodeIdToLong("node_id").as("node_id"), col("hub_ppm"))
       graft.graph.Hits.hitsResume(pairs, "a", "b", saved, iters = 2)
+        .select(longNodeToId("node_id").as("node_id"), col("hub_ppm"),
+          col("auth_ppm"))
         .transform(graft.operators.Spread.smallSort(_, col("node_id")))
     }),
 
@@ -5225,20 +5373,15 @@ object SparkEntry {
       // customer seed set over the same purchase graph — rank
       // concentrates in the seeds' neighborhood (the graph
       // recommendation / seed-expansion primitive), exact ppm
+      // long node keys (the q_pagerank rationale); seed membership is
+      // an equi-join flag — bijection-invariant
       val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
-        .distinct()
-      val edges = pairs.select(explode(array(
-          struct(col("a"), col("b")),
-          struct(col("b").as("a"), col("a").as("b")))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val edges = purchaseEdgesLongFrom(s, dir, oc)
       val seeds = oc.where(col("o_custkey") % 100 === 0)
-        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+        .select((col("o_custkey") * 2L).as("node")).distinct()
       graft.graph.PageRank.personalizedPageRank(edges, "a", "b", seeds,
           iters = 3)
+        .select(longNodeToId("node_id").as("node_id"), col("pr_ppm"))
         .orderBy(col("node_id"))
     }),
 
@@ -5253,13 +5396,17 @@ object SparkEntry {
       // otherwise). Trajectory-exact like q_pagerank_incr; the
       // oracle replays the composition with the seed-pinned base in
       // both phases.
+      // long node keys (the q_pagerank rationale); staged v1 artifact
+      // translated at read
       val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val edges = purchaseEdgesFrom(s, dir, oc)
+      val edges = purchaseEdgesLongFrom(s, dir, oc)
       val seeds = oc.where(col("o_custkey") % 100 === 0)
-        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+        .select((col("o_custkey") * 2L).as("node")).distinct()
       val saved = s.read.parquet(pprSaved(s, dir))
+        .select(nodeIdToLong("node_id").as("node_id"), col("pr_ppm"))
       graft.graph.PageRank.personalizedPageRankResume(edges, "a", "b",
           seeds, saved, iters = 2)
+        .select(longNodeToId("node_id").as("node_id"), col("pr_ppm"))
         .orderBy(col("node_id"))
     }),
 
@@ -5272,12 +5419,14 @@ object SparkEntry {
       // (seeds are a property of the query, not the snapshot); nodes
       // that lose every edge drop from the rank table. Completes the
       // rank family's repair matrix in both directions.
+      // long node keys (the q_pagerank rationale); retraction
+      // anti-join on long pairs, staged v1 artifact translated at read
       val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       def pairsOf(o: DataFrame): DataFrame =
         o.join(ls, col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("a"),
-            concat(lit("s"), col("l_suppkey")).as("b"))
+          .select((col("o_custkey") * 2L).as("a"),
+            (col("l_suppkey") * 2L + 1L).as("b"))
           .distinct()
       val pairs = pairsOf(oc)
         .join(pairsOf(oc.where(col("o_orderkey") % 5 === 0)),
@@ -5287,10 +5436,12 @@ object SparkEntry {
           struct(col("b").as("a"), col("a").as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
       val seeds = oc.where(col("o_custkey") % 100 === 0)
-        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+        .select((col("o_custkey") * 2L).as("node")).distinct()
       val saved = s.read.parquet(pprSavedFull(s, dir))
+        .select(nodeIdToLong("node_id").as("node_id"), col("pr_ppm"))
       graft.graph.PageRank.personalizedPageRankResume(edges, "a", "b",
           seeds, saved, iters = 2)
+        .select(longNodeToId("node_id").as("node_id"), col("pr_ppm"))
         .orderBy(col("node_id"))
     }),
 
@@ -5302,12 +5453,14 @@ object SparkEntry {
       // multiplicity. Exact seed-pinned multiply-before-floor ppm;
       // the unrolled oracle replays the weighted seed rounds
       // verbatim.
+      // long node keys (the q_pagerank rationale; weights untouched)
       val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val edges = multiplicityPurchaseEdgesFrom(s, dir, oc)
+      val edges = multiplicityPurchaseEdgesLongFrom(s, dir, oc)
       val seeds = oc.where(col("o_custkey") % 100 === 0)
-        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+        .select((col("o_custkey") * 2L).as("node")).distinct()
       graft.graph.PageRank.personalizedPageRankWeighted(edges, "a", "b",
           "w", seeds, iters = 3)
+        .select(longNodeToId("node_id").as("node_id"), col("pr_ppm"))
         .orderBy(col("node_id"))
     }),
 
@@ -5316,13 +5469,17 @@ object SparkEntry {
       // seed-pinned weighted rounds from the ¾-graph artifact over
       // the full weighted graph — weight growth and the pinned base
       // compose exactly as in their separate gates.
+      // long node keys (the q_pagerank rationale); staged v1 artifact
+      // translated at read
       val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val edges = multiplicityPurchaseEdgesFrom(s, dir, oc)
+      val edges = multiplicityPurchaseEdgesLongFrom(s, dir, oc)
       val seeds = oc.where(col("o_custkey") % 100 === 0)
-        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+        .select((col("o_custkey") * 2L).as("node")).distinct()
       val saved = s.read.parquet(pprWeightedSaved(s, dir))
+        .select(nodeIdToLong("node_id").as("node_id"), col("pr_ppm"))
       graft.graph.PageRank.personalizedPageRankWeightedResume(edges,
           "a", "b", "w", seeds, saved, iters = 2)
+        .select(longNodeToId("node_id").as("node_id"), col("pr_ppm"))
         .orderBy(col("node_id"))
     }),
 
@@ -5334,14 +5491,18 @@ object SparkEntry {
       // runs 2 rounds from the full-graph weighted artifact.
       // Completes the rank-family matrix: 3 members × 3 modes, all
       // gated.
+      // long node keys (the q_pagerank rationale); staged v1 artifact
+      // translated at read
       val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val edges = multiplicityPurchaseEdgesFrom(s, dir,
+      val edges = multiplicityPurchaseEdgesLongFrom(s, dir,
         oc.where(col("o_orderkey") % 5 =!= 0))
       val seeds = oc.where(col("o_custkey") % 100 === 0)
-        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+        .select((col("o_custkey") * 2L).as("node")).distinct()
       val saved = s.read.parquet(pprWeightedSavedFull(s, dir))
+        .select(nodeIdToLong("node_id").as("node_id"), col("pr_ppm"))
       graft.graph.PageRank.personalizedPageRankWeightedResume(edges,
           "a", "b", "w", seeds, saved, iters = 2)
+        .select(longNodeToId("node_id").as("node_id"), col("pr_ppm"))
         .orderBy(col("node_id"))
     }),
 
