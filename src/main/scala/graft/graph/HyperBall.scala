@@ -127,27 +127,37 @@ object HyperBall {
     var nDelta = 1L
     for (_ <- 1 to maxRadius) {
       if (nDelta > 0) {
-        val prop = e
+        // r18 optimization (guide §2.3/§2.4): aggregate the
+        // CONTRIBUTIONS alone (map-combined, ≤V rows cross the wire)
+        // and merge them into the register table with one left join
+        // carrying a per-node GREW flag — replacing the old
+        // union-agg over V+|prop| wide rows PLUS a second V×V join
+        // just to detect change, and halving the round's job count
+        // (one checkpoint instead of two; the delta frame is a
+        // filter over the checkpointed rows, its count collected by
+        // the checkpoint's own observation). Registers only grow, so
+        // grew ⟺ some contribution exceeds the stored register —
+        // identical delta semantics, identical merged values
+        // (greatest over the same contribution set).
+        val contrib = e
           .join(delta.withColumnRenamed("node", "nxt"), Seq("nxt"))
           .select(col("node") +: lay.regCols: _*)
-        val merged = regs.unionByName(prop).groupBy(col("node"))
-          .agg(max(col("r0")).as("r0"),
-            (1 until lay.m).map(b => max(col(s"r$b")).as(s"r$b")): _*)
-        val (next, _) =
-          graft.operators.Converge.checkpointWithSig(merged, lay.sigCols)
-        // registers only grow, so any field inequality = changed
-        val changed = next.join(
-            regs.select(col("node") +:
-              (0 until lay.m).map(b => col(s"r$b").as(s"p$b")): _*),
-            Seq("node"))
-          .where((0 until lay.m).map(b => col(s"r$b") =!= col(s"p$b"))
-            .reduce(_ || _))
+          .groupBy(col("node"))
+          .agg(max(col("r0")).as("c0"),
+            (1 until lay.m).map(b => max(col(s"r$b")).as(s"c$b")): _*)
+        val merged = regs.join(contrib, Seq("node"), "left_outer")
+          .select(col("node") +: ((0 until lay.m).map(b =>
+            greatest(col(s"r$b"), coalesce(col(s"c$b"), lit(0)))
+              .as(s"r$b")) :+
+            (0 until lay.m).map(b =>
+              coalesce(col(s"c$b"), lit(0)) > col(s"r$b"))
+              .reduce(_ || _).as("grew")): _*)
+        val (next, _, nGrew) = graft.operators.Converge
+          .checkpointWithSigCount(merged, lay.sigCols, "grew")
+        regs = next.select(col("node") +: lay.regCols: _*)
+        delta = next.where(col("grew"))
           .select(col("node") +: lay.regCols: _*)
-        val (nextDelta, (n, _)) =
-          graft.operators.Converge.checkpointWithSig(changed, lay.sigCols)
-        regs = next
-        delta = nextDelta
-        nDelta = n
+        nDelta = nGrew
       }
       out += regs
     }

@@ -85,6 +85,38 @@ object Converge {
     (ck, (row.getAs[Long]("n"), row.getAs[Long]("h")))
   }
 
+  /** As [[checkpointWithSig]] plus a flag-count collected in the SAME
+    * materializing job: returns (frame, (count, hash), #rows where
+    * `pred` holds). The r18-optimization loop shape — a round that
+    * materializes its merged state once and derives its next frontier
+    * as a FILTER over the checkpointed rows ([[graft.graph.Sssp]]
+    * repairs, HyperBall's delta) — needs the frontier size for the
+    * stop test; counting it inside the checkpoint's own observation
+    * keeps the round at ONE job instead of checkpoint + count. */
+  def checkpointWithSigCount(df: DataFrame, cols: String,
+                             pred: String): (DataFrame, (Long, Long), Long) = {
+    val deadline = scala.concurrent.duration.Duration(
+      df.sparkSession.conf.get("spark.graft.converge.timeoutSec", "60").toLong,
+      "s")
+    val obs = Observation()
+    val ck = df.observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("h"),
+        count(when(expr(pred), lit(1))).as("c"))
+      .localCheckpoint()
+    val row =
+      try scala.concurrent.Await.result(obs.future, deadline)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            s"Converge.checkpointWithSigCount: observation not completed " +
+              s"after $deadline — listener bus lagging? (raise " +
+              "spark.graft.converge.timeoutSec)")
+      }
+    (org.apache.spark.sql.execution.GraftCheckpointStats.sanitize(ck),
+      (row.getAs[Long]("n"), row.getAs[Long]("h")), row.getAs[Long]("c"))
+  }
+
   /** The house checkpoint form — `df.sanitizedCheckpoint()` is an
     * eager localCheckpoint routed through the stats sanitizer
     * ([[org.apache.spark.sql.execution.GraftCheckpointStats]]).
