@@ -289,46 +289,60 @@ object Sssp {
         newEdges.select(col(srcCol).as("node"), col(dstCol).as("nxt")))
       .persist()
     e.count()
-    var (dist, _) = graft.operators.Converge.checkpointWithSig(
+    val (dist0, _) = graft.operators.Converge.checkpointWithSig(
       savedDist.select(col("node_id").as("node"), col("dist")), "node, dist")
     // repair seeds: improvements the new edges create directly
     val seed0 = newEdges
       .select(col(srcCol).as("node"), col(dstCol).as("v"))
-      .join(dist, Seq("node"))
+      .join(dist0, Seq("node"))
       .select(col("v").as("node"), (col("dist") + lit(1L)).as("dist"))
       .where(col("dist") <= maxHops)
       .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      .join(dist.select(col("node"), col("dist").as("old")),
+      .join(dist0.select(col("node"), col("dist").as("old")),
         Seq("node"), "left")
       .where(col("old").isNull || col("dist") < col("old"))
       .select(col("node"), col("dist"))
-    var (frontier, (nFrontier, _)) =
-      graft.operators.Converge.checkpointWithSig(seed0, "node, dist")
+    // r18 optimization (one job per round, the HyperBall-fold shape):
+    // the round's merged table and its improvement frontier ride ONE
+    // checkpoint — state = min-fold of (table, candidates) with an
+    // `imp` flag on rows a candidate improved; the next frontier is a
+    // filter over the checkpointed rows, its size collected by the
+    // same job's observation. Round-for-round the folded values and
+    // frontier sets are exactly the old two-checkpoint form's (min is
+    // confluent, flags replay the same strict-improvement test), so
+    // the fixpoint — and the equivalence gate — are unchanged.
+    var (state, _, nFrontier) = graft.operators.Converge
+      .checkpointWithSigCount(
+        dist0.select(col("node"), col("dist"), lit(false).as("imp"))
+          .unionByName(seed0.select(col("node"), col("dist"),
+            lit(true).as("imp")))
+          .groupBy(col("node"))
+          .agg(min(col("dist")).as("dist"), max(col("imp")).as("imp")),
+        "node, dist", "imp")
     var guard = 0
     while (nFrontier > 0) {
       guard += 1
       require(guard <= maxHops + 1,
         s"incremental repair exceeded ${maxHops + 1} rounds")
-      // fold the frontier's improvements into the table, then relax
-      // one hop outward from the frontier only
-      dist = dist.unionByName(frontier)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .sanitizedCheckpoint()
+      val frontier = state.where(col("imp"))
+        .select(col("node"), col("dist"))
       val cand = frontier.join(e, "node")
         .select(col("nxt").as("node"), (col("dist") + lit(1L)).as("dist"))
         .where(col("dist") <= maxHops)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      val improved = cand
-        .join(dist.select(col("node"), col("dist").as("old")),
-          Seq("node"), "left")
-        .where(col("old").isNull || col("dist") < col("old"))
-        .select(col("node"), col("dist"))
-      val (next, (n, _)) =
-        graft.operators.Converge.checkpointWithSig(improved, "node, dist")
-      frontier = next
+        .groupBy(col("node")).agg(min(col("dist")).as("cand"))
+      val merged = state.select(col("node"), col("dist"))
+        .join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(col("dist"), col("cand")).as("dist"),
+          (col("dist").isNull ||
+            (col("cand").isNotNull && col("cand") < col("dist")))
+            .as("imp"))
+      val (next, _, n) = graft.operators.Converge
+        .checkpointWithSigCount(merged, "node, dist", "imp")
+      state = next
       nFrontier = n
     }
-    val out = dist.select(col("node").as("node_id"), col("dist"))
+    val out = state.select(col("node").as("node_id"), col("dist"))
     e.unpersist()
     out
   }
@@ -392,71 +406,87 @@ object Sssp {
     val (dist0, _) = graft.operators.Converge.checkpointWithSig(
       savedDist.select(col("node_id").as("node"), col("dist")),
       "node, dist")
-    // 1. INVALIDATE: tight deleted edges seed the marked set
+    // 1. INVALIDATE: tight deleted edges seed the marked set.
+    // r18 optimization (one job per round, the HyperBall-fold shape):
+    // the marked set carries a `nw` flag on the rows the round added —
+    // the next sweep frontier is a filter over the checkpointed rows
+    // (old form: checkpoint the tight frontier AND re-checkpoint the
+    // grown marked union — two jobs). Membership and dists are
+    // unchanged: a tight candidate for an already-marked node carries
+    // the same dist0 value, so the full-outer coalesce is a no-op on
+    // overlaps and `nw` replays the old anti-join exactly.
     val seedA = del
       .join(dist0.select(col("node"), col("dist").as("d_src")), Seq("node"))
       .select(col("nxt").as("node"), (col("d_src") + lit(1L)).as("dist"))
       .join(dist0, Seq("node", "dist")) // tight: d(v) = d(u) + 1
       .select(col("node"), col("dist")).distinct()
-    var (frontA, (nFrontA, _)) =
-      graft.operators.Converge.checkpointWithSig(seedA, "node, dist")
-    var marked = frontA
+    var (mstate, _, nFrontA) = graft.operators.Converge
+      .checkpointWithSigCount(
+        seedA.select(col("node"), col("dist"), lit(true).as("nw")),
+        "node, dist", "nw")
     var guard = 0
     while (nFrontA > 0) {
       guard += 1
       require(guard <= maxHops + 1,
         s"invalidation sweep exceeded ${maxHops + 1} rounds")
+      val frontA = mstate.where(col("nw")).select(col("node"), col("dist"))
       val tight = frontA.join(e, Seq("node"))
         .select(col("nxt").as("node"), (col("dist") + lit(1L)).as("dist"))
         .join(dist0, Seq("node", "dist")) // d(w) = d(x) + 1
-        .select(col("node"), col("dist")).distinct()
-        .join(marked.select(col("node")), Seq("node"), "left_anti")
-      val (next, (n, _)) =
-        graft.operators.Converge.checkpointWithSig(tight, "node, dist")
-      frontA = next
+        .select(col("node"), col("dist").as("cd")).distinct()
+      val merged = mstate.select(col("node"), col("dist"))
+        .join(tight, Seq("node"), "full_outer")
+        .select(col("node"), coalesce(col("dist"), col("cd")).as("dist"),
+          col("dist").isNull.as("nw"))
+      val (next, _, n) = graft.operators.Converge
+        .checkpointWithSigCount(merged, "node, dist", "nw")
+      mstate = next
       nFrontA = n
-      if (n > 0) marked = marked.unionByName(frontA).sanitizedCheckpoint()
     }
-    val markedIds = marked.select(col("node"))
+    val markedIds = mstate.select(col("node"))
     // 2. RETRACT: the unaffected remainder is exact for the pruned
     // graph (sources are never marked, so the seed set survives)
     val keep = dist0.join(markedIds, Seq("node"), "left_anti")
       .sanitizedCheckpoint()
     // 3. RE-DERIVE: seed the repair from the unaffected boundary,
     // then min-relax within the marked region only
+    // r18 optimization: the repair table and its improvement frontier
+    // ride one checkpoint per round (the bfsDistancesIncremental fold
+    // — identical per-round values/frontiers, min confluence keeps
+    // the fixpoint byte-identical).
     val seedB = keep.join(e, Seq("node"))
       .select(col("nxt").as("node"), (col("dist") + lit(1L)).as("dist"))
       .where(col("dist") <= maxHops)
       .join(markedIds, Seq("node"))
       .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-    var (front, (nFront, _)) =
-      graft.operators.Converge.checkpointWithSig(seedB, "node, dist")
-    var best = front
+    var (bstate, _, nFront) = graft.operators.Converge
+      .checkpointWithSigCount(
+        seedB.select(col("node"), col("dist"), lit(true).as("imp")),
+        "node, dist", "imp")
     guard = 0
     while (nFront > 0) {
       guard += 1
       require(guard <= maxHops + 1,
         s"delete repair exceeded ${maxHops + 1} rounds")
+      val front = bstate.where(col("imp")).select(col("node"), col("dist"))
       val cand = front.join(e, Seq("node"))
         .select(col("nxt").as("node"), (col("dist") + lit(1L)).as("dist"))
         .where(col("dist") <= maxHops)
         .join(markedIds, Seq("node"))
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      val improved = cand
-        .join(best.select(col("node"), col("dist").as("old")),
-          Seq("node"), "left")
-        .where(col("old").isNull || col("dist") < col("old"))
-        .select(col("node"), col("dist"))
-      val (next, (n, _)) =
-        graft.operators.Converge.checkpointWithSig(improved, "node, dist")
-      front = next
+        .groupBy(col("node")).agg(min(col("dist")).as("cand"))
+      val merged = bstate.select(col("node"), col("dist"))
+        .join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(col("dist"), col("cand")).as("dist"),
+          (col("dist").isNull ||
+            (col("cand").isNotNull && col("cand") < col("dist")))
+            .as("imp"))
+      val (next, _, n) = graft.operators.Converge
+        .checkpointWithSigCount(merged, "node, dist", "imp")
+      bstate = next
       nFront = n
-      if (n > 0)
-        best = best.unionByName(front)
-          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-          .sanitizedCheckpoint()
     }
-    val out = keep.unionByName(best)
+    val out = keep.unionByName(bstate.select(col("node"), col("dist")))
       .select(col("node").as("node_id"), col("dist"))
     e.unpersist()
     out
@@ -535,68 +565,79 @@ object Sssp {
       val (dist0, _) = graft.operators.Converge.checkpointWithSig(
         savedDist.select(col("node_id").as("node"), col("dist")),
         "node, dist")
-      // 1. INVALIDATE: heads of tight deleted edges seed the marked set
+      // 1. INVALIDATE: heads of tight deleted edges seed the marked
+      // set. r18 optimization: one checkpoint per sweep round — the
+      // marked table carries a `nw` flag on the round's additions and
+      // the next frontier is a filter over the checkpointed rows
+      // (see bfsDistancesDeleted; membership and dists unchanged).
       val seedA = delFull
         .join(dist0.select(col("node"), col("dist").as("d_src")), Seq("node"))
         .select(col("nxt").as("node"), (col("d_src") + col("w")).as("dist"))
         .join(dist0, Seq("node", "dist")) // tight: d(v) = d(u) + w
         .select(col("node"), col("dist")).distinct()
-      var (frontA, (nFrontA, _)) =
-        graft.operators.Converge.checkpointWithSig(seedA, "node, dist")
-      var marked = frontA
+      var (mstate, _, nFrontA) = graft.operators.Converge
+        .checkpointWithSigCount(
+          seedA.select(col("node"), col("dist"), lit(true).as("nw")),
+          "node, dist", "nw")
       var guard = 0
       while (nFrontA > 0) {
         guard += 1
         require(guard <= maxRounds,
           s"invalidation sweep exceeded $maxRounds rounds")
+        val frontA = mstate.where(col("nw")).select(col("node"), col("dist"))
         val tight = frontA.join(e, Seq("node"))
           .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
           .join(dist0, Seq("node", "dist")) // d(x) = d(v) + w
-          .select(col("node"), col("dist")).distinct()
-          .join(marked.select(col("node")), Seq("node"), "left_anti")
-        val (next, (n, _)) =
-          graft.operators.Converge.checkpointWithSig(tight, "node, dist")
-        frontA = next
+          .select(col("node"), col("dist").as("cd")).distinct()
+        val merged = mstate.select(col("node"), col("dist"))
+          .join(tight, Seq("node"), "full_outer")
+          .select(col("node"), coalesce(col("dist"), col("cd")).as("dist"),
+            col("dist").isNull.as("nw"))
+        val (next, _, n) = graft.operators.Converge
+          .checkpointWithSigCount(merged, "node, dist", "nw")
+        mstate = next
         nFrontA = n
-        if (n > 0) marked = marked.unionByName(frontA).sanitizedCheckpoint()
       }
-      val markedIds = marked.select(col("node"))
+      val markedIds = mstate.select(col("node"))
       // 2. RETRACT: the unaffected remainder is exact for the pruned graph
       val keep = dist0.join(markedIds, Seq("node"), "left_anti")
         .sanitizedCheckpoint()
       // 3. RE-DERIVE: min-relax the marked region from the unaffected
       // boundary over the pruned graph, to the empty-frontier fixpoint
+      // r18 optimization: one checkpoint per repair round (the
+      // bfsDistancesIncremental fold — identical per-round values and
+      // frontiers, min confluence keeps the fixpoint byte-identical).
       val seedB = keep.join(e, Seq("node"))
         .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
         .join(markedIds, Seq("node"))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      var (front, (nFront, _)) =
-        graft.operators.Converge.checkpointWithSig(seedB, "node, dist")
-      var best = front
+      var (bstate, _, nFront) = graft.operators.Converge
+        .checkpointWithSigCount(
+          seedB.select(col("node"), col("dist"), lit(true).as("imp")),
+          "node, dist", "imp")
       guard = 0
       while (nFront > 0) {
         guard += 1
         require(guard <= maxRounds,
           s"delete repair exceeded $maxRounds rounds")
+        val front = bstate.where(col("imp")).select(col("node"), col("dist"))
         val cand = front.join(e, Seq("node"))
           .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
           .join(markedIds, Seq("node"))
-          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        val improved = cand
-          .join(best.select(col("node"), col("dist").as("old")),
-            Seq("node"), "left")
-          .where(col("old").isNull || col("dist") < col("old"))
-          .select(col("node"), col("dist"))
-        val (next, (n, _)) =
-          graft.operators.Converge.checkpointWithSig(improved, "node, dist")
-        front = next
+          .groupBy(col("node")).agg(min(col("dist")).as("cand"))
+        val merged = bstate.select(col("node"), col("dist"))
+          .join(cand, Seq("node"), "full_outer")
+          .select(col("node"),
+            least(col("dist"), col("cand")).as("dist"),
+            (col("dist").isNull ||
+              (col("cand").isNotNull && col("cand") < col("dist")))
+              .as("imp"))
+        val (next, _, n) = graft.operators.Converge
+          .checkpointWithSigCount(merged, "node, dist", "imp")
+        bstate = next
         nFront = n
-        if (n > 0)
-          best = best.unionByName(front)
-            .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-            .sanitizedCheckpoint()
       }
-      keep.unionByName(best)
+      keep.unionByName(bstate.select(col("node"), col("dist")))
         .select(col("node").as("node_id"), col("dist"))
     } finally { delFull.unpersist(); e.unpersist() }
   }
@@ -643,43 +684,53 @@ object Sssp {
         col(weightCol).cast("long").as("w"))
     val e = shaped(edges).unionByName(shaped(newEdges)).persist()
     e.count()
-    var (dist, _) = graft.operators.Converge.checkpointWithSig(
+    val (dist0, _) = graft.operators.Converge.checkpointWithSig(
       savedDist.select(col("node_id").as("node"), col("dist")), "node, dist")
     // repair seeds: improvements the new edges create directly
     val seed0 = shaped(newEdges)
-      .join(dist, Seq("node"))
+      .join(dist0, Seq("node"))
       .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
       .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      .join(dist.select(col("node"), col("dist").as("old")),
+      .join(dist0.select(col("node"), col("dist").as("old")),
         Seq("node"), "left")
       .where(col("old").isNull || col("dist") < col("old"))
       .select(col("node"), col("dist"))
-    var (frontier, (nFrontier, _)) =
-      graft.operators.Converge.checkpointWithSig(seed0, "node, dist")
+    // r18 optimization: one checkpoint per round — the min-folded
+    // table carries an `imp` flag and the frontier is a filter over
+    // the checkpointed rows (see bfsDistancesIncremental; identical
+    // per-round values and frontier sets, min-relaxation confluence
+    // unchanged, so the converged fixpoint is byte-identical).
+    var (state, _, nFrontier) = graft.operators.Converge
+      .checkpointWithSigCount(
+        dist0.select(col("node"), col("dist"), lit(false).as("imp"))
+          .unionByName(seed0.select(col("node"), col("dist"),
+            lit(true).as("imp")))
+          .groupBy(col("node"))
+          .agg(min(col("dist")).as("dist"), max(col("imp")).as("imp")),
+        "node, dist", "imp")
     var guard = 0
     while (nFrontier > 0) {
       guard += 1
       require(guard <= maxRounds,
         s"incremental weighted repair exceeded $maxRounds rounds")
-      // fold the frontier's improvements into the table, then relax
-      // one step outward from the improved region only
-      dist = dist.unionByName(frontier)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .sanitizedCheckpoint()
+      val frontier = state.where(col("imp"))
+        .select(col("node"), col("dist"))
       val cand = frontier.join(e, "node")
         .select(col("nxt").as("node"), (col("dist") + col("w")).as("dist"))
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      val improved = cand
-        .join(dist.select(col("node"), col("dist").as("old")),
-          Seq("node"), "left")
-        .where(col("old").isNull || col("dist") < col("old"))
-        .select(col("node"), col("dist"))
-      val (next, (n, _)) =
-        graft.operators.Converge.checkpointWithSig(improved, "node, dist")
-      frontier = next
+        .groupBy(col("node")).agg(min(col("dist")).as("cand"))
+      val merged = state.select(col("node"), col("dist"))
+        .join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(col("dist"), col("cand")).as("dist"),
+          (col("dist").isNull ||
+            (col("cand").isNotNull && col("cand") < col("dist")))
+            .as("imp"))
+      val (next, _, n) = graft.operators.Converge
+        .checkpointWithSigCount(merged, "node, dist", "imp")
+      state = next
       nFrontier = n
     }
-    val out = dist.select(col("node").as("node_id"), col("dist"))
+    val out = state.select(col("node").as("node_id"), col("dist"))
     e.unpersist()
     out
   }
