@@ -185,32 +185,50 @@ object KCore {
       .persist()
     savedStar.count()
     val drift = if (slack > 0) slack else deleteSlack
-    // region closure: frontier expansion under the crossing rule
-    var region = batchEndpoints.toDF("n").distinct()
-      .join(savedStar.select(col("n")), Seq("n"), "left_semi")
-      .sanitizedCheckpoint()
-    var done = false
+    // region closure under the crossing rule. r18 optimization: the
+    // closure is a BFS fixpoint, so expand from the FRONTIER (nodes
+    // the previous hop added) instead of re-scanning the whole
+    // region's incident edges every hop, and ride the region table +
+    // its frontier flag on ONE observed checkpoint per hop (the old
+    // shape paid a checkpoint plus two count jobs per hop, each over
+    // region-incident edges). A node eligible via member m is
+    // discovered the hop after m joins, so the frontier closure is
+    // the identical fixed-point set — the pinned iteration below and
+    // the gate's cold-equivalence contract see the same region.
+    var (rstate, _, nNew) = graft.operators.Converge
+      .checkpointWithSigCount(
+        batchEndpoints.toDF("n").distinct()
+          .join(savedStar.select(col("n")), Seq("n"), "left_semi")
+          .select(col("n"), lit(true).as("nw")),
+        "n", "nw")
     var hops = 0
-    while (!done && hops < expandRounds) {
+    while (nNew > 0 && hops < expandRounds) {
       hops += 1
-      val joined = sym
-        .join(region.select(col("n").as("m")), Seq("m"), "left_semi")
+      val front = rstate.where(col("nw")).select(col("n").as("m"))
+      val frontSv = savedStar
+        .select(col("n").as("m"), col("sv").as("msv"))
+        .join(front, Seq("m"), "left_semi")
+      val eligible = sym
+        .join(front, Seq("m"), "left_semi")
         .join(savedStar.select(col("n"), col("sv")), Seq("n"))
-        .join(broadcast(savedStar.select(col("n").as("m"), col("sv").as("msv"))
-          .join(region.select(col("n").as("m")), Seq("m"), "left_semi")),
-          Seq("m"))
-      val eligible = joined
+        .join(broadcast(frontSv), Seq("m"))
         .where(col("msv") <= col("sv") + drift &&
           col("msv") >= col("sv") - drift)
-      val grown = region.unionByName(eligible.select(col("n")))
-        .distinct().sanitizedCheckpoint()
-      done = grown.count() == region.count()
-      region = grown
+        .select(col("n")).distinct()
+      val merged = rstate.select(col("n"), lit(true).as("old"))
+        .join(eligible.select(col("n"), lit(true).as("el")),
+          Seq("n"), "full_outer")
+        .select(col("n"), col("old").isNull.as("nw"))
+      val (next, _, n2) = graft.operators.Converge
+        .checkpointWithSigCount(merged, "n", "nw")
+      rstate = next
+      nNew = n2
     }
-    require(done,
+    require(nNew == 0,
       s"corenessTrickle: region closure did not converge within " +
         s"$expandRounds hops — widen expandRounds or fall back to " +
         "corenessResume")
+    val region = rstate.select(col("n"))
     // pinned-boundary iteration, REGION-sized per round: outside
     // neighbors never change, so their contribution to a region
     // node's neighborhood resolves ONCE into a static edge frame;
