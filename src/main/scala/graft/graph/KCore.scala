@@ -26,8 +26,10 @@ import graft.operators.Converge.SanitizedCheckpoint
   *
   * Scale design: per round, the value table (one row per node) joins
   * the symmetrized edge table on the neighbor key and the h-index is
-  * computed with a per-node row_number window over neighbor values —
-  * state is O(nodes), shuffle is O(edges) partitioned by node. A hub
+  * computed as a bucketed count-above-threshold aggregation (see
+  * [[hIndex]]) — state is O(nodes); the per-round exchange carries
+  * one map-combined row per (node, distinct neighbor value), never
+  * one per edge, and the only sort is over those buckets. A hub
   * node concentrates its neighbor rows in one partition (same skew
   * profile as any per-node neighborhood aggregate); the h-index
   * itself is capped by degree, so values only shrink. Rounds are
@@ -164,6 +166,14 @@ object KCore {
     * @param slack          # batch edges for inserts; 0 for deletes
     * @param deleteSlack    # batch edges for deletes (the region
     *                       rule's drift bound; ignored for inserts) */
+  /** Region-closure BFS hops chained lazily into one checkpointed
+    * job (r19): each sub-hop is a frontier semi-join + band filter +
+    * full_outer merge over frames bounded by the (small, by the
+    * trickle contract) region, so the block's plan stays cheap while
+    * the per-hop scheduler/checkpoint overhead — measured as the
+    * gate's dominant cost at sf0.1 — is paid once per block. */
+  private val ClosureHopsPerJob = 8
+
   def corenessTrickle(edges: DataFrame, srcCol: String, dstCol: String,
                       savedCoreness: DataFrame, batchEndpoints: DataFrame,
                       slack: Long, rounds: Int, expandRounds: Int,
@@ -185,49 +195,80 @@ object KCore {
       .persist()
     savedStar.count()
     val drift = if (slack > 0) slack else deleteSlack
-    // region closure under the crossing rule. r18 optimization: the
-    // closure is a BFS fixpoint, so expand from the FRONTIER (nodes
-    // the previous hop added) instead of re-scanning the whole
-    // region's incident edges every hop, and ride the region table +
-    // its frontier flag on ONE observed checkpoint per hop (the old
-    // shape paid a checkpoint plus two count jobs per hop, each over
-    // region-incident edges). A node eligible via member m is
-    // discovered the hop after m joins, so the frontier closure is
-    // the identical fixed-point set — the pinned iteration below and
-    // the gate's cold-equivalence contract see the same region.
-    var (rstate, _, nNew) = graft.operators.Converge
-      .checkpointWithSigCount(
-        batchEndpoints.toDF("n").distinct()
-          .join(savedStar.select(col("n")), Seq("n"), "left_semi")
-          .select(col("n"), lit(true).as("nw")),
-        "n", "nw")
-    var hops = 0
-    while (nNew > 0 && hops < expandRounds) {
-      hops += 1
-      val front = rstate.where(col("nw")).select(col("n").as("m"))
-      val frontSv = savedStar
-        .select(col("n").as("m"), col("sv").as("msv"))
-        .join(front, Seq("m"), "left_semi")
-      val eligible = sym
-        .join(front, Seq("m"), "left_semi")
-        .join(savedStar.select(col("n"), col("sv")), Seq("n"))
-        .join(broadcast(frontSv), Seq("m"))
-        .where(col("msv") <= col("sv") + drift &&
-          col("msv") >= col("sv") - drift)
-        .select(col("n")).distinct()
-      val merged = rstate.select(col("n"), lit(true).as("old"))
-        .join(eligible.select(col("n"), lit(true).as("el")),
-          Seq("n"), "full_outer")
-        .select(col("n"), col("old").isNull.as("nw"))
-      val (next, _, n2) = graft.operators.Converge
-        .checkpointWithSigCount(merged, "n", "nw")
-      rstate = next
-      nNew = n2
+    // region closure under the crossing rule. The crossing rule is a
+    // STATIC, SYMMETRIC edge predicate over saved values
+    // (|sv(n) − sv(m)| ≤ drift), so the region is exactly the set of
+    // nodes reachable from the batch endpoints along band-passing
+    // edges. r19 optimization (guide §2.4 job count; the r18 shape's
+    // measured profile at sf0.1 was 22 BFS hops × ~1 s of per-job
+    // overhead = the gate's entire cost, final region 316 nodes):
+    // chain `ClosureHopsPerJob` hops into ONE lazy plan and
+    // checkpoint once per BLOCK. Each sub-hop references the reached
+    // set exactly ONCE — semi-joining the SELF-LOOP-augmented
+    // adjacency computes reach ∪ nbrs(reach) in a single reference
+    // (a self loop trivially passes the band test), so the block's
+    // plan grows linearly in k, not 2^k. Work per sub-hop is the
+    // reached set's incident edges (≤ the region's, × k per block —
+    // the trickle contract keeps the region small). Reached counts
+    // are MONOTONE (reach_{i+1} ⊇ reach_i via the self loops), so an
+    // unchanged block count ⟺ the exact fixed point — the same
+    // region the hop-at-a-time closure certifies.
+    // band adjacency + self-loops materialized ONCE (a sanitized
+    // checkpoint, so the chained sub-hops below read a flat-stats
+    // leaf — chaining inner joins instead multiplies the plan's
+    // sizeInBytes estimate per sub-hop, the r16 BigInteger stats
+    // bomb, measured here as minutes of driver-side analysis). One
+    // full-edge pass, the same class as the operator's existing
+    // prepSym/deg/savedStar prep.
+    val bandSelf = sym
+      .join(savedStar.select(col("n"), col("sv")), Seq("n"))
+      .join(savedStar.select(col("n").as("m"), col("sv").as("msv")),
+        Seq("m"))
+      .where(col("msv") <= col("sv") + drift &&
+        col("msv") >= col("sv") - drift)
+      .select(col("n"), col("m"))
+      .unionByName(savedStar.select(col("n"), col("n").as("m")))
+      .sanitizedCheckpoint()
+    def expand(reach: DataFrame, k: Int): DataFrame = {
+      var acc = reach
+      for (_ <- 1 to k)
+        acc = bandSelf
+          .join(acc.select(col("n").as("m")), Seq("m"), "left_semi")
+          .select(col("n")).distinct()
+      acc
     }
-    require(nNew == 0,
-      s"corenessTrickle: region closure did not converge within " +
-        s"$expandRounds hops — widen expandRounds or fall back to " +
-        "corenessResume")
+    var (rstate, rsig) = graft.operators.Converge.checkpointWithSig(
+      batchEndpoints.toDF("n").distinct()
+        .join(savedStar.select(col("n")), Seq("n"), "left_semi"),
+      "n")
+    var nReach = rsig._1
+    var grew = true
+    var hops = 0
+    while (grew && hops < expandRounds) {
+      val k = math.min(ClosureHopsPerJob, expandRounds - hops)
+      hops += k
+      val tB = System.nanoTime()
+      val (next, sig2) = graft.operators.Converge
+        .checkpointWithSig(expand(rstate, k), "n")
+      grew = sig2._1 > nReach
+      nReach = sig2._1
+      rstate = next
+    }
+    if (grew) {
+      // budget exhausted with the last block still growing: one
+      // confirm block distinguishes "converged at some hop ≤
+      // expandRounds inside that block" (no further growth — every
+      // region node has band-distance ≤ expandRounds, the old
+      // hop-at-a-time contract) from genuine non-convergence (growth
+      // means some reachable node sits farther than expandRounds)
+      val (next, sig2) = graft.operators.Converge
+        .checkpointWithSig(expand(rstate, 1), "n")
+      require(sig2._1 == nReach,
+        s"corenessTrickle: region closure did not converge within " +
+          s"$expandRounds hops — widen expandRounds or fall back to " +
+          "corenessResume")
+      rstate = next
+    }
     val region = rstate.select(col("n"))
     // pinned-boundary iteration, REGION-sized per round: outside
     // neighbors never change, so their contribution to a region
@@ -240,10 +281,14 @@ object KCore {
     val regionM = region.select(col("n").as("m"))
     val symIn = symR.join(regionM, Seq("m"), "left_semi").persist()
     symIn.count()
+    // outside neighbors never change, so their h-index contribution
+    // is pre-reduced ONCE to (n, nv, cnt) value buckets — per round
+    // the union below carries these buckets, not boundary edges
     val symOutStatic = symR.join(regionM, Seq("m"), "left_anti")
       .join(savedStar.select(col("n").as("m"), col("sv").as("nv")),
         Seq("m"))
-      .select(col("n"), col("m"), col("nv"))
+      .groupBy(col("n"), col("nv"))
+      .agg(count(lit(1)).as("cnt"))
       .sanitizedCheckpoint()
     val outside = savedStar
       .join(region, Seq("n"), "left_anti")
@@ -254,8 +299,6 @@ object KCore {
         .select(col("n"),
           least(col("deg"), col("sv") + slack).as("val")),
       "n, val")
-    val byNode = Window.partitionBy(col("n"))
-      .orderBy(col("nv").desc, col("m"))
     var round = 0
     var iterDone = false
     while (!iterDone && round < rounds) {
@@ -263,11 +306,8 @@ object KCore {
       val live = symIn
         .join(valsR.select(col("n").as("m"), col("val").as("nv")),
           Seq("m"))
-        .select(col("n"), col("m"), col("nv"))
-      val relaxedR = live.unionByName(symOutStatic)
-        .withColumn("rn", row_number().over(byNode).cast("long"))
-        .groupBy(col("n"))
-        .agg(max(least(col("nv"), col("rn"))).as("val"))
+        .select(col("n"), col("nv"), lit(1L).as("cnt"))
+      val relaxedR = hIndexBuckets(live.unionByName(symOutStatic))
       val (next, nSig) =
         graft.operators.Converge.checkpointWithSig(relaxedR, "n, val")
       iterDone = nSig == sig && graft.operators.Converge.sameExact(next, valsR)
@@ -309,6 +349,38 @@ object KCore {
     sym
   }
 
+  /** Per-node h-index as a degree-BUCKETED aggregation over a
+    * (n, nv) neighbor-value frame (r19 optimization, guide §2.3
+    * aggregate-before-you-shuffle): group values to (n, nv, cnt)
+    * first — map-side combinable, so the exchange carries one row
+    * per DISTINCT neighbor value instead of one per incident edge —
+    * then a cumulative count over each node's buckets sorted by
+    * value descending gives c(w) = #neighbors with value ≥ w and
+    *   h = max_i min(v_(i), i) = max_w min(w, c(w))
+    * (within value w's bucket, min(w, i) is maximized at the
+    * bucket's LAST descending-sort index, which is exactly c(w), so
+    * maximizing over buckets equals maximizing over rows). The old
+    * row_number window sorted the full edge-volume join output per
+    * round; the bucket window sorts ≤ #distinct-coreness-values rows
+    * per node. Exact integer arithmetic, identical output — the
+    * sum-over window's RANGE frame is exact because nv is unique per
+    * node after the groupBy. */
+  private def hIndex(nbrVals: DataFrame): DataFrame =
+    hIndexBuckets(nbrVals.select(col("n"), col("nv"),
+      lit(1L).as("cnt")))
+
+  /** [[hIndex]] over pre-weighted (n, nv, cnt) buckets — lets a
+    * static neighbor-value frame be reduced to buckets once and
+    * unioned with per-round cnt=1 rows (the trickle pinned loop). */
+  private def hIndexBuckets(buckets: DataFrame): DataFrame =
+    buckets
+      .groupBy(col("n"), col("nv"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("n")).orderBy(col("nv").desc)))
+      .groupBy(col("n"))
+      .agg(max(least(col("nv"), col("cum"))).as("val"))
+
   /** The shared h-index loop from an arbitrary start `v0`
     * (n, val) — `rounds` rounds with the signature-confirmed early
     * stop (a round is a pure function of the value table, so an
@@ -318,20 +390,13 @@ object KCore {
                       rounds: Int): DataFrame = {
     var (vals, sig) =
       graft.operators.Converge.checkpointWithSig(v0, "n, val")
-    val byNode = Window.partitionBy(col("n"))
-      .orderBy(col("nv").desc, col("m"))
     var round = 0
     var done = false
     while (!done && round < rounds) {
       round += 1
-      // h = max_i min(v_i, i) over neighbor values sorted descending;
-      // the tie order among equal values cannot change the max, the
-      // (m) tie-break just keeps the intermediate frame deterministic
-      val relaxed = sym
+      val relaxed = hIndex(sym
         .join(vals.select(col("n").as("m"), col("val").as("nv")), Seq("m"))
-        .withColumn("rn", row_number().over(byNode).cast("long"))
-        .groupBy(col("n"))
-        .agg(max(least(col("nv"), col("rn"))).as("val"))
+        .select(col("n"), col("nv")))
       // per-round checkpoint with the convergence signature riding
       // the SAME materializing job (Converge.observe)
       val (next, nSig) =

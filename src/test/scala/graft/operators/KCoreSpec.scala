@@ -42,6 +42,31 @@ class KCoreSpec extends AnyFunSuite with SparkSpec {
     assert(r1 === r1b)
   }
 
+  test("bucketed h-index handles heavy value ties (star + matched " +
+    "leaves) exactly") {
+    import spark.implicits._
+    // hub 0 with 9 leaves, leaves chained in 3 triangles so leaf
+    // values tie in bulk: after round 1 every leaf has the same
+    // value — the bucket-cumulative form must count ties exactly
+    // (c(w) sums the whole bucket, not rank-within-bucket)
+    val star = (1L to 9L).map(l => (0L, l))
+    val tris = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (7L, 8L), (8L, 9L), (9L, 7L))
+    val edges = (star ++ tris).toDF("a", "b")
+    // exact coreness: every node is in a triangle+hub structure —
+    // hub has 9 neighbors of value ≥ ..., leaves have hub + 2
+    // triangle peers. Converged coreness: 3 everywhere (hub's
+    // h-index over nine 3s is min(3, 9)=3; leaf over {hub=3,3,3}=3).
+    val got = KCore.corenessHIndex(edges, "a", "b", rounds = 8)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(got === (0L to 9L).map(n => (n, 3L)))
+    // and a 1-round value with ties: hub degree 9, leaves degree 3;
+    // hub h-index over nine 3s = 3, leaf over {9,3,3} = 3
+    val r1 = KCore.corenessHIndex(edges, "a", "b", rounds = 1)
+      .orderBy("node_id").as[(Long, Long)].collect().toSeq
+    assert(r1 === (0L to 9L).map(n => (n, 3L)))
+  }
+
   test("duplicate, reversed, and self-loop edges are canonicalized") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L), (2L, 3L))
