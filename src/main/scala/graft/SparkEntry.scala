@@ -186,13 +186,13 @@ object SparkEntry {
       s"hyperball_nf_m16_r3_v1:$fp", dir)(write)
   }
 
-  /** The HyperBall family's SHARED m = 16 full-graph register table
-    * (r17 verdict #6): the radius-0–3 propagation staged ONCE per
-    * data dir — q_hyperball serves its summary from this artifact
-    * (the estimator is a pure projection), [[hyperballNf]] derives
-    * the q_graph_diameter nf frame from it, and the propagation
-    * itself stays priced by the cold staging, by q_hyperball64's
-    * live m = 64 run, and by the MicroBench hyperball_m probe. */
+  /** The m = 16 full-graph register table STAGED once per data dir:
+    * [[hyperballNf]] derives the q_graph_diameter nf frame from it.
+    * r19 (r18 verdict "What's wrong #1"): q_hyperball no longer
+    * serves from this artifact — the m = 16 propagation runs live
+    * inside that gate's timed region, so the build cost appears in a
+    * bench number again; this staging only feeds the aggregate-only
+    * diameter gate. */
   private def hyperballRegsFull(s: SparkSession, dir: String): String = {
     def write(out: String): Unit = {
       val edges = purchaseEdgesFrom(s, dir,
@@ -2320,15 +2320,16 @@ object SparkEntry {
       // Output: neighborhood-function estimates at radii 0–3 + the
       // approximate harmonic centrality in exact-ppm arithmetic; all
       // register/estimator math is integer-or-replayable, so the
-      // fixed-radius oracle unroll hash-matches. r18: the m = 16
-      // propagation is the family's SHARED staged artifact
-      // (hyperballRegsFull — the estimator is a pure projection, so
-      // serving from the saved registers is row-identical to a fresh
-      // propagation); the live propagation stays priced by the cold
-      // staging, q_hyperball64, and MicroBench hyperball_m.
-      graft.graph.HyperBall.harmonicFromNf(
-          graft.graph.HyperBall.neighborhoodFunctionFromRegisters(
-            s.read.parquet(hyperballRegsFull(s, dir))))
+      // fixed-radius oracle unroll hash-matches. r19 (r18 verdict
+      // "What's wrong #1"): the m = 16 PROPAGATION runs LIVE inside
+      // the timed region again — r18 had re-priced this gate onto the
+      // staged hyperballRegsFull artifact, leaving the m = 16 build
+      // cost out of every bench number. The staged register table
+      // remains the q_graph_diameter nf source (that gate prices the
+      // AGGREGATE, documented there); this gate prices the build.
+      val edges = purchaseEdgesFrom(s, dir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+      graft.graph.HyperBall.harmonicSummary(edges, "a", "b", m = 16)
         .orderBy(col("node_id"))
     }),
 
@@ -2418,10 +2419,29 @@ object SparkEntry {
       // old ∪ new.
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
-      val oldE = purchaseEdgesFrom(s, dir,
-        orders.where(col("o_orderkey") % 4 =!= 0))
-      val newE = purchaseEdgesFrom(s, dir,
-        orders.where(col("o_orderkey") % 4 === 0))
+      // r19: ONE orders⋈lineitem pass with per-pair old/new flags —
+      // the two purchaseEdgesFrom calls each paid the full join + a
+      // distinct (and the old side was the union graph's bulk). Same
+      // edge sets exactly: a pair is an old (new) edge iff SOME old
+      // (new) order produces it, which is what the max-flag computes;
+      // symmetrization replays purchaseEdgesFrom's explode verbatim.
+      val ls = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = orders
+        .join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"),
+          (col("o_orderkey") % 4 =!= 0).as("po"))
+        .groupBy(col("a"), col("b"))
+        .agg(max(col("po")).as("hasOld"), max(!col("po")).as("hasNew"))
+        .persist()
+      def symm(p: org.apache.spark.sql.DataFrame) =
+        p.select(explode(array(
+            struct(col("a"), col("b")),
+            struct(col("b").as("a"), col("a").as("b")))).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+      val oldE = symm(pairs.where(col("hasOld")))
+      val newE = symm(pairs.where(col("hasNew")))
       val saved = s.read.parquet(hyperballRegs(s, dir))
       val nf = graft.graph.HyperBall.neighborhoodFunctionIncremental(
         oldE, newE, "a", "b", saved, maxRadius = 3)

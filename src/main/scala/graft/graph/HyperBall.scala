@@ -110,7 +110,7 @@ object HyperBall {
     // sf0.1 — per-row overhead (hashing, agg machinery) × m dominated.
     // Radius 0: every node's ball is itself — its own hash's bucket
     // carries the rank, every other register is 0.
-    var (regs, _) =
+    var (regs, regSig) =
       graft.operators.Converge.checkpointWithSig(
         initRegs(nodes, lay), lay.sigCols)
     val out = scala.collection.mutable.ArrayBuffer(regs)
@@ -124,7 +124,7 @@ object HyperBall {
     // radius can change anything — the remaining radii emit the
     // converged registers, equal to the full unroll.
     var delta = regs
-    var nDelta = 1L
+    var nDelta = regSig._1
     for (_ <- 1 to maxRadius) {
       if (nDelta > 0) {
         // r18 optimization (guide §2.3/§2.4): aggregate the
@@ -139,8 +139,17 @@ object HyperBall {
         // grew ⟺ some contribution exceeds the stored register —
         // identical delta semantics, identical merged values
         // (greatest over the same contribution set).
+        // r19 (guide §3.1): the delta is ≤V wide rows and shrinks
+        // as balls saturate — broadcast it while small so the edge
+        // list streams unshuffled (bounded by the same guard as the
+        // incremental repair's changed set; radius 1's full-V delta
+        // is register rows, ~100 B each, well under the cap)
+        val deltaR = delta.withColumnRenamed("node", "nxt")
+        val deltaB =
+          if (nDelta <= DefaultBroadcastChangedMax) broadcast(deltaR)
+          else deltaR
         val contrib = e
-          .join(delta.withColumnRenamed("node", "nxt"), Seq("nxt"))
+          .join(deltaB, Seq("nxt"))
           .select(col("node") +: lay.regCols: _*)
           .groupBy(col("node"))
           .agg(max(col("r0")).as("c0"),
@@ -238,8 +247,13 @@ object HyperBall {
     def savedAt(r: Int): DataFrame =
       savedRegs.where(col("r") === r.toLong)
         .select(col("node") +: lay.regCols: _*)
+    // persisted + forced BEFORE the fan-out into ne/allE: both legs
+    // reference oldE, and a lazily-persisted frame recomputes its
+    // build under concurrent downstream stages — the old shape paid
+    // the edge canonicalization twice (r19, guide §5)
     val oldE = edges.select(col(srcCol).as("node"), col(dstCol).as("nxt"))
-      .distinct()
+      .distinct().persist()
+    oldE.count()
     // truly-new edges only: a batch edge already present contributes
     // nothing (its head's sketch is max-folded into saved already)
     // but would pull full saved sketches through the per-radius join
@@ -247,7 +261,7 @@ object HyperBall {
       .select(col(srcCol).as("node"), col(dstCol).as("nxt")).distinct()
       .join(oldE, Seq("node", "nxt"), "left_anti").persist()
     val allE = oldE.unionByName(ne).persist()
-    allE.count(); ne.count()
+    allE.count(); val neN = ne.count()
     // radius 0: only nodes the batch INTRODUCES differ from saved —
     // an old node's radius-0 ball is itself regardless of edges
     val neNodes = ne.select(col("node"))
@@ -258,11 +272,20 @@ object HyperBall {
     var out = outputAt(savedAt(0), changed, nChanged, 0, lay,
       broadcastChangedMax)
     for (r <- 1 to maxRadius) {
-      val viaNew = ne
+      // r19 (guide §3.1): the batch edge set and the per-radius
+      // changed set are small by the repair contract — broadcasting
+      // them keeps the big sides (the pruned saved-radius scan, the
+      // persisted union edge list) entirely unshuffled; past
+      // broadcastChangedMax the shuffled join is the safe plan (the
+      // outputAt guard, applied to the loop joins)
+      val neB = if (neN <= broadcastChangedMax) broadcast(ne) else ne
+      val viaNew = neB
         .join(savedAt(r - 1).withColumnRenamed("node", "nxt"), Seq("nxt"))
         .select(col("node") +: lay.regCols: _*)
-      val viaChanged = allE
-        .join(changed.withColumnRenamed("node", "nxt"), Seq("nxt"))
+      val chN = changed.withColumnRenamed("node", "nxt")
+      val chB =
+        if (nChanged <= broadcastChangedMax) broadcast(chN) else chN
+      val viaChanged = allE.join(chB, Seq("nxt"))
         .select(col("node") +: lay.regCols: _*)
       val cand = viaNew.unionByName(viaChanged).unionByName(changed)
         .groupBy(col("node"))
@@ -291,7 +314,7 @@ object HyperBall {
     }
     // out's legs reference only per-radius checkpoints and the saved
     // parquet — the persisted edge frames are loop-internal
-    ne.unpersist(); allE.unpersist()
+    oldE.unpersist(); ne.unpersist(); allE.unpersist()
     out.select(col("node"), col("r"), col("nf_est"))
   }
 
