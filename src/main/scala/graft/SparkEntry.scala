@@ -911,16 +911,27 @@ object SparkEntry {
   // Measured (MicroBench longkeys, sf0.1, min-of-2): BFS 5.48→3.54 s,
   // PageRank 4.83→4.28 s, exact-diff 0 rows. At 100 TB the same
   // change shrinks every shuffle of the loop by the id-width ratio.
-  // NOT applied where the id value is semantic: LabelProp (labels are
-  // ids, min/max-ordered), SCC (max-id coloring), HyperBall (hashes
-  // the id string into registers), k-core/truss (canonical least/
-  // greatest orientation) — see OPTIMIZATION_r18.md.
+  // NOT applied where the id value is semantic: SCC (max-id
+  // coloring), HyperBall (hashes the id string into registers),
+  // k-core/truss (canonical least/greatest orientation) — see
+  // OPTIMIZATION_r18.md. r19: LabelProp now SPLITS the two roles —
+  // join keys are long, while labelOf seeds the original STRING
+  // labels whose min-order the tie-break needs, so the bijection
+  // never touches an ordered value.
 
   /** Rebuild the gate's "c…"/"s…" string id from the long key —
     * the inverse of the 2k / 2k+1 bijection, one output projection. */
   private def longNodeToId(name: String): org.apache.spark.sql.Column =
     when(col(name) % 2 === 0, concat(lit("c"), expr(s"$name div 2")))
       .otherwise(concat(lit("s"), expr(s"$name div 2")))
+
+  /** [[longNodeToId]] over a Column (not a name) — shiftright is the
+    * exact integer half for both 2k and 2k+1. Used where the inverse
+    * feeds an operator callback (LabelProp's labelOf). */
+  private def longNodeToIdC(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(c % 2 === 0, concat(lit("c"), shiftright(c, 1)))
+      .otherwise(concat(lit("s"), shiftright(c, 1)))
 
   /** Translate a SAVED string-keyed artifact id ("c123"/"s45") to the
     * long key — artifacts stay in their staged v1 string format (no
@@ -5330,17 +5341,16 @@ object SparkEntry {
       // undirected customer↔supplier purchase graph q_pagerank ranks:
       // 3 rounds, self-vote on (damps the bipartite oscillation),
       // ties to the smallest label — communities, not components
+      // r19 long node KEYS with string LABELS (guide §2.3): labels
+      // are min-ordered VALUES so the bijection cannot replace them,
+      // but every join/shuffle key can be long — labelOf seeds the
+      // original string ids, so vote multisets and tie-breaks are
+      // identical and the output is row-identical (oracle-gated)
       val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
-        .distinct()
-      val edges = pairs.select(explode(array(
-          struct(col("a"), col("b")),
-          struct(col("b").as("a"), col("a").as("b")))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-      graft.graph.LabelProp.propagate(edges, "a", "b", iters = 3)
+      val edges = purchaseEdgesLongFrom(s, dir, oc)
+      graft.graph.LabelProp.propagate(edges, "a", "b", iters = 3,
+          labelOf = longNodeToIdC)
+        .select(longNodeToIdC(col("node_id")).as("node_id"), col("label"))
         .orderBy(col("node_id"))
     }),
 
@@ -5356,10 +5366,16 @@ object SparkEntry {
       // community form), so the oracle replays the composition: 3
       // unrolled rounds over the mod-4 graph, then 2 over the full
       // graph from that labeling.
-      val edges = purchaseEdgesFrom(s, dir,
+      // long node keys + string labels (the q_communities split);
+      // the staged v1 string artifact translates its KEY at read,
+      // its labels stay the strings the tie-break orders
+      val edges = purchaseEdgesLongFrom(s, dir,
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
       val saved = s.read.parquet(lpaSaved(s, dir))
-      graft.graph.LabelProp.resume(edges, "a", "b", saved, iters = 2)
+        .select(nodeIdToLong("node_id").as("node_id"), col("label"))
+      graft.graph.LabelProp.resume(edges, "a", "b", saved, iters = 2,
+          labelOf = longNodeToIdC)
+        .select(longNodeToIdC(col("node_id")).as("node_id"), col("label"))
         .orderBy(col("node_id"))
     }),
 
@@ -5369,12 +5385,13 @@ object SparkEntry {
       // (the q_pagerank_delete argument in community form): resume
       // from the FULL-graph labeling for 2 rounds over the graph
       // with the mod-5 orders' pairs retracted at the pair level.
+      // long node keys + string labels (the q_communities split)
       val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val ls = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       def pairsOf(o: DataFrame): DataFrame =
         o.join(ls, col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("a"),
-            concat(lit("s"), col("l_suppkey")).as("b"))
+          .select((col("o_custkey") * 2L).as("a"),
+            (col("l_suppkey") * 2L + 1L).as("b"))
           .distinct()
       val pairs = pairsOf(oc)
         .join(pairsOf(oc.where(col("o_orderkey") % 5 === 0)),
@@ -5384,7 +5401,10 @@ object SparkEntry {
           struct(col("b").as("a"), col("a").as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
       val saved = s.read.parquet(lpaSavedFull(s, dir))
-      graft.graph.LabelProp.resume(edges, "a", "b", saved, iters = 2)
+        .select(nodeIdToLong("node_id").as("node_id"), col("label"))
+      graft.graph.LabelProp.resume(edges, "a", "b", saved, iters = 2,
+          labelOf = longNodeToIdC)
+        .select(longNodeToIdC(col("node_id")).as("node_id"), col("label"))
         .orderBy(col("node_id"))
     }),
 

@@ -41,11 +41,24 @@ object LabelProp {
     *                beforehand for an undirected graph
     * @param iters   fixed round count (determinism over convergence)
     * @param includeSelf count the node's own current label as one vote
+    * @param labelOf initial label of a node id, default the id
+    *                itself. r19 (guide §2.3): label VALUES are
+    *                min/max-ordered, so the r18 long-key bijection
+    *                cannot replace them — but join KEYS are pure
+    *                equi-keys, so a caller may run the loop on long
+    *                node keys while `labelOf` seeds the ORIGINAL
+    *                string labels: per-round vote multisets and the
+    *                (count desc, label asc) tie-break are then
+    *                identical to the all-string run, with every
+    *                shuffle/join keyed on longs.
     * @return (node_id, label): the community label after `iters`
-    *         rounds; isolated label-sinks keep their own id */
+    *         rounds; isolated label-sinks keep their own initial
+    *         label */
   def propagate(edges: DataFrame, srcCol: String, dstCol: String,
-                iters: Int, includeSelf: Boolean = true): DataFrame =
-    run(edges, srcCol, dstCol, None, iters, includeSelf)
+                iters: Int, includeSelf: Boolean = true,
+                labelOf: org.apache.spark.sql.Column =>
+                  org.apache.spark.sql.Column = identity): DataFrame =
+    run(edges, srcCol, dstCol, None, iters, includeSelf, labelOf)
 
   /** WARM-START LPA — resume the synchronous propagation from a
     * SAVED labeling after an edge batch: the community family's
@@ -66,12 +79,17 @@ object LabelProp {
     * @param savedLabels (node_id, label) from a prior run */
   def resume(edges: DataFrame, srcCol: String, dstCol: String,
              savedLabels: DataFrame, iters: Int,
-             includeSelf: Boolean = true): DataFrame =
-    run(edges, srcCol, dstCol, Some(savedLabels), iters, includeSelf)
+             includeSelf: Boolean = true,
+             labelOf: org.apache.spark.sql.Column =>
+               org.apache.spark.sql.Column = identity): DataFrame =
+    run(edges, srcCol, dstCol, Some(savedLabels), iters, includeSelf,
+      labelOf)
 
   private def run(edges: DataFrame, srcCol: String, dstCol: String,
                   saved: Option[DataFrame], iters: Int,
-                  includeSelf: Boolean): DataFrame = {
+                  includeSelf: Boolean,
+                  labelOf: org.apache.spark.sql.Column =>
+                    org.apache.spark.sql.Column): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e0.select(col("src").as("node"))
@@ -89,12 +107,13 @@ object LabelProp {
       else e0).persist()
     e.count()
     var labels = saved match {
-      case None => nodes.select(col("node"), col("node").as("label"))
+      case None =>
+        nodes.select(col("node"), labelOf(col("node")).as("label"))
       case Some(sv) => nodes
         .join(sv.select(col("node_id").as("node"), col("label")),
           Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("label"), col("node")).as("label"))
+          coalesce(col("label"), labelOf(col("node"))).as("label"))
     }
     // One synchronous round as a pure function of the label table —
     // each round references `labels` exactly ONCE (the join), so a
@@ -116,7 +135,8 @@ object LabelProp {
       // no in-edges; it keeps its own id
       if (includeSelf) voted
       else nodes.join(voted, Seq("node"), "left")
-        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .select(col("node"),
+          coalesce(col("label"), labelOf(col("node"))).as("label"))
     }
     // Checkpoint + signature every SECOND round (r14 claw-back of the
     // adjudicated +1.75 s per-round-materialization cost — BASELINE

@@ -137,6 +137,36 @@ class LabelPropSpec extends SparkSpec {
     }
   }
 
+  test("labelOf decoupling: long keys + string labels equals the " +
+    "all-string run through the bijection") {
+    import org.apache.spark.sql.functions._
+    // the r19 q_communities split: keys long (2k / 2k+1), labels the
+    // original "c<k>"/"s<k>" strings whose ORDER the tie-break needs —
+    // must be row-identical to propagating on the strings directly
+    val strEdges = Seq(("c1", "s2"), ("s2", "c1"), ("c1", "s12"),
+      ("s12", "c1"), ("c3", "s2"), ("s2", "c3"), ("c11", "s12"),
+      ("s12", "c11"), ("c2", "s3"), ("s3", "c2"))
+    def toLong(id: String): Long = {
+      val k = id.drop(1).toLong
+      if (id.startsWith("c")) k * 2 else k * 2 + 1
+    }
+    for (iters <- Seq(1, 2, 3); self <- Seq(true, false)) {
+      val want = LabelProp.propagate(strEdges.toDF("a", "b"), "a", "b",
+          iters, includeSelf = self)
+        .orderBy("node_id").as[(String, String)].collect().toSeq
+      val longDf = strEdges.map { case (a, b) => (toLong(a), toLong(b)) }
+        .toDF("a", "b")
+      val labelOf = (c: org.apache.spark.sql.Column) =>
+        when(c % 2 === 0, concat(lit("c"), shiftright(c, 1)))
+          .otherwise(concat(lit("s"), shiftright(c, 1)))
+      val got = LabelProp.propagate(longDf, "a", "b", iters,
+          includeSelf = self, labelOf = labelOf)
+        .select(labelOf(col("node_id")).as("node_id"), col("label"))
+        .orderBy("node_id").as[(String, String)].collect().toSeq
+      assert(got === want, s"iters=$iters includeSelf=$self")
+    }
+  }
+
   test("resume seeds batch-new nodes at their own id") {
     val old = sym(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
     val saved = LabelProp.propagate(old, "src", "dst", iters = 3)
