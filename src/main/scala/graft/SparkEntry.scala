@@ -5677,7 +5677,14 @@ object SparkEntry {
       // filters on. The oracle replays the munch as a precomputed
       // longest-match-length table + one recursive cursor chase.
       val docs = t(s, dir, "documents")
+      // r19 (guide §5 reuse-within-query): the word-type table feeds
+      // THREE consumers (train's seed checkpoint, the vocab collect,
+      // and the lazy munch leg inside inferStats — the last evaluated
+      // twice by inferStats' two aggregates), so left lazy it re-ran
+      // the full tokenize+groupBy pass 4x per query. One checkpoint
+      // up front: measured 8.6 -> 3.7 s warm at sf0.1.
       val types0 = graft.functions.WordPiece.wordTypes(docs, "text")
+        .sanitizedCheckpoint()
       val model = graft.functions.WordPiece.train(types0, numMerges = 4)
       val vocab = graft.functions.WordPiece.vocab(types0, model,
         minCount = 890L)
