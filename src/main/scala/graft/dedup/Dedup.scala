@@ -182,28 +182,68 @@ object Dedup {
                         blockCol: String, k: Int = 4,
                         threshold: Double = 0.7): DataFrame = {
     val (cand, sets) = ngramCandidates(df, idCol, textCol, blockCol, k, threshold)
-    // size the verification shuffle from MEASURED candidate volume:
-    // both counts below are cheap cached scans (ngramCandidates
-    // persisted + materialized both frames)
-    val n = verifyShufflePartitions(df.sparkSession, cand.count(),
-      avgSetLen(sets))
-    val conf = sessionShufflePartitions(df.sparkSession)
+    // join strategy from MEASURED sizes (guide §3.1): the verify
+    // joins attach both docs' full hashed-gram arrays to every
+    // candidate pair, so the shuffled plan moves
+    // ~2·avgLen·16 B·nCand — the r10-measured pressure point (a
+    // low-threshold char-gram corpus passes most pairs as
+    // candidates: 1.96M of 12.5M at the curve gate, each verify row
+    // dragging two full arrays through two exchanges). The SET table
+    // itself is one row per doc; while its framed size stays under
+    // [[BroadcastVerifySetsMaxBytes]], broadcasting it turns both
+    // verify joins into broadcast-hash probes and NO array ever
+    // crosses a shuffle. Past the bound (the 100 TB corpus), the
+    // measured-partition shuffle plan below is the safe fallback.
+    val nCand = cand.count()
+    val avgLen = avgSetLen(sets)
+    val setBytes = (sets.count() * avgLen * 16.0).toLong
     val inter = call_function(graft.expressions.GraftFunctions.IntersectSizeSorted,
       col("sh_a"), col("sh_b"))
-    val withA = (if (n > conf) cand.repartition(n, col("id_a")) else cand)
-      .join(sets.select(col("id").as("id_a"), col("sz").as("sz_a"),
-        col("sh").as("sh_a")), Seq("id_a"))
-    // the second verify join re-keys on id_b anyway; the explicit
-    // repartition just carries the measured partition count instead of
-    // falling back to the session conf
-    (if (n > conf) withA.repartition(n, col("id_b")) else withA)
-      .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"),
-        col("sh").as("sh_b")), Seq("id_b"))
+    val verified =
+      if (setBytes <= broadcastVerifySetsMaxBytes(df.sparkSession))
+        cand
+          .join(broadcast(sets.select(col("id").as("id_a"),
+            col("sz").as("sz_a"), col("sh").as("sh_a"))), Seq("id_a"))
+          .join(broadcast(sets.select(col("id").as("id_b"),
+            col("sz").as("sz_b"), col("sh").as("sh_b"))), Seq("id_b"))
+      else {
+        val n = verifyShufflePartitions(df.sparkSession, nCand, avgLen)
+        val conf = sessionShufflePartitions(df.sparkSession)
+        val withA = (if (n > conf) cand.repartition(n, col("id_a")) else cand)
+          .join(sets.select(col("id").as("id_a"), col("sz").as("sz_a"),
+            col("sh").as("sh_a")), Seq("id_a"))
+        // the second verify join re-keys on id_b anyway; the explicit
+        // repartition just carries the measured partition count
+        // instead of falling back to the session conf
+        (if (n > conf) withA.repartition(n, col("id_b")) else withA)
+          .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"),
+            col("sh").as("sh_b")), Seq("id_b"))
+      }
+    verified
       .select(col("id_a"), col("id_b"),
         round(inter.cast("double") / (col("sz_a") + col("sz_b") - inter), 6)
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Framed-size bound under which the per-doc gram-set table is
+    * BROADCAST to the verification joins instead of shuffled onto the
+    * candidate pairs: one copy per executor (~16 B per hashed gram)
+    * versus two arrays per CANDIDATE row through two exchanges —
+    * candidates outnumber docs by orders of magnitude exactly when
+    * the verify is expensive. 256 MB is comfortably inside executor
+    * memory and the 8 GB broadcast cap; a corpus past it falls back
+    * to the measured-partition shuffle plan. */
+  val BroadcastVerifySetsMaxBytes: Long = 256L * 1024 * 1024
+
+  /** Session override for [[BroadcastVerifySetsMaxBytes]] — cluster
+    * profiles with tighter executor memory (or tests forcing the
+    * shuffle branch) set `spark.graft.dedup.broadcastVerifySetsMaxBytes`. */
+  private def broadcastVerifySetsMaxBytes(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    scala.util.Try(
+      spark.conf.get("spark.graft.dedup.broadcastVerifySetsMaxBytes").toLong)
+      .getOrElse(BroadcastVerifySetsMaxBytes)
 
   /** Partition count for a gram-set verification join, derived from
     * measured candidate volume instead of the session conf.

@@ -114,6 +114,9 @@ class NgramPrefixCrossoverSpec extends SparkSpec {
     // nonempty corpus — same pairs, verify join at the advised width
     val clone = spark.newSession()
     clone.conf.set("spark.sql.shuffle.partitions", "2")
+    // force the SHUFFLE verify branch: the r19 default broadcasts the
+    // per-doc set table whenever it fits, which this tiny corpus does
+    clone.conf.set("spark.graft.dedup.broadcastVerifySetsMaxBytes", "0")
     val cloneDf = clone.createDataFrame(
       spark.sparkContext.parallelize(docs.map(d => org.apache.spark.sql.Row(d._1, d._2, d._3)), 4),
       df.schema)
