@@ -62,8 +62,9 @@ object Scc {
     val e0 = eRaw.where(col("src") =!= col("dst")).distinct().persist()
     e0.count()
 
-    var active = allNodes.sanitizedCheckpoint()
-    var nActive = active.count()
+    var (active, activeSig) = graft.operators.Converge.checkpointWithSig(
+      allNodes, "node")
+    var nActive = activeSig._1
     var parts = List.empty[DataFrame]
     var outer = 0
     while (nActive > 0) {
@@ -108,6 +109,9 @@ object Scc {
       // (colors only grow), so a fixed point of the doubled step is a
       // fixed point of the single step — two hops are fused into each
       // checkpointed round, halving the dominant per-round job count.
+      // (r19 A/B: fusing FOUR hops per checkpoint was measured SLOWER
+      // at sf0.1 — the 16-leaf lazy block's planning/stage cost
+      // exceeds the saved checkpoints; two is the sweet spot.)
       def colorStep(c: DataFrame): DataFrame = {
         val msgs = ea
           .join(c.withColumnRenamed("node", "src"), Seq("src"))
@@ -165,13 +169,15 @@ object Scc {
 
       parts ::= marked.select(col("node").as("node_id"),
         col("color").as("scc_id"))
-      val nextActive = active
-        .join(marked.select(col("node")), Seq("node"), "left_anti")
-        .sanitizedCheckpoint()
+      // count rides the checkpoint's own observation (one job, the
+      // Converge discipline) instead of a separate count action
+      val (nextActive, aSig) = graft.operators.Converge.checkpointWithSig(
+        active.join(marked.select(col("node")), Seq("node"), "left_anti"),
+        "node")
       ea.unpersist(blocking = false)
       eColored.unpersist(blocking = false)
       active = nextActive
-      nActive = active.count()
+      nActive = aSig._1
       }
     }
     e0.unpersist(blocking = false)
