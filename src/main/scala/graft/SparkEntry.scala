@@ -939,7 +939,12 @@ object SparkEntry {
   private def nodeIdToLong(name: String): org.apache.spark.sql.Column =
     when(substring(col(name), 1, 1) === "c",
       expr(s"cast(substring($name, 2) as bigint) * 2"))
-      .otherwise(expr(s"cast(substring($name, 2) as bigint) * 2 + 1"))
+      .when(substring(col(name), 1, 1) === "s",
+        expr(s"cast(substring($name, 2) as bigint) * 2 + 1"))
+      // a malformed saved-artifact id must fail loudly, not translate
+      // to a wrong key and silently corrupt a warm start (r18 advice)
+      .otherwise(expr(
+        s"raise_error(concat('nodeIdToLong: malformed node id ', $name))"))
 
   /** [[purchaseEdgesFrom]] on long node keys. */
   private def purchaseEdgesLongFrom(s: SparkSession, dir: String,

@@ -61,28 +61,45 @@ object Converge {
   def withSig(df: DataFrame, cols: String,
               timeout: scala.concurrent.duration.Duration = null)
              (materialize: DataFrame => DataFrame): (DataFrame, (Long, Long)) = {
+    val (ck, sig, _) = observedSig(df, cols, None, timeout)(materialize)
+    (ck, sig)
+  }
+
+  /** The one observe/await/read path both signature entry points
+    * share (r18 advice: checkpointWithSigCount used to duplicate the
+    * machinery and dropped the lazy-materialization diagnosis from
+    * its timeout message). `pred` optionally adds a flag count
+    * collected in the same materializing job. */
+  private def observedSig(df: DataFrame, cols: String,
+                          pred: Option[String],
+                          timeout: scala.concurrent.duration.Duration)
+                         (materialize: DataFrame => DataFrame)
+      : (DataFrame, (Long, Long), Long) = {
     val deadline =
       if (timeout != null) timeout
       else scala.concurrent.duration.Duration(
         df.sparkSession.conf.get("spark.graft.converge.timeoutSec", "60").toLong,
         "s")
     val obs = Observation()
-    val ck = materialize(df.observe(obs,
+    val metrics = Seq(
       count(lit(1)).as("n"),
-      coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("h")))
+      coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("h")) ++
+      pred.map(p => count(when(expr(p), lit(1))).as("c"))
+    val ck = materialize(df.observe(obs, metrics.head, metrics.tail: _*))
     val row =
       try scala.concurrent.Await.result(obs.future, deadline)
       catch {
         case _: java.util.concurrent.TimeoutException =>
           throw new IllegalStateException(
-            s"Converge.withSig: observation '${obs.name}' not completed " +
+            s"Converge: observation '${obs.name}' not completed " +
               s"after $deadline — either the materialize function never ran " +
               "an action on the OBSERVED frame it is given (it must, e.g. " +
               "an eager localCheckpoint — not a lazy or rebuilt plan), or " +
               "the driver's listener bus is lagging/dropping events (raise " +
               "the timeout via spark.graft.converge.timeoutSec)")
       }
-    (ck, (row.getAs[Long]("n"), row.getAs[Long]("h")))
+    (ck, (row.getAs[Long]("n"), row.getAs[Long]("h")),
+      pred.fold(0L)(_ => row.getAs[Long]("c")))
   }
 
   /** As [[checkpointWithSig]] plus a flag-count collected in the SAME
@@ -95,26 +112,10 @@ object Converge {
     * keeps the round at ONE job instead of checkpoint + count. */
   def checkpointWithSigCount(df: DataFrame, cols: String,
                              pred: String): (DataFrame, (Long, Long), Long) = {
-    val deadline = scala.concurrent.duration.Duration(
-      df.sparkSession.conf.get("spark.graft.converge.timeoutSec", "60").toLong,
-      "s")
-    val obs = Observation()
-    val ck = df.observe(obs,
-        count(lit(1)).as("n"),
-        coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("h"),
-        count(when(expr(pred), lit(1))).as("c"))
-      .localCheckpoint()
-    val row =
-      try scala.concurrent.Await.result(obs.future, deadline)
-      catch {
-        case _: java.util.concurrent.TimeoutException =>
-          throw new IllegalStateException(
-            s"Converge.checkpointWithSigCount: observation not completed " +
-              s"after $deadline — listener bus lagging? (raise " +
-              "spark.graft.converge.timeoutSec)")
-      }
+    val (ck, sig, c) =
+      observedSig(df, cols, Some(pred), null)(_.localCheckpoint())
     (org.apache.spark.sql.execution.GraftCheckpointStats.sanitize(ck),
-      (row.getAs[Long]("n"), row.getAs[Long]("h")), row.getAs[Long]("c"))
+      sig, c)
   }
 
   /** The house checkpoint form — `df.sanitizedCheckpoint()` is an
