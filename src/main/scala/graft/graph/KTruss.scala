@@ -2,7 +2,6 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.Converge.SanitizedCheckpoint
 
 /** k-TRUSS decomposition (Cohen, "Trusses: cohesive subgraphs for
   * social network analysis", NSA technical report 2008) — the EDGE
@@ -146,11 +145,8 @@ object KTruss {
       .where(col("u") =!= col("v"))
       .distinct()
     val oldE = canon(edges, srcCol, dstCol)
-    // the saved truss arrives either as a staged parquet or (in the
-    // trussnessIncremental chain) a filter over an already-
-    // checkpointed decomposition — re-checkpointing it cost one job
-    // per level for a frame every use can scan flat (r19)
-    val truss = savedTruss.select(col("u"), col("v"))
+    val (truss, _) = graft.operators.Converge.checkpointWithSig(
+      savedTruss.select(col("u"), col("v")), "u, v")
     // truly-new edges only: a batch edge already present changes no
     // triangle and would seed a spurious region
     val (ne, (nNew, _)) = graft.operators.Converge.checkpointWithSig(
@@ -175,17 +171,9 @@ object KTruss {
     // then degrades gracefully to restricted-peel-over-everything
     // (≈ one full recompute) instead of burning budget rounds or
     // throwing on what is merely a lost optimization.
-    // region + frontier flag ride ONE observed checkpoint per round
-    // (r19, the kcore-closure discipline): fresh edges are anti-joined
-    // against the region so the merged frame is a disjoint union, its
-    // `nw` count collected by the checkpoint's own observation — the
-    // old shape paid a frontier checkpoint PLUS a region-union
-    // checkpoint per growing round. The signature hashes (u, v) over
-    // the whole region, so the final round's signature doubles as the
-    // peel phase's initial signature (no re-checkpoint of the region).
-    var (rstate, rSig, nFrontier) = graft.operators.Converge
-      .checkpointWithSigCount(
-        ne.select(col("u"), col("v"), lit(true).as("nw")), "u, v", "nw")
+    var frontier = ne
+    var nFrontier = nNew
+    var region = ne
     var round = 0
     var fellBack = false
     // raised on fallback: a full-region peel can legitimately need
@@ -198,18 +186,16 @@ object KTruss {
     while (nFrontier > 0) {
       round += 1
       if (round > maxExpandRounds) {
-        val (ck, fSig) = graft.operators.Converge.checkpointWithSig(
+        val (ck, (nRegion, _)) = graft.operators.Converge.checkpointWithSig(
           peeled.unionByName(ne), "u, v")
-        rstate = ck.select(col("u"), col("v"), lit(false).as("nw"))
-        rSig = fSig
-        fallbackPeelBound = fSig._1 + 1
+        region = ck
+        fallbackPeelBound = nRegion + 1
         nFrontier = 0
         fellBack = true
       } else {
       // triangles containing a frontier edge (u,v): common neighbors
       // w of u and v in the union graph (one neighbor expansion +
       // one closing semi-join, the kTruss support shape seeded small)
-      val frontier = rstate.where(col("nw")).select(col("u"), col("v"))
       val tri = frontier
         .join(sym.select(col("n").as("u"), col("m").as("w")), Seq("u"))
         .where(col("w") =!= col("v"))
@@ -225,45 +211,23 @@ object KTruss {
         .distinct()
       val fresh = others
         .join(peeled, Seq("u", "v"), "left_semi")
-        .join(rstate, Seq("u", "v"), "left_anti")
-      val merged = rstate.select(col("u"), col("v"), lit(false).as("nw"))
-        .unionByName(fresh.select(col("u"), col("v"),
-          lit(true).as("nw")))
-      val (next, nSig, n) = graft.operators.Converge
-        .checkpointWithSigCount(merged, "u, v", "nw")
-      rstate = next
-      rSig = nSig
+        .join(region, Seq("u", "v"), "left_anti")
+      val (ck, (n, _)) =
+        graft.operators.Converge.checkpointWithSig(fresh, "u, v")
+      frontier = ck
       nFrontier = n
+      if (n > 0)
+        region = graft.operators.Converge
+          .checkpointWithSig(region.unionByName(ck), "u, v")._1
       }
     }
-    val region = rstate.select(col("u"), col("v"))
     if (fellBack)
       System.err.println("[ktruss] region expansion exceeded " +
         s"$maxExpandRounds rounds; fell back to the full peeled region")
     // 2. PEEL the region against the T ∪ region adjacency; T edges
-    // are kept by the containment invariant, never re-scored. The
-    // region is already checkpointed with its (count, hash) signature
-    // from the expansion's final round — no init materialization.
-    // The static truss side is restricted ONCE to region-incident
-    // edges (r19, guide §3): every triangle scoring a region edge
-    // (u,v) touches a region-edge endpoint on all three edges — (u,w)
-    // at u, the closing (w,v) at v — and the peel only SHRINKS cur,
-    // so the initial region's node set stays a superset. At scale
-    // this keeps per-round support volume ∝ the region, not the
-    // saved truss.
-    val rNodes = region.select(col("u").as("rn"))
-      .unionByName(region.select(col("v").as("rn"))).distinct()
-    // materialized once: both support-join legs of every peel round
-    // read it — left lazy, its three joins would re-run per leg
-    val trussR = truss
-      .join(rNodes.select(col("rn").as("u")), Seq("u"), "left_semi")
-      .unionByName(truss
-        .join(rNodes.select(col("rn").as("u")), Seq("u"), "left_anti")
-        .join(rNodes.select(col("rn").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v")))
-      .sanitizedCheckpoint()
-    var cur = region
-    var sig = rSig
+    // are kept by the containment invariant, never re-scored
+    var (cur, sig) =
+      graft.operators.Converge.checkpointWithSig(region, "u, v")
     round = 0
     val peelBound = math.max(maxPeelRounds.toLong, fallbackPeelBound)
     var done = false
@@ -271,7 +235,7 @@ object KTruss {
       round += 1
       require(round <= peelBound,
         s"region peel exceeded $peelBound rounds")
-      val curAll = trussR.unionByName(cur)
+      val curAll = truss.unionByName(cur)
       val symCur = curAll.select(explode(array(
           struct(col("u").as("n"), col("v").as("m")),
           struct(col("v").as("n"), col("u").as("m")))).as("p"))
@@ -523,10 +487,8 @@ object KTruss {
       val nextLevel = kTrussIncremental(oldLevel, batchK, "u", "v",
         savedK, k, maxExpandRounds, maxPeelRounds)
       levels :+= nextLevel.withColumn("t", lit(k.toLong))
-      // the next rung's old graph is the saved level-k slice — a
-      // filter over the already-checkpointed decomposition, scanned
-      // flat; re-checkpointing it cost one job per level (r19)
-      oldLevel = savedK
+      oldLevel = graft.operators.Converge
+        .checkpointWithSig(savedK, "u, v")._1
       curLevel = nextLevel
     }
     levels.reduce(_ unionByName _)
